@@ -1,0 +1,185 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Num
+import graft.functions.Text
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a 100 TB training-data pipeline, over the
+  * `documents` table:
+  *
+  *  - exact dedup: hash-groupBy on a key (one shuffle on the dedup key);
+  *  - fingerprint dedup: md5 of normalized text (near-exact);
+  *  - MinHash + LSH: shingle → k minhashes → banded keys → bucket
+  *    self-join. The self-join is on (band, key), i.e. only documents
+  *    sharing a bucket ever meet — this is the scale path: candidate
+  *    generation is O(collisions), never O(n²);
+  *  - n-gram Jaccard verify: exact similarity computed only for LSH
+  *    candidates (the standard candidate-then-verify pipeline);
+  *  - SimHash: 32-bit signature via per-bit majority vote over shingle
+  *    md5 bits.
+  *
+  * The minhash functions are min(md5(seed || shingle)) — a deterministic
+  * lexicographic min over hex strings, chosen so an ANSI-SQL oracle
+  * (DuckDB) reproduces the exact same signatures byte-for-byte.
+  */
+object Dedup {
+
+  val NumHashes = 6
+  val BandSize = 2 // 3 bands of 2 hashes → candidates at jaccard ≳ 0.5
+
+  /** doc_id → exploded distinct 3-token shingles. */
+  private def shingleRows(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(Text.shingles(Text.tokens(col("text")), 3)).as("s"))
+      .distinct()
+
+  /** doc_id → minhash signature columns h0..h{k-1}. */
+  private def minhashes(s: SparkSession, dir: String): DataFrame =
+    shingleRows(s, dir).groupBy(col("doc_id")).agg(
+      min(md5(concat(lit("0|"), col("s")))).as("h0"),
+      (1 until NumHashes).map(j =>
+        min(md5(concat(lit(s"$j|"), col("s")))).as(s"h$j")): _*)
+
+  /** doc_id → (band, key) rows; key = concat of the band's hashes. */
+  private def bandRows(s: SparkSession, dir: String): DataFrame = {
+    val mh = minhashes(s, dir)
+    val bands = (0 until NumHashes / BandSize).map { b =>
+      val key = concat((0 until BandSize).map(i => col(s"h${b * BandSize + i}")): _*)
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    mh.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Candidate pairs (a < b) sharing at least one LSH band bucket. */
+  private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    val x = bandRows(s, dir).toDF("a", "band", "key")
+    val y = bandRows(s, dir).toDF("b", "band", "key")
+    x.join(y, Seq("band", "key")).where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  val queries: Map[String, Relational.Q] = Map(
+
+    // ── exact dedup: canonical row per key group ──────────────────────
+    "dedup_exact" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy(col("lang"), col("n_chars"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))),
+
+    // ── fingerprint dedup: md5-of-normalized-text groups ──────────────
+    "dedup_fingerprint" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(Text.fingerprint(col("text")).as("fp"), col("doc_id"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))),
+
+    // ── MinHash + LSH candidate pairs ─────────────────────────────────
+    "dedup_minhash_lsh" -> ((s, dir) => lshCandidates(s, dir)),
+
+    // ── candidate-then-verify: exact 3-gram Jaccard on LSH candidates ─
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val cand = lshCandidates(s, dir)
+      val ex = shingleRows(s, dir)
+      val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val ea = ex.toDF("a", "s")
+      val eb = ex.toDF("b", "s")
+      val inter = cand.join(ea, "a").join(eb, Seq("b", "s"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
+      val j = col("i").cast("double") /
+        (col("sa.sz") + col("sb.sz") - col("i")).cast("double")
+      inter
+        .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
+        .where(j >= 0.5)
+        .select(col("a"), col("b"), Num.roundp(j, 4).as("jacc"))
+    }),
+
+    // ── SimHash 32-bit signatures ─────────────────────────────────────
+    "dedup_simhash" -> ((s, dir) => {
+      val hexHi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+      val h = md5(col("s"))
+      val votes = (0 until 32).map(i =>
+        sum(when(substring(h, i + 1, 1).isin(hexHi: _*), 1).otherwise(-1)).as(s"v$i"))
+      val bits = (0 until 32).map(i => when(col(s"v$i") > 0, "1").otherwise("0"))
+      shingleRows(s, dir)
+        .groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"), concat(bits: _*).as("simhash"))
+    })
+  )
+
+  // ── Oracle SQL (DuckDB). Shared CTE fragments mirror the Spark plan. ─
+
+  private val sqlShingles =
+    """WITH toksrc AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tok
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_transform(range(len(tok) - 2),
+      |    i -> tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3]) AS shingles
+      |  FROM toksrc WHERE len(tok) >= 3),
+      |ex AS (
+      |  SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh)""".stripMargin
+
+  private val sqlMinhashCols =
+    (0 until NumHashes).map(j => s"min(md5('$j|' || s)) AS h$j").mkString(", ")
+
+  private val sqlBands =
+    (0 until NumHashes / BandSize).map { b =>
+      val key = (0 until BandSize).map(i => s"h${b * BandSize + i}").mkString(" || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM mh"
+    }.mkString(" UNION ALL ")
+
+  private val sqlCandidates =
+    s"""$sqlShingles,
+       |mh AS (SELECT doc_id, $sqlMinhashCols FROM ex GROUP BY doc_id),
+       |bands AS ($sqlBands),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
+       |  JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)""".stripMargin
+
+  private val sqlSimhashVotes = (0 until 32).map(i =>
+    s"sum(CASE WHEN substr(md5(s), ${i + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v$i"
+  ).mkString(", ")
+
+  private val sqlSimhashBits = (0 until 32).map(i =>
+    s"CASE WHEN v$i > 0 THEN '1' ELSE '0' END").mkString(" || ")
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT lang, n_chars, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY lang, n_chars""".stripMargin,
+
+    "dedup_fingerprint" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""$sqlCandidates
+         |SELECT a, b FROM cand""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""$sqlCandidates,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+         |inter AS (
+         |  SELECT cand.a, cand.b, count(*) AS i FROM cand
+         |  JOIN ex ea ON ea.doc_id = cand.a
+         |  JOIN ex eb ON eb.doc_id = cand.b AND eb.s = ea.s
+         |  GROUP BY cand.a, cand.b)
+         |SELECT a, b,
+         |  floor((CAST(i AS DOUBLE) / (sa.sz + sb.sz - i)) * 10000 + 0.5) / 10000 AS jacc
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = a
+         |JOIN sizes sb ON sb.doc_id = b
+         |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""$sqlShingles,
+         |votes AS (SELECT doc_id, $sqlSimhashVotes FROM ex GROUP BY doc_id)
+         |SELECT doc_id, $sqlSimhashBits AS simhash FROM votes""".stripMargin
+  )
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Num
+import graft.functions.Vectors
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  *  - brute-force cosine top-k: exact baseline, broadcast the (small)
+  *    query set against the corpus — one pass, no shuffle of the corpus;
+  *  - IVF-style assignment: each vector is routed to its nearest
+  *    centroid; at scale the centroid set is broadcast and search probes
+  *    only matching cells instead of the full corpus;
+  *  - embedding near-dup pairs: label-blocked cosine >= τ (blocking keys
+  *    bound the pair blow-up the same way LSH bands do for text).
+  *
+  * All vector math is `Vectors.dot`-style sequential double folds
+  * (codegen'd higher-order functions) so an oracle computing the same
+  * fold matches to ~1e-14 — scores are rounded well above that.
+  */
+object Similarity {
+
+  val queries: Map[String, Relational.Q] = Map(
+
+    // ── brute-force cosine top-5 for query vectors vec_id < 5 ─────────
+    "sim_topk_bruteforce" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val score = Num.roundp(Vectors.cosine(col("q_emb"), col("embedding")), 6)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), score.as("score"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 5)
+    }),
+
+    // ── IVF assignment: nearest centroid per vector ───────────────────
+    "sim_ivf_assign" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir, "embeddings")
+      val cent = e.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+      val dist = Num.roundp(Vectors.sqDist(col("embedding"), col("c_emb")), 6)
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("centroid_id"))
+      e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("centroid_id"), dist.as("dist"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("vec_id"), col("centroid_id"), col("dist"))
+    }),
+
+    // ── embedding near-duplicate pairs (label-blocked) ────────────────
+    "dedup_embed_cosine" -> ((s, dir) => {
+      val a = Tables(s, dir, "embeddings").select(
+        col("label"), col("vec_id").as("a"), col("embedding").as("ea"))
+      val b = Tables(s, dir, "embeddings").select(
+        col("label"), col("vec_id").as("b"), col("embedding").as("eb"))
+      val cos = Vectors.cosine(col("ea"), col("eb"))
+      a.join(b, "label").where(col("a") < col("b"))
+        .where(cos >= 0.4)
+        .select(col("label"), col("a"), col("b"), Num.roundp(cos, 4).as("cos"))
+    })
+  )
+
+  /** DuckDB double-precision sequential dot product over FLOAT[] lists —
+    * same fold as Vectors.dot. */
+  private def sqlDot(a: String, b: String) =
+    s"list_sum(list_transform(range(64), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)))"
+
+  private def sqlNorm(a: String) = s"sqrt(${sqlDot(a, a)})"
+
+  val oracles: Map[String, String] = Map(
+    "sim_topk_bruteforce" ->
+      s"""WITH n AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, e.vec_id,
+         |    floor((${sqlDot("q.embedding", "e.embedding")} / (q.nrm * e.nrm)) * 1000000 + 0.5) / 1000000 AS score
+         |  FROM n q JOIN n e ON q.vec_id < 5 AND e.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT q_id, vec_id, score, rk FROM ranked WHERE rk <= 5""".stripMargin,
+
+    "sim_ivf_assign" ->
+      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |d AS (
+         |  SELECT e.vec_id, c.centroid_id,
+         |    floor((list_sum(list_transform(range(64),
+         |      i -> (CAST(e.embedding[i+1] AS DOUBLE) - CAST(c.c_emb[i+1] AS DOUBLE))
+         |         * (CAST(e.embedding[i+1] AS DOUBLE) - CAST(c.c_emb[i+1] AS DOUBLE))))) * 1000000 + 0.5) / 1000000 AS dist
+         |  FROM embeddings e CROSS JOIN c),
+         |ranked AS (
+         |  SELECT vec_id, centroid_id, dist,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rk
+         |  FROM d)
+         |SELECT vec_id, centroid_id, dist FROM ranked WHERE rk = 1""".stripMargin,
+
+    "dedup_embed_cosine" ->
+      s"""WITH n AS (SELECT vec_id, label, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings)
+         |SELECT a.label, a.vec_id AS a, b.vec_id AS b,
+         |  floor((${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)) * 10000 + 0.5) / 10000 AS cos
+         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4""".stripMargin
+  )
+}

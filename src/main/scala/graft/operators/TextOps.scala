@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Num
+import graft.functions.Text
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: tokenization stats, quality scoring, language /
+  * script identification, fingerprinting, and the explode+count shape of
+  * the reference's keyword analytics (SURVEY.md §2.4 A2, §2.6 O2).
+  *
+  * All pure Catalyst expressions — each doc is processed independently,
+  * so every query here scales embarrassingly (no shuffle except the
+  * final aggregations).
+  */
+object TextOps {
+
+  private def toks = Text.tokens(col("text"))
+
+  val queries: Map[String, Relational.Q] = Map(
+
+    // ── A2 + X17: explode keywords → frequency table
+    // (dags/scripts/spark_daily_report.py:72-75) ──────────────────────
+    "a2_token_explode" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(explode(toks).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))),
+
+    // ── O2: top-10 tokens, engine-side top-k with total-order tiebreak
+    // (spark_daily_report.py:153) ─────────────────────────────────────
+    "o1_token_topk" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(explode(toks).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(10)),
+
+    // ── token counting (whitespace tokenizer) ─────────────────────────
+    "text_token_stats" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))),
+
+    // ── quality scoring: length/diversity/stopword ratios ─────────────
+    "text_quality" -> ((s, dir) => {
+      val t = toks
+      val nTok = size(t)
+      val totChars = aggregate(transform(t, x => length(x).cast("double")),
+        lit(0.0d), (acc, x) => acc + x)
+      val stop = size(filter(t, x => x === "the" || x === "a"))
+      Tables(s, dir, "documents")
+        .where(nTok > 0)
+        .select(
+          col("doc_id"),
+          nTok.cast("long").as("n_tokens"),
+          Num.roundp(totChars / nTok, 2).as("avg_token_len"),
+          Num.roundp(size(array_distinct(t)).cast("double") / nTok, 4).as("ttr"),
+          Num.roundp(stop.cast("double") / nTok, 4).as("stop_ratio"),
+          (nTok >= 30 && nTok <= 1000).as("len_ok"))
+    }),
+
+    // ── language ID: script class + marker-word heuristic ─────────────
+    "text_langid" -> ((s, dir) => {
+      val script = Text.scriptClass(col("text"))
+      val guess = when(script =!= "latin", script)
+        .when(col("text").contains(" the "), lit("en"))
+        .when(col("text").contains(" el "), lit("es"))
+        .when(col("text").contains(" le "), lit("fr"))
+        .when(col("text").contains(" der "), lit("de"))
+        .otherwise(lit("und"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), script.as("script"), guess.as("lang_guess"))
+    }),
+
+    // ── X10 analog: leading n-gram extraction ─────────────────────────
+    "text_first_ngram" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        array_join(slice(toks, 1, 5), " ").as("head5"))),
+
+    // ── document fingerprint: md5 of normalized text ──────────────────
+    "text_fingerprint" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"), Text.fingerprint(col("text")).as("fp")))
+  )
+
+  /** DuckDB token expression shared by the oracles below. */
+  private val sqlToks = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  val oracles: Map[String, String] = Map(
+    "a2_token_explode" ->
+      s"""SELECT token, count(*) AS n FROM (
+         |  SELECT unnest($sqlToks) AS token FROM documents)
+         |GROUP BY token""".stripMargin,
+
+    "o1_token_topk" ->
+      s"""SELECT token, count(*) AS n FROM (
+         |  SELECT unnest($sqlToks) AS token FROM documents)
+         |GROUP BY token ORDER BY n DESC, token LIMIT 10""".stripMargin,
+
+    "text_token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len(tok) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(tok)) AS BIGINT) AS n_distinct
+         |FROM (SELECT doc_id, $sqlToks AS tok FROM documents)""".stripMargin,
+
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(len(tok) AS BIGINT) AS n_tokens,
+         |  floor((CAST(list_sum(list_transform(tok, t -> length(t))) AS DOUBLE) / len(tok)) * 100 + 0.5) / 100 AS avg_token_len,
+         |  floor((CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok)) * 10000 + 0.5) / 10000 AS ttr,
+         |  floor((CAST(len(list_filter(tok, t -> t IN ('the', 'a'))) AS DOUBLE) / len(tok)) * 10000 + 0.5) / 10000 AS stop_ratio,
+         |  len(tok) BETWEEN 30 AND 1000 AS len_ok
+         |FROM (SELECT doc_id, $sqlToks AS tok FROM documents)
+         |WHERE len(tok) > 0""".stripMargin,
+
+    "text_langid" ->
+      """SELECT doc_id, script,
+        |  CASE WHEN script <> 'latin' THEN script
+        |       WHEN contains(text, ' the ') THEN 'en'
+        |       WHEN contains(text, ' el ') THEN 'es'
+        |       WHEN contains(text, ' le ') THEN 'fr'
+        |       WHEN contains(text, ' der ') THEN 'de'
+        |       ELSE 'und' END AS lang_guess
+        |FROM (SELECT doc_id, text,
+        |  CASE WHEN regexp_matches(text, '[가-힣]') THEN 'hangul'
+        |       WHEN regexp_matches(text, '[一-鿿]') THEN 'cjk'
+        |       WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'cyrillic'
+        |       WHEN regexp_matches(text, '[A-Za-z]') THEN 'latin'
+        |       ELSE 'other' END AS script
+        |  FROM documents)""".stripMargin,
+
+    "text_first_ngram" ->
+      s"""SELECT doc_id, array_to_string(tok[1:5], ' ') AS head5
+         |FROM (SELECT doc_id, $sqlToks AS tok FROM documents)""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Usage: python3 tools/check.py [sf_dir] [verify_out_dir]
+
+Runs each oracle SQL from <out>/oracle_sql.json in DuckDB over the sf
+tables, loads the Spark result parquet written by graft.Verify, normalizes
+both (sort columns by name, round floats, canonical row sort), and
+reports per-query match/mismatch. Dev-only tool; not part of the library.
+"""
+import sys, json, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        k = df[c].dtype.kind
+        if k == "f":
+            df[c] = df[c].round(6)
+        elif k == "M":
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    spark_dirs = {d.rstrip("/").split("/")[-1] for d in glob.glob(f"{out}/*/")}
+    n_ok = n_bad = 0
+    for name in sorted(spark_dirs):
+        files = glob.glob(f"{out}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_bad += 1; continue
+        sdf = con.execute(f"SELECT * FROM '{out}/{name}/*.parquet'").fetchdf()
+        if name not in oracle:
+            status = "ROWS-ONLY" if len(sdf) >= 0 else "EMPTY"
+            print(f"ok?  {name}: {status} rows={len(sdf)} (no oracle)")
+            continue
+        try:
+            ddf = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}"); n_bad += 1; continue
+        a, b = norm(sdf), norm(ddf)
+        if list(a.columns) != list(b.columns):
+            print(f"FAIL {name}: columns spark={list(a.columns)} duck={list(b.columns)}")
+            n_bad += 1; continue
+        if a.shape != b.shape:
+            print(f"FAIL {name}: shape spark={a.shape} duck={b.shape}"); n_bad += 1; continue
+        try:
+            pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                          check_exact=False, rtol=1e-9, atol=1e-9)
+            print(f"OK   {name}: rows={len(a)}"); n_ok += 1
+        except AssertionError as e:
+            msg = str(e).split("\n")[0:3]
+            print(f"FAIL {name}: {' | '.join(msg)}"); n_bad += 1
+    missing = set(oracle) - spark_dirs
+    for m in sorted(missing):
+        print(f"FAIL {m}: oracle declared but no spark output"); n_bad += 1
+    print(f"\n{n_ok} OK, {n_bad} FAIL, {len(spark_dirs) - n_ok - n_bad} rows-only")
+    sys.exit(1 if n_bad else 0)
+
+if __name__ == "__main__":
+    main()
