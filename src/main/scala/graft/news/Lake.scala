@@ -1,0 +1,56 @@
+package graft.news
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The parquet lake layer (SURVEY.md §7.1 module 5).
+  *
+  * Layout: date-partitioned by `year_month_day` = yyyyMMdd (X12,
+  * collect/consumer2.py:205,220) so the daily-report date filter (F5)
+  * becomes Catalyst partition pruning — one directory scanned per day
+  * instead of the reference's full glob scan
+  * (dags/scripts/spark_daily_report.py:50,63).
+  */
+object Lake {
+
+  val PartitionCol = "year_month_day"
+
+  def withPartitionKey(df: DataFrame, ts: String): DataFrame =
+    df.withColumn(PartitionCol, date_format(col(ts), "yyyyMMdd"))
+
+  /** Append a batch, date-partitioned. */
+  def append(df: DataFrame, path: String, ts: String = "updated"): Unit =
+    withPartitionKey(df, ts).write.mode(SaveMode.Append)
+      .partitionBy(PartitionCol).parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** J1: dedup-on-write = the reference's `INSERT … ON CONFLICT (link)
+    * DO NOTHING` (collect/consumer.py:81) as a left-anti join against
+    * the existing store + in-batch dropDuplicates. Idempotent-effect:
+    * re-appending the same batch is a no-op, which is what makes
+    * at-least-once delivery exactly-once-effect (T1/T5).
+    *
+    * Returns the rows actually written. */
+  def upsertByLink(spark: SparkSession, batch: DataFrame, storePath: String): DataFrame = {
+    val deduped = batch.dropDuplicates("link")
+    val fresh =
+      if (pathExists(spark, storePath)) {
+        val existing = spark.read.parquet(storePath).select("link")
+        deduped.join(existing, Seq("link"), "left_anti")
+      } else deduped
+    // Two jobs on `fresh` (count + write) — persist to avoid recompute.
+    fresh.persist()
+    if (fresh.head(1).nonEmpty)
+      fresh.write.mode(SaveMode.Append).parquet(storePath)
+    val out = fresh
+    fresh.unpersist(blocking = false)
+    out
+  }
+
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for a training-data pipeline: media is an
+  * opaque `binary` column with typed metadata; decode / feature-extract
+  * / frame-sample run as partition-local batch transforms.
+  *
+  * The actual codec step is STUBBED (no image/audio libraries in this
+  * environment): [[StubDecoder]] produces a deterministic byte-histogram
+  * "feature vector". Everything around it — the schema, the
+  * `mapPartitions` batching (decoder initialized once per partition,
+  * rows streamed through), the fixed feature width, the partition-count
+  * preservation — is the real Spark-side contract a production decoder
+  * plugs into, mirroring how a Python pipeline would use
+  * `mapInPandas` with one model per batch.
+  */
+object Multimodal {
+
+  case class MediaRow(media_id: Long, bytes: Array[Byte], mime: String,
+      width: Int, height: Int)
+  case class MediaFeatures(media_id: Long, mime: String, n_bytes: Int,
+      features: Array[Float])
+
+  /** Decoder contract: init is expensive (model load), decode is
+    * per-item. Implementations must be deterministic for golden runs or
+    * be marked nondeterministic at the call site. */
+  trait MediaDecoder extends Serializable {
+    def decode(bytes: Array[Byte]): Array[Float]
+  }
+
+  /** STUB decode: 8-bin byte histogram, L1-normalized. Deterministic
+    * stand-in for a real image/audio decoder (which is `???` in this
+    * container). */
+  class StubDecoder(bins: Int = 8) extends MediaDecoder {
+    def decode(bytes: Array[Byte]): Array[Float] = {
+      val h = new Array[Float](bins)
+      var i = 0
+      while (i < bytes.length) { h((bytes(i) & 0xff) * bins / 256) += 1f; i += 1 }
+      val n = math.max(1, bytes.length).toFloat
+      h.map(_ / n)
+    }
+  }
+
+  /** Synthesize a media table from `documents` (UTF-8 bytes as fake
+    * payloads) — exercises the binary-column plumbing end-to-end with
+    * deterministic content. */
+  def syntheticMedia(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables(spark, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("bytes"),
+      lit("text/plain").as("mime"),
+      (length(col("text")) % 640).cast("int").as("width"),
+      (length(col("text")) % 480).cast("int").as("height"))
+
+  /** Feature extraction: decoder built once per partition, rows
+    * streamed — the Flink RichFunction / mapInPandas shape. */
+  def extractFeatures(media: Dataset[MediaRow],
+      mkDecoder: () => MediaDecoder = () => new StubDecoder()): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val dec = mkDecoder() // once per partition
+      it.map(m => MediaFeatures(m.media_id, m.mime, m.bytes.length, dec.decode(m.bytes)))
+    }
+  }
+
+  /** Frame sampling: every k-th fixed-size chunk of the payload —
+    * the video-frame-sample access pattern over opaque bytes, pure
+    * expression (no decoder needed). */
+  def sampleChunks(media: DataFrame, chunk: Int = 16, every: Int = 4): DataFrame =
+    media.select(col("media_id"),
+      transform(
+        sequence(lit(0), greatest((length(col("bytes")) / (chunk * every)).cast("int") - 1, lit(0))),
+        i => substring(col("bytes"), i * (chunk * every) + 1, lit(chunk))).as("chunks"))
+}

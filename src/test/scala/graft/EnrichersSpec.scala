@@ -1,0 +1,67 @@
+package graft
+
+import graft.udfs.Enrichers
+import graft.news.NewsSchema
+import org.apache.spark.sql.functions._
+
+class EnrichersSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("classifyExpr maps marker words to categories, else 미분류") {
+    val r = Seq("코스피가 상승했다", "야구 경기가 열렸다", "아무 관련 없는 글")
+      .toDF("s").select(Enrichers.classifyExpr(col("s")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(r == Seq("경제", "스포츠", NewsSchema.Unclassified))
+  }
+
+  test("keywordsExpr returns top-5 TF tokens with stable tiebreak") {
+    val r = Seq("b b b a a c d e f g").toDF("s")
+      .select(Enrichers.keywordsExpr(col("s")).as("k"))
+      .collect().head.getAs[scala.collection.Seq[String]]("k")
+    assert(r.head == "b")       // highest count
+    assert(r(1) == "a")         // second
+    assert(r.drop(2) == Seq("c", "d", "e")) // count-1 ties broken lexicographically
+  }
+
+  test("embedExpr: fixed dim, bounded values, deterministic, content-sensitive") {
+    val df = Seq("hello", "hello", "world").toDF("s")
+      .select(Enrichers.embedExpr(col("s"), 16).as("e"))
+      .collect().map(_.getAs[scala.collection.Seq[Float]]("e"))
+    assert(df.forall(_.length == 16))
+    assert(df.forall(_.forall(v => v >= -0.5f && v < 0.5f)))
+    assert(df(0) == df(1) && df(0) != df(2))
+  }
+
+  test("sentimentExpr lexicon vote") {
+    val r = Seq("시장이 상승 마감했다", "큰 사고가 발생해 피해가 악화됐다", "보통의 하루였다")
+      .toDF("s").select(Enrichers.sentimentExpr(col("s")).as("x"))
+      .collect().map(_.getString(0)).toSeq
+    assert(r == Seq("positive", "negative", "neutral"))
+  }
+
+  test("hangulNounsExpr extracts >=2-char Hangul runs") {
+    val r = Seq("오늘 AI 기술이 발전했다!").toDF("s")
+      .select(Enrichers.hangulNounsExpr(col("s")).as("n"))
+      .collect().head.getAs[scala.collection.Seq[String]]("n")
+    assert(r == Seq("오늘", "기술이", "발전했다"))
+  }
+
+  test("enrich produces valid closed-set category and typed columns") {
+    val df = Seq(("l1", "코스피 급등")).toDF("link", "summary")
+    val out = Enrichers.enrich(df, "summary", 8)
+    val row = out.collect().head
+    assert(NewsSchema.Categories.contains(row.getAs[String]("category")))
+    assert(row.getAs[scala.collection.Seq[Float]]("embedding").length == 8)
+    assert(row.getAs[scala.collection.Seq[String]]("keywords").nonEmpty)
+  }
+
+  test("enrichPartitions initializes once per partition") {
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("inits")
+    val ds = spark.range(100).repartition(4).as[Long]
+    val out = Enrichers.enrichPartitions(ds, () => { acc.add(1); new Object })(
+      (_, x) => x * 2)
+    assert(out.collect().sorted.toSeq == (0L until 100L).map(_ * 2))
+    assert(acc.value == 4) // one init per partition, not per row
+  }
+}

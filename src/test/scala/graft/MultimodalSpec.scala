@@ -1,0 +1,33 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSuite {
+
+  test("binary-column plumbing: synthesize → extract features per partition") {
+    import spark.implicits._
+    val media = Multimodal.syntheticMedia(spark, sf001)
+      .repartition(4)
+      .as[Multimodal.MediaRow]
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 500)
+    assert(feats.forall(_.features.length == 8)) // fixed feature width
+    feats.foreach { f =>
+      val s = f.features.sum
+      assert(math.abs(s - 1.0f) < 1e-3, s"histogram not normalized: $s") // L1-normalized
+      assert(f.n_bytes > 0)
+    }
+    // deterministic: same input → same features
+    val again = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f.features.toSeq).toMap
+    assert(feats.forall(f => again(f.media_id) == f.features.toSeq))
+  }
+
+  test("chunk sampling is a pure expression over opaque bytes") {
+    val out = Multimodal.sampleChunks(Multimodal.syntheticMedia(spark, sf001))
+      .select(col("media_id"), size(col("chunks")).as("n"))
+      .collect()
+    assert(out.length == 500 && out.forall(_.getAs[Int]("n") >= 1))
+  }
+}

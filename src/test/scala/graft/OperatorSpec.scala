@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Spot checks of the query inventory on sf0.001 against independently
+  * computed expectations (DuckDB on the same parquet). The full
+  * inventory is hash-checked by the driver's oracle gate; these pin a
+  * few concrete values so a regression fails fast in `sbt test`. */
+class OperatorSpec extends SparkSuite {
+
+  test("a1_pricing_summary matches independently computed groups") {
+    val rows = SparkEntry.queries("a1_pricing_summary")(spark, sf001)
+      .orderBy("l_returnflag", "l_linestatus").collect()
+    assert(rows.length == 6)
+    val af = rows.head
+    assert(af.getAs[String]("l_returnflag") == "A")
+    assert(af.getAs[String]("l_linestatus") == "F")
+    assert(af.getAs[Long]("count_order") == 417L)
+    assert(af.getAs[Double]("sum_qty") == 10776.0)
+  }
+
+  test("dedup pipeline finds the planted near-duplicates") {
+    val cand = SparkEntry.queries("dedup_minhash_lsh")(spark, sf001).collect()
+    assert(cand.length == 31) // LSH candidates (incl. 3 false positives)
+    val verified = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf001).collect()
+    assert(verified.length == 28) // exact-jaccard-verified pairs
+    assert(verified.forall(r => r.getAs[Double]("jacc") >= 0.5))
+    assert(verified.forall(r => r.getAs[Long]("a") < r.getAs[Long]("b")))
+  }
+
+  test("sim_topk returns 5 neighbors per query, self excluded, ranked") {
+    val r = SparkEntry.queries("sim_topk_bruteforce")(spark, sf001).collect()
+    assert(r.length == 25)
+    val byQ = r.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rk")).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      assert(rs.forall(x => x.getAs[Long]("vec_id") != x.getAs[Long]("q_id")))
+      // scores non-increasing in rank
+      val sorted = rs.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("score"))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("sim_ivf_assign routes every vector to exactly one centroid") {
+    val r = SparkEntry.queries("sim_ivf_assign")(spark, sf001).collect()
+    assert(r.length == 500)
+    assert(r.map(_.getAs[Long]("vec_id")).distinct.length == 500)
+    assert(r.forall(_.getAs[Long]("centroid_id") % 50 == 0))
+    // centroids route to themselves at distance 0
+    r.filter(x => x.getAs[Long]("vec_id") % 50 == 0).foreach { c =>
+      assert(c.getAs[Long]("centroid_id") == c.getAs[Long]("vec_id"))
+      assert(c.getAs[Double]("dist") == 0.0)
+    }
+  }
+
+  test("m2_kmeans is deterministic across runs (seed=42)") {
+    val a = SparkEntry.queries("m2_kmeans_cluster")(spark, sf001).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    val b = SparkEntry.queries("m2_kmeans_cluster")(spark, sf001).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    assert(a == b)
+    assert(a.values.toSet.size == 5)
+  }
+
+  test("every declared query runs and every oracle key exists") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    // entry() smoke
+    assert(SparkEntry.entry(spark).collect().length > 0)
+  }
+}

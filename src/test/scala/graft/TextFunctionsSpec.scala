@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions.{Text, Vectors, Num}
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, input: String): T =
+    Seq(input).toDF("s").select(c.as("r")).collect().head.getAs[T]("r")
+
+  test("tokens drops empty strings") {
+    val r = one[scala.collection.Seq[String]](Text.tokens(col("s")), "a  b c ")
+    assert(r == Seq("a", "b", "c"))
+  }
+
+  test("shingles of short docs are empty, not descending-sequence garbage") {
+    assert(one[scala.collection.Seq[String]](Text.shingles(Text.tokens(col("s")), 3), "a b") == Seq())
+    assert(one[scala.collection.Seq[String]](Text.shingles(Text.tokens(col("s")), 3), "a b c d") ==
+      Seq("a b c", "b c d"))
+  }
+
+  test("hangulFilter keeps only tokens with a >=3-Hangul run") {
+    val r = one[String](Text.hangulFilter(col("s")), "hello 대한민국 ab 뉴스 기사내용 x")
+    assert(r == "대한민국 기사내용")
+  }
+
+  test("firstSentence cuts at 다. or falls back to 40 chars") {
+    assert(one[String](Text.firstSentence(col("s")), "첫 문장이다. 둘째 문장이다.") == "첫 문장이다.")
+    val long = "x" * 100
+    assert(one[String](Text.firstSentence(col("s")), long) == "x" * 40)
+  }
+
+  test("fingerprint is whitespace/case invariant") {
+    val a = one[String](Text.fingerprint(col("s")), "Hello   World\n")
+    val b = one[String](Text.fingerprint(col("s")), "hello world")
+    assert(a == b && a.length == 32)
+  }
+
+  test("scriptClass detects scripts") {
+    val cases = Seq("안녕하세요" -> "hangul", "你好世界" -> "cjk",
+      "Привет" -> "cyrillic", "hello" -> "latin", "12345" -> "other")
+    cases.foreach { case (in, want) =>
+      assert(one[String](Text.scriptClass(col("s")), in) == want, in)
+    }
+  }
+
+  test("truncate255 bounds length") {
+    assert(one[String](Text.truncate255(col("s")), "y" * 300).length == 255)
+  }
+
+  test("roundp rounds exact halves consistently with binary-double engines") {
+    // 189/40 = 4.725 → binary double is 4.72499999…, so 4.72 (Spark's
+    // round() would give 4.73 via BigDecimal.valueOf).
+    val r = Seq((189.0, 40.0)).toDF("a", "b")
+      .select(Num.roundp(col("a") / col("b"), 2).as("r")).collect().head.getDouble(0)
+    assert(r == 4.72)
+  }
+
+  test("vector math: cosine and sqDist") {
+    val df = Seq((Seq(1f, 0f), Seq(0f, 1f)), (Seq(1f, 1f), Seq(1f, 1f)))
+      .toDF("a", "b")
+      .select(Vectors.cosine(col("a"), col("b")).as("cos"),
+        Vectors.sqDist(col("a"), col("b")).as("d2"))
+      .collect()
+    assert(math.abs(df(0).getDouble(0)) < 1e-12 && df(0).getDouble(1) == 2.0)
+    assert(math.abs(df(1).getDouble(0) - 1.0) < 1e-12 && df(1).getDouble(1) == 0.0)
+  }
+}
