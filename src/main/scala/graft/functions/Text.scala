@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.functions._
 
 /** Text-processing column builders: tokenization, shingling,
@@ -29,14 +29,12 @@ object Text {
     md5(lower(normalizeWs(c)).cast("binary"))
 
   /** Word n-gram shingles as space-joined strings. `toks` must be a
-    * string array column. Empty array when fewer than n tokens. */
-  def shingles(toks: Column, n: Int): Column = {
-    val body = transform(sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
-    // sequence(1, k) with k < 1 would generate a DESCENDING sequence —
-    // guard short docs to an empty shingle set instead.
-    when(size(toks) >= n, body).otherwise(array().cast("array<string>"))
-  }
+    * string array column. Empty array when fewer than n tokens.
+    * Backed by the native [[graft.plans.WordShingles]] expression — the
+    * higher-order-function formulation is interpreted and re-walks the
+    * expression tree per shingle. */
+  def shingles(toks: Column, n: Int): Column =
+    GraftBridge.column(graft.plans.WordShingles(GraftBridge.expression(toks), n))
 
   /** Keep only tokens containing a run of >=3 Hangul chars, joined by
     * spaces — the reference's crawl text filter

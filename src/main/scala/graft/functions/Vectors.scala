@@ -1,30 +1,33 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import graft.plans.{VecDot, VecSqDist}
+import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.functions._
 
-/** Embedding-vector math over `ArrayType(FloatType)` columns, built from
-  * codegen'd higher-order functions (`zip_with`, `aggregate`, `transform`)
-  * — no UDF, no driver collect, scales linearly with rows.
+/** Embedding-vector math over `ArrayType(FloatType)` columns, backed by
+  * the codegen'd Catalyst expressions in [[graft.plans]] (a tight
+  * primitive loop inside whole-stage codegen — the higher-order-function
+  * formulation is interpreted and ~100× slower at scale).
   *
-  * All math is done in Double with a sequential left fold so results are
-  * bit-reproducible and match an oracle computing the same fold.
+  * All math is double-precision sequential folds, bit-reproducible and
+  * matched by the DuckDB oracles computing the identical fold.
   */
 object Vectors {
 
-  private def d(c: Column): Column = transform(c, x => x.cast("double"))
+  private def bin(f: (org.apache.spark.sql.catalyst.expressions.Expression,
+      org.apache.spark.sql.catalyst.expressions.Expression) =>
+      org.apache.spark.sql.catalyst.expressions.Expression)(a: Column, b: Column): Column =
+    GraftBridge.column(f(GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** Sequential-fold dot product of two float-array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = bin(VecDot.apply)(a, b)
 
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; null-safe only in that 0-norm yields null. */
+  /** Cosine similarity; 0-norm yields null/NaN as in the oracle. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
   /** Squared Euclidean distance. */
-  def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x)
+  def sqDist(a: Column, b: Column): Column = bin(VecSqDist.apply)(a, b)
 }

@@ -29,19 +29,43 @@ object Dedup {
   val NumHashes = 6
   val BandSize = 2 // 3 bands of 2 hashes → candidates at jaccard ≳ 0.5
 
-  /** doc_id → exploded distinct 3-token shingles. */
-  private def shingleRows(s: SparkSession, dir: String): DataFrame =
+  /** doc_id → exploded 3-token shingles, duplicates included.
+    *
+    * Tokens are materialized as a column BEFORE the shingle transform:
+    * higher-order functions are interpreted, so an inline
+    * `element_at(tokens(text), i)` would re-split the whole document for
+    * every shingle element (quadratic per doc — measured 5× the whole
+    * bench). No shuffle here: explode is pipeline-parallel. */
+  private def rawShingleRows(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(Text.shingles(Text.tokens(col("text")), 3)).as("s"))
-      .distinct()
+      .select(col("doc_id"), Text.tokens(col("text")).as("tok"))
+      .select(col("doc_id"), explode(Text.shingles(col("tok"), 3)).as("s"))
 
-  /** doc_id → minhash signature columns h0..h{k-1}. */
+  /** Persist AND materialize eagerly. Lazy persist is a trap when one
+    * action has several consumers of the cached plan: the stages scan
+    * concurrently before any partition is cached and each recomputes
+    * the full lineage (measured 47 s vs 12 s on the jaccard query).
+    * The count is ~free on re-invocation — Spark's cache manager
+    * matches by analyzed plan across queries. */
+  private def materialized(df: DataFrame): DataFrame = { df.persist().count(); df }
+
+  /** doc_id → distinct shingles (the set view, for Jaccard/SimHash).
+    * One distinct-shuffle materialization serves every consumer in the
+    * dedup family. */
+  private def shingleRows(s: SparkSession, dir: String): DataFrame =
+    materialized(rawShingleRows(s, dir).distinct())
+
+  /** doc_id → minhash signature columns h0..h{k-1}.
+    *
+    * Computed from the RAW shingle stream: min() is duplicate-insensitive,
+    * so skipping distinct trades a full shuffle for map-side partial
+    * aggregation (per-partition per-doc mins → tiny exchange). Persisted
+    * because bands and candidate pairs both derive from it. */
   private def minhashes(s: SparkSession, dir: String): DataFrame =
-    shingleRows(s, dir).groupBy(col("doc_id")).agg(
+    materialized(rawShingleRows(s, dir).groupBy(col("doc_id")).agg(
       min(md5(concat(lit("0|"), col("s")))).as("h0"),
       (1 until NumHashes).map(j =>
-        min(md5(concat(lit(s"$j|"), col("s")))).as(s"h$j")): _*)
+        min(md5(concat(lit(s"$j|"), col("s")))).as(s"h$j")): _*))
 
   /** doc_id → (band, key) rows; key = concat of the band's hashes. */
   private def bandRows(s: SparkSession, dir: String): DataFrame = {
@@ -54,12 +78,14 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
-  /** Candidate pairs (a < b) sharing at least one LSH band bucket. */
+  /** Candidate pairs (a < b) sharing at least one LSH band bucket.
+    * Self-join on (band, key): only bucket collisions ever meet. */
   private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
-    val x = bandRows(s, dir).toDF("a", "band", "key")
-    val y = bandRows(s, dir).toDF("b", "band", "key")
-    x.join(y, Seq("band", "key")).where(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+    val b = bandRows(s, dir)
+    b.as("x").join(b.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
   }
 
   val queries: Map[String, Relational.Q] = Map(

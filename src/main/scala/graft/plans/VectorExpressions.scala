@@ -1,0 +1,79 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for embedding-vector math over
+  * `array<float>` columns.
+  *
+  * Why custom expressions (SURVEY.md §7.3): the composable alternative —
+  * `aggregate(zip_with(a, b, (x, y) => x*y), 0.0, _+_)` — is a
+  * higher-order function, which Catalyst evaluates *interpreted* (per
+  * element: a lambda-variable bind, boxing, and a tree walk). At bench
+  * scale that made a 64-dim dot product the bottleneck of every
+  * similarity query (~20 s for 80k pairs). These expressions are a tight
+  * primitive loop over `ArrayData` with full `doGenCode`, so they stay
+  * inside whole-stage codegen: same queries run in milliseconds.
+  *
+  * Numeric contract (oracle parity): sequential left-to-right fold,
+  * each float pair widened to double before multiply/accumulate —
+  * bit-identical to a SQL engine computing
+  * `list_sum(list_transform(range(n), i -> CAST(a[i+1] AS DOUBLE) * CAST(b[i+1] AS DOUBLE)))`.
+  */
+abstract class VecBinaryFold extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  /** Java source for one loop step; `a`,`b`,`i` are in scope. */
+  protected def stepCode(acc: String, a: String, b: String, i: String): String
+  protected def step(acc: Double, x: Float, y: Float): Double
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0d
+    var i = 0
+    while (i < n) { s = step(s, a.getFloat(i), b.getFloat(i)); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      // Spark's codegen default for a double slot is -1.0, not 0.0 —
+      // the accumulator must be zeroed before the loop.
+      s"""
+         |${ev.value} = 0.0;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${stepCode(ev.value, a, b, i)}
+         |}
+       """.stripMargin
+    })
+}
+
+/** Sequential-fold dot product: Σ aᵢ·bᵢ (doubles). */
+case class VecDot(left: Expression, right: Expression) extends VecBinaryFold {
+  override def prettyName: String = "vec_dot"
+  protected def step(acc: Double, x: Float, y: Float): Double =
+    acc + x.toDouble * y.toDouble
+  protected def stepCode(acc: String, a: String, b: String, i: String): String =
+    s"$acc += (double)$a.getFloat($i) * (double)$b.getFloat($i);"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(left = l, right = r)
+}
+
+/** Squared Euclidean distance: Σ (aᵢ−bᵢ)² (doubles). */
+case class VecSqDist(left: Expression, right: Expression) extends VecBinaryFold {
+  override def prettyName: String = "vec_sq_dist"
+  protected def step(acc: Double, x: Float, y: Float): Double = {
+    val d = x.toDouble - y.toDouble; acc + d * d
+  }
+  protected def stepCode(acc: String, a: String, b: String, i: String): String =
+    s"""double d = (double)$a.getFloat($i) - (double)$b.getFloat($i); $acc += d * d;"""
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecSqDist =
+    copy(left = l, right = r)
+}
