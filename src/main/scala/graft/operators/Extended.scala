@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Num
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Extended relational surface beyond the reference's own operators
+  * (SURVEY.md §2.4 A9 "free Catalyst surface", §2.5, §2.7): pivot,
+  * statistical aggregates, exact percentiles, cube, multiset set-ops,
+  * the SQL entry point, and richer window functions. All oracled.
+  */
+object Extended {
+
+  val queries: Map[String, Relational.Q] = Map(
+
+    // ── pivot: event-type counts per user as columns ──────────────────
+    "a_pivot_events" -> ((s, dir) => {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val p = Tables(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", types).count()
+      // pivot yields null for absent combinations; the oracle's FILTER
+      // counts yield 0 — normalize.
+      p.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+    }),
+
+    // ── statistical aggregates ────────────────────────────────────────
+    "a_stats_agg" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          Num.roundp(stddev_samp(col("l_quantity")), 2).as("sd_qty"),
+          Num.roundp(var_samp(col("l_quantity")), 1).as("var_qty"),
+          Num.roundp(covar_samp(col("l_quantity"), col("l_extendedprice")), 0).as("cov_qe"),
+          Num.roundp(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qe"))),
+
+    // ── exact percentiles / median ────────────────────────────────────
+    "a_percentiles" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          Num.roundp(median(col("l_quantity")), 2).as("med_qty"),
+          Num.roundp(percentile(col("l_extendedprice"), lit(0.25)), 2).as("p25_price"),
+          Num.roundp(percentile(col("l_extendedprice"), lit(0.95)), 2).as("p95_price"))),
+
+    // ── cube (full grouping-sets lattice) ─────────────────────────────
+    "a9_cube" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .cube(col("o_orderstatus"), year(col("o_orderdate")).cast("long").as("order_year"))
+        .agg(count(lit(1)).as("n"))),
+
+    // ── multiset except ───────────────────────────────────────────────
+    "set_except_all" -> ((s, dir) =>
+      Tables(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .exceptAll(Tables(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))),
+
+    // ── SQL entry point: TPC-H Q3 shape via spark.sql over temp views ─
+    "sql_q3_shipping" -> ((s, dir) => {
+      Tables(s, dir, "customer").createOrReplaceTempView("v_customer")
+      Tables(s, dir, "orders").createOrReplaceTempView("v_orders")
+      Tables(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT l_orderkey,
+               floor((sum(l_extendedprice * (1.0 - l_discount))) * 100 + 0.5) / 100 AS revenue,
+               o_orderdate, o_orderpriority
+        FROM v_customer JOIN v_orders ON c_custkey = o_custkey
+        JOIN v_lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10""")
+    }),
+
+    // ── richer windows: ntile + lead ──────────────────────────────────
+    "w4_ntile_lead" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      Tables(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+    }),
+
+    // ── approximate distinct (HLL) — rows-only: sketch internals differ
+    // across engines by design ────────────────────────────────────────
+    "a_approx_distinct" -> ((s, dir) =>
+      Tables(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a_pivot_events" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'view') AS "view",
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "a_stats_agg" ->
+      """SELECT l_returnflag,
+        |  floor((stddev_samp(l_quantity)) * 100 + 0.5) / 100 AS sd_qty,
+        |  floor((var_samp(l_quantity)) * 10 + 0.5) / 10 AS var_qty,
+        |  floor((covar_samp(l_quantity, l_extendedprice)) * 1 + 0.5) / 1 AS cov_qe,
+        |  floor((corr(l_quantity, l_extendedprice)) * 10000 + 0.5) / 10000 AS corr_qe
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "a_percentiles" ->
+      """SELECT l_returnflag,
+        |  floor((median(l_quantity)) * 100 + 0.5) / 100 AS med_qty,
+        |  floor((quantile_cont(l_extendedprice, 0.25)) * 100 + 0.5) / 100 AS p25_price,
+        |  floor((quantile_cont(l_extendedprice, 0.95)) * 100 + 0.5) / 100 AS p95_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "a9_cube" ->
+      """SELECT o_orderstatus, CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |  count(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, order_year)""".stripMargin,
+
+    "set_except_all" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT ALL SELECT s_nationkey FROM supplier""".stripMargin,
+
+    "sql_q3_shipping" ->
+      """SELECT l_orderkey,
+        |  floor((sum(l_extendedprice * (1.0 - l_discount))) * 100 + 0.5) / 100 AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "w4_ntile_lead" ->
+      """SELECT event_id, user_id,
+        |  CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS quartile,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_type
+        |FROM events""".stripMargin
+  )
+}

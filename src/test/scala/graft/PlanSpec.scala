@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan hygiene: these assertions pin the plan shapes that
+  * matter at 100 TB — filters reaching the parquet scan, projection
+  * pruning in ReadSchema, dimension joins broadcast, top-k executed as
+  * TakeOrderedAndProject (not sort-the-world), and the custom vector
+  * expressions actually present (i.e. not silently replaced by the
+  * interpreted HOF path). A regression here can keep results correct
+  * while destroying scalability, which row-equality tests never catch.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("date-range filter is pushed down to the parquet scan (F5)") {
+    val plan = formatted(SparkEntry.queries("f5_date_range_agg")(spark, sf001))
+    assert(plan.contains("PushedFilters:"), plan)
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"), plan)
+  }
+
+  test("projection pruning reaches ReadSchema (F1)") {
+    val plan = formatted(SparkEntry.queries("f1_project_filter")(spark, sf001))
+    // only the 4 selected columns are read
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_quantity:double,l_extendedprice:double>"), plan)
+  }
+
+  test("dimension joins are broadcast (J2a)") {
+    val plan = physical(SparkEntry.queries("j2_dim_broadcast")(spark, sf001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("top-k is TakeOrderedAndProject, not a global sort (O2)") {
+    val plan = physical(SparkEntry.queries("o2_topk_parts")(spark, sf001))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("grouped aggregation is partial+final hash aggregate (A1)") {
+    val plan = physical(SparkEntry.queries("a1_pricing_summary")(spark, sf001))
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("partial_"), plan)
+  }
+
+  test("similarity queries use the native vector expressions") {
+    val plan = physical(SparkEntry.queries("sim_topk_bruteforce")(spark, sf001))
+    assert(plan.contains("vec_dot"), plan)
+    val plan2 = physical(SparkEntry.queries("sim_ivf_assign")(spark, sf001))
+    assert(plan2.contains("vec_sq_dist"), plan2)
+  }
+
+  test("anti join plans as a join, not a per-row subquery (J1)") {
+    val plan = physical(SparkEntry.queries("j1_anti_join")(spark, sf001))
+    assert(plan.contains("LeftAnti"), plan)
+  }
+}
