@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.Scale
+import org.apache.spark.sql.functions._
+
+class ScaleSpec extends SparkSuite {
+
+  test("bucketed tables join and aggregate without a shuffle") {
+    val li = Tables(spark, sf001, "lineitem")
+    val o = Tables(spark, sf001, "orders")
+    Scale.writeBucketed(li, "b_lineitem", "l_orderkey", 8)
+    Scale.writeBucketed(o.withColumnRenamed("o_orderkey", "l_orderkey"),
+      "b_orders", "l_orderkey", 8)
+
+    val joined = spark.table("b_lineitem")
+      .join(spark.table("b_orders"), "l_orderkey")
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // co-located: no Exchange below the join; the only exchange allowed
+    // is the final 5-row aggregation
+    assert(!plan.contains("SortMergeJoin") || !plan.contains("Exchange hashpartitioning(l_orderkey"), plan)
+    // result equality vs the unbucketed join
+    val plain = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    assert(joined.collect().map(r => (r.getString(0), r.getLong(1))).toMap ==
+      plain.collect().map(r => (r.getString(0), r.getLong(1))).toMap)
+
+    spark.sql("DROP TABLE b_lineitem")
+    spark.sql("DROP TABLE b_orders")
+  }
+
+  test("salted join equals plain join") {
+    val li = Tables(spark, sf001, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val o = Tables(spark, sf001, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val saltedN = Scale.saltedJoin(li, o, "l_orderkey", 4).count()
+    val plainN = li.join(o, "l_orderkey").count()
+    assert(saltedN == plainN)
+  }
+}
