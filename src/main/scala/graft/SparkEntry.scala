@@ -34,6 +34,7 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.Events.queries ++
+      operators.Multimodal.queries ++
       operators.MLOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

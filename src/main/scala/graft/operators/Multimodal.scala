@@ -65,6 +65,20 @@ object Multimodal {
     }
   }
 
+  /** Inventory entry (rows-only: the stub decoder has no SQL
+    * equivalent): binary payloads → per-partition feature extraction →
+    * scalar profile per media item. */
+  val queries: Map[String, Relational.Q] = Map(
+    "mm_feature_stub" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val feats = extractFeatures(syntheticMedia(s, dir).as[MediaRow]).toDF()
+      feats.select(col("media_id"), col("mime"), col("n_bytes").cast("long").as("n_bytes"),
+        size(col("features")).cast("long").as("n_features"),
+        graft.functions.Num.roundp(aggregate(col("features"),
+          lit(0.0d), (acc, x) => acc + x.cast("double")), 4).as("feat_l1"))
+    }))
+
   /** Frame sampling: every k-th fixed-size chunk of the payload —
     * the video-frame-sample access pattern over opaque bytes, pure
     * expression (no decoder needed). */

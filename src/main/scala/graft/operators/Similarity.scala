@@ -64,8 +64,68 @@ object Similarity {
       a.join(b, "label").where(col("a") < col("b"))
         .where(cos >= 0.4)
         .select(col("label"), col("a"), col("b"), Num.roundp(cos, 4).as("cos"))
+    }),
+
+    // ── hyperplane-LSH near-dup: the no-labels scale path ─────────────
+    // Random-hyperplane signature (sign of dot with H fixed
+    // pseudo-hyperplanes) buckets the corpus; only bucket collisions are
+    // cosine-verified — candidate generation is O(collisions), not
+    // O(n²). The hyperplanes are derived from integer arithmetic both
+    // engines compute identically (no float constants to ship).
+    "dedup_embed_lsh" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val planeDot = (h: Int) => aggregate(
+        transform(sequence(lit(0), lit(Dim - 1)), d =>
+          element_at(col("embedding"), d + 1).cast("double") *
+            (((lit(h) * Dim + d) * 73 % 199 - 99).cast("double") / 99.0d)),
+        lit(0.0d), (acc, x) => acc + x)
+      val bucket = concat((0 until Planes).map(h =>
+        when(planeDot(h) >= 0, "1").otherwise("0")): _*)
+      val bucketed = e.select(col("vec_id"), col("embedding"), bucket.as("bkt"))
+      val a = bucketed.select(col("bkt"), col("vec_id").as("a"), col("embedding").as("ea"))
+      val b = bucketed.select(col("bkt"), col("vec_id").as("b"), col("embedding").as("eb"))
+      val cos = Vectors.cosine(col("ea"), col("eb"))
+      a.join(b, "bkt").where(col("a") < col("b"))
+        .where(cos >= 0.3)
+        .select(col("a"), col("b"), Num.roundp(cos, 4).as("cos"))
+    }),
+
+    // ── IVF top-k search: route the query to its cell, search only
+    // cell members (probe=1) ──────────────────────────────────────────
+    "sim_ivf_search" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val assigned = ivfAssigned(s, dir)
+      val q = assigned.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("centroid_id"))
+      val score = Num.roundp(Vectors.cosine(col("q_emb"), col("embedding")), 6)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+      assigned.join(q, "centroid_id")
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), score.as("score"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
     })
   )
+
+  val Dim = 64
+  val Planes = 6
+
+  /** vec_id → (embedding, nearest centroid) — shared by assignment and
+    * search; the centroid set (vec_id % 50 == 0) is broadcast. */
+  private def ivfAssigned(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(s, dir, "embeddings")
+    val cent = e.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val dist = Num.roundp(Vectors.sqDist(col("embedding"), col("c_emb")), 6)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("centroid_id"))
+    e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"), dist.as("dist"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+  }
 
   /** DuckDB double-precision sequential dot product over FLOAT[] lists —
     * same fold as Vectors.dot. */
@@ -107,6 +167,46 @@ object Similarity {
          |SELECT a.label, a.vec_id AS a, b.vec_id AS b,
          |  floor((${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)) * 10000 + 0.5) / 10000 AS cos
          |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4""".stripMargin
+         |WHERE ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4""".stripMargin,
+
+    "dedup_embed_lsh" -> {
+      val bucketBits = (0 until Planes).map { h =>
+        s"""CASE WHEN list_sum(list_transform(range($Dim),
+           |  d -> CAST(embedding[d+1] AS DOUBLE) * CAST((($h * $Dim + d) * 73 % 199 - 99) AS DOUBLE) / 99.0)) >= 0
+           |  THEN '1' ELSE '0' END""".stripMargin
+      }.mkString(" || ")
+      s"""WITH n AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm,
+         |  $bucketBits AS bkt FROM embeddings)
+         |SELECT a.vec_id AS a, b.vec_id AS b,
+         |  floor((${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)) * 10000 + 0.5) / 10000 AS cos
+         |FROM n a JOIN n b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+         |WHERE ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.3""".stripMargin
+    },
+
+    "sim_ivf_search" ->
+      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |d AS (
+         |  SELECT e.vec_id, e.embedding, c.centroid_id,
+         |    floor((list_sum(list_transform(range($Dim),
+         |      i -> (CAST(e.embedding[i+1] AS DOUBLE) - CAST(c.c_emb[i+1] AS DOUBLE))
+         |         * (CAST(e.embedding[i+1] AS DOUBLE) - CAST(c.c_emb[i+1] AS DOUBLE))))) * 1000000 + 0.5) / 1000000 AS dist
+         |  FROM embeddings e CROSS JOIN c),
+         |assigned AS (
+         |  SELECT vec_id, embedding, centroid_id FROM (
+         |    SELECT vec_id, embedding, centroid_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rk
+         |    FROM d) WHERE rk = 1),
+         |n AS (SELECT vec_id, embedding, centroid_id, ${sqlNorm("embedding")} AS nrm FROM assigned),
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, e.vec_id,
+         |    floor((${sqlDot("q.embedding", "e.embedding")} / (q.nrm * e.nrm)) * 1000000 + 0.5) / 1000000 AS score
+         |  FROM n q JOIN n e ON q.centroid_id = e.centroid_id
+         |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT q_id, vec_id, score, rk FROM ranked WHERE rk <= 3""".stripMargin
   )
 }
