@@ -18,9 +18,11 @@ object Lake {
   def withPartitionKey(df: DataFrame, ts: String): DataFrame =
     df.withColumn(PartitionCol, date_format(col(ts), "yyyyMMdd"))
 
-  /** Append a batch, date-partitioned. */
+  /** Append a batch, date-partitioned. zstd: best scan-speed/size
+    * tradeoff for a lake that is written once and scanned daily. */
   def append(df: DataFrame, path: String, ts: String = "updated"): Unit =
     withPartitionKey(df, ts).write.mode(SaveMode.Append)
+      .option("compression", "zstd")
       .partitionBy(PartitionCol).parquet(path)
 
   def read(spark: SparkSession, path: String): DataFrame =

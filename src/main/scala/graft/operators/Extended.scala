@@ -86,7 +86,19 @@ object Extended {
     "a_approx_distinct" -> ((s, dir) =>
       Tables(s, dir, "lineitem").agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts")))
+        countDistinct(col("l_partkey")).as("exact_parts"))),
+
+    // ── second scalar-function battery: padding, translation, edit
+    // distance ────────────────────────────────────────────────────────
+    "x_string_funcs2" -> ((s, dir) =>
+      Tables(s, dir, "part").select(
+        col("p_partkey"),
+        lpad(col("p_brand"), 12, "_").as("brand_pad"),
+        translate(col("p_type"), "AEO", "aeo").as("type_tr"),
+        reverse(col("p_name")).as("name_rev"),
+        repeat(col("p_brand"), 2).as("brand2"),
+        levenshtein(col("p_brand"), col("p_type")).cast("long").as("edit_dist"),
+        ascii(col("p_name")).cast("long").as("first_ascii")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -137,6 +149,16 @@ object Extended {
       """SELECT event_id, user_id,
         |  CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS quartile,
         |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_type
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    "x_string_funcs2" ->
+      """SELECT p_partkey,
+        |  lpad(p_brand, 12, '_') AS brand_pad,
+        |  translate(p_type, 'AEO', 'aeo') AS type_tr,
+        |  reverse(p_name) AS name_rev,
+        |  repeat(p_brand, 2) AS brand2,
+        |  CAST(levenshtein(p_brand, p_type) AS BIGINT) AS edit_dist,
+        |  CAST(ascii(p_name) AS BIGINT) AS first_ascii
+        |FROM part""".stripMargin
   )
 }
