@@ -98,7 +98,19 @@ object Extended {
         reverse(col("p_name")).as("name_rev"),
         repeat(col("p_brand"), 2).as("brand2"),
         levenshtein(col("p_brand"), col("p_type")).cast("long").as("edit_dist"),
-        ascii(col("p_name")).cast("long").as("first_ascii")))
+        ascii(col("p_name")).cast("long").as("first_ascii"))),
+
+    // ── R1 report shape in the gate: per-category counts, descending
+    // (dags/scripts/spark_daily_report.py:68-70, lang as the category) ─
+    "r1_category_counts" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy(col("lang")).agg(count(lit(1)).as("count"))
+        .orderBy(col("count").desc, col("lang"))),
+
+    // ── unpivot via stack: wide → long ────────────────────────────────
+    "a_unpivot_stack" -> ((s, dir) =>
+      Tables(s, dir, "customer").selectExpr("c_custkey",
+        "stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, value)"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -159,6 +171,15 @@ object Extended {
         |  repeat(p_brand, 2) AS brand2,
         |  CAST(levenshtein(p_brand, p_type) AS BIGINT) AS edit_dist,
         |  CAST(ascii(p_name) AS BIGINT) AS first_ascii
-        |FROM part""".stripMargin
+        |FROM part""".stripMargin,
+
+    "r1_category_counts" ->
+      """SELECT lang, count(*) AS count FROM documents
+        |GROUP BY lang ORDER BY count DESC, lang""".stripMargin,
+
+    "a_unpivot_stack" ->
+      """SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+        |UNION ALL
+        |SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer""".stripMargin
   )
 }
