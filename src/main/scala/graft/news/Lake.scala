@@ -51,6 +51,27 @@ object Lake {
     out
   }
 
+  /** S12: post-report archival — move one day's partition directory from
+    * the realtime lake into the archive (reference: webhdfs renames at
+    * dags/scripts/spark_daily_report.py:285-293). A filesystem rename,
+    * not a data rewrite: O(1) metadata on HDFS-like stores. Returns the
+    * number of entries moved. */
+  def archivePartition(spark: SparkSession, lakePath: String,
+      archivePath: String, ymd: String): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$lakePath/$PartitionCol=$ymd")
+    val fs = src.getFileSystem(conf)
+    if (!fs.exists(src)) 0
+    else {
+      val dstDir = new org.apache.hadoop.fs.Path(archivePath)
+      if (!fs.exists(dstDir)) fs.mkdirs(dstDir)
+      val dst = new org.apache.hadoop.fs.Path(dstDir, s"$PartitionCol=$ymd")
+      val n = fs.listStatus(src).length
+      fs.rename(src, dst)
+      n
+    }
+  }
+
   private def pathExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)

@@ -110,7 +110,14 @@ object Extended {
     // ── unpivot via stack: wide → long ────────────────────────────────
     "a_unpivot_stack" -> ((s, dir) =>
       Tables(s, dir, "customer").selectExpr("c_custkey",
-        "stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, value)"))
+        "stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, value)")),
+
+    // ── A3: value-counts of string lengths (notebook cells 52/55) ─────
+    "a3_length_value_counts" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy(length(col("text")).cast("long").as("len"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("len")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -180,6 +187,10 @@ object Extended {
     "a_unpivot_stack" ->
       """SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
         |UNION ALL
-        |SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer""".stripMargin
+        |SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer""".stripMargin,
+
+    "a3_length_value_counts" ->
+      """SELECT CAST(length(text) AS BIGINT) AS len, count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY len""".stripMargin
   )
 }

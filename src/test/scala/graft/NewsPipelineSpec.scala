@@ -100,5 +100,12 @@ class NewsPipelineSpec extends SparkSuite {
     val oneDay = spark.read.parquet(s"$tmp/lake")
       .where(col(Lake.PartitionCol) === "20250524")
     assert(oneDay.count() == 1)
+
+    // S12: the day's partition is renamed into the archive
+    val moved = Lake.archivePartition(spark, s"$tmp/lake", s"$tmp/archive", "20250524")
+    assert(moved >= 1)
+    assert(!new java.io.File(s"$tmp/lake/year_month_day=20250524").exists())
+    assert(spark.read.parquet(s"$tmp/archive").count() == 1)
+    assert(Lake.archivePartition(spark, s"$tmp/lake", s"$tmp/archive", "19990101") == 0)
   }
 }
