@@ -125,13 +125,16 @@ object Dedup {
     }),
 
     // ── SimHash 32-bit signatures ─────────────────────────────────────
+    // Frequency-weighted (votes over the raw shingle stream, the
+    // standard formulation): no distinct shuffle — the 32 per-doc vote
+    // sums partial-aggregate map-side into a tiny exchange.
     "dedup_simhash" -> ((s, dir) => {
       val hexHi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
       val h = md5(col("s"))
       val votes = (0 until 32).map(i =>
         sum(when(substring(h, i + 1, 1).isin(hexHi: _*), 1).otherwise(-1)).as(s"v$i"))
       val bits = (0 until 32).map(i => when(col(s"v$i") > 0, "1").otherwise("0"))
-      shingleRows(s, dir)
+      rawShingleRows(s, dir)
         .groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
         .select(col("doc_id"), concat(bits: _*).as("simhash"))
     })
@@ -205,7 +208,8 @@ object Dedup {
 
     "dedup_simhash" ->
       s"""$sqlShingles,
-         |votes AS (SELECT doc_id, $sqlSimhashVotes FROM ex GROUP BY doc_id)
+         |exall AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |votes AS (SELECT doc_id, $sqlSimhashVotes FROM exall GROUP BY doc_id)
          |SELECT doc_id, $sqlSimhashBits AS simhash FROM votes""".stripMargin
   )
 }

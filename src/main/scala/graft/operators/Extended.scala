@@ -117,7 +117,26 @@ object Extended {
       Tables(s, dir, "documents")
         .groupBy(length(col("text")).cast("long").as("len"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("len")))
+        .orderBy(col("len"))),
+
+    // ── top-k per key via bounded-heap Aggregator: same contract as
+    // w1_rank_topn (same oracle), but each group carries at most k
+    // entries through partial aggregation instead of being fully
+    // sorted — the scale-correct top-N-per-group ────────────────────
+    "w1b_topk_aggregator" -> ((s, dir) => {
+      import s.implicits._
+      val agg = new graft.plans.TopKAggregator(3)
+      Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+        .as[(Long, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(agg.toColumn.name("top"))
+        .flatMap { case (ck, top) =>
+          top.zipWithIndex.map { case ((price, ok), i) => (ck, ok, price, (i + 1).toLong) }
+        }
+        .toDF("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -191,6 +210,13 @@ object Extended {
 
     "a3_length_value_counts" ->
       """SELECT CAST(length(text) AS BIGINT) AS len, count(*) AS n
-        |FROM documents GROUP BY 1 ORDER BY len""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY len""".stripMargin,
+
+    "w1b_topk_aggregator" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin
   )
 }
