@@ -9,6 +9,24 @@ class NewsPipelineSpec extends SparkSuite {
   private lazy val fixture =
     getClass.getResource("/news_archive_fixture.jsonl").getPath
 
+  test("multiline-compat reader handles legacy JSON arrays (S8)") {
+    // the reference's archive files are JSON arrays read with
+    // multiline=true (spark_daily_report.py:55); our canonical form is
+    // JSONL, but the compat path must read the legacy layout too
+    val tmp = Files.createTempDirectory("ml").toFile
+    val f = new java.io.File(tmp, "legacy.json")
+    Files.writeString(f.toPath,
+      """[
+        |  {"id": 1, "title": "t1", "content": "c1", "keywords": ["k"],
+        |   "published_at": "2025-05-24T09:00:00", "category": "경제", "embedding": null},
+        |  {"id": 2, "title": "t2", "content": "c2", "keywords": [],
+        |   "published_at": "2025-05-25T10:00:00", "category": "문화", "embedding": null}
+        |]""".stripMargin)
+    val df = DailyReport.readArchive(spark, f.getPath, multiline = true)
+    assert(df.count() == 2)
+    assert(DailyReport.daySlice(df, "2025-05-24").count() == 1)
+  }
+
   test("daySlice filters to the report date") {
     val day = DailyReport.daySlice(DailyReport.readArchive(spark, fixture), "2025-05-24")
     assert(day.count() == 5) // id 5 is on 2025-05-25

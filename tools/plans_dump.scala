@@ -1,0 +1,16 @@
+import graft.SparkEntry
+import org.apache.spark.sql.execution.ExplainMode
+val dir = "/root/testdata/sf0.01"
+val keys = Seq("a1_pricing_summary", "j2_dim_broadcast", "j2_fact_join", "o2_topk_parts",
+  "dedup_minhash_lsh", "sim_topk_bruteforce", "t5_sessionize", "f5_date_range_agg")
+val sb = new StringBuilder
+sb ++= "# PLANS — formatted physical plans of headline queries (sf0.01)\n\n"
+sb ++= "Generated from `df.queryExecution.explainString(FormattedMode)`; regenerate with tools/plans_dump.scala.\n"
+sb ++= "Reviewed for: parquet filter pushdown + ReadSchema pruning, broadcast vs shuffle join choice,\n"
+sb ++= "TakeOrderedAndProject top-k, partial+final aggregation, and whole-stage codegen spans.\n\n"
+keys.foreach { k =>
+  val plan = SparkEntry.queries(k)(spark, dir).queryExecution.explainString(ExplainMode.fromString("formatted"))
+  sb ++= s"## $k\n\n```\n$plan```\n\n"
+}
+java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/PLANS.md"), sb.toString)
+println("WROTE PLANS.md " + sb.length)
