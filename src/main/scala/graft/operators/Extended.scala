@@ -119,6 +119,33 @@ object Extended {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("len"))),
 
+    // ── schema-evolution union: by name, missing columns as null ──────
+    "set_union_by_name" -> ((s, dir) => {
+      val a = Tables(s, dir, "orders").where(col("o_orderkey") % 1000 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val b = Tables(s, dir, "orders").where(col("o_orderkey") % 1000 === 1)
+        .select(col("o_orderstatus"), col("o_orderkey"))
+      a.unionByName(b, allowMissingColumns = true)
+    }),
+
+    // ── array-function battery over token arrays ──────────────────────
+    "x_array_funcs" -> ((s, dir) => {
+      val tok = graft.functions.Text.tokens(col("text"))
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        array_join(slice(sort_array(tok), 1, 3), " ").as("first3"),
+        array_contains(tok, "the").as("has_the"),
+        size(flatten(array(tok, tok))).cast("long").as("n2"))
+    }),
+
+    // ── X17 full form: posexplode (position-aware generator) ──────────
+    "x17_posexplode" -> ((s, dir) => {
+      val tok = slice(graft.functions.Text.tokens(col("text")), 1, 5)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), posexplode(tok))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("token"))
+    }),
+
     // ── top-k per key via bounded-heap Aggregator: same contract as
     // w1_rank_topn (same oracle), but each group carries at most k
     // entries through partial aggregation instead of being fully
@@ -211,6 +238,26 @@ object Extended {
     "a3_length_value_counts" ->
       """SELECT CAST(length(text) AS BIGINT) AS len, count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY len""".stripMargin,
+
+    "set_union_by_name" ->
+      """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 1000 = 0
+        |UNION ALL BY NAME
+        |SELECT o_orderstatus, o_orderkey FROM orders WHERE o_orderkey % 1000 = 1""".stripMargin,
+
+    "x_array_funcs" ->
+      """SELECT doc_id,
+        |  array_to_string(list_sort(tok)[1:3], ' ') AS first3,
+        |  list_contains(tok, 'the') AS has_the,
+        |  CAST(len(flatten([tok, tok])) AS BIGINT) AS n2
+        |FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tok
+        |      FROM documents)""".stripMargin,
+
+    "x17_posexplode" ->
+      """SELECT doc_id,
+        |  CAST(unnest(range(len(tok))) AS BIGINT) AS pos,
+        |  unnest(tok) AS token
+        |FROM (SELECT doc_id, (list_filter(string_split(text, ' '), t -> t <> ''))[1:5] AS tok
+        |      FROM documents)""".stripMargin,
 
     "w1b_topk_aggregator" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
