@@ -30,6 +30,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
       operators.Extended.queries ++
+      operators.AsOf.queries ++
       operators.TextOps.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
@@ -42,6 +43,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++
       operators.Extended.oracles ++
+      operators.AsOf.oracles ++
       operators.TextOps.oracles ++
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++

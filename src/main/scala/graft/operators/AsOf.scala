@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join (SURVEY.md §2.3 J3) — each left row matched to the most
+  * recent right row with the same key and time <= the left time. Spark
+  * has no built-in; rather than a custom SparkPlan, this composes the
+  * classic merge-union formulation, which is also the scale-correct
+  * plan: ONE shuffle on the key and one sort per partition — the same
+  * cost profile a native as-of physical operator would have:
+  *
+  *   union(left tagged 1, right tagged 0)
+  *     → window(partitionBy key, orderBy time, tag):
+  *         carry forward the last right payload (ignoreNulls last)
+  *     → keep left rows.
+  *
+  * Right rows at exactly the left time match (tag 0 sorts first), the
+  * inclusive `>=` convention of SQL ASOF JOIN — DuckDB's native
+  * `ASOF LEFT JOIN` is the oracle.
+  */
+object AsOf {
+
+  /** left ⟕asof right on `key`, `time`. `payload` columns from the right
+    * are carried to the matching left row (null when no earlier right
+    * row exists). Both inputs must contain `key` and `time`. */
+  def join(left: DataFrame, right: DataFrame, key: String, time: String,
+      payload: Seq[String]): DataFrame = {
+    val lAll = left.withColumn("_is_left", lit(1))
+    val rAll = right.select((Seq(col(key), col(time)) ++ payload.map(col)): _*)
+      .withColumn("_is_left", lit(0))
+    // unionByName null-fills: payload columns on left rows, left-only
+    // columns on right rows.
+    val unioned = lAll.unionByName(rAll, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time), col("_is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.where(col("_is_left") === 1)
+      .drop("_is_left").drop(payload: _*)
+  }
+
+  /** Inventory query: each click matched to the user's most recent
+    * purchase at or before it. */
+  val queries: Map[String, Relational.Q] = Map(
+    "j3_asof_join" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"),
+          col("value").as("purchase_value"))
+      join(clicks, purchases, "user_id", "ts", Seq("purchase_id", "purchase_value"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_purchase_id").as("purchase_id"),
+          col("asof_purchase_value").as("purchase_value"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "j3_asof_join" ->
+      """SELECT c.event_id, c.user_id,
+        |  p.event_id AS purchase_id, p.value AS purchase_value
+        |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN
+        |     (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase') p
+        |ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin)
+}
