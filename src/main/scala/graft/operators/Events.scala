@@ -22,6 +22,24 @@ object Events {
           Num.roundp(sum(col("value")), 2).as("sum_value"),
           countDistinct(col("user_id")).as("n_users"))),
 
+    // ── time-series densification: hourly resample with gap fill ─────
+    // Generates each user's full hourly grid between their first and
+    // last event (sequence + explode) and left-joins observed counts —
+    // the standard resample primitive; missing hours become 0.
+    "t_gapfill_hours" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val bounds = ev.groupBy(col("user_id")).agg(
+        date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      val hours = bounds.select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hour_ts"))
+      val counts = ev.groupBy(col("user_id"),
+          date_trunc("hour", col("ts")).as("hour_ts"))
+        .agg(count(lit(1)).as("n"))
+      hours.join(counts, Seq("user_id", "hour_ts"), "left")
+        .select(col("user_id"), col("hour_ts"), coalesce(col("n"), lit(0L)).as("n"))
+    }),
+
     // ── T5-adjacent: sessionization by 30-min inactivity gaps ─────────
     "t5_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -43,6 +61,20 @@ object Events {
         |  floor((sum(value)) * 100 + 0.5) / 100 AS sum_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+
+    "t_gapfill_hours" ->
+      """WITH b AS (
+        |  SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+        |         date_trunc('hour', max(ts)) AS h1
+        |  FROM events GROUP BY user_id),
+        |hours AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts
+        |  FROM b),
+        |c AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hour_ts, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT h.user_id, h.hour_ts, coalesce(c.n, 0) AS n
+        |FROM hours h LEFT JOIN c USING (user_id, hour_ts)""".stripMargin,
 
     "t5_sessionize" ->
       """WITH g AS (
