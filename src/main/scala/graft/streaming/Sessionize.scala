@@ -41,7 +41,9 @@ object Sessionize {
       val t = e.ts.getTime
       open match {
         case Some(s) if t - s.end <= GapMs =>
-          open = Some(s.copy(end = t, n = s.n + 1))
+          // max: a late (out-of-order) event inside the window must not
+          // shrink the session's end
+          open = Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
         case Some(s) =>
           closed += Session(userId, s.start, s.end, s.n)
           open = Some(OpenSession(t, t, 1))
