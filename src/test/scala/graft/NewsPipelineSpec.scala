@@ -95,6 +95,15 @@ class NewsPipelineSpec extends SparkSuite {
     assert(r.getAs[String]("category") == "경제")
   }
 
+  test("ReportRender consumes the report datasets without full collects (S13)") {
+    val reports = DailyReport.run(spark, fixture, "2025-05-24")
+    val md = news.ReportRender.markdown("2025-05-24", reports)
+    assert(md.contains("# Daily news report — 2025-05-24"))
+    assert(md.contains("## r1_category_counts"))
+    assert(md.contains("| 경제 | 2 |"))
+    assert(md.contains("## r4_clustering"))
+  }
+
   test("Lake: partitioned layout + upsert-by-link idempotence (J1)") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("lake").toString
