@@ -112,6 +112,18 @@ object Extended {
       Tables(s, dir, "customer").selectExpr("c_custkey",
         "stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, value)")),
 
+    // ── misc scalar battery: conditionals, regex extract, date arith ──
+    "x_misc_funcs" -> ((s, dir) =>
+      Tables(s, dir, "orders").select(
+        col("o_orderkey"),
+        greatest(col("o_totalprice"), lit(200000.0d)).as("g"),
+        least(col("o_totalprice"), lit(200000.0d)).as("l"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_x"),
+        regexp_extract(col("o_orderpriority"), "([0-9])", 1).as("prio_num"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01"))).cast("long").as("days_since"),
+        weekday(col("o_orderdate")).cast("long").as("wd"),
+        last_day(col("o_orderdate")).as("month_end"))),
+
     // ── A3: value-counts of string lengths (notebook cells 52/55) ─────
     "a3_length_value_counts" -> ((s, dir) =>
       Tables(s, dir, "documents")
@@ -238,6 +250,17 @@ object Extended {
     "a3_length_value_counts" ->
       """SELECT CAST(length(text) AS BIGINT) AS len, count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY len""".stripMargin,
+
+    "x_misc_funcs" ->
+      """SELECT o_orderkey,
+        |  greatest(o_totalprice, 200000.0) AS g,
+        |  least(o_totalprice, 200000.0) AS l,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_x,
+        |  regexp_extract(o_orderpriority, '([0-9])', 1) AS prio_num,
+        |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+        |  CAST(isodow(o_orderdate) - 1 AS BIGINT) AS wd,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end
+        |FROM orders""".stripMargin,
 
     "set_union_by_name" ->
       """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 1000 = 0
