@@ -25,7 +25,13 @@ object AsOf {
 
   /** left ⟕asof right on `key`, `time`. `payload` columns from the right
     * are carried to the matching left row (null when no earlier right
-    * row exists). Both inputs must contain `key` and `time`. */
+    * row exists). Both inputs must contain `key` and `time`.
+    *
+    * The whole right payload is carried as ONE struct over the window so
+    * every output field comes from the same matched right row, and a
+    * matched row's genuinely-NULL payload value stays NULL instead of
+    * being back-filled from an older row — the row-wholesale semantics
+    * of SQL ASOF JOIN. */
   def join(left: DataFrame, right: DataFrame, key: String, time: String,
       payload: Seq[String]): DataFrame = {
     val lAll = left.withColumn("_is_left", lit(1))
@@ -37,11 +43,14 @@ object AsOf {
     val w = Window.partitionBy(col(key))
       .orderBy(col(time), col("_is_left"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(c), ignoreNulls = true).over(w))
+    val carried = unioned.withColumn("_asof",
+      last(when(col("_is_left") === 0, struct(payload.map(col): _*)),
+        ignoreNulls = true).over(w))
+    val unpacked = payload.foldLeft(carried) { (df, c) =>
+      df.withColumn(s"asof_$c", col("_asof").getField(c))
     }
-    carried.where(col("_is_left") === 1)
-      .drop("_is_left").drop(payload: _*)
+    unpacked.where(col("_is_left") === 1)
+      .drop("_is_left", "_asof").drop(payload: _*)
   }
 
   /** Inventory query: each click matched to the user's most recent

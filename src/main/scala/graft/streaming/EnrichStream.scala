@@ -8,8 +8,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** The streaming enrich pipeline (SURVEY.md §3.2; reference:
   * collect/consumer2.py): Kafka JSON → parse → processing-time column →
-  * bounded dedup → enrich (U1–U3) → dual sink (store upsert +
-  * date-partitioned lake), exactly-once-effect.
+  * bounded dedup → enrich (U1–U3) → dual sink. The store sink is
+  * exactly-once-EFFECT (upsert-by-link is idempotent under replay); the
+  * lake sink is at-least-once (a replayed batch re-appends — readers
+  * should dedup by link, or the in-stream watermark dedup bounds the
+  * duplication window to the dedup horizon).
   *
   * Mapping from the reference:
   *  - S4 source DDL → `readStream.format("kafka")` + `from_json`;
@@ -34,14 +37,21 @@ object EnrichStream {
       .load()
       .selectExpr("CAST(value AS STRING) AS json")
 
-  /** Parse the wire JSON and enrich. Input: one string column `json`. */
-  def enrichParsed(raw: DataFrame, embedDim: Int = 768): DataFrame = {
+  /** Parse the wire JSON, dedup by link within the watermark (F12 — the
+    * streaming analogue of the producer's bounded URL deque, state
+    * bounded by event time instead of a fixed count), then enrich.
+    * Input: one string column `json`. */
+  def enrichParsed(raw: DataFrame, embedDim: Int = 768,
+      dedupHorizon: String = "1 hour"): DataFrame = {
     val parsed = raw
       .select(from_json(col("json"), NewsSchema.wireSchema).as("m")) // X16
       .select(col("m.*"))
       .where(col("link").isNotNull)
       .withColumn("proctime", current_timestamp()) // T2
       .withColumn("updated_ts", to_timestamp(col("updated")))
+      .withColumn("event_ts", coalesce(col("updated_ts"), col("proctime")))
+      .withWatermark("event_ts", dedupHorizon)
+      .dropDuplicatesWithinWatermark("link")
     Enrichers.enrich(parsed, "summary", embedDim)
   }
 

@@ -23,17 +23,31 @@ object Sessionize {
 
   val GapMs: Long = 30 * 60 * 1000L
 
-  def sessions(events: Dataset[Event]): Dataset[Session] = {
+  /** Gap-close sessions per user. Event-time timeout (watermark-driven)
+    * flushes the open session of an idle key once the watermark passes
+    * its gap boundary, so every session is eventually emitted — without
+    * it, a user who stops sending events would hold state forever and
+    * their last session would never appear. */
+  def sessions(events: Dataset[Event],
+      watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     implicit val sessionEnc = Encoders.product[Session]
     implicit val stateEnc = Encoders.product[OpenSession]
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.userId)(Encoders.scalaLong)
       .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.NoTimeout())(flush)
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(flush)
   }
 
   private def flush(userId: Long, events: Iterator[Event],
       state: GroupState[OpenSession]): Iterator[Session] = {
+    if (state.hasTimedOut) {
+      // Watermark passed end+gap with no new events: the open session
+      // can no longer be extended — emit it and drop the key's state.
+      val out = state.getOption.map(s => Session(userId, s.start, s.end, s.n))
+      state.remove()
+      return out.iterator
+    }
     val sorted = events.toSeq.sortBy(_.ts.getTime)
     var open = state.getOption
     val closed = Seq.newBuilder[Session]
@@ -51,7 +65,14 @@ object Sessionize {
           open = Some(OpenSession(t, t, 1))
       }
     }
-    open.foreach(state.update)
+    open.foreach { s =>
+      state.update(s)
+      // Timeout must stay ahead of the current watermark or Spark
+      // rejects it (a late batch can arrive with watermark past the
+      // session boundary).
+      state.setTimeoutTimestamp(
+        math.max(s.end + GapMs, state.getCurrentWatermarkMs() + 1))
+    }
     closed.result().iterator
   }
 }

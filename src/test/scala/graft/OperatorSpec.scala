@@ -63,6 +63,25 @@ class OperatorSpec extends SparkSuite {
     assert(a.values.toSet.size == 5)
   }
 
+  test("asof join carries the matched row wholesale, NULLs included") {
+    import spark.implicits._
+    // t=20 matches the right row (k=1, t=15) whose v is genuinely NULL:
+    // v must stay NULL (not back-fill from t=5), and v/w must come from
+    // the SAME matched row.
+    val left = Seq((1L, 10L), (1L, 20L), (2L, 10L)).toDF("k", "t")
+    val right = Seq(
+      (1L, 5L, Some("v5"), Some(50L)),
+      (1L, 15L, None, Some(150L)),
+      (2L, 30L, Some("v30"), Some(300L))).toDF("k", "t", "v", "w")
+    val out = graft.operators.AsOf.join(left, right, "k", "t", Seq("v", "w"))
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("t")) ->
+        (Option(r.getAs[String]("asof_v")), Option(r.getAs[Any]("asof_w"))))
+      .toMap
+    assert(out((1L, 10L)) == (Some("v5"), Some(50L)))
+    assert(out((1L, 20L)) == (None, Some(150L))) // NULL v preserved, w from same row
+    assert(out((2L, 10L)) == (None, None)) // no match at all
+  }
+
   test("every declared query runs and every oracle key exists") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     // entry() smoke

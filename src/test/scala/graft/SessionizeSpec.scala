@@ -8,7 +8,7 @@ class SessionizeSpec extends SparkSuite {
 
   private def ev(u: Long, s: String) = Sessionize.Event(u, Timestamp.valueOf(s))
 
-  test("flatMapGroupsWithState closes sessions on gap, keeps open state") {
+  test("flatMapGroupsWithState closes sessions on gap; timeout flushes idle keys") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[Sessionize.Event]
@@ -24,10 +24,14 @@ class SessionizeSpec extends SparkSuite {
     q.processAllAvailable()
     q.stop()
 
+    // User 1's first session closes on the gap; user 2 went idle, so the
+    // event-time timeout (watermark 11:20 > 09:30 + gap) flushes their
+    // session. User 1's 11:30 session is still open (timeout 12:00).
     val out = spark.table("sess_out").as[Sessionize.Session].collect()
-    assert(out.length == 1) // only the closed session is emitted
-    val s = out.head
-    assert(s.userId == 1L && s.nEvents == 2)
-    assert(s.endMs - s.startMs == 5 * 60 * 1000L)
+    assert(out.length == 2)
+    val s1 = out.find(_.userId == 1L).get
+    assert(s1.nEvents == 2 && s1.endMs - s1.startMs == 5 * 60 * 1000L)
+    val s2 = out.find(_.userId == 2L).get
+    assert(s2.nEvents == 1 && s2.startMs == s2.endMs)
   }
 }

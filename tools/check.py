@@ -43,8 +43,10 @@ def main():
             print(f"FAIL {name}: no spark output"); n_bad += 1; continue
         sdf = con.execute(f"SELECT * FROM '{out}/{name}/*.parquet'").fetchdf()
         if name not in oracle:
-            status = "ROWS-ONLY" if len(sdf) >= 0 else "EMPTY"
-            print(f"ok?  {name}: {status} rows={len(sdf)} (no oracle)")
+            if len(sdf) > 0:
+                print(f"ok?  {name}: ROWS-ONLY rows={len(sdf)} (no oracle)")
+            else:
+                print(f"FAIL {name}: EMPTY rows-only result"); n_bad += 1
             continue
         try:
             ddf = con.execute(oracle[name]).fetchdf()
