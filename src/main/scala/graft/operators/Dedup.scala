@@ -129,12 +129,17 @@ object Dedup {
     // standard formulation): no distinct shuffle — the 32 per-doc vote
     // sums partial-aggregate map-side into a tiny exchange.
     "dedup_simhash" -> ((s, dir) => {
-      val hexHi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-      val h = md5(col("s"))
+      // md5 is computed ONCE per shingle in a projection below the
+      // aggregate — the 32 vote expressions each reference it, and
+      // leaving 32 copies of md5(s) in the agg would lean on codegen
+      // subexpression elimination that partial aggregates don't
+      // guarantee. ascii >= '8' tests the hex digit's high nibble bit
+      // (hex alphabet 0-9a-f: '8','9','a'..'f' are the >= 56 codes).
       val votes = (0 until 32).map(i =>
-        sum(when(substring(h, i + 1, 1).isin(hexHi: _*), 1).otherwise(-1)).as(s"v$i"))
+        sum(when(ascii(substring(col("h"), i + 1, 1)) >= 56, 1).otherwise(-1)).as(s"v$i"))
       val bits = (0 until 32).map(i => when(col(s"v$i") > 0, "1").otherwise("0"))
       rawShingleRows(s, dir)
+        .select(col("doc_id"), md5(col("s")).as("h"))
         .groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
         .select(col("doc_id"), concat(bits: _*).as("simhash"))
     })
