@@ -30,6 +30,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
       operators.Extended.queries ++
+      operators.Extended2.queries ++
       operators.AsOf.queries ++
       operators.TextOps.queries ++
       operators.Dedup.queries ++
@@ -43,6 +44,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++
       operators.Extended.oracles ++
+      operators.Extended2.oracles ++
       operators.AsOf.oracles ++
       operators.TextOps.oracles ++
       operators.Dedup.oracles ++

@@ -1,0 +1,303 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{Num, Text}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-2 surface widening (SURVEY.md §2.3/§2.5/§2.8 + the
+  * training-data-pipeline mandate): TPC-H Q5/Q10 headline join shapes,
+  * the remaining window-function battery (percent_rank / cume_dist /
+  * nth_value, RANGE frames), explicit grouping sets, bitwise and map
+  * scalar batteries, deterministic hash-based train/val/test splitting
+  * and per-stratum sampling (the reproducible alternative to
+  * `sample()` for dataset curation), TF-IDF top terms, and a composite
+  * document-quality filter pipeline.
+  *
+  * Scale notes: Q5/Q10 broadcast the dimension sides explicitly;
+  * TF-IDF's document-frequency join shuffles on `term` (the natural
+  * key; vocabulary ≪ corpus); the hash split/sample are pure
+  * map-side predicates — no shuffle at all, which is what makes them
+  * the right curation primitives at 100 TB.
+  */
+object Extended2 {
+
+  val queries: Map[String, Relational.Q] = Map(
+
+    // ── TPC-H Q5 shape: local-supplier revenue per nation in a region.
+    // nation/region broadcast; customer⋈orders⋈lineitem⋈supplier are
+    // the shuffle joins (AQE may demote supplier to broadcast at small
+    // SF — both plans are key-partitioned correctly at 100 TB). ──────
+    "sql_q5_region_revenue" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      val l = Tables(s, dir, "lineitem")
+      val su = Tables(s, dir, "supplier")
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(Num.roundp(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+    }),
+
+    // ── TPC-H Q10 shape: returned-item revenue per customer, top 20. ──
+    "sql_q10_returned" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      val l = Tables(s, dir, "lineitem").where(col("l_returnflag") === "R")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(Num.roundp(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // ── W5: distribution windows. Explicit ROWS frame on nth_value —
+    // engines disagree on the default frame. ─────────────────────────
+    "w5_rank_battery" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "events").where(col("event_type") === "purchase")
+        .select(
+          col("event_id"), col("user_id"),
+          Num.roundp(percent_rank().over(w), 6).as("pr"),
+          Num.roundp(cume_dist().over(w), 6).as("cd"),
+          nth_value(col("event_id"), 2).over(wf).as("second_id"))
+    }),
+
+    // ── W6: RANGE frame over a day offset — trailing-7-day running sum
+    // per user. RANGE (not ROWS) so same-day events share the frame. ──
+    "w6_range_frame" -> ((s, dir) => {
+      val day = datediff(to_date(col("ts")), to_date(lit("2025-01-01"))).cast("long")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rangeBetween(-6, Window.currentRow)
+      Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), day.as("day"), col("value"))
+        .select(col("event_id"), col("user_id"), col("day"),
+          Num.roundp(sum(col("value")).over(w), 2).as("sum7"),
+          count(lit(1)).over(w).as("n7"))
+    }),
+
+    // ── A10: explicit GROUPING SETS lattice with grouping() flags. ────
+    "a10_grouping_sets" -> ((s, dir) => {
+      Tables(s, dir, "lineitem").createOrReplaceTempView("v_li_gs")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
+               count(*) AS n, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+        FROM v_li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""")
+    }),
+
+    // ── X21: bitwise battery on keys. ─────────────────────────────────
+    "x_bitwise_funcs" -> ((s, dir) =>
+      Tables(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_orderkey").bitwiseAND(lit(255L))).as("and8"),
+        (col("l_orderkey").bitwiseOR(col("l_linenumber"))).as("or_ln"),
+        (col("l_orderkey").bitwiseXOR(col("l_partkey"))).as("xor_pk"),
+        shiftleft(col("l_linenumber"), 3).cast("long").as("shl3"),
+        shiftright(col("l_orderkey"), 2).as("shr2"),
+        bit_count(col("l_orderkey")).cast("long").as("popcnt"))),
+
+    // ── X22: map surface — construction, lookup, keys, str_to_map.
+    // Map columns stay internal (parquet/pandas map compare is not
+    // portable); outputs are the looked-up scalars. ──────────────────
+    "x_map_funcs" -> ((s, dir) => {
+      val m = map(lit("brand"), col("p_brand"), lit("type"), col("p_type"))
+      Tables(s, dir, "part").select(
+        col("p_partkey"),
+        element_at(m, "brand").as("m_brand"),
+        size(m).cast("long").as("m_size"),
+        array_join(map_keys(m), ",").as("m_keys"),
+        element_at(str_to_map(lit("a:1,b:2"), lit(","), lit(":")), "b").as("m_b"))
+    }),
+
+    // ── Deterministic train/val/test split: first hex digit of a
+    // seeded md5 of the key. Pure projection — no shuffle, stable
+    // across runs/engines/cluster sizes, the curation-safe way to
+    // split 100 TB (sample() is neither deterministic nor stratifiable
+    // across re-runs). 12/2/2 sixteenths ≈ 75/12.5/12.5. ─────────────
+    "samp_hash_split" -> ((s, dir) => {
+      val h = substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 1)
+      Tables(s, dir, "documents")
+        .select(col("lang"),
+          when(h <= "b", "train").when(h <= "d", "val").otherwise("test").as("split"))
+        .groupBy(col("lang"), col("split")).agg(count(lit(1)).as("n"))
+    }),
+
+    // ── Per-stratum deterministic sample: keep 2/16 of each lang by
+    // hash threshold; returns the rows themselves. ───────────────────
+    "samp_stratified" -> ((s, dir) => {
+      val h = substring(md5(concat(lit("samp|"), col("doc_id").cast("string"))), 1, 1)
+      Tables(s, dir, "documents")
+        .where(h.isin("0", "1"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
+    // ── TF-IDF top-3 terms per document (first 100 docs; df/N computed
+    // over the whole corpus). tf shuffle on (doc, term), df shuffle on
+    // term, corpus size broadcast. ───────────────────────────────────
+    "text_tfidf_topterms" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val tok = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+        .withColumn("score", col("tf") * log(col("n_docs") / col("df")))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3 && col("doc_id") < 100)
+        .select(col("doc_id"), col("rk"), col("term"), Num.roundp(col("score"), 4).as("score"))
+    }),
+
+    // ── Composite quality-filter pipeline (C4-style curation): length,
+    // token count, and mean-token-length gates composed as one
+    // predicate — all pushdown-eligible. ─────────────────────────────
+    "pipe_quality_filter" -> ((s, dir) => {
+      val toks = Text.tokens(col("text"))
+      Tables(s, dir, "documents")
+        .withColumn("n_tok", size(toks).cast("long"))
+        .withColumn("avg_tok",
+          (length(regexp_replace(col("text"), "\\s+", "")).cast("double") / col("n_tok")))
+        .where(col("n_chars") >= 150 && col("n_tok") >= 20 &&
+          col("avg_tok") >= 3.0 && col("avg_tok") <= 12.0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("kept"), Num.roundp(avg(col("n_chars")), 2).as("avg_chars"))
+    }),
+
+    // ── J5: cross join (small × small — the only sane cartesian). ─────
+    "j5_cross_join" -> ((s, dir) =>
+      Tables(s, dir, "region").select(col("r_name"))
+        .crossJoin(Tables(s, dir, "orders").select(col("o_orderstatus")).distinct()))
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "sql_q5_region_revenue" ->
+      """SELECT n_name,
+        |  floor((sum(l_extendedprice * (1.0 - l_discount))) * 100 + 0.5) / 100 AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+
+    "sql_q10_returned" ->
+      """SELECT c_custkey, c_name,
+        |  floor((sum(l_extendedprice * (1.0 - l_discount))) * 100 + 0.5) / 100 AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "w5_rank_battery" ->
+      """SELECT event_id, user_id,
+        |  floor((percent_rank() OVER w) * 1000000 + 0.5) / 1000000 AS pr,
+        |  floor((cume_dist() OVER w) * 1000000 + 0.5) / 1000000 AS cd,
+        |  nth_value(event_id, 2) OVER
+        |    (PARTITION BY user_id ORDER BY value, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_id
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)""".stripMargin,
+
+    "w6_range_frame" ->
+      """WITH d AS (
+        |  SELECT event_id, user_id,
+        |    datediff('day', DATE '2025-01-01', CAST(ts AS DATE)) AS day, value
+        |  FROM events)
+        |SELECT event_id, user_id, day,
+        |  floor((sum(value) OVER w) * 100 + 0.5) / 100 AS sum7,
+        |  count(*) OVER w AS n7
+        |FROM d
+        |WINDOW w AS (PARTITION BY user_id ORDER BY day
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "a10_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
+        |  count(*) AS n, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
+
+    "x_bitwise_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_orderkey & 255 AS and8,
+        |  l_orderkey | l_linenumber AS or_ln,
+        |  xor(l_orderkey, l_partkey) AS xor_pk,
+        |  l_linenumber << 3 AS shl3,
+        |  l_orderkey >> 2 AS shr2,
+        |  bit_count(l_orderkey) AS popcnt
+        |FROM lineitem""".stripMargin,
+
+    "x_map_funcs" ->
+      """SELECT p_partkey, p_brand AS m_brand, 2 AS m_size,
+        |  'brand,type' AS m_keys, '2' AS m_b
+        |FROM part""".stripMargin,
+
+    "samp_hash_split" ->
+      """WITH h AS (
+        |  SELECT lang, substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 1) AS hx
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN hx <= 'b' THEN 'train' WHEN hx <= 'd' THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n
+        |FROM h GROUP BY 1, 2""".stripMargin,
+
+    "samp_stratified" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE substr(md5('samp|' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')""".stripMargin,
+
+    "text_tfidf_topterms" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf * ln(n_docs / df) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+        |  FROM scored)
+        |SELECT doc_id, rk, term, floor(score * 10000 + 0.5) / 10000 AS score
+        |FROM ranked WHERE rk <= 3 AND doc_id < 100""".stripMargin,
+
+    "pipe_quality_filter" ->
+      """WITH d AS (
+        |  SELECT lang, n_chars,
+        |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS n_nonws
+        |  FROM documents)
+        |SELECT lang, count(*) AS kept,
+        |  floor((avg(n_chars)) * 100 + 0.5) / 100 AS avg_chars
+        |FROM d
+        |WHERE n_chars >= 150 AND n_tok >= 20
+        |  AND n_nonws / n_tok >= 3.0 AND n_nonws / n_tok <= 12.0
+        |GROUP BY lang""".stripMargin,
+
+    "j5_cross_join" ->
+      """SELECT r_name, o_orderstatus FROM region
+        |CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)""".stripMargin
+  )
+}

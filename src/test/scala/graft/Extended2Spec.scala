@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant checks for the round-2 battery (Extended2) on sf0.001;
+  * exact values are hash-checked against DuckDB by the oracle gate. */
+class Extended2Spec extends SparkSuite {
+
+  test("samp_hash_split partitions every document exactly once") {
+    val splits = SparkEntry.queries("samp_hash_split")(spark, sf001).collect()
+    val total = splits.map(_.getAs[Long]("n")).sum
+    assert(total == 500) // every doc in exactly one split
+    val bySplit = splits.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n")).sum).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    // 12/2/2 sixteenths: train must dominate
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+  }
+
+  test("samp_stratified is deterministic across invocations") {
+    val a = SparkEntry.queries("samp_stratified")(spark, sf001).collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    val b = SparkEntry.queries("samp_stratified")(spark, sf001).collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("text_tfidf_topterms yields at most 3 ranked terms per doc") {
+    val r = SparkEntry.queries("text_tfidf_topterms")(spark, sf001).collect()
+    val byDoc = r.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.nonEmpty)
+    byDoc.values.foreach { rows =>
+      val rks = rows.map(_.getAs[Long]("rk")).sorted.toSeq
+      assert(rks == (1L to rks.length) && rks.length <= 3)
+      // scores non-increasing in rank
+      val sc = rows.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("score"))
+      assert(sc.zip(sc.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("w6_range_frame trailing window includes the current row") {
+    val r = SparkEntry.queries("w6_range_frame")(spark, sf001).collect()
+    assert(r.forall(_.getAs[Long]("n7") >= 1))
+  }
+
+  test("j5_cross_join is |region| x |distinct status|") {
+    assert(SparkEntry.queries("j5_cross_join")(spark, sf001).count() == 15)
+  }
+
+  test("sql_q10_returned returns exactly 20 strictly ordered rows") {
+    val r = SparkEntry.queries("sql_q10_returned")(spark, sf001).collect()
+    assert(r.length == 20)
+    val rev = r.map(_.getAs[Double]("revenue"))
+    assert(rev.zip(rev.tail).forall { case (a, b) => a >= b })
+  }
+}
