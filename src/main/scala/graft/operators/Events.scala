@@ -52,7 +52,24 @@ object Events {
         .groupBy(col("user_id"))
         .agg(sum(col("new_s")).cast("long").as("n_sessions"),
           count(lit(1)).as("n_events"))
-    })
+    }),
+
+    // ── T5b: Spark-native session windows (session_window groupBy).
+    // Same operator Structured Streaming runs incrementally with a
+    // watermark; here in batch, oracled via gaps-and-islands SQL.
+    // Session end = last event + gap; an event at exactly
+    // start+gap opens a NEW session ([start, end) half-open), hence
+    // the >= in the oracle's island test. Microsecond precision on
+    // both sides (unix_micros / epoch_us). ───────────────────────────
+    "t5b_session_window" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          Num.roundp(sum(col("value")), 2).as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"),
+          col("n_events"), col("sum_value")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -84,6 +101,21 @@ object Events {
         |          lag(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ms
         |        FROM events))
         |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
-        |FROM g GROUP BY user_id""".stripMargin
+        |FROM g GROUP BY user_id""".stripMargin,
+
+    "t5b_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, value,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, us, value,
+        |    sum(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1
+        |             ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
+        |  count(*) AS n_events, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
+        |FROM g GROUP BY user_id, sid""".stripMargin
   )
 }

@@ -58,4 +58,27 @@ class PlanSpec extends SparkSuite {
     val plan = physical(SparkEntry.queries("j1_anti_join")(spark, sf001))
     assert(plan.contains("LeftAnti"), plan)
   }
+
+  test("Q10 takes top-20 engine-side with the flag filter pushed down") {
+    val plan = formatted(SparkEntry.queries("sql_q10_returned")(spark, sf001))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("EqualTo(l_returnflag,R)"), plan)
+  }
+
+  test("Q5 pushes the region predicate into the scan") {
+    val plan = formatted(SparkEntry.queries("sql_q5_region_revenue")(spark, sf001))
+    assert(plan.contains("EqualTo(r_name,ASIA)"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("tfidf top-3 per doc uses WindowGroupLimit, not full sort+filter") {
+    val plan = physical(SparkEntry.queries("text_tfidf_topterms")(spark, sf001))
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("hash sampling is a pure map-side scan — no exchange at all") {
+    val plan = physical(SparkEntry.queries("samp_stratified")(spark, sf001))
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("*(1)"), plan) // one whole-stage codegen span
+  }
 }
