@@ -180,7 +180,44 @@ object Extended2 {
     // ── J5: cross join (small × small — the only sane cartesian). ─────
     "j5_cross_join" -> ((s, dir) =>
       Tables(s, dir, "region").select(col("r_name"))
-        .crossJoin(Tables(s, dir, "orders").select(col("o_orderstatus")).distinct()))
+        .crossJoin(Tables(s, dir, "orders").select(col("o_orderstatus")).distinct())),
+
+    // ── X23: binary-column battery — the opaque-payload plumbing the
+    // multimodal path rides on (length / digest / encode of binary),
+    // exercised over text cast to bytes. ─────────────────────────────
+    "x_binary_funcs" -> ((s, dir) => {
+      val b = col("p_name").cast("binary")
+      Tables(s, dir, "part").select(
+        col("p_partkey"),
+        length(b).cast("long").as("blen"),
+        base64(b).as("b64"),
+        md5(b).as("bmd5"),
+        sha2(b, 256).as("bsha256"),
+        lower(hex(b)).as("bhex"))
+    }),
+
+    // ── Correlated scalar subquery — Catalyst decorrelates it into an
+    // aggregate + left outer join, never a per-row probe. ────────────
+    "sql_scalar_subquery" -> ((s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("v_o_ss")
+      Tables(s, dir, "lineitem").createOrReplaceTempView("v_li_ss")
+      s.sql("""
+        SELECT o_orderkey, o_totalprice,
+               (SELECT CAST(max(l_quantity) AS DOUBLE) FROM v_li_ss
+                WHERE l_orderkey = o_orderkey) AS max_qty
+        FROM v_o_ss WHERE o_orderkey % 100 = 0""")
+    }),
+
+    // ── IN-subquery (semi-join planning from SQL). ────────────────────
+    "sql_in_subquery" -> ((s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("v_o_in")
+      Tables(s, dir, "customer").createOrReplaceTempView("v_c_in")
+      s.sql("""
+        SELECT o_orderstatus, count(*) AS n
+        FROM v_o_in
+        WHERE o_custkey IN (SELECT c_custkey FROM v_c_in WHERE c_acctbal > 9000)
+        GROUP BY o_orderstatus""")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -298,6 +335,27 @@ object Extended2 {
 
     "j5_cross_join" ->
       """SELECT r_name, o_orderstatus FROM region
-        |CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)""".stripMargin
+        |CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)""".stripMargin,
+
+    "x_binary_funcs" ->
+      """SELECT p_partkey,
+        |  octet_length(encode(p_name)) AS blen,
+        |  to_base64(encode(p_name)) AS b64,
+        |  md5(p_name) AS bmd5,
+        |  sha256(p_name) AS bsha256,
+        |  lower(hex(encode(p_name))) AS bhex
+        |FROM part""".stripMargin,
+
+    "sql_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  (SELECT CAST(max(l_quantity) AS DOUBLE) FROM lineitem
+        |   WHERE l_orderkey = o_orderkey) AS max_qty
+        |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin,
+
+    "sql_in_subquery" ->
+      """SELECT o_orderstatus, count(*) AS n
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |GROUP BY o_orderstatus""".stripMargin
   )
 }
