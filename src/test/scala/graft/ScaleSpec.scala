@@ -38,4 +38,23 @@ class ScaleSpec extends SparkSuite {
     val plainN = li.join(o, "l_orderkey").count()
     assert(saltedN == plainN)
   }
+
+  test("hive-partitioned layout prunes partitions at the scan (S7/F5)") {
+    val tmp = java.nio.file.Files.createTempDirectory("prune").toString + "/t"
+    Tables(spark, sf001, "events")
+      .withColumn("event_date", date_format(col("ts"), "yyyyMMdd"))
+      .write.partitionBy("event_date").parquet(tmp)
+
+    val d0 = Tables(spark, sf001, "events")
+      .select(date_format(min(col("ts")), "yyyyMMdd")).collect().head.getString(0)
+    val one = spark.read.parquet(tmp).where(col("event_date") === d0)
+    val plan = one.queryExecution.executedPlan.toString
+    // the date predicate must land in PartitionFilters (directory
+    // pruning), NOT as a row-level data filter over all partitions
+    assert(plan.contains("PartitionFilters: [isnotnull(event_date"), plan)
+    assert(!plan.contains("PushedFilters: [IsNotNull(event_date"), plan)
+    val expected = Tables(spark, sf001, "events")
+      .where(date_format(col("ts"), "yyyyMMdd") === d0).count()
+    assert(one.count() == expected && expected > 0)
+  }
 }
