@@ -142,6 +142,34 @@ object Dedup {
         .select(col("doc_id"), md5(col("s")).as("h"))
         .groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
         .select(col("doc_id"), concat(bits: _*).as("simhash"))
+    }),
+
+    // ── SimHash near-dup PAIRS: integer signature → 4 one-byte bands →
+    // bucket self-join → Hamming verify via bit_count(xor).
+    // Pigeonhole-complete: ≤3 differing bits across 4 bands leave at
+    // least one band identical, so banding loses no qualifying pair —
+    // candidate generation stays O(bucket collisions), never O(n²). ──
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      val votes = (0 until 32).map(i =>
+        sum(when(ascii(substring(col("h"), i + 1, 1)) >= 56, 1).otherwise(-1)).as(s"v$i"))
+      val sigExpr = (0 until 32).map(i =>
+        when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+      val sig = rawShingleRows(s, dir)
+        .select(col("doc_id"), md5(col("s")).as("h"))
+        .groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"), sigExpr.as("sig"))
+      val bandStructs = (0 until 4).map(b =>
+        struct(lit(b).as("band"), shiftright(col("sig"), 8 * b).bitwiseAND(lit(255L)).as("bv")))
+      val bands = sig.select(col("doc_id"), col("sig"),
+        explode(array(bandStructs: _*)).as("bk"))
+        .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+      val ham = bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("long")
+      bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .where(ham <= 3)
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), ham.as("hamming"))
+        .distinct()
     })
   )
 
@@ -215,6 +243,25 @@ object Dedup {
       s"""$sqlShingles,
          |exall AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
          |votes AS (SELECT doc_id, $sqlSimhashVotes FROM exall GROUP BY doc_id)
-         |SELECT doc_id, $sqlSimhashBits AS simhash FROM votes""".stripMargin
+         |SELECT doc_id, $sqlSimhashBits AS simhash FROM votes""".stripMargin,
+
+    "dedup_simhash_pairs" -> {
+      val sigSql = (0 until 32).map(i =>
+        s"CASE WHEN v$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END").mkString(" + ")
+      s"""$sqlShingles,
+         |exall AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |votes AS (SELECT doc_id, $sqlSimhashVotes FROM exall GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $sigSql AS sig FROM votes),
+         |bands AS (
+         |  SELECT doc_id, sig, b.band, (sig >> (8 * b.band)) & 255 AS bv
+         |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band) b),
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |    bit_count(xor(x.sig, y.sig)) AS hamming
+         |  FROM bands x
+         |  JOIN bands y ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+         |SELECT a, b, CAST(hamming AS BIGINT) AS hamming FROM pairs
+         |WHERE hamming <= 3""".stripMargin
+    }
   )
 }
