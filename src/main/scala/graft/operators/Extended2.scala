@@ -208,6 +208,21 @@ object Extended2 {
         FROM v_o_ss WHERE o_orderkey % 100 = 0""")
     }),
 
+    // ── X24: array set-algebra battery. Outputs sorted+deduped so the
+    // engines' differing internal orders can't leak into the hash. ────
+    "x_array_setops" -> ((s, dir) => {
+      val a = array(col("l_orderkey") % 7, col("l_partkey") % 7, col("l_suppkey") % 7)
+      val b = array(col("l_orderkey") % 5, col("l_partkey") % 5)
+      Tables(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        sort_array(array_intersect(a, b)).as("ai"),
+        sort_array(array_except(a, b)).as("ae"),
+        sort_array(array_union(a, b)).as("au"),
+        array_position(a, col("l_suppkey") % 7).as("pos"),
+        sort_array(array_remove(a, col("l_orderkey") % 7)).as("arm"),
+        sort_array(array_distinct(a)).as("ad"))
+    }),
+
     // ── IN-subquery (semi-join planning from SQL). ────────────────────
     "sql_in_subquery" -> ((s, dir) => {
       Tables(s, dir, "orders").createOrReplaceTempView("v_o_in")
@@ -356,6 +371,22 @@ object Extended2 {
       """SELECT o_orderstatus, count(*) AS n
         |FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
-        |GROUP BY o_orderstatus""".stripMargin
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    "x_array_setops" ->
+      """WITH t AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    [l_orderkey % 7, l_partkey % 7, l_suppkey % 7] AS a,
+        |    [l_orderkey % 5, l_partkey % 5] AS b,
+        |    l_orderkey % 7 AS rm, l_suppkey % 7 AS fnd
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  list_sort(list_intersect(a, b)) AS ai,
+        |  list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))) AS ae,
+        |  list_sort(list_distinct(a || b)) AS au,
+        |  list_position(a, fnd) AS pos,
+        |  list_sort(list_filter(a, x -> x <> rm)) AS arm,
+        |  list_sort(list_distinct(a)) AS ad
+        |FROM t""".stripMargin
   )
 }

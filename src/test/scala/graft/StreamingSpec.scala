@@ -51,4 +51,20 @@ class StreamingSpec extends SparkSuite {
     val dirs = new java.io.File(lake).list().filter(_.startsWith("year_month_day="))
     assert(dirs.contains("year_month_day=20250524"))
   }
+
+  test("AvailableNow trigger drains the backlog and terminates on its own") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("streamAN").toString
+
+    val mem = MemoryStream[String]
+    mem.addData( // backlog exists BEFORE the query starts
+      wire("http://an/1", "백로그 기사 하나", "2025-06-01 08:00:00"),
+      wire("http://an/2", "백로그 기사 둘", "2025-06-01 09:00:00"))
+    val enriched = EnrichStream.enrichParsed(mem.toDF().toDF("json"), embedDim = 8)
+    val q = EnrichStream.start(enriched, s"$tmp/store", s"$tmp/lake", s"$tmp/ckpt",
+      trigger = Trigger.AvailableNow())
+    assert(q.awaitTermination(120000)) // stops by itself after the drain
+    assert(spark.read.parquet(s"$tmp/store").count() == 2)
+  }
 }
