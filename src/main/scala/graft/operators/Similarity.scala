@@ -105,6 +105,33 @@ object Similarity {
         .select(col("q_id"), col("vec_id"), score.as("score"))
         .withColumn("rk", row_number().over(w).cast("long"))
         .where(col("rk") <= 3)
+    }),
+
+    // ── IVF multi-probe search: each query probes its 2 nearest cells —
+    // the recall/cost lever of a real IVF index (nprobe). Corpus cells
+    // stay the unit of work; only the probed cells' members are scored.
+    "sim_ivf_probe2" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir, "embeddings")
+      val cent = e.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+      val qdist = Num.roundp(Vectors.sqDist(col("q_emb"), col("c_emb")), 6)
+      val wq = Window.partitionBy(col("q_id")).orderBy(col("qdist"), col("centroid_id"))
+      val probes = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .crossJoin(broadcast(cent))
+        .select(col("q_id"), col("q_emb"), col("centroid_id"), qdist.as("qdist"))
+        .withColumn("prk", row_number().over(wq))
+        .where(col("prk") <= 2)
+        .select(col("q_id"), col("q_emb"), col("centroid_id"))
+      val assigned = ivfAssigned(s, dir)
+      val score = Num.roundp(Vectors.cosine(col("q_emb"), col("embedding")), 6)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+      assigned.join(probes, "centroid_id")
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), score.as("score"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
     })
   )
 
@@ -203,6 +230,38 @@ object Similarity {
          |    floor((${sqlDot("q.embedding", "e.embedding")} / (q.nrm * e.nrm)) * 1000000 + 0.5) / 1000000 AS score
          |  FROM n q JOIN n e ON q.centroid_id = e.centroid_id
          |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT q_id, vec_id, score, rk FROM ranked WHERE rk <= 3""".stripMargin,
+
+    "sim_ivf_probe2" ->
+      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |d AS (
+         |  SELECT e.vec_id, e.embedding, c.centroid_id,
+         |    floor((list_sum(list_transform(range($Dim),
+         |      i -> (CAST(e.embedding[i+1] AS DOUBLE) - CAST(c.c_emb[i+1] AS DOUBLE))
+         |         * (CAST(e.embedding[i+1] AS DOUBLE) - CAST(c.c_emb[i+1] AS DOUBLE))))) * 1000000 + 0.5) / 1000000 AS dist
+         |  FROM embeddings e CROSS JOIN c),
+         |assigned AS (
+         |  SELECT vec_id, embedding, centroid_id FROM (
+         |    SELECT vec_id, embedding, centroid_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rk
+         |    FROM d) WHERE rk = 1),
+         |probes AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb, centroid_id FROM (
+         |    SELECT vec_id, embedding, centroid_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS prk
+         |    FROM d WHERE vec_id < 5) WHERE prk <= 2),
+         |n AS (SELECT vec_id, embedding, centroid_id, ${sqlNorm("embedding")} AS nrm FROM assigned),
+         |nq AS (SELECT q_id, q_emb, centroid_id, ${sqlNorm("q_emb")} AS nrm FROM probes),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    floor((${sqlDot("q.q_emb", "e.embedding")} / (q.nrm * e.nrm)) * 1000000 + 0.5) / 1000000 AS score
+         |  FROM nq q JOIN n e ON q.centroid_id = e.centroid_id
+         |  WHERE e.vec_id <> q.q_id),
          |ranked AS (
          |  SELECT q_id, vec_id, score,
          |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk
