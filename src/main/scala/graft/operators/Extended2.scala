@@ -208,6 +208,23 @@ object Extended2 {
         FROM v_o_ss WHERE o_orderkey % 100 = 0""")
     }),
 
+    // ── TPC-H Q6 shape: the pure scan-predicate-aggregate — every
+    // predicate reaches the parquet scan, zero joins, one exchange. ──
+    "sql_q6_forecast" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(Num.roundp(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"))),
+
+    // ── O5: keyset-free pagination — total-ordered offset + limit. ────
+    "o5_pagination" -> ((s, dir) =>
+      Tables(s, dir, "part")
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+        .offset(20).limit(10)),
+
     // ── X24: array set-algebra battery. Outputs sorted+deduped so the
     // engines' differing internal orders can't leak into the hash. ────
     "x_array_setops" -> ((s, dir) => {
@@ -372,6 +389,18 @@ object Extended2 {
         |FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
         |GROUP BY o_orderstatus""".stripMargin,
+
+    "sql_q6_forecast" ->
+      """SELECT floor((sum(l_extendedprice * l_discount)) * 100 + 0.5) / 100 AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "o5_pagination" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |ORDER BY p_retailprice DESC, p_partkey
+        |LIMIT 10 OFFSET 20""".stripMargin,
 
     "x_array_setops" ->
       """WITH t AS (
