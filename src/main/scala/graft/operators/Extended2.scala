@@ -225,6 +225,27 @@ object Extended2 {
         .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
         .offset(20).limit(10)),
 
+    // ── X25: regex battery — extract-all, counting, membership. ──────
+    "x_regex_funcs" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[a-zA-Z]+"), lit(0))).cast("long").as("n_words"),
+        regexp_count(col("text"), lit("[0-9]+")).cast("long").as("n_nums"),
+        regexp_extract(col("text"), "([0-9]+)", 1).as("first_num"),
+        col("text").rlike("[0-9]").as("has_digit"))),
+
+    // ── X26: calendar battery — field extraction and date arithmetic. ─
+    "x_date_funcs2" -> ((s, dir) =>
+      Tables(s, dir, "orders").select(
+        col("o_orderkey"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        dayofyear(col("o_orderdate")).cast("long").as("doy"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        add_months(to_date(col("o_orderdate")), 2).as("plus2m"),
+        date_add(to_date(col("o_orderdate")), 45).as("plus45d"),
+        trunc(to_date(col("o_orderdate")), "month").as("month_start"),
+        make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1)).as("first_of_month"))),
+
     // ── X24: array set-algebra battery. Outputs sorted+deduped so the
     // engines' differing internal orders can't leak into the hash. ────
     "x_array_setops" -> ((s, dir) => {
@@ -401,6 +422,26 @@ object Extended2 {
       """SELECT p_partkey, p_name, p_retailprice FROM part
         |ORDER BY p_retailprice DESC, p_partkey
         |LIMIT 10 OFFSET 20""".stripMargin,
+
+    "x_regex_funcs" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+')) AS n_words,
+        |  len(regexp_extract_all(text, '[0-9]+')) AS n_nums,
+        |  regexp_extract(text, '([0-9]+)', 1) AS first_num,
+        |  regexp_matches(text, '[0-9]') AS has_digit
+        |FROM documents""".stripMargin,
+
+    "x_date_funcs2" ->
+      """SELECT o_orderkey,
+        |  quarter(o_orderdate) AS q,
+        |  dayofyear(o_orderdate) AS doy,
+        |  day(o_orderdate) AS dom,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        |  CAST(o_orderdate AS DATE) + 45 AS plus45d,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  make_date(CAST(year(o_orderdate) AS INTEGER),
+        |            CAST(month(o_orderdate) AS INTEGER), 1) AS first_of_month
+        |FROM orders""".stripMargin,
 
     "x_array_setops" ->
       """WITH t AS (
