@@ -87,6 +87,19 @@ object Extended2 {
           count(lit(1)).over(w).as("n7"))
     }),
 
+    // ── W7: forward-fill (LOCF) imputation — the most recent non-null
+    // observation carried forward per key, the standard time-series
+    // repair before training. One shuffle on the key, sort within. ───
+    "w7_fill_forward" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val purchaseValue = when(col("event_type") === "purchase", col("value"))
+      Tables(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        Num.roundp(last(purchaseValue, ignoreNulls = true).over(w), 2)
+          .as("last_purchase_value"))
+    }),
+
     // ── A10: explicit GROUPING SETS lattice with grouping() flags. ────
     "a10_grouping_sets" -> ((s, dir) => {
       Tables(s, dir, "lineitem").createOrReplaceTempView("v_li_gs")
@@ -318,6 +331,15 @@ object Extended2 {
         |FROM d
         |WINDOW w AS (PARTITION BY user_id ORDER BY day
         |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "w7_fill_forward" ->
+      """SELECT event_id, user_id,
+        |  floor((last_value(CASE WHEN event_type = 'purchase' THEN value END
+        |           IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100
+        |    AS last_purchase_value
+        |FROM events""".stripMargin,
 
     "a10_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
