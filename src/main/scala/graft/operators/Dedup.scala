@@ -67,6 +67,25 @@ object Dedup {
       (1 until NumHashes).map(j =>
         min(md5(concat(lit(s"$j|"), col("s")))).as(s"h$j")): _*))
 
+  /** doc_id → the 32 simhash vote sums v0..v31, persisted AND
+    * materialized: both the signature query and the pairing query
+    * derive from it, and recomputing the shingle+md5 stream twice was
+    * the single heaviest duplicated work in the bench.
+    *
+    * md5 is computed ONCE per shingle in a projection below the
+    * aggregate — the 32 vote expressions each reference it, and leaving
+    * 32 copies of md5(s) in the agg would lean on codegen subexpression
+    * elimination that partial aggregates don't guarantee. ascii >= '8'
+    * tests the hex digit's high nibble bit (hex alphabet 0-9a-f:
+    * '8','9','a'..'f' are the >= 56 codes). */
+  private def simhashVotes(s: SparkSession, dir: String): DataFrame = {
+    val votes = (0 until 32).map(i =>
+      sum(when(ascii(substring(col("h"), i + 1, 1)) >= 56, 1).otherwise(-1)).as(s"v$i"))
+    materialized(rawShingleRows(s, dir)
+      .select(col("doc_id"), md5(col("s")).as("h"))
+      .groupBy(col("doc_id")).agg(votes.head, votes.tail: _*))
+  }
+
   /** doc_id → (band, key) rows; key = concat of the band's hashes. */
   private def bandRows(s: SparkSession, dir: String): DataFrame = {
     val mh = minhashes(s, dir)
@@ -129,18 +148,8 @@ object Dedup {
     // standard formulation): no distinct shuffle — the 32 per-doc vote
     // sums partial-aggregate map-side into a tiny exchange.
     "dedup_simhash" -> ((s, dir) => {
-      // md5 is computed ONCE per shingle in a projection below the
-      // aggregate — the 32 vote expressions each reference it, and
-      // leaving 32 copies of md5(s) in the agg would lean on codegen
-      // subexpression elimination that partial aggregates don't
-      // guarantee. ascii >= '8' tests the hex digit's high nibble bit
-      // (hex alphabet 0-9a-f: '8','9','a'..'f' are the >= 56 codes).
-      val votes = (0 until 32).map(i =>
-        sum(when(ascii(substring(col("h"), i + 1, 1)) >= 56, 1).otherwise(-1)).as(s"v$i"))
       val bits = (0 until 32).map(i => when(col(s"v$i") > 0, "1").otherwise("0"))
-      rawShingleRows(s, dir)
-        .select(col("doc_id"), md5(col("s")).as("h"))
-        .groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      simhashVotes(s, dir)
         .select(col("doc_id"), concat(bits: _*).as("simhash"))
     }),
 
@@ -150,13 +159,9 @@ object Dedup {
     // least one band identical, so banding loses no qualifying pair —
     // candidate generation stays O(bucket collisions), never O(n²). ──
     "dedup_simhash_pairs" -> ((s, dir) => {
-      val votes = (0 until 32).map(i =>
-        sum(when(ascii(substring(col("h"), i + 1, 1)) >= 56, 1).otherwise(-1)).as(s"v$i"))
       val sigExpr = (0 until 32).map(i =>
         when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
-      val sig = rawShingleRows(s, dir)
-        .select(col("doc_id"), md5(col("s")).as("h"))
-        .groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      val sig = simhashVotes(s, dir)
         .select(col("doc_id"), sigExpr.as("sig"))
       val bandStructs = (0 until 4).map(b =>
         struct(lit(b).as("band"), shiftright(col("sig"), 8 * b).bitwiseAND(lit(255L)).as("bv")))
