@@ -87,6 +87,26 @@ object Extended2 {
           count(lit(1)).over(w).as("n7"))
     }),
 
+    // ── A11: conditional aggregation battery — FILTER-style partial
+    // aggregates in one pass (count_if / filtered sums / bool votes). ─
+    "a_cond_agg" -> ((s, dir) =>
+      Tables(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+        count_if(col("l_quantity") > 45).as("n_hi_qty"),
+        Num.roundp(sum(when(col("l_discount") > 0.05, col("l_extendedprice"))), 2)
+          .as("disc_rev"),
+        bool_and(col("l_quantity") > 0).as("all_pos"),
+        bool_or(col("l_tax") > 0.07).as("any_hi_tax"))),
+
+    // ── A12: argmax/argmin + ordered string aggregation. The ordering
+    // argument is the UNIQUE key so ties cannot differ across engines. ─
+    "a_argmax" -> ((s, dir) =>
+      Tables(s, dir, "orders").where(col("o_orderkey") % 1000 === 0)
+        .groupBy(col("o_orderstatus")).agg(
+          Num.roundp(max_by(col("o_totalprice"), col("o_orderkey")), 2).as("last_price"),
+          Num.roundp(min_by(col("o_totalprice"), col("o_orderkey")), 2).as("first_price"),
+          array_join(array_sort(collect_list(col("o_orderkey").cast("string"))), ",")
+            .as("keys_csv"))),
+
     // ── W7: forward-fill (LOCF) imputation — the most recent non-null
     // observation carried forward per key, the standard time-series
     // repair before training. One shuffle on the key, sort within. ───
@@ -331,6 +351,23 @@ object Extended2 {
         |FROM d
         |WINDOW w AS (PARTITION BY user_id ORDER BY day
         |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "a_cond_agg" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE l_quantity > 45) AS n_hi_qty,
+        |  floor((sum(l_extendedprice) FILTER (WHERE l_discount > 0.05)) * 100 + 0.5) / 100 AS disc_rev,
+        |  bool_and(l_quantity > 0) AS all_pos,
+        |  bool_or(l_tax > 0.07) AS any_hi_tax
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "a_argmax" ->
+      """SELECT o_orderstatus,
+        |  floor((arg_max(o_totalprice, o_orderkey)) * 100 + 0.5) / 100 AS last_price,
+        |  floor((arg_min(o_totalprice, o_orderkey)) * 100 + 0.5) / 100 AS first_price,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ','
+        |    ORDER BY CAST(o_orderkey AS VARCHAR)) AS keys_csv
+        |FROM orders WHERE o_orderkey % 1000 = 0
+        |GROUP BY o_orderstatus""".stripMargin,
 
     "w7_fill_forward" ->
       """SELECT event_id, user_id,
