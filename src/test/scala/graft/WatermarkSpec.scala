@@ -39,6 +39,29 @@ class WatermarkSpec extends SparkSuite {
     assert(out.toSet == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
   }
 
+  test("streaming session_window merges and closes sessions incrementally (T5b)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val agg = mem.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sess_win_out").start()
+
+    mem.addData((ts("2025-05-24 09:00:00"), 1L), (ts("2025-05-24 09:20:00"), 1L))
+    q.processAllAvailable()
+    // watermark passes 09:20+30min → user 1's merged session closes
+    mem.addData((ts("2025-05-24 11:00:00"), 2L))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("sess_win_out").collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n")).toMap
+    assert(out == Map(1L -> 2L)) // user 2's session still open
+  }
+
   test("dropDuplicatesWithinWatermark bounds dedup state (F12/T5)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
