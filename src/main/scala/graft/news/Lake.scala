@@ -72,6 +72,33 @@ object Lake {
     }
   }
 
+  /** Small-file compaction for one day's partition. Every streaming
+    * trigger appends a file per task (S7's 1-min rolling), so a day
+    * accumulates hundreds of small files — at 100 TB that turns every
+    * scan into a file-listing + task-scheduling storm. Rewrites the
+    * partition into ceil(bytes / targetFileBytes) files and swaps it in
+    * atomically-enough (write aside, rename over; the same rename
+    * primitive S12 archival uses). Returns the new file count. */
+  def compactPartition(spark: SparkSession, lakePath: String, ymd: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val part = new org.apache.hadoop.fs.Path(s"$lakePath/$PartitionCol=$ymd")
+    val fs = part.getFileSystem(conf)
+    if (!fs.exists(part)) return 0
+    val bytes = fs.getContentSummary(part).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(s"$lakePath/.compact_$PartitionCol=$ymd")
+    spark.read.parquet(part.toString)
+      .repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+      .parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(s"$lakePath/.old_$PartitionCol=$ymd")
+    fs.rename(part, old)
+    fs.rename(tmp, part)
+    fs.delete(old, true)
+    fs.listStatus(part).count(_.getPath.getName.endsWith(".parquet"))
+  }
+
   private def pathExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)

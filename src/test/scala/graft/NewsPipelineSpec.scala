@@ -135,4 +135,27 @@ class NewsPipelineSpec extends SparkSuite {
     assert(spark.read.parquet(s"$tmp/archive").count() == 1)
     assert(Lake.archivePartition(spark, s"$tmp/lake", s"$tmp/archive", "19990101") == 0)
   }
+
+  test("Lake: compaction rewrites a many-file partition into few files") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("lakec").toString
+    // 5 appends of the same day → >= 5 small files in one partition
+    (1 to 5).foreach { i =>
+      Lake.append(
+        Seq((s"http://c/$i", s"t$i", "2025-05-24 09:00:00"))
+          .toDF("link", "title", "updated")
+          .withColumn("updated", to_timestamp(col("updated"))),
+        s"$tmp/lake", "updated")
+    }
+    val dir = new java.io.File(s"$tmp/lake/year_month_day=20250524")
+    assert(dir.list().count(_.endsWith(".parquet")) >= 5)
+
+    val nAfter = Lake.compactPartition(spark, s"$tmp/lake", "20250524")
+    assert(nAfter == 1) // tiny data → one 128MB-target file
+    assert(dir.list().count(_.endsWith(".parquet")) == 1)
+    val back = spark.read.parquet(s"$tmp/lake")
+    assert(back.count() == 5)
+    assert(back.select("link").distinct().count() == 5)
+    assert(Lake.compactPartition(spark, s"$tmp/lake", "19990101") == 0)
+  }
 }
