@@ -87,4 +87,19 @@ object Multimodal {
       transform(
         sequence(lit(0), greatest((length(col("bytes")) / (chunk * every)).cast("int") - 1, lit(0))),
         i => substring(col("bytes"), i * (chunk * every) + 1, lit(chunk))).as("chunks"))
+
+  /** Resize stub: downsample the payload to a FIXED target width by
+    * strided byte sampling with wrap-around — the image-resize access
+    * pattern (fixed output shape regardless of input size) over opaque
+    * bytes, pure codegen'd expressions. A real codec-backed resize
+    * plugs in behind the same `binary → fixed-width binary` column
+    * contract. Inputs must be non-empty (wrap-around indexing). */
+  def resizeStub(media: DataFrame, target: Int = 32): DataFrame = {
+    val n = greatest(length(col("bytes")), lit(1))
+    val stride = greatest((length(col("bytes")) / target), lit(1))
+    val parts = (0 until target).map { i =>
+      col("bytes").substr((lit(i) * stride) % n + 1, lit(1))
+    }
+    media.select(col("media_id"), concat(parts: _*).as("resized"))
+  }
 }

@@ -132,6 +132,37 @@ object Similarity {
         .select(col("q_id"), col("vec_id"), score.as("score"))
         .withColumn("rk", row_number().over(w).cast("long"))
         .where(col("rk") <= 3)
+    }),
+
+    // ── ANN quality metric: recall@3 of probe-1 IVF against the exact
+    // brute-force top-3 — the number that justifies (or vetoes) the
+    // approximate path at scale. ─────────────────────────────────────
+    "sim_ivf_recall" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val score = Num.roundp(Vectors.cosine(col("q_emb"), col("embedding")), 6)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+      val brute = e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), score.as("score"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3).select(col("q_id"), col("vec_id"))
+      val assigned = ivfAssigned(s, dir)
+      val qa = assigned.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("centroid_id"))
+      val ivf = assigned.join(qa, "centroid_id")
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), score.as("score"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+      brute.join(ivf, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+          Num.roundp(sum(coalesce(col("hit"), lit(0L))) / 3.0d, 4).as("recall3"))
     })
   )
 
@@ -266,6 +297,44 @@ object Similarity {
          |  SELECT q_id, vec_id, score,
          |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk
          |  FROM scored)
-         |SELECT q_id, vec_id, score, rk FROM ranked WHERE rk <= 3""".stripMargin
+         |SELECT q_id, vec_id, score, rk FROM ranked WHERE rk <= 3""".stripMargin,
+
+    "sim_ivf_recall" ->
+      s"""WITH nall AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings),
+         |brute AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.vec_id AS q_id, e.vec_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        floor((${sqlDot("q.embedding", "e.embedding")} / (q.nrm * e.nrm)) * 1000000 + 0.5) / 1000000 DESC,
+         |        e.vec_id) AS rk
+         |    FROM nall q JOIN nall e ON q.vec_id < 5 AND e.vec_id <> q.vec_id)
+         |  WHERE rk <= 3),
+         |c AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |d AS (
+         |  SELECT e.vec_id, e.embedding, c.centroid_id,
+         |    floor((list_sum(list_transform(range($Dim),
+         |      i -> (CAST(e.embedding[i+1] AS DOUBLE) - CAST(c.c_emb[i+1] AS DOUBLE))
+         |         * (CAST(e.embedding[i+1] AS DOUBLE) - CAST(c.c_emb[i+1] AS DOUBLE))))) * 1000000 + 0.5) / 1000000 AS dist
+         |  FROM embeddings e CROSS JOIN c),
+         |assigned AS (
+         |  SELECT vec_id, embedding, centroid_id FROM (
+         |    SELECT vec_id, embedding, centroid_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rk
+         |    FROM d) WHERE rk = 1),
+         |n AS (SELECT vec_id, embedding, centroid_id, ${sqlNorm("embedding")} AS nrm FROM assigned),
+         |ivf AS (
+         |  SELECT q_id, vec_id, 1 AS hit FROM (
+         |    SELECT q.vec_id AS q_id, e.vec_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        floor((${sqlDot("q.embedding", "e.embedding")} / (q.nrm * e.nrm)) * 1000000 + 0.5) / 1000000 DESC,
+         |        e.vec_id) AS rk
+         |    FROM n q JOIN n e ON q.centroid_id = e.centroid_id
+         |    WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
+         |  WHERE rk <= 3)
+         |SELECT b.q_id, CAST(sum(coalesce(ivf.hit, 0)) AS BIGINT) AS n_hits,
+         |  floor((sum(coalesce(ivf.hit, 0)) / 3.0) * 10000 + 0.5) / 10000 AS recall3
+         |FROM brute b LEFT JOIN ivf ON b.q_id = ivf.q_id AND b.vec_id = ivf.vec_id
+         |GROUP BY b.q_id""".stripMargin
   )
 }

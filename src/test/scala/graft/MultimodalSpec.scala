@@ -30,4 +30,18 @@ class MultimodalSpec extends SparkSuite {
       .collect()
     assert(out.length == 500 && out.forall(_.getAs[Int]("n") >= 1))
   }
+
+  test("resize stub yields a fixed-width binary for every input size") {
+    val out = Multimodal.resizeStub(Multimodal.syntheticMedia(spark, sf001), target = 32)
+      .select(col("media_id"), length(col("resized")).as("w"), col("resized"))
+      .collect()
+    assert(out.length == 500)
+    assert(out.forall(_.getAs[Int]("w") == 32)) // fixed shape regardless of input
+    // deterministic: same input → same bytes
+    val again = Multimodal.resizeStub(Multimodal.syntheticMedia(spark, sf001), target = 32)
+      .select(col("media_id"), col("resized")).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Array[Byte]]("resized").toSeq).toMap
+    assert(out.forall(r =>
+      again(r.getAs[Long]("media_id")) == r.getAs[Array[Byte]]("resized").toSeq))
+  }
 }
