@@ -87,6 +87,41 @@ object Extended2 {
           count(lit(1)).over(w).as("n7"))
     }),
 
+    // ── A13: post-aggregation HAVING filter. ──────────────────────────
+    "a_having" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(Num.roundp(sum(col("l_quantity")), 2).as("total_qty"),
+          count(lit(1)).as("n"))
+        .where(col("total_qty") > 150)),
+
+    // ── J6: null-safe equality join (<=>) — NULL keys match NULL keys
+    // instead of silently dropping, the semantics dirty dimension data
+    // needs. NULLs are synthesized from a deterministic predicate. ───
+    "j6_nullsafe_join" -> ((s, dir) => {
+      val a = Tables(s, dir, "orders").where(col("o_orderkey") <= 500)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 0, col("o_custkey")).as("k"))
+      val b = Tables(s, dir, "customer").where(col("c_custkey") <= 70)
+        .select(when(col("c_custkey") % 7 === 0, col("c_custkey")).as("k"))
+      a.join(b, a("k") <=> b("k"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_matches"))
+    }),
+
+    // ── X27: exact-math battery (ops with bit-identical results across
+    // engines: abs/sign/floor/ceil/mod/sqrt/integer pow). ────────────
+    "x_math_funcs" -> ((s, dir) =>
+      Tables(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("adev"),
+        signum(col("l_discount") - 0.05).as("sgn"),
+        floor(col("l_extendedprice")).cast("long").as("price_fl"),
+        ceil(col("l_extendedprice")).cast("long").as("price_ce"),
+        (col("l_orderkey") % 97).as("key_mod"),
+        sqrt(col("l_quantity")).as("qty_sqrt"),
+        pow(col("l_quantity"), 2).as("qty_sq"))),
+
     // ── A11: conditional aggregation battery — FILTER-style partial
     // aggregates in one pass (count_if / filtered sums / bool votes). ─
     "a_cond_agg" -> ((s, dir) =>
@@ -351,6 +386,35 @@ object Extended2 {
         |FROM d
         |WINDOW w AS (PARTITION BY user_id ORDER BY day
         |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "a_having" ->
+      """SELECT l_partkey, floor((sum(l_quantity)) * 100 + 0.5) / 100 AS total_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_partkey
+        |HAVING floor((sum(l_quantity)) * 100 + 0.5) / 100 > 150""".stripMargin,
+
+    "j6_nullsafe_join" ->
+      """WITH a AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_custkey END AS k
+        |  FROM orders WHERE o_orderkey <= 500),
+        |b AS (
+        |  SELECT CASE WHEN c_custkey % 7 = 0 THEN c_custkey END AS k
+        |  FROM customer WHERE c_custkey <= 70)
+        |SELECT a.o_orderkey, count(*) AS n_matches
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |GROUP BY a.o_orderkey""".stripMargin,
+
+    "x_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_discount - 0.05) AS adev,
+        |  sign(l_discount - 0.05) AS sgn,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_fl,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ce,
+        |  l_orderkey % 97 AS key_mod,
+        |  sqrt(l_quantity) AS qty_sqrt,
+        |  pow(l_quantity, 2) AS qty_sq
+        |FROM lineitem""".stripMargin,
 
     "a_cond_agg" ->
       """SELECT l_returnflag,
