@@ -87,6 +87,33 @@ object Extended2 {
           count(lit(1)).over(w).as("n7"))
     }),
 
+    // ── SQL LATERAL: per-group top-N as a correlated subquery —
+    // planned as a join, never a per-row re-execution. ───────────────
+    "sql_lateral_topn" -> ((s, dir) => {
+      Tables(s, dir, "nation").createOrReplaceTempView("v_n_lat")
+      Tables(s, dir, "customer").createOrReplaceTempView("v_c_lat")
+      s.sql("""
+        SELECT r.n_regionkey, l.n_name, l.n_cust
+        FROM (SELECT DISTINCT n_regionkey FROM v_n_lat) r,
+        LATERAL (
+          SELECT n.n_name, count(*) AS n_cust
+          FROM v_n_lat n JOIN v_c_lat c ON c_nationkey = n_nationkey
+          WHERE n.n_regionkey = r.n_regionkey
+          GROUP BY n.n_name
+          ORDER BY n_cust DESC, n.n_name LIMIT 2) l""")
+    }),
+
+    // ── X28: error-safe evaluation — try_cast/try_divide yield NULL
+    // where ANSI mode would abort the job (one bad row must not kill a
+    // 100 TB pipeline). ──────────────────────────────────────────────
+    "x_try_funcs" -> ((s, dir) =>
+      Tables(s, dir, "part").select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "([0-9]+)", 1).try_cast("long").as("name_num"),
+        col("p_brand").try_cast("long").as("brand_num"), // never numeric → NULL
+        try_divide(col("p_retailprice"), col("p_size") - col("p_size")).as("div0"),
+        try_divide(col("p_retailprice"), lit(2.0d)).as("half"))),
+
     // ── A13: post-aggregation HAVING filter. ──────────────────────────
     "a_having" -> ((s, dir) =>
       Tables(s, dir, "lineitem")
@@ -386,6 +413,25 @@ object Extended2 {
         |FROM d
         |WINDOW w AS (PARTITION BY user_id ORDER BY day
         |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "sql_lateral_topn" ->
+      """SELECT r.n_regionkey, l.n_name, l.n_cust
+        |FROM (SELECT DISTINCT n_regionkey FROM nation) r,
+        |LATERAL (
+        |  SELECT n.n_name, count(*) AS n_cust
+        |  FROM nation n JOIN customer c ON c_nationkey = n_nationkey
+        |  WHERE n.n_regionkey = r.n_regionkey
+        |  GROUP BY n.n_name
+        |  ORDER BY n_cust DESC, n.n_name LIMIT 2) l""".stripMargin,
+
+    "x_try_funcs" ->
+      """SELECT p_partkey,
+        |  TRY_CAST(regexp_extract(p_name, '([0-9]+)', 1) AS BIGINT) AS name_num,
+        |  TRY_CAST(p_brand AS BIGINT) AS brand_num,
+        |  CASE WHEN p_size - p_size = 0 THEN NULL
+        |       ELSE p_retailprice / (p_size - p_size) END AS div0,
+        |  p_retailprice / 2.0 AS half
+        |FROM part""".stripMargin,
 
     "a_having" ->
       """SELECT l_partkey, floor((sum(l_quantity)) * 100 + 0.5) / 100 AS total_qty,
