@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.IvfIndex
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Build-once / search-many IVF index: persisted layout, directory
+  * pruning by probed cell, and agreement with the inline inventory
+  * query (sim_ivf_search computes the same probe-1 search without the
+  * persisted index). */
+class IvfIndexSpec extends SparkSuite {
+
+  test("persisted index reproduces the inline probe-1 search") {
+    val tmp = Files.createTempDirectory("ivf").toString + "/idx"
+    val corpus = Tables(spark, sf001, "embeddings")
+    IvfIndex.build(spark, corpus, tmp)
+
+    // layout: assignments partitioned by centroid_id
+    val dirs = new java.io.File(s"$tmp/assignments").list()
+      .filter(_.startsWith("centroid_id="))
+    assert(dirs.length == 10) // 500 vectors / everyK=50
+
+    val queries = corpus.where(col("vec_id") < 5)
+    val got = IvfIndex.search(spark, tmp, queries, k = 3, nprobe = 1)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rk")) -> r.getAs[Long]("vec_id"))
+      .toMap
+    val want = SparkEntry.queries("sim_ivf_search")(spark, sf001)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rk")) -> r.getAs[Long]("vec_id"))
+      .toMap
+    assert(got == want)
+  }
+
+  test("wider probes never lose neighbors found by narrower ones") {
+    val tmp = Files.createTempDirectory("ivf2").toString + "/idx"
+    val corpus = Tables(spark, sf001, "embeddings")
+    IvfIndex.build(spark, corpus, tmp)
+    val queries = corpus.where(col("vec_id") < 5)
+    def scores(nprobe: Int): Map[Long, Double] =
+      IvfIndex.search(spark, tmp, queries, k = 1, nprobe = nprobe).collect()
+        .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("score")).toMap
+    val s1 = scores(1)
+    val s2 = scores(2)
+    // the rank-1 score can only improve (or stay) as probes widen
+    assert(s1.keySet == s2.keySet)
+    assert(s1.forall { case (q, sc) => s2(q) >= sc })
+  }
+}
