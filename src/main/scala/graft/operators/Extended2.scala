@@ -114,6 +114,16 @@ object Extended2 {
         try_divide(col("p_retailprice"), col("p_size") - col("p_size")).as("div0"),
         try_divide(col("p_retailprice"), lit(2.0d)).as("half"))),
 
+    // ── X29: interval arithmetic — timestampadd/timestampdiff and
+    // interval addition, the event-time bookkeeping battery. ─────────
+    "x_interval_funcs" -> ((s, dir) =>
+      Tables(s, dir, "events").select(
+        col("event_id"),
+        expr("timestampadd(HOUR, 6, ts)").as("plus6h"),
+        expr("timestampadd(DAY, -1, ts)").as("minus1d"),
+        expr("timestampdiff(HOUR, TIMESTAMP '2025-01-01 00:00:00', ts)").as("hours_since"),
+        expr("timestampdiff(DAY, TIMESTAMP '2025-01-01 00:00:00', ts)").as("days_since"))),
+
     // ── A13: post-aggregation HAVING filter. ──────────────────────────
     "a_having" -> ((s, dir) =>
       Tables(s, dir, "lineitem")
@@ -432,6 +442,16 @@ object Extended2 {
         |       ELSE p_retailprice / (p_size - p_size) END AS div0,
         |  p_retailprice / 2.0 AS half
         |FROM part""".stripMargin,
+
+    "x_interval_funcs" ->
+      """SELECT event_id,
+        |  ts + INTERVAL 6 HOUR AS plus6h,
+        |  ts - INTERVAL 1 DAY AS minus1d,
+        |  (epoch_us(ts) - epoch_us(TIMESTAMP '2025-01-01 00:00:00'))
+        |    // 3600000000 AS hours_since,
+        |  (epoch_us(ts) - epoch_us(TIMESTAMP '2025-01-01 00:00:00'))
+        |    // 86400000000 AS days_since
+        |FROM events""".stripMargin,
 
     "a_having" ->
       """SELECT l_partkey, floor((sum(l_quantity)) * 100 + 0.5) / 100 AS total_qty,
