@@ -152,7 +152,9 @@ object Extended2 {
       Tables(s, dir, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
         abs(col("l_discount") - 0.05).as("adev"),
-        signum(col("l_discount") - 0.05).as("sgn"),
+        // DuckDB sign() yields TINYINT, Spark signum() DOUBLE — pin both
+        // to INT so the driver's value hash ("1" vs "1.0") agrees.
+        signum(col("l_discount") - 0.05).cast("int").as("sgn"),
         floor(col("l_extendedprice")).cast("long").as("price_fl"),
         ceil(col("l_extendedprice")).cast("long").as("price_ce"),
         (col("l_orderkey") % 97).as("key_mod"),
@@ -351,19 +353,22 @@ object Extended2 {
         trunc(to_date(col("o_orderdate")), "month").as("month_start"),
         make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1)).as("first_of_month"))),
 
-    // ── X24: array set-algebra battery. Outputs sorted+deduped so the
-    // engines' differing internal orders can't leak into the hash. ────
+    // ── X24: array set-algebra battery. Outputs sorted+deduped, then
+    // rendered as strings ("[1, 2, 3]" — Spark's array cast and DuckDB's
+    // list cast agree on this format) so the engines' differing internal
+    // orders can't leak into the hash and the driver's comparator can
+    // sort the result frame (pandas can't lexsort ndarray cells). ─────
     "x_array_setops" -> ((s, dir) => {
       val a = array(col("l_orderkey") % 7, col("l_partkey") % 7, col("l_suppkey") % 7)
       val b = array(col("l_orderkey") % 5, col("l_partkey") % 5)
       Tables(s, dir, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
-        sort_array(array_intersect(a, b)).as("ai"),
-        sort_array(array_except(a, b)).as("ae"),
-        sort_array(array_union(a, b)).as("au"),
+        sort_array(array_intersect(a, b)).cast("string").as("ai"),
+        sort_array(array_except(a, b)).cast("string").as("ae"),
+        sort_array(array_union(a, b)).cast("string").as("au"),
         array_position(a, col("l_suppkey") % 7).as("pos"),
-        sort_array(array_remove(a, col("l_orderkey") % 7)).as("arm"),
-        sort_array(array_distinct(a)).as("ad"))
+        sort_array(array_remove(a, col("l_orderkey") % 7)).cast("string").as("arm"),
+        sort_array(array_distinct(a)).cast("string").as("ad"))
     }),
 
     // ── IN-subquery (semi-join planning from SQL). ────────────────────
@@ -474,7 +479,7 @@ object Extended2 {
     "x_math_funcs" ->
       """SELECT l_orderkey, l_linenumber,
         |  abs(l_discount - 0.05) AS adev,
-        |  sign(l_discount - 0.05) AS sgn,
+        |  CAST(sign(l_discount - 0.05) AS INTEGER) AS sgn,
         |  CAST(floor(l_extendedprice) AS BIGINT) AS price_fl,
         |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ce,
         |  l_orderkey % 97 AS key_mod,
@@ -640,12 +645,12 @@ object Extended2 {
         |    l_orderkey % 7 AS rm, l_suppkey % 7 AS fnd
         |  FROM lineitem)
         |SELECT l_orderkey, l_linenumber,
-        |  list_sort(list_intersect(a, b)) AS ai,
-        |  list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))) AS ae,
-        |  list_sort(list_distinct(a || b)) AS au,
+        |  CAST(list_sort(list_intersect(a, b)) AS VARCHAR) AS ai,
+        |  CAST(list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))) AS VARCHAR) AS ae,
+        |  CAST(list_sort(list_distinct(a || b)) AS VARCHAR) AS au,
         |  list_position(a, fnd) AS pos,
-        |  list_sort(list_filter(a, x -> x <> rm)) AS arm,
-        |  list_sort(list_distinct(a)) AS ad
+        |  CAST(list_sort(list_filter(a, x -> x <> rm)) AS VARCHAR) AS arm,
+        |  CAST(list_sort(list_distinct(a)) AS VARCHAR) AS ad
         |FROM t""".stripMargin
   )
 }
