@@ -31,9 +31,11 @@ object SparkEntry {
     operators.Relational.queries ++
       operators.Extended.queries ++
       operators.Extended2.queries ++
+      operators.TpchExtra.queries ++
       operators.AsOf.queries ++
       operators.TextOps.queries ++
       operators.Dedup.queries ++
+      operators.DedupCluster.queries ++
       operators.Similarity.queries ++
       operators.Events.queries ++
       operators.Multimodal.queries ++
@@ -45,9 +47,11 @@ object SparkEntry {
     operators.Relational.oracles ++
       operators.Extended.oracles ++
       operators.Extended2.oracles ++
+      operators.TpchExtra.oracles ++
       operators.AsOf.oracles ++
       operators.TextOps.oracles ++
       operators.Dedup.oracles ++
+      operators.DedupCluster.oracles ++
       operators.Similarity.oracles ++
       operators.Events.oracles ++
       operators.MLOps.oracles

@@ -99,7 +99,7 @@ object Dedup {
 
   /** Candidate pairs (a < b) sharing at least one LSH band bucket.
     * Self-join on (band, key): only bucket collisions ever meet. */
-  private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def lshCandidates(s: SparkSession, dir: String): DataFrame = {
     val b = bandRows(s, dir)
     b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
@@ -200,7 +200,7 @@ object Dedup {
       s"SELECT doc_id, $b AS band, $key AS key FROM mh"
     }.mkString(" UNION ALL ")
 
-  private val sqlCandidates =
+  private[operators] val sqlCandidates =
     s"""$sqlShingles,
        |mh AS (SELECT doc_id, $sqlMinhashCols FROM ex GROUP BY doc_id),
        |bands AS ($sqlBands),

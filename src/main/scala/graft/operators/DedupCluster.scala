@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Duplicate-cluster resolution — the step a 100 TB dedup pipeline runs
+  * AFTER candidate pairing (MinHash/SimHash emit PAIRS; purging needs
+  * CLUSTERS): connected components over the near-dup pair graph, then one
+  * canonical survivor per component.
+  *
+  * The component algorithm is iterative min-label propagation: every node
+  * starts labeled with itself; each round every node takes the min label
+  * in its neighborhood; converged when no label changes. Rounds = graph
+  * diameter, and each round is one key-partitioned shuffle (join on the
+  * edge endpoint) + one aggregate — the alternating large-star/small-star
+  * optimization (Kiveris et al., "Connected Components in MapReduce",
+  * SoCC'14) halves round count on long chains, but near-dup graphs are
+  * overwhelmingly tiny cliques (diameter ≤ 2-3), where plain propagation
+  * already converges in 2 rounds and per-round cost dominates.
+  *
+  * Scale notes: labels are persisted per round and the previous round's
+  * cache is freed eagerly (the lineage would otherwise grow one join per
+  * round and re-execute from parquet on every action); convergence is
+  * checked with a count on the changed-label set, which reuses the round's
+  * shuffle output. At 100 TB the edge set (LSH collisions) is orders of
+  * magnitude smaller than the corpus, so every round shuffles only the
+  * duplicate subgraph, never the full corpus; the final purge is one
+  * broadcast-able anti join against the corpus.
+  */
+object DedupCluster {
+
+  /** Connected components of an undirected edge list (columns `a`, `b`).
+    * Returns (node, cluster_id) with cluster_id = min node id reachable.
+    * Only nodes that appear in at least one edge are returned. */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 25): DataFrame = {
+    // Symmetrize once: propagation below only follows src→dst.
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("comp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      // Min label over self ∪ neighbors, one shuffle on the node key.
+      val viaEdges = sym
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src").as("node"), col("comp"))
+      val next = labels.union(viaEdges)
+        .groupBy("node").agg(min(col("comp")).as("comp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.as("n")
+        .join(labels.select(col("node"), col("comp").as("old")), "node")
+        .where(col("comp") =!= col("old"))
+        .count()
+      labels.unpersist(blocking = false)
+      labels = next
+      round += 1
+    }
+    // `labels` was materialized by the convergence count; the edge cache
+    // is no longer needed.
+    sym.unpersist(blocking = false)
+    labels.select(col("node"), col("comp").as("cluster_id"))
+  }
+
+  val queries: Map[String, Relational.Q] = Map(
+
+    // ── doc → duplicate-cluster id over the MinHash-LSH pair graph, with
+    // the canonical-survivor flag (min doc_id keeps). ──────────────────
+    "dedup_cc_clusters" -> ((s, dir) => {
+      val cc = connectedComponents(Dedup.lshCandidates(s, dir))
+      cc.select(col("node").as("doc_id"), col("cluster_id"),
+        (col("node") === col("cluster_id")).as("keep"))
+    }),
+
+    // ── corpus after the purge: drop every non-canonical cluster member,
+    // summarized per lang (docs outside any cluster all survive). ──────
+    "dedup_cc_purge" -> ((s, dir) => {
+      val drop = connectedComponents(Dedup.lshCandidates(s, dir))
+        .where(col("node") =!= col("cluster_id"))
+        .select(col("node").as("doc_id"))
+      Tables(s, dir, "documents")
+        .join(drop, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+    })
+  )
+
+  // The oracle walks the pair graph with a recursive CTE (UNION dedups,
+  // so the fixpoint is the reachability closure) and takes the min
+  // reachable id per node — same semantics as the Spark propagation.
+  private val sqlCc =
+    s"""${Dedup.sqlCandidates.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+       |edges AS (
+       |  SELECT a AS src, b AS dst FROM cand
+       |  UNION ALL SELECT b AS src, a AS dst FROM cand),
+       |walk(node, comp) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node),
+       |cc AS (SELECT node, min(comp) AS cluster_id FROM walk GROUP BY node)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_cc_clusters" ->
+      s"""$sqlCc
+         |SELECT node AS doc_id, cluster_id, node = cluster_id AS keep
+         |FROM cc""".stripMargin,
+
+    "dedup_cc_purge" ->
+      s"""$sqlCc
+         |SELECT lang, count(*) AS n_docs FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)
+         |GROUP BY lang""".stripMargin
+  )
+}

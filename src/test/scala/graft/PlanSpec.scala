@@ -81,4 +81,37 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), plan)
     assert(plan.contains("*(1)"), plan) // one whole-stage codegen span
   }
+
+  test("Q4 EXISTS executes as a semi join with the date filter pushed down") {
+    val plan = formatted(SparkEntry.queries("sql_q4_priority")(spark, sf001))
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"), plan)
+  }
+
+  test("Q7/Q8 broadcast the fixed-cardinality nation/region dims") {
+    val p7 = physical(SparkEntry.queries("sql_q7_trade_volume")(spark, sf001))
+    assert(p7.contains("BroadcastHashJoin"), p7)
+    val p8 = physical(SparkEntry.queries("sql_q8_market_share")(spark, sf001))
+    assert(p8.contains("BroadcastHashJoin"), p8)
+  }
+
+  test("Q21 NOT EXISTS executes as an anti join, EXISTS as a semi join") {
+    val plan = physical(SparkEntry.queries("sql_q21_waiting_supplier")(spark, sf001))
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+  }
+
+  test("Q19's disjunctive join keeps the part-key equality as the join key") {
+    // the OR predicate must not force a nested-loop join: Catalyst
+    // extracts the common p_partkey equality as the hash-join key
+    val plan = physical(SparkEntry.queries("sql_q19_disjunctive")(spark, sf001))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("Q13's outer join keeps the ON-clause filter off the outer side") {
+    // 150 customers, 1337 non-LOW orders: every customer row survives
+    val plan = physical(SparkEntry.queries("sql_q13_custdist")(spark, sf001))
+    assert(plan.contains("LeftOuter") || plan.contains("RightOuter"), plan)
+  }
 }
