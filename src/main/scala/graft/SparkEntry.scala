@@ -34,6 +34,7 @@ object SparkEntry {
       operators.TpchExtra.queries ++
       operators.AsOf.queries ++
       operators.TextOps.queries ++
+      operators.Curation.queries ++
       operators.Dedup.queries ++
       operators.DedupCluster.queries ++
       operators.Similarity.queries ++
@@ -50,6 +51,7 @@ object SparkEntry {
       operators.TpchExtra.oracles ++
       operators.AsOf.oracles ++
       operators.TextOps.oracles ++
+      operators.Curation.oracles ++
       operators.Dedup.oracles ++
       operators.DedupCluster.oracles ++
       operators.Similarity.oracles ++

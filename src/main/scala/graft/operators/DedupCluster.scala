@@ -39,12 +39,23 @@ object DedupCluster {
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("comp"))
+    // Seed with min(self, neighbors): fuses the first propagation round
+    // into label init, so the dominant case — tiny cliques — starts at
+    // the fixpoint and needs exactly one confirmation round.
+    var labels = sym.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("comp"))
+      .select(col("src").as("node"), col("comp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Convergence check: labels are per-node minima, so they only ever
+    // decrease — the label sum is strictly monotone and "sum unchanged"
+    // ⟺ "no label changed". One map-side-combined aggregate per round
+    // instead of a join; decimal(38) so 1e9 nodes × 1e9 ids can't wrap.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels) // also materializes labels + sym cache
     var round = 0
-    var changed = 1L
-    while (changed > 0 && round < maxRounds) {
+    var converged = false
+    while (!converged && round < maxRounds) {
       // Min label over self ∪ neighbors, one shuffle on the node key.
       val viaEdges = sym
         .join(labels.withColumnRenamed("node", "dst"), "dst")
@@ -52,16 +63,15 @@ object DedupCluster {
       val next = labels.union(viaEdges)
         .groupBy("node").agg(min(col("comp")).as("comp"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next.as("n")
-        .join(labels.select(col("node"), col("comp").as("old")), "node")
-        .where(col("comp") =!= col("old"))
-        .count()
+      val s = labelSum(next) // materializes next
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels.unpersist(blocking = false)
       labels = next
       round += 1
     }
-    // `labels` was materialized by the convergence count; the edge cache
-    // is no longer needed.
+    // `labels` was materialized by the convergence aggregate; the edge
+    // cache is no longer needed.
     sym.unpersist(blocking = false)
     labels.select(col("node"), col("comp").as("cluster_id"))
   }
