@@ -56,5 +56,6 @@ object SparkEntry {
       operators.DedupCluster.oracles ++
       operators.Similarity.oracles ++
       operators.Events.oracles ++
+      operators.Multimodal.oracles ++
       operators.MLOps.oracles
 }

@@ -77,7 +77,29 @@ object Multimodal {
         size(col("features")).cast("long").as("n_features"),
         graft.functions.Num.roundp(aggregate(col("features"),
           lit(0.0d), (acc, x) => acc + x.cast("double")), 4).as("feat_l1"))
+    }),
+
+    // ── frame-sample profile: every-4th 16-byte chunk of each payload,
+    // counted and byte-summed. DuckDB reproduces the slicing on the text
+    // the synthetic payload encodes (ASCII ⇒ byte-exact), so unlike the
+    // stub decoder this multimodal path IS oracled. ───────────────────
+    "mm_chunk_stats" -> ((s, dir) => {
+      val chunks = sampleChunks(syntheticMedia(s, dir))
+      chunks.select(col("media_id"),
+        size(col("chunks")).cast("long").as("n_chunks"),
+        aggregate(transform(col("chunks"), c => length(c)),
+          lit(0), (acc, x) => acc + x).cast("long").as("chunk_bytes"))
     }))
+
+  val oracles: Map[String, String] = Map(
+    "mm_chunk_stats" ->
+      """WITH m AS (SELECT doc_id AS media_id, text, len(text) AS n FROM documents)
+        |SELECT media_id,
+        |  greatest(n // 64, 1) AS n_chunks,
+        |  list_sum(list_transform(range(greatest(n // 64, 1)),
+        |    i -> length(substr(text, CAST(i * 64 + 1 AS INT), 16)))) AS chunk_bytes
+        |FROM m""".stripMargin
+  )
 
   /** Frame sampling: every k-th fixed-size chunk of the payload —
     * the video-frame-sample access pattern over opaque bytes, pure

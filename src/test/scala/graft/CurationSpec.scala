@@ -1,0 +1,50 @@
+package graft
+
+/** Invariant checks for the round-3 curation battery on sf0.001; exact
+  * values are hash-checked against DuckDB by the oracle gate. */
+class CurationSpec extends SparkSuite {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf001)
+
+  test("text_repetition fractions are valid and flags consistent") {
+    val rows = run("text_repetition").collect()
+    assert(rows.length == 500) // every doc has >= 2 tokens in the testdata
+    rows.foreach { r =>
+      val top = r.getAs[Double]("top_tok_frac")
+      val dup = r.getAs[Double]("dup_2gram_frac")
+      assert(top > 0.0 && top <= 1.0)
+      assert(dup >= 0.0 && dup <= 1.0)
+      assert(r.getAs[Boolean]("rep_ok") == (top <= 0.2 && dup <= 0.6))
+    }
+  }
+
+  test("pipe_mix_weighted keeps everything in full tier, subsets elsewhere") {
+    val rows = run("pipe_mix_weighted").collect()
+    assert(rows.map(_.getAs[Long]("n_total")).sum == 500)
+    rows.foreach { r =>
+      val total = r.getAs[Long]("n_total")
+      val kept = r.getAs[Long]("n_kept")
+      r.getAs[String]("tier") match {
+        case "full" => assert(kept == total)
+        case _      => assert(kept <= total)
+      }
+    }
+    // the mixture must actually thin the lower tiers overall
+    val byTier = rows.groupBy(_.getAs[String]("tier"))
+      .view.mapValues(g => (g.map(_.getAs[Long]("n_kept")).sum.toDouble,
+        g.map(_.getAs[Long]("n_total")).sum.toDouble)).toMap
+    assert(byTier("half")._1 / byTier("half")._2 < 0.8)
+    assert(byTier("quarter")._1 / byTier("quarter")._2 < 0.5)
+  }
+
+  test("mm_chunk_stats chunk counts follow the stride geometry") {
+    val rows = run("mm_chunk_stats").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_chunks")
+      val b = r.getAs[Long]("chunk_bytes")
+      assert(n >= 1)
+      assert(b <= n * 16) // each chunk is at most 16 bytes
+    }
+  }
+}
