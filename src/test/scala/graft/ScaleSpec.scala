@@ -57,4 +57,32 @@ class ScaleSpec extends SparkSuite {
       .where(date_format(col("ts"), "yyyyMMdd") === d0).count()
     assert(one.count() == expected && expected > 0)
   }
+
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // At 100 TB a selective dimension predicate should reach the fact
+    // scan as a runtime bloom filter when the join isn't broadcast-able.
+    // The size thresholds are tuned for clusters; drop them so the local
+    // fixture triggers the same plan rewrite.
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables(spark, sf001, "lineitem")
+      val o = Tables(spark, sf001, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus")).agg(count(lit(1)).as("n"))
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"), optimized)
+      assert(optimized.contains("bloom_filter_agg"), optimized)
+      assert(j.collect().map(_.getAs[Long]("n")).sum > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
