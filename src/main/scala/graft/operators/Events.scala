@@ -69,7 +69,19 @@ object Events {
         .select(col("user_id"),
           unix_micros(col("w.start")).as("start_us"),
           unix_micros(col("w.end")).as("end_us"),
-          col("n_events"), col("sum_value")))
+          col("n_events"), col("sum_value"))),
+
+    // ── T6: sliding (hopping) window — 2-hour windows every hour, each
+    // event lands in exactly two. Spark expands window() to an explode
+    // of the overlapping buckets, then a plain hash aggregate; the
+    // oracle mirrors that expansion with an explicit 2-offset unnest. ──
+    "t6_sliding_window" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"),
+          Num.roundp(sum(col("value")), 2).as("sum_value"))
+        .select(col("w.start").as("win_start"), col("w.end").as("win_end"),
+          col("n"), col("sum_value")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -116,6 +128,14 @@ object Events {
         |  FROM e)
         |SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
         |  count(*) AS n_events, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
-        |FROM g GROUP BY user_id, sid""".stripMargin
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+
+    "t6_sliding_window" ->
+      """WITH w AS (
+        |  SELECT date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS win_start, value
+        |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) o)
+        |SELECT win_start, win_start + INTERVAL 2 HOUR AS win_end,
+        |  count(*) AS n, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
+        |FROM w GROUP BY 1""".stripMargin
   )
 }
