@@ -54,6 +54,18 @@ object Similarity {
         .select(col("vec_id"), col("centroid_id"), col("dist"))
     }),
 
+    // ── per-label centroid, computed columnar (posexplode → hash agg):
+    // the no-UDF, no-MLlib way to aggregate vectors — each (label, dim)
+    // cell partial-aggregates map-side, so the shuffle carries one row
+    // per label×64 dims regardless of corpus size. ────────────────────
+    "sim_label_centroids" -> ((s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .toDF("label", "dim", "v")
+        .groupBy(col("label"), col("dim"))
+        .agg(Num.roundp(avg(col("v").cast("double")), 6).as("centroid_v"),
+          count(lit(1)).as("n_vecs"))),
+
     // ── embedding near-duplicate pairs (label-blocked) ────────────────
     "dedup_embed_cosine" -> ((s, dir) => {
       val a = Tables(s, dir, "embeddings").select(
@@ -193,6 +205,13 @@ object Similarity {
   private def sqlNorm(a: String) = s"sqrt(${sqlDot(a, a)})"
 
   val oracles: Map[String, String] = Map(
+    "sim_label_centroids" ->
+      """SELECT label, CAST(i AS INTEGER) AS dim,
+        |  floor(avg(CAST(embedding[i+1] AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS centroid_v,
+        |  count(*) AS n_vecs
+        |FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i) d
+        |GROUP BY 1, 2""".stripMargin,
+
     "sim_topk_bruteforce" ->
       s"""WITH n AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings),
          |scored AS (

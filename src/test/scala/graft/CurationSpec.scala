@@ -37,6 +37,17 @@ class CurationSpec extends SparkSuite {
     assert(byTier("quarter")._1 / byTier("quarter")._2 < 0.5)
   }
 
+  test("sim_label_centroids yields 64 dims per label over all vectors") {
+    val rows = run("sim_label_centroids").collect()
+    val byLabel = rows.groupBy(_.getAs[Int]("label"))
+    assert(byLabel.size == 10)
+    byLabel.values.foreach { g =>
+      assert(g.map(_.getAs[Int]("dim")).sorted.toSeq == (0 until 64))
+      assert(g.map(_.getAs[Long]("n_vecs")).distinct.length == 1)
+    }
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == 500L * 64)
+  }
+
   test("mm_chunk_stats chunk counts follow the stride geometry") {
     val rows = run("mm_chunk_stats").collect()
     assert(rows.length == 500)
