@@ -53,6 +53,22 @@ object Curation {
           .as("rep_ok"))
     }),
 
+    // ── Token-distribution entropy per document (nats): H = ln n −
+    // Σ c·ln c / n. Low entropy ⇒ repetitive/degenerate text, the
+    // information-theoretic companion to the rule-based repetition
+    // profile. Same two-pass explode→partial-agg shape; the ~1-ulp
+    // libm ln() divergence across engines vanishes under roundp(4). ───
+    "text_token_entropy" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n"),
+          sum(col("c").cast("double") * log(col("c").cast("double"))).as("clc"))
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          Num.roundp(log(col("n").cast("double")) - col("clc") / col("n"), 4)
+            .as("entropy"))),
+
     // ── Deterministic weighted source mixing: src0-4 keep all, src5-9
     // keep 1/2, the rest keep 1/4 — by md5-hex-prefix threshold. ──────
     "pipe_mix_weighted" -> ((s, dir) => {
@@ -94,6 +110,17 @@ object Curation {
          |  (CAST(top_c AS DOUBLE) / n_tok <= 0.2
          |   AND (1.0 - CAST(n_2g_uniq AS DOUBLE) / n_2g) <= 0.6) AS rep_ok
          |FROM dom d JOIN grams USING (doc_id)""".stripMargin,
+
+    "text_token_entropy" ->
+      s"""WITH tc AS (
+         |  SELECT doc_id, tok, count(*) AS c FROM (
+         |    SELECT doc_id, unnest($sqlToks) AS tok FROM documents)
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  floor((ln(CAST(sum(c) AS DOUBLE))
+         |         - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+         |           / CAST(sum(c) AS DOUBLE)) * 10000 + 0.5) / 10000 AS entropy
+         |FROM tc GROUP BY doc_id""".stripMargin,
 
     "pipe_mix_weighted" ->
       """WITH t AS (

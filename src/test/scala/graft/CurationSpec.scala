@@ -37,6 +37,18 @@ class CurationSpec extends SparkSuite {
     assert(byTier("quarter")._1 / byTier("quarter")._2 < 0.5)
   }
 
+  test("text_token_entropy is bounded by ln(n_tokens) and non-negative") {
+    val rows = run("text_token_entropy").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy")
+      val n = r.getAs[Long]("n_tokens")
+      assert(h >= 0.0)
+      // uniform-distribution max, plus roundp(4) upward slack
+      assert(h <= math.log(n.toDouble) + 5e-5)
+    }
+  }
+
   test("sim_label_centroids yields 64 dims per label over all vectors") {
     val rows = run("sim_label_centroids").collect()
     val byLabel = rows.groupBy(_.getAs[Int]("label"))
