@@ -71,20 +71,60 @@ object Curation {
 
     // ── Deterministic weighted source mixing: src0-4 keep all, src5-9
     // keep 1/2, the rest keep 1/4 — by md5-hex-prefix threshold. ──────
-    "pipe_mix_weighted" -> ((s, dir) => {
-      val h = substring(md5(concat(lit("mix|"), col("doc_id").cast("string"))), 1, 1)
-      val tier = when(col("source").isin("src0", "src1", "src2", "src3", "src4"), "full")
-        .when(col("source").isin("src5", "src6", "src7", "src8", "src9"), "half")
-        .otherwise("quarter")
-      val kept = when(tier === "full", true)
-        .when(tier === "half", h <= "7")
-        .otherwise(h <= "3")
+    "pipe_mix_weighted" -> ((s, dir) =>
       Tables(s, dir, "documents")
-        .select(col("source"), tier.as("tier"), kept.as("kept"))
+        .select(col("source"), mixTier.as("tier"), mixKeep.as("kept"))
         .groupBy(col("source"), col("tier"))
-        .agg(count(lit(1)).as("n_total"), count_if(col("kept")).as("n_kept"))
+        .agg(count(lit(1)).as("n_total"), count_if(col("kept")).as("n_kept"))),
+
+    // ── End-to-end curation: quality gate → near-dup purge (connected
+    // components over LSH pairs) → weighted source mix → deterministic
+    // train/val/test split, reported as per-(lang, split) counts. One
+    // composite proving the curation pieces compose: the gates and the
+    // mix/split hashes are map-side predicates, the only shuffles are
+    // the dedup subgraph's and the final small aggregate, and the purge
+    // set joins anti against the corpus — the whole pipeline is the
+    // shape it would be at 100 TB. ────────────────────────────────────
+    "pipe_curate_e2e" -> ((s, dir) => {
+      val toksC = Text.tokens(col("text"))
+      val quality = Tables(s, dir, "documents")
+        .withColumn("n_tok", size(toksC).cast("long"))
+        .withColumn("avg_tok",
+          length(regexp_replace(col("text"), "\\s+", "")).cast("double") / col("n_tok"))
+        .where(col("n_chars") >= 150 && col("n_tok") >= 20 &&
+          col("avg_tok") >= 3.0 && col("avg_tok") <= 12.0)
+        .select(col("doc_id"), col("lang"), col("source"))
+      val dupDrop = DedupCluster.connectedComponents(Dedup.lshCandidates(s, dir))
+        .where(col("node") =!= col("cluster_id"))
+        .select(col("node").as("doc_id"))
+      quality
+        .join(dupDrop, Seq("doc_id"), "left_anti")
+        .where(mixKeep)
+        .groupBy(col("lang"), splitOf.as("split"))
+        .agg(count(lit(1)).as("n"))
     })
   )
+
+  /** Source-weight tier: full / half / quarter keep rates. */
+  private def mixTier =
+    when(col("source").isin("src0", "src1", "src2", "src3", "src4"), "full")
+      .when(col("source").isin("src5", "src6", "src7", "src8", "src9"), "half")
+      .otherwise("quarter")
+
+  /** Deterministic keep decision for the weighted mix (md5 threshold). */
+  private def mixKeep = {
+    val h = substring(md5(concat(lit("mix|"), col("doc_id").cast("string"))), 1, 1)
+    when(mixTier === "full", true)
+      .when(mixTier === "half", h <= "7")
+      .otherwise(h <= "3")
+  }
+
+  /** Deterministic 12/2/2-sixteenths train/val/test assignment — the
+    * same hash family as samp_hash_split. */
+  private def splitOf = {
+    val h = substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 1)
+    when(h <= "b", "train").when(h <= "d", "val").otherwise("test")
+  }
 
   private val sqlToks = "list_filter(string_split(text, ' '), t -> t <> '')"
 
@@ -121,6 +161,36 @@ object Curation {
          |         - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
          |           / CAST(sum(c) AS DOUBLE)) * 10000 + 0.5) / 10000 AS entropy
          |FROM tc GROUP BY doc_id""".stripMargin,
+
+    "pipe_curate_e2e" ->
+      s"""${DedupCluster.sqlCc},
+         |q AS (
+         |  SELECT doc_id, lang, source FROM (
+         |    SELECT doc_id, lang, source, n_chars,
+         |      len($sqlToks) AS n_tok,
+         |      CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) AS n_nonws
+         |    FROM documents)
+         |  WHERE n_chars >= 150 AND n_tok >= 20
+         |    AND n_nonws / n_tok >= 3.0 AND n_nonws / n_tok <= 12.0),
+         |dd AS (
+         |  SELECT * FROM q
+         |  WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)),
+         |kept AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 'full'
+         |         WHEN source IN ('src5','src6','src7','src8','src9') THEN 'half'
+         |         ELSE 'quarter' END AS tier,
+         |    substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 1) AS hmix,
+         |    substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 1) AS hsplit
+         |  FROM dd)
+         |SELECT lang,
+         |  CASE WHEN hsplit <= 'b' THEN 'train'
+         |       WHEN hsplit <= 'd' THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n
+         |FROM kept
+         |WHERE tier = 'full' OR (tier = 'half' AND hmix <= '7')
+         |   OR (tier = 'quarter' AND hmix <= '3')
+         |GROUP BY 1, 2""".stripMargin,
 
     "pipe_mix_weighted" ->
       """WITH t AS (

@@ -102,7 +102,7 @@ object DedupCluster {
   // The oracle walks the pair graph with a recursive CTE (UNION dedups,
   // so the fixpoint is the reachability closure) and takes the min
   // reachable id per node — same semantics as the Spark propagation.
-  private val sqlCc =
+  private[operators] val sqlCc =
     s"""${Dedup.sqlCandidates.replaceFirst("^WITH ", "WITH RECURSIVE ")},
        |edges AS (
        |  SELECT a AS src, b AS dst FROM cand

@@ -60,6 +60,23 @@ class CurationSpec extends SparkSuite {
     assert(rows.map(_.getAs[Long]("n_vecs")).sum == 500L * 64)
   }
 
+  test("pipe_curate_e2e never keeps more than the stages allow") {
+    val e2e = run("pipe_curate_e2e").collect()
+    assert(e2e.nonEmpty)
+    val keptE2e = e2e.map(_.getAs[Long]("n")).sum
+    // upper bounds from the individual stages: the mix keep count and
+    // the quality-gate keep count each bound the composite
+    val mixKept = run("pipe_mix_weighted").collect()
+      .map(_.getAs[Long]("n_kept")).sum
+    val qualityKept = run("pipe_quality_filter").collect()
+      .map(_.getAs[Long]("kept")).sum
+    assert(keptE2e <= mixKept)
+    assert(keptE2e <= qualityKept)
+    assert(keptE2e > 0)
+    val splits = e2e.map(_.getAs[String]("split")).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+  }
+
   test("mm_chunk_stats chunk counts follow the stride geometry") {
     val rows = run("mm_chunk_stats").collect()
     assert(rows.length == 500)
