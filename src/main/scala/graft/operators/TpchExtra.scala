@@ -240,6 +240,77 @@ object TpchExtra {
         .agg(count(lit(1)).as("numwait"))
     }),
 
+    // ── Q2 shape: groupwise minimum with multi-dim join-back — for each
+    // small part, the supplier offering the minimum average unit price.
+    // partsupp doesn't exist in the slim schema, so the (part, supplier)
+    // price list is derived from lineitem history first. ───────────────
+    "sql_q2_min_cost_supp" -> ((s, dir) => {
+      val ps = Tables(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(avg(col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+      val minPs = ps.groupBy(col("l_partkey").as("mp_key"))
+        .agg(min(col("unit_price")).as("min_price"))
+      ps.join(Tables(s, dir, "part").where(col("p_size") <= 5),
+          col("l_partkey") === col("p_partkey"))
+        .join(minPs, col("l_partkey") === col("mp_key") &&
+          col("unit_price") === col("min_price"))
+        .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("p_partkey"), col("s_suppkey"), col("s_name"), col("n_name"),
+          Num.roundp(col("unit_price"), 4).as("unit_price"))
+    }),
+
+    // ── Q11 shape: important-stock scan — per-part inventory value
+    // within one region, kept only above a scalar-subquery threshold
+    // (2× the mean part value — scale-free, unlike stock Q11's
+    // fraction-of-total, which thins to zero as the part count grows). ─
+    "sql_q11_important_value" -> ((s, dir) => {
+      val v = Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA")
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice") * col("l_quantity")).as("val"))
+      val thr = v.agg((avg(col("val")) * 2.0).as("thr"))
+      v.join(broadcast(thr), col("val") > col("thr"))
+        .select(col("l_partkey"), Num.roundp(col("val"), 2).as("part_value"))
+    }),
+
+    // ── Q16 shape: supplier diversity per part attribute, excluding a
+    // supplier denylist (NOT IN → left-anti before the distinct agg). ──
+    "sql_q16_supplier_cnt" -> ((s, dir) => {
+      val excl = Tables(s, dir, "supplier")
+        .where(col("s_acctbal") < 0).select(col("s_suppkey"))
+      Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "part").where(col("p_size").isin(1, 5, 9, 13)),
+          col("l_partkey") === col("p_partkey"))
+        .join(excl, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // ── Q20 shape: suppliers with significant shipped volume of one
+    // product family in one year (IN-subquery over a fact aggregate →
+    // semi join). ──────────────────────────────────────────────────────
+    "sql_q20_heavy_shippers" -> ((s, dir) => {
+      val qual = Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "part").where(col("p_name").like("%widget%")),
+          col("l_partkey") === col("p_partkey"))
+        .where(year(col("l_shipdate")) === 1997)
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .where(col("qty") > 50)
+      Tables(s, dir, "supplier")
+        .join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    }),
+
     // ── Q22 shape: high-balance customers gone idle — balance above the
     // positive-balance average (scalar-subquery threshold; floor()ed so a
     // cross-engine ulp in avg() can't flip a boundary row) and no orders
@@ -389,6 +460,48 @@ object TpchExtra {
         |                  WHERE l3.l_orderkey = l1.l_orderkey
         |                    AND l3.l_suppkey <> l1.l_suppkey)
         |GROUP BY s_name""".stripMargin,
+
+    "sql_q2_min_cost_supp" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    avg(l_extendedprice / l_quantity) AS unit_price
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT p_partkey, s_suppkey, s_name, n_name,
+        |  floor(unit_price * 10000 + 0.5) / 10000 AS unit_price
+        |FROM ps
+        |JOIN part p ON p.p_partkey = ps.l_partkey AND p.p_size <= 5
+        |JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE unit_price = (SELECT min(unit_price) FROM ps ps2
+        |                    WHERE ps2.l_partkey = ps.l_partkey)""".stripMargin,
+
+    "sql_q11_important_value" ->
+      """WITH v AS (
+        |  SELECT l_partkey, sum(l_extendedprice * l_quantity) AS val
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+        |  GROUP BY 1)
+        |SELECT l_partkey, floor(val * 100 + 0.5) / 100 AS part_value
+        |FROM v WHERE val > (SELECT 2.0 * avg(val) FROM v)""".stripMargin,
+
+    "sql_q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_size IN (1, 5, 9, 13)
+        |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "sql_q20_heavy_shippers" ->
+      """SELECT s_suppkey, s_name, n_name
+        |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_name LIKE '%widget%' AND year(l.l_shipdate) = 1997
+        |  GROUP BY l_suppkey HAVING sum(l_quantity) > 50)""".stripMargin,
 
     "sql_q22_idle_balance" ->
       """SELECT c_mktsegment, count(*) AS numcust,

@@ -79,6 +79,35 @@ class TpchExtraSpec extends SparkSuite {
     }
   }
 
+  test("sql_q2_min_cost_supp picks one minimum-price supplier per part") {
+    val rows = run("sql_q2_min_cost_supp").collect()
+    assert(rows.nonEmpty)
+    // a part may tie across suppliers, but each (part, supplier) appears once
+    val pairs = rows.map(r => (r.getAs[Long]("p_partkey"), r.getAs[Long]("s_suppkey")))
+    assert(pairs.distinct.length == pairs.length)
+    assert(rows.forall(_.getAs[Double]("unit_price") > 0))
+  }
+
+  test("sql_q11_important_value keeps only above-mean-multiple parts") {
+    val rows = run("sql_q11_important_value").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("part_value") > 0))
+  }
+
+  test("sql_q16_supplier_cnt only counts the allowed sizes") {
+    val rows = run("sql_q16_supplier_cnt").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => Set(1, 5, 9, 13)(r.getAs[Int]("p_size"))))
+    assert(rows.forall(_.getAs[Long]("supplier_cnt") >= 1))
+  }
+
+  test("sql_q20_heavy_shippers emits each qualifying supplier once") {
+    val rows = run("sql_q20_heavy_shippers").collect()
+    assert(rows.nonEmpty)
+    val ids = rows.map(_.getAs[Long]("s_suppkey"))
+    assert(ids.distinct.length == ids.length)
+  }
+
   test("dedup_cc_clusters labels are component minima and keep-flags agree") {
     val rows = run("dedup_cc_clusters").collect()
     assert(rows.nonEmpty)
