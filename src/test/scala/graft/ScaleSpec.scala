@@ -58,6 +58,29 @@ class ScaleSpec extends SparkSuite {
     assert(one.count() == expected && expected > 0)
   }
 
+  test("CBO table statistics drive the plan: rowCount known, dim broadcast") {
+    // At 100 TB, ANALYZE'd catalog tables let the cost-based optimizer
+    // size joins from statistics instead of file sizes.
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      Tables(spark, sf001, "nation").write.mode("overwrite").saveAsTable("cbo_nation")
+      Tables(spark, sf001, "supplier").write.mode("overwrite").saveAsTable("cbo_supplier")
+      spark.sql("ANALYZE TABLE cbo_nation COMPUTE STATISTICS")
+      spark.sql("ANALYZE TABLE cbo_supplier COMPUTE STATISTICS")
+      val nStats = spark.table("cbo_nation").queryExecution.optimizedPlan.stats
+      assert(nStats.rowCount.contains(BigInt(25)), nStats)
+      val j = spark.table("cbo_supplier")
+        .join(spark.table("cbo_nation"), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n"))
+      assert(j.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+      assert(j.collect().map(_.getAs[Long]("n")).sum == 10) // all suppliers
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cbo_nation")
+      spark.sql("DROP TABLE IF EXISTS cbo_supplier")
+      spark.conf.unset("spark.sql.cbo.enabled")
+    }
+  }
+
   test("runtime bloom filter prunes the fact side of a selective dim join") {
     // At 100 TB a selective dimension predicate should reach the fact
     // scan as a runtime bloom filter when the join isn't broadcast-able.
