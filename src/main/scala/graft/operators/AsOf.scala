@@ -53,17 +53,56 @@ object AsOf {
       .drop("_is_left", "_asof").drop(payload: _*)
   }
 
-  /** Inventory query: each click matched to the user's most recent
-    * purchase at or before it. */
+  /** Forward as-of: each left row matched to the EARLIEST right row with
+    * the same key and time >= the left time (the "next event" join —
+    * attribution windows, next-purchase lookahead). Mirror of [[join]]:
+    * first-over-following instead of last-over-preceding; at equal
+    * times the right row still matches (left sorts first via the
+    * descending tag), the inclusive `<=` of DuckDB's forward ASOF. */
+  def joinForward(left: DataFrame, right: DataFrame, key: String, time: String,
+      payload: Seq[String]): DataFrame = {
+    val lAll = left.withColumn("_is_left", lit(1))
+    val rAll = right.select((Seq(col(key), col(time)) ++ payload.map(col)): _*)
+      .withColumn("_is_left", lit(0))
+    val unioned = lAll.unionByName(rAll, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time), col("_is_left").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = unioned.withColumn("_asof",
+      first(when(col("_is_left") === 0, struct(payload.map(col): _*)),
+        ignoreNulls = true).over(w))
+    val unpacked = payload.foldLeft(carried) { (df, c) =>
+      df.withColumn(s"asof_$c", col("_asof").getField(c))
+    }
+    unpacked.where(col("_is_left") === 1)
+      .drop("_is_left", "_asof").drop(payload: _*)
+  }
+
+  private def clicksAndPurchases(s: SparkSession, dir: String) = {
+    val ev = Tables(s, dir, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"),
+        col("value").as("purchase_value"))
+    (clicks, purchases)
+  }
+
+  /** Inventory queries: each click matched to the user's most recent
+    * purchase at or before it (backward), and to the next purchase at
+    * or after it (forward). */
   val queries: Map[String, Relational.Q] = Map(
     "j3_asof_join" -> ((s, dir) => {
-      val ev = Tables(s, dir, "events")
-      val clicks = ev.where(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("event_id"))
-      val purchases = ev.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"),
-          col("value").as("purchase_value"))
+      val (clicks, purchases) = clicksAndPurchases(s, dir)
       join(clicks, purchases, "user_id", "ts", Seq("purchase_id", "purchase_value"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_purchase_id").as("purchase_id"),
+          col("asof_purchase_value").as("purchase_value"))
+    }),
+
+    "j3_asof_forward" -> ((s, dir) => {
+      val (clicks, purchases) = clicksAndPurchases(s, dir)
+      joinForward(clicks, purchases, "user_id", "ts", Seq("purchase_id", "purchase_value"))
         .select(col("event_id"), col("user_id"),
           col("asof_purchase_id").as("purchase_id"),
           col("asof_purchase_value").as("purchase_value"))
@@ -76,5 +115,13 @@ object AsOf {
         |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN
         |     (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase') p
-        |ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin)
+        |ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+
+    "j3_asof_forward" ->
+      """SELECT c.event_id, c.user_id,
+        |  p.event_id AS purchase_id, p.value AS purchase_value
+        |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN
+        |     (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase') p
+        |ON c.user_id = p.user_id AND c.ts <= p.ts""".stripMargin)
 }

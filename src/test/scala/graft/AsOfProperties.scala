@@ -57,6 +57,25 @@ object AsOfProperties extends Properties("graft.asof") {
       }
     }
 
+  property("forward join matches the per-row reference (min time >= t)") =
+    Prop.forAll(genLeft, genRight) { (left, rightRaw) =>
+      import spark.implicits._
+      val l = left.distinct
+      val right = rightRaw.groupBy(r => (r._1, r._2)).values.map(_.head).toList
+      val ldf = l.toDF("k", "t")
+      val rdf = right.map { case (k, t, v) => (k, t, boxed(v)) }.toDF("k", "t", "v")
+
+      val out = AsOf.joinForward(ldf, rdf, "k", "t", Seq("v")).collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[Long]("t")) ->
+          Option(r.getAs[java.lang.Long]("asof_v")).map(_.longValue)).toMap
+
+      out.size == l.size && l.forall { case (k, t) =>
+        val expected = right.filter { case (rk, rt, _) => rk == k && rt >= t }
+          .minByOption(_._2).flatMap(_._3)
+        out((k, t)) == expected
+      }
+    }
+
   property("left row count is preserved") =
     Prop.forAll(genLeft, genRight) { (left, right) =>
       import spark.implicits._
