@@ -25,14 +25,17 @@ object GraftFunctions {
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
 
-  private[plans] def inject(e: SparkSessionExtensions): Unit =
+  private[plans] def inject(e: SparkSessionExtensions): Unit = {
     fns.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[VecDot].getName, name), builder))
     }
+    e.injectOptimizerRule(_ => ShingleCountRewrite)
+  }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: the native functions plus the
+  * shingle-count elimination rule. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = GraftFunctions.inject(e)
 }

@@ -109,6 +109,43 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("ShingleCountRewrite folds shingle counts to size arithmetic") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Text
+    spark.experimental.extraOptimizations = Seq(graft.plans.ShingleCountRewrite)
+    try {
+      val docs = Tables(spark, sf001, "documents")
+      def counted = docs.select(col("doc_id"),
+        size(Text.shingles(Text.tokens(col("text")), 3)).as("n_sh"))
+      // the optimized plan must not build the shingle array at all
+      assert(!counted.queryExecution.optimizedPlan.toString.contains("word_shingles"),
+        counted.queryExecution.optimizedPlan.toString)
+      val rewritten = counted.collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_sh")).toMap
+      spark.experimental.extraOptimizations = Nil
+      val baseline = counted.collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_sh")).toMap
+      assert(rewritten == baseline)
+      assert(baseline.values.exists(_ > 0))
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("ShingleCountRewrite preserves NULL token arrays") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Text
+    import spark.implicits._
+    spark.experimental.extraOptimizations = Seq(graft.plans.ShingleCountRewrite)
+    try {
+      val df = Seq((1L, Seq("a", "b", "c", "d")), (2L, null))
+        .toDF("id", "tok")
+      val out = df.select(col("id"), size(Text.shingles(col("tok"), 3)).as("n"))
+        .collect().map(r => r.getAs[Long]("id") ->
+          Option(r.getAs[Any]("n"))).toMap
+      assert(out(1L).contains(2)) // 4 tokens → 2 shingles of 3
+      assert(out(2L).isEmpty || out(2L).contains(-1)) // null (or legacy -1)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("Q13's outer join keeps the ON-clause filter off the outer side") {
     // 150 customers, 1337 non-LOW orders: every customer row survives
     val plan = physical(SparkEntry.queries("sql_q13_custdist")(spark, sf001))
