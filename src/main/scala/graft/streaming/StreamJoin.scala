@@ -19,14 +19,22 @@ import org.apache.spark.sql.functions._
 object StreamJoin {
 
   /** clicks(click_user, click_id, click_ts) ⋈ purchases(purchase_user,
-    * purchase_id, purchase_ts): inner interval join per user. */
+    * purchase_id, purchase_ts): interval join per user.
+    *
+    * With `joinType = "left_outer"`, a click with no purchase in its
+    * horizon is emitted with NULL purchase columns — but only once the
+    * watermark has passed `click_ts + horizon`, when Spark can prove no
+    * future purchase can still match (unmatched emission is
+    * watermark-driven, exactly like state expiry). */
   def clicksWithPurchases(clicks: DataFrame, purchases: DataFrame,
-      horizonMinutes: Int = 10, lateness: String = "10 minutes"): DataFrame = {
+      horizonMinutes: Int = 10, lateness: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val c = clicks.withWatermark("click_ts", lateness)
     val p = purchases.withWatermark("purchase_ts", lateness)
     c.join(p,
       col("click_user") === col("purchase_user") &&
         col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"))
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"),
+      joinType)
   }
 }

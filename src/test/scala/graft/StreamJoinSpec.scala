@@ -37,6 +37,40 @@ class StreamJoinSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched clicks after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val clicks = MemoryStream[(String, Long, Timestamp)]
+    val purchases = MemoryStream[(String, Long, Timestamp)]
+    val joined = StreamJoin.clicksWithPurchases(
+      clicks.toDF().toDF("click_user", "click_id", "click_ts"),
+      purchases.toDF().toDF("purchase_user", "purchase_id", "purchase_ts"),
+      joinType = "left_outer")
+
+    val q = joined.writeStream.format("memory").queryName("sjo").start()
+    try {
+      clicks.addData(
+        ("u1", 1L, ts("2025-05-24 09:00:00")),  // will match
+        ("u3", 2L, ts("2025-05-24 09:00:00")))  // no purchase ever
+      purchases.addData(("u1", 10L, ts("2025-05-24 09:05:00")))
+      q.processAllAvailable()
+
+      // advance both watermarks far past 09:10 + lateness so the
+      // unmatched click's state can be finalized
+      clicks.addData(("u9", 99L, ts("2025-05-24 13:00:00")))
+      purchases.addData(("u9", 98L, ts("2025-05-24 13:00:00")))
+      q.processAllAvailable()
+
+      val rows = spark.table("sjo").collect()
+        .map(r => (r.getAs[Long]("click_id"),
+          Option(r.getAs[java.lang.Long]("purchase_id")).map(_.longValue)))
+        .toSet
+      assert(rows.contains((1L, Some(10L)))) // matched pair
+      assert(rows.contains((2L, None)))      // unmatched, emitted as NULL
+    } finally q.stop()
+  }
+
   test("state is bounded: the join requires both sides watermarked") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
