@@ -99,12 +99,19 @@ object Dedup {
 
   /** Candidate pairs (a < b) sharing at least one LSH band bucket.
     * Self-join on (band, key): only bucket collisions ever meet. */
-  private[operators] def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def lshCandidates(s: SparkSession, dir: String): DataFrame =
+    lshCandidatesRaw(s, dir).distinct()
+
+  /** Candidate pairs WITHOUT the distinct shuffle — for consumers that
+    * are insensitive to duplicate edges (connected components: extra
+    * copies of an edge change nothing about connectivity), skipping the
+    * dedup exchange entirely. */
+  private[operators] def lshCandidatesRaw(s: SparkSession, dir: String): DataFrame = {
     val b = bandRows(s, dir)
     b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
         col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
   }
 
   val queries: Map[String, Relational.Q] = Map(

@@ -23,8 +23,11 @@ import org.apache.spark.storage.StorageLevel
   * Scale notes: labels are persisted per round and the previous round's
   * cache is freed eagerly (the lineage would otherwise grow one join per
   * round and re-execute from parquet on every action); convergence is
-  * checked with a count on the changed-label set, which reuses the round's
-  * shuffle output. At 100 TB the edge set (LSH collisions) is orders of
+  * detected by the monotone label-sum aggregate (labels only ever
+  * decrease), one map-side-combined pass over the round's shuffle
+  * output. Duplicate candidate edges are fine — consumers feed the
+  * UN-deduplicated LSH pairs and skip that distinct exchange
+  * entirely. At 100 TB the edge set (LSH collisions) is orders of
   * magnitude smaller than the corpus, so every round shuffles only the
   * duplicate subgraph, never the full corpus; the final purge is one
   * broadcast-able anti join against the corpus.
@@ -81,7 +84,7 @@ object DedupCluster {
     // ── doc → duplicate-cluster id over the MinHash-LSH pair graph, with
     // the canonical-survivor flag (min doc_id keeps). ──────────────────
     "dedup_cc_clusters" -> ((s, dir) => {
-      val cc = connectedComponents(Dedup.lshCandidates(s, dir))
+      val cc = connectedComponents(Dedup.lshCandidatesRaw(s, dir))
       cc.select(col("node").as("doc_id"), col("cluster_id"),
         (col("node") === col("cluster_id")).as("keep"))
     }),
@@ -89,7 +92,7 @@ object DedupCluster {
     // ── corpus after the purge: drop every non-canonical cluster member,
     // summarized per lang (docs outside any cluster all survive). ──────
     "dedup_cc_purge" -> ((s, dir) => {
-      val drop = connectedComponents(Dedup.lshCandidates(s, dir))
+      val drop = connectedComponents(Dedup.lshCandidatesRaw(s, dir))
         .where(col("node") =!= col("cluster_id"))
         .select(col("node").as("doc_id"))
       Tables(s, dir, "documents")
