@@ -96,8 +96,8 @@ object Multimodal {
       """WITH m AS (SELECT doc_id AS media_id, text, len(text) AS n FROM documents)
         |SELECT media_id,
         |  greatest(n // 64, 1) AS n_chunks,
-        |  list_sum(list_transform(range(greatest(n // 64, 1)),
-        |    i -> length(substr(text, CAST(i * 64 + 1 AS INT), 16)))) AS chunk_bytes
+        |  CAST(list_sum(list_transform(range(greatest(n // 64, 1)),
+        |    i -> length(substr(text, CAST(i * 64 + 1 AS INT), 16)))) AS BIGINT) AS chunk_bytes
         |FROM m""".stripMargin
   )
 
