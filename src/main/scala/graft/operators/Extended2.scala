@@ -371,6 +371,35 @@ object Extended2 {
         sort_array(array_distinct(a)).cast("string").as("ad"))
     }),
 
+    // ── W8: value-window battery — first/last/avg over explicit frames
+    // (frames pinned on BOTH sides: default last_value frames differ
+    // across engines, like nth_value). ────────────────────────────────
+    "w8_value_window" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val full = byUser.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val trail3 = byUser.rowsBetween(-2, Window.currentRow)
+      Tables(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        first(col("value")).over(full).as("first_v"),
+        last(col("value")).over(full).as("last_v"),
+        count(lit(1)).over(full).as("n_in_user"),
+        Num.roundp(avg(col("value")).over(trail3), 2).as("avg3_v"))
+    }),
+
+    // ── X28: null-semantics battery — nullif / coalesce / ifnull /
+    // greatest / least (both engines skip NULLs in greatest/least). ───
+    "x_null_funcs" -> ((s, dir) => {
+      Tables(s, dir, "lineitem").createOrReplaceTempView("v_li_null")
+      s.sql("""
+        SELECT l_orderkey, l_linenumber,
+          nullif(l_discount, 0.05) AS nz_disc,
+          coalesce(nullif(l_discount, 0.05), -1.0) AS disc_or_neg,
+          ifnull(nullif(l_tax, 0.0), 9.9) AS tax_or,
+          greatest(l_quantity, l_discount * 100) AS g_qd,
+          least(l_quantity, l_discount * 100) AS l_qd
+        FROM v_li_null""")
+    }),
+
     // ── IN-subquery (semi-join planning from SQL). ────────────────────
     "sql_in_subquery" -> ((s, dir) => {
       Tables(s, dir, "orders").createOrReplaceTempView("v_o_in")
@@ -604,6 +633,28 @@ object Extended2 {
         |FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
         |GROUP BY o_orderstatus""".stripMargin,
+
+    "w8_value_window" ->
+      """SELECT event_id, user_id,
+        |  first_value(value) OVER fullw AS first_v,
+        |  last_value(value) OVER fullw AS last_v,
+        |  count(*) OVER fullw AS n_in_user,
+        |  floor((avg(value) OVER trail3) * 100 + 0.5) / 100 AS avg3_v
+        |FROM events
+        |WINDOW
+        |  fullw AS (PARTITION BY user_id ORDER BY event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        |  trail3 AS (PARTITION BY user_id ORDER BY event_id
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "x_null_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  nullif(l_discount, 0.05) AS nz_disc,
+        |  coalesce(nullif(l_discount, 0.05), -1.0) AS disc_or_neg,
+        |  ifnull(nullif(l_tax, 0.0), 9.9) AS tax_or,
+        |  greatest(l_quantity, l_discount * 100) AS g_qd,
+        |  least(l_quantity, l_discount * 100) AS l_qd
+        |FROM lineitem""".stripMargin,
 
     "sql_q6_forecast" ->
       """SELECT floor((sum(l_extendedprice * l_discount)) * 100 + 0.5) / 100 AS revenue

@@ -53,4 +53,27 @@ class Extended2Spec extends SparkSuite {
     val rev = r.map(_.getAs[Double]("revenue"))
     assert(rev.zip(rev.tail).forall { case (a, b) => a >= b })
   }
+
+  test("w8_value_window: full-frame first/last and count agree per user") {
+    val r = SparkEntry.queries("w8_value_window")(spark, sf001).collect()
+    assert(r.nonEmpty)
+    val byUser = r.groupBy(_.getAs[Long]("user_id"))
+    byUser.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("n_in_user")).distinct.toSeq == Seq(rows.length))
+      assert(rows.map(r => Option(r.getAs[Any]("first_v"))).distinct.length == 1)
+      assert(rows.map(r => Option(r.getAs[Any]("last_v"))).distinct.length == 1)
+    }
+  }
+
+  test("x_null_funcs: nullif/coalesce compose to the sentinel") {
+    val r = SparkEntry.queries("x_null_funcs")(spark, sf001).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val nz = Option(row.getAs[Any]("nz_disc"))
+      val dn = row.getAs[Double]("disc_or_neg")
+      if (nz.isEmpty) assert(dn == -1.0) // discount was exactly 0.05
+      else assert(dn == nz.get.asInstanceOf[Double])
+      assert(row.getAs[Double]("g_qd") >= row.getAs[Double]("l_qd"))
+    }
+  }
 }
