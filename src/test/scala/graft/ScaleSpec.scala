@@ -58,6 +58,22 @@ class ScaleSpec extends SparkSuite {
     assert(one.count() == expected && expected > 0)
   }
 
+  test("maxPartitionBytes controls scan parallelism") {
+    // Partition sizing is the lever that keeps scan tasks executor-sized
+    // at 100 TB: the same file must split into more tasks under a
+    // smaller target split size.
+    val saved = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val path = s"$sf001/../sf0.01/lineitem.parquet" // ~1 MB file
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "128MB")
+      val coarse = spark.read.parquet(path).rdd.getNumPartitions
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "131072") // 128 KB
+      val fine = spark.read.parquet(path).rdd.getNumPartitions
+      assert(coarse <= 2, s"coarse=$coarse")
+      assert(fine > coarse, s"fine=$fine coarse=$coarse")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", saved)
+  }
+
   test("CBO table statistics drive the plan: rowCount known, dim broadcast") {
     // At 100 TB, ANALYZE'd catalog tables let the cost-based optimizer
     // size joins from statistics instead of file sizes.
