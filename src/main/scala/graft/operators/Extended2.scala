@@ -386,6 +386,16 @@ object Extended2 {
         Num.roundp(avg(col("value")).over(trail3), 2).as("avg3_v"))
     }),
 
+    // ── A13: multiple DISTINCT aggregates in one pass — Catalyst plans
+    // this with an Expand (one replica per distinct group) feeding a
+    // single aggregate, instead of N self-joined subqueries. ──────────
+    "a_multi_distinct" -> ((s, dir) =>
+      Tables(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+        countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_suppkey")).as("nd_supp"),
+        countDistinct(col("l_orderkey"), col("l_linenumber")).as("nd_line"),
+        count(lit(1)).as("n_rows"))),
+
     // ── X28: null-semantics battery — nullif / coalesce / ifnull /
     // greatest / least (both engines skip NULLs in greatest/least). ───
     "x_null_funcs" -> ((s, dir) => {
@@ -646,6 +656,14 @@ object Extended2 {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
         |  trail3 AS (PARTITION BY user_id ORDER BY event_id
         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "a_multi_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS nd_part,
+        |  count(DISTINCT l_suppkey) AS nd_supp,
+        |  count(DISTINCT (l_orderkey, l_linenumber)) AS nd_line,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "x_null_funcs" ->
       """SELECT l_orderkey, l_linenumber,

@@ -109,6 +109,12 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("multiple DISTINCT aggregates plan as one Expand, not self-joins") {
+    val plan = physical(SparkEntry.queries("a_multi_distinct")(spark, sf001))
+    assert(plan.contains("Expand"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("ShingleCountRewrite folds shingle counts to size arithmetic") {
     import org.apache.spark.sql.functions._
     import graft.functions.Text
