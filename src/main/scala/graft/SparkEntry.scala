@@ -37,6 +37,7 @@ object SparkEntry {
       operators.Curation.queries ++
       operators.Dedup.queries ++
       operators.DedupCluster.queries ++
+      operators.Graph.queries ++
       operators.Similarity.queries ++
       operators.Events.queries ++
       operators.Multimodal.queries ++
@@ -54,6 +55,7 @@ object SparkEntry {
       operators.Curation.oracles ++
       operators.Dedup.oracles ++
       operators.DedupCluster.oracles ++
+      operators.Graph.oracles ++
       operators.Similarity.oracles ++
       operators.Events.oracles ++
       operators.Multimodal.oracles ++

@@ -102,6 +102,26 @@ object Curation {
         .where(mixKeep)
         .groupBy(col("lang"), splitOf.as("split"))
         .agg(count(lit(1)).as("n"))
+    }),
+
+    // ── Weighted reservoir sample (Efraimidis–Spirakis A-Res), k=100,
+    // weight = n_chars: each doc gets key ln(u)/w with u a deterministic
+    // md5-derived uniform in (0,1); the k largest keys ARE a weighted
+    // sample without replacement. Distributed shape: the key is a pure
+    // projection and top-k is TakeOrderedAndProject — O(k) heap per
+    // partition + O(k·parts) on the driver, no global sort, no shuffle
+    // of the corpus. The deterministic uniform makes the sample
+    // reproducible across engines, re-runs, and cluster sizes —
+    // sample() is none of those. ──────────────────────────────────────
+    "samp_weighted_reservoir" -> ((s, dir) => {
+      val u = (conv(substring(md5(concat(lit("res|"), col("doc_id").cast("string"))), 1, 8),
+        16, 10).cast("double") + 0.5) / lit(4294967296.0)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          (log(u) / col("n_chars")).as("wkey"))
+        .orderBy(col("wkey").desc, col("doc_id"))
+        .limit(100)
+        .select(col("doc_id"), col("n_chars"), Num.roundp(col("wkey"), 6).as("wkey"))
     })
   )
 
@@ -203,6 +223,17 @@ object Curation {
         |SELECT source, tier, count(*) AS n_total,
         |  count(*) FILTER (WHERE tier = 'full' OR (tier = 'half' AND hx <= '7')
         |                   OR (tier = 'quarter' AND hx <= '3')) AS n_kept
-        |FROM t GROUP BY 1, 2""".stripMargin
+        |FROM t GROUP BY 1, 2""".stripMargin,
+
+    "samp_weighted_reservoir" ->
+      """WITH s AS (
+        |  SELECT doc_id, n_chars,
+        |    ln((('0x' || substr(md5('res|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |        + 0.5) / 4294967296.0) / n_chars AS wkey
+        |  FROM documents),
+        |topk AS (SELECT * FROM s ORDER BY wkey DESC, doc_id LIMIT 100)
+        |SELECT doc_id, n_chars,
+        |  CAST(FLOOR(wkey * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS wkey
+        |FROM topk""".stripMargin
   )
 }

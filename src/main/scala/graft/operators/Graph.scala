@@ -1,0 +1,233 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Num
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph analytics over relationships implicit in the star schema — the
+  * natural extension of the dedup-cluster work (DedupCluster.scala gives
+  * components; this module adds centrality and local structure). The
+  * reference has no graph ops (its only key-matching is the upsert
+  * anti-join, SURVEY §2.3 / collect/consumer.py:81), but a training-data
+  * pipeline needs them: PageRank-style authority weighting for source
+  * quality, and triangle/clustering statistics to characterize near-dup
+  * candidate graphs before purging.
+  *
+  * Scale design:
+  *  - PageRank is the canonical iterative join+agg: each round shuffles
+  *    the EDGE list on its endpoint keys (never the corpus), partial
+  *    aggregation combines contributions map-side, and per-round results
+  *    are persisted with the previous round freed eagerly so lineage
+  *    stays one-round deep (same discipline as
+  *    DedupCluster.connectedComponents). Degrees are joined once,
+  *    up-front, not per round.
+  *  - Triangle counting uses the degree-orientation trick (orient every
+  *    undirected edge from the (degree, id)-smaller endpoint to the
+  *    larger; count oriented wedges closed by an oriented edge). Each
+  *    triangle is counted exactly once and the wedge set shrinks from
+  *    Σ C(deg,2) to Σ C(outdeg,2) with outdeg ≤ √(2|E|) — on a 100 TB
+  *    co-occurrence graph the difference between a feasible shuffle and
+  *    an explosion around hub nodes. The joins are plain equi-joins on
+  *    edge keys, so Catalyst handles partial aggregation/AQE as usual.
+  */
+object Graph {
+
+  private val Damping = 0.85
+  private val PrIters = 3
+
+  /** Customer→supplier interaction edges: one directed edge per distinct
+    * (customer, supplier) trade in the order history. Node ids are
+    * prefixed ('c…'/'s…') so the two key spaces can't collide. */
+  def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      .distinct()
+  }
+
+  /** Undirected co-purchase edges between parts appearing in the same
+    * order, canonicalized u < v. Self-join of lineitem on the order key:
+    * the shuffle is on l_orderkey, and the per-order pair fan-out is
+    * C(items-per-order, 2) — bounded, since orders are small. */
+  def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val a = li.toDF("ok", "u")
+    val b = li.toDF("ok", "v")
+    a.join(b, Seq("ok")).where(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+  }
+
+  /** Simplified PageRank, fixed iteration count: uniform init 1/N, then
+    * pr'(v) = (1-d)/N + d·Σ_{u→v} pr(u)/outdeg(u). Dangling mass (nodes
+    * with no out-edges) is dropped, not redistributed — ranks sum to < 1,
+    * which is fine for the relative-ordering use and keeps the oracle an
+    * exact SQL unroll. Returns (node, pr) for every node. */
+  def pageRank(edges: DataFrame, iters: Int = PrIters, damping: Double = Damping): DataFrame = {
+    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count().toDouble
+    // Degree is static — join it onto the edges once, outside the loop.
+    val eDeg = e
+      .join(e.groupBy("src").agg(count(lit(1)).cast("double").as("deg")), "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    eDeg.count()
+    e.unpersist(blocking = false)
+    var pr = nodes.select(col("node"), lit(1.0 / n).as("pr"))
+    var prevPersisted: DataFrame = null
+    for (_ <- 1 to iters) {
+      val inflow = eDeg
+        .join(pr.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("pr") / col("deg")).as("c"))
+        .groupBy("node").agg(sum(col("c")).as("inflow"))
+      val next = nodes
+        .join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1 - damping) / n) +
+            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("pr"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before freeing the previous round
+      if (prevPersisted != null) prevPersisted.unpersist(blocking = false)
+      prevPersisted = next
+      pr = next
+    }
+    eDeg.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    pr
+  }
+
+  /** Global triangle census of an undirected (u < v) edge list:
+    * node/edge/wedge/triangle counts and the global clustering
+    * coefficient 3·triangles / wedges. */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Orient each edge from the (deg, id)-smaller endpoint to the larger;
+    // a struct comparison gives the lexicographic (deg, id) order.
+    val er = e
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val lower = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val oriented = er.select(
+      when(lower, col("u")).otherwise(col("v")).as("src"),
+      when(lower, col("v")).otherwise(col("u")).as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    oriented.count()
+    // Wedge (a→b, a→c) is closed iff the oriented edge b→c exists; the
+    // orientation is a total order, so each triangle matches exactly once.
+    val o1 = oriented.toDF("a", "b")
+    val o2 = oriented.toDF("a", "c")
+    val o3 = oriented.toDF("b", "c")
+    val tri = o1.join(o2, Seq("a")).join(o3, Seq("b", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    val wedges = deg.agg(sum(expr("deg * (deg - 1) DIV 2")).as("n_wedges"))
+    val out = nNodes.crossJoin(nEdges).crossJoin(wedges).crossJoin(tri)
+      .withColumn("clustering",
+        Num.roundp(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
+    out
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── PageRank authority over the customer→supplier trade graph,
+    // 3 fixed iterations (oracle = exact SQL unroll). Customers have no
+    // in-edges, so their rank settles at (1-d)/N; suppliers accumulate
+    // authority ∝ trade breadth. ─────────────────────────────────────
+    "graph_pagerank" -> ((s, dir) =>
+      pageRank(tradeEdges(s, dir))
+        .select(col("node"), Num.roundp(col("pr") * 1000.0, 6).as("pr_k"))),
+
+    // ── Degree distribution of the part co-purchase graph — the
+    // profile that decides whether the triangle join is safe to run
+    // (hub detection before the quadratic wedge fan-out). ────────────
+    "graph_degree_dist" -> ((s, dir) => {
+      val e = coPurchaseEdges(s, dir)
+      e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+    }),
+
+    // ── Triangle census + global clustering coefficient of the
+    // co-purchase graph, via degree-ordered wedge closure. ───────────
+    "graph_triangles" -> ((s, dir) => triangleStats(coPurchaseEdges(s, dir)))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "graph_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src),
+        |p0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+        |p1 AS (SELECT nd.node, 0.15 / (SELECT n FROM nn)
+        |              + 0.85 * COALESCE(f.inflow, 0) AS pr
+        |       FROM nodes nd LEFT JOIN (
+        |         SELECT e.dst AS node, sum(p.pr / d.deg) AS inflow
+        |         FROM e JOIN p0 p ON p.node = e.src
+        |                JOIN deg d ON d.src = e.src
+        |         GROUP BY e.dst) f ON f.node = nd.node),
+        |p2 AS (SELECT nd.node, 0.15 / (SELECT n FROM nn)
+        |              + 0.85 * COALESCE(f.inflow, 0) AS pr
+        |       FROM nodes nd LEFT JOIN (
+        |         SELECT e.dst AS node, sum(p.pr / d.deg) AS inflow
+        |         FROM e JOIN p1 p ON p.node = e.src
+        |                JOIN deg d ON d.src = e.src
+        |         GROUP BY e.dst) f ON f.node = nd.node),
+        |p3 AS (SELECT nd.node, 0.15 / (SELECT n FROM nn)
+        |              + 0.85 * COALESCE(f.inflow, 0) AS pr
+        |       FROM nodes nd LEFT JOIN (
+        |         SELECT e.dst AS node, sum(p.pr / d.deg) AS inflow
+        |         FROM e JOIN p2 p ON p.node = e.src
+        |                JOIN deg d ON d.src = e.src
+        |         GROUP BY e.dst) f ON f.node = nd.node)
+        |SELECT node,
+        |  CAST(FLOOR(pr * 1000.0 * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS pr_k
+        |FROM p3""".stripMargin,
+
+    "graph_degree_dist" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |          SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+        |        GROUP BY node)
+        |SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY deg""".stripMargin,
+
+    "graph_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |          SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+        |        GROUP BY node),
+        |o AS (SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS src,
+        |             CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS dst
+        |      FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+        |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |        FROM o o1 JOIN o o2 ON o1.src = o2.src
+        |             JOIN o o3 ON o3.src = o1.dst AND o3.dst = o2.dst)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+        |       (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+        |       n_triangles,
+        |       CAST(FLOOR(3.0 * n_triangles / (SELECT sum(deg * (deg - 1) // 2) FROM deg)
+        |                  * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS clustering
+        |FROM tri""".stripMargin
+  )
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** Graph analytics: PageRank and the degree-ordered triangle census. */
+class GraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("pageRank matches the hand-computed fixpoint on a 2-in-1 funnel") {
+    // a→c, b→c: a and b have no in-edges, so from iteration 1 on they sit
+    // at (1-d)/N = 0.05; c then receives 0.05 + 0.85·(0.05 + 0.05) = 0.135.
+    val edges = Seq(("a", "c"), ("b", "c")).toDF("src", "dst")
+    val pr = Graph.pageRank(edges, iters = 3, damping = 0.85)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr("a") - 0.05) < 1e-12)
+    assert(math.abs(pr("b") - 0.05) < 1e-12)
+    assert(math.abs(pr("c") - 0.135) < 1e-12)
+    // Dangling mass (c has no out-edges) is dropped, never inflated.
+    assert(pr.values.sum <= 1.0 + 1e-12)
+  }
+
+  test("triangle census: K4 is fully clustered, a path has no triangles") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("u", "v")
+    val r = Graph.triangleStats(k4).collect()(0)
+    assert(r.getAs[Long]("n_nodes") === 4L)
+    assert(r.getAs[Long]("n_edges") === 6L)
+    assert(r.getAs[Long]("n_wedges") === 12L) // 4 · C(3,2)
+    assert(r.getAs[Long]("n_triangles") === 4L)
+    assert(r.getAs[Double]("clustering") === 1.0)
+
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val p = Graph.triangleStats(path).collect()(0)
+    assert(p.getAs[Long]("n_triangles") === 0L)
+    assert(p.getAs[Long]("n_wedges") === 1L)
+    assert(p.getAs[Double]("clustering") === 0.0)
+  }
+
+  test("co-purchase census invariants hold on testdata") {
+    val r = Graph.queries("graph_triangles")(spark, sf001).collect()(0)
+    val (edges, wedges, tris) = (r.getAs[Long]("n_edges"),
+      r.getAs[Long]("n_wedges"), r.getAs[Long]("n_triangles"))
+    assert(edges > 0 && wedges > 0)
+    assert(tris * 3 <= wedges) // every triangle closes 3 wedges
+    val cc = r.getAs[Double]("clustering")
+    assert(cc >= 0.0 && cc <= 1.0)
+    // Degree-distribution handshake: Σ deg·n_nodes = 2·|E|.
+    val dist = Graph.queries("graph_degree_dist")(spark, sf001)
+    val degSum = dist.agg(sum(col("deg") * col("n_nodes"))).head().getLong(0)
+    assert(degSum === 2 * edges)
+  }
+
+  test("weighted reservoir keys recompute exactly from the md5 uniform") {
+    val rows = SparkEntry.queries("samp_weighted_reservoir")(spark, sf001).collect()
+    assert(rows.length === 100)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { r =>
+      val (id, w, key) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val hex = md.digest(s"res|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
+      val expect = math.floor(math.log(u) / w * 1e6 + 0.5) / 1e6
+      assert(math.abs(expect - key) < 1e-9, s"doc $id")
+    }
+    // Weighted by n_chars: the sample must skew long — its mean length
+    // sits clearly above the corpus mean (306 at sf0.001).
+    val mean = rows.map(_.getLong(1).toDouble).sum / rows.length
+    assert(mean > 306.0, s"sample mean $mean not above corpus mean")
+  }
+}
