@@ -38,6 +38,8 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.DedupCluster.queries ++
       operators.Graph.queries ++
+      operators.Sketches.queries ++
+      operators.Layout.queries ++
       operators.Similarity.queries ++
       operators.Events.queries ++
       operators.Multimodal.queries ++
@@ -56,6 +58,8 @@ object SparkEntry {
       operators.Dedup.oracles ++
       operators.DedupCluster.oracles ++
       operators.Graph.oracles ++
+      operators.Sketches.oracles ++
+      operators.Layout.oracles ++
       operators.Similarity.oracles ++
       operators.Events.oracles ++
       operators.Multimodal.oracles ++

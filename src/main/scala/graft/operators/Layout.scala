@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: multi-dimensional clustering for scan pruning.
+  *
+  * The reference stores its corpus in whatever order ingestion produced
+  * (SURVEY §2.1) — fine at single-node scale, fatal at 100 TB where the
+  * only affordable query is one that *skips* most files. Parquet readers
+  * skip via file/row-group min-max stats, but stats only help when the
+  * layout clusters the filtered columns. Sorting clusters exactly one
+  * column; a Z-order (Morton) key interleaves the bits of two columns so
+  * a range partition on the single key yields files that are tight in
+  * BOTH dimensions — each file covers a quadrant of the value space
+  * instead of a stripe, so two-sided predicates prune on both axes.
+  *
+  * The key is pure integer bit arithmetic (shift / mask / add), so it
+  * runs inside whole-stage codegen, costs no shuffle beyond the range
+  * partition the rewrite needs anyway, and reproduces exactly in ANSI
+  * SQL for the oracle.
+  */
+object Layout {
+
+  /** Bits kept per dimension (8 → 16-bit Morton key, 256×256 grid).
+    * Coarse on purpose: layout keys need only enough resolution to
+    * separate files; finer bits would just shuffle bytes for no extra
+    * pruning. */
+  val Bits = 8
+
+  /** Morton-interleave two already-bucketed dims (values in [0, 2^Bits)):
+    * x occupies even bit positions, y odd. */
+  def zkey(xb: Column, yb: Column): Column =
+    (0 until Bits).map { i =>
+      shiftright(xb, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(yb, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+
+  /** Orders keyed for (customer, order-date) two-sided scans: customer
+    * bucket in the low (even) bits, day-number bucket in the odd bits. */
+  def ordersZkeyed(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    o.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+      zkey(col("o_custkey") % 256,
+        datediff(col("o_orderdate"), lit("1992-01-01")) % 256).as("zkey"))
+  }
+
+  /** Rewrite a frame into `n` z-clustered parquet files: range-partition
+    * on the Morton key (one shuffle, driver samples the range bounds),
+    * sort within partitions so row groups inherit the clustering too. */
+  def rewriteZordered(df: DataFrame, n: Int, path: String): Unit =
+    df.repartitionByRange(n, col("zkey"))
+      .sortWithinPartitions("zkey")
+      .write.mode("overwrite").parquet(path)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── Morton keys for the orders table — the layout column a
+    // z-ordered rewrite clusters on. Oracled bit-for-bit: the key is
+    // plain integer arithmetic. ──────────────────────────────────────
+    "layout_zorder" -> ((s, dir) =>
+      ordersZkeyed(s, dir).select(col("o_orderkey"), col("zkey")))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "layout_zorder" -> {
+      val terms = (0 until Bits).map { i =>
+        s"((xb >> $i) & 1) * ${1L << (2 * i)} + ((yb >> $i) & 1) * ${1L << (2 * i + 1)}"
+      }.mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT o_orderkey,
+         |    o_custkey % 256 AS xb,
+         |    date_diff('day', DATE '1992-01-01', o_orderdate) % 256 AS yb
+         |  FROM orders)
+         |SELECT o_orderkey, CAST($terms AS BIGINT) AS zkey FROM b""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,227 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Num
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Portable deterministic sketches — count-min and HyperLogLog built as
+  * plain DataFrame aggregations rather than opaque binary blobs.
+  *
+  * The reference approximates nothing (every count in its daily report
+  * is exact — SURVEY §2.4), which caps it at single-node scale. At
+  * 100 TB the first-class citizens are *mergeable* summaries: each
+  * executor folds its partition into a tiny sketch, partial aggregation
+  * combines them map-side, and the merged result answers frequency /
+  * cardinality queries with bounded error and no second pass over the
+  * data.
+  *
+  * Two deliberate design points:
+  *
+  *  - **Sketches are DataFrames, not binaries.** A CMS here is just
+  *    `(seed, bucket) → cnt` rows (≤ d·w of them) and an HLL is
+  *    `(group, register) → max_rho`. Merging is `groupBy.sum` /
+  *    `groupBy.max` — the same partial-agg machinery Catalyst already
+  *    optimizes — and the sketch stays queryable, joinable, and
+  *    persistable as parquet without a custom serde. The build is one
+  *    map-side-combined shuffle whose width is the sketch size, never
+  *    the data size.
+  *
+  *  - **Hashing is md5-derived, so the whole sketch — not just its
+  *    error bound — is reproducible in ANSI SQL.** Estimates hash-match
+  *    a DuckDB oracle exactly (the same trick as the minhash family,
+  *    Dedup.scala). Engine-native hashes (xxhash64) would be faster but
+  *    unverifiable cross-engine; swapping the hash is a one-line change
+  *    where throughput matters more than auditability.
+  *
+  * Float determinism: the HLL harmonic sum Σ 2^−M_j is computed in
+  * *integer* arithmetic as Σ 2^(53−M_j) (each term exact, total < 2^61,
+  * no FP accumulation-order dependence), and only the final division
+  * happens in doubles — so Spark and DuckDB agree bit-for-bit no matter
+  * what order their aggregates visit rows.
+  */
+object Sketches {
+
+  /** CMS depth (independent hash rows) and width (buckets per row). At
+    * width 8192 a 600 k-row scale factor costs ~N/w ≈ 73 expected
+    * collision mass per bucket; the min over 4 seeds keeps the realized
+    * overestimate well under that. Sketch size d·w·16 B ≈ 512 KiB —
+    * broadcastable however large the input. */
+  val CmsDepth = 4
+  val CmsWidth = 8192
+
+  /** HLL register count m (2^8). Standard error 1.04/√m ≈ 6.5 %. */
+  val HllM = 256
+
+  private val Pow53 = 9007199254740992L // 2^53, exact in a double
+
+  private def seeds: Column =
+    array((0 until CmsDepth).map(i => lit(i.toString)): _*)
+
+  /** Bucket of `key` in CMS row `seed`: the top 32 bits of
+    * md5("cms<seed>|<key>"), mod width. conv() keeps it in unsigned
+    * range; the decimal key rendering matches CAST(k AS VARCHAR). */
+  private def cmsBucket(seed: Column, key: Column): Column =
+    conv(substring(md5(concat(lit("cms"), seed, lit("|"), key.cast("string"))), 1, 8),
+      16, 10).cast("long") % CmsWidth
+
+  /** Build the count-min sketch of `key`'s frequency distribution:
+    * one row per non-empty (seed, bucket) cell. The explode widens the
+    * stream d-fold *before* the shuffle, but partial aggregation caps
+    * what actually moves at d·w rows per map task. */
+  def cmsSketch(rows: DataFrame, key: String): DataFrame =
+    rows.select(explode(seeds).as("seed"), col(key).as("k"))
+      .select(col("seed"), cmsBucket(col("seed"), col("k")).as("bucket"))
+      .groupBy("seed", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Point-estimate the frequency of each row of `probes` (small) from a
+    * built sketch: re-hash the key per seed, look the cell up, take the
+    * min across seeds. The sketch side is broadcast — probing never
+    * shuffles the probe set. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, key: String): DataFrame = {
+    val keep = probes.columns.map(col)
+    probes.select(keep :+ explode(seeds).as("seed"): _*)
+      .withColumn("bucket", cmsBucket(col("seed"), col(key)))
+      .join(broadcast(sketch), Seq("seed", "bucket"))
+      .groupBy(keep: _*)
+      .agg(min(col("cnt")).as("cms_est"))
+  }
+
+  /** Leading-zero count (+1) of the 52-bit tail, computed on the hex
+    * string itself: 4 bits per leading '0' hex char, then a CASE on the
+    * first non-zero nibble — no float log2, no engine-specific bit ops,
+    * so the identical expression runs in DuckDB. Empty tail (all zeros,
+    * p = 16^−13) degenerates to the max rank 53. */
+  private def rho(tail: Column): Column = {
+    val t = regexp_replace(tail, "^0+", "")
+    val c = substring(t, 1, 1)
+    val extra = when(c === "1", 3)
+      .when(c.isin("2", "3"), 2)
+      .when(c.isin("4", "5", "6", "7"), 1)
+      .otherwise(0)
+    (lit(13) - length(t)) * 4 + extra + 1
+  }
+
+  /** Per-group HLL registers of `key`: (grp…, reg) → max rho. This IS
+    * the sketch — m rows per group, mergeable by groupBy.max. */
+  def hllRegisters(rows: DataFrame, grp: Seq[String], key: String): DataFrame = {
+    val h = md5(concat(lit("hll|"), col(key).cast("string")))
+    rows.select(grp.map(col) :+ h.as("h"): _*)
+      .select(grp.map(col) :+
+        conv(substring(col("h"), 1, 2), 16, 10).cast("int").as("reg") :+
+        rho(substring(col("h"), 3, 13)).as("rho"): _*)
+      .groupBy((grp :+ "reg").map(col): _*)
+      .agg(max(col("rho")).as("mx"))
+  }
+
+  /** Cardinality estimate per group from a register table: the standard
+    * HLL estimator α_m·m²/Σ2^−M_j with the small-range (linear
+    * counting) correction. The harmonic sum is integer (see header);
+    * absent registers contribute 2^53 (= 2^−0 scaled) each. */
+  def hllEstimate(registers: DataFrame, grp: Seq[String]): DataFrame = {
+    val agg = registers.groupBy(grp.map(col): _*)
+      .agg(sum(expr("shiftleft(cast(1 as bigint), 53 - mx)")).as("zp"),
+        count(lit(1)).as("nreg"))
+    val m = HllM
+    val denom = (col("zp") + (lit(m.toLong) - col("nreg")) * lit(Pow53)).cast("double")
+    // α_m·m² · 2^53: the two power-of-two factors only shift the
+    // exponent, so the numerator is exact and rawE is a single rounding.
+    val rawE = lit(0.7213) / (lit(1.0) + lit(1.079) / m) * (m.toLong * m) * lit(Pow53.toDouble) / denom
+    val v = lit(m.toLong) - col("nreg")
+    val est = when(rawE <= 2.5 * m && v > 0, lit(m.toDouble) * log(lit(m.toDouble) / v.cast("double")))
+      .otherwise(rawE)
+    agg.select(grp.map(col) :+ est.as("hll_raw"): _*)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── CMS heavy-hitter probe: build the sketch over l_suppkey, probe
+    // the exact top-10 suppliers by lineitem volume. cms_est ≥ exact
+    // always (counts only ever collide upward); the min over 4 seeds
+    // keeps the overshoot near zero at these widths. ─────────────────
+    "sk_cms_heavy" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val exact = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("exact_cnt"))
+      val top = exact.orderBy(col("exact_cnt").desc, col("l_suppkey")).limit(10)
+      cmsEstimate(cmsSketch(li, "l_suppkey"), top, "l_suppkey")
+    }),
+
+    // ── HLL distinct parts per return flag, next to the exact count.
+    // Exercises both estimator branches across scale factors: linear
+    // counting at sf0.001 (≈200 distinct < 2.5m), the raw harmonic
+    // estimator from sf0.01 up. ──────────────────────────────────────
+    "sk_hll_groups" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_distinct"))
+      val est = hllEstimate(hllRegisters(li, Seq("l_returnflag"), "l_partkey"),
+        Seq("l_returnflag"))
+      exact.join(est, "l_returnflag")
+        .select(col("l_returnflag"), col("exact_distinct"),
+          Num.roundp(col("hll_raw"), 4).as("hll_est"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "sk_cms_heavy" ->
+      """WITH seeds AS (SELECT * FROM (VALUES ('0'),('1'),('2'),('3')) s(seed)),
+        |sk AS (
+        |  SELECT seed,
+        |    CAST(('0x' || substr(md5('cms' || seed || '|' || CAST(l_suppkey AS VARCHAR)), 1, 8))::UBIGINT
+        |         % 8192 AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem CROSS JOIN seeds GROUP BY 1, 2),
+        |exact AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS exact_cnt
+        |          FROM lineitem GROUP BY 1),
+        |top AS (SELECT * FROM exact ORDER BY exact_cnt DESC, l_suppkey LIMIT 10),
+        |probe AS (
+        |  SELECT t.l_suppkey, t.exact_cnt, s.seed,
+        |    CAST(('0x' || substr(md5('cms' || s.seed || '|' || CAST(t.l_suppkey AS VARCHAR)), 1, 8))::UBIGINT
+        |         % 8192 AS BIGINT) AS bucket
+        |  FROM top t CROSS JOIN seeds s)
+        |SELECT p.l_suppkey, p.exact_cnt, CAST(min(k.cnt) AS BIGINT) AS cms_est
+        |FROM probe p JOIN sk k ON k.seed = p.seed AND k.bucket = p.bucket
+        |GROUP BY 1, 2""".stripMargin,
+
+    "sk_hll_groups" ->
+      """WITH hashed AS (
+        |  SELECT l_returnflag, md5('hll|' || CAST(l_partkey AS VARCHAR)) AS h
+        |  FROM lineitem),
+        |bits AS (
+        |  SELECT l_returnflag,
+        |    ('0x' || substr(h, 1, 2))::UBIGINT AS reg,
+        |    regexp_replace(substr(h, 3, 13), '^0+', '') AS t
+        |  FROM hashed),
+        |regs AS (
+        |  SELECT l_returnflag, reg,
+        |    max((13 - length(t)) * 4 +
+        |        CASE WHEN substr(t, 1, 1) = '1' THEN 3
+        |             WHEN substr(t, 1, 1) IN ('2','3') THEN 2
+        |             WHEN substr(t, 1, 1) IN ('4','5','6','7') THEN 1
+        |             ELSE 0 END + 1) AS mx
+        |  FROM bits GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT l_returnflag,
+        |    sum(1::BIGINT << (53 - mx)) AS zp,
+        |    count(*) AS nreg
+        |  FROM regs GROUP BY 1),
+        |est AS (
+        |  SELECT l_returnflag,
+        |    CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / 256)
+        |      * 65536 * CAST(9007199254740992 AS DOUBLE)
+        |      / CAST(zp + (256 - nreg) * 9007199254740992 AS DOUBLE) AS raw_e,
+        |    256 - nreg AS v
+        |  FROM agg),
+        |fixed AS (
+        |  SELECT l_returnflag,
+        |    CASE WHEN raw_e <= 640.0 AND v > 0
+        |         THEN 256.0 * ln(CAST(256.0 AS DOUBLE) / CAST(v AS DOUBLE))
+        |         ELSE raw_e END AS hll_raw
+        |  FROM est),
+        |exact AS (
+        |  SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+        |  FROM lineitem GROUP BY 1)
+        |SELECT e.l_returnflag, e.exact_distinct,
+        |  CAST(FLOOR(f.hll_raw * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS hll_est
+        |FROM exact e JOIN fixed f ON f.l_returnflag = e.l_returnflag""".stripMargin
+  )
+}
