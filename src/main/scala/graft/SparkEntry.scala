@@ -40,6 +40,7 @@ object SparkEntry {
       operators.Graph.queries ++
       operators.Sketches.queries ++
       operators.Layout.queries ++
+      operators.Maintenance.queries ++
       operators.Similarity.queries ++
       operators.Events.queries ++
       operators.Multimodal.queries ++
@@ -60,6 +61,7 @@ object SparkEntry {
       operators.Graph.oracles ++
       operators.Sketches.oracles ++
       operators.Layout.oracles ++
+      operators.Maintenance.oracles ++
       operators.Similarity.oracles ++
       operators.Events.oracles ++
       operators.Multimodal.oracles ++

@@ -113,6 +113,33 @@ object Curation {
     // of the corpus. The deterministic uniform makes the sample
     // reproducible across engines, re-runs, and cluster sizes —
     // sample() is none of those. ──────────────────────────────────────
+    // ── Poisson(λ=1) bootstrap resample: each doc gets a deterministic
+    // replication count k drawn by inverting the Poisson CDF on an
+    // md5-derived uniform. E[k]=1, so the resample is corpus-sized;
+    // aggregates over it estimate the sampling distribution (here: the
+    // bootstrap mean of n_chars next to the plain mean). Per-row
+    // independence means zero coordination at any scale — the classic
+    // trick for bootstrap CIs over data too big to resample by index.
+    // Integer sums keep the means deterministic cross-engine. ────────
+    "samp_bootstrap" -> ((s, dir) => {
+      val u = (conv(substring(md5(concat(lit("boot|"), col("doc_id").cast("string"))), 1, 8),
+        16, 10).cast("double") + 0.5) / lit(4294967296.0)
+      val k = when(u < 0.36787944117144233, 0)
+        .when(u < 0.7357588823428847, 1)
+        .when(u < 0.9196986029286058, 2)
+        .when(u < 0.9810118431238462, 3)
+        .when(u < 0.9963401531726563, 4)
+        .otherwise(5)
+      Tables(s, dir, "documents")
+        .select(col("n_chars"), k.as("k"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("k")).as("n_resampled"),
+          Num.roundp(sum(col("k") * col("n_chars")).cast("double") /
+            sum(col("k")).cast("double"), 4).as("mean_chars_boot"),
+          Num.roundp(sum(col("n_chars")).cast("double") /
+            count(lit(1)).cast("double"), 4).as("mean_chars"))
+    }),
+
     "samp_weighted_reservoir" -> ((s, dir) => {
       val u = (conv(substring(md5(concat(lit("res|"), col("doc_id").cast("string"))), 1, 8),
         16, 10).cast("double") + 0.5) / lit(4294967296.0)
@@ -224,6 +251,27 @@ object Curation {
         |  count(*) FILTER (WHERE tier = 'full' OR (tier = 'half' AND hx <= '7')
         |                   OR (tier = 'quarter' AND hx <= '3')) AS n_kept
         |FROM t GROUP BY 1, 2""".stripMargin,
+
+    "samp_bootstrap" ->
+      """WITH d AS (
+        |  SELECT n_chars,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428847 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238462 THEN 3
+        |         WHEN u < 0.9963401531726563 THEN 4
+        |         ELSE 5 END AS k
+        |  FROM (SELECT n_chars,
+        |          (('0x' || substr(md5('boot|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |           + 0.5) / 4294967296.0 AS u
+        |        FROM documents))
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(k) AS BIGINT) AS n_resampled,
+        |  floor(CAST(sum(k * n_chars) AS DOUBLE) / CAST(sum(k) AS DOUBLE) * 10000 + 0.5) / 10000
+        |    AS mean_chars_boot,
+        |  floor(CAST(sum(n_chars) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000
+        |    AS mean_chars
+        |FROM d""".stripMargin,
 
     "samp_weighted_reservoir" ->
       """WITH s AS (

@@ -81,7 +81,31 @@ object Events {
         .agg(count(lit(1)).as("n"),
           Num.roundp(sum(col("value")), 2).as("sum_value"))
         .select(col("w.start").as("win_start"), col("w.end").as("win_end"),
-          col("n"), col("sum_value")))
+          col("n"), col("sum_value"))),
+
+    // ── Ordered 3-step funnel (view → click → purchase), each step
+    // within 24 h of the previous. Three aggregations + two joins, all
+    // keyed on user_id — co-partitioned, so the plan pays one logical
+    // shuffle key throughout; no per-user event collection. ──────────
+    "ev_funnel" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val day = 86400000000L // µs
+      val s1 = e.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("t1"))
+      val s2 = e.where(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("tc"))
+        .join(s1, "user_id")
+        .where(col("tc") > col("t1") && col("tc") <= col("t1") + day)
+        .groupBy(col("user_id")).agg(min(col("tc")).as("t2"))
+      val s3 = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("tp"))
+        .join(s2, "user_id")
+        .where(col("tp") > col("t2") && col("tp") <= col("t2") + day)
+        .groupBy(col("user_id")).agg(min(col("tp")).as("t3"))
+      s1.agg(count(lit(1)).as("n_step1"))
+        .crossJoin(s2.agg(count(lit(1)).as("n_step2")))
+        .crossJoin(s3.agg(count(lit(1)).as("n_step3")))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -136,6 +160,26 @@ object Events {
         |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) o)
         |SELECT win_start, win_start + INTERVAL 2 HOUR AS win_end,
         |  count(*) AS n, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
-        |FROM w GROUP BY 1""".stripMargin
+        |FROM w GROUP BY 1""".stripMargin,
+
+    "ev_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t1
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+        |  FROM events e JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'click'
+        |    AND epoch_us(e.ts) > s1.t1 AND epoch_us(e.ts) <= s1.t1 + 86400000000
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+        |  FROM events e JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_us(e.ts) > s2.t2 AND epoch_us(e.ts) <= s2.t2 + 86400000000
+        |  GROUP BY 1)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_step1,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_step2,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_step3""".stripMargin
   )
 }

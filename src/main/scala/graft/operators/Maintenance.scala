@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Num
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lakehouse maintenance operators: incremental aggregate maintenance,
+  * slowly-changing-dimension (SCD2) history construction, and
+  * declarative data-quality constraint checking.
+  *
+  * The reference recomputes its daily report from the full corpus every
+  * run (SURVEY §3.1) and has no notion of history or contracts on its
+  * tables. At 100 TB none of that survives contact:
+  *
+  *  - **Incremental rollup**: a grouped aggregate over an append-only
+  *    fact must be maintained by *merging partial aggregates* — the
+  *    yesterday-rollup plus today's delta — never by rescanning history.
+  *    Counts and sums merge by addition (associative), which is why the
+  *    rollup stores those and derives averages at read time. The oracle
+  *    for the merged result is the full-recompute GROUP BY: the whole
+  *    point is that they coincide.
+  *
+  *  - **SCD2**: turning an event log into validity intervals
+  *    [valid_from, valid_to) per key is two windows (change detection,
+  *    then interval close-off) — shuffle on the entity key only, each
+  *    partition processed independently.
+  *
+  *  - **DQ constraints**: referential integrity, nullability, range and
+  *    uniqueness checks expressed as one aggregation pass per table
+  *    (plus one anti-join for the FK) producing a single violations
+  *    row — the gate a pipeline runs before publishing a snapshot.
+  */
+object Maintenance {
+
+  /** Merge two partial rollups that share `keys` and carry additive
+    * measures `n` and `rev`: union + re-sum. Associativity is the
+    * contract — merge(a, b) == full recompute — so deltas can land in
+    * any order, from any number of increments. */
+  def mergeRollups(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
+    a.unionByName(b).groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col("rev")).as("rev"))
+
+  private def rollupOf(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_orderpriority"), year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("rev"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── Incremental aggregate maintenance: base rollup (history before
+    // 1997) merged with the late delta (1997+) must equal the full
+    // GROUP BY — which is exactly what the oracle computes. ──────────
+    "inc_rollup_merge" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val cut = lit("1997-01-01").cast("date")
+      val base = rollupOf(o.where(col("o_orderdate") < cut))
+      val delta = rollupOf(o.where(col("o_orderdate") >= cut))
+      mergeRollups(base, delta, Seq("o_orderpriority", "yr"))
+        .select(col("o_orderpriority"), col("yr"), col("n"),
+          Num.roundp(col("rev"), 2).as("rev"))
+    }),
+
+    // ── SCD2 history from the event log: per user, collapse runs of
+    // equal event_type into [valid_from, valid_to) intervals (µs), the
+    // open current row flagged. Change detection and close-off are two
+    // windows over the same (user, time) order — one shuffle total. ──
+    "scd2_history" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("state"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val runs = e
+        .withColumn("chg",
+          when(lag(col("state"), 1).over(w).isNull ||
+            col("state") =!= lag(col("state"), 1).over(w), 1).otherwise(0))
+        .withColumn("run", sum(col("chg"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val iv = runs.groupBy(col("user_id"), col("state"), col("run"))
+        .agg(min(col("us")).as("valid_from"), count(lit(1)).as("n_events"))
+      val w2 = Window.partitionBy("user_id").orderBy(col("valid_from"))
+      iv.select(col("user_id"), col("state"), col("valid_from"),
+        lead(col("valid_from"), 1).over(w2).as("valid_to"),
+        col("n_events"),
+        when(lead(col("valid_from"), 1).over(w2).isNull, 1).otherwise(0).as("is_current"))
+    }),
+
+    // ── Declarative quality gate: one violations row across the
+    // snapshot — FK orphans (anti join), nullability, value ranges,
+    // uniqueness. Everything except the anti join is a single
+    // conditional-aggregation pass over its table. ───────────────────
+    "dq_constraints" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      val docs = Tables(s, dir, "documents")
+      val orphans = li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("fk_orphan_lineitems"))
+      val liChecks = li.agg(
+        sum(when(col("l_extendedprice") <= 0, 1).otherwise(0)).as("nonpositive_price"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1).otherwise(0)).as("qty_out_of_range"))
+      val docChecks = docs.agg(
+        sum(when(col("text").isNull || col("text") === "", 1).otherwise(0)).as("empty_text_docs"),
+        (count(lit(1)) - countDistinct(col("doc_id"))).as("dup_doc_ids"))
+      val oChecks = o.agg(
+        sum(when(col("o_orderdate") < lit("1995-01-01").cast("date") ||
+          col("o_orderdate") >= lit("2002-01-01").cast("date"), 1).otherwise(0)).as("date_out_of_range"))
+      orphans.crossJoin(liChecks).crossJoin(docChecks).crossJoin(oChecks)
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "inc_rollup_merge" ->
+      """SELECT o_orderpriority, year(o_orderdate) AS yr,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  floor(sum(o_totalprice) * 100 + 0.5) / 100 AS rev
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "scd2_history" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type AS state, epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(state) OVER w IS NULL
+        |                   OR state <> lag(state) OVER w THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |r AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM m),
+        |g AS (
+        |  SELECT user_id, state, run, min(us) AS valid_from,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM r GROUP BY 1, 2, 3)
+        |SELECT user_id, state, valid_from,
+        |  lead(valid_from) OVER w2 AS valid_to, n_events,
+        |  CASE WHEN lead(valid_from) OVER w2 IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)""".stripMargin,
+
+    "dq_constraints" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |    AS fk_orphan_lineitems,
+        |  (SELECT CAST(count(*) FILTER (WHERE l_extendedprice <= 0) AS BIGINT) FROM lineitem)
+        |    AS nonpositive_price,
+        |  (SELECT CAST(count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT) FROM lineitem)
+        |    AS qty_out_of_range,
+        |  (SELECT CAST(count(*) FILTER (WHERE text IS NULL OR text = '') AS BIGINT) FROM documents)
+        |    AS empty_text_docs,
+        |  (SELECT CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) FROM documents)
+        |    AS dup_doc_ids,
+        |  (SELECT CAST(count(*) FILTER (WHERE o_orderdate < DATE '1995-01-01'
+        |                                   OR o_orderdate >= DATE '2002-01-01') AS BIGINT) FROM orders)
+        |    AS date_out_of_range""".stripMargin
+  )
+}

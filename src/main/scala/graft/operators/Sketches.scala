@@ -53,6 +53,11 @@ object Sketches {
   /** HLL register count m (2^8). Standard error 1.04/√m ≈ 6.5 %. */
   val HllM = 256
 
+  /** Bloom filter geometry: 4096 bits, 3 probes. At ~400 member keys
+    * the fill is ≈ 25 %, so the false-positive rate is ≈ 0.25³ ≈ 1.6 %. */
+  val BloomBits = 4096
+  val BloomK = 3
+
   private val Pow53 = 9007199254740992L // 2^53, exact in a double
 
   private def seeds: Column =
@@ -133,6 +138,21 @@ object Sketches {
     agg.select(grp.map(col) :+ est.as("hll_raw"): _*)
   }
 
+  private def bseeds: Column =
+    array((0 until BloomK).map(i => lit(i.toString)): _*)
+
+  private def bloomBit(seed: Column, key: Column): Column =
+    conv(substring(md5(concat(lit("bf"), seed, lit("|"), key.cast("string"))), 1, 8),
+      16, 10).cast("long") % BloomBits
+
+  /** The set-bit set of a Bloom filter over `key` — the sketch as rows
+    * (≤ BloomBits of them), same design point as the CMS/HLL above:
+    * mergeable by union+distinct, broadcastable, SQL-reproducible. */
+  def bloomBitSet(keys: DataFrame, key: String): DataFrame =
+    keys.select(explode(bseeds).as("seed"), col(key).as("k"))
+      .select(bloomBit(col("seed"), col("k")).as("bit"))
+      .distinct()
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── CMS heavy-hitter probe: build the sketch over l_suppkey, probe
     // the exact top-10 suppliers by lineitem volume. cms_est ≥ exact
@@ -143,6 +163,39 @@ object Sketches {
       val exact = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("exact_cnt"))
       val top = exact.orderBy(col("exact_cnt").desc, col("l_suppkey")).limit(10)
       cmsEstimate(cmsSketch(li, "l_suppkey"), top, "l_suppkey")
+    }),
+
+    // ── Bloom pre-filter as a declarative data op (the runtime-
+    // injected variant is pinned in ScaleSpec): build the bit set from
+    // the dim-side keys (European suppliers), probe every fact key,
+    // and report how many fact rows survive vs truly match. On a real
+    // cluster this is the pattern for skipping a 100 TB fact scan's
+    // shuffle: the ≤ 4 Kib bit set broadcasts, the fact side drops
+    // ~98 % of non-matching rows before the join. ────────────────────
+    "bloom_prefilter" -> ((s, dir) => {
+      val sup = Tables(s, dir, "supplier")
+      val nat = Tables(s, dir, "nation")
+      val reg = Tables(s, dir, "region")
+      val dim = sup.join(nat, sup("s_nationkey") === nat("n_nationkey"))
+        .join(reg, nat("n_regionkey") === reg("r_regionkey"))
+        .where(col("r_name") === "EUROPE")
+        .select(col("s_suppkey"))
+      val bits = bloomBitSet(dim, "s_suppkey")
+      val li = Tables(s, dir, "lineitem")
+      val factKeys = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+      val probe = factKeys
+        .select(col("l_suppkey"), col("n"), explode(bseeds).as("seed"))
+        .withColumn("bit", bloomBit(col("seed"), col("l_suppkey")))
+      // A key survives iff all K seeds land on set bits.
+      val pass = probe.join(broadcast(bits), "bit")
+        .groupBy(col("l_suppkey"), col("n"))
+        .agg(countDistinct(col("seed")).as("nb"))
+        .where(col("nb") === BloomK)
+      val trueKeys = factKeys
+        .join(dim, factKeys("l_suppkey") === dim("s_suppkey"), "left_semi")
+      li.agg(count(lit(1)).as("n_fact_rows"))
+        .crossJoin(pass.agg(coalesce(sum(col("n")), lit(0L)).as("n_candidate_rows")))
+        .crossJoin(trueKeys.agg(coalesce(sum(col("n")), lit(0L)).as("n_true_rows")))
     }),
 
     // ── HLL distinct parts per return flag, next to the exact count.
@@ -181,6 +234,35 @@ object Sketches {
         |SELECT p.l_suppkey, p.exact_cnt, CAST(min(k.cnt) AS BIGINT) AS cms_est
         |FROM probe p JOIN sk k ON k.seed = p.seed AND k.bucket = p.bucket
         |GROUP BY 1, 2""".stripMargin,
+
+    "bloom_prefilter" ->
+      """WITH seeds AS (SELECT * FROM (VALUES ('0'),('1'),('2')) s(seed)),
+        |dim AS (
+        |  SELECT s_suppkey FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |bits AS (
+        |  SELECT DISTINCT ('0x' || substr(md5('bf' || seed || '|' || CAST(s_suppkey AS VARCHAR)), 1, 8))::UBIGINT
+        |         % 4096 AS bit
+        |  FROM dim CROSS JOIN seeds),
+        |fk AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1),
+        |probe AS (
+        |  SELECT f.l_suppkey, f.n, s.seed,
+        |    ('0x' || substr(md5('bf' || s.seed || '|' || CAST(f.l_suppkey AS VARCHAR)), 1, 8))::UBIGINT
+        |    % 4096 AS bit
+        |  FROM fk f CROSS JOIN seeds s),
+        |pass AS (
+        |  SELECT p.l_suppkey, p.n
+        |  FROM probe p JOIN bits b ON b.bit = p.bit
+        |  GROUP BY 1, 2 HAVING count(DISTINCT p.seed) = 3),
+        |tk AS (
+        |  SELECT f.l_suppkey, f.n FROM fk f
+        |  WHERE EXISTS (SELECT 1 FROM dim d WHERE d.s_suppkey = f.l_suppkey))
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_fact_rows,
+        |  (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM pass) AS n_candidate_rows,
+        |  (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM tk) AS n_true_rows""".stripMargin,
 
     "sk_hll_groups" ->
       """WITH hashed AS (

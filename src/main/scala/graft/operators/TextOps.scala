@@ -82,6 +82,23 @@ object TextOps {
         array_join(slice(toks, 1, 5), " ").as("head5"))),
 
     // ── document fingerprint: md5 of normalized text ──────────────────
+    // ── Inverted index + boolean retrieval: postings are (token →
+    // doc) rows, so "docs containing ALL of {query, window}" is a
+    // filter on two postings plus a count-distinct HAVING — the scan
+    // touches the (tiny) filtered postings, never the text column.
+    // At 100 TB the postings table is built once (explode + distinct,
+    // one shuffle), persisted bucketed by token, and every boolean
+    // retrieval after that is an index lookup. ───────────────────────
+    "idx_inverted_and" -> ((s, dir) => {
+      val postings = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(toks)).as("token"))
+      postings.where(col("token").isin("query", "window"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("token")).as("nt"))
+        .where(col("nt") === 2)
+        .select(col("doc_id"))
+    }),
+
     "text_fingerprint" -> ((s, dir) =>
       Tables(s, dir, "documents").select(
         col("doc_id"), Text.fingerprint(col("text")).as("fp")))
@@ -136,6 +153,13 @@ object TextOps {
     "text_first_ngram" ->
       s"""SELECT doc_id, array_to_string(tok[1:5], ' ') AS head5
          |FROM (SELECT doc_id, $sqlToks AS tok FROM documents)""".stripMargin,
+
+    "idx_inverted_and" ->
+      s"""WITH p AS (
+         |  SELECT DISTINCT doc_id, tok FROM (
+         |    SELECT doc_id, unnest($sqlToks) AS tok FROM documents))
+         |SELECT doc_id FROM p WHERE tok IN ('query', 'window')
+         |GROUP BY 1 HAVING count(DISTINCT tok) = 2""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp

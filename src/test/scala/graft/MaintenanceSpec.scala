@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.{Maintenance, Sketches}
+import org.apache.spark.sql.functions._
+
+/** Maintenance / pipeline ops: incremental-merge associativity, SCD2
+  * interval invariants, funnel monotonicity, bloom guarantees, index
+  * equivalence, bootstrap sanity. */
+class MaintenanceSpec extends SparkSuite {
+
+  test("rollup merge over any split equals the full recompute") {
+    val o = Tables(spark, sf001, "orders")
+    def roll(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("o_orderpriority"), year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("rev"))
+    // Three arbitrary increments (hash-split), merged pairwise in two
+    // different orders — counts must equal the full rollup exactly.
+    val parts = (0 until 3).map(i => roll(o.where(abs(hash(col("o_orderkey"))) % 3 === i)))
+    val keys = Seq("o_orderpriority", "yr")
+    val m1 = Maintenance.mergeRollups(Maintenance.mergeRollups(parts(0), parts(1), keys), parts(2), keys)
+    val m2 = Maintenance.mergeRollups(parts(2), Maintenance.mergeRollups(parts(1), parts(0), keys), keys)
+    val full = roll(o)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val (r1, r2, f) = (rows(m1), rows(m2), rows(full))
+    assert(r1.view.mapValues(_._1).toMap === f.view.mapValues(_._1).toMap)
+    assert(r2.view.mapValues(_._1).toMap === f.view.mapValues(_._1).toMap)
+    // Sums agree to FP-merge tolerance.
+    f.foreach { case (k, (_, rev)) =>
+      assert(math.abs(r1(k)._2 - rev) <= 1e-6 * math.abs(rev), s"$k")
+    }
+  }
+
+  test("scd2 intervals tile each user's history: contiguous, one current row") {
+    val h = SparkEntry.queries("scd2_history")(spark, sf001)
+    val e = Tables(spark, sf001, "events")
+    // One open (is_current) interval per user.
+    val cur = h.groupBy("user_id").agg(sum("is_current").as("nc"))
+      .where(col("nc") =!= 1).count()
+    assert(cur === 0L)
+    // valid_to of each closed interval equals the next valid_from —
+    // by construction via lead(); verify no overlaps/gaps remain.
+    val bad = h.where(col("valid_to").isNotNull && col("valid_to") <= col("valid_from")).count()
+    assert(bad === 0L)
+    // Interval event counts sum back to each user's event total.
+    val sums = h.groupBy("user_id").agg(sum("n_events").as("n")).orderBy("user_id").collect()
+    val truth = e.groupBy("user_id").agg(count(lit(1)).as("n")).orderBy("user_id").collect()
+    assert(sums.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      truth.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
+  test("funnel steps are monotone and non-trivial on testdata") {
+    val r = SparkEntry.queries("ev_funnel")(spark, sf001).collect()(0)
+    val (s1, s2, s3) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(s1 >= s2 && s2 >= s3, s"funnel not monotone: $s1 $s2 $s3")
+    assert(s3 > 0, "no user completed the funnel — gap bounds too tight for testdata")
+  }
+
+  test("bloom prefilter never drops a true match; false positives stay rare") {
+    val r = SparkEntry.queries("bloom_prefilter")(spark, sf001).collect()(0)
+    val (total, cand, truth) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(cand >= truth, "a bloom filter must not have false negatives")
+    assert(cand - truth <= math.max(total / 20L, 50L),
+      s"fp rows ${cand - truth} of $total — fill factor off")
+    assert(truth > 0 && cand < total)
+  }
+
+  test("inverted-index AND retrieval equals the direct text predicate") {
+    val viaIndex = SparkEntry.queries("idx_inverted_and")(spark, sf001)
+      .collect().map(_.getLong(0)).toSet
+    val direct = Tables(spark, sf001, "documents")
+      .where(array_contains(graft.functions.Text.tokens(col("text")), "query") &&
+        array_contains(graft.functions.Text.tokens(col("text")), "window"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaIndex === direct)
+  }
+
+  test("poisson bootstrap resample is corpus-sized and mean-preserving-ish") {
+    val r = SparkEntry.queries("samp_bootstrap")(spark, sf001).collect()(0)
+    val (n, k) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(k - n).toDouble / n < 0.10, s"resample $k vs corpus $n")
+    val (bm, m) = (r.getDouble(2), r.getDouble(3))
+    assert(math.abs(bm - m) / m < 0.10, s"bootstrap mean $bm vs mean $m")
+  }
+
+  test("dq gate reports zero violations on the clean snapshot") {
+    val r = SparkEntry.queries("dq_constraints")(spark, sf001).collect()(0)
+    (0 until r.length).foreach(i => assert(r.getLong(i) === 0L, s"violation col $i"))
+  }
+}

@@ -157,4 +157,33 @@ class PlanSpec extends SparkSuite {
     val plan = physical(SparkEntry.queries("sql_q13_custdist")(spark, sf001))
     assert(plan.contains("LeftOuter") || plan.contains("RightOuter"), plan)
   }
+
+  test("bloom bit-set probe is a broadcast join — the fact side never shuffles for it") {
+    val plan = physical(SparkEntry.queries("bloom_prefilter")(spark, sf001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("z-order key computation is shuffle-free, codegen'd scan arithmetic") {
+    val df = SparkEntry.queries("layout_zorder")(spark, sf001)
+    val plan = physical(df)
+    assert(!plan.contains("Exchange"), plan) // pure projection over the scan
+    assert(plan.startsWith("*("), plan) // whole-stage codegen spans the plan
+  }
+
+  test("funnel shuffles on user_id only — stages stay co-partitioned") {
+    // Each stage filters a different event type, so the exchanges have
+    // distinct children (no literal reuse) — but every one of them must
+    // key on user_id: a shuffle on any other key would mean a stage
+    // broke co-partitioning and will re-shuffle the fact at scale.
+    val plan = physical(SparkEntry.queries("ev_funnel")(spark, sf001))
+    val offKey = "Exchange hashpartitioning\\((?!user_id)".r.findAllIn(plan).toSeq
+    assert(offKey.isEmpty, s"non-user_id shuffles: $offKey\n$plan")
+  }
+
+  test("scd2 runs both window passes plus the rollup in one user_id shuffle") {
+    val plan = physical(SparkEntry.queries("scd2_history")(spark, sf001))
+    // One exchange on user_id; the second window's requirement is
+    // satisfied by the first's output partitioning.
+    assert(plan.split("Exchange hashpartitioning\\(user_id").length <= 2, plan)
+  }
 }
