@@ -78,6 +78,30 @@ object AsOf {
       .drop("_is_left", "_asof").drop(payload: _*)
   }
 
+  /** Native-operator form of [[join]]: plans through
+    * [[graft.plans.AsOfJoinNode]] → [[graft.plans.AsOfJoinExec]] — a
+    * streaming sorted merge with O(1) state instead of the union+window
+    * materialization. Payload columns keep their own names (no `asof_`
+    * prefix: they come from a distinct attribute set). Registers the
+    * strategy on the session if absent. */
+  def joinNative(left: DataFrame, right: DataFrame, key: String, time: String,
+      payload: Seq[String]): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    // Fresh exprIds on the right so self-as-of (both sides filtered from
+    // the same scan) can't alias attributes across sides.
+    val r = right.select(right.columns.map(c => col(c).as(c)): _*)
+    val lp = left.queryExecution.analyzed
+    val rp = r.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(sys.error(s"column $n not found"))
+    org.apache.spark.sql.GraftBridge.ofRows(spark,
+      graft.plans.AsOfJoinNode(lp, rp, attr(lp, key), attr(lp, time),
+        attr(rp, key), attr(rp, time), payload.map(attr(rp, _))))
+  }
+
   private def clicksAndPurchases(s: SparkSession, dir: String) = {
     val ev = Tables(s, dir, "events")
     val clicks = ev.where(col("event_type") === "click")
@@ -100,6 +124,15 @@ object AsOf {
           col("asof_purchase_value").as("purchase_value"))
     }),
 
+    // ── Same join through the native physical operator; same oracle
+    // as j3_asof_join — the two forms must be indistinguishable. ─────
+    "j3_asof_native" -> ((s, dir) => {
+      val (clicks, purchases) = clicksAndPurchases(s, dir)
+      joinNative(clicks, purchases, "user_id", "ts", Seq("purchase_id", "purchase_value"))
+        .select(col("event_id"), col("user_id"),
+          col("purchase_id"), col("purchase_value"))
+    }),
+
     "j3_asof_forward" -> ((s, dir) => {
       val (clicks, purchases) = clicksAndPurchases(s, dir)
       joinForward(clicks, purchases, "user_id", "ts", Seq("purchase_id", "purchase_value"))
@@ -110,6 +143,14 @@ object AsOf {
 
   val oracles: Map[String, String] = Map(
     "j3_asof_join" ->
+      """SELECT c.event_id, c.user_id,
+        |  p.event_id AS purchase_id, p.value AS purchase_value
+        |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN
+        |     (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase') p
+        |ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+
+    "j3_asof_native" ->
       """SELECT c.event_id, c.user_id,
         |  p.event_id AS purchase_id, p.value AS purchase_value
         |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c

@@ -31,11 +31,12 @@ object GraftFunctions {
         new ExpressionInfo(classOf[VecDot].getName, name), builder))
     }
     e.injectOptimizerRule(_ => ShingleCountRewrite)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 
-/** `spark.sql.extensions` entry point: the native functions plus the
-  * shingle-count elimination rule. */
+/** `spark.sql.extensions` entry point: the native functions, the
+  * shingle-count elimination rule, and the as-of join strategy. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = GraftFunctions.inject(e)
 }

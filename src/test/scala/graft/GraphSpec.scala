@@ -45,10 +45,13 @@ class GraphSpec extends SparkSuite {
     assert(tris * 3 <= wedges) // every triangle closes 3 wedges
     val cc = r.getAs[Double]("clustering")
     assert(cc >= 0.0 && cc <= 1.0)
-    // Degree-distribution handshake: Σ deg·n_nodes = 2·|E|.
+    // Degree-distribution handshake: Σ deg·n_nodes = 2·|E| — against
+    // the FULL edge set (the census runs on the deterministic sample).
     val dist = Graph.queries("graph_degree_dist")(spark, sf001)
     val degSum = dist.agg(sum(col("deg") * col("n_nodes"))).head().getLong(0)
-    assert(degSum === 2 * edges)
+    assert(degSum === 2 * Graph.coPurchaseEdges(spark, sf001).count())
+    // And the sampled census edge set is a strict subset of the full one.
+    assert(edges <= Graph.coPurchaseEdges(spark, sf001).count())
   }
 
   test("weighted reservoir keys recompute exactly from the md5 uniform") {
