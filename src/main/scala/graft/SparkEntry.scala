@@ -31,6 +31,7 @@ object SparkEntry {
     operators.Relational.queries ++
       operators.Extended.queries ++
       operators.Extended2.queries ++
+      operators.Extended3.queries ++
       operators.TpchExtra.queries ++
       operators.AsOf.queries ++
       operators.TextOps.queries ++
@@ -52,6 +53,7 @@ object SparkEntry {
     operators.Relational.oracles ++
       operators.Extended.oracles ++
       operators.Extended2.oracles ++
+      operators.Extended3.oracles ++
       operators.TpchExtra.oracles ++
       operators.AsOf.oracles ++
       operators.TextOps.oracles ++

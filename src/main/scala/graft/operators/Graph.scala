@@ -16,13 +16,15 @@ import org.apache.spark.storage.StorageLevel
   * candidate graphs before purging.
   *
   * Scale design:
-  *  - PageRank is the canonical iterative join+agg: each round shuffles
-  *    the EDGE list on its endpoint keys (never the corpus), partial
-  *    aggregation combines contributions map-side, and per-round results
-  *    are persisted with the previous round freed eagerly so lineage
-  *    stays one-round deep (same discipline as
-  *    DedupCluster.connectedComponents). Degrees are joined once,
-  *    up-front, not per round.
+  *  - PageRank is the canonical iterative join+agg. The edge list is
+  *    persisted once (with its static degrees broadcast-joined on);
+  *    each round broadcasts the node-sized rank vector into the edge
+  *    scan — no edge shuffle per iteration, only the map-side-combined
+  *    inflow aggregation. Each round's vector feeds exactly one
+  *    consumer (the next broadcast), so the lineage is linear and no
+  *    per-round materialization is needed. On a graph whose node set
+  *    outgrows broadcast, dropping the hints degrades gracefully to
+  *    the co-partitioned shuffle-join formulation.
   *  - Triangle counting uses the degree-orientation trick (orient every
   *    undirected edge from the (degree, id)-smaller endpoint to the
   *    larger; count oriented wedges closed by an oriented edge). Each
@@ -89,14 +91,14 @@ object Graph {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count().toDouble
-    // Degree is static — join it onto the edges once, outside the loop.
+    // Degree is static — join it onto the edges once, outside the loop
+    // (degrees are node-sized: broadcast, no edge shuffle).
     val eDeg = e
-      .join(e.groupBy("src").agg(count(lit(1)).cast("double").as("deg")), "src")
+      .join(broadcast(e.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))), "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     eDeg.count()
     e.unpersist(blocking = false)
     var pr = nodes.select(col("node"), lit(1.0 / n).as("pr"))
-    var prevPersisted: DataFrame = null
     for (_ <- 1 to iters) {
       // The rank vector is node-sized (dimensions of the bipartite
       // graph), orders of magnitude smaller than the edge list —
@@ -109,16 +111,14 @@ object Graph {
         .join(broadcast(pr.withColumnRenamed("node", "src")), "src")
         .select(col("dst").as("node"), (col("pr") / col("deg")).as("c"))
         .groupBy("node").agg(sum(col("c")).as("inflow"))
-      val next = nodes
+      // No per-round persist: each round's rank vector is consumed
+      // exactly once (by the next round's broadcast), so the lineage
+      // is linear — materializing it would just add a job per round.
+      pr = nodes
         .join(broadcast(inflow), Seq("node"), "left")
         .select(col("node"),
           (lit((1 - damping) / n) +
             lit(damping) * coalesce(col("inflow"), lit(0.0))).as("pr"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize before freeing the previous round
-      if (prevPersisted != null) prevPersisted.unpersist(blocking = false)
-      prevPersisted = next
-      pr = next
     }
     eDeg.unpersist(blocking = false)
     nodes.unpersist(blocking = false)

@@ -61,32 +61,36 @@ object Sketches {
   private val Pow53 = 9007199254740992L // 2^53, exact in a double
 
   private def seeds: Column =
-    array((0 until CmsDepth).map(i => lit(i.toString)): _*)
+    array((0 until CmsDepth).map(i => lit(i)): _*)
 
-  /** Bucket of `key` in CMS row `seed`: the top 32 bits of
-    * md5("cms<seed>|<key>"), mod width. conv() keeps it in unsigned
-    * range; the decimal key rendering matches CAST(k AS VARCHAR). */
-  private def cmsBucket(seed: Column, key: Column): Column =
-    conv(substring(md5(concat(lit("cms"), seed, lit("|"), key.cast("string"))), 1, 8),
-      16, 10).cast("long") % CmsWidth
+  /** One md5 per input row; the d hash rows read disjoint 32-bit slices
+    * of it (seed i → hex chars [1+8i, 8+8i]) — md5 bits are independent,
+    * so slicing one digest is as good as d digests at a quarter the
+    * hashing cost, which dominates the sketch build. */
+  private def cmsHash(key: Column): Column =
+    md5(concat(lit("cms|"), key.cast("string")))
 
   /** Build the count-min sketch of `key`'s frequency distribution:
     * one row per non-empty (seed, bucket) cell. The explode widens the
     * stream d-fold *before* the shuffle, but partial aggregation caps
     * what actually moves at d·w rows per map task. */
   def cmsSketch(rows: DataFrame, key: String): DataFrame =
-    rows.select(explode(seeds).as("seed"), col(key).as("k"))
-      .select(col("seed"), cmsBucket(col("seed"), col("k")).as("bucket"))
+    rows.select(cmsHash(col(key)).as("h"))
+      .select(explode(seeds).as("seed"), col("h"))
+      .select(col("seed"),
+        (conv(expr("substring(h, 1 + 8 * seed, 8)"), 16, 10).cast("long") % CmsWidth).as("bucket"))
       .groupBy("seed", "bucket").agg(count(lit(1)).as("cnt"))
 
   /** Point-estimate the frequency of each row of `probes` (small) from a
-    * built sketch: re-hash the key per seed, look the cell up, take the
+    * built sketch: re-hash the key, look each seed's cell up, take the
     * min across seeds. The sketch side is broadcast — probing never
     * shuffles the probe set. */
   def cmsEstimate(sketch: DataFrame, probes: DataFrame, key: String): DataFrame = {
     val keep = probes.columns.map(col)
-    probes.select(keep :+ explode(seeds).as("seed"): _*)
-      .withColumn("bucket", cmsBucket(col("seed"), col(key)))
+    probes.withColumn("h", cmsHash(col(key)))
+      .select((keep :+ col("h")) :+ explode(seeds).as("seed"): _*)
+      .withColumn("bucket",
+        conv(expr("substring(h, 1 + 8 * seed, 8)"), 16, 10).cast("long") % CmsWidth)
       .join(broadcast(sketch), Seq("seed", "bucket"))
       .groupBy(keep: _*)
       .agg(min(col("cnt")).as("cms_est"))
@@ -216,10 +220,10 @@ object Sketches {
 
   def oracles: Map[String, String] = Map(
     "sk_cms_heavy" ->
-      """WITH seeds AS (SELECT * FROM (VALUES ('0'),('1'),('2'),('3')) s(seed)),
+      """WITH seeds AS (SELECT * FROM (VALUES (0),(1),(2),(3)) s(seed)),
         |sk AS (
         |  SELECT seed,
-        |    CAST(('0x' || substr(md5('cms' || seed || '|' || CAST(l_suppkey AS VARCHAR)), 1, 8))::UBIGINT
+        |    CAST(('0x' || substr(md5('cms|' || CAST(l_suppkey AS VARCHAR)), 1 + 8 * seed, 8))::UBIGINT
         |         % 8192 AS BIGINT) AS bucket,
         |    CAST(count(*) AS BIGINT) AS cnt
         |  FROM lineitem CROSS JOIN seeds GROUP BY 1, 2),
@@ -228,7 +232,7 @@ object Sketches {
         |top AS (SELECT * FROM exact ORDER BY exact_cnt DESC, l_suppkey LIMIT 10),
         |probe AS (
         |  SELECT t.l_suppkey, t.exact_cnt, s.seed,
-        |    CAST(('0x' || substr(md5('cms' || s.seed || '|' || CAST(t.l_suppkey AS VARCHAR)), 1, 8))::UBIGINT
+        |    CAST(('0x' || substr(md5('cms|' || CAST(t.l_suppkey AS VARCHAR)), 1 + 8 * s.seed, 8))::UBIGINT
         |         % 8192 AS BIGINT) AS bucket
         |  FROM top t CROSS JOIN seeds s)
         |SELECT p.l_suppkey, p.exact_cnt, CAST(min(k.cnt) AS BIGINT) AS cms_est

@@ -27,9 +27,9 @@ class SketchSpec extends SparkSuite {
     val h0 = Sketches.cmsSketch(li.where(col("l_orderkey") % 2 === 0), "l_suppkey")
     val h1 = Sketches.cmsSketch(li.where(col("l_orderkey") % 2 === 1), "l_suppkey")
     val merged = h0.union(h1).groupBy("seed", "bucket").agg(sum("cnt").as("cnt"))
-      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     val full = Sketches.cmsSketch(li, "l_suppkey")
-      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(merged === full)
   }
 
