@@ -20,11 +20,11 @@ import org.apache.spark.storage.StorageLevel
   *    persisted once (with its static degrees broadcast-joined on);
   *    each round broadcasts the node-sized rank vector into the edge
   *    scan — no edge shuffle per iteration, only the map-side-combined
-  *    inflow aggregation. Each round's vector feeds exactly one
-  *    consumer (the next broadcast), so the lineage is linear and no
-  *    per-round materialization is needed. On a graph whose node set
-  *    outgrows broadcast, dropping the hints degrades gracefully to
-  *    the co-partitioned shuffle-join formulation.
+  *    inflow aggregation — and is materialized before the next round
+  *    consumes it (nested lazy broadcasts re-execute their child
+  *    plans, so unmaterialized rounds would cost 1+2+…+k). On a graph
+  *    whose node set outgrows broadcast, dropping the hints degrades
+  *    gracefully to the co-partitioned shuffle-join formulation.
   *  - Triangle counting uses the degree-orientation trick (orient every
   *    undirected edge from the (degree, id)-smaller endpoint to the
   *    larger; count oriented wedges closed by an oriented edge). Each
@@ -99,6 +99,7 @@ object Graph {
     eDeg.count()
     e.unpersist(blocking = false)
     var pr = nodes.select(col("node"), lit(1.0 / n).as("pr"))
+    var prevPersisted: DataFrame = null
     for (_ <- 1 to iters) {
       // The rank vector is node-sized (dimensions of the bipartite
       // graph), orders of magnitude smaller than the edge list —
@@ -111,15 +112,25 @@ object Graph {
         .join(broadcast(pr.withColumnRenamed("node", "src")), "src")
         .select(col("dst").as("node"), (col("pr") / col("deg")).as("c"))
         .groupBy("node").agg(sum(col("c")).as("inflow"))
-      // No per-round persist: each round's rank vector is consumed
-      // exactly once (by the next round's broadcast), so the lineage
-      // is linear — materializing it would just add a job per round.
-      pr = nodes
+      // Materialize each round before the next consumes it: the next
+      // round's broadcast would otherwise re-execute this round's plan
+      // lazily (nested broadcast exchanges rebuild their child plans,
+      // they don't remember prior collections), turning 3 rounds of
+      // work into 1+2+3. The persist keeps lineage one round deep; the
+      // predecessor is freed eagerly.
+      val next = nodes
         .join(broadcast(inflow), Seq("node"), "left")
         .select(col("node"),
           (lit((1 - damping) / n) +
             lit(damping) * coalesce(col("inflow"), lit(0.0))).as("pr"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      if (prevPersisted != null) prevPersisted.unpersist(blocking = false)
+      prevPersisted = next
+      pr = next
     }
+    // pr is persisted and materialized, so releasing the upstream
+    // caches cannot trigger a recompute in the caller.
     eDeg.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     pr
