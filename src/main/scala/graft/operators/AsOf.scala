@@ -85,7 +85,18 @@ object AsOf {
     * prefix: they come from a distinct attribute set). Registers the
     * strategy on the session if absent. */
   def joinNative(left: DataFrame, right: DataFrame, key: String, time: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String]): DataFrame =
+    nativeImpl(left, right, key, time, payload, forward = false)
+
+  /** Forward counterpart of [[joinNative]] (see [[joinForward]]): the
+    * earliest right row at or after the left time — the same physical
+    * merge run over descending time. */
+  def joinForwardNative(left: DataFrame, right: DataFrame, key: String, time: String,
+      payload: Seq[String]): DataFrame =
+    nativeImpl(left, right, key, time, payload, forward = true)
+
+  private def nativeImpl(left: DataFrame, right: DataFrame, key: String, time: String,
+      payload: Seq[String], forward: Boolean): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -99,7 +110,7 @@ object AsOf {
       p.output.find(_.name == n).getOrElse(sys.error(s"column $n not found"))
     org.apache.spark.sql.GraftBridge.ofRows(spark,
       graft.plans.AsOfJoinNode(lp, rp, attr(lp, key), attr(lp, time),
-        attr(rp, key), attr(rp, time), payload.map(attr(rp, _))))
+        attr(rp, key), attr(rp, time), payload.map(attr(rp, _)), forward))
   }
 
   private def clicksAndPurchases(s: SparkSession, dir: String) = {
@@ -133,6 +144,13 @@ object AsOf {
           col("purchase_id"), col("purchase_value"))
     }),
 
+    "j3_asof_fwd_native" -> ((s, dir) => {
+      val (clicks, purchases) = clicksAndPurchases(s, dir)
+      joinForwardNative(clicks, purchases, "user_id", "ts", Seq("purchase_id", "purchase_value"))
+        .select(col("event_id"), col("user_id"),
+          col("purchase_id"), col("purchase_value"))
+    }),
+
     "j3_asof_forward" -> ((s, dir) => {
       val (clicks, purchases) = clicksAndPurchases(s, dir)
       joinForward(clicks, purchases, "user_id", "ts", Seq("purchase_id", "purchase_value"))
@@ -157,6 +175,14 @@ object AsOf {
         |ASOF LEFT JOIN
         |     (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase') p
         |ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+
+    "j3_asof_fwd_native" ->
+      """SELECT c.event_id, c.user_id,
+        |  p.event_id AS purchase_id, p.value AS purchase_value
+        |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN
+        |     (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase') p
+        |ON c.user_id = p.user_id AND c.ts <= p.ts""".stripMargin,
 
     "j3_asof_forward" ->
       """SELECT c.event_id, c.user_id,

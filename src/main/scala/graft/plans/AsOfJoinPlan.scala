@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BoundReference, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BoundReference, Descending, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -34,7 +34,7 @@ case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, leftTime: Attribute,
     rightKey: Attribute, rightTime: Attribute,
-    payload: Seq[Attribute]) extends BinaryNode {
+    payload: Seq[Attribute], forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ payload.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
@@ -46,8 +46,8 @@ case class AsOfJoinNode(
   * `spark.experimental.extraStrategies` on a live session. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, lt, rk, rt, p) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, p) :: Nil
+    case AsOfJoinNode(l, r, lk, lt, rk, rt, p, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, p, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -56,7 +56,14 @@ case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, leftTime: Attribute,
     rightKey: Attribute, rightTime: Attribute,
-    payload: Seq[Attribute]) extends BinaryExecNode {
+    payload: Seq[Attribute], forward: Boolean = false) extends BinaryExecNode {
+
+  /** Time direction the merge runs in. Backward as-of streams times
+    * ascending and holds the latest right row ≤ t; forward as-of is the
+    * SAME merge run over descending time — "≤ in merge order" then
+    * means ≥ in real time, and the last qualifying row consumed is the
+    * earliest next event. */
+  private def timeDir = if (forward) Descending else Ascending
 
   override def output: Seq[Attribute] = left.output ++ payload.map(_.withNullability(true))
 
@@ -66,10 +73,11 @@ case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
 
-  // (key, time) sort within partitions — the merge below relies on it.
+  // (key, time) sort within partitions — the merge below relies on it;
+  // forward mode runs time descending on both sides.
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
-    Seq(SortOrder(leftKey, Ascending) :: SortOrder(leftTime, Ascending) :: Nil,
-      SortOrder(rightKey, Ascending) :: SortOrder(rightTime, Ascending) :: Nil)
+    Seq(SortOrder(leftKey, Ascending) :: SortOrder(leftTime, timeDir) :: Nil,
+      SortOrder(rightKey, Ascending) :: SortOrder(rightTime, timeDir) :: Nil)
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
@@ -97,7 +105,9 @@ case class AsOfJoinExec(
     val rk = bind(rightKey, right.output)
     val rt = bind(rightTime, right.output)
     val keyOrd = GraftBridge.interpretedOrdering(leftKey.dataType)
-    val timeOrd = GraftBridge.interpretedOrdering(leftTime.dataType)
+    val baseTimeOrd = GraftBridge.interpretedOrdering(leftTime.dataType)
+    // "≤ in merge order": real ≤ backward, real ≥ forward.
+    val timeOrd = if (forward) baseTimeOrd.reverse else baseTimeOrd
     val payloadAttrs = payload.map(_.withNullability(true))
     val rightSchema = right.output
     val leftSchema = left.output

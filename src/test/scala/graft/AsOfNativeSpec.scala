@@ -49,6 +49,40 @@ class AsOfNativeSpec extends SparkSuite {
     assert(out("e") === None) // key with no right rows at all
   }
 
+  test("forward native as-of equals the forward window-composition form") {
+    val (clicks, purchases) = clicksPurchases
+    val native = AsOf.joinForwardNative(clicks, purchases, "user_id", "ts",
+      Seq("purchase_id", "purchase_value"))
+      .select(col("event_id"), col("purchase_id"), col("purchase_value"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    val composed = AsOf.joinForward(clicks, purchases, "user_id", "ts",
+      Seq("purchase_id", "purchase_value"))
+      .select(col("event_id"), col("asof_purchase_id"), col("asof_purchase_value"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(native === composed)
+    assert(native.exists(_._2.nonEmpty))
+  }
+
+  test("randomized: native agrees with the composed form in both directions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val left = Seq.fill(40)((rnd.nextInt(4).toLong, rnd.nextInt(30).toLong))
+        .distinct.toDF("k", "t")
+      val right = Seq.fill(25)((rnd.nextInt(4).toLong, rnd.nextInt(30).toLong,
+        if (rnd.nextBoolean()) Long.box(rnd.nextInt(99).toLong) else null))
+        .groupBy(r => (r._1, r._2)).values.map(_.head).toSeq // unique (k,t)
+        .toDF("k", "t", "v")
+      def normalize(df: org.apache.spark.sql.DataFrame, vCol: String) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          Option(r.getAs[java.lang.Long](vCol))).toMap
+      assert(normalize(AsOf.joinNative(left, right, "k", "t", Seq("v")), "v") ===
+        normalize(AsOf.join(left, right, "k", "t", Seq("v")), "asof_v"))
+      assert(normalize(AsOf.joinForwardNative(left, right, "k", "t", Seq("v")), "v") ===
+        normalize(AsOf.joinForward(left, right, "k", "t", Seq("v")), "asof_v"))
+    }
+  }
+
   test("native as-of plan: custom exec node, one exchange + sort per side") {
     val (clicks, purchases) = clicksPurchases
     val plan = AsOf.joinNative(clicks, purchases, "user_id", "ts",
