@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BoundRef
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native as-of join — the whole-operator custom path (logical node →
@@ -65,6 +66,10 @@ case class AsOfJoinExec(
     * earliest next event. */
   private def timeDir = if (forward) Descending else Ascending
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "left rows with an as-of match"))
+
   override def output: Seq[Attribute] = left.output ++ payload.map(_.withNullability(true))
 
   // Co-partition both sides on the key: EnsureRequirements aligns the
@@ -112,6 +117,8 @@ case class AsOfJoinExec(
     val rightSchema = right.output
     val leftSchema = left.output
     val outSchema = output
+    val outRows = longMetric("numOutputRows")
+    val matched = longMetric("numMatched")
 
     left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
       (lIter, rIter) =>
@@ -138,7 +145,10 @@ case class AsOfJoinExec(
               hasLastKey = lkV != null
             }
             if (lkV != null && ltV != null) advance(lkV, ltV)
-            val p = if (lkV != null && ltV != null && held != null) held else nullPayload
+            val hit = lkV != null && ltV != null && held != null
+            val p = if (hit) held else nullPayload
+            outRows += 1
+            if (hit) matched += 1
             resultProj(joined(l, p))
           }
 

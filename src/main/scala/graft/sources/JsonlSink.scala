@@ -1,0 +1,154 @@
+package graft.sources
+
+import java.io.{BufferedWriter, File, FileWriter}
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSourceV2 batch SINK — the write-side complement of
+  * [[RssDataSource]] (SURVEY §2.1 S5–S7): JSON-lines output with the
+  * standard two-phase commit protocol, written against the connector
+  * API rather than `foreachBatch`-style side effects:
+  *
+  *  - each task writes to an attempt-unique `.tmp` file and its
+  *    `commit()` merely reports the file — task output is durable but
+  *    INVISIBLE until the job commits (a re-attempted task leaves only
+  *    an orphaned tmp that the job commit ignores and abort cleans up);
+  *  - the driver-side `BatchWrite.commit` publishes atomically-per-file:
+  *    renames every reported tmp to its final `part-*.jsonl` name and
+  *    writes a `_GRAFT_MANIFEST` (file → row count) last, so a reader
+  *    that trusts the manifest never observes a half-published job;
+  *  - `abort` (task or job) deletes temporaries.
+  *
+  * Local-filesystem paths only (java.io) — the protocol shape, not the
+  * storage client, is the point; swapping in an HDFS/S3 client changes
+  * `open/rename/delete` and nothing else.
+  *
+  *   df.write.format("graft-jsonl").mode("append").save(dir)
+  *
+  * Atomic leaf types (string/long/int/double/boolean, timestamp as
+  * epoch-micros) cover the wire schemas this engine emits.
+  */
+class JsonlDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-jsonl"
+  // Write-only source: the schema is external metadata — Spark hands the
+  // written DataFrame's schema to getTable instead of asking us to infer.
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = new StructType()
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new JsonlTable(properties.get("path"), schema)
+}
+
+private[sources] class JsonlTable(path: String, writeSchema: StructType)
+    extends Table with SupportsWrite {
+  require(path != null, "graft-jsonl requires a path: df.write.format(\"graft-jsonl\").save(dir)")
+  override def name(): String = s"graft-jsonl($path)"
+  override def schema(): StructType = writeSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new JsonlWriteBuilder(path, info.schema())
+}
+
+private[sources] class JsonlWriteBuilder(path: String, schema: StructType) extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new JsonlBatchWrite(path, schema)
+  }
+}
+
+private[sources] case class JsonlCommit(tmpName: String, finalName: String, rows: Long)
+  extends WriterCommitMessage
+
+private[sources] class JsonlBatchWrite(path: String, schema: StructType) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new JsonlWriterFactory(path, schema)
+
+  /** Publish: rename reported tmps, then write the manifest LAST. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new File(path)
+    dir.mkdirs()
+    val entries = messages.collect { case m: JsonlCommit =>
+      val ok = new File(dir, m.tmpName).renameTo(new File(dir, m.finalName))
+      require(ok, s"publish failed for ${m.tmpName}")
+      s"${m.finalName}\t${m.rows}"
+    }
+    val mf = new BufferedWriter(new FileWriter(new File(dir, "_GRAFT_MANIFEST")))
+    try entries.foreach { e => mf.write(e); mf.newLine() } finally mf.close()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: JsonlCommit => new File(new File(path), m.tmpName).delete() }
+}
+
+private[sources] class JsonlWriterFactory(path: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new JsonlWriter(path, schema, partitionId, taskId)
+}
+
+private[sources] class JsonlWriter(path: String, schema: StructType,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+
+  // taskId in the tmp name keeps re-attempts from clobbering each other;
+  // only the attempt whose commit message reaches the driver publishes.
+  private val tmpName = f"part-$partitionId%05d-attempt-$taskId.jsonl.tmp"
+  private val finalName = f"part-$partitionId%05d.jsonl"
+  private val file = new File(new File(path), tmpName)
+  file.getParentFile.mkdirs()
+  private val out = new BufferedWriter(new FileWriter(file))
+  private var rows = 0L
+
+  private def esc(s: String): String = {
+    val b = new StringBuilder
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val parts = schema.fields.zipWithIndex.map { case (f, i) =>
+      val v =
+        if (row.isNullAt(i)) "null"
+        else f.dataType match {
+          case StringType => "\"" + esc(row.getUTF8String(i).toString) + "\""
+          case LongType => row.getLong(i).toString
+          case IntegerType => row.getInt(i).toString
+          case DoubleType => row.getDouble(i).toString
+          case BooleanType => row.getBoolean(i).toString
+          case TimestampType => row.getLong(i).toString // epoch µs
+          case dt => throw new IllegalArgumentException(
+            s"graft-jsonl supports atomic leaf types only, got $dt for ${f.name}")
+        }
+      "\"" + esc(f.name) + "\":" + v
+    }
+    out.write(parts.mkString("{", ",", "}"))
+    out.newLine()
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    JsonlCommit(tmpName, finalName, rows)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    file.delete()
+  }
+
+  override def close(): Unit = ()
+}

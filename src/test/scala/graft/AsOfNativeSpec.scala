@@ -91,4 +91,23 @@ class AsOfNativeSpec extends SparkSuite {
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size === 2, plan)
     assert(!plan.contains("Window"), plan) // no union+window materialization
   }
+
+  test("exec metrics report output and matched row counts") {
+    // AQE wraps the plan in AdaptiveSparkPlanExec (opaque to collect);
+    // run this one un-adaptive so the exec node is reachable.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val (clicks, purchases) = clicksPurchases
+      val df = AsOf.joinNative(clicks, purchases, "user_id", "ts",
+        Seq("purchase_id", "purchase_value"))
+      val n = df.count()
+      val matchedTruth = df.where(col("purchase_id").isNotNull).count()
+      df.collect() // one clean execution of THIS plan to populate metrics
+      val exec = df.queryExecution.executedPlan.collectFirst {
+        case p if p.nodeName.contains("AsOfJoin") => p
+      }.get
+      assert(exec.metrics("numOutputRows").value === n)
+      assert(exec.metrics("numMatched").value === matchedTruth)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
