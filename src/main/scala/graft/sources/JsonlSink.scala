@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -52,7 +53,7 @@ private[sources] class JsonlTable(path: String, writeSchema: StructType)
   override def name(): String = s"graft-jsonl($path)"
   override def schema(): StructType = writeSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new JsonlWriteBuilder(path, info.schema())
 }
@@ -60,7 +61,46 @@ private[sources] class JsonlTable(path: String, writeSchema: StructType)
 private[sources] class JsonlWriteBuilder(path: String, schema: StructType) extends WriteBuilder {
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new JsonlBatchWrite(path, schema)
+    override def toStreaming: StreamingWrite = new JsonlStreamingWrite(path, schema)
   }
+}
+
+/** Streaming face of the sink: the same two-phase protocol per EPOCH.
+  * Files carry the epoch id; each epoch's manifest is written last and
+  * acts as the idempotence marker — a replayed epoch (restart between
+  * sink commit and offset-log write) sees its manifest already present
+  * and publishes nothing, so the lake stays exactly-once per epoch. */
+private[sources] class JsonlStreamingWrite(path: String, schema: StructType)
+    extends StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new JsonlStreamingWriterFactory(path, schema)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new File(path)
+    dir.mkdirs()
+    val manifest = new File(dir, f"_GRAFT_MANIFEST-$epochId%08d")
+    if (manifest.exists()) { // replayed epoch: already published
+      messages.collect { case m: JsonlCommit => new File(dir, m.tmpName).delete() }
+      return
+    }
+    val entries = messages.collect { case m: JsonlCommit =>
+      val ok = new File(dir, m.tmpName).renameTo(new File(dir, m.finalName))
+      require(ok, s"publish failed for ${m.tmpName}")
+      s"${m.finalName}\t${m.rows}"
+    }
+    val mf = new BufferedWriter(new FileWriter(manifest))
+    try entries.foreach { e => mf.write(e); mf.newLine() } finally mf.close()
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: JsonlCommit => new File(new File(path), m.tmpName).delete() }
+}
+
+private[sources] class JsonlStreamingWriterFactory(path: String, schema: StructType)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new JsonlWriter(path, schema, partitionId, taskId, Some(epochId))
 }
 
 private[sources] case class JsonlCommit(tmpName: String, finalName: String, rows: Long)
@@ -90,16 +130,18 @@ private[sources] class JsonlBatchWrite(path: String, schema: StructType) extends
 private[sources] class JsonlWriterFactory(path: String, schema: StructType)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new JsonlWriter(path, schema, partitionId, taskId)
+    new JsonlWriter(path, schema, partitionId, taskId, None)
 }
 
 private[sources] class JsonlWriter(path: String, schema: StructType,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long, epochId: Option[Long]) extends DataWriter[InternalRow] {
 
   // taskId in the tmp name keeps re-attempts from clobbering each other;
   // only the attempt whose commit message reaches the driver publishes.
-  private val tmpName = f"part-$partitionId%05d-attempt-$taskId.jsonl.tmp"
-  private val finalName = f"part-$partitionId%05d.jsonl"
+  // Streaming writers carry the epoch so epochs never collide on names.
+  private val epochTag = epochId.map(e => f"epoch-$e%08d-").getOrElse("")
+  private val tmpName = f"$epochTag%spart-$partitionId%05d-attempt-$taskId.jsonl.tmp"
+  private val finalName = f"$epochTag%spart-$partitionId%05d.jsonl"
   private val file = new File(new File(path), tmpName)
   file.getParentFile.mkdirs()
   private val out = new BufferedWriter(new FileWriter(file))

@@ -41,6 +41,35 @@ class JsonlSinkSpec extends SparkSuite {
     assert(back === orig)
   }
 
+  test("streaming write publishes per-epoch files + manifests, exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-jsonl-ckpt").toString
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("id", "s").writeStream
+      .format("graft-jsonl").option("checkpointLocation", ckpt)
+      .outputMode("append").start(dir)
+    try {
+      in.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      in.addData((3L, "c"))
+      q.processAllAvailable()
+
+      val files = new File(dir).listFiles().map(_.getName).sorted
+      val manifests = files.filter(_.startsWith("_GRAFT_MANIFEST-"))
+      assert(manifests.length === 2, files.toSeq) // one per epoch
+      assert(!files.exists(_.endsWith(".tmp")), files.toSeq)
+      // Total rows across epoch manifests = all ingested rows.
+      val total = manifests.map(m =>
+        scala.io.Source.fromFile(new File(dir, m)).getLines()
+          .map(_.split("\t")(1).toLong).sum).sum
+      assert(total === 3L)
+      val back = spark.read.json(dir).select("id").collect().map(_.getLong(0)).toSet
+      assert(back === Set(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("empty partitions still publish (zero-row part files are legitimate)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-empty").toString
