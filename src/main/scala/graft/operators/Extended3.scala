@@ -54,6 +54,41 @@ object Extended3 {
         .drop("prios_raw")
     }),
 
+    // ── Per-group z-score outlier gate: the feature-normalization
+    // profile a training pipeline runs before standardizing a column —
+    // group stats plus how many rows sit beyond 2σ. One aggregation,
+    // one broadcast join back, one conditional re-aggregation. ───────
+    "a_group_outliers" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice").as("x"))
+      val stats = li.groupBy(col("l_returnflag"))
+        .agg(avg(col("x")).as("mean"), stddev_samp(col("x")).as("sd"))
+      li.join(broadcast(stats), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          Num.roundp(first(col("mean")), 4).as("mean"),
+          Num.roundp(first(col("sd")), 4).as("sd"),
+          sum(when(abs(col("x") - col("mean")) > lit(2.0) * col("sd"), 1).otherwise(0))
+            .as("n_outliers"))
+    }),
+
+    // ── Time-weighted average of each user's gauge value: each sample
+    // holds until the next one, so the weight is the µs interval to the
+    // next event (the last sample carries no interval). The standard
+    // downsampling aggregate for irregular time series. ──────────────
+    "t8_twap" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), col("value"), unix_micros(col("ts")).as("us"),
+          col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val iv = e.withColumn("next_us", lead(col("us"), 1).over(w))
+        .where(col("next_us").isNotNull)
+        .withColumn("dt", (col("next_us") - col("us")).cast("double"))
+      iv.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          Num.roundp(sum(col("value") * col("dt")) / sum(col("dt")), 4).as("twap"))
+    }),
+
     // ── EWMA (α=0.3) of each user's event values in time order,
     // reporting the final smoothed value per user. The recurrence is
     // sequential, but the closed form α·(1−α)^n·Σ(1−α)^(−i)·x_i turns
@@ -99,6 +134,32 @@ object Extended3 {
         |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
         |  array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS prios
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "a_group_outliers" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, avg(l_extendedprice) AS mean,
+        |         stddev_samp(l_extendedprice) AS sd
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  floor(s.mean * 10000 + 0.5) / 10000 AS mean,
+        |  floor(s.sd * 10000 + 0.5) / 10000 AS sd,
+        |  CAST(count(*) FILTER (WHERE abs(l.l_extendedprice - s.mean) > 2.0 * s.sd) AS BIGINT)
+        |    AS n_outliers
+        |FROM lineitem l JOIN s ON s.l_returnflag = l.l_returnflag
+        |GROUP BY 1, s.mean, s.sd""".stripMargin,
+
+    "t8_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, value, epoch_us(ts) AS us,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |      AS next_us
+        |  FROM events),
+        |iv AS (
+        |  SELECT user_id, value, CAST(next_us - us AS DOUBLE) AS dt
+        |  FROM e WHERE next_us IS NOT NULL)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        |  floor(sum(value * dt) / sum(dt) * 10000 + 0.5) / 10000 AS twap
+        |FROM iv GROUP BY 1""".stripMargin,
 
     "t7_ewma" ->
       """WITH e AS (

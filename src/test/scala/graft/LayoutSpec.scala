@@ -29,6 +29,22 @@ class LayoutSpec extends SparkSuite {
     assert(df.collect().map(_.getLong(0)).toSeq === Seq(0L, 0x5555L, 0xAAAAL, 0xFFFFL, 39L))
   }
 
+  test("zkey round-trips: de-interleaving even/odd bits recovers (x, y)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(200)((rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+    val out = pts.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zkey(col("x"), col("y")).as("z"))
+      .collect()
+    out.foreach { r =>
+      val (x, y, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      def deinterleave(bits: Long, offset: Int): Long =
+        (0 until 8).map(i => ((bits >> (2 * i + offset)) & 1L) << i).sum
+      assert(deinterleave(z, 0) === x, s"x from z=$z")
+      assert(deinterleave(z, 1) === y, s"y from z=$z")
+    }
+  }
+
   test("z-ordered files are tight in both dims; a plain sort leaves one dim wide") {
     val o = withDims(Layout.ordersZkeyed(spark, sf001))
     val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
