@@ -5,7 +5,9 @@ val keys = Seq("a1_pricing_summary", "j2_dim_broadcast", "j2_fact_join", "o2_top
   "dedup_minhash_lsh", "sim_topk_bruteforce", "t5_sessionize", "f5_date_range_agg",
   "sql_q5_region_revenue", "sql_q10_returned", "text_tfidf_topterms", "samp_stratified",
   "sql_q4_priority", "sql_q21_waiting_supplier", "sql_q19_disjunctive",
-  "t6_sliding_window", "sim_label_centroids", "text_repetition")
+  "t6_sliding_window", "sim_label_centroids", "text_repetition",
+  "j3_asof_native", "bloom_prefilter", "layout_zorder", "sk_hll_groups",
+  "ev_funnel", "scd2_history", "inc_rollup_merge", "idx_inverted_and", "t8_twap")
 val sb = new StringBuilder
 sb ++= "# PLANS — formatted physical plans of headline queries (sf0.01)\n\n"
 sb ++= "Generated from `df.queryExecution.explainString(FormattedMode)`; regenerate with tools/plans_dump.scala.\n"
