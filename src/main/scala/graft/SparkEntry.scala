@@ -45,7 +45,9 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.Events.queries ++
       operators.Multimodal.queries ++
-      operators.MLOps.queries
+      operators.MLOps.queries ++
+      operators.Scale2.queries ++
+      operators.SimJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -67,5 +69,7 @@ object SparkEntry {
       operators.Similarity.oracles ++
       operators.Events.oracles ++
       operators.Multimodal.oracles ++
-      operators.MLOps.oracles
+      operators.MLOps.oracles ++
+      operators.Scale2.oracles ++
+      operators.SimJoin.oracles
 }
