@@ -52,7 +52,7 @@ object Dedup {
   /** doc_id → distinct shingles (the set view, for Jaccard/SimHash).
     * One distinct-shuffle materialization serves every consumer in the
     * dedup family. */
-  private def shingleRows(s: SparkSession, dir: String): DataFrame =
+  private[operators] def shingleRows(s: SparkSession, dir: String): DataFrame =
     materialized(rawShingleRows(s, dir).distinct())
 
   /** doc_id → minhash signature columns h0..h{k-1}.

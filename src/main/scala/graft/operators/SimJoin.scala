@@ -48,52 +48,76 @@ object SimJoin {
 
   val Tau = 0.5
 
-  /** doc_id → distinct 3-shingles (same construction as the dedup
-    * family: whitespace tokens, 3-grams joined by spaces). */
+  /** doc_id → distinct 3-shingles: the dedup family's persisted set
+    * view verbatim (one shingle materialization serves LSH and prefix
+    * paths alike), renamed to this module's column contract. */
   private def shingleRows(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
-      .select(col("doc_id"), Text.tokens(col("text")).as("tok"))
-      .select(col("doc_id"), explode(Text.shingles(col("tok"), 3)).as("tok"))
-      .distinct()
+    Dedup.shingleRows(s, dir).withColumnRenamed("s", "tok")
 
   /** Exact Jaccard-≥ τ pairs (a < b) from a (doc_id, tok) set view,
-    * via prefix-filtered candidate generation + exact verification. */
-  def prefixJoin(ex: DataFrame, tau: Double): DataFrame = {
-    // Global element order: ascending document frequency, then value.
-    // The window runs over the vocabulary, not the corpus.
-    val vocab = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .withColumn("rk", row_number().over(Window.orderBy(col("df"), col("tok"))))
-      .select(col("tok"), col("rk"))
-    val ranked = ex.join(vocab, "tok")
+    * via prefix-filtered candidate generation (with PPJoin's length and
+    * positional refinements) + array-based exact verification.
+    *
+    * Losslessness of each pruning step, for J(x,y) ≥ τ with overlap o:
+    *  - prefix: o ≥ ⌈τ·|x|⌉, so the first |x|−⌈τ|x|⌉+1 elements (global
+    *    (df, tok) order) of both sides must intersect (pigeonhole);
+    *  - length: o ≤ min(|x|,|y|) and J ≥ τ force |y| ≥ τ|x| (and
+    *    symmetrically) — size-skewed collisions can't be true pairs;
+    *  - positional: common elements sort identically on both sides, so
+    *    at the first collision (pos_a, pos_b) the whole overlap fits in
+    *    the suffixes: o ≤ 1 + min(|x|−pos_a, |y|−pos_b); J ≥ τ needs
+    *    o ≥ ⌈τ/(1+τ)·(|x|+|y|)⌉. A surviving pair keeps ≥1 collision
+    *    satisfying the bound — keeping pairs where ANY collision passes
+    *    is a superset of PPJoin's candidates, still lossless.
+    *
+    * Verification joins each candidate to its two COLLECTED shingle
+    * arrays (one row per candidate, `array_intersect` for the overlap)
+    * instead of re-exploding candidates against the element table —
+    * the explode form shuffles Σ|cand|·|doc| rows (measured 21 M at
+    * sf0.1 for 409 k candidates), the array form |cand| rows. */
+  def prefixJoin(exRaw: DataFrame, tau: Double): DataFrame = {
+    // Several consumers derive from the set view — persist it eagerly
+    // (lazy persist would let concurrent first-action stages each
+    // recompute the lineage).
+    val ex = exRaw.persist(); ex.count()
 
-    // Per-doc prefix: first |x| − ⌈τ|x|⌉ + 1 elements in rank order.
-    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("rk"))
-    val sized = ranked
+    // Global element order: ascending document frequency, then value.
+    // No materialized rank is needed — (df, tok) IS the order, so the
+    // per-doc sort can use it directly; and df itself comes from a
+    // count-over-tok window (one shuffle) rather than a groupBy+join
+    // (which would shuffle ex twice plus the vocab).
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+    val sized = ex
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
       .withColumn("pos", row_number().over(wDoc))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
     val prefix = sized
       .where(col("pos") <= col("sz") - ceil(col("sz") * tau) + 1)
-      .select(col("doc_id"), col("tok"))
+      .select(col("doc_id"), col("tok"), col("pos"), col("sz"))
 
-    // Candidates: pairs sharing a prefix element (lossless by the
-    // prefix lemma); distinct because a pair can collide on several.
-    val cand = prefix.toDF("a", "tok")
-      .join(prefix.toDF("b", "tok"), "tok")
-      .where(col("a") < col("b"))
+    // Candidates from prefix collisions, pruned by the length and
+    // positional filters; distinct because a pair can collide on
+    // several prefix elements.
+    val pa = prefix.toDF("a", "tok", "pos_a", "sz_a")
+    val pb = prefix.toDF("b", "tok", "pos_b", "sz_b")
+    val minOverlap = ceil(lit(tau / (1 + tau)) * (col("sz_a") + col("sz_b")))
+    val cand = pa.join(pb, "tok")
+      .where(col("a") < col("b") &&
+        col("sz_b") >= ceil(col("sz_a") * tau) &&
+        col("sz_a") >= ceil(col("sz_b") * tau) &&
+        lit(1) + least(col("sz_a") - col("pos_a"), col("sz_b") - col("pos_b")) >= minOverlap)
       .select(col("a"), col("b")).distinct()
 
-    // Exact verify on the full sets, candidates only.
-    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(ex.toDF("a", "tok"), "a")
-      .join(ex.toDF("b", "tok"), Seq("b", "tok"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
+    // Exact verify: one row per candidate, sets carried as arrays.
+    val sets = ex.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("tok"))).as("toks"), count(lit(1)).as("sz"))
+    val verified = cand
+      .join(sets.toDF("a", "toks_a", "sz_a"), "a")
+      .join(sets.toDF("b", "toks_b", "sz_b"), "b")
+      .withColumn("i", size(array_intersect(col("toks_a"), col("toks_b"))))
     val jacc = col("i").cast("double") /
-      (col("sa.sz") + col("sb.sz") - col("i")).cast("double")
-    inter
-      .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
-      .where(jacc >= tau)
+      (col("sz_a") + col("sz_b") - col("i")).cast("double")
+    verified.where(jacc >= tau)
       .select(col("a"), col("b"), Num.roundp(jacc, 4).as("jacc"))
   }
 
