@@ -106,7 +106,7 @@ object Dedup {
     * are insensitive to duplicate edges (connected components: extra
     * copies of an edge change nothing about connectivity), skipping the
     * dedup exchange entirely. */
-  private[operators] def lshCandidatesRaw(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def lshCandidatesRaw(s: SparkSession, dir: String): DataFrame = {
     val b = bandRows(s, dir)
     b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&

@@ -89,6 +89,26 @@ object DedupCluster {
         (col("node") === col("cluster_id")).as("keep"))
     }),
 
+    // ── Leakage-controlled train/val/test split: the split key is the
+    // duplicate CLUSTER (singletons group as themselves), so near-dups
+    // can never straddle folds — the failure mode that inflates eval
+    // scores when doc-level hashing splits a duplicate pair across
+    // train and test. Same md5-threshold split family as
+    // samp_hash_split; one extra broadcast-able left join against the
+    // cluster map (tiny: only docs with an LSH collision appear). ────
+    "samp_leakage_split" -> ((s, dir) => {
+      val cc = connectedComponents(Dedup.lshCandidatesRaw(s, dir))
+        .select(col("node").as("doc_id"), col("cluster_id"))
+      val grp = coalesce(col("cluster_id"), col("doc_id"))
+      val h = substring(md5(concat(lit("gsplit|"), grp.cast("string"))), 1, 1)
+      Tables(s, dir, "documents").select(col("doc_id"))
+        .join(cc, Seq("doc_id"), "left")
+        .select(grp.as("grp"),
+          when(h <= "b", "train").when(h <= "d", "val").otherwise("test").as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("grp")).as("n_groups"))
+    }),
+
     // ── corpus after the purge: drop every non-canonical cluster member,
     // summarized per lang (docs outside any cluster all survive). ──────
     "dedup_cc_purge" -> ((s, dir) => {
@@ -117,6 +137,20 @@ object DedupCluster {
        |cc AS (SELECT node, min(comp) AS cluster_id FROM walk GROUP BY node)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "samp_leakage_split" ->
+      s"""$sqlCc,
+         |grouped AS (
+         |  SELECT coalesce(cc.cluster_id, d.doc_id) AS grp
+         |  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
+         |tagged AS (
+         |  SELECT grp,
+         |    CASE WHEN substr(md5('gsplit|' || CAST(grp AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+         |         WHEN substr(md5('gsplit|' || CAST(grp AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM grouped)
+         |SELECT split, count(*) AS n_docs, count(DISTINCT grp) AS n_groups
+         |FROM tagged GROUP BY split""".stripMargin,
+
     "dedup_cc_clusters" ->
       s"""$sqlCc
          |SELECT node AS doc_id, cluster_id, node = cluster_id AS keep

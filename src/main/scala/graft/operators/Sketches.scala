@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.Num
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Portable deterministic sketches — count-min and HyperLogLog built as
@@ -157,7 +158,40 @@ object Sketches {
       .select(bloomBit(col("seed"), col("k")).as("bit"))
       .distinct()
 
+  /** Mergeable quantile sketch: an equi-width histogram (bin = ⌊v/w⌋)
+    * per group. The histogram is ADDITIVE — merging partials is
+    * `groupBy(g, bin).sum(c)`, the same contract as the other sketches
+    * here — and a quantile is read off the cumulative counts as the
+    * upper edge of the first bin where cum ≥ ⌈p·n⌉ (error ≤ one bin
+    * width, memory = value-range/w per group, one map-side-combined
+    * shuffle to build). Integer bins and edges keep every engine
+    * bit-identical. */
+  def quantileHist(df: DataFrame, group: Column, value: Column,
+                   binWidth: Long, ps: Seq[(String, Double)]): DataFrame = {
+    val hist = df.select(group.as("g"),
+        floor(value / binWidth).cast("long").as("bin"))
+      .groupBy(col("g"), col("bin")).agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(Window.partitionBy(col("g"))
+        .orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("g"))))
+    val aggs = ps.map { case (name, p) =>
+      min(when(col("cum") >= ceil(col("n") * p),
+        (col("bin") + 1) * binWidth)).as(name)
+    } :+ max(col("n")).as("n")
+    cum.groupBy(col("g")).agg(aggs.head, aggs.tail: _*)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── Histogram-quantile sketch over l_extendedprice per return
+    // flag: p50/p95/p99 upper edges from 256-wide bins. The window
+    // runs over the HISTOGRAM (bins per group ≤ range/width), never
+    // the data. ──────────────────────────────────────────────────────
+    "sk_quantile_hist" -> ((s, dir) =>
+      quantileHist(Tables(s, dir, "lineitem"),
+        col("l_returnflag"), col("l_extendedprice"), 256L,
+        Seq("p50_ub" -> 0.5, "p95_ub" -> 0.95, "p99_ub" -> 0.99))),
+
     // ── CMS heavy-hitter probe: build the sketch over l_suppkey, probe
     // the exact top-10 suppliers by lineitem volume. cms_est ≥ exact
     // always (counts only ever collide upward); the min over 4 seeds
@@ -219,6 +253,23 @@ object Sketches {
   )
 
   def oracles: Map[String, String] = Map(
+    "sk_quantile_hist" ->
+      """WITH h AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(floor(l_extendedprice / 256) AS BIGINT) AS bin, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT g, bin, c,
+        |    sum(c) OVER (PARTITION BY g ORDER BY bin) AS cum,
+        |    sum(c) OVER (PARTITION BY g) AS n
+        |  FROM h)
+        |SELECT g,
+        |  min(CASE WHEN cum >= ceil(n * 0.5)  THEN (bin + 1) * 256 END) AS p50_ub,
+        |  min(CASE WHEN cum >= ceil(n * 0.95) THEN (bin + 1) * 256 END) AS p95_ub,
+        |  min(CASE WHEN cum >= ceil(n * 0.99) THEN (bin + 1) * 256 END) AS p99_ub,
+        |  max(n) AS n
+        |FROM cum GROUP BY g""".stripMargin,
+
     "sk_cms_heavy" ->
       """WITH seeds AS (SELECT * FROM (VALUES (0),(1),(2),(3)) s(seed)),
         |sk AS (

@@ -58,6 +58,67 @@ class SketchSpec extends SparkSuite {
     }
   }
 
+  test("quantile histograms merge additively; quantiles bound the exact values") {
+    val li = Tables(spark, sf001, "lineitem")
+    val ps = Seq("p50_ub" -> 0.5, "p95_ub" -> 0.95, "p99_ub" -> 0.99)
+    def hist(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("l_returnflag").as("g"),
+          floor(col("l_extendedprice") / 256).cast("long").as("bin"))
+        .groupBy("g", "bin").agg(count(lit(1)).as("c"))
+    // Merge three arbitrary partials bin-wise, re-derive quantiles from
+    // the merged histogram — must equal the one-pass sketch exactly.
+    val parts = (0 until 3).map(i => hist(li.where(abs(hash(col("l_orderkey"))) % 3 === i)))
+    val merged = parts.reduce(_ union _).groupBy("g", "bin").agg(sum("c").as("c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val mq = merged
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")))
+      .groupBy(col("g")).agg(
+        min(when(col("cum") >= ceil(col("n") * 0.5), (col("bin") + 1) * 256)).as("p50_ub"),
+        min(when(col("cum") >= ceil(col("n") * 0.95), (col("bin") + 1) * 256)).as("p95_ub"),
+        min(when(col("cum") >= ceil(col("n") * 0.99), (col("bin") + 1) * 256)).as("p99_ub"),
+        max(col("n")).as("n"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val full = rows(SparkEntry.queries("sk_quantile_hist")(spark, sf001))
+    assert(rows(mq) === full)
+    // Sketch bound: the ⌈p·n⌉-th order statistic (what the histogram
+    // ranks — NOT the interpolated percentile) lies in the reported
+    // bin: x ≤ ub ≤ x + width.
+    val exact = li.groupBy(col("l_returnflag").as("g"))
+      .agg(sort_array(collect_list(col("l_extendedprice"))).as("xs")).collect()
+      .map { r =>
+        val xs = r.getSeq[Double](1)
+        r.getString(0) -> xs(math.ceil(0.5 * xs.length).toInt - 1)
+      }.toMap
+    exact.foreach { case (g, x) =>
+      val ub = full(g)._1.toDouble
+      assert(x <= ub && ub <= x + 256, s"$g: p50 stat $x vs ub $ub")
+    }
+  }
+
+  test("leakage split: no duplicate cluster straddles folds; folds tile the corpus") {
+    import graft.operators.{Dedup, DedupCluster}
+    val docs = Tables(spark, sf001, "documents")
+    val cc = DedupCluster.connectedComponents(Dedup.lshCandidatesRaw(spark, sf001))
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    val grp = coalesce(col("cluster_id"), col("doc_id"))
+    val h = substring(md5(concat(lit("gsplit|"), grp.cast("string"))), 1, 1)
+    val tagged = docs.select(col("doc_id")).join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"), grp.as("grp"),
+        when(h <= "b", "train").when(h <= "d", "val").otherwise("test").as("split"))
+    // Every group lands in exactly one fold.
+    val straddlers = tagged.groupBy("grp")
+      .agg(countDistinct(col("split")).as("nf")).where(col("nf") > 1).count()
+    assert(straddlers === 0L)
+    // Folds partition the corpus.
+    assert(tagged.count() === docs.count())
+    val q = SparkEntry.queries("samp_leakage_split")(spark, sf001)
+    assert(q.agg(sum("n_docs")).head().getLong(0) === docs.count())
+  }
+
   test("sketch build shuffles sketch-sized data, not input-sized data") {
     val li = Tables(spark, sf001, "lineitem")
     val sk = Sketches.cmsSketch(li, "l_suppkey")
