@@ -60,6 +60,31 @@ object Maintenance {
           Num.roundp(col("rev"), 2).as("rev"))
     }),
 
+    // ── Incremental JOIN-view maintenance: the delta-join identity
+    // Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB. The maintained view is the
+    // joined rollup (revenue per priority from orders⋈lineitem); an
+    // increment lands on BOTH sides, and the refresh joins only the
+    // delta terms — ΔA against B₀ (co-partitioned on the join key) and
+    // the tiny ΔA⋈ΔB — never A₀⋈B₀ again. The merged result must equal
+    // the full-recompute oracle; integer cents make it bit-exact. ────
+    "inc_join_merge" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      val li = Tables(s, dir, "lineitem").select(col("l_orderkey"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      val (oOld, oNew) = (o.where(col("o_orderkey") % 4 =!= 0),
+        o.where(col("o_orderkey") % 4 === 0))
+      val (lOld, lNew) = (li.where(col("l_orderkey") % 9 =!= 0),
+        li.where(col("l_orderkey") % 9 === 0))
+      def j(a: DataFrame, b: DataFrame) =
+        a.join(b, a("o_orderkey") === b("l_orderkey"))
+      def roll(df: DataFrame) = df.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("rev_cents"))
+      val base = roll(j(oOld, lOld))
+      val delta = roll(j(oNew, lOld).unionByName(j(oOld, lNew)).unionByName(j(oNew, lNew)))
+      base.unionByName(delta).groupBy(col("o_orderpriority"))
+        .agg(sum(col("n")).as("n"), sum(col("rev_cents")).as("rev_cents"))
+    }),
+
     // ── SCD2 history from the event log: per user, collapse runs of
     // equal event_type into [valid_from, valid_to) intervals (µs), the
     // open current row flagged. Change detection and close-off are two
@@ -108,6 +133,13 @@ object Maintenance {
   )
 
   def oracles: Map[String, String] = Map(
+    // The identity under test: incremental refresh == full recompute.
+    "inc_join_merge" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev_cents
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
     "inc_rollup_merge" ->
       """SELECT o_orderpriority, year(o_orderdate) AS yr,
         |  CAST(count(*) AS BIGINT) AS n,

@@ -31,6 +31,31 @@ class MaintenanceSpec extends SparkSuite {
     }
   }
 
+  test("delta-join refresh equals full recompute for any two-sided split") {
+    val o = Tables(spark, sf001, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+    val li = Tables(spark, sf001, "lineitem").select(col("l_orderkey"),
+      floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+    def j(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.join(b, a("o_orderkey") === b("l_orderkey"))
+    def roll(df: org.apache.spark.sql.DataFrame) = df.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("rev"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val full = rows(roll(j(o, li)))
+    // Two unrelated split choices — the identity must hold for both.
+    for ((oc, lc) <- Seq(
+        (col("o_orderkey") % 4 === 0, col("l_orderkey") % 9 === 0),
+        (abs(hash(col("o_orderkey"))) % 3 === 0, abs(hash(col("l_orderkey"))) % 2 === 0))) {
+      val (oOld, oNew) = (o.where(!oc), o.where(oc))
+      val (lOld, lNew) = (li.where(!lc), li.where(lc))
+      val inc = roll(j(oOld, lOld))
+        .unionByName(roll(j(oNew, lOld).unionByName(j(oOld, lNew)).unionByName(j(oNew, lNew))))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("n")).as("n"), sum(col("rev")).as("rev"))
+      assert(rows(inc) === full)
+    }
+  }
+
   test("scd2 intervals tile each user's history: contiguous, one current row") {
     val h = SparkEntry.queries("scd2_history")(spark, sf001)
     val e = Tables(spark, sf001, "events")
