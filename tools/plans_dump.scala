@@ -7,7 +7,9 @@ val keys = Seq("a1_pricing_summary", "j2_dim_broadcast", "j2_fact_join", "o2_top
   "sql_q4_priority", "sql_q21_waiting_supplier", "sql_q19_disjunctive",
   "t6_sliding_window", "sim_label_centroids", "text_repetition",
   "j3_asof_native", "bloom_prefilter", "layout_zorder", "sk_hll_groups",
-  "ev_funnel", "scd2_history", "inc_rollup_merge", "idx_inverted_and", "t8_twap")
+  "ev_funnel", "scd2_history", "inc_rollup_merge", "idx_inverted_and", "t8_twap",
+  "cdc_apply_latest", "iv_overlap_join", "skew_salted_agg", "skew_salted_join",
+  "simjoin_prefix", "sk_quantile_hist", "samp_leakage_split", "inc_join_merge")
 val sb = new StringBuilder
 sb ++= "# PLANS — formatted physical plans of headline queries (sf0.01)\n\n"
 sb ++= "Generated from `df.queryExecution.explainString(FormattedMode)`; regenerate with tools/plans_dump.scala.\n"
