@@ -94,7 +94,7 @@ object Curation {
         .where(col("n_chars") >= 150 && col("n_tok") >= 20 &&
           col("avg_tok") >= 3.0 && col("avg_tok") <= 12.0)
         .select(col("doc_id"), col("lang"), col("source"))
-      val dupDrop = DedupCluster.connectedComponents(Dedup.lshCandidatesRaw(s, dir))
+      val dupDrop = DedupCluster.lshClusters(s, dir)
         .where(col("node") =!= col("cluster_id"))
         .select(col("node").as("doc_id"))
       quality

@@ -79,12 +79,25 @@ object DedupCluster {
     labels.select(col("node"), col("comp").as("cluster_id"))
   }
 
+  /** Session-memoized cluster map of the LSH pair graph for a sf dir.
+    * Four inventory queries (clusters, purge, leakage split, curate
+    * e2e) consume the same labels; the iterative propagation leaves its
+    * final round persisted, so handing every consumer the SAME frame
+    * turns three full re-propagations into cache hits (the iterative
+    * var-rebinding inside connectedComponents defeats Spark's
+    * analyzed-plan cache matching, so the memo must live here). */
+  private val ccCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  def lshClusters(s: SparkSession, dir: String): DataFrame =
+    ccCache.getOrElseUpdate((System.identityHashCode(s), dir),
+      connectedComponents(Dedup.lshCandidatesRaw(s, dir)))
+
   val queries: Map[String, Relational.Q] = Map(
 
     // ── doc → duplicate-cluster id over the MinHash-LSH pair graph, with
     // the canonical-survivor flag (min doc_id keeps). ──────────────────
     "dedup_cc_clusters" -> ((s, dir) => {
-      val cc = connectedComponents(Dedup.lshCandidatesRaw(s, dir))
+      val cc = lshClusters(s, dir)
       cc.select(col("node").as("doc_id"), col("cluster_id"),
         (col("node") === col("cluster_id")).as("keep"))
     }),
@@ -97,7 +110,7 @@ object DedupCluster {
     // samp_hash_split; one extra broadcast-able left join against the
     // cluster map (tiny: only docs with an LSH collision appear). ────
     "samp_leakage_split" -> ((s, dir) => {
-      val cc = connectedComponents(Dedup.lshCandidatesRaw(s, dir))
+      val cc = lshClusters(s, dir)
         .select(col("node").as("doc_id"), col("cluster_id"))
       val grp = coalesce(col("cluster_id"), col("doc_id"))
       val h = substring(md5(concat(lit("gsplit|"), grp.cast("string"))), 1, 1)
@@ -112,7 +125,7 @@ object DedupCluster {
     // ── corpus after the purge: drop every non-canonical cluster member,
     // summarized per lang (docs outside any cluster all survive). ──────
     "dedup_cc_purge" -> ((s, dir) => {
-      val drop = connectedComponents(Dedup.lshCandidatesRaw(s, dir))
+      val drop = lshClusters(s, dir)
         .where(col("node") =!= col("cluster_id"))
         .select(col("node").as("doc_id"))
       Tables(s, dir, "documents")

@@ -186,4 +186,28 @@ class PlanSpec extends SparkSuite {
     // satisfied by the first's output partitioning.
     assert(plan.split("Exchange hashpartitioning\\(user_id").length <= 2, plan)
   }
+
+  test("binned interval join is an equi-join — the theta form would be BNL") {
+    val plan = physical(SparkEntry.queries("iv_overlap_join")(spark, sf001))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("cdc apply partial-aggregates below its one exchange — no per-key sort-the-world window") {
+    val plan = physical(SparkEntry.queries("cdc_apply_latest")(spark, sf001))
+    assert(!plan.contains("Window"), plan)
+    // max_by(struct) plans as sort-based aggregate: partial before the
+    // exchange, final after — one shuffle of pre-combined rows.
+    assert(plan.split("Exchange hashpartitioning\\(user_id").length <= 2, plan)
+    assert(plan.toLowerCase.contains("partial"), plan)
+  }
+
+  test("prefix similarity join never explodes candidates against the element table") {
+    val df = SparkEntry.queries("simjoin_prefix")(spark, sf001)
+    val plan = physical(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // The verify side carries collected arrays (array_intersect), not a
+    // per-candidate-token join.
+    assert(plan.contains("array_intersect"), plan)
+  }
 }
