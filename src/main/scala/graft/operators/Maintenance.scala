@@ -42,6 +42,29 @@ object Maintenance {
     a.unionByName(b).groupBy(keys.map(col): _*)
       .agg(sum(col("n")).as("n"), sum(col("rev")).as("rev"))
 
+  /** The SCD2 validity-interval history of the event log (see the
+    * `scd2_history` entry) — shared by the history query and the
+    * as-of snapshot read. */
+  private def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type").as("state"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val runs = e
+      .withColumn("chg",
+        when(lag(col("state"), 1).over(w).isNull ||
+          col("state") =!= lag(col("state"), 1).over(w), 1).otherwise(0))
+      .withColumn("run", sum(col("chg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val iv = runs.groupBy(col("user_id"), col("state"), col("run"))
+      .agg(min(col("us")).as("valid_from"), count(lit(1)).as("n_events"))
+    val w2 = Window.partitionBy("user_id").orderBy(col("valid_from"))
+    iv.select(col("user_id"), col("state"), col("valid_from"),
+      lead(col("valid_from"), 1).over(w2).as("valid_to"),
+      col("n_events"),
+      when(lead(col("valid_from"), 1).over(w2).isNull, 1).otherwise(0).as("is_current"))
+  }
+
   private def rollupOf(orders: DataFrame): DataFrame =
     orders.groupBy(col("o_orderpriority"), year(col("o_orderdate")).as("yr"))
       .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("rev"))
@@ -89,24 +112,19 @@ object Maintenance {
     // equal event_type into [valid_from, valid_to) intervals (µs), the
     // open current row flagged. Change detection and close-off are two
     // windows over the same (user, time) order — one shuffle total. ──
-    "scd2_history" -> ((s, dir) => {
-      val e = Tables(s, dir, "events")
-        .select(col("user_id"), col("event_type").as("state"),
-          unix_micros(col("ts")).as("us"), col("event_id"))
-      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
-      val runs = e
-        .withColumn("chg",
-          when(lag(col("state"), 1).over(w).isNull ||
-            col("state") =!= lag(col("state"), 1).over(w), 1).otherwise(0))
-        .withColumn("run", sum(col("chg"))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val iv = runs.groupBy(col("user_id"), col("state"), col("run"))
-        .agg(min(col("us")).as("valid_from"), count(lit(1)).as("n_events"))
-      val w2 = Window.partitionBy("user_id").orderBy(col("valid_from"))
-      iv.select(col("user_id"), col("state"), col("valid_from"),
-        lead(col("valid_from"), 1).over(w2).as("valid_to"),
-        col("n_events"),
-        when(lead(col("valid_from"), 1).over(w2).isNull, 1).otherwise(0).as("is_current"))
+    "scd2_history" -> ((s, dir) => scd2History(s, dir)),
+
+    // ── Point-in-time lookup from the SCD2 history: the state of every
+    // user AS OF time T is the one interval containing T — a single
+    // filter over the history, no event-log re-scan. This is the read
+    // path the history exists for (time travel over a keyed log). ────
+    "scd2_asof_snapshot" -> ((s, dir) => {
+      val t = lit(1705276800000000L) // 2024-01-15T00:00:00Z in epoch µs
+      scd2History(s, dir)
+        .where(col("valid_from") <= t &&
+          (col("valid_to").isNull || t < col("valid_to")))
+        .select(col("user_id"), col("state"), col("valid_from").as("since_us"),
+          col("n_events"))
     }),
 
     // ── Declarative quality gate: one violations row across the
@@ -145,6 +163,32 @@ object Maintenance {
         |  CAST(count(*) AS BIGINT) AS n,
         |  floor(sum(o_totalprice) * 100 + 0.5) / 100 AS rev
         |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "scd2_asof_snapshot" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type AS state, epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(state) OVER w IS NULL
+        |                   OR state <> lag(state) OVER w THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |r AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM m),
+        |g AS (
+        |  SELECT user_id, state, run, min(us) AS valid_from,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM r GROUP BY 1, 2, 3),
+        |h AS (
+        |  SELECT user_id, state, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+        |    n_events
+        |  FROM g)
+        |SELECT user_id, state, valid_from AS since_us, n_events
+        |FROM h
+        |WHERE valid_from <= 1705276800000000
+        |  AND (valid_to IS NULL OR 1705276800000000 < valid_to)""".stripMargin,
 
     "scd2_history" ->
       """WITH e AS (

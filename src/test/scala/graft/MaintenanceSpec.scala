@@ -56,6 +56,18 @@ class MaintenanceSpec extends SparkSuite {
     }
   }
 
+  test("scd2 as-of snapshot returns exactly one interval per active user") {
+    val snap = SparkEntry.queries("scd2_asof_snapshot")(spark, sf001)
+    val perUser = snap.groupBy("user_id").count().where(col("count") =!= 1).count()
+    assert(perUser === 0L)
+    // T is inside the observed range, so every user with events before T
+    // is represented.
+    val active = Tables(spark, sf001, "events")
+      .where(unix_micros(col("ts")) <= 1705276800000000L)
+      .select("user_id").distinct().count()
+    assert(snap.count() === active)
+  }
+
   test("scd2 intervals tile each user's history: contiguous, one current row") {
     val h = SparkEntry.queries("scd2_history")(spark, sf001)
     val e = Tables(spark, sf001, "events")
