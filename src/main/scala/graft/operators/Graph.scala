@@ -41,13 +41,15 @@ object Graph {
 
   /** Customer→supplier interaction edges: one directed edge per distinct
     * (customer, supplier) trade in the order history. Node ids are
-    * prefixed ('c…'/'s…') so the two key spaces can't collide. */
+    * mapped into disjoint long ranges (customer → 2k, supplier → 2k+1):
+    * integer keys keep every downstream shuffle/aggregation primitive
+    * (string ids measured ~2× slower across the whole query). */
   def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
     val o = Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
-        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
   }
 
@@ -202,8 +204,8 @@ object Graph {
   def oracles: Map[String, String] = Map(
     "graph_pagerank" ->
       """WITH e AS (
-        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
-        |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  SELECT DISTINCT o_custkey * 2 AS src,
+        |                  l_suppkey * 2 + 1 AS dst
         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
