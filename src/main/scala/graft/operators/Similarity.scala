@@ -24,6 +24,34 @@ object Similarity {
 
   val queries: Map[String, Relational.Q] = Map(
 
+    // ── int8 scalar quantization of the embedding corpus: per-DIM
+    // affine codes (min/max over the corpus, 256 levels) — the 4×
+    // memory cut that makes a billion-vector ANN index RAM-resident.
+    // Reports per-vector reconstruction error (L∞, MSE) and the
+    // original↔reconstructed cosine (the recall proxy: ANN over int8
+    // is sound iff this stays ≈1). Dim stats are a 64-row broadcast;
+    // integer codes are exact IEEE arithmetic, so both engines
+    // quantize identically. ──────────────────────────────────────────
+    "sim_quantize_int8" -> ((s, dir) => {
+      val x = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").as("d"), col("col").cast("double").as("v"))
+      val dims = x.groupBy(col("d"))
+        .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+        .withColumn("scale", (col("hi") - col("lo")) / 255.0)
+      val code = when(col("scale") === 0, lit(0)).otherwise(
+        least(lit(255.0), greatest(lit(0.0),
+          floor((col("v") - col("lo")) / col("scale") + 0.5))).cast("int"))
+      val r = x.join(broadcast(dims), "d")
+        .withColumn("recon", col("lo") + code.cast("double") * col("scale"))
+      val cosRec = sum(col("v") * col("recon")) /
+        (sqrt(sum(col("v") * col("v"))) * sqrt(sum(col("recon") * col("recon"))))
+      r.groupBy(col("vec_id")).agg(
+        Num.roundp(max(abs(col("recon") - col("v"))), 6).as("linf"),
+        Num.roundp(avg((col("recon") - col("v")) * (col("recon") - col("v"))), 8).as("mse"),
+        Num.roundp(cosRec, 6).as("cos_rec"))
+    }),
+
     // ── brute-force cosine top-5 for query vectors vec_id < 5 ─────────
     "sim_topk_bruteforce" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -205,6 +233,26 @@ object Similarity {
   private def sqlNorm(a: String) = s"sqrt(${sqlDot(a, a)})"
 
   val oracles: Map[String, String] = Map(
+    "sim_quantize_int8" ->
+      s"""WITH x AS (
+         |  SELECT vec_id, r.range AS d, CAST(embedding[r.range + 1] AS DOUBLE) AS v
+         |  FROM embeddings, range($Dim) r),
+         |dims AS (
+         |  SELECT d, min(v) AS lo, max(v) AS hi, (max(v) - min(v)) / 255.0 AS scale
+         |  FROM x GROUP BY d),
+         |q AS (
+         |  SELECT vec_id, v, lo, scale,
+         |    CASE WHEN scale = 0 THEN 0
+         |         ELSE CAST(least(255.0, greatest(0.0, floor((v - lo) / scale + 0.5))) AS INTEGER)
+         |    END AS code
+         |  FROM x JOIN dims USING (d)),
+         |r AS (SELECT vec_id, v, lo + CAST(code AS DOUBLE) * scale AS recon FROM q)
+         |SELECT vec_id,
+         |  floor(max(abs(recon - v)) * 1000000 + 0.5) / 1000000 AS linf,
+         |  floor(avg((recon - v) * (recon - v)) * 100000000 + 0.5) / 100000000 AS mse,
+         |  floor(sum(v * recon) / (sqrt(sum(v * v)) * sqrt(sum(recon * recon))) * 1000000 + 0.5) / 1000000 AS cos_rec
+         |FROM r GROUP BY vec_id""".stripMargin,
+
     "sim_label_centroids" ->
       """SELECT label, CAST(i AS INTEGER) AS dim,
         |  floor(avg(CAST(embedding[i+1] AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS centroid_v,

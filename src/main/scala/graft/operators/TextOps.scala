@@ -21,6 +21,25 @@ object TextOps {
 
   val queries: Map[String, Relational.Q] = Map(
 
+    // ── Corpus-LM perplexity filter (CCNet-style): score each doc by
+    // its average negative log-likelihood under the corpus UNIGRAM
+    // model, nll(d) = avg_t ln(T / cnt(t)) — high ppl ⇒ the doc's
+    // tokens are rare in this corpus (boilerplate/garbage detector at
+    // pipeline scale). Two map-side-combined aggregations (corpus
+    // counts, per-doc avg); the vocabulary joins back broadcast. ──────
+    "text_unigram_ppl" -> ((s, dir) => {
+      val tk = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(toks).as("term"))
+      val vocab = tk.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val total = vocab.agg(sum(col("cnt")).as("t_total"))
+      val nll = avg(log(col("t_total").cast("double") / col("cnt")))
+      tk.join(broadcast(vocab), "term").crossJoin(broadcast(total))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          Num.roundp(nll, 4).as("nll"),
+          Num.roundp(exp(nll), 2).as("ppl"))
+    }),
+
     // ── A2 + X17: explode keywords → frequency table
     // (dags/scripts/spark_daily_report.py:72-75) ──────────────────────
     "a2_token_explode" -> ((s, dir) =>
@@ -108,6 +127,19 @@ object TextOps {
   private val sqlToks = "list_filter(string_split(text, ' '), t -> t <> '')"
 
   val oracles: Map[String, String] = Map(
+    "text_unigram_ppl" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+        |  FROM documents),
+        |vocab AS (SELECT term, count(*) AS cnt FROM tk GROUP BY term),
+        |tot AS (SELECT sum(cnt) AS t_total FROM vocab)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  floor(avg(ln(CAST(t_total AS DOUBLE) / cnt)) * 10000 + 0.5) / 10000 AS nll,
+        |  floor(exp(avg(ln(CAST(t_total AS DOUBLE) / cnt))) * 100 + 0.5) / 100 AS ppl
+        |FROM tk JOIN vocab USING (term) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
+
     "a2_token_explode" ->
       s"""SELECT token, count(*) AS n FROM (
          |  SELECT unnest($sqlToks) AS token FROM documents)

@@ -46,4 +46,18 @@ class IvfIndexSpec extends SparkSuite {
     assert(s1.keySet == s2.keySet)
     assert(s1.forall { case (q, sc) => s2(q) >= sc })
   }
+
+  test("int8 quantization: error bounded by half a step, cosine recall ~1") {
+    import org.apache.spark.sql.functions._
+    val q = SparkEntry.queries("sim_quantize_int8")(spark, sf001)
+    // Widest per-dim step over the corpus bounds every L-inf error.
+    val x = Tables(spark, sf001, "embeddings")
+      .select(posexplode(col("embedding")))
+      .select(col("pos").as("d"), col("col").cast("double").as("v"))
+    val maxStep = x.groupBy("d").agg(((max(col("v")) - min(col("v"))) / 255.0).as("sc"))
+      .agg(max(col("sc"))).head().getDouble(0)
+    val bad = q.where(col("linf") > maxStep / 2 + 1e-9 || col("cos_rec") < 0.999).count()
+    assert(bad === 0L)
+    assert(q.count() === Tables(spark, sf001, "embeddings").count())
+  }
 }

@@ -66,4 +66,19 @@ class TextFunctionsSpec extends SparkSuite {
     assert(math.abs(df(0).getDouble(0)) < 1e-12 && df(0).getDouble(1) == 2.0)
     assert(math.abs(df(1).getDouble(0) - 1.0) < 1e-12 && df(1).getDouble(1) == 0.0)
   }
+
+  test("unigram ppl: identical texts score identically; nll positive and consistent with ppl") {
+    val d = SparkEntry.queries("text_unigram_ppl")(spark, sf001)
+    val docs = Tables(spark, sf001, "documents")
+    val joined = d.join(docs, "doc_id")
+      .select(md5(col("text")).as("fp"), col("nll"), col("ppl"), col("n_tokens"))
+    // Same normalized text => same (nll, ppl, n_tokens).
+    val incoherent = joined.groupBy("fp")
+      .agg(countDistinct(col("nll"), col("ppl"), col("n_tokens")).as("nv"))
+      .where(col("nv") =!= 1).count()
+    assert(incoherent === 0L)
+    val bad = d.where(col("nll") <= 0 ||
+      abs(exp(col("nll")) - col("ppl")) > col("ppl") * 0.001).count()
+    assert(bad === 0L)
+  }
 }
