@@ -58,7 +58,12 @@ private[sources] class JsonlTable(path: String, writeSchema: StructType)
     new JsonlWriteBuilder(path, info.schema())
 }
 
-private[sources] class JsonlWriteBuilder(path: String, schema: StructType) extends WriteBuilder {
+/** `SupportsStreamingUpdateAsAppend`: Update-mode queries (e.g. the CDC
+  * emission stream) are legal against this sink — each update row is
+  * appended to the log, which IS the changelog semantics a jsonl lake
+  * wants; compaction to latest-per-key is the reader's move. */
+private[sources] class JsonlWriteBuilder(path: String, schema: StructType) extends WriteBuilder
+    with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new JsonlBatchWrite(path, schema)
     override def toStreaming: StreamingWrite = new JsonlStreamingWrite(path, schema)

@@ -58,4 +58,62 @@ class CdcStreamSpec extends SparkSuite {
       .filter(_.deleted).map(_.userId).toSet
     assert(dead.intersect(snap.map(_._1)).isEmpty)
   }
+
+  test("state survives a checkpointed restart: stale records stay suppressed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val all = Tables(spark, sf001, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)]
+      .collect()
+      .map { case (u, us, id, op, v) => Change(u, us, id, op, v) }
+      .sortBy(c => (c.us, c.eventId))
+    val (older, newer) = all.splitAt(all.length / 2)
+    val fresh = Seq(Change(1L, Long.MaxValue - 1, Long.MaxValue, "click", 42.0))
+
+    // The memory sink can't recover from a checkpoint — the repo's own
+    // DataSourceV2 jsonl sink can, and logs every emission durably.
+    val ckpt = java.nio.file.Files.createTempDirectory("cdc-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("cdc-out").toString
+    val changes = MemoryStream[Change]
+    def start() = CdcStream(changes.toDS()).writeStream
+      .outputMode("update").format("graft-jsonl")
+      .option("checkpointLocation", ckpt).start(out)
+
+    // Run 1 consumes the NEWER half and checkpoints its state.
+    val q1 = start()
+    changes.addData(newer.toSeq)
+    q1.processAllAvailable()
+    q1.stop()
+
+    // Run 2 recovers from the same checkpoint, then receives ONLY
+    // stale records (the older half) plus one genuinely-new change.
+    // Without recovered state every stale record would win its key.
+    val q2 = start()
+    changes.addData(older.toSeq ++ fresh)
+    q2.processAllAvailable()
+    q2.stop()
+
+    // The durable emission log across both runs must contain NO older
+    // record — state recovery is what suppressed them.
+    val emitted = spark.read.json(out).as[CdcStream.SnapRow].collect()
+    val newerIds = newer.map(_.eventId).toSet
+    val leaked = emitted.filterNot(r =>
+      newerIds.contains(r.eventId) || r.eventId == Long.MaxValue)
+    assert(leaked.isEmpty, s"stale records emitted: ${leaked.take(3).toSeq}")
+    assert(emitted.exists(r => r.userId == 1L && r.eventId == Long.MaxValue))
+
+    // And the log converges to the batch snapshot over all records.
+    val snap = emitted.groupBy(_.userId)
+      .map { case (_, rows) => rows.maxBy(r => (r.us, r.eventId)) }
+      .filterNot(_.deleted)
+      .map(r => (r.userId, r.us, r.eventId)).toSet
+    val batchWinners = (all ++ fresh).groupBy(_.userId)
+      .map { case (_, rows) => rows.maxBy(c => (c.us, c.eventId)) }
+      .filterNot(_.op == "error")
+      .map(c => (c.userId, c.us, c.eventId)).toSet
+    assert(snap === batchWinners)
+  }
 }
