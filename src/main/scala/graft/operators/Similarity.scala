@@ -52,6 +52,57 @@ object Similarity {
         Num.roundp(cosRec, 6).as("cos_rec"))
     }),
 
+    // ── Recall of int8-quantized search against exact search: top-5 by
+    // cosine over RECONSTRUCTED vectors vs the full-precision top-5,
+    // recall@5 per query. The quantized dot is the classic
+    // matrix-multiply-as-join-aggregate (explode dims, join on d, sum
+    // products) — the shape a 100 TB engine uses when vectors live as
+    // (id, dim, value) shards. Recall 1.0 here is the empirical license
+    // to serve ANN from the 4×-smaller codes. ────────────────────────
+    "sim_quantized_recall" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir, "embeddings")
+      // Exact top-5 (same rule as sim_topk_bruteforce).
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val exScore = Num.roundp(Vectors.cosine(col("q_emb"), col("embedding")), 6)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+      val exact = e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), exScore.as("score"))
+        .withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
+        .select(col("q_id"), col("vec_id"))
+      // Reconstructed vectors, exploded as (vec_id, d, recon).
+      val x = e.select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").as("d"), col("col").cast("double").as("v"))
+      val dims = x.groupBy(col("d"))
+        .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+        .withColumn("scale", (col("hi") - col("lo")) / 255.0)
+      val code = when(col("scale") === 0, lit(0)).otherwise(
+        least(lit(255.0), greatest(lit(0.0),
+          floor((col("v") - col("lo")) / col("scale") + 0.5))).cast("int"))
+      val r = x.join(broadcast(dims), "d")
+        .select(col("vec_id"), col("d"), (col("lo") + code.cast("double") * col("scale")).as("rv"))
+      val qr = r.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("d"), col("rv").as("qv"))
+      // Join-aggregate dot over dims; norms likewise.
+      val norms = r.groupBy(col("vec_id")).agg(sqrt(sum(col("rv") * col("rv"))).as("nrm"))
+      val dots = r.join(broadcast(qr), "d")
+        .where(col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("vec_id")).agg(sum(col("rv") * col("qv")).as("dot"))
+      val quant = dots
+        .join(broadcast(norms.select(col("vec_id").as("q_id"), col("nrm").as("q_nrm"))), "q_id")
+        .join(norms.select(col("vec_id"), col("nrm").as("v_nrm")), "vec_id")
+        .select(col("q_id"), col("vec_id"),
+          Num.roundp(col("dot") / (col("q_nrm") * col("v_nrm")), 6).as("score"))
+      val qTop = quant
+        .withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
+        .select(col("q_id"), col("vec_id"))
+      exact.join(qTop, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy(col("q_id"))
+        .agg((count(lit(1)).cast("double") / 5.0).as("recall5"))
+    }),
+
     // ── brute-force cosine top-5 for query vectors vec_id < 5 ─────────
     "sim_topk_bruteforce" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -233,6 +284,44 @@ object Similarity {
   private def sqlNorm(a: String) = s"sqrt(${sqlDot(a, a)})"
 
   val oracles: Map[String, String] = Map(
+    "sim_quantized_recall" ->
+      s"""WITH x AS (
+         |  SELECT vec_id, r.range AS d, CAST(embedding[r.range + 1] AS DOUBLE) AS v
+         |  FROM embeddings, range($Dim) r),
+         |dims AS (
+         |  SELECT d, min(v) AS lo, max(v) AS hi, (max(v) - min(v)) / 255.0 AS scale
+         |  FROM x GROUP BY d),
+         |rx AS (
+         |  SELECT vec_id, d,
+         |    lo + CAST(CASE WHEN scale = 0 THEN 0
+         |      ELSE CAST(least(255.0, greatest(0.0, floor((v - lo) / scale + 0.5))) AS INTEGER)
+         |      END AS DOUBLE) * scale AS rv
+         |  FROM x JOIN dims USING (d)),
+         |n AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings),
+         |ex AS (
+         |  SELECT q.vec_id AS q_id, e.vec_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      floor((${sqlDot("q.embedding", "e.embedding")} / (q.nrm * e.nrm)) * 1000000 + 0.5) / 1000000 DESC,
+         |      e.vec_id) AS rk
+         |  FROM n q JOIN n e ON q.vec_id < 5 AND e.vec_id <> q.vec_id),
+         |exact5 AS (SELECT q_id, vec_id FROM ex WHERE rk <= 5),
+         |norms AS (SELECT vec_id, sqrt(sum(rv * rv)) AS nrm FROM rx GROUP BY vec_id),
+         |dots AS (
+         |  SELECT q.vec_id AS q_id, e.vec_id, sum(e.rv * q.rv) AS dot
+         |  FROM rx e JOIN rx q ON e.d = q.d AND q.vec_id < 5 AND e.vec_id <> q.vec_id
+         |  GROUP BY 1, 2),
+         |qs AS (
+         |  SELECT q_id, dots.vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY
+         |      floor((dot / (qn.nrm * vn.nrm)) * 1000000 + 0.5) / 1000000 DESC, dots.vec_id) AS rk
+         |  FROM dots
+         |  JOIN norms qn ON qn.vec_id = q_id
+         |  JOIN norms vn ON vn.vec_id = dots.vec_id),
+         |q5 AS (SELECT q_id, vec_id FROM qs WHERE rk <= 5)
+         |SELECT q_id, CAST(count(*) AS DOUBLE) / 5.0 AS recall5
+         |FROM exact5 JOIN q5 USING (q_id, vec_id)
+         |GROUP BY q_id""".stripMargin,
+
     "sim_quantize_int8" ->
       s"""WITH x AS (
          |  SELECT vec_id, r.range AS d, CAST(embedding[r.range + 1] AS DOUBLE) AS v

@@ -60,4 +60,10 @@ class IvfIndexSpec extends SparkSuite {
     assert(bad === 0L)
     assert(q.count() === Tables(spark, sf001, "embeddings").count())
   }
+
+  test("quantized search reproduces the exact top-5 (recall@5 = 1.0)") {
+    val r = SparkEntry.queries("sim_quantized_recall")(spark, sf001).collect()
+    assert(r.length === 5)
+    r.foreach(row => assert(row.getDouble(1) === 1.0, s"q ${row.getLong(0)}"))
+  }
 }
