@@ -9,7 +9,8 @@ val keys = Seq("a1_pricing_summary", "j2_dim_broadcast", "j2_fact_join", "o2_top
   "j3_asof_native", "bloom_prefilter", "layout_zorder", "sk_hll_groups",
   "ev_funnel", "scd2_history", "inc_rollup_merge", "idx_inverted_and", "t8_twap",
   "cdc_apply_latest", "iv_overlap_join", "skew_salted_agg", "skew_salted_join",
-  "simjoin_prefix", "sk_quantile_hist", "samp_leakage_split", "inc_join_merge")
+  "simjoin_prefix", "sk_quantile_hist", "samp_leakage_split", "inc_join_merge",
+  "text_unigram_ppl", "sim_quantize_int8", "sim_quantized_recall", "scd2_asof_snapshot")
 val sb = new StringBuilder
 sb ++= "# PLANS — formatted physical plans of headline queries (sf0.01)\n\n"
 sb ++= "Generated from `df.queryExecution.explainString(FormattedMode)`; regenerate with tools/plans_dump.scala.\n"
