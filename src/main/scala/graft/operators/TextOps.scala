@@ -26,14 +26,18 @@ object TextOps {
     // model, nll(d) = avg_t ln(T / cnt(t)) — high ppl ⇒ the doc's
     // tokens are rare in this corpus (boilerplate/garbage detector at
     // pipeline scale). Two map-side-combined aggregations (corpus
-    // counts, per-doc avg); the vocabulary joins back broadcast. ──────
+    // counts, per-doc avg). The vocabulary join is left UNhinted:
+    // Heaps' law keeps it broadcastable at this SF and AQE picks that
+    // up from runtime stats, but a forced broadcast would be wrong at
+    // a scale where the vocabulary outgrows the driver — the same
+    // plan degrades to a shuffle join on `term` there. ────────────────
     "text_unigram_ppl" -> ((s, dir) => {
       val tk = Tables(s, dir, "documents")
         .select(col("doc_id"), explode(toks).as("term"))
       val vocab = tk.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       val total = vocab.agg(sum(col("cnt")).as("t_total"))
       val nll = avg(log(col("t_total").cast("double") / col("cnt")))
-      tk.join(broadcast(vocab), "term").crossJoin(broadcast(total))
+      tk.join(vocab, "term").crossJoin(broadcast(total))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"),
           Num.roundp(nll, 4).as("nll"),
