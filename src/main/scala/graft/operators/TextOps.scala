@@ -44,6 +44,32 @@ object TextOps {
           Num.roundp(exp(nll), 2).as("ppl"))
     }),
 
+    // ── Bigram LM head: add-one-smoothed P(w2|w1) for the 20 most
+    // frequent head tokens, top-3 continuations each — the n-gram-model
+    // build a dataset-analysis pass runs over a corpus. The global
+    // top-20 heads go through orderBy+limit (TakeOrderedAndProject,
+    // never a vocab-wide window) and join back broadcast; the
+    // continuation rank is a per-head partitioned window. ─────────────
+    "text_bigram_lm" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tk = Tables(s, dir, "documents")
+        .select(col("doc_id"), toks.as("tok"))
+      val bg = tk.select(explode(Text.shingles(col("tok"), 2)).as("b"))
+        .select(split(col("b"), " ").getItem(0).as("w1"),
+          split(col("b"), " ").getItem(1).as("w2"))
+      val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val heads = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+        .orderBy(col("c1").desc, col("w1")).limit(20)
+      val v = tk.select(explode(col("tok")).as("t"))
+        .agg(countDistinct(col("t")).as("v"))
+      val p = (col("c12") + 1).cast("double") / (col("c1") + col("v"))
+      val w = Window.partitionBy(col("w1")).orderBy(p.desc, col("w2"))
+      c12.join(broadcast(heads), "w1").crossJoin(broadcast(v))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
+        .select(col("w1"), col("w2"), col("rk"), Num.roundp(p, 6).as("p"))
+    }),
+
     // ── A2 + X17: explode keywords → frequency table
     // (dags/scripts/spark_daily_report.py:72-75) ──────────────────────
     "a2_token_explode" -> ((s, dir) =>
@@ -131,6 +157,29 @@ object TextOps {
   private val sqlToks = "list_filter(string_split(text, ' '), t -> t <> '')"
 
   val oracles: Map[String, String] = Map(
+    "text_bigram_lm" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tok
+        |  FROM documents),
+        |bg AS (
+        |  SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2
+        |  FROM (SELECT unnest(list_transform(range(len(tok) - 1),
+        |          i -> tok[i+1] || ' ' || tok[i+2])) AS b
+        |        FROM tk WHERE len(tok) >= 2)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |heads AS (
+        |  SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1
+        |  ORDER BY c1 DESC, w1 LIMIT 20),
+        |v AS (SELECT count(DISTINCT t) AS v
+        |      FROM (SELECT unnest(tok) AS t FROM tk)),
+        |ranked AS (
+        |  SELECT c12.w1, w2,
+        |    row_number() OVER (PARTITION BY c12.w1
+        |      ORDER BY CAST(c12 + 1 AS DOUBLE) / (c1 + v) DESC, w2) AS rk,
+        |    floor(CAST(c12 + 1 AS DOUBLE) / (c1 + v) * 1000000 + 0.5) / 1000000 AS p
+        |  FROM c12 JOIN heads USING (w1) CROSS JOIN v)
+        |SELECT w1, w2, rk, p FROM ranked WHERE rk <= 3""".stripMargin,
+
     "text_unigram_ppl" ->
       """WITH tk AS (
         |  SELECT doc_id,

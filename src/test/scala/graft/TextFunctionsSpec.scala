@@ -81,4 +81,18 @@ class TextFunctionsSpec extends SparkSuite {
       abs(exp(col("nll")) - col("ppl")) > col("ppl") * 0.001).count()
     assert(bad === 0L)
   }
+
+  test("bigram LM: 3 continuations per head, valid probabilities, ranks dense") {
+    val d = SparkEntry.queries("text_bigram_lm")(spark, sf001)
+    val perHead = d.groupBy("w1").agg(count(lit(1)).as("n"),
+      sum(col("rk")).as("rksum"), max(col("p")).as("pmax"), min(col("p")).as("pmin"))
+    val bad = perHead.where(col("n") =!= 3 || col("rksum") =!= 6 ||
+      col("pmax") > 1.0 || col("pmin") <= 0.0).count()
+    assert(bad === 0L)
+    assert(d.select("w1").distinct().count() === 20L)
+    // Ranks order by probability: rk 1 has the max p of its head.
+    val w1max = d.where(col("rk") === 1).select(col("w1"), col("p").as("p1"))
+    val incoherent = d.join(w1max, "w1").where(col("p") > col("p1")).count()
+    assert(incoherent === 0L)
+  }
 }
