@@ -103,7 +103,7 @@ object AsOf {
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
     // Fresh exprIds on the right so self-as-of (both sides filtered from
     // the same scan) can't alias attributes across sides.
-    val r = right.select(right.columns.map(c => col(c).as(c)): _*)
+    val r = right.select(right.columns.toIndexedSeq.map(c => col(c).as(c)): _*)
     val lp = left.queryExecution.analyzed
     val rp = r.queryExecution.analyzed
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =

@@ -89,11 +89,11 @@ object Sketches {
   def cmsEstimate(sketch: DataFrame, probes: DataFrame, key: String): DataFrame = {
     val keep = probes.columns.map(col)
     probes.withColumn("h", cmsHash(col(key)))
-      .select((keep :+ col("h")) :+ explode(seeds).as("seed"): _*)
+      .select(((keep :+ col("h")) :+ explode(seeds).as("seed")).toIndexedSeq: _*)
       .withColumn("bucket",
         conv(expr("substring(h, 1 + 8 * seed, 8)"), 16, 10).cast("long") % CmsWidth)
       .join(broadcast(sketch), Seq("seed", "bucket"))
-      .groupBy(keep: _*)
+      .groupBy(keep.toIndexedSeq: _*)
       .agg(min(col("cnt")).as("cms_est"))
   }
 

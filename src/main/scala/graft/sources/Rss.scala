@@ -44,5 +44,5 @@ object Rss {
   /** S2: serialize to the Kafka wire form. */
   def toKafkaJson(df: DataFrame): DataFrame =
     df.select(col("link").as("key"),
-      to_json(struct(df.columns.map(col): _*)).as("value"))
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
 }
