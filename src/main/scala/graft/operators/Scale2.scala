@@ -44,7 +44,7 @@ import org.apache.spark.sql.functions._
   *    window: the anti-pattern this query exists to avoid).
   *
   *  - **Edit-distance battery** (`x_levenshtein`): levenshtein against
-  *    the previous part name within a (mfgr, brand) partition, plus
+  *    the previous part name within a p_brand partition, plus
   *    Spark's banded `levenshtein(l, r, threshold)` variant (early-exit
   *    row-band DP — the form to use in a fuzzy-join hot path).
   *
