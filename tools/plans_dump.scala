@@ -11,6 +11,40 @@ val keys = Seq("a1_pricing_summary", "j2_dim_broadcast", "j2_fact_join", "o2_top
   "cdc_apply_latest", "iv_overlap_join", "skew_salted_agg", "skew_salted_join",
   "simjoin_prefix", "sk_quantile_hist", "samp_leakage_split", "inc_join_merge",
   "text_unigram_ppl", "sim_quantize_int8", "sim_quantized_recall", "scd2_asof_snapshot")
+// One-line reviewed finding per plan: what the physical plan must show
+// (and does — PlanSpec pins the load-bearing ones as assertions).
+val notes: Map[String, String] = Map(
+  "a1_pricing_summary" -> "PushedFilters carries the shipdate bound into the parquet scan; partial+final HashAggregate around one exchange.",
+  "j2_dim_broadcast" -> "Dimension side builds a BroadcastExchange — no shuffle of the fact table.",
+  "j2_fact_join" -> "Fact-fact join shuffles both sides on the key once; AQE coalesces post-shuffle partitions.",
+  "o2_topk_parts" -> "TakeOrderedAndProject — engine-side top-k, not sort-the-world + limit.",
+  "dedup_minhash_lsh" -> "Band self-join keys on (band, key): only bucket collisions meet; minhash build is map-side partial-aggregated.",
+  "sim_topk_bruteforce" -> "Query set broadcast; VecDot codegen expressions inline in the scan stage; per-query rank via WindowGroupLimit.",
+  "t5_sessionize" -> "One exchange on user_id serves both session windows (gap detection + rollup).",
+  "f5_date_range_agg" -> "Both date bounds reach PushedFilters; ReadSchema prunes to the aggregated columns.",
+  "sql_q5_region_revenue" -> "Region predicate pushed into the region scan; dims broadcast up the join tree.",
+  "sql_q10_returned" -> "Top-20 via TakeOrderedAndProject with the returnflag filter at the lineitem scan.",
+  "text_tfidf_topterms" -> "WindowGroupLimit prunes to top-3 per doc before the full sort would materialize.",
+  "samp_stratified" -> "md5-threshold filter evaluates in the scan stage — sampling never shuffles.",
+  "j3_asof_native" -> "Custom AsOfJoinExec: ClusteredDistribution on the key + (key, time) sort per side, then a streaming sorted merge.",
+  "bloom_prefilter" -> "The bit-set build aggregates to <= BloomBits rows and broadcasts back over the probe side.",
+  "layout_zorder" -> "Morton interleave is pure shift/mask projection — WholeStageCodegen, no exchange.",
+  "sk_hll_groups" -> "Register table partial-aggregates map-side; the estimate derives from a sketch-sized exchange.",
+  "ev_funnel" -> "All three stages cluster on user_id — a single hashpartitioning key throughout.",
+  "scd2_history" -> "Both window passes + the rollup sit inside ONE user_id exchange (PlanSpec-pinned).",
+  "inc_rollup_merge" -> "Base and delta rollups partial-aggregate independently; the merge is a re-aggregation of rollup-sized input.",
+  "cdc_apply_latest" -> "No Window operator: max_by(struct) plans as partial+final SortAggregate around one user_id exchange (PlanSpec-pinned).",
+  "iv_overlap_join" -> "The theta predicate never reaches a BNL: binning makes it an equi-join on bin (PlanSpec-pinned), exact predicate re-checked after.",
+  "skew_salted_agg" -> "Two-phase aggregation: the (k, salt) partial splits the hot group across tasks before the final k-only exchange.",
+  "skew_salted_join" -> "The salt-replicated dim broadcasts; the fact side's probe spreads over NumSalts hash slots.",
+  "simjoin_prefix" -> "Verify side joins collected arrays (array_intersect, PlanSpec-pinned) — no candidate x token explode; windows run per doc / per token partition.",
+  "sk_quantile_hist" -> "The cumulative window runs over the histogram (bins per group), never the data; the histogram build is one map-side-combined exchange.",
+  "samp_leakage_split" -> "The cluster map joins the corpus as the small side; split hashing is scan-stage arithmetic.",
+  "inc_join_merge" -> "Three delta-term joins reuse the o_orderkey clustering; A0 x B0 is never rejoined.",
+  "text_unigram_ppl" -> "Vocabulary join left unhinted — AQE broadcasts it at these SFs; degrades to a shuffle join when the vocab outgrows the driver.",
+  "sim_quantize_int8" -> "64-row dim stats broadcast; code arithmetic is codegen'd scan-stage math; per-vector rollup is one exchange.",
+  "sim_quantized_recall" -> "Quantized dot as join-aggregate over exploded dims; both rankings via WindowGroupLimit.",
+  "scd2_asof_snapshot" -> "The point-in-time filter applies over the history windows — no second event-log scan.")
 val sb = new StringBuilder
 sb ++= "# PLANS — formatted physical plans of headline queries (sf0.01)\n\n"
 sb ++= "Generated from `df.queryExecution.explainString(FormattedMode)`; regenerate with tools/plans_dump.scala.\n"
@@ -18,7 +52,9 @@ sb ++= "Reviewed for: parquet filter pushdown + ReadSchema pruning, broadcast vs
 sb ++= "TakeOrderedAndProject top-k, partial+final aggregation, and whole-stage codegen spans.\n\n"
 keys.foreach { k =>
   val plan = SparkEntry.queries(k)(spark, dir).queryExecution.explainString(ExplainMode.fromString("formatted"))
-  sb ++= s"## $k\n\n```\n$plan```\n\n"
+  sb ++= s"## $k\n\n"
+  notes.get(k).foreach(n => sb ++= s"_Reviewed: ${n}_\n\n")
+  sb ++= s"```\n$plan```\n\n"
 }
 java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/PLANS.md"), sb.toString)
 println("WROTE PLANS.md " + sb.length)
