@@ -118,7 +118,7 @@ object Scale2 {
     // key. Integer-cent measures make the re-association exact. ──────
     "skew_salted_agg" -> ((s, dir) => {
       val partial = Tables(s, dir, "lineitem")
-        .select(skewKey.as("k"), (col("l_linenumber") % NumSalts).as("salt"),
+        .select(skewKey.as("k"), ((col("l_orderkey") + col("l_linenumber")) % NumSalts).as("salt"),
           col("l_quantity").cast("long").as("qty"),
           cents(col("l_extendedprice")).as("price_c"))
         .groupBy(col("k"), col("salt"))
@@ -136,7 +136,7 @@ object Scale2 {
         .select(col("s_suppkey"), col("s_nationkey"))
         .withColumn("salt", explode(sequence(lit(0), lit(NumSalts - 1))))
       val li = Tables(s, dir, "lineitem").select(
-        col("l_suppkey"), (col("l_linenumber") % NumSalts).as("salt"),
+        col("l_suppkey"), ((col("l_orderkey") + col("l_linenumber")) % NumSalts).as("salt"),
         cents(col("l_extendedprice")).as("price_c"))
       li.join(sup,
           li("l_suppkey") === sup("s_suppkey") && li("salt") === sup("salt"))
