@@ -40,6 +40,27 @@ object Events {
         .select(col("user_id"), col("hour_ts"), coalesce(col("n"), lit(0L)).as("n"))
     }),
 
+    // ── OHLC resample: 6-hour bars per event type — open/close are the
+    // values at the bar's first/last event under a TOTAL order. The
+    // order key is the fixed-width "(us, event_id)" string: zero-padded
+    // concatenation makes lexicographic = numeric, giving min_by/max_by
+    // a single portable argument (a bare `us` would be nondeterministic
+    // on timestamp ties — latent here, fatal on real tick data). One
+    // map-side-combined aggregation; no window, no sort. ──────────────
+    "t9_resample_ohlc" -> ((s, dir) => {
+      val ordKey = format_string("%020d%010d", unix_micros(col("ts")), col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("event_type"),
+          floor(unix_micros(col("ts")) / (6L * 3600 * 1000000)).as("bar"),
+          col("value"), ordKey.as("ok"))
+        .groupBy(col("event_type"), col("bar"))
+        .agg(count(lit(1)).as("n"),
+          Num.roundp(min_by(col("value"), col("ok")), 4).as("open"),
+          Num.roundp(max(col("value")), 4).as("high"),
+          Num.roundp(min(col("value")), 4).as("low"),
+          Num.roundp(max_by(col("value"), col("ok")), 4).as("close"))
+    }),
+
     // ── T5-adjacent: sessionization by 30-min inactivity gaps ─────────
     "t5_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -109,6 +130,20 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "t9_resample_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch_us(ts) / 21600000000) AS BIGINT) AS bar,
+        |    value,
+        |    printf('%020d%010d', epoch_us(ts), event_id) AS ok
+        |  FROM events)
+        |SELECT event_type, bar, count(*) AS n,
+        |  floor(arg_min(value, ok) * 10000 + 0.5) / 10000 AS open,
+        |  floor(max(value) * 10000 + 0.5) / 10000 AS high,
+        |  floor(min(value) * 10000 + 0.5) / 10000 AS low,
+        |  floor(arg_max(value, ok) * 10000 + 0.5) / 10000 AS close
+        |FROM e GROUP BY 1, 2""".stripMargin,
+
     "t4_hourly_window" ->
       """SELECT date_trunc('hour', ts) AS hour_ts, count(*) AS n,
         |  floor((sum(value)) * 100 + 0.5) / 100 AS sum_value,

@@ -87,4 +87,14 @@ class OperatorSpec extends SparkSuite {
     // entry() smoke
     assert(SparkEntry.entry(spark).collect().length > 0)
   }
+
+  test("ohlc bars: low <= open/close <= high, counts tile the event log") {
+    val bars = SparkEntry.queries("t9_resample_ohlc")(spark, sf001)
+    val bad = bars.where(col("low") > col("open") || col("low") > col("close") ||
+      col("high") < col("open") || col("high") < col("close") ||
+      col("low") > col("high")).count()
+    assert(bad === 0L)
+    val total = bars.agg(sum(col("n"))).head().getLong(0)
+    assert(total === Tables(spark, sf001, "events").count())
+  }
 }
