@@ -34,7 +34,18 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
+    // Cache hygiene: session-lifetime memos (Dedup.materialized, the CC
+    // memo, SimJoin persists) are useful WITHIN a query family but were
+    // found to pressure the heap for the alphabetically-later scalar
+    // batteries. Drop everything at each family boundary (prefix before
+    // the first '_') so no query is charged for another family's cache.
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = os.getSystemLoadAverage
+    var prevFam = ""
     val results = selected.map { case (name, fn) =>
+      val fam = name.takeWhile(_ != '_')
+      if (prevFam.nonEmpty && fam != prevFam) spark.catalog.clearCache()
+      prevFam = fam
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -42,10 +53,11 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val loadEnd = os.getSystemLoadAverage
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg_start":$loadStart,"load_avg_end":$loadEnd}""")
     spark.stop()
   }
 }

@@ -86,11 +86,25 @@ object DedupCluster {
     * turns three full re-propagations into cache hits (the iterative
     * var-rebinding inside connectedComponents defeats Spark's
     * analyzed-plan cache matching, so the memo must live here). */
+  // Weak-keyed on the session object itself (SparkSession doesn't
+  // override equals, so WeakHashMap compares by identity): entries can
+  // never alias across sessions (identityHashCode could collide) and
+  // are reclaimable once the session is garbage.
   private val ccCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
-  def lshClusters(s: SparkSession, dir: String): DataFrame =
-    ccCache.getOrElseUpdate((System.identityHashCode(s), dir),
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]()
+  def lshClusters(s: SparkSession, dir: String): DataFrame = {
+    val perSession = ccCache.synchronized {
+      var m = ccCache.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        ccCache.put(s, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(dir,
       connectedComponents(Dedup.lshCandidatesRaw(s, dir)))
+  }
 
   val queries: Map[String, Relational.Q] = Map(
 

@@ -46,7 +46,13 @@ object Events {
     // concatenation makes lexicographic = numeric, giving min_by/max_by
     // a single portable argument (a bare `us` would be nondeterministic
     // on timestamp ties — latent here, fatal on real tick data). One
-    // map-side-combined aggregation; no window, no sort. ──────────────
+    // map-side-combined aggregation; no window, no sort.
+    // DOMAIN: lexicographic = numeric only holds for epoch_us >= 0
+    // (post-1970 timestamps) and event_id < 10^10 — "%020d" / "%010d"
+    // render a '-' sign or overflow the pad width otherwise. Both hold
+    // for the events table by construction; pre-epoch data would need
+    // an offset (us - MIN_US) and a wider id pad. DuckDB's printf
+    // formats identically, so the oracle shares the assumption. ───────
     "t9_resample_ohlc" -> ((s, dir) => {
       val ordKey = format_string("%020d%010d", unix_micros(col("ts")), col("event_id"))
       Tables(s, dir, "events")

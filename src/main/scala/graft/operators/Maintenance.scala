@@ -153,8 +153,8 @@ object Maintenance {
   def oracles: Map[String, String] = Map(
     // The identity under test: incremental refresh == full recompute.
     "inc_join_merge" ->
-      """SELECT o_orderpriority, count(*) AS n,
-        |  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev_cents
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
 

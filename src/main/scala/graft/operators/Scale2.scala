@@ -199,14 +199,14 @@ object Scale2 {
       """SELECT
         |  CASE WHEN l_orderkey % 10 < 7 THEN 'hot'
         |       ELSE 'k' || CAST(l_orderkey % 100 AS VARCHAR) END AS k,
-        |  count(*) AS n_rows,
-        |  sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-        |  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_price_cents
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents
         |FROM lineitem GROUP BY 1""".stripMargin,
 
     "skew_salted_join" ->
-      """SELECT s_nationkey, count(*) AS n_items,
-        |  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev_cents
+      """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey""".stripMargin,
 

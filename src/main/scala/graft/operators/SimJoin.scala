@@ -76,10 +76,17 @@ object SimJoin {
     * the explode form shuffles Σ|cand|·|doc| rows (measured 21 M at
     * sf0.1 for 409 k candidates), the array form |cand| rows. */
   def prefixJoin(exRaw: DataFrame, tau: Double): DataFrame = {
-    // Several consumers derive from the set view — persist it eagerly
-    // (lazy persist would let concurrent first-action stages each
-    // recompute the lineage).
-    val ex = exRaw.persist(); ex.count()
+    // Several consumers derive from the set view — it must be cached.
+    // The query path hands in the already-persisted Dedup.shingleRows
+    // view (Dataset.storageLevel resolves through the cache manager by
+    // analyzed plan), so re-persisting would double-cache it; only
+    // persist here when the caller didn't, and then release the cache
+    // before returning (the verified pair set is materialized first, so
+    // repeated ad-hoc invocations — the ScalaCheck corpora — can't
+    // accumulate shingle-table cache entries).
+    val preCached = exRaw.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val ex = exRaw
+    if (!preCached) { ex.persist(); ex.count() }
 
     // Global element order: ascending document frequency, then value.
     // No materialized rank is needed — (df, tok) IS the order, so the
@@ -117,8 +124,17 @@ object SimJoin {
       .withColumn("i", size(array_intersect(col("toks_a"), col("toks_b"))))
     val jacc = col("i").cast("double") /
       (col("sz_a") + col("sz_b") - col("i")).cast("double")
-    verified.where(jacc >= tau)
+    val result = verified.where(jacc >= tau)
       .select(col("a"), col("b"), Num.roundp(jacc, 4).as("jacc"))
+    if (preCached) result
+    else {
+      // Pin the (small) verified pair set, then free the shingle cache
+      // this call created. localCheckpoint also truncates the lineage,
+      // so nothing downstream can re-trigger the unpersisted scan.
+      val out = result.localCheckpoint(true)
+      ex.unpersist(blocking = false)
+      out
+    }
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

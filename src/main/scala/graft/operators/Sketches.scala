@@ -267,7 +267,7 @@ object Sketches {
         |  min(CASE WHEN cum >= ceil(n * 0.5)  THEN (bin + 1) * 256 END) AS p50_ub,
         |  min(CASE WHEN cum >= ceil(n * 0.95) THEN (bin + 1) * 256 END) AS p95_ub,
         |  min(CASE WHEN cum >= ceil(n * 0.99) THEN (bin + 1) * 256 END) AS p99_ub,
-        |  max(n) AS n
+        |  CAST(max(n) AS BIGINT) AS n
         |FROM cum GROUP BY g""".stripMargin,
 
     "sk_cms_heavy" ->
