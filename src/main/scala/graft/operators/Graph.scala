@@ -81,50 +81,89 @@ object Graph {
       .select(col("u"), col("v")).distinct()
   }
 
+  /** One propagation round as a plan (shared by the loop and the plan-
+    * pinning spec): inflow aggregation + damped update. `bcast` selects
+    * the physical strategy for BOTH node-sized joins — broadcast (edges
+    * never shuffle) vs co-partitioned shuffle join (for graphs whose
+    * node set outgrows executor memory; `eDeg`/`nodes` arrive pre-hash-
+    * partitioned on the join keys, so only the node-sized side moves). */
+  private[graft] def prRound(eDeg: DataFrame, nodes: DataFrame,
+      pr: DataFrame, n: Double, damping: Double, bcast: Boolean): DataFrame = {
+    def hint(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    val inflow = eDeg
+      .join(hint(pr.withColumnRenamed("node", "src")), "src")
+      .select(col("dst").as("node"), (col("pr") / col("deg")).as("c"))
+      .groupBy("node").agg(sum(col("c")).as("inflow"))
+    nodes
+      .join(hint(inflow), Seq("node"), "left")
+      .select(col("node"),
+        (lit((1 - damping) / n) +
+          lit(damping) * coalesce(col("inflow"), lit(0.0))).as("pr"))
+  }
+
+  /** Node count above which the per-round rank vector stops being
+    * broadcast and the co-partitioned shuffle formulation engages. At
+    * ~16 bytes/row a 50 M-node rank vector is ~1 GB per executor —
+    * around the practical broadcast ceiling on a standard 8-16 GB
+    * executor; beyond it the rank vector must move through the shuffle,
+    * not the driver. */
+  val PrBroadcastMaxNodes = 50L * 1000 * 1000
+
   /** Simplified PageRank, fixed iteration count: uniform init 1/N, then
     * pr'(v) = (1-d)/N + d·Σ_{u→v} pr(u)/outdeg(u). Dangling mass (nodes
     * with no out-edges) is dropped, not redistributed — ranks sum to < 1,
     * which is fine for the relative-ordering use and keeps the oracle an
-    * exact SQL unroll. Returns (node, pr) for every node. */
-  def pageRank(edges: DataFrame, iters: Int = PrIters, damping: Double = Damping): DataFrame = {
+    * exact SQL unroll. Returns (node, pr) for every node.
+    *
+    * Physical strategy is size-switched on the MEASURED node count (it
+    * is already counted for the 1/N init, so the switch is free):
+    *  - n ≤ broadcastMaxNodes: the rank vector is node-sized — broadcast
+    *    it into the edge scan, so edges never shuffle; the only shuffle
+    *    per round is the map-side-combined inflow aggregation.
+    *  - n > broadcastMaxNodes: broadcasting would OOM the executors —
+    *    pre-hash-partition the edge list on `src` (and the node list on
+    *    `node`) ONCE outside the loop; each round's joins then reuse
+    *    that partitioning (persisted InMemoryRelation reports its
+    *    outputPartitioning), so only the node-sized rank vector moves
+    *    per round, never the edges. */
+  def pageRank(edges: DataFrame, iters: Int = PrIters, damping: Double = Damping,
+      broadcastMaxNodes: Long = PrBroadcastMaxNodes): DataFrame = {
     val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
+    val nodes0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = nodes.count().toDouble
+    val nodesPre = nodes0.persist(StorageLevel.MEMORY_AND_DISK)
+    val nCount = nodesPre.count()
+    val n = nCount.toDouble
+    val bcast = nCount <= broadcastMaxNodes
+    val nodes =
+      if (bcast) nodesPre
+      else {
+        // Shuffle mode: pin the partitioning the per-round joins need.
+        val repart = nodes0.repartition(col("node"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        repart.count()
+        nodesPre.unpersist(blocking = false)
+        repart
+      }
     // Degree is static — join it onto the edges once, outside the loop
     // (degrees are node-sized: broadcast, no edge shuffle).
-    val eDeg = e
+    val eDeg0 = e
       .join(broadcast(e.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))), "src")
+    val eDeg = (if (bcast) eDeg0 else eDeg0.repartition(col("src")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     eDeg.count()
     e.unpersist(blocking = false)
     var pr = nodes.select(col("node"), lit(1.0 / n).as("pr"))
     var prevPersisted: DataFrame = null
     for (_ <- 1 to iters) {
-      // The rank vector is node-sized (dimensions of the bipartite
-      // graph), orders of magnitude smaller than the edge list —
-      // broadcast it so the per-iteration join never shuffles the
-      // edges; the only shuffle left per round is the inflow agg,
-      // already map-side-combined. (On a graph whose node set outgrows
-      // broadcast, drop the hint and the same plan degrades gracefully
-      // to a co-partitioned shuffle join.)
-      val inflow = eDeg
-        .join(broadcast(pr.withColumnRenamed("node", "src")), "src")
-        .select(col("dst").as("node"), (col("pr") / col("deg")).as("c"))
-        .groupBy("node").agg(sum(col("c")).as("inflow"))
       // Materialize each round before the next consumes it: the next
       // round's broadcast would otherwise re-execute this round's plan
       // lazily (nested broadcast exchanges rebuild their child plans,
       // they don't remember prior collections), turning 3 rounds of
       // work into 1+2+3. The persist keeps lineage one round deep; the
       // predecessor is freed eagerly.
-      val next = nodes
-        .join(broadcast(inflow), Seq("node"), "left")
-        .select(col("node"),
-          (lit((1 - damping) / n) +
-            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("pr"))
+      val next = prRound(eDeg, nodes, pr, n, damping, bcast)
         .persist(StorageLevel.MEMORY_AND_DISK)
       next.count()
       if (prevPersisted != null) prevPersisted.unpersist(blocking = false)

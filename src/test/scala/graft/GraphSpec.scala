@@ -54,6 +54,37 @@ class GraphSpec extends SparkSuite {
     assert(edges <= Graph.coPurchaseEdges(spark, sf001).count())
   }
 
+  test("pageRank switches broadcast → shuffle join above the node ceiling") {
+    val edges = Seq(("a", "c"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    // Force a deterministic physical choice: with auto-broadcast off,
+    // any BroadcastHashJoin in the round plan can only come from our
+    // explicit hint.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def roundPlan(bcast: Boolean): String = {
+        val nodes = edges.select(col("src").as("node"))
+          .union(edges.select(col("dst").as("node"))).distinct()
+        val eDeg = edges.join(
+          edges.groupBy("src").agg(count(lit(1)).cast("double").as("deg")), "src")
+        val pr0 = nodes.select(col("node"), lit(0.25).as("pr"))
+        Graph.prRound(eDeg, nodes, pr0, 4.0, 0.85, bcast)
+          .queryExecution.executedPlan.toString
+      }
+      assert(roundPlan(bcast = true).contains("BroadcastHashJoin"),
+        "below the ceiling the rank vector must broadcast")
+      assert(!roundPlan(bcast = false).contains("BroadcastHashJoin"),
+        "above the ceiling the rank vector must move through the shuffle")
+      // And the two formulations agree bit-for-bit on the ranks.
+      val bPr = Graph.pageRank(edges, iters = 3, damping = 0.85)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val sPr = Graph.pageRank(edges, iters = 3, damping = 0.85,
+          broadcastMaxNodes = 0L) // every graph is "too big" → shuffle mode
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(bPr == sPr)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("weighted reservoir keys recompute exactly from the md5 uniform") {
     val rows = SparkEntry.queries("samp_weighted_reservoir")(spark, sf001).collect()
     assert(rows.length === 100)
