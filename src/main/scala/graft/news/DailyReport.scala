@@ -77,9 +77,11 @@ object DailyReport {
 
   /** R5: noun frequencies for the word cloud (:231-240) — distributed
     * tokenizer expression instead of the reference's driver-side Okt
-    * loop (:31-36). */
+    * loop (:31-36). Uses the stemmed (josa/verb-ending-stripped)
+    * variant so 정부/정부는/정부가 aggregate into one cloud term, as
+    * Okt.nouns() would produce. */
   def nounFrequencies(day: DataFrame): DataFrame =
-    day.select(explode(Enrichers.hangulNounsExpr(col("content"))).as("noun"))
+    day.select(explode(Enrichers.hangulNounsStemmedExpr(col("content"))).as("noun"))
       .groupBy(col("noun")).agg(count(lit(1)).as("count"))
       .orderBy(col("count").desc, col("noun"))
 

@@ -81,6 +81,82 @@ object Enrichers {
     filter(split(regexp_replace(text, "[^가-힣]+", " "), " "),
       t => length(t) >= 2)
 
+  // ── U6, morphological variant ──────────────────────────────────────
+  // The reference runs KoNLPy Okt (spark_daily_report.py:31-36), a full
+  // morphological analyzer. No Korean NLP library ships in this
+  // environment, so the stemmed path is a heuristic analyzer: per
+  // Hangul eojeol, strip one verbalizer ending (발표했다 → 발표 — the
+  // X하다 Sino-Korean verb pattern), then one trailing josa (정부는 →
+  // 정부), each only when ≥2 chars survive (회의 must NOT lose its 의).
+  // Suffix lists are longest-first so the regex alternation picks the
+  // longest match (에서는 before 에서 before 는). A real analyzer
+  // (Okt/KOMORAN on the classpath) plugs in behind [[KoreanTokenizer]]
+  // without touching callers; the expression default keeps the word
+  // cloud distributed and codegen-friendly.
+
+  /** Verbalizer endings (하다/되다 conjugations), longest-first. */
+  private[udfs] val VerbEndings: Seq[String] = Seq(
+    "했습니다", "됐습니다", "됩니다", "합니다", "하면서", "되면서",
+    "하고는", "했다가", "했는데", "되는데", "하는데",
+    "했으며", "되었으며", "하였으며", "되었다", "하였다",
+    "했다", "한다", "하다", "됐다", "된다", "되다", "하여", "해서",
+    "하는", "되는", "하며", "되며", "하고", "되고", "할", "된", "한")
+
+  /** Post-nominal particles (josa), longest-first. */
+  private[udfs] val Josa: Seq[String] = Seq(
+    "에서부터", "으로부터", "이라고는", "에게서", "한테서", "으로서",
+    "으로써", "이라고", "에서는", "에서도", "이라는", "까지는",
+    "부터는", "에게는", "보다는", "라고", "로서", "로써", "라는",
+    "에서", "에게", "한테", "처럼", "보다", "마다", "밖에", "조차",
+    "마저", "까지", "부터", "든지", "이나", "이란", "과는", "와는",
+    "으로", "에는", "에도", "은", "는", "이", "가", "을", "를", "의",
+    "에", "와", "과", "도", "만", "나", "로", "란")
+
+  private def stripSuffix(tok: Column, alt: Seq[String]): Column = {
+    val stripped = regexp_replace(tok, s"(${alt.mkString("|")})$$", "")
+    when(length(stripped) >= 2, stripped).otherwise(tok)
+  }
+
+  /** One eojeol → its noun-ish stem (expression form). */
+  def nounStemExpr(tok: Column): Column =
+    stripSuffix(stripSuffix(tok, VerbEndings), Josa)
+
+  /** U6 stemmed: Hangul runs with verb endings and josa stripped —
+    * the word-cloud tokenization that approximates Okt.nouns(). */
+  def hangulNounsStemmedExpr(text: Column): Column =
+    transform(hangulNounsExpr(text), t => nounStemExpr(t))
+
+  /** Pluggable morphological analyzer seam (the Okt slot). Must be
+    * cheap per call and safe to construct per partition. */
+  trait KoreanTokenizer extends Serializable {
+    def nouns(text: String): Seq[String]
+  }
+
+  /** JVM-side twin of [[hangulNounsStemmedExpr]] — same suffix tables,
+    * same ≥2-char guards — for the `mapPartitions`/driver paths. The
+    * spec pins the two implementations against each other. */
+  object HeuristicNounTokenizer extends KoreanTokenizer {
+    private val hangulRun = java.util.regex.Pattern.compile("[가-힣]+")
+    // Longest matching suffix, to mirror the regex form exactly: an
+    // anchored alternation's leftmost match IS the longest listed
+    // suffix, whatever the list order.
+    private def strip(tok: String, suffixes: Seq[String]): String =
+      suffixes.filter(tok.endsWith).maxByOption(_.length) match {
+        case Some(sfx) if tok.length - sfx.length >= 2 =>
+          tok.substring(0, tok.length - sfx.length)
+        case _ => tok
+      }
+    def nouns(text: String): Seq[String] = {
+      val m = hangulRun.matcher(text)
+      val out = Seq.newBuilder[String]
+      while (m.find()) {
+        val t = m.group()
+        if (t.length >= 2) out += strip(strip(t, VerbEndings), Josa)
+      }
+      out.result()
+    }
+  }
+
   /** U4: crawl-text post-filter (collect/consumer.py:92-113) — the HTTP
     * fetch itself is environment-dependent; its text-cleaning semantics
     * are [[Text.hangulFilter]]. */

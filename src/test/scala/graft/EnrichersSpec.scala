@@ -46,6 +46,37 @@ class EnrichersSpec extends SparkSuite {
     assert(r == Seq("오늘", "기술이", "발전했다"))
   }
 
+  test("stemmed nouns strip josa and verb endings, never over-strip") {
+    val cases = Seq(
+      "정부는 오늘 새로운 정책을 발표했다" ->
+        Seq("정부", "오늘", "새로운", "정책", "발표"),
+      // 회의/의자 keep their final syllable (remainder guard ≥2);
+      // longest-suffix wins (학교에서는 → 학교, not 학교에서).
+      "회의 의자 학교에서는" -> Seq("회의", "의자", "학교"),
+      "반도체가 경제를 바꾼다" -> Seq("반도체", "경제", "바꾼다"))
+    cases.foreach { case (text, expect) =>
+      val got = Seq(text).toDF("s")
+        .select(Enrichers.hangulNounsStemmedExpr(col("s")).as("n"))
+        .collect().head.getAs[scala.collection.Seq[String]]("n")
+      assert(got == expect, s"expr path on '$text'")
+      // The JVM tokenizer (the Okt plug-in seam) must agree exactly.
+      assert(Enrichers.HeuristicNounTokenizer.nouns(text) == expect,
+        s"jvm path on '$text'")
+    }
+  }
+
+  test("expr and JVM stemmers agree across the Korean fixture") {
+    val texts = spark.read.json("src/test/resources/news_archive_fixture.jsonl")
+      .select(col("content")).collect().map(_.getString(0)).filter(_ != null)
+    assert(texts.nonEmpty)
+    texts.foreach { t =>
+      val viaExpr = Seq(t).toDF("s")
+        .select(Enrichers.hangulNounsStemmedExpr(col("s")).as("n"))
+        .collect().head.getAs[scala.collection.Seq[String]]("n").toSeq
+      assert(viaExpr == Enrichers.HeuristicNounTokenizer.nouns(t), s"on: $t")
+    }
+  }
+
   test("enrich produces valid closed-set category and typed columns") {
     val df = Seq(("l1", "코스피 급등")).toDF("link", "summary")
     val out = Enrichers.enrich(df, "summary", 8)
