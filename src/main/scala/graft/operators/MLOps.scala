@@ -53,9 +53,294 @@ object MLOps {
         .fit(df)
       model.transform(df)
         .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
-    })
+    }),
+
+    // ── M1b/M2b: the ORACLE-VERIFIED twins. spark.ml's PCA is sign-
+    // ambiguous and its kmeans|| init engine-private, so m1/m2 can only
+    // ever be rows-only checked. These twins pin every ambiguity to a
+    // convention — deterministic init, fixed iteration count, per-round
+    // quantization, largest-|loading| sign — which makes the identical
+    // algorithm expressible as unrolled DuckDB SQL and the results
+    // hash-comparable across engines. ─────────────────────────────────
+    "m1b_pca_power" -> ((s, dir) => pcaPower(s, dir)),
+    "m2b_kmeans_lloyd" -> ((s, dir) => lloydKMeans(s, dir))
   )
 
-  /** No oracles: see scaladoc. */
-  val oracles: Map[String, String] = Map.empty
+  private val Dim = 64
+  private val Quant = 1e6     // μ / centroid / eigenvector grid
+  private val QuantM = 1e7    // covariance-matrix grid
+  private val Squarings = 12  // C^(2^12): residual (λ2/λ1)^4096 ≈ 0
+  private val LloydIters = 3  // assignment rounds (2 centroid updates)
+
+  /** Embeddings as array<double>, cached (shared across both twins and
+    * every iteration's job). Float→double widening is exact, so both
+    * engines start from bit-identical values. */
+  private def embDouble(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .cache()
+
+  private def quantize(x: Double): Double = math.floor(x * Quant + 0.5) / Quant
+  private def quantizeM(x: Double): Double = math.floor(x * QuantM + 0.5) / QuantM
+
+  /** Largest-|loading| sign convention: flip so the component with the
+    * largest absolute value (smallest index on ties) is positive. */
+  private def signFix(w: Array[Double]): Array[Double] = {
+    val j = w.indices.maxBy(i => (math.abs(w(i)), -i))
+    if (w(j) < 0) w.map(-_) else w
+  }
+
+  /** 2^ceil(log2(x)) — the rescale divisor for the squaring chain. A
+    * power of two divides EXACTLY in binary floating point, so the two
+    * engines' ~1e-15 disagreement on max|P| cannot leak into every
+    * entry the way a data-valued divisor would; computed without log()
+    * here (getExponent) because java log(x)/log(2) and DuckDB's log2
+    * need not round identically. */
+  private def pow2Ceil(x: Double): Double = {
+    val e = Math.getExponent(x)
+    if (x == Math.scalb(1.0, e)) x else Math.scalb(1.0, e + 1)
+  }
+
+  /** One squaring round: P = M·M, rescaled by 2^ceil(log2(max|P|)) and
+    * quantized. k rounds take M to ~C^(2^k)/scale — numerically rank-1
+    * in the dominant eigendirection once (λ2/λ1)^(2^k) sinks below the
+    * grid. Matrix is Dim×Dim (driver-sized — this is the same division
+    * of labor as spark.ml: data-sized work distributed, coefficient-
+    * sized math on the driver). */
+  private def square(m: Array[Array[Double]]): Array[Array[Double]] = {
+    val p = Array.ofDim[Double](Dim, Dim)
+    var i = 0
+    while (i < Dim) {
+      var j = 0
+      while (j < Dim) {
+        var s = 0.0; var k = 0
+        while (k < Dim) { s += m(i)(k) * m(k)(j); k += 1 }
+        p(i)(j) = s; j += 1
+      }
+      i += 1
+    }
+    val mx = p.map(_.map(math.abs).max).max
+    val s0 = pow2Ceil(mx)
+    p.map(_.map(x => quantizeM(x / s0)))
+  }
+
+  /** Dominant eigenvector of a quantized symmetric matrix via repeated
+    * squaring, extracted by one application to the 1/√64 vector, unit-
+    * normalized, quantized, sign-fixed. */
+  private def topEigenvector(c: Array[Array[Double]]): Array[Double] = {
+    var m = c
+    for (_ <- 1 to Squarings) m = square(m)
+    val u = m.map { row =>
+      var s = 0.0; var j = 0
+      while (j < Dim) { s += row(j) * 0.125; j += 1 }
+      s
+    }
+    val norm = math.sqrt(u.map(x => x * x).sum)
+    signFix(u.map(x => quantize(x / norm)))
+  }
+
+  /** PCA k=2, the scalable split: ONE distributed pass builds the μ
+    * vector and the Dim×Dim covariance (map-side-combined wide
+    * aggregate — only 2 081 partials per partition ever shuffle, the
+    * data never moves), then the eigenproblem runs on the driver-sized
+    * matrix by repeated squaring — C^(2^12) isolates the dominant
+    * eigendirection even at the near-isotropic eigengaps (λ2/λ1 ≈
+    * 0.98) where step-wise power iteration needs 500+ passes. PC2 by
+    * matrix deflation C − λ1·w1w1ᵀ. Every intermediate is quantized
+    * (μ/w at 1e-6, matrix at 1e-7): both engines' floating sums differ
+    * at ~1e-15 from reordering alone, and the grids collapse those to
+    * one representative, which is what lets an unrolled DuckDB oracle
+    * reproduce the projection bit-for-bit. Coordinates rounded 1e-4,
+    * sign fixed by the largest-|loading| convention. */
+  def pcaPower(s: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(s, dir)
+    // μ per dimension + n, one pass, quantized.
+    val muExprs = (0 until Dim).map(j => avg(col("v")(j)).as(s"m$j")) :+
+      count(lit(1)).as("n")
+    val muRow = e.agg(muExprs.head, muExprs.tail: _*).head()
+    val mu = Array.tabulate(Dim)(j => quantize(muRow.getDouble(j)))
+    val n = muRow.getLong(Dim)
+    val ec = e.select(col("vec_id"),
+      zip_with(col("v"), lit(mu), (x, m) => x - m).as("v")).cache()
+
+    // Upper-triangle covariance in one wide aggregate, mirrored.
+    val pairs = for { i <- 0 until Dim; j <- i until Dim } yield (i, j)
+    val covExprs = pairs.map { case (i, j) =>
+      sum(col("v")(i) * col("v")(j)).as(s"c${i}_$j") }
+    val covRow = ec.agg(covExprs.head, covExprs.tail: _*).head()
+    val c = Array.ofDim[Double](Dim, Dim)
+    pairs.zipWithIndex.foreach { case ((i, j), k) =>
+      val v = quantizeM(covRow.getDouble(k) / (n - 1))
+      c(i)(j) = v; c(j)(i) = v
+    }
+
+    val w1 = topEigenvector(c)
+    // Rayleigh quotient → deflate → second component.
+    var lamAcc = 0.0
+    for (i <- 0 until Dim; j <- 0 until Dim) lamAcc += w1(i) * c(i)(j) * w1(j)
+    val lam = quantizeM(lamAcc)
+    val c2 = Array.tabulate(Dim, Dim)((i, j) => quantizeM(c(i)(j) - lam * w1(i) * w1(j)))
+    val w2 = topEigenvector(c2)
+
+    def proj(w: Array[Double]) = Num.roundp(
+      aggregate(zip_with(col("v"), lit(w), (x, y) => x * y),
+        lit(0.0), (acc, z) => acc + z), 4)
+    ec.select(col("vec_id"), proj(w1).as("pc1"), proj(w2).as("pc2"))
+  }
+
+  /** Deterministic Lloyd's k-means: centroids init from the k smallest
+    * vec_ids, 3 assignment rounds (argmin of squared L2, ties to the
+    * smaller cluster id), centroid means quantized per round. Centroids
+    * live on the driver as literals — assignment is a broadcast-side
+    * map over the data, the per-dimension mean is one map-side-combined
+    * aggregation: nothing here collects the dataset, so the same plan
+    * runs at any corpus size. */
+  def lloydKMeans(s: SparkSession, dir: String, k: Int = 5,
+      iters: Int = LloydIters): DataFrame = {
+    val e = embDouble(s, dir)
+    var cents: Seq[(Int, Array[Double])] = e.orderBy("vec_id").limit(k)
+      .collect().zipWithIndex.map { case (r, i) =>
+        i -> r.getAs[scala.collection.Seq[Double]]("v").toArray }.toSeq
+
+    def assign(): DataFrame = {
+      val cands = cents.map { case (cid, c) =>
+        struct(
+          aggregate(zip_with(col("v"), lit(c), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, z) => acc + z).as("d"),
+          lit(cid.toLong).as("cid"))
+      }
+      e.select(col("vec_id"), least(cands: _*).getField("cid").as("cluster"), col("v"))
+    }
+    for (_ <- 1 until iters) {
+      val byDim = assign()
+        .select(col("cluster"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("cluster"), col("i")).agg(avg(col("x")).as("m"))
+        .collect()
+      cents = byDim.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (cid, rows) =>
+        val c = new Array[Double](Dim)
+        rows.foreach(r => c(r.getInt(1)) = quantize(r.getDouble(2)))
+        cid.toInt -> c
+      }
+    }
+    assign().select(col("vec_id"), col("cluster"))
+  }
+
+  // ── Oracles: the identical recurrences unrolled as DuckDB CTEs,
+  // generated programmatically (12 squarings × 2 components; 3 Lloyd
+  // rounds). `range(1,65)` is 1-based like DuckDB list indexing. All
+  // CTEs are MATERIALIZED: DuckDB inlines plain CTEs, which would make
+  // a chained recurrence re-expand exponentially. ────────────────────
+
+  /** Matrix-squaring chain over a relational (i, j, c) matrix `src`,
+    * ending in the sign-fixed eigenvector CTE `${tag}wf` (i, w). */
+  private def sqlSquareChain(src: String, tag: String): String = {
+    val q = QuantM.toLong
+    val steps = (1 to Squarings).map { t =>
+      val prev = if (t == 1) src else s"${tag}m${t - 1}"
+      s"""${tag}p$t AS MATERIALIZED (
+         |  SELECT a.i, b.j, sum(a.c * b.c) AS c
+         |  FROM $prev a JOIN $prev b ON a.j = b.i GROUP BY 1, 2),
+         |${tag}m$t AS MATERIALIZED (
+         |  SELECT i, j, floor(c / (SELECT power(2, ceil(log2(max(abs(c))))) FROM ${tag}p$t)
+         |                     * $q.0 + 0.5) / $q.0 AS c
+         |  FROM ${tag}p$t)""".stripMargin
+    }
+    val qw = Quant.toLong
+    val tail =
+      s"""${tag}u AS MATERIALIZED (
+         |  SELECT i, sum(c * 0.125) AS u FROM ${tag}m$Squarings GROUP BY i),
+         |${tag}w AS MATERIALIZED (
+         |  SELECT i, floor(u / sqrt((SELECT sum(u * u) FROM ${tag}u)) * $qw.0 + 0.5)
+         |            / $qw.0 AS w
+         |  FROM ${tag}u),
+         |${tag}wf AS MATERIALIZED (
+         |  SELECT i, CASE WHEN (
+         |      SELECT w FROM ${tag}w ORDER BY abs(w) DESC, i LIMIT 1) < 0
+         |    THEN -w ELSE w END AS w
+         |  FROM ${tag}w)""".stripMargin
+    (steps :+ tail).mkString(",\n")
+  }
+
+  private lazy val sqlPca: String = {
+    val q = Quant.toLong
+    val qm = QuantM.toLong
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM e0),
+       |mu AS MATERIALIZED (
+       |  SELECT list(floor(m * $q.0 + 0.5) / $q.0 ORDER BY i) AS v FROM (
+       |    SELECT r.i AS i, avg(e.v[r.i]) AS m
+       |    FROM e0 e, range(1, ${Dim + 1}) r(i) GROUP BY 1)),
+       |ec AS MATERIALIZED (
+       |  SELECT e.vec_id,
+       |    list_transform(range(1, ${Dim + 1}), i -> e.v[i] - mu.v[i]) AS v
+       |  FROM e0 e, mu),
+       |covu AS MATERIALIZED (
+       |  SELECT r.i AS i, s.j AS j,
+       |    floor(sum(e.v[r.i] * e.v[s.j]) / ((SELECT n FROM nn) - 1)
+       |          * $qm.0 + 0.5) / $qm.0 AS c
+       |  FROM ec e, range(1, ${Dim + 1}) r(i), range(1, ${Dim + 1}) s(j)
+       |  WHERE s.j >= r.i GROUP BY 1, 2),
+       |cov AS MATERIALIZED (
+       |  SELECT i, j, c FROM covu
+       |  UNION ALL SELECT j, i, c FROM covu WHERE j > i),
+       |${sqlSquareChain("cov", "a")},
+       |lam AS MATERIALIZED (
+       |  SELECT floor(sum(wi.w * c.c * wj.w) * $qm.0 + 0.5) / $qm.0 AS l
+       |  FROM cov c JOIN awf wi ON wi.i = c.i JOIN awf wj ON wj.i = c.j),
+       |cov2 AS MATERIALIZED (
+       |  SELECT c.i, c.j,
+       |    floor((c.c - lam.l * wi.w * wj.w) * $qm.0 + 0.5) / $qm.0 AS c
+       |  FROM cov c, lam, awf wi, awf wj
+       |  WHERE wi.i = c.i AND wj.i = c.j),
+       |${sqlSquareChain("cov2", "b")},
+       |w1l AS MATERIALIZED (SELECT list(w ORDER BY i) AS l FROM awf),
+       |w2l AS MATERIALIZED (SELECT list(w ORDER BY i) AS l FROM bwf)
+       |SELECT ec.vec_id,
+       |  floor(list_sum(list_transform(range(1, ${Dim + 1}), i -> ec.v[i] * w1l.l[i]))
+       |        * 10000.0 + 0.5) / 10000.0 AS pc1,
+       |  floor(list_sum(list_transform(range(1, ${Dim + 1}), i -> ec.v[i] * w2l.l[i]))
+       |        * 10000.0 + 0.5) / 10000.0 AS pc2
+       |FROM ec, w1l, w2l""".stripMargin
+  }
+
+  private lazy val sqlLloyd: String = {
+    val q = Quant.toLong
+    val rounds = (1 to LloydIters).map { t =>
+      val cPrev = s"c${t - 1}"
+      val asg =
+        s"""a$t AS MATERIALIZED (
+           |  SELECT vec_id, cid AS cluster FROM (
+           |    SELECT e.vec_id, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        list_sum(list_transform(range(1, ${Dim + 1}),
+           |          i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))), c.cid) AS rn
+           |    FROM e0 e, $cPrev c) WHERE rn = 1)""".stripMargin
+      val cent =
+        if (t == LloydIters) asg
+        else asg + ",\n" +
+          s"""c$t AS MATERIALIZED (
+             |  SELECT cluster AS cid, list(m ORDER BY i) AS v FROM (
+             |    SELECT a.cluster, r.i AS i,
+             |      floor(avg(e.v[r.i]) * $q.0 + 0.5) / $q.0 AS m
+             |    FROM a$t a JOIN e0 e USING (vec_id), range(1, ${Dim + 1}) r(i)
+             |    GROUP BY 1, 2)
+             |  GROUP BY cluster)""".stripMargin
+      cent
+    }
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+       |  FROM (SELECT * FROM e0 ORDER BY vec_id LIMIT 5)),
+       |${rounds.mkString(",\n")}
+       |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM a$LloydIters""".stripMargin
+  }
+
+  /** m1/m2 stay rows-only by design (see scaladoc); the b-twins carry
+    * the hash-checked oracle. */
+  val oracles: Map[String, String] = Map(
+    "m1b_pca_power" -> sqlPca,
+    "m2b_kmeans_lloyd" -> sqlLloyd
+  )
 }

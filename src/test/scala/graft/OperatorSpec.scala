@@ -63,6 +63,40 @@ class OperatorSpec extends SparkSuite {
     assert(a.values.toSet.size == 5)
   }
 
+  test("m1b power iteration recovers spark.ml's principal subspace") {
+    // The oracle-able twin must be PCA, not merely deterministic: its
+    // pc1/pc2 should correlate almost perfectly (up to sign) with the
+    // exact eigendecomposition spark.ml computes.
+    val twin = SparkEntry.queries("m1b_pca_power")(spark, sf001).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("pc1"), r.getAs[Double]("pc2"))).toMap
+    val ml = SparkEntry.queries("m1_pca_project")(spark, sf001).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("pc1"), r.getAs[Double]("pc2"))).toMap
+    def absCorr(a: Seq[Double], b: Seq[Double]): Double = {
+      val (ma, mb) = (a.sum / a.size, b.sum / b.size)
+      val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+      val (va, vb) = (a.map(x => (x - ma) * (x - ma)).sum,
+        b.map(y => (y - mb) * (y - mb)).sum)
+      math.abs(cov / math.sqrt(va * vb))
+    }
+    val ids = twin.keys.toSeq.sorted
+    assert(absCorr(ids.map(twin(_)._1), ids.map(ml(_)._1)) > 0.99)
+    assert(absCorr(ids.map(twin(_)._2), ids.map(ml(_)._2)) > 0.95)
+  }
+
+  test("m2b deterministic Lloyd produces k stable, non-trivial clusters") {
+    val a = SparkEntry.queries("m2b_kmeans_lloyd")(spark, sf001).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    val b = SparkEntry.queries("m2b_kmeans_lloyd")(spark, sf001).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    assert(a == b) // bit-stable across invocations
+    assert(a.size == 500 && a.values.toSet.size == 5)
+    // No degenerate mega-cluster: Lloyd actually moved the centroids.
+    val sizes = a.values.groupBy(identity).values.map(_.size)
+    assert(sizes.max < 500 && sizes.min >= 1)
+  }
+
   test("asof join carries the matched row wholesale, NULLs included") {
     import spark.implicits._
     // t=20 matches the right row (k=1, t=15) whose v is genuinely NULL:
