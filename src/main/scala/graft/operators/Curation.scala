@@ -149,7 +149,48 @@ object Curation {
         .orderBy(col("wkey").desc, col("doc_id"))
         .limit(100)
         .select(col("doc_id"), col("n_chars"), Num.roundp(col("wkey"), 6).as("wkey"))
-    })
+    }),
+
+    // ── Eval-set decontamination: report every (train doc, eval doc)
+    // pair sharing a 3-gram shingle, with the contaminated fraction of
+    // the train doc — the pre-training hygiene step that keeps
+    // benchmark text out of the corpus. Eval membership is the
+    // deterministic doc_id % 97 == 0 slice (stands in for the external
+    // benchmark list). Scale shape: the eval shingle set is benchmark-
+    // sized — BROADCAST it; the train side then never shuffles its
+    // exploded shingles (map-side semi-filter), and only the rare
+    // colliding rows reach the pair aggregation. Reuses the dedup
+    // family's cached distinct-shingle view. ─────────────────────────
+    "decontam_ngram" -> ((s, dir) => {
+      val ex = Dedup.shingleRows(s, dir)
+      val ev = ex.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("eval_id"), col("s"))
+      val tr = ex.where(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id").as("train_id"), col("s"))
+      val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("train_sz"))
+      val ratio = col("n_common").cast("double") / col("train_sz").cast("double")
+      tr.join(broadcast(ev), "s")
+        .groupBy(col("train_id"), col("eval_id"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(sizes.withColumnRenamed("doc_id", "train_id"), "train_id")
+        .select(col("train_id"), col("eval_id"), col("n_common"),
+          col("train_sz"), Num.roundp(ratio, 4).as("contam_ratio"),
+          (ratio >= 0.1).as("contaminated"))
+    }),
+
+    // ── PII hygiene: redact numeric identifiers, deterministically
+    // pseudonymize the key (salted md5 — re-joinable across tables,
+    // irreversible without the salt), and generalize the account
+    // balance into 1000-unit bands (k-anonymity-style coarsening).
+    // Pure map-side projection: zero shuffle at any scale. ───────────
+    "pii_pseudonymize" -> ((s, dir) =>
+      Tables(s, dir, "customer").select(
+        col("c_custkey"),
+        regexp_replace(col("c_name"), "[0-9]{4,}", "<ID>").as("masked_name"),
+        substring(md5(concat(lit("pii|"), col("c_custkey").cast("string"))), 1, 12)
+          .as("pseudonym"),
+        (floor(col("c_acctbal") / 1000) * 1000).cast("long").as("bal_band"),
+        col("c_mktsegment")))
   )
 
   /** Source-weight tier: full / half / quarter keep rates. */
@@ -282,6 +323,29 @@ object Curation {
         |topk AS (SELECT * FROM s ORDER BY wkey DESC, doc_id LIMIT 100)
         |SELECT doc_id, n_chars,
         |  CAST(FLOOR(wkey * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS wkey
-        |FROM topk""".stripMargin
+        |FROM topk""".stripMargin,
+
+    "decontam_ngram" ->
+      s"""${Dedup.sqlShingles},
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS train_sz
+         |          FROM ex GROUP BY doc_id),
+         |ev AS (SELECT doc_id AS eval_id, s FROM ex WHERE doc_id % 97 = 0),
+         |tr AS (SELECT doc_id AS train_id, s FROM ex WHERE doc_id % 97 <> 0),
+         |ov AS (
+         |  SELECT tr.train_id, ev.eval_id, CAST(count(*) AS BIGINT) AS n_common
+         |  FROM tr JOIN ev ON tr.s = ev.s GROUP BY 1, 2)
+         |SELECT ov.train_id, ov.eval_id, ov.n_common, sz.train_sz,
+         |  floor(CAST(ov.n_common AS DOUBLE) / sz.train_sz * 10000 + 0.5) / 10000
+         |    AS contam_ratio,
+         |  CAST(ov.n_common AS DOUBLE) / sz.train_sz >= 0.1 AS contaminated
+         |FROM ov JOIN sizes sz ON sz.doc_id = ov.train_id""".stripMargin,
+
+    "pii_pseudonymize" ->
+      """SELECT c_custkey,
+        |  regexp_replace(c_name, '[0-9]{4,}', '<ID>', 'g') AS masked_name,
+        |  substr(md5('pii|' || CAST(c_custkey AS VARCHAR)), 1, 12) AS pseudonym,
+        |  CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS bal_band,
+        |  c_mktsegment
+        |FROM customer""".stripMargin
   )
 }

@@ -187,7 +187,7 @@ object Dedup {
 
   // ── Oracle SQL (DuckDB). Shared CTE fragments mirror the Spark plan. ─
 
-  private val sqlShingles =
+  private[operators] val sqlShingles =
     """WITH toksrc AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tok
       |  FROM documents),

@@ -87,4 +87,32 @@ class CurationSpec extends SparkSuite {
       assert(b <= n * 16) // each chunk is at most 16 bytes
     }
   }
+
+  test("decontam_ngram: eval docs never appear train-side, ratios bounded") {
+    val rows = SparkEntry.queries("decontam_ngram")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("train_id") % 97 != 0)
+      assert(r.getAs[Long]("eval_id") % 97 == 0)
+      val ratio = r.getAs[Double]("contam_ratio")
+      assert(ratio > 0.0 && ratio <= 1.0)
+      assert(r.getAs[Long]("n_common") <= r.getAs[Long]("train_sz"))
+      assert(r.getAs[Boolean]("contaminated") == (
+        r.getAs[Long]("n_common").toDouble / r.getAs[Long]("train_sz") >= 0.1))
+    }
+  }
+
+  test("pii_pseudonymize: no long digit runs survive, pseudonyms collide-free") {
+    val rows = SparkEntry.queries("pii_pseudonymize")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val masked = r.getAs[String]("masked_name")
+      assert(!masked.matches(".*[0-9]{4,}.*"), s"unmasked id in '$masked'")
+      assert(r.getAs[String]("pseudonym").length == 12)
+      assert(r.getAs[Long]("bal_band") % 1000 == 0)
+    }
+    // Deterministic, distinct per key (re-joinable pseudonymization).
+    val ps = rows.map(_.getAs[String]("pseudonym"))
+    assert(ps.distinct.length == ps.length)
+  }
 }
