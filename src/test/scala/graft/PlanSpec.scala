@@ -210,4 +210,32 @@ class PlanSpec extends SparkSuite {
     // per-candidate-token join.
     assert(plan.contains("array_intersect"), plan)
   }
+
+  test("decontamination broadcasts the eval shingle set — train side never shuffles it") {
+    val plan = physical(SparkEntry.queries("decontam_ngram")(spark, sf001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("covariance-PCA projects eigenvector literals over the cached scan") {
+    // The fits run eagerly inside pcaPower; what the query RETURNS must
+    // be a pure projection (dot products against driver-held literals)
+    // over the cached two-column view — no join, no shuffle, no
+    // recompute of the fit.
+    val plan = physical(SparkEntry.queries("m1b_pca_power")(spark, sf001))
+    assert(plan.contains("InMemoryTableScan"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+    val scan = formatted(spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select("vec_id", "embedding"))
+    assert(scan.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"), scan)
+  }
+
+  test("exact triangle census: dst-side adjacency is broadcast below the ceiling") {
+    val df = graft.operators.Graph.queries("graph_triangles")(spark, sf001)
+    val plan = physical(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("array_intersect"), plan)
+  }
 }

@@ -10,7 +10,9 @@ val keys = Seq("a1_pricing_summary", "j2_dim_broadcast", "j2_fact_join", "o2_top
   "ev_funnel", "scd2_history", "inc_rollup_merge", "idx_inverted_and", "t8_twap",
   "cdc_apply_latest", "iv_overlap_join", "skew_salted_agg", "skew_salted_join",
   "simjoin_prefix", "sk_quantile_hist", "samp_leakage_split", "inc_join_merge",
-  "text_unigram_ppl", "sim_quantize_int8", "sim_quantized_recall", "scd2_asof_snapshot")
+  "text_unigram_ppl", "sim_quantize_int8", "sim_quantized_recall", "scd2_asof_snapshot",
+  "graph_triangles", "decontam_ngram", "pii_pseudonymize", "m1b_pca_power",
+  "m2b_kmeans_lloyd")
 // One-line reviewed finding per plan: what the physical plan must show
 // (and does — PlanSpec pins the load-bearing ones as assertions).
 val notes: Map[String, String] = Map(
@@ -44,7 +46,12 @@ val notes: Map[String, String] = Map(
   "text_unigram_ppl" -> "Vocabulary join left unhinted — AQE broadcasts it at these SFs; degrades to a shuffle join when the vocab outgrows the driver.",
   "sim_quantize_int8" -> "64-row dim stats broadcast; code arithmetic is codegen'd scan-stage math; per-vector rollup is one exchange.",
   "sim_quantized_recall" -> "Quantized dot as join-aggregate over exploded dims; both rankings via WindowGroupLimit.",
-  "scd2_asof_snapshot" -> "The point-in-time filter applies over the history windows — no second event-log scan.")
+  "scd2_asof_snapshot" -> "The point-in-time filter applies over the history windows — no second event-log scan.",
+  "graph_triangles" -> "Edge-iterator census: src-side adjacency join co-partitioned with its groupBy; dst-side adjacency broadcast below the 100M-edge ceiling; array_intersect evaluates in the join stage — no wedge materialization.",
+  "decontam_ngram" -> "Eval shingle set broadcast (benchmark-sized); the exploded train side never shuffles — only colliding rows reach the pair aggregation.",
+  "pii_pseudonymize" -> "Pure map-side projection over the customer scan — zero exchanges at any scale.",
+  "m1b_pca_power" -> "Returned plan is a literal-projection over the cached 2-column view: the one distributed pass (wide covariance aggregate) ran eagerly; no join or shuffle remains in the consumer plan.",
+  "m2b_kmeans_lloyd" -> "Assignment is a broadcast map (centroid literals in a least-of-structs projection) over the cached view — no join, no shuffle.")
 val sb = new StringBuilder
 sb ++= "# PLANS — formatted physical plans of headline queries (sf0.01)\n\n"
 sb ++= "Generated from `df.queryExecution.explainString(FormattedMode)`; regenerate with tools/plans_dump.scala.\n"
