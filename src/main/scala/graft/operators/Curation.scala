@@ -178,6 +178,46 @@ object Curation {
           (ratio >= 0.1).as("contaminated"))
     }),
 
+    // ── Context-window packing — the GPT-style pretraining batch
+    // layout: concatenate every document's token stream in doc_id
+    // order and cut the stream into fixed 256-token windows; emit one
+    // row per (window, document) span, flagging document starts.
+    // Scale shape: the global token prefix-sum is computed TWO-PHASE —
+    // within-bucket window cumsum (buckets of 100 doc ids, each a
+    // normal partitioned window) plus a bucket-offset table that is
+    // bucket-count-sized, cumsum'd at that tiny cardinality and
+    // broadcast back. A naive `Window.orderBy` with no partition key
+    // would drag the whole corpus into one task — the classic
+    // prefix-sum scale trap this formulation exists to avoid. ────────
+    "pack_context_windows" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val N = 256L // context window, tokens
+      val B = 100L // doc_ids per cumsum bucket
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n_tok"))
+        .where(col("n_tok") > 0)
+        .withColumn("bucket", expr(s"doc_id DIV $B"))
+      val wIn = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      val local = docs.withColumn("local_end", sum(col("n_tok")).over(wIn))
+      // Bucket totals: one row per bucket — the only orderBy-without-
+      // partition window runs at THIS cardinality, not the corpus's.
+      val wB = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = local.groupBy(col("bucket")).agg(max(col("local_end")).as("btot"))
+        .withColumn("prev_total", coalesce(sum(col("btot")).over(wB), lit(0L)))
+        .select(col("bucket"), col("prev_total"))
+      val glob = local.join(broadcast(offsets), "bucket")
+        .withColumn("cum_end", col("prev_total") + col("local_end"))
+        .withColumn("cum_start", col("cum_end") - col("n_tok"))
+      glob.select(col("doc_id"), col("cum_start"), col("cum_end"),
+          explode(sequence(expr(s"cum_start DIV $N"), expr(s"(cum_end - 1) DIV $N")))
+            .as("bin"))
+        .select(col("bin"), col("doc_id"),
+          (least(col("cum_end"), (col("bin") + 1) * N) -
+            greatest(col("cum_start"), col("bin") * N)).as("span_tokens"),
+          (col("cum_start") >= col("bin") * N).as("is_doc_start"))
+    }),
+
     // ── PII hygiene: redact numeric identifiers, deterministically
     // pseudonymize the key (salted md5 — re-joinable across tables,
     // irreversible without the salt), and generalize the account
@@ -339,6 +379,26 @@ object Curation {
          |    AS contam_ratio,
          |  CAST(ov.n_common AS DOUBLE) / sz.train_sz >= 0.1 AS contaminated
          |FROM ov JOIN sizes sz ON sz.doc_id = ov.train_id""".stripMargin,
+
+    "pack_context_windows" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(sum(n_tok) OVER (ORDER BY doc_id) AS BIGINT) AS cum_end
+        |  FROM d WHERE n_tok > 0),
+        |x AS (SELECT doc_id, cum_end - n_tok AS cum_start, cum_end FROM c),
+        |sp AS (
+        |  SELECT doc_id, cum_start, cum_end,
+        |    CAST(unnest(range(cum_start // 256, (cum_end - 1) // 256 + 1)) AS BIGINT) AS bin
+        |  FROM x)
+        |SELECT bin, doc_id,
+        |  CAST(least(cum_end, (bin + 1) * 256) - greatest(cum_start, bin * 256) AS BIGINT)
+        |    AS span_tokens,
+        |  cum_start >= bin * 256 AS is_doc_start
+        |FROM sp""".stripMargin,
 
     "pii_pseudonymize" ->
       """SELECT c_custkey,

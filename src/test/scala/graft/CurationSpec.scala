@@ -102,6 +102,26 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("pack_context_windows tiles the token stream exactly") {
+    val rows = SparkEntry.queries("pack_context_windows")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val byBin = rows.groupBy(_.getAs[Long]("bin"))
+    val lastBin = byBin.keys.max
+    // Every window holds exactly 256 tokens except the trailing one.
+    byBin.foreach { case (bin, spans) =>
+      val total = spans.map(_.getAs[Long]("span_tokens")).sum
+      if (bin < lastBin) assert(total == 256L, s"bin $bin holds $total")
+      else assert(total > 0 && total <= 256L)
+    }
+    // Each document starts exactly once and its spans are contiguous.
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (doc, spans) =>
+      assert(spans.count(_.getAs[Boolean]("is_doc_start")) == 1, s"doc $doc")
+      val bins = spans.map(_.getAs[Long]("bin")).sorted
+      assert(bins.zip(bins.tail).forall { case (a, b) => b == a + 1 }, s"doc $doc gaps")
+    }
+  }
+
   test("pii_pseudonymize: no long digit runs survive, pseudonyms collide-free") {
     val rows = SparkEntry.queries("pii_pseudonymize")(spark, sf001).collect()
     assert(rows.nonEmpty)
