@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.plans.{VecDot, VecSqDist}
+import graft.plans.{SortedIntersectCount, VecDot, VecSqDist}
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.functions._
 
@@ -30,4 +30,9 @@ object Vectors {
 
   /** Squared Euclidean distance. */
   def sqDist(a: Column, b: Column): Column = bin(VecSqDist.apply)(a, b)
+
+  /** |a ∩ b| for SORTED DISTINCT long arrays (two-pointer merge,
+    * allocation-free — `array_intersect` hash-builds per row). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    bin(SortedIntersectCount.apply)(a, b)
 }

@@ -234,10 +234,14 @@ object Graph {
     // Inner joins are lossless here: src always has an adjacency row
     // (it owns ≥1 out-edge), and a dst with no out-edges contributes
     // zero to the sum anyway.
+    // Per-edge kernel: |N⁺(a) ∩ N⁺(b)| by the codegen'd two-pointer
+    // merge over the sorted arrays (array_intersect hash-builds per
+    // row — millions of allocations per census).
     val tri = oriented
       .join(adj.select(col("src"), col("nbrs").as("na")), "src")
       .join(hintDst(adj.select(col("src").as("dst"), col("nbrs").as("nb"))), "dst")
-      .agg(coalesce(sum(size(array_intersect(col("na"), col("nb")))), lit(0L))
+      .agg(coalesce(sum(
+          graft.functions.Vectors.sortedIntersectCount(col("na"), col("nb"))), lit(0L))
         .cast("long").as("n_triangles"))
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
     val nEdges = e.agg(count(lit(1)).as("n_edges"))

@@ -163,14 +163,17 @@ object MLOps {
     val ec = e.select(col("vec_id"),
       zip_with(col("v"), lit(mu), (x, m) => x - m).as("v")).cache()
 
-    // Upper-triangle covariance in one wide aggregate, mirrored.
+    // Upper-triangle covariance in one pass through the typed Gramian
+    // aggregator (a single array buffer, map-side combined — 2 081
+    // separate sum() expressions measured 14 s at sf0.1 purely in
+    // generated-code compilation; the Aggregator runs the same pass in
+    // well under a second).
     val pairs = for { i <- 0 until Dim; j <- i until Dim } yield (i, j)
-    val covExprs = pairs.map { case (i, j) =>
-      sum(col("v")(i) * col("v")(j)).as(s"c${i}_$j") }
-    val covRow = ec.agg(covExprs.head, covExprs.tail: _*).head()
+    val covRow = ec.agg(GramianAgg.udf(col("v")).as("g")).head()
+      .getAs[scala.collection.Seq[Double]]("g")
     val c = Array.ofDim[Double](Dim, Dim)
     pairs.zipWithIndex.foreach { case ((i, j), k) =>
-      val v = quantizeM(covRow.getDouble(k) / (n - 1))
+      val v = quantizeM(covRow(k) / (n - 1))
       c(i)(j) = v; c(j)(i) = v
     }
 
@@ -186,6 +189,41 @@ object MLOps {
       aggregate(zip_with(col("v"), lit(w), (x, y) => x * y),
         lit(0.0), (acc, z) => acc + z), 4)
     ec.select(col("vec_id"), proj(w1).as("pc1"), proj(w2).as("pc2"))
+  }
+
+  /** One-pass upper-triangle Gramian (Σ vᵢ·vⱼ for i ≤ j) as a typed
+    * Aggregator: one flat array buffer per partition, merged
+    * element-wise — the shuffle carries Dim·(Dim+1)/2 doubles per
+    * partition, never the data. This is the spark.ml computeCovariance
+    * shape without the 2 081-expression codegen blow-up. */
+  private object GramianAgg
+      extends org.apache.spark.sql.expressions.Aggregator[
+        scala.collection.Seq[Double], Array[Double], Array[Double]] {
+    private val Len = Dim * (Dim + 1) / 2
+    def zero: Array[Double] = new Array[Double](Len)
+    def reduce(b: Array[Double], v: scala.collection.Seq[Double]): Array[Double] = {
+      val a = v.toArray
+      var k = 0; var i = 0
+      while (i < Dim) {
+        val vi = a(i); var j = i
+        while (j < Dim) { b(k) += vi * a(j); k += 1; j += 1 }
+        i += 1
+      }
+      b
+    }
+    def merge(x: Array[Double], y: Array[Double]): Array[Double] = {
+      var k = 0
+      while (k < Len) { x(k) += y(k); k += 1 }
+      x
+    }
+    def finish(r: Array[Double]): Array[Double] = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    val udf: org.apache.spark.sql.expressions.UserDefinedFunction =
+      org.apache.spark.sql.functions.udaf(this,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[scala.collection.Seq[Double]]())
   }
 
   /** Deterministic Lloyd's k-means: centroids init from the k smallest

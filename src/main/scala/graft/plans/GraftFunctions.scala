@@ -16,6 +16,7 @@ object GraftFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> (es => VecDot(es(0), es(1))),
     "vec_sq_dist" -> (es => VecSqDist(es(0), es(1))),
+    "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))),
     "word_shingles" -> (es => WordShingles(es(0),
       es(1).eval().asInstanceOf[Int])))
 

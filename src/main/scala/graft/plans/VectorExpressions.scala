@@ -77,3 +77,67 @@ case class VecSqDist(left: Expression, right: Expression) extends VecBinaryFold 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecSqDist =
     copy(left = l, right = r)
 }
+
+/** Intersection size of two SORTED DISTINCT long arrays by two-pointer
+  * merge — the triangle census's per-edge kernel.
+  *
+  * `array_intersect` is semantically right but builds a hash set per
+  * ROW (one per oriented edge — millions of allocations per census);
+  * the adjacency arrays are already sorted by construction, so a merge
+  * walk does the same count allocation-free and stays inside
+  * whole-stage codegen. Callers own the precondition (sorted, distinct,
+  * non-null elements); `sort_array(collect_list(...))` establishes it.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements(); val m = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < n && j < m) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1L; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |${ev.value} = 0L;
+         |int $i = 0, $j = 0;
+         |int $n = $a.numElements();
+         |int $m = $b.numElements();
+         |while ($i < $n && $j < $m) {
+         |  long $x = $a.getLong($i);
+         |  long $y = $b.getLong($j);
+         |  if ($x == $y) { ${ev.value}++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; }
+         |  else { $j++; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
+    copy(left = l, right = r)
+}

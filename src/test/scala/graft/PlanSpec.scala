@@ -236,6 +236,8 @@ class PlanSpec extends SparkSuite {
     val plan = physical(df)
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
-    assert(plan.contains("array_intersect"), plan)
+    // The per-edge kernel must be the codegen'd merge, not the
+    // hash-building array_intersect.
+    assert(plan.contains("sorted_intersect_count"), plan)
   }
 }

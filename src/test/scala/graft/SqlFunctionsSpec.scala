@@ -19,5 +19,31 @@ class SqlFunctionsSpec extends SparkSuite {
       "SELECT word_shingles(array('a','b','c','d'), 3) AS s")
       .collect().head.getAs[scala.collection.Seq[String]](0)
     assert(sh == Seq("a b c", "b c d"))
+    val ic = spark.sql(
+      "SELECT sorted_intersect_count(array(1L, 3L, 5L, 9L), array(2L, 3L, 5L, 8L, 9L)) AS c")
+      .collect().head.getLong(0)
+    assert(ic == 3L)
+  }
+
+  test("sorted_intersect_count agrees with array_intersect on random sorted sets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(200) {
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      (a, b)
+    }
+    val df = rows.toDF("a", "b").select(
+      graft.functions.Vectors.sortedIntersectCount(col("a"), col("b")).as("merge"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("hash"))
+    // Both the codegen'd path (default) and the interpreted eval path
+    // (codegen forced off) must match the builtin.
+    assert(df.where(col("merge") =!= col("hash")).count() == 0)
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(df.where(col("merge") =!= col("hash")).count() == 0)
+    finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
   }
 }
