@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.plans.{SortedIntersectCount, VecDot, VecSqDist}
+import graft.plans.{SortedIntersectCount, SortedIntersectCountStr, VecDot, VecSqDist}
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.functions._
 
@@ -35,4 +35,8 @@ object Vectors {
     * allocation-free — `array_intersect` hash-builds per row). */
   def sortedIntersectCount(a: Column, b: Column): Column =
     bin(SortedIntersectCount.apply)(a, b)
+
+  /** String-array variant (binary UTF8 order, as sort_array emits). */
+  def sortedIntersectCountStr(a: Column, b: Column): Column =
+    bin(SortedIntersectCountStr.apply)(a, b)
 }

@@ -121,7 +121,11 @@ object SimJoin {
     val verified = cand
       .join(sets.toDF("a", "toks_a", "sz_a"), "a")
       .join(sets.toDF("b", "toks_b", "sz_b"), "b")
-      .withColumn("i", size(array_intersect(col("toks_a"), col("toks_b"))))
+      // sort_array'd distinct sets → the codegen'd merge walk counts
+      // the overlap allocation-free (array_intersect hash-builds per
+      // candidate pair).
+      .withColumn("i", graft.functions.Vectors
+        .sortedIntersectCountStr(col("toks_a"), col("toks_b")).cast("int"))
     val jacc = col("i").cast("double") /
       (col("sz_a") + col("sz_b") - col("i")).cast("double")
     val result = verified.where(jacc >= tau)

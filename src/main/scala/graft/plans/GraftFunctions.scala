@@ -17,6 +17,7 @@ object GraftFunctions {
     "vec_dot" -> (es => VecDot(es(0), es(1))),
     "vec_sq_dist" -> (es => VecSqDist(es(0), es(1))),
     "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))),
+    "sorted_intersect_count_str" -> (es => SortedIntersectCountStr(es(0), es(1))),
     "word_shingles" -> (es => WordShingles(es(0),
       es(1).eval().asInstanceOf[Int])))
 

@@ -206,9 +206,9 @@ class PlanSpec extends SparkSuite {
     val df = SparkEntry.queries("simjoin_prefix")(spark, sf001)
     val plan = physical(df)
     assert(!plan.contains("CartesianProduct"), plan)
-    // The verify side carries collected arrays (array_intersect), not a
-    // per-candidate-token join.
-    assert(plan.contains("array_intersect"), plan)
+    // The verify side carries collected arrays through the codegen'd
+    // merge kernel, not a per-candidate-token join.
+    assert(plan.contains("sorted_intersect_count_str"), plan)
   }
 
   test("decontamination broadcasts the eval shingle set — train side never shuffles it") {

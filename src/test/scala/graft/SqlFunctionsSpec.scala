@@ -46,4 +46,27 @@ class SqlFunctionsSpec extends SparkSuite {
     try assert(df.where(col("merge") =!= col("hash")).count() == 0)
     finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
   }
+
+  test("sorted_intersect_count_str agrees with array_intersect, Hangul included") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val vocab = Vector("값", "가나", "가나다", "apple", "banana", "차트",
+      "한글 음절", "z", "한", "가", "key agg", "row scan")
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200) {
+      (Seq.fill(rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).distinct,
+        Seq.fill(rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).distinct)
+    }
+    // sort_array establishes the binary-UTF8 order the kernel assumes.
+    val df = rows.toDF("a0", "b0")
+      .select(sort_array(col("a0")).as("a"), sort_array(col("b0")).as("b"))
+      .select(
+        graft.functions.Vectors.sortedIntersectCountStr(col("a"), col("b")).as("merge"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("hash"))
+    assert(df.where(col("merge") =!= col("hash")).count() == 0)
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(df.where(col("merge") =!= col("hash")).count() == 0)
+    finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
 }
