@@ -31,30 +31,39 @@ object Pdf {
   private def hexUtf16(s: String): String =
     s.getBytes(StandardCharsets.UTF_16BE).map("%02X".format(_)).mkString
 
+  /** Locale-independent decimal rendering — the `f` interpolator uses
+    * the default locale, and a comma-decimal locale would emit invalid
+    * PDF operands. */
+  private def num(x: Double, dp: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(x))
+
   /** One page's content stream builder (origin bottom-left, pt). */
   final class Page(val width: Double = 595, val height: Double = 842) {
     private val ops = new StringBuilder
+    private def n1(x: Double) = num(x, 1)
+    private def n2(x: Double) = num(x, 2)
+    private def n3(x: Double) = num(x, 3)
 
     /** serif text; `bold = true` switches to the gothic face. */
     def text(x: Double, y: Double, size: Double, s: String,
         bold: Boolean = false): Page = {
       val f = if (bold) "/F2" else "/F1"
-      ops ++= f"BT $f ${size}%.1f Tf ${x}%.1f ${y}%.1f Td <${hexUtf16(s)}> Tj ET\n"
+      ops ++= s"BT $f ${n1(size)} Tf ${n1(x)} ${n1(y)} Td <${hexUtf16(s)}> Tj ET\n"
       this
     }
 
     def rect(x: Double, y: Double, w: Double, h: Double,
         rgb: (Double, Double, Double), fill: Boolean = true): Page = {
       val (r, g, b) = rgb
-      ops ++= f"$r%.3f $g%.3f $b%.3f ${if (fill) "rg" else "RG"} " +
-        f"${x}%.1f ${y}%.1f ${w}%.1f ${h}%.1f re ${if (fill) "f" else "S"}\n"
+      ops ++= s"${n3(r)} ${n3(g)} ${n3(b)} ${if (fill) "rg" else "RG"} " +
+        s"${n1(x)} ${n1(y)} ${n1(w)} ${n1(h)} re ${if (fill) "f" else "S"}\n"
       this
     }
 
     def line(x1: Double, y1: Double, x2: Double, y2: Double,
         rgb: (Double, Double, Double) = (0, 0, 0)): Page = {
       val (r, g, b) = rgb
-      ops ++= f"$r%.3f $g%.3f $b%.3f RG ${x1}%.1f ${y1}%.1f m ${x2}%.1f ${y2}%.1f l S\n"
+      ops ++= s"${n3(r)} ${n3(g)} ${n3(b)} RG ${n1(x1)} ${n1(y1)} m ${n1(x2)} ${n1(y2)} l S\n"
       this
     }
 
@@ -63,11 +72,11 @@ object Pdf {
         rgb: (Double, Double, Double)): Page = {
       val k = 0.5523 * r
       val (cr, cg, cb) = rgb
-      ops ++= f"$cr%.3f $cg%.3f $cb%.3f rg ${cx + r}%.1f ${cy}%.1f m " +
-        f"${cx + r}%.2f ${cy + k}%.2f ${cx + k}%.2f ${cy + r}%.2f ${cx}%.2f ${cy + r}%.2f c " +
-        f"${cx - k}%.2f ${cy + r}%.2f ${cx - r}%.2f ${cy + k}%.2f ${cx - r}%.2f ${cy}%.2f c " +
-        f"${cx - r}%.2f ${cy - k}%.2f ${cx - k}%.2f ${cy - r}%.2f ${cx}%.2f ${cy - r}%.2f c " +
-        f"${cx + k}%.2f ${cy - r}%.2f ${cx + r}%.2f ${cy - k}%.2f ${cx + r}%.2f ${cy}%.2f c f\n"
+      ops ++= s"${n3(cr)} ${n3(cg)} ${n3(cb)} rg ${n1(cx + r)} ${n1(cy)} m " +
+        s"${n2(cx + r)} ${n2(cy + k)} ${n2(cx + k)} ${n2(cy + r)} ${n2(cx)} ${n2(cy + r)} c " +
+        s"${n2(cx - k)} ${n2(cy + r)} ${n2(cx - r)} ${n2(cy + k)} ${n2(cx - r)} ${n2(cy)} c " +
+        s"${n2(cx - r)} ${n2(cy - k)} ${n2(cx - k)} ${n2(cy - r)} ${n2(cx)} ${n2(cy - r)} c " +
+        s"${n2(cx + k)} ${n2(cy - r)} ${n2(cx + r)} ${n2(cy - k)} ${n2(cx + r)} ${n2(cy)} c f\n"
       this
     }
 
@@ -143,7 +152,7 @@ object Pdf {
     val pageTreeId = offsets.size + nPages + 1 // page objs next, then tree
     val pageIds = pages.zip(contentIds).map { case (p, cid) =>
       obj(s"<< /Type /Page /Parent $pageTreeId 0 R " +
-        f"/MediaBox [0 0 ${p.width}%.0f ${p.height}%.0f] " +
+        s"/MediaBox [0 0 ${num(p.width, 0)} ${num(p.height, 0)}] " +
         s"/Resources << /Font << /F1 $f1 0 R /F2 $f2 0 R >> >> " +
         s"/Contents $cid 0 R >>")
     }
