@@ -39,7 +39,7 @@ val notes: Map[String, String] = Map(
   "iv_overlap_join" -> "The theta predicate never reaches a BNL: binning makes it an equi-join on bin (PlanSpec-pinned), exact predicate re-checked after.",
   "skew_salted_agg" -> "Two-phase aggregation: the (k, salt) partial splits the hot group across tasks before the final k-only exchange.",
   "skew_salted_join" -> "The salt-replicated dim broadcasts; the fact side's probe spreads over NumSalts hash slots.",
-  "simjoin_prefix" -> "Verify side joins collected arrays (array_intersect, PlanSpec-pinned) — no candidate x token explode; windows run per doc / per token partition.",
+  "simjoin_prefix" -> "Verify side joins collected arrays through the codegen'd sorted_intersect_count_str merge kernel (PlanSpec-pinned) — no candidate x token explode; windows run per doc / per token partition.",
   "sk_quantile_hist" -> "The cumulative window runs over the histogram (bins per group), never the data; the histogram build is one map-side-combined exchange.",
   "samp_leakage_split" -> "The cluster map joins the corpus as the small side; split hashing is scan-stage arithmetic.",
   "inc_join_merge" -> "Three delta-term joins reuse the o_orderkey clustering; A0 x B0 is never rejoined.",
