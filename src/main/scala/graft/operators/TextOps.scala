@@ -93,6 +93,24 @@ object TextOps {
         size(toks).cast("long").as("n_tokens"),
         size(array_distinct(toks)).cast("long").as("n_distinct"))),
 
+    // ── BPE tokenizer training — the subword-vocabulary step of an LLM
+    // data pipeline, in its standard scalable split: ONE distributed
+    // pass builds the word-frequency table (vocabulary-sized — Heaps'
+    // law, not corpus-sized), then each merge round runs as cheap
+    // DataFrame ops over that table: adjacent-pair counts (weighted by
+    // word frequency), a deterministic argmax (count desc, pair asc),
+    // and the merge applied as a literal string rewrite. 8 rounds; the
+    // learned merge table is the output, and the DuckDB oracle unrolls
+    // the identical recurrence. End-of-word marker fused onto the final
+    // character ("k e y</w>") — the classic BPE word-boundary variant.
+    //
+    // The pair merge uses the space-doubling trick so a plain
+    // left-to-right non-overlapping replace (identical semantics in
+    // both engines) merges every occurrence including adjacent ones:
+    // double all separators, wrap in spaces, replace " l  r " with
+    // " lr ", collapse doubles, trim. ─────────────────────────────────
+    "bpe_train_merges" -> ((s, dir) => bpeTrainMerges(s, dir)),
+
     // ── quality scoring: length/diversity/stopword ratios ─────────────
     "text_quality" -> ((s, dir) => {
       val t = toks
@@ -153,10 +171,86 @@ object TextOps {
         col("doc_id"), Text.fingerprint(col("text")).as("fp")))
   )
 
+  private val BpeRounds = 8
+
+  /** 8 BPE merge rounds over the word-frequency table. The vocabulary
+    * never leaves the cluster as data — only the per-round argmax pair
+    * (one row) is collected, because the NEXT round's rewrite needs it
+    * as a literal. Returns (round, left, right, merged, n). */
+  private def bpeTrainMerges(s: SparkSession, dir: String): DataFrame = {
+    var vocab = Tables(s, dir, "documents")
+      .select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(concat(trim(regexp_replace(col("w"), "(.)", "$1 ")), lit("</w>")).as("seq"),
+        col("cnt"))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+    for (round <- 1 to BpeRounds) {
+      val best = vocab
+        .select(col("cnt"), split(col("seq"), " ").as("sy"))
+        .select(col("cnt"), explode(expr(
+          "transform(slice(sy, 1, size(sy) - 1), (x, i) -> struct(x AS l, element_at(sy, i + 2) AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()(0)
+      val (l, r, n) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((round.toLong, l, r, l + r, n))
+      // Space-doubling rewrite (see the inventory comment): plain
+      // left-to-right replace in both engines merges every occurrence.
+      val next = vocab.select(trim(expr(
+        s"""replace(replace(concat(' ', replace(seq, ' ', '  '), ' '),
+           | concat(' ', '${esc(l)}', '  ', '${esc(r)}', ' '),
+           | concat(' ', '${esc(l)}', '${esc(r)}', ' ')), '  ', ' ')""".stripMargin))
+        .as("seq"), col("cnt")).persist()
+      next.count()
+      vocab.unpersist(blocking = false)
+      vocab = next
+    }
+    vocab.unpersist(blocking = false)
+    s.createDataFrame(merges.toSeq)
+      .toDF("round", "left", "right", "merged", "n")
+  }
+
+  private def esc(x: String): String = x.replace("\\", "\\\\").replace("'", "\\'")
+
+  private lazy val sqlBpe: String = {
+    val rounds = (1 to BpeRounds).map { t =>
+      val p = t - 1
+      s"""p$t AS MATERIALIZED (
+         |  SELECT u.l AS l, u.r AS r, CAST(sum(cnt) AS BIGINT) AS n FROM (
+         |    SELECT cnt, unnest(list_transform(range(1, len(sy)),
+         |      i -> struct_pack(l := sy[i], r := sy[i + 1]))) AS u
+         |    FROM (SELECT string_split(seq, ' ') AS sy, cnt FROM w$p))
+         |  GROUP BY 1, 2),
+         |m$t AS MATERIALIZED (SELECT l, r, n FROM p$t ORDER BY n DESC, l, r LIMIT 1),
+         |w$t AS MATERIALIZED (
+         |  SELECT trim(replace(replace(' ' || replace(seq, ' ', '  ') || ' ',
+         |    ' ' || m$t.l || '  ' || m$t.r || ' ', ' ' || m$t.l || m$t.r || ' '),
+         |    '  ', ' ')) AS seq, cnt
+         |  FROM w$p, m$t)""".stripMargin
+    }
+    val out = (1 to BpeRounds).map(t =>
+      s"SELECT CAST($t AS BIGINT) AS round, l, r AS \"right\", l || r AS merged, n FROM m$t")
+      .mkString("\n UNION ALL ")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || '</w>' AS seq,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+       |        FROM documents)
+       |  GROUP BY 1),
+       |${rounds.mkString(",\n")}
+       |SELECT round, l AS "left", "right", merged, n FROM (
+       |$out)""".stripMargin
+  }
+
   /** DuckDB token expression shared by the oracles below. */
   private val sqlToks = "list_filter(string_split(text, ' '), t -> t <> '')"
 
   val oracles: Map[String, String] = Map(
+    "bpe_train_merges" -> sqlBpe,
+
     "text_bigram_lm" ->
       """WITH tk AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tok

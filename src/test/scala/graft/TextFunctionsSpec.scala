@@ -95,4 +95,22 @@ class TextFunctionsSpec extends SparkSuite {
     val incoherent = d.join(w1max, "w1").where(col("p") > col("p1")).count()
     assert(incoherent === 0L)
   }
+
+  test("BPE training learns monotone-frequency merges that compose") {
+    val m = SparkEntry.queries("bpe_train_merges")(spark, sf001).collect()
+    assert(m.length === 8)
+    // Pair frequency is non-increasing EXCEPT where an earlier merge
+    // creates a new high-count symbol — but a later round can never
+    // beat round 1's global maximum.
+    val ns = m.sortBy(_.getAs[Long]("round")).map(_.getAs[Long]("n"))
+    assert(ns.tail.forall(_ <= ns.head), ns.mkString(","))
+    m.foreach { r =>
+      assert(r.getAs[String]("merged") ==
+        r.getAs[String]("left") + r.getAs[String]("right"))
+      assert(r.getAs[Long]("n") > 0)
+    }
+    // Determinism across invocations (argmax ties broken totally).
+    val m2 = SparkEntry.queries("bpe_train_merges")(spark, sf001).collect()
+    assert(m.map(_.toString).toSeq == m2.map(_.toString).toSeq)
+  }
 }
