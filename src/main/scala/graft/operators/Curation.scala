@@ -218,6 +218,29 @@ object Curation {
           (col("cum_start") >= col("bin") * N).as("is_doc_start"))
     }),
 
+    // ── Temperature-scaled language sampling (the XLM-R / mT5 corpus
+    // balancing rule): sampling weight pᵢ ∝ cᵢ^α with α = 0.7 — low-
+    // resource languages are upsampled relative to their raw share,
+    // high-resource ones damped. Emits per-language raw share, scaled
+    // share, the up/down-sampling factor, and the document budget each
+    // language receives out of a 10 000-doc epoch. One aggregation;
+    // the normalization constant is a scalar broadcast. ───────────────
+    "samp_temperature" -> ((s, dir) => {
+      val alpha = 0.7
+      val byLang = Tables(s, dir, "documents")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val tot = byLang.agg(sum(col("n_docs")).as("total"),
+        sum(pow(col("n_docs"), alpha)).as("z"))
+      val share = col("n_docs").cast("double") / col("total").cast("double")
+      val p = pow(col("n_docs"), alpha) / col("z")
+      byLang.crossJoin(tot)
+        .select(col("lang"), col("n_docs"),
+          Num.roundp(share, 6).as("raw_share"),
+          Num.roundp(p, 6).as("sample_share"),
+          Num.roundp(p / share, 6).as("boost"),
+          floor(p * 10000).cast("long").as("epoch_budget"))
+    }),
+
     // ── PII hygiene: redact numeric identifiers, deterministically
     // pseudonymize the key (salted md5 — re-joinable across tables,
     // irreversible without the salt), and generalize the account
@@ -399,6 +422,21 @@ object Curation {
         |    AS span_tokens,
         |  cum_start >= bin * 256 AS is_doc_start
         |FROM sp""".stripMargin,
+
+    "samp_temperature" ->
+      """WITH l AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY lang),
+        |t AS (
+        |  SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+        |         sum(pow(n_docs, 0.7)) AS z FROM l)
+        |SELECT lang, n_docs,
+        |  floor(CAST(n_docs AS DOUBLE) / total * 1000000 + 0.5) / 1000000 AS raw_share,
+        |  floor(pow(n_docs, 0.7) / z * 1000000 + 0.5) / 1000000 AS sample_share,
+        |  floor(pow(n_docs, 0.7) / z / (CAST(n_docs AS DOUBLE) / total) * 1000000 + 0.5)
+        |    / 1000000 AS boost,
+        |  CAST(floor(pow(n_docs, 0.7) / z * 10000) AS BIGINT) AS epoch_budget
+        |FROM l, t""".stripMargin,
 
     "pii_pseudonymize" ->
       """SELECT c_custkey,

@@ -122,6 +122,22 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("samp_temperature flattens the language distribution toward uniform") {
+    val rows = SparkEntry.queries("samp_temperature")(spark, sf001).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Double]("raw_share"),
+        r.getAs[Double]("sample_share"), r.getAs[Double]("boost")))
+    assert(rows.length >= 2)
+    // Shares are distributions (up to the 1e-6 rounding).
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    // α < 1 compresses: the dominant language is damped (boost < 1),
+    // the rarest upsampled (boost > 1), and ordering is preserved.
+    val byRaw = rows.sortBy(_._2)
+    assert(byRaw.last._4 < 1.0, s"head lang not damped: ${byRaw.last}")
+    assert(byRaw.head._4 > 1.0, s"tail lang not boosted: ${byRaw.head}")
+    assert(byRaw.map(_._3).zip(byRaw.tail.map(_._3)).forall { case (a, b) => a <= b })
+  }
+
   test("pii_pseudonymize: no long digit runs survive, pseudonyms collide-free") {
     val rows = SparkEntry.queries("pii_pseudonymize")(spark, sf001).collect()
     assert(rows.nonEmpty)
