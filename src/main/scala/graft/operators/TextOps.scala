@@ -3,7 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.Num
 import graft.functions.Text
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline over the
@@ -111,6 +111,14 @@ object TextOps {
     // " lr ", collapse doubles, trim. ─────────────────────────────────
     "bpe_train_merges" -> ((s, dir) => bpeTrainMerges(s, dir)),
 
+    // ── BPE apply: encode every document with the vocabulary the 8
+    // training rounds learned — per-doc word count, subword count, and
+    // fertility (subwords per word; the number every tokenizer ablation
+    // reports). The merges arrive as LITERALS in the projection (they
+    // are coefficient-sized), so encoding is a pure map over the corpus
+    // — no join, no shuffle beyond the training pass itself. ─────────
+    "bpe_apply_stats" -> ((s, dir) => bpeApplyStats(s, dir)),
+
     // ── quality scoring: length/diversity/stopword ratios ─────────────
     "text_quality" -> ((s, dir) => {
       val t = toks
@@ -215,6 +223,34 @@ object TextOps {
 
   private def esc(x: String): String = x.replace("\\", "\\\\").replace("'", "\\'")
 
+  /** The learned merge list (coefficient-sized; recomputed per call —
+    * the training pass is itself cheap and cached at the vocab layer). */
+  private def bpeLearn(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeTrainMerges(s, dir).collect()
+      .sortBy(_.getAs[Long]("round"))
+      .map(r => r.getAs[String]("left") -> r.getAs[String]("right")).toSeq
+
+  private def bpeApplyStats(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeLearn(s, dir)
+    def encode(word: Column): Column = {
+      val base = concat(trim(regexp_replace(word, "(.)", "$1 ")), lit("</w>"))
+      merges.foldLeft(base) { case (c, (l, r)) =>
+        trim(call_function("replace",
+          call_function("replace",
+            concat(lit(" "), call_function("replace", c, lit(" "), lit("  ")), lit(" ")),
+            lit(s" $l  $r "), lit(s" $l$r ")),
+          lit("  "), lit(" ")))
+      }
+    }
+    val perWord = transform(toks, w => size(split(encode(w), " ")).cast("long"))
+    Tables(s, dir, "documents").select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_words"),
+      aggregate(perWord, lit(0L), (acc, x) => acc + x).as("n_subwords"))
+      .withColumn("fertility", when(col("n_words") > 0, Num.roundp(
+        col("n_subwords").cast("double") / col("n_words").cast("double"), 4)))
+  }
+
   private lazy val sqlBpe: String = {
     val rounds = (1 to BpeRounds).map { t =>
       val p = t - 1
@@ -234,15 +270,61 @@ object TextOps {
     val out = (1 to BpeRounds).map(t =>
       s"SELECT CAST($t AS BIGINT) AS round, l, r AS \"right\", l || r AS merged, n FROM m$t")
       .mkString("\n UNION ALL ")
-    s"""WITH w0 AS MATERIALIZED (
+    s"""WITH $sqlBpeChain
+       |SELECT round, l AS "left", "right", merged, n FROM (
+       |$out)""".stripMargin
+  }
+
+  /** Shared CTE chain: word vocab w0 and the 8 learned merges m1..m8. */
+  private lazy val sqlBpeChain: String = {
+    val rounds = (1 to BpeRounds).map { t =>
+      val p = t - 1
+      s"""p$t AS MATERIALIZED (
+         |  SELECT u.l AS l, u.r AS r, CAST(sum(cnt) AS BIGINT) AS n FROM (
+         |    SELECT cnt, unnest(list_transform(range(1, len(sy)),
+         |      i -> struct_pack(l := sy[i], r := sy[i + 1]))) AS u
+         |    FROM (SELECT string_split(seq, ' ') AS sy, cnt FROM w$p))
+         |  GROUP BY 1, 2),
+         |m$t AS MATERIALIZED (SELECT l, r, n FROM p$t ORDER BY n DESC, l, r LIMIT 1),
+         |w$t AS MATERIALIZED (
+         |  SELECT trim(replace(replace(' ' || replace(seq, ' ', '  ') || ' ',
+         |    ' ' || m$t.l || '  ' || m$t.r || ' ', ' ' || m$t.l || m$t.r || ' '),
+         |    '  ', ' ')) AS seq, cnt
+         |  FROM w$p, m$t)""".stripMargin
+    }
+    s"""w0 AS MATERIALIZED (
        |  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || '</w>' AS seq,
        |         CAST(count(*) AS BIGINT) AS cnt
        |  FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
        |        FROM documents)
        |  GROUP BY 1),
-       |${rounds.mkString(",\n")}
-       |SELECT round, l AS "left", "right", merged, n FROM (
-       |$out)""".stripMargin
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  private lazy val sqlBpeApply: String = {
+    // Per-word encode: base char-spacing, then the 8 merge rewrites,
+    // referencing the m1..m8 scalars of the shared chain.
+    def chainExpr(t: Int): String =
+      if (t == 0) "trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || '</w>'"
+      else
+        s"""trim(replace(replace(' ' || replace(${chainExpr(t - 1)}, ' ', '  ') || ' ',
+           | ' ' || m$t.l || '  ' || m$t.r || ' ', ' ' || m$t.l || m$t.r || ' '),
+           | '  ', ' '))""".stripMargin
+    val mJoins = (1 to BpeRounds).map(t => s"m$t").mkString(", ")
+    s"""WITH $sqlBpeChain,
+       |docs AS MATERIALIZED (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS words
+       |  FROM documents)
+       |SELECT d.doc_id,
+       |  CAST(len(d.words) AS BIGINT) AS n_words,
+       |  CAST(list_sum(list_transform(d.words,
+       |    w -> len(string_split(${chainExpr(BpeRounds)}, ' ')))) AS BIGINT) AS n_subwords,
+       |  CASE WHEN len(d.words) > 0 THEN
+       |    floor(CAST(list_sum(list_transform(d.words,
+       |      w -> len(string_split(${chainExpr(BpeRounds)}, ' ')))) AS DOUBLE)
+       |      / len(d.words) * 10000 + 0.5) / 10000
+       |  END AS fertility
+       |FROM docs d, $mJoins""".stripMargin
   }
 
   /** DuckDB token expression shared by the oracles below. */
@@ -250,6 +332,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "bpe_train_merges" -> sqlBpe,
+    "bpe_apply_stats" -> sqlBpeApply,
 
     "text_bigram_lm" ->
       """WITH tk AS (

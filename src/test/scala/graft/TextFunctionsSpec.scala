@@ -113,4 +113,23 @@ class TextFunctionsSpec extends SparkSuite {
     val m2 = SparkEntry.queries("bpe_train_merges")(spark, sf001).collect()
     assert(m.map(_.toString).toSeq == m2.map(_.toString).toSeq)
   }
+
+  test("BPE apply: fertility bounded and merges genuinely compress") {
+    import org.apache.spark.sql.functions._
+    val st = SparkEntry.queries("bpe_apply_stats")(spark, sf001)
+    val rows = st.collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (w, sw) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_subwords"))
+      assert(sw >= w, s"doc ${r.getAs[Long]("doc_id")}: fewer subwords than words")
+      assert(r.getAs[Double]("fertility") >= 1.0)
+    }
+    // Before any merge every word is one symbol per character — the 8
+    // learned merges must strictly compress the corpus total.
+    val totalChars = Tables(spark, sf001, "documents")
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("w"))
+      .agg(sum(length(col("w")))).head().getLong(0)
+    val totalSub = rows.map(_.getAs[Long]("n_subwords")).sum
+    assert(totalSub < totalChars, s"$totalSub !< $totalChars")
+  }
 }
