@@ -184,12 +184,35 @@ object TextOps {
   /** 8 BPE merge rounds over the word-frequency table. The vocabulary
     * never leaves the cluster as data — only the per-round argmax pair
     * (one row) is collected, because the NEXT round's rewrite needs it
-    * as a literal. Returns (round, left, right, merged, n). */
-  private def bpeTrainMerges(s: SparkSession, dir: String): DataFrame = {
+    * as a literal. Returns the merge list and the fully-merged
+    * vocabulary as (word, subword-count), persisted — the apply step is
+    * then a vocabulary LOOKUP, never a per-occurrence re-encode. */
+  // Weak-keyed session memo (same shape as DedupCluster.ccCache): the
+  // train and apply inventory entries share one training pass.
+  private val bpeCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[
+      String, (Seq[(Long, String, String, String, Long)], DataFrame)]]()
+
+  private def bpeTrain(s: SparkSession, dir: String):
+      (Seq[(Long, String, String, String, Long)], DataFrame) = {
+    val perSession = bpeCache.synchronized {
+      var m = bpeCache.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty
+        bpeCache.put(s, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(dir, bpeTrainUncached(s, dir))
+  }
+
+  private def bpeTrainUncached(s: SparkSession, dir: String):
+      (Seq[(Long, String, String, String, Long)], DataFrame) = {
     var vocab = Tables(s, dir, "documents")
       .select(explode(toks).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(concat(trim(regexp_replace(col("w"), "(.)", "$1 ")), lit("</w>")).as("seq"),
+      .select(col("w"),
+        concat(trim(regexp_replace(col("w"), "(.)", "$1 ")), lit("</w>")).as("seq"),
         col("cnt"))
       .persist()
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
@@ -207,7 +230,7 @@ object TextOps {
       merges += ((round.toLong, l, r, l + r, n))
       // Space-doubling rewrite (see the inventory comment): plain
       // left-to-right replace in both engines merges every occurrence.
-      val next = vocab.select(trim(expr(
+      val next = vocab.select(col("w"), trim(expr(
         s"""replace(replace(concat(' ', replace(seq, ' ', '  '), ' '),
            | concat(' ', '${esc(l)}', '  ', '${esc(r)}', ' '),
            | concat(' ', '${esc(l)}', '${esc(r)}', ' ')), '  ', ' ')""".stripMargin))
@@ -216,37 +239,35 @@ object TextOps {
       vocab.unpersist(blocking = false)
       vocab = next
     }
+    val vocabFinal = vocab
+      .select(col("w"), size(split(col("seq"), " ")).cast("long").as("n_sub"))
+      .persist()
+    vocabFinal.count()
     vocab.unpersist(blocking = false)
-    s.createDataFrame(merges.toSeq)
-      .toDF("round", "left", "right", "merged", "n")
+    (merges.toSeq, vocabFinal)
   }
+
+  private def bpeTrainMerges(s: SparkSession, dir: String): DataFrame =
+    s.createDataFrame(bpeTrain(s, dir)._1)
+      .toDF("round", "left", "right", "merged", "n")
 
   private def esc(x: String): String = x.replace("\\", "\\\\").replace("'", "\\'")
 
-  /** The learned merge list (coefficient-sized; recomputed per call —
-    * the training pass is itself cheap and cached at the vocab layer). */
-  private def bpeLearn(s: SparkSession, dir: String): Seq[(String, String)] =
-    bpeTrainMerges(s, dir).collect()
-      .sortBy(_.getAs[Long]("round"))
-      .map(r => r.getAs[String]("left") -> r.getAs[String]("right")).toSeq
-
   private def bpeApplyStats(s: SparkSession, dir: String): DataFrame = {
-    val merges = bpeLearn(s, dir)
-    def encode(word: Column): Column = {
-      val base = concat(trim(regexp_replace(word, "(.)", "$1 ")), lit("</w>"))
-      merges.foldLeft(base) { case (c, (l, r)) =>
-        trim(call_function("replace",
-          call_function("replace",
-            concat(lit(" "), call_function("replace", c, lit(" "), lit("  ")), lit(" ")),
-            lit(s" $l  $r "), lit(s" $l$r ")),
-          lit("  "), lit(" ")))
-      }
-    }
-    val perWord = transform(toks, w => size(split(encode(w), " ")).cast("long"))
-    Tables(s, dir, "documents").select(
-      col("doc_id"),
-      size(toks).cast("long").as("n_words"),
-      aggregate(perWord, lit(0L), (acc, x) => acc + x).as("n_subwords"))
+    val vf = bpeTrain(s, dir)._2
+    // Vocabulary lookup, broadcast (Heaps' law keeps it executor-sized):
+    // inner join is total — every corpus word is in the vocab by
+    // construction — and the left join back restores empty documents.
+    val stats = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(toks).as("w"))
+      .join(broadcast(vf), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+    Tables(s, dir, "documents").select(col("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_subwords"), lit(0L)).as("n_subwords"))
       .withColumn("fertility", when(col("n_words") > 0, Num.roundp(
         col("n_subwords").cast("double") / col("n_words").cast("double"), 4)))
   }
@@ -287,45 +308,39 @@ object TextOps {
          |  GROUP BY 1, 2),
          |m$t AS MATERIALIZED (SELECT l, r, n FROM p$t ORDER BY n DESC, l, r LIMIT 1),
          |w$t AS MATERIALIZED (
-         |  SELECT trim(replace(replace(' ' || replace(seq, ' ', '  ') || ' ',
+         |  SELECT w, trim(replace(replace(' ' || replace(seq, ' ', '  ') || ' ',
          |    ' ' || m$t.l || '  ' || m$t.r || ' ', ' ' || m$t.l || m$t.r || ' '),
          |    '  ', ' ')) AS seq, cnt
          |  FROM w$p, m$t)""".stripMargin
     }
     s"""w0 AS MATERIALIZED (
-       |  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || '</w>' AS seq,
+       |  SELECT w, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || '</w>' AS seq,
        |         CAST(count(*) AS BIGINT) AS cnt
        |  FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
        |        FROM documents)
-       |  GROUP BY 1),
+       |  GROUP BY 1, 2),
        |${rounds.mkString(",\n")}""".stripMargin
   }
 
-  private lazy val sqlBpeApply: String = {
-    // Per-word encode: base char-spacing, then the 8 merge rewrites,
-    // referencing the m1..m8 scalars of the shared chain.
-    def chainExpr(t: Int): String =
-      if (t == 0) "trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || '</w>'"
-      else
-        s"""trim(replace(replace(' ' || replace(${chainExpr(t - 1)}, ' ', '  ') || ' ',
-           | ' ' || m$t.l || '  ' || m$t.r || ' ', ' ' || m$t.l || m$t.r || ' '),
-           | '  ', ' '))""".stripMargin
-    val mJoins = (1 to BpeRounds).map(t => s"m$t").mkString(", ")
+  private lazy val sqlBpeApply: String =
     s"""WITH $sqlBpeChain,
-       |docs AS MATERIALIZED (
-       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS words
-       |  FROM documents)
+       |vf AS MATERIALIZED (
+       |  SELECT w, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_sub
+       |  FROM w$BpeRounds),
+       |dw AS MATERIALIZED (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+       |  FROM documents),
+       |st AS MATERIALIZED (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |         CAST(sum(vf.n_sub) AS BIGINT) AS n_subwords
+       |  FROM dw JOIN vf USING (w) GROUP BY doc_id)
        |SELECT d.doc_id,
-       |  CAST(len(d.words) AS BIGINT) AS n_words,
-       |  CAST(list_sum(list_transform(d.words,
-       |    w -> len(string_split(${chainExpr(BpeRounds)}, ' ')))) AS BIGINT) AS n_subwords,
-       |  CASE WHEN len(d.words) > 0 THEN
-       |    floor(CAST(list_sum(list_transform(d.words,
-       |      w -> len(string_split(${chainExpr(BpeRounds)}, ' ')))) AS DOUBLE)
-       |      / len(d.words) * 10000 + 0.5) / 10000
+       |  coalesce(st.n_words, 0) AS n_words,
+       |  coalesce(st.n_subwords, 0) AS n_subwords,
+       |  CASE WHEN coalesce(st.n_words, 0) > 0 THEN
+       |    floor(CAST(st.n_subwords AS DOUBLE) / st.n_words * 10000 + 0.5) / 10000
        |  END AS fertility
-       |FROM docs d, $mJoins""".stripMargin
-  }
+       |FROM (SELECT doc_id FROM documents) d LEFT JOIN st USING (doc_id)""".stripMargin
 
   /** DuckDB token expression shared by the oracles below. */
   private val sqlToks = "list_filter(string_split(text, ' '), t -> t <> '')"
