@@ -41,9 +41,16 @@ object Bench {
     // the first '_') so no query is charged for another family's cache.
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadStart = os.getSystemLoadAverage
+    // The ML twins (m1/m1b/m2/m2b) deliberately share one cached
+    // embeddings view — grouping them keeps the boundary clear from
+    // evicting the cache they were built to share.
+    def family(name: String): String = {
+      val f = name.takeWhile(_ != '_')
+      if (f.startsWith("m1") || f.startsWith("m2")) "ml" else f
+    }
     var prevFam = ""
     val results = selected.map { case (name, fn) =>
-      val fam = name.takeWhile(_ != '_')
+      val fam = family(name)
       if (prevFam.nonEmpty && fam != prevFam) spark.catalog.clearCache()
       prevFam = fam
       val t0 = System.nanoTime()

@@ -66,7 +66,10 @@ object ReportRender {
     val blocks = articles.toSeq.map { r =>
       val title = s"[${r.getAs[String]("category")}] ${r.getAs[String]("title")}"
       val summary = Option(r.getAs[String]("summary")).getOrElse("")
-      val wrapped = wrap(s"요약: $summary", 44)
+      // Cap a single block below the page budget: a run-on "first
+      // sentence" with no break could otherwise wrap past the page
+      // bottom (the flush check only fires between blocks).
+      val wrapped = wrap(s"요약: $summary", 44).take(24)
       (title, wrapped, s"감성: ${r.getAs[String]("sentiment")}")
     }
     val MaxLines = 30

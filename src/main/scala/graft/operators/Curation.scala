@@ -238,7 +238,10 @@ object Curation {
           Num.roundp(share, 6).as("raw_share"),
           Num.roundp(p, 6).as("sample_share"),
           Num.roundp(p / share, 6).as("boost"),
-          floor(p * 10000).cast("long").as("epoch_budget"))
+          // Budget from the QUANTIZED share: a bare floor(p * 10000)
+          // would let a last-ulp pow() disagreement between engines
+          // flip the bucket when p*1e4 sits on an integer boundary.
+          floor(Num.roundp(p, 6) * 10000).cast("long").as("epoch_budget"))
     }),
 
     // ── PII hygiene: redact numeric identifiers, deterministically
@@ -435,7 +438,8 @@ object Curation {
         |  floor(pow(n_docs, 0.7) / z * 1000000 + 0.5) / 1000000 AS sample_share,
         |  floor(pow(n_docs, 0.7) / z / (CAST(n_docs AS DOUBLE) / total) * 1000000 + 0.5)
         |    / 1000000 AS boost,
-        |  CAST(floor(pow(n_docs, 0.7) / z * 10000) AS BIGINT) AS epoch_budget
+        |  CAST(floor(floor(pow(n_docs, 0.7) / z * 1000000 + 0.5) / 1000000 * 10000)
+        |    AS BIGINT) AS epoch_budget
         |FROM l, t""".stripMargin,
 
     "pii_pseudonymize" ->

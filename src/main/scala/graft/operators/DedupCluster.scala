@@ -86,23 +86,18 @@ object DedupCluster {
     * turns three full re-propagations into cache hits (the iterative
     * var-rebinding inside connectedComponents defeats Spark's
     * analyzed-plan cache matching, so the memo must live here). */
-  // Weak-keyed on the session object itself (SparkSession doesn't
-  // override equals, so WeakHashMap compares by identity): entries can
-  // never alias across sessions (identityHashCode could collide) and
-  // are reclaimable once the session is garbage.
+  // Keyed by sessionUUID (globally unique — identityHashCode could
+  // collide and alias sessions). A weak map can't reclaim these
+  // entries anyway: the cached DataFrame strongly references its
+  // SparkSession, which would pin a weak key forever. Instead, entries
+  // whose session has stopped are evicted on every access — bounded by
+  // the number of LIVE sessions, and a dead session's plans are
+  // dropped the next time any session uses the memo.
   private val ccCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, DataFrame]]()
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   def lshClusters(s: SparkSession, dir: String): DataFrame = {
-    val perSession = ccCache.synchronized {
-      var m = ccCache.get(s)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-        ccCache.put(s, m)
-      }
-      m
-    }
-    perSession.getOrElseUpdate(dir,
+    ccCache.filterInPlace((_, df) => !df.sparkSession.sparkContext.isStopped)
+    ccCache.getOrElseUpdate((org.apache.spark.sql.GraftBridge.sessionUUID(s), dir),
       connectedComponents(Dedup.lshCandidatesRaw(s, dir)))
   }
 

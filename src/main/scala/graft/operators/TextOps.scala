@@ -187,23 +187,17 @@ object TextOps {
     * as a literal. Returns the merge list and the fully-merged
     * vocabulary as (word, subword-count), persisted — the apply step is
     * then a vocabulary LOOKUP, never a per-occurrence re-encode. */
-  // Weak-keyed session memo (same shape as DedupCluster.ccCache): the
-  // train and apply inventory entries share one training pass.
+  // Session memo (same shape and eviction rule as
+  // DedupCluster.ccCache — see the rationale there): the train and
+  // apply inventory entries share one training pass.
   private val bpeCache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[
-      String, (Seq[(Long, String, String, String, Long)], DataFrame)]]()
+    scala.collection.concurrent.TrieMap.empty[(String, String),
+      (Seq[(Long, String, String, String, Long)], DataFrame)]
 
   private def bpeTrain(s: SparkSession, dir: String):
       (Seq[(Long, String, String, String, Long)], DataFrame) = {
-    val perSession = bpeCache.synchronized {
-      var m = bpeCache.get(s)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty
-        bpeCache.put(s, m)
-      }
-      m
-    }
-    perSession.getOrElseUpdate(dir, bpeTrainUncached(s, dir))
+    bpeCache.filterInPlace((_, v) => !v._2.sparkSession.sparkContext.isStopped)
+    bpeCache.getOrElseUpdate((org.apache.spark.sql.GraftBridge.sessionUUID(s), dir), bpeTrainUncached(s, dir))
   }
 
   private def bpeTrainUncached(s: SparkSession, dir: String):
@@ -273,21 +267,6 @@ object TextOps {
   }
 
   private lazy val sqlBpe: String = {
-    val rounds = (1 to BpeRounds).map { t =>
-      val p = t - 1
-      s"""p$t AS MATERIALIZED (
-         |  SELECT u.l AS l, u.r AS r, CAST(sum(cnt) AS BIGINT) AS n FROM (
-         |    SELECT cnt, unnest(list_transform(range(1, len(sy)),
-         |      i -> struct_pack(l := sy[i], r := sy[i + 1]))) AS u
-         |    FROM (SELECT string_split(seq, ' ') AS sy, cnt FROM w$p))
-         |  GROUP BY 1, 2),
-         |m$t AS MATERIALIZED (SELECT l, r, n FROM p$t ORDER BY n DESC, l, r LIMIT 1),
-         |w$t AS MATERIALIZED (
-         |  SELECT trim(replace(replace(' ' || replace(seq, ' ', '  ') || ' ',
-         |    ' ' || m$t.l || '  ' || m$t.r || ' ', ' ' || m$t.l || m$t.r || ' '),
-         |    '  ', ' ')) AS seq, cnt
-         |  FROM w$p, m$t)""".stripMargin
-    }
     val out = (1 to BpeRounds).map(t =>
       s"SELECT CAST($t AS BIGINT) AS round, l, r AS \"right\", l || r AS merged, n FROM m$t")
       .mkString("\n UNION ALL ")

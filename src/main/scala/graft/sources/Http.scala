@@ -113,9 +113,13 @@ object Http {
       .replaceAll("(?s)<!--.*?-->", " ")
     noBlocks.split("<[^>]*>")
       .iterator
-      .map(_.replace("&nbsp;", " ").replace("&amp;", "&")
+      // &amp; must decode LAST: decoding it first would turn the
+      // escaped literal "&amp;lt;" into "&lt;" and then corrupt it
+      // into "<" (double-decoding).
+      .map(_.replace("&nbsp;", " ")
         .replace("&lt;", "<").replace("&gt;", ">")
-        .replace("&quot;", "\"").replace("&#39;", "'").trim)
+        .replace("&quot;", "\"").replace("&#39;", "'")
+        .replace("&amp;", "&").trim)
       .filter(_.nonEmpty)
       .toSeq
   }

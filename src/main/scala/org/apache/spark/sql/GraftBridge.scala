@@ -23,4 +23,9 @@ object GraftBridge {
     * handle nulls before comparing). */
   def interpretedOrdering(dt: DataType): Ordering[Any] =
     TypeUtils.getInterpretedOrdering(dt)
+
+  /** Globally unique id of a session (`private[sql]` in classic) — the
+    * collision-proof memo key for session-scoped caches. */
+  def sessionUUID(spark: SparkSession): String =
+    spark.asInstanceOf[classic.SparkSession].sessionUUID
 }

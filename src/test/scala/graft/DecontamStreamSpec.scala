@@ -14,11 +14,23 @@ class DecontamStreamSpec extends SparkSuite {
   test("ingest-time scores match the batch decontamination sweep") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    // Ground truth from the batch operator: per train doc, total
-    // overlap with the whole eval set.
-    val batch = SparkEntry.queries("decontam_ngram")(spark, sf001)
-      .groupBy(col("train_id"))
-      .agg(sum(col("n_common")).as("n_common"), first(col("train_sz")).as("sz"))
+    // Ground truth computed with score()'s exact semantics — overlap
+    // against the DISTINCT UNION of eval shingles. (The batch
+    // operator's pair-level n_common counts a shingle once PER EVAL
+    // DOC containing it, so summing its rows would overcount whenever
+    // eval docs share a shingle.)
+    import graft.functions.Text
+    val evSet = graft.streaming.DecontamStream.evalShingles(spark, sf001)
+    val batch = Tables(spark, sf001, "documents")
+      .where(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), Text.tokens(col("text")).as("tok"))
+      .select(col("doc_id"), explode(Text.shingles(col("tok"), 3)).as("s"))
+      .distinct()
+      .join(evSet.withColumn("hit", lit(1)), Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_common"),
+        count(lit(1)).as("sz"))
+      .where(col("n_common") > 0)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(batch.nonEmpty)
     val contaminatedId = batch.maxBy(_._2._1)._1

@@ -47,7 +47,7 @@ val notes: Map[String, String] = Map(
   "sim_quantize_int8" -> "64-row dim stats broadcast; code arithmetic is codegen'd scan-stage math; per-vector rollup is one exchange.",
   "sim_quantized_recall" -> "Quantized dot as join-aggregate over exploded dims; both rankings via WindowGroupLimit.",
   "scd2_asof_snapshot" -> "The point-in-time filter applies over the history windows — no second event-log scan.",
-  "graph_triangles" -> "Edge-iterator census: src-side adjacency join co-partitioned with its groupBy; dst-side adjacency broadcast below the 100M-edge ceiling; array_intersect evaluates in the join stage — no wedge materialization.",
+  "graph_triangles" -> "Edge-iterator census: src-side adjacency join co-partitioned with its groupBy; dst-side adjacency broadcast below the 100M-edge ceiling; the codegen'd sorted_intersect_count merge kernel evaluates in the join stage — no wedge materialization.",
   "decontam_ngram" -> "Eval shingle set broadcast (benchmark-sized); the exploded train side never shuffles — only colliding rows reach the pair aggregation.",
   "pii_pseudonymize" -> "Pure map-side projection over the customer scan — zero exchanges at any scale.",
   "m1b_pca_power" -> "Returned plan is a literal-projection over the cached 2-column view: the one distributed pass (wide covariance aggregate) ran eagerly; no join or shuffle remains in the consumer plan.",
