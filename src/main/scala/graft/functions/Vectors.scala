@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.plans.{SortedIntersectCount, SortedIntersectCountStr, VecDot, VecSqDist}
+import graft.plans.{SortedIntersectCount, SortedIntersectCountStr, VecDot, VecDotD, VecSqDist, VecSqDistD}
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.functions._
 
@@ -30,6 +30,11 @@ object Vectors {
 
   /** Squared Euclidean distance. */
   def sqDist(a: Column, b: Column): Column = bin(VecSqDist.apply)(a, b)
+
+  /** array<double> variants — the IVF codebook path (exactly-widened
+    * corpus vs double-valued Lloyd centroids). */
+  def dotD(a: Column, b: Column): Column = bin(VecDotD.apply)(a, b)
+  def sqDistD(a: Column, b: Column): Column = bin(VecSqDistD.apply)(a, b)
 
   /** |a ∩ b| for SORTED DISTINCT long arrays (two-pointer merge,
     * allocation-free — `array_intersect` hash-builds per row). */

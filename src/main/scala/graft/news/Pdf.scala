@@ -124,7 +124,10 @@ object Pdf {
       id
     }
     write("%PDF-1.4\n%âãÏÓ\n")
-    // 1: catalog, 2: page tree (reserved ids — children reference them).
+    // Id allocation order: font descriptor/CID/Type0 triples first,
+    // then content streams, page objects, the page tree, and the
+    // catalog LAST — pages reference the tree via the computed
+    // `pageTreeId` (asserted below), not a reserved low id.
     val nPages = pages.size
     // Font objects first so ids are known: F1 serif, F2 gothic. Each is
     // a Type0 wrapper + CIDFontType2 descendant + descriptor.

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{Num, Vectors}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -9,58 +9,165 @@ import org.apache.spark.sql.functions._
   * of the `sim_ivf_*` inventory queries (SURVEY.md north-star
   * similarity surface). The index is two parquet tables:
   *
-  *   <path>/centroids    centroid_id, c_emb
+  *   <path>/centroids    centroid_id, c_emb (double[], the codebook)
   *   <path>/assignments  vec_id, embedding, centroid_id   (bucketed
   *                       data co-located by cell)
   *
-  * Build partitions the corpus by nearest centroid ONCE; every search
-  * after that broadcasts only the (tiny) query set and its probed
-  * cells, scanning just those cells' members — at 100 TB the
-  * assignments table is additionally partitioned on `centroid_id` so a
-  * probe prunes to the probed directories instead of scanning the
-  * corpus. Centroids here are seeded deterministically (every k-th
-  * vector) — a KMeans-refined codebook drops in without changing the
-  * index layout.
+  * The codebook is **fixed-size** (K centroids, independent of corpus
+  * size): K vectors sampled deterministically (smallest
+  * `md5(vec_id)` — an order-statistics sample over a uniform hash, so
+  * the seeds are spread over the corpus no matter how ids cluster),
+  * then refined with quantized Lloyd rounds. Every per-vector
+  * assignment is therefore an O(K·Dim) **map-side expression over
+  * driver-literal centroids** — no shuffle, no join, and the only
+  * datastructure that scales with anything is the K×Dim codebook
+  * (constant). At 100 TB: one pass to sample (TakeOrdered, O(K)
+  * memory), `CbRounds` map-side-combined aggregation passes to refine
+  * (shuffle carries ≤ K×Dim rows), one map-only pass to assign.
+  *
+  * Search broadcasts only the (tiny) query set with its probed cells;
+  * the assignments table is partitioned on `centroid_id`, and because
+  * the probed cells are a subset of the ≤K known cids, search pushes
+  * an `IN (probed cids)` literal filter that prunes to the probed
+  * directories instead of scanning the corpus.
   */
 object IvfIndex {
 
-  /** Build and persist the index. `everyK`: deterministic centroid seed
-    * stride (vec_id % everyK == 0 → centroid). */
-  def build(spark: SparkSession, corpus: DataFrame, path: String,
-      everyK: Int = 50): Unit = {
-    val cent = corpus.where(col("vec_id") % everyK === 0)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
-    cent.write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
-    val dist = Num.roundp(Vectors.sqDist(col("embedding"), col("c_emb")), 6)
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("centroid_id"))
-    corpus.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("embedding"), col("centroid_id"), dist.as("dist"))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id"))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("centroid_id") // probe → directory pruning
-      .parquet(s"$path/assignments")
+  /** Codebook size — fixed, corpus-size-independent (a production
+    * index would pick 2^8–2^16 by corpus scale; the shape is the
+    * same). */
+  val K = 16
+
+  /** Quantized Lloyd refinement rounds after sampling. */
+  val CbRounds = 2
+
+  private val Dim = 64
+
+  private def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** Sequential double fold of Σ aᵢ·bᵢ over two array<double> columns —
+    * codegen'd ([[graft.plans.VecDotD]]); the oracle computes the
+    * identical fold (list_sum ∘ list_transform), so scores agree
+    * bit-for-bit before quantization collapses the residue. */
+  def foldDot(a: Column, b: Column): Column = Vectors.dotD(a, b)
+
+  /** Per-centroid (quantized squared L2, cid) candidate structs over an
+    * array<double> column `v` — K codegen'd `vec_sq_dist_d` kernels, so
+    * the whole K-way argmin stays inside whole-stage codegen. Struct
+    * ordering (d, then cid) is the tie-break convention shared with the
+    * SQL oracles' `ORDER BY dist, cid`. */
+  def centStructs(cents: Seq[(Long, Array[Double])], v: Column): Column =
+    array(cents.map { case (cid, c) =>
+      struct(
+        Num.roundp(Vectors.sqDistD(v, lit(c)), 6).as("d"),
+        lit(cid).as("cid"))
+    }: _*).cast("array<struct<d:double,cid:bigint>>") // array() renames struct fields col1/col2
+
+  /** Nearest centroid struct (d, cid) — a pure map-side expression. */
+  def nearest(cents: Seq[(Long, Array[Double])], v: Column): Column =
+    array_min(centStructs(cents, v))
+
+  /** The `nprobe` nearest cells, closest first. */
+  def probeCells(cents: Seq[(Long, Array[Double])], v: Column, nprobe: Int): Column =
+    slice(array_sort(centStructs(cents, v)), 1, nprobe)
+
+  /** Train the fixed-K codebook: deterministic hash-order sample of K
+    * vectors (cid = rank in that order), then `rounds` Lloyd updates —
+    * assignment by quantized-distance argmin (ties → smaller cid),
+    * per-dimension means quantized at 1e-6 (the same grid convention
+    * as MLOps.lloydKMeans, which is what lets a DuckDB oracle replay
+    * the identical recurrence). Clusters that lose all members are
+    * dropped (both engines drop them the same way: the mean aggregation
+    * simply has no group). Nothing here collects the dataset — only
+    * K×Dim means per round. */
+  def trainCodebook(corpus: DataFrame, k: Int = K,
+      rounds: Int = CbRounds): Seq[(Long, Array[Double])] = {
+    val e = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    var cents: Seq[(Long, Array[Double])] =
+      e.orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+        .limit(k).collect().toSeq.zipWithIndex
+        .map { case (r, i) =>
+          i.toLong -> r.getAs[scala.collection.Seq[Double]]("v").toArray }
+    for (_ <- 1 to rounds) {
+      val byDim = e
+        .select(nearest(cents, col("v")).getField("cid").as("cid"),
+          posexplode(col("v")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("m"))
+        .collect()
+      cents = byDim.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (cid, rows) =>
+        val c = new Array[Double](Dim)
+        rows.foreach(r => c(r.getInt(1)) = q6(r.getDouble(2)))
+        cid -> c
+      }
+    }
+    cents
   }
 
+  /** Build and persist the index: train the codebook (or accept a
+    * pre-trained one — the incremental-maintenance path keeps the
+    * original codebook across appends), assign map-side, write
+    * partitioned by cell. */
+  def build(spark: SparkSession, corpus: DataFrame, path: String,
+      codebook: Option[Seq[(Long, Array[Double])]] = None): Unit = {
+    val cents = codebook.getOrElse(trainCodebook(corpus))
+    writeCodebook(spark, cents, path)
+    assignAndWrite(corpus, cents, path, SaveMode.Overwrite)
+  }
+
+  /** Incremental maintenance: assign new vectors to the EXISTING
+    * codebook and append to the bucketed assignments table — the
+    * continuous-ingest shape (reference: collect/ollama_consumer.py:
+    * 336-359 re-embeds each arriving batch). Because assignment is a
+    * deterministic function of (codebook, vector), append-then-search
+    * equals a fresh build over the union with the same codebook. */
+  def append(spark: SparkSession, path: String, newVectors: DataFrame): Unit =
+    assignAndWrite(newVectors, readCodebook(spark, path), path, SaveMode.Append)
+
+  def readCodebook(spark: SparkSession, path: String): Seq[(Long, Array[Double])] =
+    spark.read.parquet(s"$path/centroids").collect()
+      .map(r => r.getAs[Long]("centroid_id") ->
+        r.getAs[scala.collection.Seq[Double]]("c_emb").toArray)
+      .sortBy(_._1).toSeq
+
+  private def writeCodebook(spark: SparkSession,
+      cents: Seq[(Long, Array[Double])], path: String): Unit = {
+    import spark.implicits._
+    cents.map { case (cid, c) => (cid, c.toSeq) }
+      .toDF("centroid_id", "c_emb")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+  }
+
+  private def assignAndWrite(vectors: DataFrame,
+      cents: Seq[(Long, Array[Double])], path: String, mode: SaveMode): Unit =
+    vectors
+      .select(col("vec_id"), col("embedding"),
+        nearest(cents, col("embedding").cast("array<double>"))
+          .getField("cid").as("centroid_id"))
+      .write.mode(mode)
+      .partitionBy("centroid_id") // probe → directory pruning
+      .parquet(s"$path/assignments")
+
   /** Top-k cosine neighbors for `queries` (vec_id, embedding), probing
-    * each query's `nprobe` nearest cells. Returns
+    * each query's `nprobe` nearest cells. Probe cells come from the
+    * driver-side codebook (≤K distinct values), so the scan carries a
+    * literal IN filter — static partition pruning, no join needed to
+    * decide which directories to read. Returns
     * (q_id, vec_id, score, rk). */
   def search(spark: SparkSession, path: String, queries: DataFrame,
       k: Int = 3, nprobe: Int = 1): DataFrame = {
-    val cent = spark.read.parquet(s"$path/centroids")
+    val cents = readCodebook(spark, path)
+    val q = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("p",
+        explode(probeCells(cents, col("q_emb").cast("array<double>"), nprobe)))
+      .select(col("q_id"), col("q_emb"), col("p").getField("cid").as("centroid_id"))
+    val cids = q.select("centroid_id").distinct().collect().map(_.getLong(0))
     val assigned = spark.read.parquet(s"$path/assignments")
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val qdist = Num.roundp(Vectors.sqDist(col("q_emb"), col("c_emb")), 6)
-    val wq = Window.partitionBy(col("q_id")).orderBy(col("qdist"), col("centroid_id"))
-    val probes = q.crossJoin(broadcast(cent))
-      .select(col("q_id"), col("q_emb"), col("centroid_id"), qdist.as("qdist"))
-      .withColumn("prk", row_number().over(wq))
-      .where(col("prk") <= nprobe)
-      .select(col("q_id"), col("q_emb"), col("centroid_id"))
+      .where(col("centroid_id").isin(cids: _*))
     val score = Num.roundp(Vectors.cosine(col("q_emb"), col("embedding")), 6)
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
-    assigned.join(broadcast(probes), "centroid_id")
+    assigned.join(broadcast(q), "centroid_id")
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), score.as("score"))
       .withColumn("rk", row_number().over(w).cast("long"))

@@ -119,8 +119,16 @@ object MLOps {
       }
       i += 1
     }
+    // Quantize max|P| onto the 1e-7 grid BEFORE the exponent: the two
+    // engines' max|P| differ at ~1e-15 from summation order, and if the
+    // true value sat within an ulp above an exact power of two, DuckDB's
+    // ceil(log2(x)) could round down where pow2Ceil steps up — halving
+    // the scale on one side only. On the grid, the nearest value above
+    // a power of two is ≥ 0.5e-7 away (≫ ulp), so both engines see the
+    // identical double and the identical scale. The 1e-7 floor guards
+    // the all-zero degenerate matrix (log2(0) = -inf).
     val mx = p.map(_.map(math.abs).max).max
-    val s0 = pow2Ceil(mx)
+    val s0 = pow2Ceil(math.max(quantizeM(mx), 1e-7))
     p.map(_.map(x => quantizeM(x / s0)))
   }
 
@@ -279,7 +287,8 @@ object MLOps {
          |  SELECT a.i, b.j, sum(a.c * b.c) AS c
          |  FROM $prev a JOIN $prev b ON a.j = b.i GROUP BY 1, 2),
          |${tag}m$t AS MATERIALIZED (
-         |  SELECT i, j, floor(c / (SELECT power(2, ceil(log2(max(abs(c))))) FROM ${tag}p$t)
+         |  SELECT i, j, floor(c / (SELECT power(2, ceil(log2(
+         |        greatest(floor(max(abs(c)) * $q.0 + 0.5) / $q.0, 1e-7)))) FROM ${tag}p$t)
          |                     * $q.0 + 0.5) / $q.0 AS c
          |  FROM ${tag}p$t)""".stripMargin
     }

@@ -3,16 +3,22 @@ package graft.operators
 import graft.Tables
 import graft.functions.Num
 import graft.functions.Vectors
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
   *  - brute-force cosine top-k: exact baseline, broadcast the (small)
   *    query set against the corpus — one pass, no shuffle of the corpus;
-  *  - IVF-style assignment: each vector is routed to its nearest
-  *    centroid; at scale the centroid set is broadcast and search probes
-  *    only matching cells instead of the full corpus;
+  *  - IVF: a **fixed-size** codebook (K centroids, corpus-size-
+  *    independent — sampled deterministically and Lloyd-refined, see
+  *    [[IvfIndex.trainCodebook]]) routes each vector to its nearest
+  *    cell as a map-side expression over driver-literal centroids —
+  *    assignment is O(n·K) with a constant-size broadcast, never a
+  *    cross join that grows with the corpus;
+  *  - IVF+PQ: ADC-style scoring over int8-quantized codes inside the
+  *    probed cells, exact re-rank of the shortlist — the memory path
+  *    that serves a billion-vector index from the 4×-smaller codes;
   *  - embedding near-dup pairs: label-blocked cosine >= τ (blocking keys
   *    bound the pair blow-up the same way LSH bands do for text).
   *
@@ -21,6 +27,33 @@ import org.apache.spark.sql.functions._
   * fold matches to ~1e-14 — scores are rounded well above that.
   */
 object Similarity {
+
+  val Dim = 64
+  val Planes = 6
+
+  // ── Fixed-K codebook, memoized per (session, sf dir): training runs
+  // one sample pass + CbRounds refinement aggregations; every sim_ivf_*
+  // entry shares the result. Same memo shape + stopped-session eviction
+  // rule as TextOps.bpeCache / DedupCluster.ccCache. ──────────────────
+  private val cbCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String),
+      (SparkSession, Seq[(Long, Array[Double])])]
+
+  private def codebook(s: SparkSession, dir: String): Seq[(Long, Array[Double])] = {
+    cbCache.filterInPlace((_, v) => !v._1.sparkContext.isStopped)
+    cbCache.getOrElseUpdate(
+      (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir),
+      (s, IvfIndex.trainCodebook(Tables(s, dir, "embeddings"))))._2
+  }
+
+  /** (vec_id, embedding, centroid_id): map-side coarse assignment. */
+  private def assigned(s: SparkSession, dir: String): DataFrame = {
+    val cents = codebook(s, dir)
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        IvfIndex.nearest(cents, col("embedding").cast("array<double>"))
+          .getField("cid").as("centroid_id"))
+  }
 
   val queries: Map[String, Relational.Q] = Map(
 
@@ -118,19 +151,17 @@ object Similarity {
         .where(col("rk") <= 5)
     }),
 
-    // ── IVF assignment: nearest centroid per vector ───────────────────
+    // ── IVF assignment: nearest centroid per vector. The codebook is
+    // K driver literals — the whole query is one map-side pass, no
+    // join, no shuffle (.explain: a single Project over the scan). ────
     "sim_ivf_assign" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val e = Tables(s, dir, "embeddings")
-      val cent = e.where(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
-      val dist = Num.roundp(Vectors.sqDist(col("embedding"), col("c_emb")), 6)
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("centroid_id"))
-      e.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("centroid_id"), dist.as("dist"))
-        .withColumn("rk", row_number().over(w))
-        .where(col("rk") === 1)
-        .select(col("vec_id"), col("centroid_id"), col("dist"))
+      val cents = codebook(s, dir)
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          IvfIndex.nearest(cents, col("embedding").cast("array<double>")).as("b"))
+        .select(col("vec_id"),
+          col("b").getField("cid").as("centroid_id"),
+          col("b").getField("d").as("dist"))
     }),
 
     // ── per-label centroid, computed columnar (posexplode → hash agg):
@@ -182,16 +213,17 @@ object Similarity {
     }),
 
     // ── IVF top-k search: route the query to its cell, search only
-    // cell members (probe=1) ──────────────────────────────────────────
+    // cell members (probe=1). Assignment is map-side; the only join is
+    // cell-members ⋈ broadcast(5 queries). ────────────────────────────
     "sim_ivf_search" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val assigned = ivfAssigned(s, dir)
-      val q = assigned.where(col("vec_id") < 5)
+      val a = assigned(s, dir)
+      val q = a.where(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("centroid_id"))
       val score = Num.roundp(Vectors.cosine(col("q_emb"), col("embedding")), 6)
       val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
-      assigned.join(q, "centroid_id")
+      a.join(broadcast(q), "centroid_id")
         .where(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"), score.as("score"))
         .withColumn("rk", row_number().over(w).cast("long"))
@@ -199,26 +231,21 @@ object Similarity {
     }),
 
     // ── IVF multi-probe search: each query probes its 2 nearest cells —
-    // the recall/cost lever of a real IVF index (nprobe). Corpus cells
-    // stay the unit of work; only the probed cells' members are scored.
+    // the recall/cost lever of a real IVF index (nprobe). Probe cells
+    // come from the same driver-literal codebook (array_sort over K
+    // candidate structs — map-side, no centroid join at all). ─────────
     "sim_ivf_probe2" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      val cents = codebook(s, dir)
       val e = Tables(s, dir, "embeddings")
-      val cent = e.where(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
-      val qdist = Num.roundp(Vectors.sqDist(col("q_emb"), col("c_emb")), 6)
-      val wq = Window.partitionBy(col("q_id")).orderBy(col("qdist"), col("centroid_id"))
       val probes = e.where(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-        .crossJoin(broadcast(cent))
-        .select(col("q_id"), col("q_emb"), col("centroid_id"), qdist.as("qdist"))
-        .withColumn("prk", row_number().over(wq))
-        .where(col("prk") <= 2)
-        .select(col("q_id"), col("q_emb"), col("centroid_id"))
-      val assigned = ivfAssigned(s, dir)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          explode(IvfIndex.probeCells(cents, col("embedding").cast("array<double>"), 2)).as("p"))
+        .select(col("q_id"), col("q_emb"), col("p").getField("cid").as("centroid_id"))
+      val a = assigned(s, dir)
       val score = Num.roundp(Vectors.cosine(col("q_emb"), col("embedding")), 6)
       val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
-      assigned.join(probes, "centroid_id")
+      a.join(broadcast(probes), "centroid_id")
         .where(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"), score.as("score"))
         .withColumn("rk", row_number().over(w).cast("long"))
@@ -240,11 +267,11 @@ object Similarity {
         .select(col("q_id"), col("vec_id"), score.as("score"))
         .withColumn("rk", row_number().over(w))
         .where(col("rk") <= 3).select(col("q_id"), col("vec_id"))
-      val assigned = ivfAssigned(s, dir)
-      val qa = assigned.where(col("vec_id") < 5)
+      val a = assigned(s, dir)
+      val qa = a.where(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("centroid_id"))
-      val ivf = assigned.join(qa, "centroid_id")
+      val ivf = a.join(broadcast(qa), "centroid_id")
         .where(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"), score.as("score"))
         .withColumn("rk", row_number().over(w))
@@ -254,26 +281,95 @@ object Similarity {
         .groupBy(col("q_id"))
         .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
           Num.roundp(sum(coalesce(col("hit"), lit(0L))) / 3.0d, 4).as("recall3"))
+    }),
+
+    // ── IVF+PQ search: ADC scoring over int8-reconstructed codes in
+    // the 2 probed cells, shortlist top-10 by ADC cosine, exact re-rank
+    // to top-3. This is the production ANN read path: the shortlist is
+    // computed from 4×-smaller codes (RAM-resident at scale), full-
+    // precision vectors are touched only for the 10-row re-rank. ─────
+    "sim_ivf_pq_search" -> ((s, dir) => pqSearch(s, dir)),
+
+    // ── recall@3 of IVF+PQ vs exact brute force: probe-2 + re-rank
+    // must dominate the plain probe-1 recall (sim_ivf_recall) for the
+    // PQ path to be worth its extra index. ───────────────────────────
+    "sim_ivf_pq_recall" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val score = Num.roundp(Vectors.cosine(col("q_emb"), col("embedding")), 6)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+      val brute = e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), score.as("score"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3).select(col("q_id"), col("vec_id"))
+      val pq = pqSearch(s, dir)
+        .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+      brute.join(pq, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+          Num.roundp(sum(coalesce(col("hit"), lit(0L))) / 3.0d, 4).as("recall3"))
     })
   )
 
-  val Dim = 64
-  val Planes = 6
-
-  /** vec_id → (embedding, nearest centroid) — shared by assignment and
-    * search; the centroid set (vec_id % 50 == 0) is broadcast. */
-  private def ivfAssigned(s: SparkSession, dir: String): DataFrame = {
+  /** IVF+PQ: probe 2 cells, ADC-score int8 reconstructions (query at
+    * full precision — the "asymmetric" in ADC), shortlist 10, exact
+    * re-rank to 3. At 100 TB the rlist (code) table is written
+    * co-partitioned with the assignments so the candidate join is
+    * cell-local; here it composes the sim_quantize_int8 machinery
+    * inline. */
+  private def pqSearch(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val cents = codebook(s, dir)
     val e = Tables(s, dir, "embeddings")
-    val cent = e.where(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
-    val dist = Num.roundp(Vectors.sqDist(col("embedding"), col("c_emb")), 6)
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("centroid_id"))
-    e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("embedding"), col("centroid_id"), dist.as("dist"))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    // int8 reconstruction lists (same affine codes as sim_quantize_int8)
+    val x = e.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("d"), col("col").cast("double").as("v"))
+    val dims = x.groupBy(col("d"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .withColumn("scale", (col("hi") - col("lo")) / 255.0)
+    val code = when(col("scale") === 0, lit(0)).otherwise(
+      least(lit(255.0), greatest(lit(0.0),
+        floor((col("v") - col("lo")) / col("scale") + 0.5))).cast("int"))
+    val rx = x.join(broadcast(dims), "d")
+      .select(col("vec_id"), col("d"), (col("lo") + code.cast("double") * col("scale")).as("rv"))
+    val rlist = rx.groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("rv")))),
+        p => p.getField("rv")).as("rv"))
+      .withColumn("rnrm", sqrt(IvfIndex.foldDot(col("rv"), col("rv"))))
+    // coarse assignment (map-side, driver-literal codebook)
+    val asgn = e.select(col("vec_id"),
+      IvfIndex.nearest(cents, col("embedding").cast("array<double>"))
+        .getField("cid").as("centroid_id"))
+    // queries: 2 probed cells + full-precision double vector + norm
+    val qv = col("embedding").cast("array<double>")
+    val probes = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), qv.as("q_v"),
+        explode(IvfIndex.probeCells(cents, qv, 2)).as("p"))
+      .select(col("q_id"), col("q_v"), col("p").getField("cid").as("centroid_id"))
+      .withColumn("q_nrm", sqrt(IvfIndex.foldDot(col("q_v"), col("q_v"))))
+    // ADC shortlist: cosine(query full-precision, reconstructed codes)
+    val adc = Num.roundp(
+      IvfIndex.foldDot(col("q_v"), col("rv")) / (col("q_nrm") * col("rnrm")), 6)
+    val wa = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("vec_id"))
+    val short = asgn.join(broadcast(probes), "centroid_id")
+      .join(rlist, "vec_id")
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), adc.as("adc"))
+      .withColumn("ark", row_number().over(wa)).where(col("ark") <= 10)
+      .select(col("q_id"), col("vec_id"))
+    // exact re-rank over the full-precision float vectors
+    val qe = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val score = Num.roundp(Vectors.cosine(col("q_emb"), col("embedding")), 6)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    short.join(broadcast(qe), "q_id")
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("q_id"), col("vec_id"), score.as("score"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 3)
   }
 
   /** DuckDB double-precision sequential dot product over FLOAT[] lists —
@@ -282,6 +378,49 @@ object Similarity {
     s"list_sum(list_transform(range(64), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)))"
 
   private def sqlNorm(a: String) = s"sqrt(${sqlDot(a, a)})"
+
+  /** Shared oracle prelude: the identical codebook recurrence (hash-
+    * order seed sample, quantized Lloyd rounds) + quantized-argmin
+    * assignment, as MATERIALIZED CTEs (DuckDB would otherwise inline
+    * and re-expand the chained recurrence). Ends with:
+    *   cb       (cid, v DOUBLE[])        — the codebook
+    *   celldist (vec_id, cid, dist)      — quantized dist to every cell
+    *   asgn     (vec_id, centroid_id, dist) — nearest cell
+    */
+  private lazy val sqlCb: String = {
+    val rounds = (1 to IvfIndex.CbRounds).map { t =>
+      s"""cba$t AS MATERIALIZED (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      floor(list_sum(list_transform(range(1, ${Dim + 1}),
+         |        i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) * 1000000 + 0.5) / 1000000,
+         |      c.cid) AS rn
+         |    FROM e0 e, cb${t - 1} c) WHERE rn = 1),
+         |cb$t AS MATERIALIZED (
+         |  SELECT cid, list(m ORDER BY i) AS v FROM (
+         |    SELECT a.cid, r.i AS i, floor(avg(e.v[r.i]) * 1000000 + 0.5) / 1000000 AS m
+         |    FROM cba$t a JOIN e0 e USING (vec_id), range(1, ${Dim + 1}) r(i)
+         |    GROUP BY 1, 2) GROUP BY cid)""".stripMargin
+    }.mkString(",\n")
+    s"""e0 AS MATERIALIZED (
+       |  SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cb0 AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid, v
+       |  FROM (SELECT vec_id, v FROM e0
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT ${IvfIndex.K})),
+       |$rounds,
+       |cb AS MATERIALIZED (SELECT cid, v FROM cb${IvfIndex.CbRounds}),
+       |celldist AS MATERIALIZED (
+       |  SELECT e.vec_id, c.cid,
+       |    floor(list_sum(list_transform(range(1, ${Dim + 1}),
+       |      i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) * 1000000 + 0.5) / 1000000 AS dist
+       |  FROM e0 e, cb c),
+       |asgn AS MATERIALIZED (
+       |  SELECT vec_id, cid AS centroid_id, dist FROM (
+       |    SELECT vec_id, cid, dist,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM celldist) WHERE rn = 1)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "sim_quantized_recall" ->
@@ -362,19 +501,8 @@ object Similarity {
          |SELECT q_id, vec_id, score, rk FROM ranked WHERE rk <= 5""".stripMargin,
 
     "sim_ivf_assign" ->
-      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS c_emb
-         |  FROM embeddings WHERE vec_id % 50 = 0),
-         |d AS (
-         |  SELECT e.vec_id, c.centroid_id,
-         |    floor((list_sum(list_transform(range(64),
-         |      i -> (CAST(e.embedding[i+1] AS DOUBLE) - CAST(c.c_emb[i+1] AS DOUBLE))
-         |         * (CAST(e.embedding[i+1] AS DOUBLE) - CAST(c.c_emb[i+1] AS DOUBLE))))) * 1000000 + 0.5) / 1000000 AS dist
-         |  FROM embeddings e CROSS JOIN c),
-         |ranked AS (
-         |  SELECT vec_id, centroid_id, dist,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rk
-         |  FROM d)
-         |SELECT vec_id, centroid_id, dist FROM ranked WHERE rk = 1""".stripMargin,
+      s"""WITH $sqlCb
+         |SELECT vec_id, centroid_id, dist FROM asgn""".stripMargin,
 
     "dedup_embed_cosine" ->
       s"""WITH n AS (SELECT vec_id, label, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings)
@@ -398,20 +526,10 @@ object Similarity {
     },
 
     "sim_ivf_search" ->
-      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS c_emb
-         |  FROM embeddings WHERE vec_id % 50 = 0),
-         |d AS (
-         |  SELECT e.vec_id, e.embedding, c.centroid_id,
-         |    floor((list_sum(list_transform(range($Dim),
-         |      i -> (CAST(e.embedding[i+1] AS DOUBLE) - CAST(c.c_emb[i+1] AS DOUBLE))
-         |         * (CAST(e.embedding[i+1] AS DOUBLE) - CAST(c.c_emb[i+1] AS DOUBLE))))) * 1000000 + 0.5) / 1000000 AS dist
-         |  FROM embeddings e CROSS JOIN c),
-         |assigned AS (
-         |  SELECT vec_id, embedding, centroid_id FROM (
-         |    SELECT vec_id, embedding, centroid_id,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rk
-         |    FROM d) WHERE rk = 1),
-         |n AS (SELECT vec_id, embedding, centroid_id, ${sqlNorm("embedding")} AS nrm FROM assigned),
+      s"""WITH $sqlCb,
+         |n AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding, a.centroid_id, ${sqlNorm("e.embedding")} AS nrm
+         |  FROM e0 e JOIN asgn a USING (vec_id)),
          |scored AS (
          |  SELECT q.vec_id AS q_id, e.vec_id,
          |    floor((${sqlDot("q.embedding", "e.embedding")} / (q.nrm * e.nrm)) * 1000000 + 0.5) / 1000000 AS score
@@ -424,26 +542,18 @@ object Similarity {
          |SELECT q_id, vec_id, score, rk FROM ranked WHERE rk <= 3""".stripMargin,
 
     "sim_ivf_probe2" ->
-      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS c_emb
-         |  FROM embeddings WHERE vec_id % 50 = 0),
-         |d AS (
-         |  SELECT e.vec_id, e.embedding, c.centroid_id,
-         |    floor((list_sum(list_transform(range($Dim),
-         |      i -> (CAST(e.embedding[i+1] AS DOUBLE) - CAST(c.c_emb[i+1] AS DOUBLE))
-         |         * (CAST(e.embedding[i+1] AS DOUBLE) - CAST(c.c_emb[i+1] AS DOUBLE))))) * 1000000 + 0.5) / 1000000 AS dist
-         |  FROM embeddings e CROSS JOIN c),
-         |assigned AS (
-         |  SELECT vec_id, embedding, centroid_id FROM (
-         |    SELECT vec_id, embedding, centroid_id,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rk
-         |    FROM d) WHERE rk = 1),
-         |probes AS (
-         |  SELECT vec_id AS q_id, embedding AS q_emb, centroid_id FROM (
-         |    SELECT vec_id, embedding, centroid_id,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS prk
-         |    FROM d WHERE vec_id < 5) WHERE prk <= 2),
-         |n AS (SELECT vec_id, embedding, centroid_id, ${sqlNorm("embedding")} AS nrm FROM assigned),
-         |nq AS (SELECT q_id, q_emb, centroid_id, ${sqlNorm("q_emb")} AS nrm FROM probes),
+      s"""WITH $sqlCb,
+         |probes AS MATERIALIZED (
+         |  SELECT vec_id AS q_id, cid AS centroid_id FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS prk
+         |    FROM celldist WHERE vec_id < 5) WHERE prk <= 2),
+         |n AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding, a.centroid_id, ${sqlNorm("e.embedding")} AS nrm
+         |  FROM e0 e JOIN asgn a USING (vec_id)),
+         |nq AS MATERIALIZED (
+         |  SELECT p.q_id, e.embedding AS q_emb, ${sqlNorm("e.embedding")} AS nrm, p.centroid_id
+         |  FROM probes p JOIN e0 e ON e.vec_id = p.q_id),
          |scored AS (
          |  SELECT q.q_id, e.vec_id,
          |    floor((${sqlDot("q.q_emb", "e.embedding")} / (q.nrm * e.nrm)) * 1000000 + 0.5) / 1000000 AS score
@@ -456,7 +566,9 @@ object Similarity {
          |SELECT q_id, vec_id, score, rk FROM ranked WHERE rk <= 3""".stripMargin,
 
     "sim_ivf_recall" ->
-      s"""WITH nall AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings),
+      s"""WITH $sqlCb,
+         |nall AS MATERIALIZED (
+         |  SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM e0),
          |brute AS (
          |  SELECT q_id, vec_id FROM (
          |    SELECT q.vec_id AS q_id, e.vec_id,
@@ -465,20 +577,9 @@ object Similarity {
          |        e.vec_id) AS rk
          |    FROM nall q JOIN nall e ON q.vec_id < 5 AND e.vec_id <> q.vec_id)
          |  WHERE rk <= 3),
-         |c AS (SELECT vec_id AS centroid_id, embedding AS c_emb
-         |  FROM embeddings WHERE vec_id % 50 = 0),
-         |d AS (
-         |  SELECT e.vec_id, e.embedding, c.centroid_id,
-         |    floor((list_sum(list_transform(range($Dim),
-         |      i -> (CAST(e.embedding[i+1] AS DOUBLE) - CAST(c.c_emb[i+1] AS DOUBLE))
-         |         * (CAST(e.embedding[i+1] AS DOUBLE) - CAST(c.c_emb[i+1] AS DOUBLE))))) * 1000000 + 0.5) / 1000000 AS dist
-         |  FROM embeddings e CROSS JOIN c),
-         |assigned AS (
-         |  SELECT vec_id, embedding, centroid_id FROM (
-         |    SELECT vec_id, embedding, centroid_id,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rk
-         |    FROM d) WHERE rk = 1),
-         |n AS (SELECT vec_id, embedding, centroid_id, ${sqlNorm("embedding")} AS nrm FROM assigned),
+         |n AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding, a.centroid_id, ${sqlNorm("e.embedding")} AS nrm
+         |  FROM e0 e JOIN asgn a USING (vec_id)),
          |ivf AS (
          |  SELECT q_id, vec_id, 1 AS hit FROM (
          |    SELECT q.vec_id AS q_id, e.vec_id,
@@ -491,6 +592,81 @@ object Similarity {
          |SELECT b.q_id, CAST(sum(coalesce(ivf.hit, 0)) AS BIGINT) AS n_hits,
          |  floor((sum(coalesce(ivf.hit, 0)) / 3.0) * 10000 + 0.5) / 10000 AS recall3
          |FROM brute b LEFT JOIN ivf ON b.q_id = ivf.q_id AND b.vec_id = ivf.vec_id
+         |GROUP BY b.q_id""".stripMargin,
+
+    "sim_ivf_pq_search" -> sqlPqSearch,
+
+    "sim_ivf_pq_recall" ->
+      s"""WITH nall AS MATERIALIZED (
+         |  SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings),
+         |brute AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.vec_id AS q_id, e.vec_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        floor((${sqlDot("q.embedding", "e.embedding")} / (q.nrm * e.nrm)) * 1000000 + 0.5) / 1000000 DESC,
+         |        e.vec_id) AS rk
+         |    FROM nall q JOIN nall e ON q.vec_id < 5 AND e.vec_id <> q.vec_id)
+         |  WHERE rk <= 3),
+         |pq AS (SELECT q_id, vec_id, 1 AS hit FROM ($sqlPqSearch))
+         |SELECT b.q_id, CAST(sum(coalesce(pq.hit, 0)) AS BIGINT) AS n_hits,
+         |  floor((sum(coalesce(pq.hit, 0)) / 3.0) * 10000 + 0.5) / 10000 AS recall3
+         |FROM brute b LEFT JOIN pq ON b.q_id = pq.q_id AND b.vec_id = pq.vec_id
          |GROUP BY b.q_id""".stripMargin
   )
+
+  /** IVF+PQ oracle: codebook prelude + int8 reconstruction lists + ADC
+    * shortlist + exact re-rank — the same staged computation as
+    * pqSearch, every score quantized on the shared 1e-6 grid. */
+  private lazy val sqlPqSearch: String =
+    s"""WITH $sqlCb,
+       |x AS MATERIALIZED (
+       |  SELECT vec_id, r.range AS d, CAST(embedding[r.range + 1] AS DOUBLE) AS qv
+       |  FROM embeddings, range($Dim) r),
+       |dims AS MATERIALIZED (
+       |  SELECT d, min(qv) AS lo, max(qv) AS hi, (max(qv) - min(qv)) / 255.0 AS scale
+       |  FROM x GROUP BY d),
+       |rx AS MATERIALIZED (
+       |  SELECT vec_id, d,
+       |    lo + CAST(CASE WHEN scale = 0 THEN 0
+       |      ELSE CAST(least(255.0, greatest(0.0, floor((qv - lo) / scale + 0.5))) AS INTEGER)
+       |      END AS DOUBLE) * scale AS rv
+       |  FROM x JOIN dims USING (d)),
+       |rlist AS MATERIALIZED (
+       |  SELECT vec_id, list(rv ORDER BY d) AS rv, sqrt(sum(rv * rv)) AS rnrm
+       |  FROM rx GROUP BY vec_id),
+       |probes AS MATERIALIZED (
+       |  SELECT vec_id AS q_id, cid AS centroid_id FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS prk
+       |    FROM celldist WHERE vec_id < 5) WHERE prk <= 2),
+       |qn AS MATERIALIZED (
+       |  SELECT vec_id AS q_id, v,
+       |    sqrt(list_sum(list_transform(range(1, ${Dim + 1}), i -> v[i] * v[i]))) AS q_nrm
+       |  FROM e0 WHERE vec_id < 5),
+       |adc AS (
+       |  SELECT p.q_id, a.vec_id,
+       |    floor((list_sum(list_transform(range(1, ${Dim + 1}), i -> q.v[i] * r.rv[i]))
+       |           / (q.q_nrm * r.rnrm)) * 1000000 + 0.5) / 1000000 AS adc
+       |  FROM probes p
+       |  JOIN qn q ON q.q_id = p.q_id
+       |  JOIN asgn a ON a.centroid_id = p.centroid_id
+       |  JOIN rlist r ON r.vec_id = a.vec_id
+       |  WHERE a.vec_id <> p.q_id),
+       |short AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id) AS ark
+       |    FROM adc) WHERE ark <= 10),
+       |nf AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings),
+       |rer AS (
+       |  SELECT s.q_id, s.vec_id,
+       |    floor((${sqlDot("q.embedding", "e.embedding")} / (q.nrm * e.nrm)) * 1000000 + 0.5) / 1000000 AS score
+       |  FROM short s
+       |  JOIN nf q ON q.vec_id = s.q_id
+       |  JOIN nf e ON e.vec_id = s.vec_id)
+       |SELECT q_id, vec_id, score, rk FROM (
+       |  SELECT q_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk
+       |  FROM rer) WHERE rk <= 3""".stripMargin
 }

@@ -78,6 +78,64 @@ case class VecSqDist(left: Expression, right: Expression) extends VecBinaryFold 
     copy(left = l, right = r)
 }
 
+/** Double-array twin of [[VecBinaryFold]] — the IVF codebook path
+  * compares the (exactly-widened) corpus against double-valued Lloyd
+  * means, so both inputs are `array<double>`. Same sequential-fold
+  * numeric contract; the oracle's
+  * `list_sum(list_transform(range(n), i -> f(a[i+1], b[i+1])))` over
+  * DOUBLE[] lists computes the identical operation sequence. */
+abstract class VecBinaryFoldD extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  protected def stepCode(acc: String, a: String, b: String, i: String): String
+  protected def step(acc: Double, x: Double, y: Double): Double
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0d
+    var i = 0
+    while (i < n) { s = step(s, a.getDouble(i), b.getDouble(i)); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |${ev.value} = 0.0;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${stepCode(ev.value, a, b, i)}
+         |}
+       """.stripMargin
+    })
+}
+
+/** Sequential-fold dot product over two array<double> columns. */
+case class VecDotD(left: Expression, right: Expression) extends VecBinaryFoldD {
+  override def prettyName: String = "vec_dot_d"
+  protected def step(acc: Double, x: Double, y: Double): Double = acc + x * y
+  protected def stepCode(acc: String, a: String, b: String, i: String): String =
+    s"$acc += $a.getDouble($i) * $b.getDouble($i);"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDotD =
+    copy(left = l, right = r)
+}
+
+/** Squared Euclidean distance over two array<double> columns. */
+case class VecSqDistD(left: Expression, right: Expression) extends VecBinaryFoldD {
+  override def prettyName: String = "vec_sq_dist_d"
+  protected def step(acc: Double, x: Double, y: Double): Double = {
+    val d = x - y; acc + d * d
+  }
+  protected def stepCode(acc: String, a: String, b: String, i: String): String =
+    s"""double d = $a.getDouble($i) - $b.getDouble($i); $acc += d * d;"""
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecSqDistD =
+    copy(left = l, right = r)
+}
+
 /** Intersection size of two SORTED DISTINCT long arrays by two-pointer
   * merge — the triangle census's per-edge kernel.
   *

@@ -94,17 +94,42 @@ object JdbcUpsert {
     val ps = conn.prepareStatement(sql)
     var n = 0L
     try {
+      // Duplicate-key detection by SQLState class 23 (integrity
+      // constraint violation): PostgreSQL surfaces unique violations as
+      // PSQLException with SQLState 23505, NOT as the
+      // SQLIntegrityConstraintViolationException subclass Derby uses.
+      def isIntegrityViolation(e: SQLException): Boolean =
+        e.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException] ||
+          Option(e.getSQLState).exists(_.startsWith("23"))
       var pending = List.empty[Row]
       def flush(): Unit = {
-        try { ps.executeBatch(); () }
-        catch { case _: SQLException =>
-          // Replay the batch one row at a time, skipping duplicates.
+        // Savepoint around the batch: on PostgreSQL a failed statement
+        // ABORTS the transaction (every later statement fails with
+        // "current transaction is aborted"), so the replay below needs
+        // a rollback target that doesn't discard previously flushed
+        // batches. Derby tolerates the same protocol.
+        val bsp = conn.setSavepoint()
+        try { ps.executeBatch(); conn.releaseSavepoint(bsp); () }
+        catch { case batchEx: SQLException =>
           ps.clearBatch()
-          pending.reverse.foreach { row =>
-            bindIdx.zipWithIndex.foreach { case (ci, bi) =>
-              bind(ps, bi + 1, row.get(ci), schema(ci).dataType) }
-            try { ps.executeUpdate(); () }
-            catch { case _: java.sql.SQLIntegrityConstraintViolationException => () }
+          try {
+            conn.rollback(bsp)
+            // Replay one row at a time, each under its own savepoint;
+            // only integrity violations are swallowed (DO NOTHING
+            // semantics) — anything else rethrows the ORIGINAL error.
+            pending.reverse.foreach { row =>
+              bindIdx.zipWithIndex.foreach { case (ci, bi) =>
+                bind(ps, bi + 1, row.get(ci), schema(ci).dataType) }
+              val sp = conn.setSavepoint()
+              try { ps.executeUpdate(); conn.releaseSavepoint(sp) }
+              catch {
+                case e: SQLException if isIntegrityViolation(e) =>
+                  conn.rollback(sp)
+              }
+            }
+          } catch { case replayEx: SQLException =>
+            if (replayEx ne batchEx) batchEx.addSuppressed(replayEx)
+            throw batchEx
           }
         }
         pending = Nil

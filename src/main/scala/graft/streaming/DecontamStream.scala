@@ -35,13 +35,22 @@ object DecontamStream {
       .dropDuplicates("doc_id", "s")
     val hits = sh.join(broadcast(evalShingles.select(col("s")).distinct()
         .withColumn("hit", lit(1))), Seq("s"), "left")
-    val ratio = col("n_common").cast("double") / col("train_sz").cast("double")
-    hits.groupBy(col("doc_id"))
+    val perDoc = hits.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("train_sz"),
         sum(coalesce(col("hit"), lit(0))).cast("long").as("n_common"))
-      .select(col("doc_id"), col("n_common"), col("train_sz"),
-        Num.roundp(ratio, 4).as("contam_ratio"),
-        (ratio >= threshold).as("contaminated"))
+    // Documents with fewer than 3 tokens produce NO shingles, so they
+    // vanish from the exploded aggregation — but this is an ingest
+    // GATE: such docs must pass through as clean, not be silently
+    // dropped. Left-join the scores back onto the full doc_id set
+    // (same restore pattern as TextOps.bpeApplyStats).
+    val ratio = col("n_common").cast("double") / col("train_sz").cast("double")
+    docs.select(col("doc_id")).dropDuplicates("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("train_sz"), lit(0L)).as("train_sz"),
+        coalesce(Num.roundp(ratio, 4), lit(0.0d)).as("contam_ratio"),
+        coalesce(ratio >= threshold, lit(false)).as("contaminated"))
   }
 
   /** The eval shingle set for a corpus dir — the same doc_id % 97 slice

@@ -72,4 +72,23 @@ class DecontamStreamSpec extends SparkSuite {
     val (cN, _, cFlag) = got(cleanId)
     assert(cN == 0L && !cFlag)
   }
+
+  test("shingle-less docs pass through the ingest gate as clean rows") {
+    import spark.implicits._
+    // A doc under 3 tokens (and a fully empty one) produces no
+    // shingles; the gate must still emit it — uncontaminated with zero
+    // counts — never silently drop it from the scored stream.
+    val ev = DecontamStream.evalShingles(spark, sf001)
+    val docs = Seq(1L -> "two tokens", 2L -> "", 3L -> "one two three four five")
+      .toDF("doc_id", "text")
+    val out = DecontamStream.score(docs, ev).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_common"), r.getAs[Long]("train_sz"),
+          r.getAs[Double]("contam_ratio"), r.getAs[Boolean]("contaminated")))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((0L, 0L, 0.0, false)))
+    assert(out(2L) == ((0L, 0L, 0.0, false)))
+    assert(out(3L)._2 == 3L) // 5 tokens → 3 shingles actually scored
+  }
 }

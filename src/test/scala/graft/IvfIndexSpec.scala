@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.IvfIndex
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
@@ -15,10 +16,11 @@ class IvfIndexSpec extends SparkSuite {
     val corpus = Tables(spark, sf001, "embeddings")
     IvfIndex.build(spark, corpus, tmp)
 
-    // layout: assignments partitioned by centroid_id
+    // layout: assignments partitioned by centroid_id; the codebook is
+    // FIXED-SIZE (≤ K cells, independent of corpus size)
     val dirs = new java.io.File(s"$tmp/assignments").list()
       .filter(_.startsWith("centroid_id="))
-    assert(dirs.length == 10) // 500 vectors / everyK=50
+    assert(dirs.length > 1 && dirs.length <= IvfIndex.K, dirs.toSeq)
 
     val queries = corpus.where(col("vec_id") < 5)
     val got = IvfIndex.search(spark, tmp, queries, k = 3, nprobe = 1)
@@ -45,6 +47,57 @@ class IvfIndexSpec extends SparkSuite {
     // the rank-1 score can only improve (or stay) as probes widen
     assert(s1.keySet == s2.keySet)
     assert(s1.forall { case (q, sc) => s2(q) >= sc })
+  }
+
+  test("codebook size is corpus-independent (same K at 4x the corpus)") {
+    // sf0.001 has 500 vectors, sf0.1 has 2000 — the codebook must not
+    // grow with the corpus (the r4 scale-killer: centroids = n/50).
+    val cbSmall = IvfIndex.trainCodebook(Tables(spark, sf001, "embeddings"))
+    val cbBig = IvfIndex.trainCodebook(Tables(spark, "/root/testdata/sf0.1", "embeddings"))
+    assert(cbSmall.length <= IvfIndex.K && cbBig.length <= IvfIndex.K)
+    assert(cbBig.length == IvfIndex.K) // no empty cells at 2000 vectors
+  }
+
+  test("incremental append equals a fresh batch build with the same codebook") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmpA = Files.createTempDirectory("ivf-inc").toString + "/idx"
+    val tmpB = Files.createTempDirectory("ivf-full").toString + "/idx"
+    val corpus = Tables(spark, sf001, "embeddings")
+
+    // Build on the first half only; the codebook freezes there.
+    IvfIndex.build(spark, corpus.where(col("vec_id") < 250), tmpA)
+
+    // Stream the remaining vectors in over two micro-batches — the
+    // continuous-ingest shape: each batch is assigned to the EXISTING
+    // codebook and appended to the bucketed assignments table.
+    val ids = MemoryStream[Long]
+    val q = ids.toDS().toDF("id").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        IvfIndex.append(spark, tmpA,
+          batch.join(corpus, batch("id") === corpus("vec_id"))
+            .select(corpus("vec_id"), corpus("embedding")))
+      }
+      .start()
+    try {
+      ids.addData(250L until 375L: _*)
+      q.processAllAvailable()
+      ids.addData(375L until 500L: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // Fresh batch build over the FULL corpus with the same codebook.
+    IvfIndex.build(spark, corpus, tmpB,
+      codebook = Some(IvfIndex.readCodebook(spark, tmpA)))
+
+    val queries = corpus.where(col("vec_id") < 5)
+    def rows(path: String) =
+      IvfIndex.search(spark, path, queries, k = 3, nprobe = 2).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rk"),
+          r.getAs[Long]("vec_id"), r.getAs[Double]("score"))).toSet
+    assert(rows(tmpA) == rows(tmpB))
+    // and the appended index really holds the whole corpus
+    assert(spark.read.parquet(s"$tmpA/assignments").count() === 500L)
   }
 
   test("int8 quantization: error bounded by half a step, cosine recall ~1") {

