@@ -42,30 +42,48 @@ class RssDataSource extends TableProvider with DataSourceRegister {
     NewsSchema.wireSchema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new RssTable(properties.get("path"))
+    new RssTable(properties.get("path"), properties.get("feeds"))
 }
 
-private[sources] class RssTable(path: String) extends Table with SupportsRead {
-  require(path != null, "graft-rss requires a path: spark.read.format(\"graft-rss\").load(dir)")
-  override def name(): String = s"graft-rss($path)"
+private[sources] class RssTable(path: String, feeds: String)
+    extends Table with SupportsRead {
+  require(path != null || feeds != null,
+    "graft-rss requires .load(dir) (batch over feed XML files) or " +
+      ".option(\"feeds\", \"url1,url2\") (streaming poll)")
+  override def name(): String = s"graft-rss(${if (path != null) path else feeds})"
   override def schema(): StructType = NewsSchema.wireSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RssScanBuilder(path)
+    new RssScanBuilder(path, options)
 }
 
-private[sources] class RssScanBuilder(path: String)
+private[sources] class RssScanBuilder(path: String, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = NewsSchema.wireSchema
   // Column pruning: only the pruned fields are materialized per entry.
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new RssScan(path, required)
+  override def build(): Scan = new RssScan(path, options, required)
 }
 
-private[sources] class RssScan(path: String, required: StructType) extends Scan with Batch {
+private[sources] class RssScan(path: String, options: CaseInsensitiveStringMap,
+    required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
-  override def toBatch: Batch = this
+  override def toBatch: Batch = {
+    require(path != null, "graft-rss batch read requires a path")
+    this
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val feeds = Option(options.get("feeds")).getOrElse(
+      sys.error("graft-rss streaming requires .option(\"feeds\", \"url1,url2\")"))
+    new RssMicroBatchStream(
+      feeds.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      options.getInt("horizon", 1000),
+      options.getInt("timeoutSec", 10),
+      required.fieldNames)
+  }
 
   // One partition per feed file: feeds are independent documents, and a
   // single XML document is not splittable — file granularity IS the
@@ -112,6 +130,166 @@ private[sources] class RssPartitionReader(file: String, fields: Array[String])
         .asInstanceOf[Array[Any]])
 
   override def close(): Unit = ()
+}
+
+/** Streaming offset: the per-feed dedup horizon — the most recent
+  * `horizon` links seen per feed, in first-seen order. The horizon
+  * lives IN the offset, so a checkpoint restart restores it and
+  * already-delivered links are not re-emitted — this replaces the
+  * reference producer's in-process bounded deque
+  * (collect/producer.py:7), which forgot everything on restart. A
+  * micro-batch is the per-feed SET DIFF between its end and start
+  * offsets, which keeps batch contents well-defined no matter when the
+  * engine interleaves offset restore with the first poll. */
+private[sources] case class RssStreamOffset(seen: Map[String, Seq[String]])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  import org.json4s.JsonDSL._
+  import org.json4s.jackson.JsonMethods._
+  override def json(): String = compact(render("seen" -> seen))
+}
+
+private[sources] object RssStreamOffset {
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods._
+  private implicit val fmt: Formats = DefaultFormats
+  def fromJson(s: String): RssStreamOffset =
+    RssStreamOffset((parse(s) \ "seen").extract[Map[String, Seq[String]]])
+}
+
+/** Micro-batch RSS poll source: each trigger polls every feed URL
+  * driver-side (29 tiny HTTP GETs in the reference deployment — the
+  * data-sized work, parsing/enriching/sinking, happens in the
+  * executors downstream), advancing the horizon offset by the links
+  * fetched. A feed that fails to fetch contributes zero entries that
+  * round (poll cycles survive one dead feed).
+  *
+  * Replayability: within a run, planned-but-uncommitted batches replay
+  * from the driver-side entry cache; across a restart the cache is
+  * gone, so an uncommitted batch replans to only the entries the
+  * post-restart polls re-fetched — the socket-source tradeoff,
+  * acceptable because the downstream upsert sink (S5/J1) is idempotent
+  * on link anyway.
+  */
+private[sources] class RssMicroBatchStream(feeds: Seq[String], horizon: Int,
+    timeoutSec: Int, fields: Array[String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  // Driver-side state: the poll base (last returned horizon) and the
+  // entry payloads for every link still inside some live horizon.
+  private var seen: Map[String, Seq[String]] = Map.empty
+  private val cache = scala.collection.mutable.Map.empty[(String, String), Rss.FeedEntry]
+  private var prepared = false
+  private var availableNowTarget: Option[RssStreamOffset] = None
+
+  private def merged(a: Map[String, Seq[String]], b: Map[String, Seq[String]]):
+      Map[String, Seq[String]] =
+    (a.keySet ++ b.keySet).map { f =>
+      val av = a.getOrElse(f, Nil)
+      val avSet = av.toSet
+      f -> (av ++ b.getOrElse(f, Nil).filterNot(avSet)).takeRight(horizon)
+    }.toMap
+
+  private def poll(): RssStreamOffset = {
+    for (f <- feeds) {
+      val entries = Http.get(f, timeoutSec).map(Http.parseFeed).getOrElse(Nil)
+        .filter(e => e.link != null && e.link.nonEmpty)
+        .distinctBy(_.link) // a feed page repeating a link counts once
+      entries.foreach(e => cache((f, e.link)) = e)
+      val seenSet = seen.getOrElse(f, Nil).toSet
+      val fresh = entries.map(_.link).filterNot(seenSet)
+      if (fresh.nonEmpty)
+        seen = seen.updated(f, (seen.getOrElse(f, Nil) ++ fresh).takeRight(horizon))
+    }
+    RssStreamOffset(seen)
+  }
+
+  override def initialOffset(): Offset = RssStreamOffset(Map.empty)
+
+  override def deserializeOffset(json: String): Offset =
+    RssStreamOffset.fromJson(json)
+
+  // AvailableNow: only ARM here — the target poll is taken lazily at
+  // the first latestOffset(start, _) call, which runs after the engine
+  // has restored the checkpointed start offset (polling eagerly here
+  // would race the restore and lose the horizon merge below).
+  override def prepareForTriggerAvailableNow(): Unit = prepared = true
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  override def latestOffset(start: Offset, limit:
+      org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    synchronized {
+      // Fold the (possibly checkpoint-restored) start horizon into the
+      // poll base so links delivered by a previous run stay deduped.
+      seen = merged(seen, start.asInstanceOf[RssStreamOffset].seen)
+      if (prepared) {
+        if (availableNowTarget.isEmpty) availableNowTarget = Some(poll())
+        availableNowTarget.get
+      } else poll()
+    }
+
+  override def commit(end: Offset): Unit = synchronized {
+    // Links inside the committed horizon are DELIVERED — their payloads
+    // can never be planned again, so drop them. Links outside it are
+    // either pending (fetched for the next batch — keep!) or expired;
+    // both are bounded by the feed page size. Note a restart re-commits
+    // an OLD end offset after the first new poll has already cached
+    // fresh entries — pruning by membership (not absence) keeps those.
+    val delivered = end.asInstanceOf[RssStreamOffset].seen
+    cache.filterInPlace { case ((f, link), _) =>
+      !delivered.getOrElse(f, Nil).contains(link) }
+  }
+
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    synchronized {
+      val s = start.asInstanceOf[RssStreamOffset].seen
+      val e = end.asInstanceOf[RssStreamOffset].seen
+      feeds.flatMap { f =>
+        val before = s.getOrElse(f, Nil).toSet
+        val links = e.getOrElse(f, Nil).filterNot(before)
+        val entries = links.flatMap(l => cache.get((f, l))).toArray
+        if (entries.isEmpty) None
+        else Some(RssEntriesPartition(entries): InputPartition)
+      }.toArray
+    }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RssEntriesReaderFactory(fields)
+}
+
+private[sources] case class RssEntriesPartition(entries: Array[Rss.FeedEntry])
+    extends InputPartition
+
+private[sources] class RssEntriesReaderFactory(fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val entries = partition.asInstanceOf[RssEntriesPartition].entries
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < entries.length }
+      override def get(): InternalRow = {
+        val e = entries(i)
+        def f(name: String): Any = {
+          val v = name match {
+            case "author" => e.author
+            case "link" => e.link
+            case "summary" => e.summary
+            case "title" => e.title
+            case "updated" => e.updated
+            case _ => null
+          }
+          if (v == null) null else UTF8String.fromString(v)
+        }
+        new GenericInternalRow(fields.map(f).asInstanceOf[Array[Any]])
+      }
+      override def close(): Unit = ()
+    }
 }
 
 /** JDK-DOM RSS/Atom entry extraction (no external XML dependency). */
