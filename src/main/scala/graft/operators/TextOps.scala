@@ -200,24 +200,95 @@ object TextOps {
     bpeCache.getOrElseUpdate((org.apache.spark.sql.GraftBridge.sessionUUID(s), dir), bpeTrainUncached(s, dir))
   }
 
-  private def bpeTrainUncached(s: SparkSession, dir: String):
-      (Seq[(Long, String, String, String, Long)], DataFrame) = {
-    var vocab = Tables(s, dir, "documents")
+  /** word → (spaced symbol sequence, corpus frequency), persisted. */
+  private def bpeInitVocab(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
       .select(explode(toks).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(col("w"),
         concat(trim(regexp_replace(col("w"), "(.)", "$1 ")), lit("</w>")).as("seq"),
         col("cnt"))
       .persist()
+
+  /** Weighted adjacent-pair counts over the current vocabulary. */
+  private def bpePairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .select(col("cnt"), split(col("seq"), " ").as("sy"))
+      .select(col("cnt"), explode(expr(
+        "transform(slice(sy, 1, size(sy) - 1), (x, i) -> struct(x AS l, element_at(sy, i + 2) AS r))"))
+        .as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("cnt")).as("n"))
+
+  /** Scale path for real vocabularies (a 32k-merge tokenizer): BATCHED
+    * BPE. Sequential BPE costs one distributed pair-count pass + one
+    * driver round-trip PER MERGE — right for the 8-round oracled twin,
+    * untenable at 32k rounds. Here each pass collects a top slice of
+    * the pair table once (coefficient-sized — never the corpus) and
+    * applies up to `batchP` pairwise symbol-disjoint merges in ONE
+    * rewrite, so passes drop to ~rounds/batchP. Disjointness makes the
+    * batch order-free: merging (a,b) cannot create, destroy, or
+    * re-count any occurrence of a pair sharing neither symbol. With
+    * batchP = 1 this IS the oracled sequential recurrence
+    * (spec-pinned); with batchP > 1 it is the standard throughput
+    * batching, which can diverge from strict argmax order only when a
+    * merge-created pair would have outranked a batch member — the
+    * documented tradeoff of every batched tokenizer trainer. Stops
+    * early when the vocabulary has no pairs left to merge. */
+  def bpeTrainScaled(s: SparkSession, dir: String, rounds: Int = 256,
+      batchP: Int = 16): DataFrame = {
+    var vocab = bpeInitVocab(s, dir)
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+    var exhausted = false
+    while (merges.size < rounds && !exhausted) {
+      val want = math.min(batchP, rounds - merges.size)
+      // 4× headroom: greedy disjoint selection skips conflicting rows.
+      val top = bpePairCounts(vocab)
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(want * 4 + 8).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val picked = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        for (row <- top if picked.size < want) {
+          val (l, r, n) = (row.getString(0), row.getString(1), row.getLong(2))
+          if (!used(l) && !used(r)) {
+            picked += ((l, r, n)); used += l; used += r; used += (l + r)
+          }
+        }
+        // One rewrite pass for the whole batch: double separators once,
+        // replace every (disjoint) pattern, collapse once — for a
+        // single pair this is literally the sequential round's rewrite.
+        val doubled = "concat(' ', replace(seq, ' ', '  '), ' ')"
+        val replaced = picked.foldLeft(doubled) { case (acc, (l, r, _)) =>
+          s"replace($acc, concat(' ', '${esc(l)}', '  ', '${esc(r)}', ' '), " +
+            s"concat(' ', '${esc(l)}', '${esc(r)}', ' '))"
+        }
+        // localCheckpoint truncates the lineage: without it the logical
+        // plan accrues one nested-replace projection PER BATCH, and by
+        // ~100 rounds plan rendering alone OOMs the driver (persist
+        // caches data but keeps the whole plan chain). Checkpointing
+        // makes every batch's plan start from the materialized result —
+        // the standard iterative-algorithm hygiene at any round count.
+        val next = vocab.select(col("w"),
+          trim(expr(s"replace($replaced, '  ', ' ')")).as("seq"), col("cnt"))
+          .localCheckpoint(true)
+        vocab.unpersist(blocking = false)
+        vocab = next
+        picked.foreach { case (l, r, n) =>
+          merges += ((merges.size + 1L, l, r, l + r, n)) }
+      }
+    }
+    vocab.unpersist(blocking = false)
+    s.createDataFrame(merges.toSeq).toDF("round", "left", "right", "merged", "n")
+  }
+
+  private def bpeTrainUncached(s: SparkSession, dir: String):
+      (Seq[(Long, String, String, String, Long)], DataFrame) = {
+    var vocab = bpeInitVocab(s, dir)
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
     for (round <- 1 to BpeRounds) {
-      val best = vocab
-        .select(col("cnt"), split(col("seq"), " ").as("sy"))
-        .select(col("cnt"), explode(expr(
-          "transform(slice(sy, 1, size(sy) - 1), (x, i) -> struct(x AS l, element_at(sy, i + 2) AS r))"))
-          .as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("cnt")).as("n"))
+      val best = bpePairCounts(vocab)
         .orderBy(col("n").desc, col("l"), col("r"))
         .limit(1).collect()(0)
       val (l, r, n) = (best.getString(0), best.getString(1), best.getLong(2))
