@@ -121,10 +121,39 @@ object Enrichers {
   def nounStemExpr(tok: Column): Column =
     stripSuffix(stripSuffix(tok, VerbEndings), Josa)
 
+  /** Dictionary-guarded stem (U6 hardening): surface forms in `dict`
+    * are lexical entries — emitted as-is, never stripped. The guard
+    * fixes the irregular nouns a dictionary-less heuristic must
+    * over-stem: 어린이/고양이/바나나 end in josa-shaped syllables, and
+    * only lexical knowledge (here: corpus frequency of the exact
+    * surface form, [[mineNounDictionary]]) distinguishes them from
+    * 정부는/경제를. With ~10²–10³ entries the literal in-set compiles
+    * to a hash probe inside codegen. */
+  def nounStemExpr(tok: Column, dict: Seq[String]): Column =
+    if (dict.isEmpty) nounStemExpr(tok)
+    else when(tok.isin(dict: _*), tok).otherwise(nounStemExpr(tok))
+
   /** U6 stemmed: Hangul runs with verb endings and josa stripped —
     * the word-cloud tokenization that approximates Okt.nouns(). */
   def hangulNounsStemmedExpr(text: Column): Column =
-    transform(hangulNounsExpr(text), t => nounStemExpr(t))
+    hangulNounsStemmedExpr(text, Nil)
+
+  /** Dictionary-guarded variant; `dict` entries pass through unstemmed. */
+  def hangulNounsStemmedExpr(text: Column, dict: Seq[String]): Column =
+    transform(hangulNounsExpr(text), t => nounStemExpr(t, dict))
+
+  /** Mine the noun dictionary from a corpus: the top-N most frequent
+    * exact Hangul surface forms (≥2 chars). A form that is itself
+    * high-frequency standalone is a word in its own right — stripping
+    * it would conflate distinct lemmas (어린이→어린). One distributed
+    * count + a driver-sized top-N; the result ships back into the
+    * stemmer as literals, so applying the dictionary adds no join. */
+  def mineNounDictionary(docs: DataFrame, textCol: String,
+      topN: Int = 200): Seq[String] =
+    docs.select(explode(hangulNounsExpr(col(textCol))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t")).limit(topN)
+      .collect().map(_.getString(0)).toSeq
 
   /** Pluggable morphological analyzer seam (the Okt slot). Must be
     * cheap per call and safe to construct per partition. */
@@ -133,9 +162,10 @@ object Enrichers {
   }
 
   /** JVM-side twin of [[hangulNounsStemmedExpr]] — same suffix tables,
-    * same ≥2-char guards — for the `mapPartitions`/driver paths. The
-    * spec pins the two implementations against each other. */
-  object HeuristicNounTokenizer extends KoreanTokenizer {
+    * same ≥2-char guards, same dictionary pass-through — for the
+    * `mapPartitions`/driver paths. The spec pins the two
+    * implementations against each other. */
+  class DictionaryNounTokenizer(dict: Set[String]) extends KoreanTokenizer {
     private val hangulRun = java.util.regex.Pattern.compile("[가-힣]+")
     // Longest matching suffix, to mirror the regex form exactly: an
     // anchored alternation's leftmost match IS the longest listed
@@ -151,11 +181,15 @@ object Enrichers {
       val out = Seq.newBuilder[String]
       while (m.find()) {
         val t = m.group()
-        if (t.length >= 2) out += strip(strip(t, VerbEndings), Josa)
+        if (t.length >= 2)
+          out += (if (dict.contains(t)) t else strip(strip(t, VerbEndings), Josa))
       }
       out.result()
     }
   }
+
+  /** Dictionary-less twin (the historical default). */
+  object HeuristicNounTokenizer extends DictionaryNounTokenizer(Set.empty)
 
   /** U4: crawl-text post-filter (collect/consumer.py:92-113) — the HTTP
     * fetch itself is environment-dependent; its text-cleaning semantics

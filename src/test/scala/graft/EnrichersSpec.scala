@@ -65,6 +65,49 @@ class EnrichersSpec extends SparkSuite {
     }
   }
 
+  test("dictionary guard fixes irregular nouns the heuristic over-stems") {
+    // Without lexical knowledge these LOOK like noun+josa: 어린이 →
+    // 어린+이, 고양이 → 고양+이, 바나나 → 바나+나. The dictionary-less
+    // stemmer must over-stem them (that's the documented tradeoff)…
+    val text = "어린이 고양이 바나나 정부는 경제를"
+    assert(Enrichers.HeuristicNounTokenizer.nouns(text) ==
+      Seq("어린", "고양", "바나", "정부", "경제"))
+    // …and the corpus-mined dictionary guard must fix exactly them,
+    // while regular noun+josa forms still strip.
+    val dict = Seq("어린이", "고양이", "바나나")
+    val expect = Seq("어린이", "고양이", "바나나", "정부", "경제")
+    val viaExpr = Seq(text).toDF("s")
+      .select(Enrichers.hangulNounsStemmedExpr(col("s"), dict).as("n"))
+      .collect().head.getAs[scala.collection.Seq[String]]("n")
+    assert(viaExpr == expect, "expr path")
+    assert(new Enrichers.DictionaryNounTokenizer(dict.toSet).nouns(text) == expect,
+      "jvm path")
+  }
+
+  test("mined dictionary entries are frequent standalone surface forms") {
+    val docs = spark.read.json("src/test/resources/news_archive_fixture.jsonl")
+      .where(col("content").isNotNull)
+    val dict = Enrichers.mineNounDictionary(docs, "content", topN = 20)
+    assert(dict.nonEmpty && dict.size <= 20)
+    assert(dict.forall(t => t.length >= 2 && t.matches("[가-힣]+")))
+    // determinism: same corpus → same dictionary
+    assert(dict == Enrichers.mineNounDictionary(docs, "content", topN = 20))
+  }
+
+  test("expr and JVM stemmers agree across the Korean fixture (with dictionary)") {
+    val docs = spark.read.json("src/test/resources/news_archive_fixture.jsonl")
+      .where(col("content").isNotNull)
+    val dict = Enrichers.mineNounDictionary(docs, "content", topN = 50)
+    val jvm = new Enrichers.DictionaryNounTokenizer(dict.toSet)
+    val texts = docs.select(col("content")).collect().map(_.getString(0))
+    texts.foreach { t =>
+      val viaExpr = Seq(t).toDF("s")
+        .select(Enrichers.hangulNounsStemmedExpr(col("s"), dict).as("n"))
+        .collect().head.getAs[scala.collection.Seq[String]]("n").toSeq
+      assert(viaExpr == jvm.nouns(t), s"on: $t")
+    }
+  }
+
   test("expr and JVM stemmers agree across the Korean fixture") {
     val texts = spark.read.json("src/test/resources/news_archive_fixture.jsonl")
       .select(col("content")).collect().map(_.getString(0)).filter(_ != null)
