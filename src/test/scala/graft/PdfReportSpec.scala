@@ -63,6 +63,41 @@ class PdfReportSpec extends SparkSuite {
     assert(!raw.contains("/FontFile"))
   }
 
+  test("word cloud: per-term font size is proportional to frequency") {
+    // The reference renders matplotlib's WordCloud
+    // (spark_daily_report.py:231-240) — frequency-proportional glyph
+    // sizes. Decode the word-cloud page's content stream and check the
+    // layout law: size = 10 + 26·count/max(count), so every term's
+    // font size is an affine function of its frequency.
+    val reports = DailyReport.run(spark, fixture, "2025-05-24")
+    val nouns = reports("r5_noun_frequencies").limit(30).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(nouns.nonEmpty)
+    val maxC = math.max(1L, nouns.map(_._2).max).toDouble
+    def hex(s: String) =
+      s.getBytes(StandardCharsets.UTF_16BE).map("%02X".format(_)).mkString
+    val streams = raw.split("stream\n").toSeq
+      .filter(s => s.contains(hex("워드클라우드")))
+    assert(streams.size == 1, s"${streams.size} word-cloud streams")
+    val op = "BT /F\\d ([0-9.]+) Tf [0-9.-]+ [0-9.-]+ Td <([0-9A-F]+)> Tj ET".r
+    val sized = op.findAllMatchIn(streams.head).map { m =>
+      val bytes = m.group(2).grouped(2)
+        .map(h => Integer.parseInt(h, 16).toByte).toArray
+      new String(bytes, StandardCharsets.UTF_16BE) -> m.group(1).toDouble
+    }.toMap
+    nouns.foreach { case (w, c) =>
+      val want = 10.0 + 26.0 * c / maxC
+      val got = sized.getOrElse(w, fail(s"word '$w' missing from the page"))
+      // sizes are written with 1 decimal (Page.n1)
+      assert(math.abs(got - want) <= 0.05 + 1e-9, s"'$w': size $got, want $want")
+    }
+    // and therefore: a strictly more frequent term is never smaller
+    val byFreq = nouns.sortBy(-_._2)
+    byFreq.zip(byFreq.tail).foreach { case ((w1, c1), (w2, c2)) =>
+      if (c1 > c2) assert(sized(w1) > sized(w2), s"'$w1' vs '$w2'")
+    }
+  }
+
   test("empty day still renders a valid document") {
     val empty = DailyReport.run(spark, fixture, "1999-01-01")
     val b = ReportRender.pdf("1999-01-01", empty)
