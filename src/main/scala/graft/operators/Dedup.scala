@@ -182,8 +182,79 @@ object Dedup {
         .where(ham <= 3)
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), ham.as("hamming"))
         .distinct()
+    }),
+
+    // ── Chunk-span dedup (sub-document granularity): the standard
+    // pretraining pass that removes REPEATED SPANS across documents
+    // (boilerplate, quoted text) that doc-level dedup can't see. Docs
+    // are cut into non-overlapping 8-token chunks; a chunk occurrence
+    // is duplicate unless it is the globally-first occurrence of its
+    // hash (first = min doc_id, then min offset within that doc).
+    // Scale shape: chunks are content-addressed — the only shuffles
+    // are a groupBy(hash) (map-side combined) and a hash-keyed join
+    // back; no pairwise comparison anywhere, so cost is O(corpus
+    // chunks), independent of how many documents share a span. ───────
+    "dedup_chunk_spans" -> ((s, dir) => {
+      val ch = chunkRows(s, dir)
+      val own = ownerRows(ch)
+      ch.join(own, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("doc_id") === col("d0") && col("idx") === col("i0"),
+            0L).otherwise(1L)).as("n_dup"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+          Num.roundp(col("n_dup").cast("double") / col("n_chunks"), 4)
+            .as("dup_frac"))
+    }),
+
+    // ── Chunk-span purge: reconstruct each document from only its
+    // KEPT (globally-first) chunks — the emit side of span dedup.
+    // Per-doc reassembly is one partial-aggregated collect_list sorted
+    // by offset; documents whose every chunk is owned elsewhere drop
+    // out entirely (fully-duplicated docs). ──────────────────────────
+    "dedup_chunk_purge" -> ((s, dir) => {
+      val ch = chunkRows(s, dir)
+      val own = ownerRows(ch)
+      ch.join(own, Seq("h"))
+        .where(col("doc_id") === col("d0") && col("idx") === col("i0"))
+        .groupBy(col("doc_id"))
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("idx"), col("chunk")))),
+            x => x.getField("chunk")), " ").as("clean_text"),
+          count(lit(1)).as("n_kept"))
     })
   )
+
+  private val ChunkLen = 8
+
+  /** doc_id → (offset, chunk text, chunk hash) for non-overlapping
+    * [[ChunkLen]]-token blocks (last block may be short). The block
+    * list is built with one `transform` over the token array — no
+    * per-chunk re-tokenization. */
+  private def chunkRows(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), Text.tokens(col("text")).as("tok"))
+      .where(size(col("tok")) > 0)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, (size(tok) + ${ChunkLen - 1}) div $ChunkLen - 1), " +
+          s"i -> struct(CAST(i AS BIGINT) AS idx, " +
+          s"array_join(slice(tok, i * $ChunkLen + 1, $ChunkLen), ' ') AS chunk))"))
+        .as("c"))
+      .select(col("doc_id"), col("c.idx").as("idx"), col("c.chunk").as("chunk"),
+        md5(col("c.chunk")).as("h"))
+
+  /** Per chunk hash: the canonical (first) occurrence — min doc_id,
+    * then min offset within that doc. Two map-side-combined
+    * aggregations over the chunk stream; the result is
+    * distinct-hash-sized (≤ corpus chunks, typically ≪). */
+  private def ownerRows(ch: DataFrame): DataFrame = {
+    val own = ch.groupBy(col("h")).agg(min(col("doc_id")).as("d0"))
+    ch.select(col("h"), col("doc_id"), col("idx"))
+      .join(own, Seq("h"))
+      .where(col("doc_id") === col("d0"))
+      .groupBy(col("h"), col("d0")).agg(min(col("idx")).as("i0"))
+  }
 
   // ── Oracle SQL (DuckDB). Shared CTE fragments mirror the Spark plan. ─
 
@@ -222,7 +293,47 @@ object Dedup {
   private val sqlSimhashBits = (0 until 32).map(i =>
     s"CASE WHEN v$i > 0 THEN '1' ELSE '0' END").mkString(" || ")
 
+  private val sqlChunks =
+    s"""WITH tk AS MATERIALIZED (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tok
+       |  FROM documents),
+       |ch AS MATERIALIZED (
+       |  SELECT doc_id, CAST(u.idx AS BIGINT) AS idx, u.chunk AS chunk,
+       |    md5(u.chunk) AS h
+       |  FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      range(0, (len(tok) + ${ChunkLen - 1}) // $ChunkLen),
+       |      i -> {'idx': i,
+       |            'chunk': array_to_string(
+       |              list_slice(tok, i * $ChunkLen + 1, i * $ChunkLen + $ChunkLen), ' ')})) AS u
+       |    FROM tk WHERE len(tok) > 0)),
+       |own AS MATERIALIZED (
+       |  SELECT ch.h AS h, o.d0 AS d0, min(ch.idx) AS i0
+       |  FROM ch JOIN (SELECT h, min(doc_id) AS d0 FROM ch GROUP BY h) o
+       |    ON ch.h = o.h AND ch.doc_id = o.d0
+       |  GROUP BY ch.h, o.d0)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dedup_chunk_spans" ->
+      s"""$sqlChunks
+         |SELECT doc_id, n_chunks, n_dup,
+         |  floor(CAST(n_dup AS DOUBLE) / n_chunks * 10000 + 0.5) / 10000 AS dup_frac
+         |FROM (
+         |  SELECT ch.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |    CAST(sum(CASE WHEN ch.doc_id = own.d0 AND ch.idx = own.i0
+         |      THEN 0 ELSE 1 END) AS BIGINT) AS n_dup
+         |  FROM ch JOIN own ON ch.h = own.h
+         |  GROUP BY ch.doc_id)""".stripMargin,
+
+    "dedup_chunk_purge" ->
+      s"""$sqlChunks
+         |SELECT ch.doc_id AS doc_id,
+         |  string_agg(ch.chunk, ' ' ORDER BY ch.idx) AS clean_text,
+         |  CAST(count(*) AS BIGINT) AS n_kept
+         |FROM ch JOIN own ON ch.h = own.h
+         |WHERE ch.doc_id = own.d0 AND ch.idx = own.i0
+         |GROUP BY ch.doc_id""".stripMargin,
+
     "dedup_exact" ->
       """SELECT lang, n_chars, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY lang, n_chars""".stripMargin,

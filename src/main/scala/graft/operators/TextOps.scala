@@ -176,7 +176,44 @@ object TextOps {
 
     "text_fingerprint" -> ((s, dir) =>
       Tables(s, dir, "documents").select(
-        col("doc_id"), Text.fingerprint(col("text")).as("fp")))
+        col("doc_id"), Text.fingerprint(col("text")).as("fp"))),
+
+    // ── BM25 ranked retrieval (the scoring face of the inverted
+    // index): Okapi BM25 with k1=1.2, b=0.75 over a fixed term set.
+    // Everything is index-shaped — the postings scan touches only the
+    // query terms' rows, document length and avgdl come from one
+    // map-side-combined count, and the final ranking is a top-k
+    // (TakeOrderedAndProject), never a global sort. At 100 TB the
+    // postings + doclen tables are built once and persisted bucketed
+    // by token/doc_id; each query then reads |terms| postings lists.
+    // Cross-engine parity: idf and the per-term partial are quantized
+    // onto 1e-6 grids before the (three-term) sum, so engine-order
+    // summation noise (~1e-16) cannot reach the 1e-4 output grid. ─────
+    "idx_bm25_topk" -> ((s, dir) => {
+      val terms = Seq("query", "window", "spark")
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), toks.as("tok"))
+      val dl = docs.select(col("doc_id"), size(col("tok")).cast("long").as("dl"))
+      val stats = dl.agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val tf = docs.select(col("doc_id"), explode(col("tok")).as("token"))
+        .where(col("token").isin(terms: _*))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val idf = Num.roundp(
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)), 6)
+      val denom = col("tf") +
+        lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))
+      val part = Num.roundp(col("idf") * (col("tf") * lit(2.2)) / denom, 6)
+      tf.join(broadcast(df.crossJoin(stats).withColumn("idf", idf)), "token")
+        .join(dl, "doc_id")
+        .select(col("doc_id"), part.as("p"))
+        .groupBy(col("doc_id"))
+        .agg(Num.roundp(sum(col("p")), 4).as("score"),
+          count(lit(1)).as("n_terms"))
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
+    })
   )
 
   private val BpeRounds = 8
@@ -490,6 +527,40 @@ object TextOps {
 
     "text_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // Mirrors the Spark plan expression-for-expression (same literal
+    // order, same 1e-6 idf/partial grids before the 1e-4 score grid).
+    "idx_bm25_topk" ->
+      s"""WITH tk AS MATERIALIZED (
+         |  SELECT doc_id, $sqlToks AS tok FROM documents),
+         |dl AS MATERIALIZED (
+         |  SELECT doc_id, CAST(len(tok) AS BIGINT) AS dl FROM tk),
+         |stats AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |tf AS MATERIALIZED (
+         |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, unnest(tok) AS token FROM tk)
+         |  WHERE token IN ('query', 'window', 'spark')
+         |  GROUP BY doc_id, token),
+         |df AS MATERIALIZED (
+         |  SELECT token,
+         |    floor(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * 1000000 + 0.5)
+         |      / 1000000 AS idf
+         |  FROM (SELECT token, CAST(count(*) AS BIGINT) AS df
+         |        FROM tf GROUP BY token), stats)
+         |SELECT doc_id,
+         |  floor(sum(p) * 10000 + 0.5) / 10000 AS score,
+         |  CAST(count(*) AS BIGINT) AS n_terms
+         |FROM (
+         |  SELECT tf.doc_id,
+         |    floor(df.idf * (tf.tf * 2.2) / (tf.tf + 1.2 *
+         |      (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) * 1000000 + 0.5)
+         |      / 1000000 AS p
+         |  FROM tf JOIN df ON tf.token = df.token
+         |  JOIN dl ON tf.doc_id = dl.doc_id, stats)
+         |GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
   )
 }

@@ -28,6 +28,48 @@ class OperatorSpec extends SparkSuite {
     assert(verified.forall(r => r.getAs[Long]("a") < r.getAs[Long]("b")))
   }
 
+  test("chunk-span dedup: kept chunks account exactly for distinct spans") {
+    val spans = SparkEntry.queries("dedup_chunk_spans")(spark, sf001).collect()
+    val purge = SparkEntry.queries("dedup_chunk_purge")(spark, sf001).collect()
+    // every doc appears in spans with sane counts
+    assert(spans.length == 500)
+    spans.foreach { r =>
+      val (n, d) = (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_dup"))
+      assert(n > 0 && d >= 0 && d <= n)
+      val frac = r.getAs[Double]("dup_frac")
+      assert(math.abs(frac - math.floor(d.toDouble / n * 10000 + 0.5) / 10000) < 1e-12)
+    }
+    // conservation: total kept chunk occurrences == one per distinct
+    // span == total chunks minus duplicates
+    val totalChunks = spans.map(_.getAs[Long]("n_chunks")).sum
+    val totalDup = spans.map(_.getAs[Long]("n_dup")).sum
+    val totalKept = purge.map(_.getAs[Long]("n_kept")).sum
+    assert(totalKept == totalChunks - totalDup)
+    // purge output only contains docs that kept at least one chunk
+    assert(purge.forall(_.getAs[Long]("n_kept") > 0))
+    assert(purge.map(_.getAs[Long]("doc_id")).toSet
+      .subsetOf(spans.map(_.getAs[Long]("doc_id")).toSet))
+  }
+
+  test("bm25 retrieval: ranked, positive, only term-matching docs") {
+    val r = SparkEntry.queries("idx_bm25_topk")(spark, sf001).collect()
+    assert(r.length == 10)
+    val scores = r.map(_.getAs[Double]("score"))
+    assert(scores.sorted.reverse.toSeq == scores.toSeq, "descending scores")
+    assert(scores.forall(_ > 0))
+    assert(r.forall(x => (1L to 3L).contains(x.getAs[Long]("n_terms"))))
+    // every hit really contains at least one of the query terms
+    val terms = Set("query", "window", "spark")
+    val ids = r.map(_.getAs[Long]("doc_id")).toSet
+    val texts = spark.read.parquet(s"$sf001/documents.parquet")
+      .where(col("doc_id").isin(ids.toSeq: _*))
+      .select("doc_id", "text").collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("text")).toMap
+    ids.foreach { id =>
+      assert(texts(id).split(" ").exists(terms), s"doc $id lacks all query terms")
+    }
+  }
+
   test("sim_topk returns 5 neighbors per query, self excluded, ranked") {
     val r = SparkEntry.queries("sim_topk_bruteforce")(spark, sf001).collect()
     assert(r.length == 25)
