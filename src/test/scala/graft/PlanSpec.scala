@@ -64,6 +64,26 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("bm25 ranks with TakeOrderedAndProject and broadcasts the term stats") {
+    val df = SparkEntry.queries("idx_bm25_topk")(spark, sf001)
+    val plan = physical(df)
+    // final ranking is a top-k, never sort-the-world
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the |terms|-row idf/stats side is broadcast — the postings side
+    // never shuffles to meet it
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("chunk-span dedup shuffles only on the content hash — no pairwise join") {
+    val plan = physical(SparkEntry.queries("dedup_chunk_spans")(spark, sf001))
+    // content-addressed: ownership is a hash-keyed aggregation + join;
+    // a cartesian/BNL anywhere means an accidental all-pairs compare
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the ownership aggregation partial-aggregates before its exchange
+    assert(plan.contains("partial_min"), plan)
+  }
+
   test("anti join plans as a join, not a per-row subquery (J1)") {
     val plan = physical(SparkEntry.queries("j1_anti_join")(spark, sf001))
     assert(plan.contains("LeftAnti"), plan)
