@@ -226,14 +226,19 @@ object Dedup {
     })
   )
 
-  private val ChunkLen = 8
+  private[graft] val ChunkLen = 8
 
   /** doc_id → (offset, chunk text, chunk hash) for non-overlapping
     * [[ChunkLen]]-token blocks (last block may be short). The block
     * list is built with one `transform` over the token array — no
     * per-chunk re-tokenization. */
   private def chunkRows(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    chunkRowsOf(Tables(s, dir, "documents"))
+
+  /** Same, over any (doc_id, text, …) frame — shared with the
+    * streaming ingest-time twin. */
+  private[graft] def chunkRowsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), Text.tokens(col("text")).as("tok"))
       .where(size(col("tok")) > 0)
       .select(col("doc_id"), explode(expr(
@@ -248,7 +253,7 @@ object Dedup {
     * then min offset within that doc. Two map-side-combined
     * aggregations over the chunk stream; the result is
     * distinct-hash-sized (≤ corpus chunks, typically ≪). */
-  private def ownerRows(ch: DataFrame): DataFrame = {
+  private[graft] def ownerRows(ch: DataFrame): DataFrame = {
     val own = ch.groupBy(col("h")).agg(min(col("doc_id")).as("d0"))
     ch.select(col("h"), col("doc_id"), col("idx"))
       .join(own, Seq("h"))
