@@ -374,10 +374,10 @@ object Similarity {
 
   /** DuckDB double-precision sequential dot product over FLOAT[] lists —
     * same fold as Vectors.dot. */
-  private def sqlDot(a: String, b: String) =
+  private[operators] def sqlDot(a: String, b: String) =
     s"list_sum(list_transform(range(64), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)))"
 
-  private def sqlNorm(a: String) = s"sqrt(${sqlDot(a, a)})"
+  private[operators] def sqlNorm(a: String) = s"sqrt(${sqlDot(a, a)})"
 
   /** Shared oracle prelude: the identical codebook recurrence (hash-
     * order seed sample, quantized Lloyd rounds) + quantized-argmin

@@ -189,32 +189,71 @@ object TextOps {
     // Cross-engine parity: idf and the per-term partial are quantized
     // onto 1e-6 grids before the (three-term) sum, so engine-order
     // summation noise (~1e-16) cannot reach the 1e-4 output grid. ─────
-    "idx_bm25_topk" -> ((s, dir) => {
-      val terms = Seq("query", "window", "spark")
-      val docs = Tables(s, dir, "documents")
-        .select(col("doc_id"), toks.as("tok"))
-      val dl = docs.select(col("doc_id"), size(col("tok")).cast("long").as("dl"))
-      val stats = dl.agg(
-        count(lit(1)).as("n_docs"),
-        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-      val tf = docs.select(col("doc_id"), explode(col("tok")).as("token"))
-        .where(col("token").isin(terms: _*))
-        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      val idf = Num.roundp(
-        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)), 6)
-      val denom = col("tf") +
-        lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))
-      val part = Num.roundp(col("idf") * (col("tf") * lit(2.2)) / denom, 6)
-      tf.join(broadcast(df.crossJoin(stats).withColumn("idf", idf)), "token")
-        .join(dl, "doc_id")
-        .select(col("doc_id"), part.as("p"))
-        .groupBy(col("doc_id"))
-        .agg(Num.roundp(sum(col("p")), 4).as("score"),
-          count(lit(1)).as("n_terms"))
-        .orderBy(col("score").desc, col("doc_id")).limit(10)
+    "idx_bm25_topk" -> ((s, dir) =>
+      bm25PerDoc(s, dir)
+        .orderBy(col("score").desc, col("doc_id")).limit(10)),
+
+    // ── Hybrid retrieval: reciprocal-rank fusion of the sparse (BM25)
+    // and dense (embedding-cosine) rankings for one query — the
+    // two-tower fusion every modern retrieval stack runs. Each side is
+    // an independent top-20 (TakeOrderedAndProject); fusion is a
+    // 20∪20-row full outer join, so the whole fusion stage is
+    // list-sized regardless of corpus scale. rrf = Σ 1/(60 + rank),
+    // the standard k=60 form. ─────────────────────────────────────────
+    "idx_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir, "embeddings")
+      val qv = e.where(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      val cos = Num.roundp(
+        graft.functions.Vectors.cosine(col("q_emb"), col("embedding")), 6)
+      val dW = Window.orderBy(col("cs").desc, col("doc_id"))
+      val dense = e.crossJoin(broadcast(qv)).where(col("vec_id") =!= 0)
+        .select(col("vec_id").as("doc_id"), cos.as("cs"))
+        .orderBy(col("cs").desc, col("doc_id")).limit(20)
+        .select(col("doc_id"), row_number().over(dW).cast("long").as("dr"))
+      val sW = Window.orderBy(col("score").desc, col("doc_id"))
+      val sparse = bm25PerDoc(s, dir)
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+        .select(col("doc_id"), row_number().over(sW).cast("long").as("sr"))
+      val rrf = coalesce(lit(1.0) / (lit(60) + col("dr")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60) + col("sr")), lit(0.0))
+      dense.join(sparse, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), Num.roundp(rrf, 6).as("rrf"),
+          col("dr"), col("sr"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
     })
   )
+
+  /** Okapi BM25 (k1 = 1.2, b = 0.75) per matching document for the
+    * fixed query-term set — shared by the ranked-retrieval query and
+    * the hybrid fusion. Postings-shaped: only the query terms' rows
+    * survive the explode-filter, term stats are a |terms|-row
+    * broadcast, and per-term partials are quantized (1e-6) before the
+    * cross-engine-order-sensitive sum (1e-4). */
+  private def bm25PerDoc(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("query", "window", "spark")
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), toks.as("tok"))
+    val dl = docs.select(col("doc_id"), size(col("tok")).cast("long").as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs.select(col("doc_id"), explode(col("tok")).as("token"))
+      .where(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val idf = Num.roundp(
+      log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)), 6)
+    val denom = col("tf") +
+      lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))
+    val part = Num.roundp(col("idf") * (col("tf") * lit(2.2)) / denom, 6)
+    tf.join(broadcast(df.crossJoin(stats).withColumn("idf", idf)), "token")
+      .join(dl, "doc_id")
+      .select(col("doc_id"), part.as("p"))
+      .groupBy(col("doc_id"))
+      .agg(Num.roundp(sum(col("p")), 4).as("score"),
+        count(lit(1)).as("n_terms"))
+  }
 
   private val BpeRounds = 8
 
@@ -532,35 +571,68 @@ object TextOps {
     // Mirrors the Spark plan expression-for-expression (same literal
     // order, same 1e-6 idf/partial grids before the 1e-4 score grid).
     "idx_bm25_topk" ->
-      s"""WITH tk AS MATERIALIZED (
-         |  SELECT doc_id, $sqlToks AS tok FROM documents),
-         |dl AS MATERIALIZED (
-         |  SELECT doc_id, CAST(len(tok) AS BIGINT) AS dl FROM tk),
-         |stats AS MATERIALIZED (
-         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-         |tf AS MATERIALIZED (
-         |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM (
-         |    SELECT doc_id, unnest(tok) AS token FROM tk)
-         |  WHERE token IN ('query', 'window', 'spark')
-         |  GROUP BY doc_id, token),
-         |df AS MATERIALIZED (
-         |  SELECT token,
-         |    floor(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * 1000000 + 0.5)
-         |      / 1000000 AS idf
-         |  FROM (SELECT token, CAST(count(*) AS BIGINT) AS df
-         |        FROM tf GROUP BY token), stats)
-         |SELECT doc_id,
-         |  floor(sum(p) * 10000 + 0.5) / 10000 AS score,
-         |  CAST(count(*) AS BIGINT) AS n_terms
-         |FROM (
-         |  SELECT tf.doc_id,
-         |    floor(df.idf * (tf.tf * 2.2) / (tf.tf + 1.2 *
-         |      (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) * 1000000 + 0.5)
-         |      / 1000000 AS p
-         |  FROM tf JOIN df ON tf.token = df.token
-         |  JOIN dl ON tf.doc_id = dl.doc_id, stats)
-         |GROUP BY doc_id
-         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+      s"""$sqlBm25
+         |SELECT doc_id, score, n_terms FROM bm
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "idx_hybrid_rrf" ->
+      s"""$sqlBm25,
+         |n AS MATERIALIZED (
+         |  SELECT vec_id, embedding, ${Similarity.sqlNorm("embedding")} AS nrm
+         |  FROM embeddings),
+         |dense AS MATERIALIZED (
+         |  SELECT doc_id, dr FROM (
+         |    SELECT e.vec_id AS doc_id,
+         |      CAST(row_number() OVER (ORDER BY
+         |        floor((${Similarity.sqlDot("q.embedding", "e.embedding")}
+         |          / (q.nrm * e.nrm)) * 1000000 + 0.5) / 1000000 DESC,
+         |        e.vec_id) AS BIGINT) AS dr
+         |    FROM n e JOIN n q ON q.vec_id = 0 AND e.vec_id <> 0)
+         |  WHERE dr <= 20),
+         |sparse AS MATERIALIZED (
+         |  SELECT doc_id, sr FROM (
+         |    SELECT doc_id,
+         |      CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS sr
+         |    FROM bm)
+         |  WHERE sr <= 20)
+         |SELECT COALESCE(d.doc_id, s.doc_id) AS doc_id,
+         |  floor((COALESCE(1.0 / (60 + d.dr), 0.0) +
+         |         COALESCE(1.0 / (60 + s.sr), 0.0)) * 1000000 + 0.5)
+         |    / 1000000 AS rrf,
+         |  d.dr AS dr, s.sr AS sr
+         |FROM dense d FULL OUTER JOIN sparse s ON d.doc_id = s.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
   )
+
+  private lazy val sqlBm25 =
+    s"""WITH tk AS MATERIALIZED (
+       |  SELECT doc_id, $sqlToks AS tok FROM documents),
+       |dl AS MATERIALIZED (
+       |  SELECT doc_id, CAST(len(tok) AS BIGINT) AS dl FROM tk),
+       |stats AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |tf AS MATERIALIZED (
+       |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id, unnest(tok) AS token FROM tk)
+       |  WHERE token IN ('query', 'window', 'spark')
+       |  GROUP BY doc_id, token),
+       |df AS MATERIALIZED (
+       |  SELECT token,
+       |    floor(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * 1000000 + 0.5)
+       |      / 1000000 AS idf
+       |  FROM (SELECT token, CAST(count(*) AS BIGINT) AS df
+       |        FROM tf GROUP BY token), stats),
+       |bm AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    floor(sum(p) * 10000 + 0.5) / 10000 AS score,
+       |    CAST(count(*) AS BIGINT) AS n_terms
+       |  FROM (
+       |    SELECT tf.doc_id,
+       |      floor(df.idf * (tf.tf * 2.2) / (tf.tf + 1.2 *
+       |        (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) * 1000000 + 0.5)
+       |        / 1000000 AS p
+       |    FROM tf JOIN df ON tf.token = df.token
+       |    JOIN dl ON tf.doc_id = dl.doc_id, stats)
+       |  GROUP BY doc_id)""".stripMargin
 }

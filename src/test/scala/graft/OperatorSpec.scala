@@ -70,6 +70,31 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("hybrid rrf: fused ranking is consistent with both source lists") {
+    val r = SparkEntry.queries("idx_hybrid_rrf")(spark, sf001).collect()
+    assert(r.length == 10)
+    val rrfs = r.map(_.getAs[Double]("rrf"))
+    assert(rrfs.sorted.reverse.toSeq == rrfs.toSeq, "descending rrf")
+    r.foreach { x =>
+      val dr = Option(x.get(x.fieldIndex("dr"))).map(_.asInstanceOf[Long])
+      val sr = Option(x.get(x.fieldIndex("sr"))).map(_.asInstanceOf[Long])
+      // at least one list contains the doc, ranks in [1, 20]
+      assert(dr.isDefined || sr.isDefined)
+      (dr.toSeq ++ sr.toSeq).foreach(k => assert(k >= 1 && k <= 20))
+      // rrf really is the k=60 fusion of the two ranks
+      val want = dr.map(k => 1.0 / (60 + k)).getOrElse(0.0) +
+        sr.map(k => 1.0 / (60 + k)).getOrElse(0.0)
+      assert(math.abs(x.getAs[Double]("rrf") - want) < 1e-6)
+    }
+    // a doc present in BOTH lists must outrank one present in neither
+    // list's top ranks with a single weak rank — sanity: the top fused
+    // doc appears in at least one list at rank <= 5
+    val top = r.head
+    val topRanks = Seq("dr", "sr").flatMap(c =>
+      Option(top.get(top.fieldIndex(c))).map(_.asInstanceOf[Long]))
+    assert(topRanks.min <= 5, s"top fused doc has weak ranks $topRanks")
+  }
+
   test("sim_topk returns 5 neighbors per query, self excluded, ranked") {
     val r = SparkEntry.queries("sim_topk_bruteforce")(spark, sf001).collect()
     assert(r.length == 25)
