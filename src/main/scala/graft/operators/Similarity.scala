@@ -212,6 +212,26 @@ object Similarity {
         .select(col("a"), col("b"), Num.roundp(cos, 4).as("cos"))
     }),
 
+    // ── Embedding-space decontamination: the SEMANTIC counterpart of
+    // decontam_ngram — train vectors too close (cosine) to any held-out
+    // eval vector are flagged, catching paraphrased/near-translated
+    // contamination the n-gram overlap test can't see. Same eval slice
+    // rule (id % 97) and the same scale shape as the n-gram op: the
+    // eval side is benchmark-sized and BROADCAST, the train side never
+    // shuffles — one map-side pass + a per-vector aggregation. ────────
+    "decontam_embed" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val ev = e.where(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("e_id"), col("embedding").as("ee"))
+      val cos = Vectors.cosine(col("embedding"), col("ee"))
+      e.where(col("vec_id") % 97 =!= 0)
+        .crossJoin(broadcast(ev))
+        .where(cos >= 0.35)
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_eval_hits"),
+          Num.roundp(max(cos), 4).as("max_cos"))
+    }),
+
     // ── IVF top-k search: route the query to its cell, search only
     // cell members (probe=1). Assignment is map-side; the only join is
     // cell-members ⋈ broadcast(5 queries). ────────────────────────────
@@ -503,6 +523,14 @@ object Similarity {
     "sim_ivf_assign" ->
       s"""WITH $sqlCb
          |SELECT vec_id, centroid_id, dist FROM asgn""".stripMargin,
+
+    "decontam_embed" ->
+      s"""WITH n AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings)
+         |SELECT t.vec_id AS vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+         |  floor(max(${sqlDot("t.embedding", "ev.embedding")} / (t.nrm * ev.nrm)) * 10000 + 0.5) / 10000 AS max_cos
+         |FROM n t JOIN n ev ON t.vec_id % 97 <> 0 AND ev.vec_id % 97 = 0
+         |WHERE ${sqlDot("t.embedding", "ev.embedding")} / (t.nrm * ev.nrm) >= 0.35
+         |GROUP BY t.vec_id""".stripMargin,
 
     "dedup_embed_cosine" ->
       s"""WITH n AS (SELECT vec_id, label, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings)
