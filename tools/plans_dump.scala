@@ -12,7 +12,8 @@ val keys = Seq("a1_pricing_summary", "j2_dim_broadcast", "j2_fact_join", "o2_top
   "simjoin_prefix", "sk_quantile_hist", "samp_leakage_split", "inc_join_merge",
   "text_unigram_ppl", "sim_quantize_int8", "sim_quantized_recall", "scd2_asof_snapshot",
   "graph_triangles", "decontam_ngram", "pii_pseudonymize", "m1b_pca_power",
-  "m2b_kmeans_lloyd")
+  "m2b_kmeans_lloyd", "sim_ivf_assign", "sim_ivf_pq_search", "idx_bm25_topk",
+  "idx_hybrid_rrf", "dedup_chunk_spans", "decontam_embed")
 // One-line reviewed finding per plan: what the physical plan must show
 // (and does — PlanSpec pins the load-bearing ones as assertions).
 val notes: Map[String, String] = Map(
@@ -51,7 +52,13 @@ val notes: Map[String, String] = Map(
   "decontam_ngram" -> "Eval shingle set broadcast (benchmark-sized); the exploded train side never shuffles — only colliding rows reach the pair aggregation.",
   "pii_pseudonymize" -> "Pure map-side projection over the customer scan — zero exchanges at any scale.",
   "m1b_pca_power" -> "Returned plan is a literal-projection over the cached 2-column view: the one distributed pass (wide covariance aggregate) ran eagerly; no join or shuffle remains in the consumer plan.",
-  "m2b_kmeans_lloyd" -> "Assignment is a broadcast map (centroid literals in a least-of-structs projection) over the cached view — no join, no shuffle.")
+  "m2b_kmeans_lloyd" -> "Assignment is a broadcast map (centroid literals in a least-of-structs projection) over the cached view — no join, no shuffle.",
+  "sim_ivf_assign" -> "Fixed-K codebook as driver literals: assignment is ONE projection over the embeddings scan — no Exchange, no Join anywhere (PlanSpec-pinned); broadcast size is K-proportional, corpus-independent.",
+  "sim_ivf_pq_search" -> "Probed cells only: the ADC scoring joins cell members against the broadcast query set; exact re-rank touches the shortlist, never the corpus.",
+  "idx_bm25_topk" -> "Postings filter evaluates in the explode stage; term stats (|terms| rows) broadcast; final ranking is TakeOrderedAndProject (PlanSpec-pinned).",
+  "idx_hybrid_rrf" -> "Each tower is an independent top-20 TakeOrderedAndProject; the fusion full-outer join runs over 20∪20 rows — list-sized regardless of corpus.",
+  "dedup_chunk_spans" -> "Content-addressed: chunk explode is map-side; ownership is a partial-aggregated groupBy(hash) + hash-keyed join back — no pairwise compare (PlanSpec-pinned: no BNL/cartesian).",
+  "decontam_embed" -> "Eval slice broadcast (benchmark-sized); the train side is one scan-stage pass + per-vector aggregation — mirrors decontam_ngram's shape in embedding space.")
 val sb = new StringBuilder
 sb ++= "# PLANS — formatted physical plans of headline queries (sf0.01)\n\n"
 sb ++= "Generated from `df.queryExecution.explainString(FormattedMode)`; regenerate with tools/plans_dump.scala.\n"
