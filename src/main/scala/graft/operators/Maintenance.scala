@@ -73,6 +73,34 @@ object Maintenance {
     // ── Incremental aggregate maintenance: base rollup (history before
     // 1997) merged with the late delta (1997+) must equal the full
     // GROUP BY — which is exactly what the oracle computes. ──────────
+    // ── Incremental TEXT-INDEX maintenance: the postings statistics
+    // BM25 needs (per-token document frequency + total term count)
+    // maintained by merging the base index with a delta batch's
+    // partial stats — never re-scanning the historical corpus. Both
+    // stats are additive over disjoint doc sets, so the merge is a
+    // vocabulary-sized full-outer join + add; at 100 TB the delta side
+    // is batch-sized and the merge cost is index-sized, corpus-
+    // independent. Invariant (the point): merged == full rebuild. ────
+    "inc_postings_merge" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("tok"))
+      def stats(d: DataFrame) =
+        d.select(col("doc_id"), explode(col("tok")).as("token"))
+          .groupBy(col("token"))
+          .agg(countDistinct(col("doc_id")).as("df"),
+            count(lit(1)).as("tf_total"))
+      val base = stats(docs.where(col("doc_id") % 5 =!= 0))
+        .toDF("token", "df_b", "tf_b")
+      val delta = stats(docs.where(col("doc_id") % 5 === 0))
+        .toDF("token", "df_d", "tf_d")
+      base.join(delta, Seq("token"), "full_outer")
+        .select(col("token"),
+          (coalesce(col("df_b"), lit(0L)) + coalesce(col("df_d"), lit(0L)))
+            .as("df"),
+          (coalesce(col("tf_b"), lit(0L)) + coalesce(col("tf_d"), lit(0L)))
+            .as("tf_total"))
+    }),
+
     "inc_rollup_merge" -> ((s, dir) => {
       val o = Tables(s, dir, "orders")
       val cut = lit("1997-01-01").cast("date")
@@ -152,6 +180,14 @@ object Maintenance {
 
   def oracles: Map[String, String] = Map(
     // The identity under test: incremental refresh == full recompute.
+    "inc_postings_merge" ->
+      """SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+        |  CAST(count(*) AS BIGINT) AS tf_total
+        |FROM (SELECT doc_id,
+        |        unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+        |      FROM documents)
+        |GROUP BY token""".stripMargin,
+
     "inc_join_merge" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
