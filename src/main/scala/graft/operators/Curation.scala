@@ -53,6 +53,57 @@ object Curation {
           .as("rep_ok"))
     }),
 
+    // ── Gopher-style composite quality gate (Rae et al. 2021, Table A1
+    // family): one pass/fail decision per document with machine-readable
+    // reason codes — the shape a production pipeline actually runs (one
+    // gate, audit trail of WHY each doc was dropped). Every rule is
+    // INTEGER arithmetic (mean-word-length bounds as 3n ≤ chars ≤ 10n,
+    // dominance ≤ 1/5 as 5·top ≤ n, dup-2gram ≤ 3/5 as 5·dups ≤ 3·n2g),
+    // so both engines agree exactly with no float quantization anywhere.
+    // Scale: two explode→partial-agg passes keyed on doc_id (map-side
+    // combine does most of the reduction), then pure map-side rule
+    // evaluation; `concat_ws` skips NULLs in Spark and DuckDB alike, so
+    // the reasons string is engine-stable. Zero-token docs are restored
+    // by the left join (they fail `len`, not vanish). ─────────────────
+    "quality_gopher" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val counts = docs.select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      val stats = counts.groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n_tok"),
+        max(col("c")).as("top_c"),
+        sum(when(col("tok").isin("the", "a"), col("c")).otherwise(lit(0L)))
+          .as("n_stop"),
+        sum(col("c") * length(col("tok"))).as("n_chars"))
+      val grams = docs
+        .select(col("doc_id"), explode(Text.shingles(toks, 2)).as("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_2g"), count_distinct(col("g")).as("n_2g_uniq"))
+      val j = docs.select(col("doc_id"))
+        .join(stats, Seq("doc_id"), "left")
+        .join(grams, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+          coalesce(col("top_c"), lit(0L)).as("top_c"),
+          coalesce(col("n_stop"), lit(0L)).as("n_stop"),
+          coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+          col("n_2g"), col("n_2g_uniq"))
+      val rLen = col("n_tok").between(30, 1000)
+      val rWordlen = col("n_chars") >= lit(3) * col("n_tok") &&
+        col("n_chars") <= lit(10) * col("n_tok")
+      val rStop = col("n_stop") >= 2
+      val rDom = lit(5) * col("top_c") <= col("n_tok")
+      val rRep = coalesce(
+        lit(5) * (col("n_2g") - col("n_2g_uniq")) <= lit(3) * col("n_2g"),
+        lit(true))
+      j.select(col("doc_id"), col("n_tok").as("n_tokens"),
+        (rLen && rWordlen && rStop && rDom && rRep).as("pass"),
+        concat_ws(",",
+          when(!rLen, "len"), when(!rWordlen, "wordlen"),
+          when(!rStop, "stop"), when(!rDom, "dominance"),
+          when(!rRep, "repetition")).as("reasons"))
+    }),
+
     // ── Token-distribution entropy per document (nats): H = ln n −
     // Σ c·ln c / n. Low entropy ⇒ repetitive/degenerate text, the
     // information-theoretic companion to the rule-based repetition
@@ -304,6 +355,48 @@ object Curation {
          |  (CAST(top_c AS DOUBLE) / n_tok <= 0.2
          |   AND (1.0 - CAST(n_2g_uniq AS DOUBLE) / n_2g) <= 0.6) AS rep_ok
          |FROM dom d JOIN grams USING (doc_id)""".stripMargin,
+
+    "quality_gopher" ->
+      s"""WITH tokrows AS (
+         |  SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+         |cnt AS (SELECT doc_id, tok, count(*) AS c FROM tokrows GROUP BY 1, 2),
+         |stats AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok, max(c) AS top_c,
+         |    CAST(sum(CASE WHEN tok IN ('the', 'a') THEN c ELSE 0 END) AS BIGINT) AS n_stop,
+         |    CAST(sum(c * length(tok)) AS BIGINT) AS n_chars
+         |  FROM cnt GROUP BY doc_id),
+         |gsrc AS (
+         |  SELECT doc_id, unnest(list_transform(range(len(tok) - 1),
+         |    i -> tok[i+1] || ' ' || tok[i+2])) AS g
+         |  FROM (SELECT doc_id, $sqlToks AS tok FROM documents)
+         |  WHERE len(tok) >= 2),
+         |grams AS (
+         |  SELECT doc_id, count(*) AS n_2g, count(DISTINCT g) AS n_2g_uniq
+         |  FROM gsrc GROUP BY doc_id),
+         |j AS (
+         |  SELECT d.doc_id,
+         |    coalesce(s.n_tok, 0) AS n_tok, coalesce(s.top_c, 0) AS top_c,
+         |    coalesce(s.n_stop, 0) AS n_stop, coalesce(s.n_chars, 0) AS n_chars,
+         |    g.n_2g, g.n_2g_uniq
+         |  FROM documents d
+         |  LEFT JOIN stats s USING (doc_id) LEFT JOIN grams g USING (doc_id)),
+         |rules AS (
+         |  SELECT doc_id, n_tok,
+         |    n_tok BETWEEN 30 AND 1000 AS r_len,
+         |    (n_chars >= 3 * n_tok AND n_chars <= 10 * n_tok) AS r_wordlen,
+         |    n_stop >= 2 AS r_stop,
+         |    5 * top_c <= n_tok AS r_dom,
+         |    coalesce(5 * (n_2g - n_2g_uniq) <= 3 * n_2g, TRUE) AS r_rep
+         |  FROM j)
+         |SELECT doc_id, n_tok AS n_tokens,
+         |  (r_len AND r_wordlen AND r_stop AND r_dom AND r_rep) AS pass,
+         |  concat_ws(',',
+         |    CASE WHEN NOT r_len THEN 'len' END,
+         |    CASE WHEN NOT r_wordlen THEN 'wordlen' END,
+         |    CASE WHEN NOT r_stop THEN 'stop' END,
+         |    CASE WHEN NOT r_dom THEN 'dominance' END,
+         |    CASE WHEN NOT r_rep THEN 'repetition' END) AS reasons
+         |FROM rules""".stripMargin,
 
     "text_token_entropy" ->
       s"""WITH tc AS (

@@ -141,6 +141,30 @@ object DedupCluster {
         .join(drop, Seq("doc_id"), "left_anti")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // ── Quality-aware survivor selection: per duplicate cluster keep the
+    // LONGEST member (most-complete-version policy — the practical
+    // alternative to min-id when near-dups are truncations of one
+    // another). Token count is integer-exact, so the survivor choice is
+    // engine-stable with no float quantization; ties break to smaller
+    // doc_id. Cost: one broadcast-able join of the (tiny) cluster map
+    // against the corpus + one window over cluster members only — docs
+    // without an LSH collision never enter the window. ────────────────
+    "dedup_keep_longest" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cc = lshClusters(s, dir)
+        .select(col("node").as("doc_id"), col("cluster_id"))
+      val docs = Tables(s, dir, "documents").select(col("doc_id"),
+        size(graft.functions.Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_tokens").desc, col("doc_id"))
+      cc.join(docs, "doc_id")
+        .withColumn("rk", row_number().over(w))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(when(col("rk") === 1, col("doc_id"))).as("kept_doc_id"),
+          max(when(col("rk") === 1, col("n_tokens"))).as("kept_n_tokens"))
     })
   )
 
@@ -182,6 +206,22 @@ object DedupCluster {
       s"""$sqlCc
          |SELECT lang, count(*) AS n_docs FROM documents
          |WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)
-         |GROUP BY lang""".stripMargin
+         |GROUP BY lang""".stripMargin,
+
+    "dedup_keep_longest" ->
+      s"""$sqlCc,
+         |mem AS (
+         |  SELECT c.cluster_id, c.node AS doc_id,
+         |    CAST(len(list_filter(string_split(d.text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens
+         |  FROM cc c JOIN documents d ON d.doc_id = c.node),
+         |rk AS (
+         |  SELECT cluster_id, doc_id, n_tokens,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY n_tokens DESC, doc_id) AS rk
+         |  FROM mem)
+         |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+         |  max(CASE WHEN rk = 1 THEN doc_id END) AS kept_doc_id,
+         |  max(CASE WHEN rk = 1 THEN n_tokens END) AS kept_n_tokens
+         |FROM rk GROUP BY cluster_id""".stripMargin
   )
 }

@@ -212,6 +212,44 @@ object Similarity {
         .select(col("a"), col("b"), Num.roundp(cos, 4).as("cos"))
     }),
 
+    // ── SemDeDup: semantic near-dup purge inside learned clusters
+    // (Abbas et al. 2023, arXiv:2303.09540). The fixed-K codebook
+    // blocks candidate pairs exactly like LSH bands block text
+    // near-dups — pairs never cross a cell, so the self-join is
+    // O(Σ cell²), never corpus², and co-partitioning on centroid_id
+    // keeps it cell-local at any scale (at 100 TB, K grows ∝ corpus to
+    // bound cell size; the codebook broadcast stays K×Dim). Keep-rule:
+    // of each similar pair the member FARTHEST from its centroid
+    // survives (the paper's diversity-keeping rule) — "farthest" reads
+    // the quantized assignment distance both engines already share, so
+    // the survivor choice is engine-stable; ties break to smaller id. ─
+    "dedup_semantic" -> ((s, dir) => {
+      val near = IvfIndex.nearest(codebook(s, dir),
+        col("embedding").cast("array<double>"))
+      val base = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), near.as("b"))
+        .select(col("vec_id"), col("embedding"),
+          col("b").getField("cid").as("centroid_id"),
+          col("b").getField("d").as("dist"))
+      val l = base.select(col("centroid_id"), col("vec_id").as("u"),
+        col("embedding").as("eu"), col("dist").as("du"))
+      val r = base.select(col("centroid_id"), col("vec_id").as("v"),
+        col("embedding").as("ev"), col("dist").as("dv"))
+      val cos = Num.roundp(Vectors.cosine(col("eu"), col("ev")), 6)
+      val dominated = (col("du") > col("dv")) ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val perVec = l.join(r, "centroid_id")
+        .where(col("u") =!= col("v") && cos >= 0.35)
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("n_dups"), max(dominated.cast("int")).as("pu"))
+        .select(col("v").as("vec_id"), col("n_dups"), col("pu"))
+      base.select(col("vec_id"), col("centroid_id"), col("dist"))
+        .join(perVec, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("centroid_id"), col("dist"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+          (coalesce(col("pu"), lit(0)) === 1).as("purged"))
+    }),
+
     // ── Embedding-space decontamination: the SEMANTIC counterpart of
     // decontam_ngram — train vectors too close (cosine) to any held-out
     // eval vector are flagged, catching paraphrased/near-translated
@@ -552,6 +590,26 @@ object Similarity {
          |FROM n a JOIN n b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
          |WHERE ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.3""".stripMargin
     },
+
+    "dedup_semantic" ->
+      s"""WITH $sqlCb,
+         |n AS MATERIALIZED (
+         |  SELECT a.vec_id, a.centroid_id, a.dist, e.embedding,
+         |    ${sqlNorm("e.embedding")} AS nrm
+         |  FROM asgn a JOIN e0 e USING (vec_id)),
+         |dups AS (
+         |  SELECT v.vec_id, CAST(count(*) AS BIGINT) AS n_dups,
+         |    max(CASE WHEN u.dist > v.dist
+         |             OR (u.dist = v.dist AND u.vec_id < v.vec_id)
+         |        THEN 1 ELSE 0 END) AS pu
+         |  FROM n v JOIN n u
+         |    ON u.centroid_id = v.centroid_id AND u.vec_id <> v.vec_id
+         |  WHERE floor((${sqlDot("u.embedding", "v.embedding")} / (u.nrm * v.nrm)) * 1000000 + 0.5) / 1000000 >= 0.35
+         |  GROUP BY v.vec_id)
+         |SELECT a.vec_id, a.centroid_id, a.dist,
+         |  coalesce(d.n_dups, 0) AS n_dups,
+         |  coalesce(d.pu, 0) = 1 AS purged
+         |FROM asgn a LEFT JOIN dups d USING (vec_id)""".stripMargin,
 
     "sim_ivf_search" ->
       s"""WITH $sqlCb,
