@@ -41,6 +41,19 @@ object IvfIndex {
   /** Quantized Lloyd refinement rounds after sampling. */
   val CbRounds = 2
 
+  /** Codebook size for ALL-PAIRS workloads (SemDeDup): unlike search —
+    * where a probe touches one cell and fixed K is right — a within-cell
+    * self-join does Σ cell² work, which at fixed K is O(n²/K). Scaling
+    * K ∝ √n balances the two n-dependent costs: assignment O(n·K) and
+    * pair generation K·(n/K)² both become O(n^1.5) — the standard IVF
+    * sizing rule (and SemDeDup's own: cluster count grows with the
+    * corpus). At extreme scale the next step is a 2-level codebook
+    * (assignment O(n·√K) with cell size still bounded); the √n rule is
+    * what the 10× slope table verifies empirically. Floor K so small
+    * corpora keep the search-grade codebook. */
+  def semK(n: Long): Int =
+    math.max(K, math.floor(math.sqrt(n / 2.0)).toInt)
+
   private val Dim = 64
 
   private def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
@@ -163,7 +176,14 @@ object IvfIndex {
         explode(probeCells(cents, col("q_emb").cast("array<double>"), nprobe)))
       .select(col("q_id"), col("q_emb"), col("p").getField("cid").as("centroid_id"))
     val cids = q.select("centroid_id").distinct().collect().map(_.getLong(0))
+    // partitionBy wrote centroid_id as a directory key, which reads back
+    // with an INFERRED (int) type — pin it to long right after the scan so
+    // the isin partition filter and the join against the bigint probe cids
+    // are type-stable instead of leaning on implicit coercion. (Partition
+    // pruning still applies: the predicate references only the partition
+    // column, casts included — IvfIndexSpec pins the pruned read.)
     val assigned = spark.read.parquet(s"$path/assignments")
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
       .where(col("centroid_id").isin(cids: _*))
     val score = Num.roundp(Vectors.cosine(col("q_emb"), col("embedding")), 6)
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))

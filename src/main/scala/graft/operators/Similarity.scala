@@ -46,6 +46,22 @@ object Similarity {
       (s, IvfIndex.trainCodebook(Tables(s, dir, "embeddings"))))._2
   }
 
+  /** Adaptive-K codebook for the ALL-PAIRS (SemDeDup) workload:
+    * K = [[IvfIndex.semK]](corpus size) = max(K, ⌊√(n/2)⌋), so the
+    * within-cell self-join stays O(n^1.5) total instead of O(n²/K) at
+    * fixed K — the round-5 scale finding. The count comes from parquet
+    * metadata (no scan); training cost is the same sample + Lloyd
+    * recurrence, just with more cells. Cached separately from the
+    * search codebook (same memo + eviction shape). */
+  private def semCodebook(s: SparkSession, dir: String): Seq[(Long, Array[Double])] = {
+    cbCache.filterInPlace((_, v) => !v._1.sparkContext.isStopped)
+    cbCache.getOrElseUpdate(
+      (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir + "#sem"), {
+        val e = Tables(s, dir, "embeddings")
+        (s, IvfIndex.trainCodebook(e, IvfIndex.semK(e.count())))
+      })._2
+  }
+
   /** (vec_id, embedding, centroid_id): map-side coarse assignment. */
   private def assigned(s: SparkSession, dir: String): DataFrame = {
     val cents = codebook(s, dir)
@@ -213,18 +229,19 @@ object Similarity {
     }),
 
     // ── SemDeDup: semantic near-dup purge inside learned clusters
-    // (Abbas et al. 2023, arXiv:2303.09540). The fixed-K codebook
+    // (Abbas et al. 2023, arXiv:2303.09540). An ADAPTIVE-K codebook
+    // (K = semK(n) = max(16, ⌊√(n/2)⌋) — enforced, not aspirational)
     // blocks candidate pairs exactly like LSH bands block text
     // near-dups — pairs never cross a cell, so the self-join is
-    // O(Σ cell²), never corpus², and co-partitioning on centroid_id
-    // keeps it cell-local at any scale (at 100 TB, K grows ∝ corpus to
-    // bound cell size; the codebook broadcast stays K×Dim). Keep-rule:
+    // O(Σ cell²) = O(n^1.5) with cells of size ~√n, never corpus²,
+    // and co-partitioning on centroid_id keeps it cell-local at any
+    // scale (the codebook broadcast stays K×Dim ∝ √n). Keep-rule:
     // of each similar pair the member FARTHEST from its centroid
     // survives (the paper's diversity-keeping rule) — "farthest" reads
     // the quantized assignment distance both engines already share, so
     // the survivor choice is engine-stable; ties break to smaller id. ─
     "dedup_semantic" -> ((s, dir) => {
-      val near = IvfIndex.nearest(codebook(s, dir),
+      val near = IvfIndex.nearest(semCodebook(s, dir),
         col("embedding").cast("array<double>"))
       val base = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"), near.as("b"))
@@ -445,7 +462,7 @@ object Similarity {
     *   celldist (vec_id, cid, dist)      — quantized dist to every cell
     *   asgn     (vec_id, centroid_id, dist) — nearest cell
     */
-  private lazy val sqlCb: String = {
+  private def sqlCbWith(kSelect: String): String = {
     val rounds = (1 to IvfIndex.CbRounds).map { t =>
       s"""cba$t AS MATERIALIZED (
          |  SELECT vec_id, cid FROM (
@@ -462,10 +479,12 @@ object Similarity {
     }.mkString(",\n")
     s"""e0 AS MATERIALIZED (
        |  SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |kk AS MATERIALIZED ($kSelect),
        |cb0 AS MATERIALIZED (
-       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid, v
-       |  FROM (SELECT vec_id, v FROM e0
-       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT ${IvfIndex.K})),
+       |  SELECT cid, v FROM (
+       |    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid, v
+       |    FROM e0) s, kk
+       |  WHERE s.cid < kk.k),
        |$rounds,
        |cb AS MATERIALIZED (SELECT cid, v FROM cb${IvfIndex.CbRounds}),
        |celldist AS MATERIALIZED (
@@ -479,6 +498,16 @@ object Similarity {
        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
        |    FROM celldist) WHERE rn = 1)""".stripMargin
   }
+
+  /** Fixed-K prelude (search-grade codebook, all sim_ivf_* oracles). */
+  private lazy val sqlCb: String =
+    sqlCbWith(s"SELECT CAST(${IvfIndex.K} AS BIGINT) AS k")
+
+  /** Adaptive-K prelude — the SQL twin of [[IvfIndex.semK]]:
+    * K = greatest(16, ⌊√(n/2)⌋), the all-pairs (SemDeDup) sizing. */
+  private lazy val sqlCbSem: String =
+    sqlCbWith(s"SELECT greatest(CAST(${IvfIndex.K} AS BIGINT), " +
+      s"CAST(floor(sqrt(count(*) / 2.0)) AS BIGINT)) AS k FROM e0")
 
   val oracles: Map[String, String] = Map(
     "sim_quantized_recall" ->
@@ -592,7 +621,7 @@ object Similarity {
     },
 
     "dedup_semantic" ->
-      s"""WITH $sqlCb,
+      s"""WITH $sqlCbSem,
          |n AS MATERIALIZED (
          |  SELECT a.vec_id, a.centroid_id, a.dist, e.embedding,
          |    ${sqlNorm("e.embedding")} AS nrm
@@ -717,9 +746,16 @@ object Similarity {
        |      ELSE CAST(least(255.0, greatest(0.0, floor((qv - lo) / scale + 0.5))) AS INTEGER)
        |      END AS DOUBLE) * scale AS rv
        |  FROM x JOIN dims USING (d)),
+       |rl0 AS MATERIALIZED (
+       |  SELECT vec_id, list(rv ORDER BY d) AS rv FROM rx GROUP BY vec_id),
        |rlist AS MATERIALIZED (
-       |  SELECT vec_id, list(rv ORDER BY d) AS rv, sqrt(sum(rv * rv)) AS rnrm
-       |  FROM rx GROUP BY vec_id),
+       |  -- rnrm from the d-ORDERED list (sequential fold), mirroring the
+       |  -- Spark side's sqrt(vec_dot_d(rv, rv)) — an unordered sum(rv*rv)
+       |  -- could differ by ~1e-16 and flip a 1e-6-quantized ADC score at
+       |  -- a grid boundary (VecDotD's bit-for-bit contract).
+       |  SELECT vec_id, rv,
+       |    sqrt(list_sum(list_transform(range(1, ${Dim + 1}), i -> rv[i] * rv[i]))) AS rnrm
+       |  FROM rl0),
        |probes AS MATERIALIZED (
        |  SELECT vec_id AS q_id, cid AS centroid_id FROM (
        |    SELECT vec_id, cid,

@@ -196,11 +196,24 @@ private[sources] class RssMicroBatchStream(feeds: Seq[String], horizon: Int,
       val entries = Http.get(f, timeoutSec).map(Http.parseFeed).getOrElse(Nil)
         .filter(e => e.link != null && e.link.nonEmpty)
         .distinctBy(_.link) // a feed page repeating a link counts once
-      entries.foreach(e => cache((f, e.link)) = e)
       val seenSet = seen.getOrElse(f, Nil).toSet
-      val fresh = entries.map(_.link).filterNot(seenSet)
+      // Links already inside the horizon are pending or recommitted;
+      // (re)caching restores their payloads after a checkpoint restart
+      // and commit() prunes them again by horizon membership.
+      entries.filter(e => seenSet(e.link)).foreach(e => cache((f, e.link)) = e)
+      // Cap per-poll intake at `horizon` fresh links. Without the cap, a
+      // poll yielding more than `horizon` fresh links would takeRight-drop
+      // the oldest of THEM from the offset before they were ever planned
+      // (silent loss) while their payloads stayed cached forever (commit
+      // prunes only by delivered-horizon membership). Capped-out links
+      // stay un-seen AND un-cached: a later poll delivers them while they
+      // remain on the feed page — so size `horizon` >= the feed page size
+      // to never defer.
+      val fresh = entries.filterNot(e => seenSet(e.link)).take(horizon)
+      fresh.foreach(e => cache((f, e.link)) = e)
       if (fresh.nonEmpty)
-        seen = seen.updated(f, (seen.getOrElse(f, Nil) ++ fresh).takeRight(horizon))
+        seen = seen.updated(f,
+          (seen.getOrElse(f, Nil) ++ fresh.map(_.link)).takeRight(horizon))
     }
     RssStreamOffset(seen)
   }
