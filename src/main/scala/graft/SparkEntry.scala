@@ -47,7 +47,8 @@ object SparkEntry {
       operators.Multimodal.queries ++
       operators.MLOps.queries ++
       operators.Scale2.queries ++
-      operators.SimJoin.queries
+      operators.SimJoin.queries ++
+      operators.PostingsIndex.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -71,5 +72,6 @@ object SparkEntry {
       operators.Multimodal.oracles ++
       operators.MLOps.oracles ++
       operators.Scale2.oracles ++
-      operators.SimJoin.oracles
+      operators.SimJoin.oracles ++
+      operators.PostingsIndex.oracles
 }

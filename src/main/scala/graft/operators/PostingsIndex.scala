@@ -1,0 +1,192 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{Num, Text}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted index — the build-once / search-many deployment
+  * shape of the BM25 / boolean-retrieval inventory queries, mirroring
+  * what [[IvfIndex]] does for ANN (the round-5 verdict's "next" item:
+  * the comment at TextOps.scala's BM25 entry promised exactly this
+  * layout). Three parquet tables under `<path>/`:
+  *
+  *   postings     token, doc_id, tf, dl      partitioned by tbucket
+  *   termstats    token, df, tf_total        partitioned by tbucket
+  *   corpusstats  n_docs, sum_dl             (one row per batch)
+  *
+  * `tbucket = pmod(xxhash64(token), NBuckets)` — a query for |terms|
+  * terms prunes the scan to ≤|terms| bucket DIRECTORIES (literal IN
+  * over the partition column, static pruning — plan-pinned in
+  * PostingsIndexSpec), and the pushed `token IN (…)` filter plus
+  * token-sorted row groups prune within the bucket. Document length is
+  * DENORMALIZED into the postings rows (the doc-values trick of real
+  * search engines), so scoring never joins a doclen table: the only
+  * join in a search is postings ⋈ broadcast(|terms|-row idf stats).
+  *
+  * Incremental maintenance is MERGE-ON-READ (the LSM shape):
+  * [[append]] writes a new batch of postings plus PARTIAL termstats /
+  * corpusstats rows — both stats are additive over disjoint doc sets
+  * (the `inc_postings_merge` invariant, Maintenance.scala) — and
+  * [[termStats]] / search sum the partials at read time. Nothing is
+  * ever rewritten in place, so appends are safe under concurrent
+  * readers; a compaction that folds partials into one batch is the
+  * same writeBatch over the summed frames. At 100 TB: build is one
+  * explode + one aggregation per batch (shuffle keyed on token);
+  * search reads |terms| postings lists + |terms| stat partials —
+  * corpus-size-independent I/O for a fixed result size.
+  */
+object PostingsIndex {
+
+  /** Token hash-bucket count — the partition fan-out of the postings
+    * layout (a production index sizes this so a bucket's postings fit
+    * one executor's scan budget; the pruning shape is the same). */
+  val NBuckets = 64
+
+  /** The fixed query-term set shared with the inline BM25 entries. */
+  val Terms: Seq[String] = Seq("query", "window", "spark")
+
+  private def tbucket(token: Column): Column =
+    pmod(xxhash64(token), lit(NBuckets.toLong)).cast("int")
+
+  /** Build (overwrite) the index from a `documents`-shaped frame. */
+  def build(spark: SparkSession, docs: DataFrame, path: String): Unit =
+    writeBatch(docs, path, SaveMode.Overwrite)
+
+  /** Append a new document batch: postings rows plus PARTIAL stats —
+    * additive over disjoint doc sets, merged at read time, so
+    * append-then-search equals a fresh build over the union. */
+  def append(spark: SparkSession, path: String, newDocs: DataFrame): Unit =
+    writeBatch(newDocs, path, SaveMode.Append)
+
+  private def writeBatch(docs: DataFrame, path: String, mode: SaveMode): Unit = {
+    val tk = docs.select(col("doc_id"),
+      size(Text.tokens(col("text"))).cast("long").as("dl"),
+      Text.tokens(col("text")).as("tok"))
+    val postings = tk
+      .select(col("doc_id"), col("dl"), explode(col("tok")).as("token"))
+      .groupBy(col("token"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tbucket", tbucket(col("token")))
+    // Co-locate each bucket and sort by token so parquet row-group
+    // min/max stats prune within the bucket for the pushed token filter.
+    postings
+      .repartition(col("tbucket"))
+      .sortWithinPartitions(col("token"), col("doc_id"))
+      .write.mode(mode).partitionBy("tbucket").parquet(s"$path/postings")
+    postings
+      .groupBy(col("token"), col("tbucket"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
+      .select(col("token"), col("df"), col("tf_total"), col("tbucket"))
+      .write.mode(mode).partitionBy("tbucket").parquet(s"$path/termstats")
+    tk.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .coalesce(1)
+      .write.mode(mode).parquet(s"$path/corpusstats")
+  }
+
+  /** Merged (df, tf_total) for `terms` — partial batches summed at
+    * read, pruned to the terms' buckets. With terms = None, the full
+    * merged index stats (the inc_postings_merge identity's left side,
+    * over the persisted tables). */
+  def termStats(spark: SparkSession, path: String,
+      terms: Option[Seq[String]] = None): DataFrame = {
+    val raw = spark.read.parquet(s"$path/termstats")
+      .withColumn("tbucket", col("tbucket").cast("int"))
+    val pruned = terms.fold(raw) { ts =>
+      val buckets = bucketsOf(spark, ts)
+      raw.where(col("tbucket").isin(buckets: _*) && col("token").isin(ts: _*))
+    }
+    pruned.groupBy(col("token"))
+      .agg(sum(col("df")).as("df"), sum(col("tf_total")).as("tf_total"))
+  }
+
+  /** Merged corpus stats (n_docs, avgdl) over the partial rows. */
+  private def corpusStats(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/corpusstats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+
+  /** Driver-side bucket ids for the query terms (evaluated with the
+    * SAME expression that wrote them — one tiny local job, no second
+    * hash definition to drift). */
+  private def bucketsOf(spark: SparkSession, terms: Seq[String]): Seq[Int] = {
+    import spark.implicits._
+    terms.toDF("token").select(tbucket(col("token")).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+  }
+
+  /** Okapi BM25 top-k over the persisted index — identical scoring
+    * recurrence (k1 = 1.2, b = 0.75, 1e-6 idf/partial grids before the
+    * 1e-4 score grid) as the inline `idx_bm25_topk`, so the two are
+    * interchangeable under the same oracle. The scan reads only the
+    * query terms' bucket directories (static partition pruning via the
+    * literal IN below) + their stat partials. */
+  def bm25Search(spark: SparkSession, path: String, terms: Seq[String],
+      k: Int): DataFrame = {
+    val buckets = bucketsOf(spark, terms)
+    val post = spark.read.parquet(s"$path/postings")
+      .withColumn("tbucket", col("tbucket").cast("int"))
+      .where(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
+    val ts = termStats(spark, path, Some(terms))
+    val idf = Num.roundp(
+      log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)), 6)
+    val stats = ts.crossJoin(corpusStats(spark, path)).withColumn("idf", idf)
+    val denom = col("tf") +
+      lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))
+    val part = Num.roundp(col("idf") * (col("tf") * lit(2.2)) / denom, 6)
+    post.join(broadcast(stats), "token")
+      .select(col("doc_id"), part.as("p"))
+      .groupBy(col("doc_id"))
+      .agg(Num.roundp(sum(col("p")), 4).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
+  // ── Session-memoized index builds for the inventory queries (same
+  // memo + eviction shape as Similarity.cbCache): "full" is one build
+  // over the whole corpus; "inc" is a base build on doc_id % 5 != 0
+  // plus an append of the rest — so the inc search ALSO exercising the
+  // merge-on-read stats path must hash-match the same full-corpus
+  // oracle (the persisted form of the inc_postings_merge identity). ──
+  private val built =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String),
+      (SparkSession, String)]
+
+  private def indexPath(s: SparkSession, dir: String, variant: String): String = {
+    built.filterInPlace((_, v) => !v._1.sparkContext.isStopped)
+    built.getOrElseUpdate(
+      (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir, variant), {
+        val base = java.nio.file.Files
+          .createTempDirectory(s"graft-postings-$variant").toString + "/idx"
+        val docs = Tables(s, dir, "documents")
+        variant match {
+          case "inc" =>
+            build(s, docs.where(col("doc_id") % 5 =!= 0), base)
+            append(s, base, docs.where(col("doc_id") % 5 === 0))
+          case _ => build(s, docs, base)
+        }
+        (s, base)
+      })._2
+  }
+
+  val queries: Map[String, Relational.Q] = Map(
+    // ── search over the persisted index: same result as the inline
+    // idx_bm25_topk (same oracle), but the read path is the deployed
+    // one — bucket-pruned postings + merged stat partials. ───────────
+    "idx_bm25_persisted" -> ((s, dir) =>
+      bm25Search(s, indexPath(s, dir, "full"), Terms, 10)),
+
+    // ── search after incremental append: base(80%) + delta(20%) via
+    // merge-on-read must equal the full build — the persisted
+    // inc_postings_merge invariant, enforced by the shared oracle. ───
+    "idx_bm25_inc_search" -> ((s, dir) =>
+      bm25Search(s, indexPath(s, dir, "inc"), Terms, 10))
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Both variants must reproduce the inline BM25 ranking exactly.
+    "idx_bm25_persisted" -> TextOps.sqlBm25TopK,
+    "idx_bm25_inc_search" -> TextOps.sqlBm25TopK
+  )
+}

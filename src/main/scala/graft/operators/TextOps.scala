@@ -570,10 +570,7 @@ object TextOps {
 
     // Mirrors the Spark plan expression-for-expression (same literal
     // order, same 1e-6 idf/partial grids before the 1e-4 score grid).
-    "idx_bm25_topk" ->
-      s"""$sqlBm25
-         |SELECT doc_id, score, n_terms FROM bm
-         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "idx_bm25_topk" -> sqlBm25TopK,
 
     "idx_hybrid_rrf" ->
       s"""$sqlBm25,
@@ -603,6 +600,14 @@ object TextOps {
          |FROM dense d FULL OUTER JOIN sparse s ON d.doc_id = s.doc_id
          |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
   )
+
+  /** The inline-BM25 top-10 oracle — shared verbatim by the persisted-
+    * index variants ([[PostingsIndex]]): one ranking contract, three
+    * read paths. */
+  private[operators] lazy val sqlBm25TopK: String =
+    s"""$sqlBm25
+       |SELECT doc_id, score, n_terms FROM bm
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
   private lazy val sqlBm25 =
     s"""WITH tk AS MATERIALIZED (
