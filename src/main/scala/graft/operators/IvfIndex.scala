@@ -136,6 +136,45 @@ object IvfIndex {
   def append(spark: SparkSession, path: String, newVectors: DataFrame): Unit =
     assignAndWrite(newVectors, readCodebook(spark, path), path, SaveMode.Append)
 
+  /** Cell-size skew (max / median over non-empty cells) above which
+    * [[appendOrRetrain]] retrains: a codebook frozen at build time
+    * decays under distribution drift — new vectors pile into few cells,
+    * so probe-1 recall drops (the probed cell is ever less likely to
+    * hold the true neighbors) AND search cost grows (the probed cell is
+    * the big one). 4× is loose enough that organic growth from the
+    * build distribution never trips it. */
+  val SkewRetrainRatio = 4.0
+
+  /** Incremental append with drift handling: assign the batch to the
+    * EXISTING codebook, then measure cell-size skew; past
+    * [[SkewRetrainRatio]], retrain the codebook on the full index
+    * contents and reassign everything. Returns true iff a retrain
+    * happened. Because [[trainCodebook]] is deterministic in the vector
+    * multiset (hash-order seed sample + quantized Lloyd), a retrained
+    * index is IDENTICAL to a fresh build over the union — spec-pinned.
+    * The skew probe is one count-by-cell aggregation (K rows); the
+    * retrain pays one full reassignment pass, amortized over the drift
+    * horizon. A production deployment writes the reassignment as a new
+    * index VERSION directory and swaps a pointer; here the union is
+    * materialized (localCheckpoint) before the in-place overwrite to
+    * cut the read-own-write hazard. */
+  def appendOrRetrain(spark: SparkSession, path: String,
+      newVectors: DataFrame): Boolean = {
+    append(spark, path, newVectors)
+    val sizes = spark.read.parquet(s"$path/assignments")
+      .groupBy(col("centroid_id")).count()
+      .collect().map(_.getAs[Long]("count")).sorted
+    val median = sizes(sizes.length / 2)
+    if (sizes.last <= SkewRetrainRatio * median) false
+    else {
+      val all = spark.read.parquet(s"$path/assignments")
+        .select(col("vec_id"), col("embedding"))
+        .localCheckpoint(true)
+      build(spark, all, path)
+      true
+    }
+  }
+
   def readCodebook(spark: SparkSession, path: String): Seq[(Long, Array[Double])] =
     spark.read.parquet(s"$path/centroids").collect()
       .map(r => r.getAs[Long]("centroid_id") ->

@@ -100,6 +100,43 @@ class IvfIndexSpec extends SparkSuite {
     assert(spark.read.parquet(s"$tmpA/assignments").count() === 500L)
   }
 
+  test("drifted append triggers a retrain; retrained index == fresh build on the union") {
+    val tmpA = Files.createTempDirectory("ivf-drift").toString + "/idx"
+    val tmpB = Files.createTempDirectory("ivf-drift-full").toString + "/idx"
+    val corpus = Tables(spark, sf001, "embeddings")
+    val base = corpus.where(col("vec_id") < 300)
+    // A shifted cohort far outside the build distribution: every vector
+    // lands in one or two cells of the frozen codebook.
+    val drifted = corpus.where(col("vec_id") >= 300)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x + lit(10.0f)).as("embedding"))
+
+    IvfIndex.build(spark, base, tmpA)
+    // In-distribution append: no retrain.
+    assert(!IvfIndex.appendOrRetrain(spark, tmpA,
+      corpus.where(col("vec_id") >= 300 && col("vec_id") < 350)))
+    // Out-of-distribution cohort: skew trips the retrain.
+    assert(IvfIndex.appendOrRetrain(spark, tmpA,
+      drifted.where(col("vec_id") >= 350)))
+
+    // The retrained index is exactly a fresh build over the union —
+    // trainCodebook is deterministic in the vector multiset.
+    val union = base.select(col("vec_id"), col("embedding"))
+      .unionByName(corpus.where(col("vec_id") >= 300 && col("vec_id") < 350)
+        .select(col("vec_id"), col("embedding")))
+      .unionByName(drifted.where(col("vec_id") >= 350))
+    IvfIndex.build(spark, union, tmpB)
+    def cb(path: String) =
+      IvfIndex.readCodebook(spark, path).map { case (c, v) => (c, v.toSeq) }
+    assert(cb(tmpA) == cb(tmpB))
+    val queries = corpus.where(col("vec_id") < 5)
+    def rows(path: String) =
+      IvfIndex.search(spark, path, queries, k = 3, nprobe = 2).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rk"),
+          r.getAs[Long]("vec_id"), r.getAs[Double]("score"))).toSet
+    assert(rows(tmpA) == rows(tmpB))
+  }
+
   test("int8 quantization: error bounded by half a step, cosine recall ~1") {
     import org.apache.spark.sql.functions._
     val q = SparkEntry.queries("sim_quantize_int8")(spark, sf001)
