@@ -272,19 +272,13 @@ object Similarity {
     // eval vector are flagged, catching paraphrased/near-translated
     // contamination the n-gram overlap test can't see. Same eval slice
     // rule (id % 97) and the same scale shape as the n-gram op: the
-    // eval side is benchmark-sized and BROADCAST, the train side never
+    // eval side is benchmark-sized and BROADCAST (bound ENFORCED by
+    // decontamEmbed — see its scaladoc), the train side never
     // shuffles — one map-side pass + a per-vector aggregation. ────────
     "decontam_embed" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val ev = e.where(col("vec_id") % 97 === 0)
-        .select(col("vec_id").as("e_id"), col("embedding").as("ee"))
-      val cos = Vectors.cosine(col("embedding"), col("ee"))
-      e.where(col("vec_id") % 97 =!= 0)
-        .crossJoin(broadcast(ev))
-        .where(cos >= 0.35)
-        .groupBy(col("vec_id"))
-        .agg(count(lit(1)).as("n_eval_hits"),
-          Num.roundp(max(cos), 4).as("max_cos"))
+      decontamEmbed(e.where(col("vec_id") % 97 =!= 0),
+        e.where(col("vec_id") % 97 === 0))
     }),
 
     // ── IVF top-k search: route the query to its cell, search only
@@ -388,6 +382,40 @@ object Similarity {
           Num.roundp(sum(coalesce(col("hit"), lit(0L))) / 3.0d, 4).as("recall3"))
     })
   )
+
+  /** Eval-side row bound for [[decontamEmbed]]'s broadcast. 100k × a
+    * 64-dim double vector ≈ 50 MB — inside a healthy executor broadcast
+    * budget with headroom. Real eval benchmarks are thousands of rows;
+    * the bound exists to FAIL FAST if someone points the gate at a
+    * corpus-sized "eval" slice (which would OOM the broadcast at scale)
+    * instead of silently degrading. */
+  val MaxEvalBroadcast = 100000L
+
+  /** Flag train vectors with cosine ≥ 0.35 to any eval vector. The
+    * plan shape is broadcast(eval) ⋈ train with NO shuffle of the train
+    * side — correct only while the eval side is broadcast-sized, so the
+    * size contract is asserted (count on the eval frame — one cheap
+    * pass over the small side) rather than documented-and-hoped. For an
+    * eval set past the bound, the scalable rewrite is cell-blocking:
+    * assign BOTH sides with [[IvfIndex.nearest]] and join on
+    * centroid_id (the dedup_semantic shape) — approximate (cross-cell
+    * pairs are missed, recall governed by nprobe), which is why it is
+    * not silently substituted here. */
+  def decontamEmbed(train: DataFrame, eval: DataFrame,
+      maxEvalRows: Long = MaxEvalBroadcast): DataFrame = {
+    val n = eval.count()
+    require(n <= maxEvalRows,
+      s"decontam eval side has $n rows > broadcast bound $maxEvalRows: " +
+        "not a benchmark-sized eval set — use an IVF-cell-blocked join " +
+        "(assign both sides with IvfIndex.nearest, join on centroid_id)")
+    val ev = eval.select(col("vec_id").as("e_id"), col("embedding").as("ee"))
+    val cos = Vectors.cosine(col("embedding"), col("ee"))
+    train.crossJoin(broadcast(ev))
+      .where(cos >= 0.35)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        Num.roundp(max(cos), 4).as("max_cos"))
+  }
 
   /** IVF+PQ: probe 2 cells, ADC-score int8 reconstructions (query at
     * full precision — the "asymmetric" in ADC), shortlist 10, exact

@@ -28,6 +28,23 @@ class SemDedupSpec extends SparkSuite {
       }
   }
 
+  test("decontam_embed: eval side past the broadcast bound fails fast " +
+      "with the cell-blocked rewrite named") {
+    val e = Tables(spark, sf001, "embeddings")
+    val ex = intercept[IllegalArgumentException] {
+      operators.Similarity.decontamEmbed(
+        e.where(col("vec_id") % 97 =!= 0),
+        e.where(col("vec_id") % 97 === 0),
+        maxEvalRows = 2)
+    }
+    assert(ex.getMessage.contains("broadcast bound"))
+    assert(ex.getMessage.contains("IVF-cell-blocked"))
+    // and the in-bound path is the inventory query, unchanged
+    val rows = SparkEntry.queries("decontam_embed")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("n_eval_hits") > 0))
+  }
+
   test("dedup_keep_longest: survivor is a maximal-length member of its " +
       "cluster, clusters match the CC operator") {
     val kept = SparkEntry.queries("dedup_keep_longest")(spark, sf001).collect()
