@@ -99,7 +99,7 @@ object Lake {
     fs.listStatus(part).count(_.getPath.getName.endsWith(".parquet"))
   }
 
-  private def pathExists(spark: SparkSession, path: String): Boolean = {
+  private[graft] def pathExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
