@@ -65,16 +65,17 @@ object IvfIndex {
   def foldDot(a: Column, b: Column): Column = Vectors.dotD(a, b)
 
   /** Per-centroid (quantized squared L2, cid) candidate structs over an
-    * array<double> column `v` — K codegen'd `vec_sq_dist_d` kernels, so
-    * the whole K-way argmin stays inside whole-stage codegen. Struct
-    * ordering (d, then cid) is the tie-break convention shared with the
-    * SQL oracles' `ORDER BY dist, cid`. */
+    * array<double> column `v` — ONE codegen'd kernel with a RUNTIME
+    * loop over the codebook ([[graft.plans.CentroidStructs]]), so the
+    * generated code is O(1) in K (an unrolled K-kernel formulation made
+    * janino compile time the dominant cost past K≈30 — fatal for the
+    * adaptive-K SemDeDup path). Struct ordering (d, then cid) is the
+    * tie-break convention shared with the SQL oracles'
+    * `ORDER BY dist, cid`. */
   def centStructs(cents: Seq[(Long, Array[Double])], v: Column): Column =
-    array(cents.map { case (cid, c) =>
-      struct(
-        Num.roundp(Vectors.sqDistD(v, lit(c)), 6).as("d"),
-        lit(cid).as("cid"))
-    }: _*).cast("array<struct<d:double,cid:bigint>>") // array() renames struct fields col1/col2
+    org.apache.spark.sql.GraftBridge.column(graft.plans.CentroidStructs(
+      org.apache.spark.sql.GraftBridge.expression(v),
+      cents.map(_._1).toArray, cents.map(_._2).toArray))
 
   /** Nearest centroid struct (d, cid) — a pure map-side expression. */
   def nearest(cents: Seq[(Long, Array[Double])], v: Column): Column =

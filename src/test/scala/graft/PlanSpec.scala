@@ -51,7 +51,7 @@ class PlanSpec extends SparkSuite {
     val plan = physical(SparkEntry.queries("sim_topk_bruteforce")(spark, sf001))
     assert(plan.contains("vec_dot"), plan)
     val plan2 = physical(SparkEntry.queries("sim_ivf_assign")(spark, sf001))
-    assert(plan2.contains("vec_sq_dist_d"), plan2)
+    assert(plan2.contains("centroid_structs"), plan2)
   }
 
   test("IVF assignment is a pure map pass — no exchange, no join (fixed-K codebook)") {
