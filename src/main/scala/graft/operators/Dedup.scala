@@ -223,8 +223,62 @@ object Dedup {
             array_sort(collect_list(struct(col("idx"), col("chunk")))),
             x => x.getField("chunk")), " ").as("clean_text"),
           count(lit(1)).as("n_kept"))
+    }),
+
+    // ── Exact-substring duplicated spans (the suffix-array dedup pass
+    // of the training-data literature, re-expressed shuffle-native):
+    // every OVERLAPPING SubstrW-token window is hashed (stride 1 —
+    // unlike the chunk pass above, alignment cannot hide a duplicate);
+    // a window occurring more than once corpus-wide is duplicated
+    // text, and per document the duplicated window STARTS are merged
+    // into MAXIMAL token spans (two hits merge while their token
+    // intervals touch: start gap ≤ SubstrW). Output is the per-doc
+    // duplicated-span profile a purge/trim pass consumes.
+    //
+    // Scale shape: the occurrence stream is O(total tokens) rows;
+    // duplicate detection is one map-side-combined groupBy(h) and a
+    // hash-keyed join back (NOT a count-over-window by h, which would
+    // materialize hyper-duplicated boilerplate hashes on one
+    // partition; the join side stays AQE-skew-splittable). The merge
+    // is a per-document window — bounded by doc length, never corpus
+    // size. ──────────────────────────────────────────────────────────
+    "dedup_substr_spans" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("tok"))
+      val occ = docs
+        .select(col("doc_id"), posexplode(Text.shingles(col("tok"), SubstrW)))
+        .select(col("doc_id"), col("pos").cast("long").as("idx"),
+          md5(col("col")).as("h"))
+      val dup = occ.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") > 1).select(col("h"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+      val spans = occ.join(dup, Seq("h"))
+        .select(col("doc_id"), col("idx"))
+        .withColumn("brk",
+          when(lag(col("idx"), 1).over(w).isNull ||
+            col("idx") - lag(col("idx"), 1).over(w) > SubstrW, 1L).otherwise(0L))
+        .withColumn("g", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("g"))
+        .agg((max(col("idx")) - min(col("idx")) + SubstrW).as("span_tokens"))
+      val agg = spans.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"), sum(col("span_tokens")).as("dup_tokens"))
+      docs.select(col("doc_id"), size(col("tok")).cast("long").as("n_tokens"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          when(col("n_tokens") === 0, lit(0.0)).otherwise(Num.roundp(
+            coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"),
+            4)).as("dup_frac"))
     })
   )
+
+  /** Window width of the exact-substring pass: a duplicated region
+    * shorter than this many tokens is ignored (the match-length
+    * threshold of the suffix-array formulation). */
+  private[graft] val SubstrW = 8
 
   private[graft] val ChunkLen = 8
 
@@ -390,6 +444,41 @@ object Dedup {
          |  JOIN bands y ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
          |SELECT a, b, CAST(hamming AS BIGINT) AS hamming FROM pairs
          |WHERE hamming <= 3""".stripMargin
-    }
+    },
+
+    "dedup_substr_spans" ->
+      s"""WITH tk AS MATERIALIZED (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tok
+         |  FROM documents),
+         |occ AS MATERIALIZED (
+         |  SELECT doc_id, CAST(u.i AS BIGINT) AS idx,
+         |    md5(array_to_string(list_slice(tok, u.i + 1, u.i + $SubstrW), ' ')) AS h
+         |  FROM (SELECT doc_id, unnest(range(len(tok) - ${SubstrW - 1})) AS i
+         |        FROM tk WHERE len(tok) >= $SubstrW) u
+         |  JOIN tk USING (doc_id)),
+         |dup AS MATERIALIZED (SELECT h FROM occ GROUP BY h HAVING count(*) > 1),
+         |hits AS MATERIALIZED (
+         |  SELECT doc_id, idx,
+         |    CASE WHEN lag(idx) OVER (PARTITION BY doc_id ORDER BY idx) IS NULL
+         |      OR idx - lag(idx) OVER (PARTITION BY doc_id ORDER BY idx) > $SubstrW
+         |      THEN 1 ELSE 0 END AS brk
+         |  FROM occ JOIN dup USING (h)),
+         |spans AS MATERIALIZED (
+         |  SELECT doc_id, g, max(idx) - min(idx) + $SubstrW AS span_tokens
+         |  FROM (SELECT doc_id, idx, sum(brk) OVER (
+         |          PARTITION BY doc_id ORDER BY idx
+         |          ROWS UNBOUNDED PRECEDING) AS g FROM hits)
+         |  GROUP BY doc_id, g),
+         |agg AS MATERIALIZED (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |    CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
+         |  FROM spans GROUP BY doc_id)
+         |SELECT tk.doc_id AS doc_id, CAST(len(tok) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         |  CASE WHEN len(tok) = 0 THEN 0.0 ELSE
+         |    floor(CAST(coalesce(dup_tokens, 0) AS DOUBLE) / len(tok) * 10000 + 0.5)
+         |      / 10000 END AS dup_frac
+         |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id""".stripMargin
   )
 }

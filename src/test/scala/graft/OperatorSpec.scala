@@ -51,6 +51,32 @@ class OperatorSpec extends SparkSuite {
       .subsetOf(spans.map(_.getAs[Long]("doc_id")).toSet))
   }
 
+  test("exact-substring spans: merged intervals stay inside the doc") {
+    val r = SparkEntry.queries("dedup_substr_spans")(spark, sf001).collect()
+    assert(r.length == 500)
+    r.foreach { x =>
+      val (nt, ns, dt) = (x.getAs[Long]("n_tokens"),
+        x.getAs[Long]("n_spans"), x.getAs[Long]("dup_tokens"))
+      // merged maximal spans are disjoint, each at least W tokens wide,
+      // and their union can never exceed the document
+      assert(dt <= nt, s"doc ${x.getAs[Long]("doc_id")}: $dt > $nt")
+      assert(ns == 0 && dt == 0 || dt >= ns * operators.Dedup.SubstrW)
+      val frac = x.getAs[Double]("dup_frac")
+      val expect = if (nt == 0) 0.0 else math.floor(dt.toDouble / nt * 10000 + 0.5) / 10000
+      assert(math.abs(frac - expect) < 1e-12)
+    }
+    // the corpus's planted duplicates are fully covered spans
+    assert(r.exists(_.getAs[Double]("dup_frac") == 1.0))
+    // stride-1 windows see strictly more duplicated text than the
+    // aligned chunk pass (alignment can hide a shifted duplicate)
+    val chunk = SparkEntry.queries("dedup_chunk_spans")(spark, sf001).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("n_dup")).toMap
+    val subTotal = r.map(_.getAs[Long]("dup_tokens")).sum
+    val chunkTotal = chunk.values.sum * operators.Dedup.ChunkLen
+    assert(subTotal >= chunkTotal / 2,
+      "substring pass should not see wildly less duplication than chunks")
+  }
+
   test("bm25 retrieval: ranked, positive, only term-matching docs") {
     val r = SparkEntry.queries("idx_bm25_topk")(spark, sf001).collect()
     assert(r.length == 10)
