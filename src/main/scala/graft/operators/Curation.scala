@@ -53,6 +53,42 @@ object Curation {
           .as("rep_ok"))
     }),
 
+    // ── Importance-resampling data selection (the DSIR recipe, Xie et
+    // al. 2023, re-expressed as two aggregation passes): score every
+    // candidate document by its average per-token log importance ratio
+    // ln p_target(t) − ln p_corpus(t) under add-one-smoothed unigram
+    // models, where the target model is estimated from a small
+    // held-out "domain" slice (stand-in here: doc_id % 7 == 0 — a
+    // fixed benchmark-sized input in a real deployment) and the raw
+    // model from the whole corpus; keep the top-k. High ratio = "looks
+    // like the target domain, unlike generic corpus text" — the
+    // standard cheap proxy for quality/domain selection at pretraining
+    // scale. Scale shape: both models live in ONE vocab-sized
+    // aggregate (map-side combined; the target slice's counts ride
+    // along as a conditional sum, so the corpus is read once); scoring
+    // joins candidate tokens to the vocab (unhinted — broadcastable
+    // while Heaps' law holds, degrades to a shuffle join when the
+    // vocabulary outgrows the driver) and the global top-k is
+    // TakeOrderedAndProject, never a full sort. ──────────────────────
+    "dsir_select" -> ((s, dir) => {
+      val tk = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(toks).as("term"))
+      val isTarget = col("doc_id") % 7 === 0
+      val cnt = tk.groupBy(col("term")).agg(
+        count(lit(1)).as("c_all"),
+        sum(when(isTarget, 1L).otherwise(0L)).as("c_t"))
+      val tot = cnt.agg(sum(col("c_all")).as("t_all"),
+        sum(col("c_t")).as("t_t"), count(lit(1)).as("v"))
+      val ratio =
+        log((col("c_t") + 1).cast("double") / (col("t_t") + col("v"))) -
+          log((col("c_all") + 1).cast("double") / (col("t_all") + col("v")))
+      tk.where(!isTarget)
+        .join(cnt, "term").crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), Num.roundp(avg(ratio), 6).as("lr"))
+        .orderBy(col("lr").desc, col("doc_id")).limit(20)
+    }),
+
     // ── Gopher-style composite quality gate (Rae et al. 2021, Table A1
     // family): one pass/fail decision per document with machine-readable
     // reason codes — the shape a production pipeline actually runs (one
@@ -355,6 +391,28 @@ object Curation {
          |  (CAST(top_c AS DOUBLE) / n_tok <= 0.2
          |   AND (1.0 - CAST(n_2g_uniq AS DOUBLE) / n_2g) <= 0.6) AS rep_ok
          |FROM dom d JOIN grams USING (doc_id)""".stripMargin,
+
+    "dsir_select" ->
+      s"""WITH tk AS MATERIALIZED (
+         |  SELECT doc_id, unnest($sqlToks) AS term FROM documents),
+         |cnt AS MATERIALIZED (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS c_all,
+         |    CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+         |  FROM tk GROUP BY term),
+         |tot AS MATERIALIZED (
+         |  SELECT CAST(sum(c_all) AS BIGINT) AS t_all,
+         |    CAST(sum(c_t) AS BIGINT) AS t_t,
+         |    CAST(count(*) AS BIGINT) AS v FROM cnt),
+         |sc AS (
+         |  SELECT tk.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    floor(avg(ln((c_t + 1) / CAST(t_t + v AS DOUBLE))
+         |        - ln((c_all + 1) / CAST(t_all + v AS DOUBLE))) * 1000000 + 0.5)
+         |      / 1000000 AS lr
+         |  FROM tk JOIN cnt USING (term) CROSS JOIN tot
+         |  WHERE doc_id % 7 <> 0
+         |  GROUP BY tk.doc_id)
+         |SELECT doc_id, n_tokens, lr FROM sc
+         |ORDER BY lr DESC, doc_id LIMIT 20""".stripMargin,
 
     "quality_gopher" ->
       s"""WITH tokrows AS (

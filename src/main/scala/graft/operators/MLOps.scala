@@ -63,7 +63,21 @@ object MLOps {
     // algorithm expressible as unrolled DuckDB SQL and the results
     // hash-comparable across engines. ─────────────────────────────────
     "m1b_pca_power" -> ((s, dir) => pcaPower(s, dir)),
-    "m2b_kmeans_lloyd" -> ((s, dir) => lloydKMeans(s, dir))
+    "m2b_kmeans_lloyd" -> ((s, dir) => lloydKMeans(s, dir)),
+
+    // ── M3: quality-classifier training — the fastText-style learned
+    // filter of pretraining pipelines (score web text against a
+    // quality signal; the CCNet / GPT-3-era data recipes), expressed
+    // as deterministic batch-gradient-descent logistic regression so
+    // the whole train-then-score loop is oracle-verifiable. Same twin
+    // conventions as m1b/m2b: fixed init (w=0), fixed LrIters rounds,
+    // σ(z) and the weights quantized per round (the grids absorb the
+    // engines' exp-ulp and summation-order residue). Scale split as in
+    // Lloyd: each round is ONE map-side-combined 5-aggregate pass over
+    // the corpus (the gradient), the d+1-sized weight update runs on
+    // the driver, and scoring is a pure map — nothing ever collects
+    // the data, so the plan is corpus-size-independent. ──────────────
+    "m3_logreg_quality" -> ((s, dir) => logregQuality(s, dir))
   )
 
   private val Dim = 64
@@ -71,6 +85,8 @@ object MLOps {
   private val QuantM = 1e7    // covariance-matrix grid
   private val Squarings = 12  // C^(2^12): residual (λ2/λ1)^4096 ≈ 0
   private val LloydIters = 3  // assignment rounds (2 centroid updates)
+  private val LrIters = 12    // logistic-regression GD rounds
+  private val LrRate = 6.0    // GD step size (chosen once; part of the convention)
 
   /** Embeddings as array<double>, cached (shared across both twins and
     * every iteration's job). Float→double widening is exact, so both
@@ -271,6 +287,54 @@ object MLOps {
     assign().select(col("vec_id"), col("cluster"))
   }
 
+  /** Per-document training features for the quality classifier, all
+    * exact rationals of integer counts (sum-of-lengths, distinct
+    * ratio, stopword fraction) so both engines start from bit-equal
+    * doubles; label = "long document" (n_tokens ≥ 40) — a stand-in
+    * quality signal with the same wiring a curated label set plugs
+    * into. Zero-token docs carry no signal and are excluded. */
+  private def lrFeatures(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(graft.functions.Text.tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), count_distinct(col("t")).as("nd"),
+        sum(length(col("t"))).as("chars"),
+        sum(when(col("t").isin("the", "a"), 1L).otherwise(0L)).as("nstop"))
+      .select(col("doc_id"),
+        when(col("n") >= 40, 1.0).otherwise(0.0).as("y"),
+        (col("chars").cast("double") / col("n") / 10).as("x1"),
+        (col("nd").cast("double") / col("n")).as("x2"),
+        (col("nstop").cast("double") / col("n")).as("x3"))
+
+  /** Batch-GD logistic regression (LrIters rounds, lr = LrRate, w₀ = 0):
+    * z is the fixed left-associated affine form (identical association
+    * in the SQL oracle, so z is bit-equal), σ(z) is quantized at 1e-6
+    * (absorbs exp's cross-engine ulp), the weight update at 1e-6
+    * (absorbs gradient summation order). Gradient = one 4-sum + count
+    * aggregate per round; weights are driver literals, scoring is a
+    * map. */
+  def logregQuality(s: SparkSession, dir: String): DataFrame = {
+    val f = lrFeatures(s, dir).cache()
+    def zOf(w: Array[Double]) =
+      lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+        lit(w(3)) * col("x3")
+    def pOf(w: Array[Double]) =
+      Num.roundp(lit(1.0) / (lit(1.0) + exp(-zOf(w))), 6)
+    var w = Array(0.0, 0.0, 0.0, 0.0)
+    for (_ <- 1 to LrIters) {
+      val e = (pOf(w) - col("y")).as("e")
+      val g = f.select(e, col("x1"), col("x2"), col("x3"))
+        .agg(sum(col("e")).as("g0"), sum(col("e") * col("x1")).as("g1"),
+          sum(col("e") * col("x2")).as("g2"), sum(col("e") * col("x3")).as("g3"),
+          count(lit(1)).as("n"))
+        .head()
+      val n = g.getLong(4).toDouble
+      w = Array.tabulate(4)(j => quantize(w(j) - LrRate * g.getDouble(j) / n))
+    }
+    f.select(col("doc_id"), col("y").cast("long").as("label"),
+      pOf(w).as("score"), (pOf(w) >= 0.5).as("pred"))
+  }
+
   // ── Oracles: the identical recurrences unrolled as DuckDB CTEs,
   // generated programmatically (12 squarings × 2 components; 3 Lloyd
   // rounds). `range(1,65)` is 1-based like DuckDB list indexing. All
@@ -384,10 +448,56 @@ object MLOps {
        |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM a$LloydIters""".stripMargin
   }
 
+  /** The GD recurrence unrolled: weights ride as 4 COLUMNS of a 1-row
+    * CTE so z keeps the same left-associated form as the Spark
+    * expression (a (j, w) row layout would re-introduce unordered
+    * summation into z itself). */
+  private lazy val sqlLogreg: String = {
+    val q = Quant.toLong
+    def sig(src: String) =
+      s"floor(1.0 / (1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3))) * $q.0 + 0.5) / $q.0"
+    val rounds = (1 to LrIters).map { t =>
+      s"""g$t AS MATERIALIZED (
+         |  SELECT sum(e) AS g0, sum(e * x1) AS g1, sum(e * x2) AS g2,
+         |    sum(e * x3) AS g3, count(*) AS n
+         |  FROM (SELECT ${sig("")} - y AS e, x1, x2, x3
+         |        FROM f CROSS JOIN wt${t - 1})),
+         |wt$t AS MATERIALIZED (
+         |  SELECT floor((w0 - $LrRate * g0 / n) * $q.0 + 0.5) / $q.0 AS w0,
+         |    floor((w1 - $LrRate * g1 / n) * $q.0 + 0.5) / $q.0 AS w1,
+         |    floor((w2 - $LrRate * g2 / n) * $q.0 + 0.5) / $q.0 AS w2,
+         |    floor((w3 - $LrRate * g3 / n) * $q.0 + 0.5) / $q.0 AS w3
+         |  FROM wt${t - 1} CROSS JOIN g$t)""".stripMargin
+    }
+    s"""WITH f AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN n >= 40 THEN 1.0 ELSE 0.0 END AS y,
+       |    CAST(chars AS DOUBLE) / n / 10 AS x1,
+       |    CAST(nd AS DOUBLE) / n AS x2,
+       |    CAST(nstop AS DOUBLE) / n AS x3
+       |  FROM (
+       |    SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+       |      CAST(count(DISTINCT t) AS BIGINT) AS nd,
+       |      CAST(sum(length(t)) AS BIGINT) AS chars,
+       |      CAST(sum(CASE WHEN t IN ('the', 'a') THEN 1 ELSE 0 END) AS BIGINT)
+       |        AS nstop
+       |    FROM (SELECT doc_id,
+       |            unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+       |          FROM documents)
+       |    GROUP BY doc_id)),
+       |wt0 AS MATERIALIZED (
+       |  SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+       |${rounds.mkString(",\n")}
+       |SELECT doc_id, CAST(y AS BIGINT) AS label, score, score >= 0.5 AS pred
+       |FROM (SELECT doc_id, y, ${sig("")} AS score
+       |      FROM f CROSS JOIN wt$LrIters)""".stripMargin
+  }
+
   /** m1/m2 stay rows-only by design (see scaladoc); the b-twins carry
     * the hash-checked oracle. */
   val oracles: Map[String, String] = Map(
     "m1b_pca_power" -> sqlPca,
-    "m2b_kmeans_lloyd" -> sqlLloyd
+    "m2b_kmeans_lloyd" -> sqlLloyd,
+    "m3_logreg_quality" -> sqlLogreg
   )
 }

