@@ -30,6 +30,10 @@ object Similarity {
 
   val Dim = 64
   val Planes = 6
+  /** Hard cap on the hard-negative anchor batch: at most this many
+    * anchor ids qualify at ANY corpus size, so the anchor broadcast is
+    * constant-size and mining stays O(B·n). */
+  val HardNegAnchors = 64L
 
   // ── Fixed-K codebook, memoized per (session, sf dir): training runs
   // one sample pass + CbRounds refinement aggregations; every sim_ivf_*
@@ -171,17 +175,21 @@ object Similarity {
     // top-5 most-similar vectors carrying a DIFFERENT label — the
     // negatives an embedding-model trainer actually wants (near the
     // anchor yet wrong, so the margin gradient is informative; random
-    // negatives are trivially separated). Anchors here are the fixed
-    // vec_id % 100 slice — in deployment the anchor side is the
-    // training batch, bounded by construction, so the broadcast is
-    // size-safe (same contract as decontam_embed's eval side); when
-    // the candidate side must shrink too, the IVF cell-blocked path
-    // (probe the anchor's nearest cells, then filter by label) is the
-    // scale route with the existing codebook machinery. ──────────────
+    // negatives are trivially separated). Anchors are the vec_id % 100
+    // slice CAPPED at HardNegAnchors ids — in deployment the anchor
+    // side is one training batch, bounded by construction, and the cap
+    // makes that bound structural: the broadcast is ≤ HardNegAnchors
+    // rows at any corpus size and the scan-side work is O(B·n), linear
+    // in the corpus (without the cap, anchors ∝ n makes it O(n²/100) —
+    // the decontam_embed scale-killer class). When the candidate side
+    // must shrink too, the IVF cell-blocked path (probe the anchor's
+    // nearest cells, then filter by label) is the scale route with the
+    // existing codebook machinery. ───────────────────────────────────
     "sim_hard_negatives" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables(s, dir, "embeddings")
-      val q = e.where(col("vec_id") % 100 === 0)
+      val q = e.where(col("vec_id") % 100 === 0 &&
+          col("vec_id") < HardNegAnchors * 100L)
         .select(col("vec_id").as("q_id"), col("label").as("q_label"),
           col("embedding").as("q_emb"))
       val score = Num.roundp(Vectors.cosine(col("q_emb"), col("embedding")), 6)
@@ -650,7 +658,9 @@ object Similarity {
          |  SELECT q.vec_id AS q_id, e.vec_id, e.label,
          |    floor((${sqlDot("q.embedding", "e.embedding")} / (q.nrm * e.nrm))
          |      * 1000000 + 0.5) / 1000000 AS score
-         |  FROM n q JOIN n e ON q.vec_id % 100 = 0 AND e.label <> q.label),
+         |  FROM n q JOIN n e
+         |    ON q.vec_id % 100 = 0 AND q.vec_id < ${HardNegAnchors * 100}
+         |   AND e.label <> q.label),
          |ranked AS (
          |  SELECT q_id, vec_id, label, score,
          |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id)
