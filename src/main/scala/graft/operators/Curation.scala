@@ -89,6 +89,37 @@ object Curation {
         .orderBy(col("lr").desc, col("doc_id")).limit(20)
     }),
 
+    // ── Token-budget mixture planning (the "how many epochs of each
+    // source under a fixed training budget" question — the repeated-
+    // data regime of Muennighoff et al. 2023): per-source token counts
+    // → temperature-flattened target weights (α = 0.5, the standard
+    // multilingual/multi-source flattening) → token allocation under a
+    // budget of half the corpus → epochs = allocation / source size,
+    // with epochs > 4 flagged (past ~4 repeats, marginal value decays
+    // to noise). Everything after the ONE corpus-sized aggregate
+    // (per-source token counts, map-side combined) runs on a
+    // sources-sized frame — the plan is corpus-size-independent, and
+    // the weights are quantized before allocation so both engines
+    // split the identical budget. ────────────────────────────────────
+    "mix_token_budget" -> ((s, dir) => {
+      val bySrc = Tables(s, dir, "documents")
+        .select(col("source"), explode(toks).as("t"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_tokens"))
+      val tot = bySrc.agg(sum(col("n_tokens")).as("corpus_tokens"),
+        sum(sqrt(col("n_tokens"))).as("z"))
+      val weight = Num.roundp(sqrt(col("n_tokens")) / col("z"), 6)
+      bySrc.crossJoin(broadcast(tot))
+        .withColumn("budget", floor(col("corpus_tokens") / 2).cast("long"))
+        .withColumn("weight", weight)
+        .withColumn("alloc_tokens",
+          floor(col("weight") * col("budget")).cast("long"))
+        .withColumn("epochs",
+          Num.roundp(col("alloc_tokens").cast("double") / col("n_tokens"), 6))
+        .select(col("source"), col("n_tokens"), col("weight"),
+          col("alloc_tokens"), col("epochs"),
+          (col("epochs") > 4.0).as("over_repeat"))
+    }),
+
     // ── Gopher-style composite quality gate (Rae et al. 2021, Table A1
     // family): one pass/fail decision per document with machine-readable
     // reason codes — the shape a production pipeline actually runs (one
@@ -413,6 +444,30 @@ object Curation {
          |  GROUP BY tk.doc_id)
          |SELECT doc_id, n_tokens, lr FROM sc
          |ORDER BY lr DESC, doc_id LIMIT 20""".stripMargin,
+
+    "mix_token_budget" ->
+      s"""WITH bysrc AS MATERIALIZED (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens
+         |  FROM (SELECT source, unnest($sqlToks) AS t FROM documents)
+         |  GROUP BY source),
+         |tot AS MATERIALIZED (
+         |  SELECT CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens,
+         |    sum(sqrt(n_tokens)) AS z FROM bysrc),
+         |w AS (
+         |  SELECT source, n_tokens,
+         |    CAST(floor(corpus_tokens / 2) AS BIGINT) AS budget,
+         |    floor(sqrt(n_tokens) / z * 1000000 + 0.5) / 1000000 AS weight
+         |  FROM bysrc CROSS JOIN tot),
+         |a AS (
+         |  SELECT source, n_tokens, weight,
+         |    CAST(floor(weight * budget) AS BIGINT) AS alloc_tokens
+         |  FROM w)
+         |SELECT source, n_tokens, weight, alloc_tokens,
+         |  floor(CAST(alloc_tokens AS DOUBLE) / n_tokens * 1000000 + 0.5)
+         |    / 1000000 AS epochs,
+         |  floor(CAST(alloc_tokens AS DOUBLE) / n_tokens * 1000000 + 0.5)
+         |    / 1000000 > 4.0 AS over_repeat
+         |FROM a""".stripMargin,
 
     "quality_gopher" ->
       s"""WITH tokrows AS (

@@ -34,6 +34,8 @@ object Similarity {
     * anchor ids qualify at ANY corpus size, so the anchor broadcast is
     * constant-size and mining stays O(B·n). */
   val HardNegAnchors = 64L
+  /** Matryoshka prefix length used by sim_mrl_recall. */
+  val MrlDim = 16
 
   // ── Fixed-K codebook, memoized per (session, sf dir): training runs
   // one sample pass + CbRounds refinement aggregations; every sim_ivf_*
@@ -200,6 +202,58 @@ object Similarity {
         .select(col("q_id"), col("vec_id"), col("label"), score.as("score"))
         .withColumn("rk", row_number().over(w).cast("long"))
         .where(col("rk") <= 5)
+    }),
+
+    // ── Matryoshka-truncation recall (Kusupati et al. 2022): rank by
+    // cosine over the FIRST MrlDim dims only, then measure recall@5 of
+    // the truncated ranking against the full-Dim exact top-5. This is
+    // the evidence gate for serving ANN from prefix-truncated vectors
+    // (Dim/MrlDim × less memory bandwidth — at 100 TB the scan cost IS
+    // the memory traffic). Same bounded-anchor contract as the other
+    // recall queries (5 fixed query ids → broadcast), one linear pass
+    // over the corpus per side. ──────────────────────────────────────
+    "sim_mrl_recall" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+      def top5(score: Column) = e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), score.as("score"))
+        .withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
+        .select(col("q_id"), col("vec_id"))
+      val exact = top5(Num.roundp(Vectors.cosine(col("q_emb"), col("embedding")), 6))
+      val trunc = top5(Num.roundp(Vectors.cosine(
+        slice(col("q_emb"), 1, MrlDim), slice(col("embedding"), 1, MrlDim)), 6))
+      exact.join(trunc, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy(col("q_id"))
+        .agg((count(lit(1)).cast("double") / 5.0).as("recall5"))
+    }),
+
+    // ── Sign-bit binary quantization + Hamming ranking: each vector
+    // collapses to ONE long (bit j = sign of dim j), candidates rank by
+    // popcount(xor) — 32× less data than float32[64] and the distance
+    // is a single xor+popcnt, the cheapest possible first-stage filter
+    // before exact re-rank (the standard binary-quantization serving
+    // recipe). Packing is one map-side fold; ranking reuses the
+    // bounded-anchor broadcast. The oracle counts differing sign bits
+    // directly — same value, no 64-bit shift semantics to align. ─────
+    "sim_binary_hamming" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val packed = Tables(s, dir, "embeddings").select(col("vec_id"),
+        expr("aggregate(transform(embedding, (x, j) -> " +
+          "IF(x > CAST(0 AS FLOAT), shiftleft(CAST(1 AS BIGINT), j), " +
+          "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, b) -> a | b)").as("code"))
+      val q = packed.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("code").as("q_code"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("ham"), col("vec_id"))
+      packed.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          bit_count(col("code").bitwiseXOR(col("q_code"))).cast("long").as("ham"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 10)
     }),
 
     // ── IVF assignment: nearest centroid per vector. The codebook is
@@ -517,6 +571,11 @@ object Similarity {
 
   private[operators] def sqlNorm(a: String) = s"sqrt(${sqlDot(a, a)})"
 
+  /** Prefix-dim variants (Matryoshka truncation). */
+  private def sqlDotN(a: String, b: String, n: Int) =
+    s"list_sum(list_transform(range($n), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)))"
+  private def sqlNormN(a: String, n: Int) = s"sqrt(${sqlDotN(a, a, n)})"
+
   /** Shared oracle prelude: the identical codebook recurrence (hash-
     * order seed sample, quantized Lloyd rounds) + quantized-argmin
     * assignment, as MATERIALIZED CTEs (DuckDB would otherwise inline
@@ -649,6 +708,42 @@ object Similarity {
          |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk
          |  FROM scored)
          |SELECT q_id, vec_id, score, rk FROM ranked WHERE rk <= 5""".stripMargin,
+
+    "sim_mrl_recall" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm,
+         |    ${sqlNormN("embedding", MrlDim)} AS tnrm
+         |  FROM embeddings),
+         |ex AS (
+         |  SELECT q.vec_id AS q_id, e.vec_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      floor((${sqlDot("q.embedding", "e.embedding")} / (q.nrm * e.nrm)) * 1000000 + 0.5) / 1000000 DESC,
+         |      e.vec_id) AS rk
+         |  FROM n q JOIN n e ON q.vec_id < 5 AND e.vec_id <> q.vec_id),
+         |tr AS (
+         |  SELECT q.vec_id AS q_id, e.vec_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      floor((${sqlDotN("q.embedding", "e.embedding", MrlDim)} / (q.tnrm * e.tnrm)) * 1000000 + 0.5) / 1000000 DESC,
+         |      e.vec_id) AS rk
+         |  FROM n q JOIN n e ON q.vec_id < 5 AND e.vec_id <> q.vec_id)
+         |SELECT q_id, CAST(count(*) AS DOUBLE) / 5.0 AS recall5
+         |FROM (SELECT q_id, vec_id FROM ex WHERE rk <= 5) x
+         |JOIN (SELECT q_id, vec_id FROM tr WHERE rk <= 5) t USING (q_id, vec_id)
+         |GROUP BY q_id""".stripMargin,
+
+    "sim_binary_hamming" ->
+      s"""WITH h AS (
+         |  SELECT q.vec_id AS q_id, e.vec_id,
+         |    CAST(list_sum(list_transform(range($Dim), j ->
+         |      CASE WHEN (q.embedding[j+1] > 0) <> (e.embedding[j+1] > 0)
+         |           THEN 1 ELSE 0 END)) AS BIGINT) AS ham
+         |  FROM embeddings q JOIN embeddings e
+         |    ON q.vec_id < 5 AND e.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, ham,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY ham, vec_id) AS rk
+         |  FROM h)
+         |SELECT q_id, vec_id, ham, rk FROM ranked WHERE rk <= 10""".stripMargin,
 
     "sim_hard_negatives" ->
       s"""WITH n AS (

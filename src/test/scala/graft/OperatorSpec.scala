@@ -135,6 +135,54 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("sim_mrl_recall: truncated ranking recovers most of the exact top-5") {
+    val r = SparkEntry.queries("sim_mrl_recall")(spark, sf001).collect()
+    // queries with zero overlap drop out of the inner join; the rest
+    // must carry a valid recall fraction in (0, 1]
+    assert(r.nonEmpty && r.length <= 5)
+    r.foreach { x =>
+      val rec = x.getAs[Double]("recall5")
+      assert(rec > 0.0 && rec <= 1.0 && (rec * 5).isWhole)
+    }
+  }
+
+  test("sim_binary_hamming ranks by sign-bit distance, 10 per query") {
+    val r = SparkEntry.queries("sim_binary_hamming")(spark, sf001).collect()
+    assert(r.length == 50)
+    r.groupBy(_.getAs[Long]("q_id")).values.foreach { g =>
+      assert(g.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to 10L))
+      val byRk = g.sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("ham"))
+      assert(byRk.zip(byRk.tail).forall { case (a, b) => a <= b })
+      g.foreach { x =>
+        val h = x.getAs[Long]("ham")
+        assert(h >= 0 && h <= 64)
+        assert(x.getAs[Long]("vec_id") != x.getAs[Long]("q_id"))
+      }
+    }
+  }
+
+  test("mix_token_budget allocates the half-corpus budget by flattened weights") {
+    val r = SparkEntry.queries("mix_token_budget")(spark, sf001).collect()
+    assert(r.nonEmpty)
+    val weights = r.map(_.getAs[Double]("weight"))
+    assert(math.abs(weights.sum - 1.0) < 1e-4)
+    val corpus = r.map(_.getAs[Long]("n_tokens")).sum
+    val alloc = r.map(_.getAs[Long]("alloc_tokens")).sum
+    // floor()s lose at most one token per source off the half budget
+    assert(alloc <= corpus / 2 && alloc >= corpus / 2 - r.length)
+    r.foreach { x =>
+      val ep = x.getAs[Double]("epochs")
+      assert(ep > 0.0)
+      assert(x.getAs[Boolean]("over_repeat") == ep > 4.0)
+      // α=0.5 flattening: epochs are ANTI-correlated with source size —
+      // smaller sources repeat more; also epochs == alloc / n within grid
+      assert(math.abs(ep - x.getAs[Long]("alloc_tokens").toDouble /
+        x.getAs[Long]("n_tokens")) < 1e-6)
+    }
+    val byN = r.sortBy(_.getAs[Long]("n_tokens"))
+    assert(byN.head.getAs[Double]("epochs") >= byN.last.getAs[Double]("epochs"))
+  }
+
   test("sim_ivf_assign routes every vector to exactly one centroid") {
     val r = SparkEntry.queries("sim_ivf_assign")(spark, sf001).collect()
     assert(r.length == 500)
