@@ -336,6 +336,29 @@ object Curation {
           (col("cum_start") >= col("bin") * N).as("is_doc_start"))
     }),
 
+    // ── Padding-waste profile: for each candidate context length N,
+    // the token-slot waste of DOC-LEVEL batching (every doc padded up
+    // to a multiple of N — the no-packing baseline) — the measurement
+    // that justifies pack_context_windows' concat packing, whose waste
+    // is one partial window total. Per-doc arithmetic + one aggregate
+    // over a constant 4-row window-size dimension: corpus-size-linear,
+    // no shuffle beyond the 4-key final combine. ─────────────────────
+    "pack_padding_waste" -> ((s, dir) => {
+      val sizes = Seq(128, 256, 512, 1024)
+      val d = Tables(s, dir, "documents")
+        .select(size(toks).cast("long").as("n_tok"))
+        .where(col("n_tok") > 0)
+        .select(col("n_tok"), explode(lit(sizes.toArray)).as("n"))
+        .withColumn("n", col("n").cast("long"))
+        .withColumn("wins", expr("(n_tok + n - 1) DIV n"))
+      d.groupBy(col("n")).agg(
+          sum(col("wins")).as("n_windows"),
+          sum(col("n_tok")).as("used_tokens"),
+          sum(col("wins") * col("n") - col("n_tok")).as("padded_slots"))
+        .withColumn("waste_frac", Num.roundp(
+          col("padded_slots").cast("double") / (col("n_windows") * col("n")), 6))
+    }),
+
     // ── Temperature-scaled language sampling (the XLM-R / mT5 corpus
     // balancing rule): sampling weight pᵢ ∝ cᵢ^α with α = 0.7 — low-
     // resource languages are upsampled relative to their raw share,
@@ -444,6 +467,22 @@ object Curation {
          |  GROUP BY tk.doc_id)
          |SELECT doc_id, n_tokens, lr FROM sc
          |ORDER BY lr DESC, doc_id LIMIT 20""".stripMargin,
+
+    "pack_padding_waste" ->
+      s"""WITH d AS (
+         |  SELECT CAST(len($sqlToks) AS BIGINT) AS n_tok FROM documents
+         |  WHERE len($sqlToks) > 0),
+         |x AS (
+         |  SELECT n_tok, CAST(u AS BIGINT) AS n,
+         |    CAST((n_tok + u - 1) // u AS BIGINT) AS wins
+         |  FROM d, (SELECT unnest([128, 256, 512, 1024]) AS u) s)
+         |SELECT n,
+         |  CAST(sum(wins) AS BIGINT) AS n_windows,
+         |  CAST(sum(n_tok) AS BIGINT) AS used_tokens,
+         |  CAST(sum(wins * n - n_tok) AS BIGINT) AS padded_slots,
+         |  floor(CAST(sum(wins * n - n_tok) AS DOUBLE)
+         |    / (sum(wins) * n) * 1000000 + 0.5) / 1000000 AS waste_frac
+         |FROM x GROUP BY n""".stripMargin,
 
     "mix_token_budget" ->
       s"""WITH bysrc AS MATERIALIZED (

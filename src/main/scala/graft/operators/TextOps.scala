@@ -178,6 +178,51 @@ object TextOps {
       Tables(s, dir, "documents").select(
         col("doc_id"), Text.fingerprint(col("text")).as("fp"))),
 
+    // ── Intra-document repeated-span trimming — the WITHIN-doc half of
+    // the Gopher repetition family (text_repetition only scores it;
+    // this op repairs it): every token covered by a 3-gram whose text
+    // already occurred earlier in the SAME document is dropped (the
+    // first occurrence survives), and the cleaned document is emitted
+    // as an md5 fingerprint plus kept/removed counts — boilerplate
+    // chat headers, paginated footers and copy-paste loops collapse to
+    // their first instance. Scale shape: every window and aggregate is
+    // keyed by doc_id (per-doc work only, map-side combined; no
+    // cross-doc shuffle), so the op is embarrassingly parallel and
+    // corpus-size-linear; the repeated-position set rides a same-key
+    // join, never a pairwise compare. ────────────────────────────────
+    "text_dedup_intradoc" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val tk = docs.select(col("doc_id"), posexplode(toks))
+        .select(col("doc_id"), col("pos").cast("long").as("p"), col("col").as("tok"))
+      val wd = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      val grams = tk
+        .withColumn("t1", lead(col("tok"), 1).over(wd))
+        .withColumn("t2", lead(col("tok"), 2).over(wd))
+        .where(col("t2").isNotNull)
+        .select(col("doc_id"), col("p"),
+          concat_ws(" ", col("tok"), col("t1"), col("t2")).as("g"))
+      val firstP = Window.partitionBy(col("doc_id"), col("g"))
+      val rep = grams.withColumn("fp", min(col("p")).over(firstP))
+        .where(col("p") > col("fp"))
+        .select(col("doc_id"),
+          explode(sequence(col("p"), col("p") + 2)).as("p"))
+        .distinct()
+      val agg = tk.join(rep.withColumn("rm", lit(1)), Seq("doc_id", "p"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("rm").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+          md5(array_join(transform(
+            array_sort(collect_list(
+              when(col("rm").isNull, struct(col("p"), col("tok"))))),
+            x => x.getField("tok")), " ").cast("binary")).as("clean_md5"))
+      docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+          coalesce(col("clean_md5"), md5(lit("").cast("binary"))).as("clean_md5"))
+    }),
+
     // ── BM25 ranked retrieval (the scoring face of the inverted
     // index): Okapi BM25 with k1=1.2, b=0.75 over a fixed term set.
     // Everything is index-shaped — the postings scan touches only the
@@ -567,6 +612,46 @@ object TextOps {
     "text_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents""".stripMargin,
+
+    "text_dedup_intradoc" ->
+      s"""WITH tk AS MATERIALIZED (
+         |  SELECT doc_id, CAST(u.p AS BIGINT) AS p, u.tok AS tok
+         |  FROM (
+         |    SELECT doc_id, unnest(list_transform(range(len(tk0)),
+         |      i -> {'p': i, 'tok': tk0[i+1]})) AS u
+         |    FROM (SELECT doc_id, $sqlToks AS tk0 FROM documents)
+         |    WHERE len(tk0) > 0)),
+         |grams AS MATERIALIZED (
+         |  SELECT doc_id, p, tok || ' ' || t1 || ' ' || t2 AS g
+         |  FROM (
+         |    SELECT doc_id, p, tok,
+         |      lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY p) AS t1,
+         |      lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY p) AS t2
+         |    FROM tk)
+         |  WHERE t2 IS NOT NULL),
+         |rep AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, p + dd.d AS p
+         |  FROM (
+         |    SELECT doc_id, p
+         |    FROM (SELECT doc_id, p,
+         |            min(p) OVER (PARTITION BY doc_id, g) AS fp
+         |          FROM grams)
+         |    WHERE p > fp) r,
+         |    (SELECT unnest([0, 1, 2]) AS d) dd),
+         |agg AS (
+         |  SELECT tk.doc_id AS doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN r.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_removed,
+         |    md5(string_agg(CASE WHEN r.p IS NULL THEN tok END, ' '
+         |      ORDER BY tk.p)) AS clean_md5
+         |  FROM tk LEFT JOIN rep r ON tk.doc_id = r.doc_id AND tk.p = r.p
+         |  GROUP BY tk.doc_id)
+         |SELECT d.doc_id AS doc_id,
+         |  coalesce(a.n_tokens, 0) AS n_tokens,
+         |  coalesce(a.n_removed, 0) AS n_removed,
+         |  coalesce(a.clean_md5, md5('')) AS clean_md5
+         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     // Mirrors the Spark plan expression-for-expression (same literal
     // order, same 1e-6 idf/partial grids before the 1e-4 score grid).

@@ -89,6 +89,60 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("text_dedup_intradoc drops exactly the repeated 3-gram spans") {
+    val r = SparkEntry.queries("text_dedup_intradoc")(spark, sf001).collect()
+    assert(r.length == 500)
+    r.foreach { x =>
+      val (n, rm) = (x.getAs[Long]("n_tokens"), x.getAs[Long]("n_removed"))
+      assert(rm >= 0 && rm <= n)
+      if (n < 3) assert(rm == 0)  // no 3-gram can repeat
+      // the first gram occurrence always survives
+      if (n >= 3) assert(n - rm >= 3)
+    }
+    // independent re-implementation on the docs with removals: replay
+    // the mark-and-drop rule in plain Scala and compare fingerprints
+    val texts = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id").cast("long"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    val withRm = r.filter(_.getAs[Long]("n_removed") > 0)
+    assert(withRm.nonEmpty, "corpus should contain intra-doc repetition")
+    withRm.take(10).foreach { x =>
+      val toks = texts(x.getAs[Long]("doc_id")).split(" ").filter(_.nonEmpty)
+      val seen = scala.collection.mutable.Set.empty[String]
+      val drop = scala.collection.mutable.Set.empty[Int]
+      for (p <- 0 to toks.length - 3) {
+        val g = toks.slice(p, p + 3).mkString(" ")
+        if (!seen.add(g)) drop ++= (p to p + 2)
+      }
+      val kept = toks.indices.filterNot(drop).map(toks)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(kept.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(x.getAs[String]("clean_md5") == md)
+      assert(x.getAs[Long]("n_removed") == drop.size)
+    }
+  }
+
+  test("pack_padding_waste: doc-level padding waste grows with context length") {
+    val r = SparkEntry.queries("pack_padding_waste")(spark, sf001).collect()
+      .sortBy(_.getAs[Long]("n"))
+    assert(r.map(_.getAs[Long]("n")).toSeq == Seq(128L, 256L, 512L, 1024L))
+    // the same corpus tokens under every window size
+    assert(r.map(_.getAs[Long]("used_tokens")).distinct.length == 1)
+    r.foreach { x =>
+      assert(x.getAs[Long]("padded_slots") ==
+        x.getAs[Long]("n_windows") * x.getAs[Long]("n") - x.getAs[Long]("used_tokens"))
+      val w = x.getAs[Double]("waste_frac"); assert(w >= 0.0 && w < 1.0)
+    }
+    // doubling the window never shrinks total padded space, and never
+    // increases the window count
+    val pads = r.map(_.getAs[Long]("padded_slots"))
+    assert(pads.zip(pads.tail).forall { case (a, b) => a <= b })
+    val wins = r.map(_.getAs[Long]("n_windows"))
+    assert(wins.zip(wins.tail).forall { case (a, b) => a >= b })
+  }
+
   test("text_token_entropy is bounded by ln(n_tokens) and non-negative") {
     val rows = run("text_token_entropy").collect()
     assert(rows.length == 500)

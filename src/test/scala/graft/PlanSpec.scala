@@ -261,6 +261,37 @@ class PlanSpec extends SparkSuite {
     assert(scan.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"), scan)
   }
 
+  test("dsir selection ranks with TakeOrderedAndProject, never sort-the-world") {
+    val plan = physical(SparkEntry.queries("dsir_select")(spark, sf001))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("intra-doc span trimming shuffles only on doc-keyed partitions") {
+    // Every window/aggregate is keyed by doc_id (or doc_id+gram); an
+    // exchange on any other leading key means per-doc work leaked into
+    // a cross-doc shuffle.
+    val plan = physical(SparkEntry.queries("text_dedup_intradoc")(spark, sf001))
+    val offKey = "Exchange hashpartitioning\\((?!doc_id)".r.findAllIn(plan).toSeq
+    assert(offKey.isEmpty, s"non-doc_id shuffles: $offKey\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("hard-negative mining broadcasts the capped anchor batch") {
+    val plan = physical(SparkEntry.queries("sim_hard_negatives")(spark, sf001))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("vec_dot"), plan)
+  }
+
+  test("binary hamming packing is map-side; ranking broadcasts 5 query codes") {
+    val plan = physical(SparkEntry.queries("sim_binary_hamming")(spark, sf001))
+    // the packed code is computed in the scan projection (no exchange
+    // before the broadcast join against the 5 anchors)
+    assert(plan.contains("Broadcast"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("exact triangle census: dst-side adjacency is broadcast below the ceiling") {
     val df = graft.operators.Graph.queries("graph_triangles")(spark, sf001)
     val plan = physical(df)
