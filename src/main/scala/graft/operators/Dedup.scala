@@ -132,6 +132,54 @@ object Dedup {
     // ── MinHash + LSH candidate pairs ─────────────────────────────────
     "dedup_minhash_lsh" -> ((s, dir) => lshCandidates(s, dir)),
 
+    // ── Incremental cross-batch dedup — the daily-increment gate: an
+    // arriving batch (stand-in: doc_id % 10 == 7) is deduped AGAINST
+    // the standing corpus, never corpus-vs-corpus. Verdict per batch
+    // doc: exact_dup (normalized-fingerprint match), else near_dup
+    // (shares an LSH band bucket with a corpus doc AND exact 3-gram
+    // Jaccard ≥ 0.5), else unique; match_id = the lowest qualifying
+    // corpus doc. Scale shape: this is the asymmetric form of the LSH
+    // join — band rows of the (small) batch side meet only the corpus
+    // rows in colliding buckets, so cost is O(batch·collisions) and
+    // the standing corpus is never self-joined; at 100 TB the corpus
+    // band table is the persisted artifact (same build-once contract
+    // as IvfIndex/PostingsIndex) and each increment reads only its
+    // bucket keys. ───────────────────────────────────────────────────
+    "dedup_incremental" -> ((s, dir) => {
+      val isBatch = col("doc_id") % 10 === 7
+      val docs = Tables(s, dir, "documents")
+      val fps = docs.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      val exact = fps.where(isBatch)
+        .join(fps.where(!isBatch).select(col("doc_id").as("c_id"), col("fp")), "fp")
+        .groupBy(col("doc_id")).agg(min(col("c_id")).as("exact_id"))
+      val bands = bandRows(s, dir)
+      val cand = bands.where(isBatch).as("x")
+        .join(bands.where(!isBatch).as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      val ex = shingleRows(s, dir)
+      val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = cand
+        .join(ex.toDF("a", "s"), "a").join(ex.toDF("b", "s"), Seq("b", "s"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
+      val j = col("i").cast("double") /
+        (col("sa.sz") + col("sb.sz") - col("i")).cast("double")
+      val near = inter
+        .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
+        .where(j >= 0.5)
+        .groupBy(col("a")).agg(min(col("b")).as("near_id"))
+        .withColumnRenamed("a", "doc_id")
+      docs.where(isBatch).select(col("doc_id"))
+        .join(exact, Seq("doc_id"), "left")
+        .join(near, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("exact_id").isNotNull, lit("exact_dup"))
+            .when(col("near_id").isNotNull, lit("near_dup"))
+            .otherwise(lit("unique")).as("verdict"),
+          coalesce(col("exact_id"), col("near_id")).as("match_id"))
+    }),
+
     // ── candidate-then-verify: exact 3-gram Jaccard on LSH candidates ─
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val cand = lshCandidates(s, dir)
@@ -345,6 +393,21 @@ object Dedup {
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
        |  JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)""".stripMargin
 
+  /** Asymmetric (batch-vs-corpus) candidate CTE for the incremental
+    * gate: same minhash/band recurrence, join restricted to batch-side
+    * x meeting corpus-side y. */
+  private val sqlCandidatesInc =
+    s"""$sqlShingles,
+       |mh AS (SELECT doc_id, $sqlMinhashCols FROM ex GROUP BY doc_id),
+       |bands AS ($sqlBands),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
+       |  JOIN bands y ON x.band = y.band AND x.key = y.key
+       |   AND x.doc_id % 10 = 7 AND y.doc_id % 10 <> 7)""".stripMargin
+
+  private val sqlFpExpr =
+    """md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))"""
+
   private val sqlSimhashVotes = (0 until 32).map(i =>
     s"sum(CASE WHEN substr(md5(s), ${i + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v$i"
   ).mkString(", ")
@@ -405,6 +468,36 @@ object Dedup {
     "dedup_minhash_lsh" ->
       s"""$sqlCandidates
          |SELECT a, b FROM cand""".stripMargin,
+
+    "dedup_incremental" ->
+      s"""$sqlCandidatesInc,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+         |inter AS (
+         |  SELECT cand.a, cand.b, count(*) AS i FROM cand
+         |  JOIN ex ea ON ea.doc_id = cand.a
+         |  JOIN ex eb ON eb.doc_id = cand.b AND eb.s = ea.s
+         |  GROUP BY cand.a, cand.b),
+         |near AS (
+         |  SELECT a AS doc_id, min(b) AS near_id FROM inter
+         |  JOIN sizes sa ON sa.doc_id = a
+         |  JOIN sizes sb ON sb.doc_id = b
+         |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+         |  GROUP BY a),
+         |fp AS (SELECT doc_id, $sqlFpExpr AS fp FROM documents),
+         |ext AS (
+         |  SELECT b.doc_id AS doc_id, min(c.doc_id) AS exact_id
+         |  FROM fp b JOIN fp c ON b.fp = c.fp
+         |   AND b.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
+         |  GROUP BY b.doc_id)
+         |SELECT d.doc_id AS doc_id,
+         |  CASE WHEN e.exact_id IS NOT NULL THEN 'exact_dup'
+         |       WHEN n.near_id IS NOT NULL THEN 'near_dup'
+         |       ELSE 'unique' END AS verdict,
+         |  coalesce(e.exact_id, n.near_id) AS match_id
+         |FROM documents d
+         |LEFT JOIN ext e ON e.doc_id = d.doc_id
+         |LEFT JOIN near n ON n.doc_id = d.doc_id
+         |WHERE d.doc_id % 10 = 7""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""$sqlCandidates,

@@ -135,6 +135,30 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("dedup_incremental gates the batch against the corpus only") {
+    val r = SparkEntry.queries("dedup_incremental")(spark, sf001).collect()
+    assert(r.nonEmpty)
+    // one verdict row per batch doc, batch membership by construction
+    assert(r.map(_.getAs[Long]("doc_id")).distinct.length == r.length)
+    r.foreach { x =>
+      assert(x.getAs[Long]("doc_id") % 10 == 7)
+      val v = x.getAs[String]("verdict")
+      val m = Option(x.get(x.fieldIndex("match_id"))).map(_.asInstanceOf[Long])
+      if (v == "unique") assert(m.isEmpty)
+      else {
+        // the match is always a CORPUS doc, never another batch doc
+        assert(m.nonEmpty && m.get % 10 != 7, s"$v matched batch doc ${m}")
+      }
+    }
+    // the synthetic corpus plants near-dup families across the split
+    // (but no byte-identical texts — dedup_fingerprint finds 500
+    // distinct fps — so exact_dup cannot occur here)
+    val verdicts = r.map(_.getAs[String]("verdict")).toSet
+    assert(verdicts.subsetOf(Set("exact_dup", "near_dup", "unique")))
+    assert(verdicts.contains("near_dup") && verdicts.contains("unique"),
+      verdicts.toString)
+  }
+
   test("sim_mrl_recall: truncated ranking recovers most of the exact top-5") {
     val r = SparkEntry.queries("sim_mrl_recall")(spark, sf001).collect()
     // queries with zero overlap drop out of the inner join; the rest
