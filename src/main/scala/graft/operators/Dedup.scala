@@ -36,10 +36,15 @@ object Dedup {
     * `element_at(tokens(text), i)` would re-split the whole document for
     * every shingle element (quadratic per doc — measured 5× the whole
     * bench). No shuffle here: explode is pipeline-parallel. */
-  private def rawShingleRows(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
-      .select(col("doc_id"), Text.tokens(col("text")).as("tok"))
+  /** Raw 3-gram shingle stream for ANY `(doc_id, text)` frame — shared
+    * with the streaming LSH gate, which computes the same signatures
+    * over micro-batches. */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), Text.tokens(col("text")).as("tok"))
       .select(col("doc_id"), explode(Text.shingles(col("tok"), 3)).as("s"))
+
+  private def rawShingleRows(s: SparkSession, dir: String): DataFrame =
+    shinglesOf(Tables(s, dir, "documents"))
 
   /** Persist AND materialize eagerly. Lazy persist is a trap when one
     * action has several consumers of the cached plan: the stages scan
@@ -61,11 +66,14 @@ object Dedup {
     * so skipping distinct trades a full shuffle for map-side partial
     * aggregation (per-partition per-doc mins → tiny exchange). Persisted
     * because bands and candidate pairs both derive from it. */
-  private def minhashes(s: SparkSession, dir: String): DataFrame =
-    materialized(rawShingleRows(s, dir).groupBy(col("doc_id")).agg(
+  private[graft] def minhashesOf(shingles: DataFrame): DataFrame =
+    shingles.groupBy(col("doc_id")).agg(
       min(md5(concat(lit("0|"), col("s")))).as("h0"),
       (1 until NumHashes).map(j =>
-        min(md5(concat(lit(s"$j|"), col("s")))).as(s"h$j")): _*))
+        min(md5(concat(lit(s"$j|"), col("s")))).as(s"h$j")): _*)
+
+  private def minhashes(s: SparkSession, dir: String): DataFrame =
+    materialized(minhashesOf(rawShingleRows(s, dir)))
 
   /** doc_id → the 32 simhash vote sums v0..v31, persisted AND
     * materialized: both the signature query and the pairing query
@@ -87,8 +95,7 @@ object Dedup {
   }
 
   /** doc_id → (band, key) rows; key = concat of the band's hashes. */
-  private def bandRows(s: SparkSession, dir: String): DataFrame = {
-    val mh = minhashes(s, dir)
+  private[graft] def bandRowsOf(mh: DataFrame): DataFrame = {
     val bands = (0 until NumHashes / BandSize).map { b =>
       val key = concat((0 until BandSize).map(i => col(s"h${b * BandSize + i}")): _*)
       struct(lit(b).as("band"), key.as("key"))
@@ -96,6 +103,9 @@ object Dedup {
     mh.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
+
+  private def bandRows(s: SparkSession, dir: String): DataFrame =
+    bandRowsOf(minhashes(s, dir))
 
   /** Candidate pairs (a < b) sharing at least one LSH band bucket.
     * Self-join on (band, key): only bucket collisions ever meet. */

@@ -15,18 +15,22 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *   graft-rss source (per-feed dedup-horizon offsets)
   *     → enrich (classify / keywords / embedding, U1–U3)
   *     → chunk-span dedup gate  (SpanDedupStream vs the corpus-so-far)
+  *     → LSH near-dup gate      (LshDedupStream vs the corpus-so-far)
   *     → decontamination gate   (DecontamStream vs the eval shingles)
   *     → lake upsert-by-link    (exactly-once-effect, J1/S5)
   *
   * State placement follows each piece's own contract: the FEED dedup
   * horizon lives in the source offset (checkpoint-restored), the
   * chunk-hash corpus state lives in the LAKE (parquet `seenPath`, not
-  * stream state), the eval shingle set is a broadcast-sized batch
-  * frame, and delivered links live in the store itself (the anti-join
-  * upsert). Nothing in the checkpoint grows with the corpus — a
-  * restart replays at most one uncommitted micro-batch, and every sink
-  * here is idempotent-effect (upsert by link; hash append is a
-  * distinct-union).
+  * stream state), the MinHash band/shingle/size artifacts likewise
+  * live under `lshPath` (appended per batch, idempotent by doc id —
+  * at scale they are bucketed by key / c_id so a trigger reads only
+  * its colliding buckets), the eval shingle set is a broadcast-sized
+  * batch frame, and delivered links live in the store itself (the
+  * anti-join upsert). Nothing in the checkpoint grows with the
+  * corpus — a restart replays at most one uncommitted micro-batch,
+  * and every sink here is idempotent-effect (upsert by link; hash and
+  * artifact appends are keyed anti-joins).
   *
   * Gate results are ATTACHED, not enforced (`dup_frac`,
   * `contaminated` columns on the lake rows): the curation decision —
@@ -43,8 +47,8 @@ object IngestPipeline {
     * [[DecontamStream.evalShingles]]). `seenPath` accumulates the
     * corpus chunk-hash table across batches AND runs. */
   def start(spark: SparkSession, feeds: String, storePath: String,
-      seenPath: String, evalShingles: DataFrame, checkpoint: String,
-      horizon: Int = 1000, embedDim: Int = 768,
+      seenPath: String, lshPath: String, evalShingles: DataFrame,
+      checkpoint: String, horizon: Int = 1000, embedDim: Int = 768,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val src = spark.readStream.format("graft-rss")
       .option("feeds", feeds).option("horizon", horizon.toString)
@@ -65,9 +69,18 @@ object IngestPipeline {
           else SpanDedupStream.emptySeen(s)
         val span = SpanDedupStream.score(docs, seen)
           .withColumnRenamed("doc_id", "link")
+        val (bandsP, shP, szP) =
+          (s"$lshPath/bands", s"$lshPath/shingles", s"$lshPath/sizes")
+        val (cBands, cSh, cSz) =
+          if (Lake.pathExists(s, szP))
+            (s.read.parquet(bandsP), s.read.parquet(shP), s.read.parquet(szP))
+          else LshDedupStream.emptyArtifacts(s)
+        val lsh = LshDedupStream.gate(docs, cBands, cSh, cSz)
+          .withColumnRenamed("doc_id", "link")
         val dec = DecontamStream.score(docs, evalShingles)
           .withColumnRenamed("doc_id", "link")
         val gated = batch.join(span, Seq("link"), "left")
+          .join(lsh, Seq("link"), "left")
           .join(dec, Seq("link"), "left")
         Lake.upsertByLink(s, gated, storePath)
         // The batch's new hashes extend the corpus state — computed
@@ -78,6 +91,21 @@ object IngestPipeline {
         fresh.count()
         fresh.write.mode(SaveMode.Append).parquet(seenPath)
         fresh.unpersist(blocking = false)
+        // LSH artifacts likewise extend by the batch's NEW doc ids only
+        // (anti-join on the sizes table = replay-idempotent append),
+        // materialized before any write for the same read-own-writes
+        // reason.
+        val newDocs = docs.dropDuplicates("doc_id")
+          .join(cSz.select(col("c_id").as("doc_id")), Seq("doc_id"), "left_anti")
+          .persist()
+        newDocs.count()
+        val (nb, nsh, nsz) = LshDedupStream.corpusArtifacts(newDocs)
+        val mats = Seq(nb, nsh, nsz).map { d => val p = d.persist(); p.count(); p }
+        mats(0).write.mode(SaveMode.Append).parquet(bandsP)
+        mats(1).write.mode(SaveMode.Append).parquet(shP)
+        mats(2).write.mode(SaveMode.Append).parquet(szP)
+        mats.foreach(_.unpersist(blocking = false))
+        newDocs.unpersist(blocking = false)
         batch.unpersist(blocking = false)
         ()
       }

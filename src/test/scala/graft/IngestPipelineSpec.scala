@@ -41,7 +41,8 @@ class IngestPipelineSpec extends SparkSuite {
     server.start()
     val url = s"http://127.0.0.1:${server.getAddress.getPort}/feed"
     val base = Files.createTempDirectory("ingest-e2e").toString
-    val (store, seenP, ckpt) = (s"$base/store", s"$base/seen", s"$base/ckpt")
+    val (store, seenP, lshP, ckpt) =
+      (s"$base/store", s"$base/seen", s"$base/lsh", s"$base/ckpt")
 
     val tClean = "alpha bravo charlie delta echo foxtrot golf hotel"
     val tEval = "quick brown fox jumps over the lazy dog tonight"
@@ -52,8 +53,8 @@ class IngestPipelineSpec extends SparkSuite {
       .distinct()
 
     def runOnce(): Unit = {
-      val q = IngestPipeline.start(spark, url, store, seenP, evalShingles,
-        ckpt, horizon = 50, embedDim = 8)
+      val q = IngestPipeline.start(spark, url, store, seenP, lshP,
+        evalShingles, ckpt, horizon = 50, embedDim = 8)
       q.awaitTermination()
     }
 
@@ -115,5 +116,20 @@ class IngestPipelineSpec extends SparkSuite {
     val spans = spanKey(lake, "link")
     assert(spans("http://ex/c")._3 == 1.0 && spans("http://ex/d")._3 == 1.0)
     assert(spans("http://ex/a")._2 == 0L && spans("http://ex/e")._2 == 0L)
+
+    // ── LSH near-dup gate: batch-vs-corpus-so-far semantics. Poll 1
+    // ran against an empty corpus (a/b/c unique — within-batch copies
+    // are the SPAN gate's domain); poll 2's re-quote of the clean text
+    // near-matches the poll-1 corpus at Jaccard 1.0, with the lowest
+    // qualifying link as the match. ───────────────────────────────────
+    val lsh = lake.select(col("link"), col("near_dup"), col("match_id"),
+        col("jacc")).collect()
+      .map(r => r.getString(0) -> (r.getAs[Boolean]("near_dup"),
+        Option(r.getAs[String]("match_id")),
+        Option(r.get(r.fieldIndex("jacc"))).map(_.asInstanceOf[Double]))).toMap
+    assert(!lsh("http://ex/a")._1 && !lsh("http://ex/b")._1 &&
+      !lsh("http://ex/c")._1 && !lsh("http://ex/e")._1)
+    assert(lsh("http://ex/d") == ((true, Some("http://ex/a"), Some(1.0))),
+      lsh("http://ex/d").toString)
   }
 }
