@@ -281,6 +281,37 @@ object Similarity {
         .agg(Num.roundp(avg(col("v").cast("double")), 6).as("centroid_v"),
           count(lit(1)).as("n_vecs"))),
 
+    // ── Embedding-space outlier sweep: squared distance of every
+    // vector to its OWN label's centroid, z-scored within the label —
+    // the standard mislabeled/garbage-vector detector run before
+    // training on labeled embeddings (a far-from-centroid vector is a
+    // labeling error or junk input). Three aggregate passes, all
+    // map-side combined: centroids (labels×Dim rows, broadcast back),
+    // per-vector distance (one explode join against that broadcast),
+    // per-label moments (labels rows, broadcast back). Nothing joins
+    // corpus-to-corpus — linear at any scale. Centroid, distance and
+    // the moments are quantized before the z so cross-engine summation
+    // order never reaches the 1e-4 output grid. ──────────────────────
+    "sim_label_outliers" -> ((s, dir) => {
+      val x = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("label"), col("pos").as("dim"),
+          col("col").cast("double").as("v"))
+      val cent = x.groupBy(col("label"), col("dim"))
+        .agg(Num.roundp(avg(col("v")), 6).as("c"))
+      val dist = x.join(broadcast(cent), Seq("label", "dim"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(Num.roundp(sum((col("v") - col("c")) * (col("v") - col("c"))), 6)
+          .as("dist2"))
+      val moments = dist.groupBy(col("label"))
+        .agg(Num.roundp(avg(col("dist2")), 6).as("mu"),
+          Num.roundp(stddev_samp(col("dist2")), 6).as("sigma"))
+      dist.join(broadcast(moments), "label")
+        .select(col("vec_id"), col("label"), col("dist2"),
+          Num.roundp((col("dist2") - col("mu")) / col("sigma"), 4).as("z"))
+        .withColumn("outlier", col("z") > 2.0)
+    }),
+
     // ── embedding near-duplicate pairs (label-blocked) ────────────────
     "dedup_embed_cosine" -> ((s, dir) => {
       val a = Tables(s, dir, "embeddings").select(
@@ -689,6 +720,28 @@ object Similarity {
          |  floor(avg((recon - v) * (recon - v)) * 100000000 + 0.5) / 100000000 AS mse,
          |  floor(sum(v * recon) / (sqrt(sum(v * v)) * sqrt(sum(recon * recon))) * 1000000 + 0.5) / 1000000 AS cos_rec
          |FROM r GROUP BY vec_id""".stripMargin,
+
+    "sim_label_outliers" ->
+      s"""WITH x AS MATERIALIZED (
+         |  SELECT vec_id, label, r.range AS dim,
+         |    CAST(embedding[r.range + 1] AS DOUBLE) AS v
+         |  FROM embeddings, range($Dim) r),
+         |cent AS MATERIALIZED (
+         |  SELECT label, dim, floor(avg(v) * 1000000 + 0.5) / 1000000 AS c
+         |  FROM x GROUP BY label, dim),
+         |dist AS MATERIALIZED (
+         |  SELECT vec_id, x.label AS label,
+         |    floor(sum((v - c) * (v - c)) * 1000000 + 0.5) / 1000000 AS dist2
+         |  FROM x JOIN cent ON x.label = cent.label AND x.dim = cent.dim
+         |  GROUP BY vec_id, x.label),
+         |mo AS (
+         |  SELECT label, floor(avg(dist2) * 1000000 + 0.5) / 1000000 AS mu,
+         |    floor(stddev_samp(dist2) * 1000000 + 0.5) / 1000000 AS sigma
+         |  FROM dist GROUP BY label)
+         |SELECT vec_id, label, dist2,
+         |  floor((dist2 - mu) / sigma * 10000 + 0.5) / 10000 AS z,
+         |  floor((dist2 - mu) / sigma * 10000 + 0.5) / 10000 > 2.0 AS outlier
+         |FROM dist JOIN mo USING (label)""".stripMargin,
 
     "sim_label_centroids" ->
       """SELECT label, CAST(i AS INTEGER) AS dim,

@@ -135,6 +135,24 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("sim_label_outliers z-scores distances within each label") {
+    val r = SparkEntry.queries("sim_label_outliers")(spark, sf001).collect()
+    assert(r.length == 500)
+    r.foreach { x =>
+      assert(x.getAs[Double]("dist2") >= 0.0)
+      assert(x.getAs[Boolean]("outlier") == (x.getAs[Double]("z") > 2.0))
+    }
+    r.groupBy(_.getAs[Number]("label").longValue).values.foreach { g =>
+      // z-scores are centered within the label and there are a few
+      // flagged tails, never a majority
+      val zs = g.map(_.getAs[Double]("z"))
+      assert(math.abs(zs.sum / zs.length) < 0.01)
+      val flagged = g.count(_.getAs[Boolean]("outlier"))
+      assert(flagged < g.length / 4, s"label flagged $flagged of ${g.length}")
+    }
+    assert(r.exists(_.getAs[Boolean]("outlier")))
+  }
+
   test("dedup_incremental gates the batch against the corpus only") {
     val r = SparkEntry.queries("dedup_incremental")(spark, sf001).collect()
     assert(r.nonEmpty)
