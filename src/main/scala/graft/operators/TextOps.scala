@@ -238,6 +238,53 @@ object TextOps {
       bm25PerDoc(s, dir)
         .orderBy(col("score").desc, col("doc_id")).limit(10)),
 
+    // ── BM25 hard negatives — the DPR-training sampler: the highest-
+    // BM25 documents NOT in the relevant set (here: docs containing
+    // BOTH query terms, the idx_inverted_and ground truth). Lexically
+    // confusable yet wrong, these are the negatives a dense-retriever
+    // trainer mines from the sparse index. Same plan shape as
+    // idx_bm25_topk plus one anti-join against the (small) relevant
+    // set; ranking stays TakeOrderedAndProject. ──────────────────────
+    "idx_bm25_negatives" -> ((s, dir) =>
+      bm25PerDoc(s, dir)
+        .join(relevantDocs(s, dir), Seq("doc_id"), "left_anti")
+        .orderBy(col("score").desc, col("doc_id")).limit(10)),
+
+    // ── Retrieval evaluation: nDCG@10 / MRR / P@10 of the BM25
+    // ranking against the inverted-index ground truth — the eval
+    // harness that closes the index → search → measure loop. All the
+    // arithmetic runs on the 10-row ranked frame (the corpus-sized
+    // work is the ranking itself); per-rank gains are quantized at
+    // 1e-6 before the sums so engine log/summation residue never
+    // reaches the output grids. ──────────────────────────────────────
+    "idx_eval_ndcg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rel = relevantDocs(s, dir)
+      val ranked = bm25PerDoc(s, dir)
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
+        .withColumn("rk", row_number()
+          .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      val relCnt = rel.agg(count(lit(1)).as("n_rel"))
+      val marked = ranked
+        .join(rel.withColumn("r", lit(1L)), Seq("doc_id"), "left")
+        .select(col("rk"), coalesce(col("r"), lit(0L)).as("rel"))
+        .crossJoin(broadcast(relCnt))
+      val lg = log(2.0, col("rk") + 1)
+      val g = Num.roundp(col("rel").cast("double") / lg, 6)
+      val ig = Num.roundp(lit(1.0) / lg, 6)
+      marked.agg(
+          Num.roundp(sum(g), 6).as("dcg10"),
+          Num.roundp(sum(when(col("rk") <= col("n_rel"), ig).otherwise(0.0)), 6)
+            .as("idcg10"),
+          Num.roundp(max(when(col("rel") === 1,
+            Num.roundp(lit(1.0) / col("rk"), 6)).otherwise(0.0)), 6).as("mrr"),
+          Num.roundp(sum(col("rel")).cast("double") / 10, 4).as("p_at_10"),
+          max(col("n_rel")).as("n_rel"))
+        .select(col("dcg10"), col("idcg10"),
+          Num.roundp(col("dcg10") / col("idcg10"), 6).as("ndcg10"),
+          col("mrr"), col("p_at_10"), col("n_rel"))
+    }),
+
     // ── Hybrid retrieval: reciprocal-rank fusion of the sparse (BM25)
     // and dense (embedding-cosine) rankings for one query — the
     // two-tower fusion every modern retrieval stack runs. Each side is
@@ -275,6 +322,15 @@ object TextOps {
     * survive the explode-filter, term stats are a |terms|-row
     * broadcast, and per-term partials are quantized (1e-6) before the
     * cross-engine-order-sensitive sum (1e-4). */
+  /** The idx_inverted_and ground truth: docs containing BOTH query
+    * terms — shared by the negatives sampler and the eval harness. */
+  private def relevantDocs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(toks).as("token"))
+      .where(col("token").isin("query", "window"))
+      .groupBy(col("doc_id")).agg(countDistinct(col("token")).as("nt"))
+      .where(col("nt") === 2).select(col("doc_id"))
+
   private def bm25PerDoc(s: SparkSession, dir: String): DataFrame = {
     val terms = Seq("query", "window", "spark")
     val docs = Tables(s, dir, "documents")
@@ -656,6 +712,51 @@ object TextOps {
     // Mirrors the Spark plan expression-for-expression (same literal
     // order, same 1e-6 idf/partial grids before the 1e-4 score grid).
     "idx_bm25_topk" -> sqlBm25TopK,
+
+    "idx_bm25_negatives" ->
+      s"""$sqlBm25,
+         |rel AS MATERIALIZED (
+         |  SELECT doc_id FROM (SELECT doc_id, unnest(tok) AS token FROM tk)
+         |  WHERE token IN ('query', 'window')
+         |  GROUP BY doc_id HAVING count(DISTINCT token) = 2)
+         |SELECT doc_id, score, n_terms FROM bm
+         |WHERE doc_id NOT IN (SELECT doc_id FROM rel)
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "idx_eval_ndcg" ->
+      s"""$sqlBm25,
+         |rel AS MATERIALIZED (
+         |  SELECT doc_id FROM (SELECT doc_id, unnest(tok) AS token FROM tk)
+         |  WHERE token IN ('query', 'window')
+         |  GROUP BY doc_id HAVING count(DISTINCT token) = 2),
+         |rc AS (SELECT CAST(count(*) AS BIGINT) AS n_rel FROM rel),
+         |ranked AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+         |    AS BIGINT) AS rk
+         |  FROM (SELECT doc_id, score FROM bm
+         |        ORDER BY score DESC, doc_id LIMIT 10)),
+         |g AS (
+         |  SELECT rk, rel,
+         |    floor(rel / (ln(rk + 1) / ln(2)) * 1000000 + 0.5) / 1000000 AS g,
+         |    floor(1.0 / (ln(rk + 1) / ln(2)) * 1000000 + 0.5) / 1000000 AS ig
+         |  FROM (
+         |    SELECT ranked.rk AS rk,
+         |      CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+         |    FROM ranked LEFT JOIN rel ON ranked.doc_id = rel.doc_id))
+         |SELECT dcg10, idcg10,
+         |  floor(dcg10 / idcg10 * 1000000 + 0.5) / 1000000 AS ndcg10,
+         |  mrr, p_at_10, n_rel
+         |FROM (
+         |  SELECT floor(sum(g) * 1000000 + 0.5) / 1000000 AS dcg10,
+         |    floor(sum(CASE WHEN rk <= n_rel THEN ig ELSE 0.0 END)
+         |      * 1000000 + 0.5) / 1000000 AS idcg10,
+         |    floor(max(CASE WHEN rel = 1
+         |      THEN floor(1.0 / rk * 1000000 + 0.5) / 1000000
+         |      ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS mrr,
+         |    floor(CAST(sum(rel) AS DOUBLE) / 10 * 10000 + 0.5) / 10000
+         |      AS p_at_10,
+         |    max(n_rel) AS n_rel
+         |  FROM g, rc)""".stripMargin,
 
     "idx_hybrid_rrf" ->
       s"""$sqlBm25,

@@ -135,6 +135,36 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("idx_bm25_negatives never returns a relevant doc, ranked by score") {
+    val neg = SparkEntry.queries("idx_bm25_negatives")(spark, sf001).collect()
+    assert(neg.nonEmpty && neg.length <= 10)
+    val rel = SparkEntry.queries("idx_inverted_and")(spark, sf001)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    neg.foreach(x => assert(!rel.contains(x.getAs[Long]("doc_id"))))
+    val scores = neg.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // negatives are hard: the best negative outscores some relevant docs'
+    // bm25 — sanity: it carries at least one query term (n_terms >= 1)
+    assert(neg.forall(_.getAs[Long]("n_terms") >= 1))
+  }
+
+  test("idx_eval_ndcg computes consistent rank metrics for the bm25 run") {
+    val r = SparkEntry.queries("idx_eval_ndcg")(spark, sf001).collect()
+    assert(r.length == 1)
+    val x = r.head
+    val (dcg, idcg, ndcg) = (x.getAs[Double]("dcg10"),
+      x.getAs[Double]("idcg10"), x.getAs[Double]("ndcg10"))
+    assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9)
+    assert(math.abs(ndcg - dcg / idcg) < 1e-4)
+    val mrr = x.getAs[Double]("mrr")
+    assert(mrr >= 0.0 && mrr <= 1.0)
+    val p10 = x.getAs[Double]("p_at_10")
+    assert(p10 >= 0.0 && p10 <= 1.0 && (p10 * 10).isWhole)
+    assert(x.getAs[Long]("n_rel") > 0)
+    // the bm25 ranking must actually find relevant docs for this corpus
+    assert(p10 > 0.0 && mrr > 0.0 && ndcg > 0.0)
+  }
+
   test("sim_label_outliers z-scores distances within each label") {
     val r = SparkEntry.queries("sim_label_outliers")(spark, sf001).collect()
     assert(r.length == 500)
