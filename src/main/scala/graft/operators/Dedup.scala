@@ -142,6 +142,36 @@ object Dedup {
     // ── MinHash + LSH candidate pairs ─────────────────────────────────
     "dedup_minhash_lsh" -> ((s, dir) => lshCandidates(s, dir)),
 
+    // ── Content-defined chunking (the FastCDC/Rabin recipe over
+    // tokens): a chunk boundary falls wherever the rolling 4-token
+    // window's hash lands in a 1/16 target band (4th md5 hex digit =
+    // '0'), so boundaries are determined by CONTENT, not offsets — an
+    // insertion early in a document shifts every fixed-stride chunk
+    // (breaking dedup against the unshifted copy) but leaves all CDC
+    // boundaries after it intact; chunk_md5 feeds the same
+    // content-addressed span-dedup machinery as dedup_chunk_spans.
+    // Expected chunk length 16 tokens. All windows keyed by doc_id —
+    // per-doc work only, corpus-size-linear. ─────────────────────────
+    "dedup_cdc_chunks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tk = Tables(s, dir, "documents")
+        .select(col("doc_id"), posexplode(Text.tokens(col("text"))))
+        .select(col("doc_id"), col("pos").cast("long").as("p"), col("col").as("tok"))
+      val wd = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      val g = concat_ws(" ", lag(col("tok"), 3).over(wd),
+        lag(col("tok"), 2).over(wd), lag(col("tok"), 1).over(wd), col("tok"))
+      val boundary = when(col("p") >= 3 &&
+        substring(md5(g.cast("binary")), 4, 1) === "0", 1L).otherwise(0L)
+      val marked = tk.withColumn("b", boundary)
+        .withColumn("chunk_id", coalesce(sum(col("b")).over(
+          wd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      marked.groupBy(col("doc_id"), col("chunk_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("p"), col("tok")))),
+            x => x.getField("tok")), " ").cast("binary")).as("chunk_md5"))
+    }),
+
     // ── Incremental cross-batch dedup — the daily-increment gate: an
     // arriving batch (stand-in: doc_id % 10 == 7) is deduped AGAINST
     // the standing corpus, never corpus-vs-corpus. Verdict per batch
@@ -478,6 +508,33 @@ object Dedup {
     "dedup_minhash_lsh" ->
       s"""$sqlCandidates
          |SELECT a, b FROM cand""".stripMargin,
+
+    "dedup_cdc_chunks" ->
+      s"""WITH tk AS MATERIALIZED (
+         |  SELECT doc_id, CAST(u.p AS BIGINT) AS p, u.tok AS tok
+         |  FROM (
+         |    SELECT doc_id, unnest(list_transform(range(len(tk0)),
+         |      i -> {'p': i, 'tok': tk0[i+1]})) AS u
+         |    FROM (SELECT doc_id,
+         |            list_filter(string_split(text, ' '), t -> t <> '') AS tk0
+         |          FROM documents)
+         |    WHERE len(tk0) > 0)),
+         |m AS (
+         |  SELECT doc_id, p, tok,
+         |    CASE WHEN p >= 3 AND substr(md5(
+         |        lag(tok, 3) OVER w || ' ' || lag(tok, 2) OVER w || ' ' ||
+         |        lag(tok, 1) OVER w || ' ' || tok), 4, 1) = '0'
+         |      THEN 1 ELSE 0 END AS b
+         |  FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+         |c AS (
+         |  SELECT doc_id, p, tok,
+         |    CAST(coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY p
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS chunk_id
+         |  FROM m)
+         |SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_tok,
+         |  md5(string_agg(tok, ' ' ORDER BY p)) AS chunk_md5
+         |FROM c GROUP BY doc_id, chunk_id""".stripMargin,
 
     "dedup_incremental" ->
       s"""$sqlCandidatesInc,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.Num
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -111,6 +112,26 @@ object DedupCluster {
         (col("node") === col("cluster_id")).as("keep"))
     }),
 
+    // ── Dedup-aware sampling weights — "count each unique content
+    // once": every doc in a duplicate cluster carries weight
+    // 1/cluster_size (singletons weigh 1), so an expectation over the
+    // weighted corpus equals an expectation over unique contents — the
+    // standard correction when training without hard-deleting dups.
+    // Σ weight == number of unique contents by construction. Only the
+    // duplicate subgraph joins in (tiny, broadcastable); the rest of
+    // the corpus passes through the left join untouched. ─────────────
+    "samp_dedup_aware" -> ((s, dir) => {
+      val cc = lshClusters(s, dir)
+      val sizes = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("cl_sz"))
+      val m = cc.join(sizes, "cluster_id")
+        .select(col("node").as("doc_id"), col("cluster_id"), col("cl_sz"))
+      Tables(s, dir, "documents").select(col("doc_id"))
+        .join(m, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster_id"),
+          coalesce(col("cl_sz"), lit(1L)).as("cluster_size"),
+          Num.roundp(lit(1.0) / coalesce(col("cl_sz"), lit(1L)), 6).as("weight"))
+    }),
+
     // ── Leakage-controlled train/val/test split: the split key is the
     // duplicate CLUSTER (singletons group as themselves), so near-dups
     // can never straddle folds — the failure mode that inflates eval
@@ -183,6 +204,17 @@ object DedupCluster {
        |cc AS (SELECT node, min(comp) AS cluster_id FROM walk GROUP BY node)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "samp_dedup_aware" ->
+      s"""$sqlCc,
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cl_sz
+         |       FROM cc GROUP BY cluster_id)
+         |SELECT d.doc_id AS doc_id, cc.cluster_id AS cluster_id,
+         |  coalesce(sz.cl_sz, 1) AS cluster_size,
+         |  floor(1.0 / coalesce(sz.cl_sz, 1) * 1000000 + 0.5) / 1000000 AS weight
+         |FROM documents d
+         |LEFT JOIN cc ON cc.node = d.doc_id
+         |LEFT JOIN sz ON sz.cluster_id = cc.cluster_id""".stripMargin,
+
     "samp_leakage_split" ->
       s"""$sqlCc,
          |grouped AS (

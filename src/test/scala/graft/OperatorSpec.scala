@@ -135,6 +135,65 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("samp_dedup_aware weights sum to the number of unique contents") {
+    val r = SparkEntry.queries("samp_dedup_aware")(spark, sf001).collect()
+    assert(r.length == 500)
+    val w = r.map(_.getAs[Double]("weight"))
+    assert(w.forall(x => x > 0.0 && x <= 1.0))
+    r.foreach { x =>
+      val sz = x.getAs[Long]("cluster_size")
+      assert(math.abs(x.getAs[Double]("weight") - 1.0 / sz) < 1e-6)
+      val cl = Option(x.get(x.fieldIndex("cluster_id")))
+      assert(cl.isDefined == (sz > 1) || cl.isDefined,
+        s"singleton with cluster? $x")
+    }
+    // sum of weights == distinct contents (clusters count once)
+    val clustered = r.filter(x => Option(x.get(x.fieldIndex("cluster_id"))).isDefined)
+    val nUnique = (500 - clustered.length) +
+      clustered.map(_.getAs[Long]("cluster_id")).distinct.length
+    assert(math.abs(w.sum - nUnique) < 1e-3, s"${w.sum} vs $nUnique")
+    assert(clustered.nonEmpty)
+  }
+
+  test("dedup_cdc_chunks: content-defined boundaries match a local replay") {
+    val r = SparkEntry.queries("dedup_cdc_chunks")(spark, sf001).collect()
+    val texts = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id").cast("long"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def cdc(toks: Array[String]): Seq[Seq[String]] = {
+      val out = scala.collection.mutable.ArrayBuffer(scala.collection.mutable.ArrayBuffer.empty[String])
+      for (p <- toks.indices) {
+        out.last += toks(p)
+        if (p >= 3 && p < toks.length - 1 &&
+          md5hex(toks.slice(p - 3, p + 1).mkString(" ")).charAt(3) == '0')
+          out += scala.collection.mutable.ArrayBuffer.empty[String]
+      }
+      out.map(_.toSeq).toSeq
+    }
+    val byDoc = r.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.take(25).foreach { case (id, chunks) =>
+      val toks = texts(id).split(" ").filter(_.nonEmpty)
+      val expect = cdc(toks)
+      val got = chunks.sortBy(_.getAs[Long]("chunk_id"))
+      assert(got.map(_.getAs[Long]("chunk_id")).toSeq == got.indices.map(_.toLong))
+      assert(got.length == expect.length, s"doc $id chunk count")
+      got.zip(expect).foreach { case (c, e) =>
+        assert(c.getAs[Long]("n_tok") == e.length)
+        assert(c.getAs[String]("chunk_md5") == md5hex(e.mkString(" ")))
+      }
+    }
+    // CDC's point: a prefix insertion leaves later boundaries intact —
+    // most chunk hashes survive (fixed-stride chunking would lose all)
+    val sample = texts.toSeq.map(_._2).maxBy(_.length).split(" ").filter(_.nonEmpty)
+    val orig = cdc(sample).map(c => md5hex(c.mkString(" "))).toSet
+    val shifted = cdc("inserted" +: sample).map(c => md5hex(c.mkString(" "))).toSet
+    assert((orig intersect shifted).size * 2 > orig.size,
+      s"only ${(orig intersect shifted).size} of ${orig.size} chunks survive a prefix shift")
+  }
+
   test("idx_bm25_negatives never returns a relevant doc, ranked by score") {
     val neg = SparkEntry.queries("idx_bm25_negatives")(spark, sf001).collect()
     assert(neg.nonEmpty && neg.length <= 10)
