@@ -13,7 +13,13 @@ val keys = Seq("a1_pricing_summary", "j2_dim_broadcast", "j2_fact_join", "o2_top
   "text_unigram_ppl", "sim_quantize_int8", "sim_quantized_recall", "scd2_asof_snapshot",
   "graph_triangles", "decontam_ngram", "pii_pseudonymize", "m1b_pca_power",
   "m2b_kmeans_lloyd", "sim_ivf_assign", "sim_ivf_pq_search", "idx_bm25_topk",
-  "idx_hybrid_rrf", "dedup_chunk_spans", "decontam_embed")
+  "idx_hybrid_rrf", "dedup_chunk_spans", "decontam_embed",
+  "dedup_semantic", "idx_bm25_persisted", "dedup_substr_spans", "dsir_select",
+  "m3_logreg_quality", "sim_hard_negatives", "sim_binary_hamming",
+  "sim_mrl_recall", "mix_token_budget", "text_dedup_intradoc",
+  "dedup_incremental", "dedup_cdc_chunks", "samp_dedup_aware",
+  "idx_bm25_negatives", "idx_eval_ndcg", "pack_padding_waste",
+  "sim_label_outliers", "quality_gopher", "dedup_keep_longest")
 // One-line reviewed finding per plan: what the physical plan must show
 // (and does — PlanSpec pins the load-bearing ones as assertions).
 val notes: Map[String, String] = Map(
@@ -58,7 +64,26 @@ val notes: Map[String, String] = Map(
   "idx_bm25_topk" -> "Postings filter evaluates in the explode stage; term stats (|terms| rows) broadcast; final ranking is TakeOrderedAndProject (PlanSpec-pinned).",
   "idx_hybrid_rrf" -> "Each tower is an independent top-20 TakeOrderedAndProject; the fusion full-outer join runs over 20∪20 rows — list-sized regardless of corpus.",
   "dedup_chunk_spans" -> "Content-addressed: chunk explode is map-side; ownership is a partial-aggregated groupBy(hash) + hash-keyed join back — no pairwise compare (PlanSpec-pinned: no BNL/cartesian).",
-  "decontam_embed" -> "Eval slice broadcast (benchmark-sized); the train side is one scan-stage pass + per-vector aggregation — mirrors decontam_ngram's shape in embedding space.")
+  "decontam_embed" -> "Eval slice broadcast (benchmark-sized); the train side is one scan-stage pass + per-vector aggregation — mirrors decontam_ngram's shape in embedding space.",
+  "dedup_semantic" -> "Adaptive-K codebook (K ~ sqrt(n/2)) bounds cells so the within-cell self-join is O(n^1.5) total; coarse assignment is the O(1)-in-K centroid_structs kernel, one projection over the scan.",
+  "idx_bm25_persisted" -> "Search reads the PERSISTED postings bucketed by token: the partition filter keeps only the query terms' buckets; doclen/stats come from the tiny persisted side tables, broadcast.",
+  "dedup_substr_spans" -> "Overlapping shingle windows hash map-side; ownership is the same groupBy(hash)+join-back shape as chunk spans — no pairwise compare at any window offset.",
+  "dsir_select" -> "Both unigram models ride ONE vocab-sized aggregate (target counts as a conditional sum); scoring joins candidate tokens to the vocab (AQE-broadcastable); top-k is TakeOrderedAndProject (PlanSpec-pinned).",
+  "m3_logreg_quality" -> "Each GD round is one map-side-combined 5-aggregate pass; weights are driver literals, so the returned scoring plan is a pure projection over the cached feature view.",
+  "sim_hard_negatives" -> "Anchor batch capped at HardNegAnchors rows and broadcast (PlanSpec-pinned); candidate side is one linear scan with VecDot codegen — O(B*n), never O(n^2).",
+  "sim_binary_hamming" -> "Sign-bit packing is scan-stage fold arithmetic (one long per vector, 32x smaller); ranking is popcount(xor) against 5 broadcast query codes + WindowGroupLimit.",
+  "sim_mrl_recall" -> "Two linear passes (full-dim and prefix-dim cosine) against the same 5-anchor broadcast; recall join runs over two 25-row tops.",
+  "mix_token_budget" -> "One corpus-sized token count per source (map-side combined); every downstream step runs on the sources-sized frame against a broadcast scalar.",
+  "text_dedup_intradoc" -> "Every window and aggregate keys on doc_id (PlanSpec-pinned: no off-key exchange) — per-doc repair work, embarrassingly parallel.",
+  "dedup_incremental" -> "Asymmetric LSH: batch-side band rows meet only colliding corpus buckets — O(batch*collisions); the corpus is never self-joined; Jaccard verify touches candidate ids only.",
+  "dedup_cdc_chunks" -> "Rolling-hash boundary detection and chunk assembly are per-doc windows keyed on doc_id; chunk hashes feed the content-addressed span-dedup machinery.",
+  "samp_dedup_aware" -> "Only the duplicate subgraph shuffles (CC build); the weights attach via a broadcastable left join — the clean majority of the corpus passes through untouched.",
+  "idx_bm25_negatives" -> "idx_bm25_topk's plan plus one anti-join against the (small) relevant set; ranking stays TakeOrderedAndProject.",
+  "idx_eval_ndcg" -> "All metric arithmetic runs on the 10-row ranked frame crossed with a 1-row relevant-count broadcast — the corpus-sized work is the ranking itself.",
+  "pack_padding_waste" -> "Per-doc arithmetic exploded over a constant 4-row window-size dimension; one 4-key map-side-combined aggregate.",
+  "sim_label_outliers" -> "Three aggregate passes (centroids, distances, moments), each broadcast back — labels x Dim rows, never corpus-to-corpus.",
+  "quality_gopher" -> "Pure integer-arithmetic gate per doc; zero-token docs restored by a left join — one explode + one combine, no shuffle beyond doc_id.",
+  "dedup_keep_longest" -> "Survivor choice is one window over duplicate-cluster members only; the CC build's exchanges are the only corpus-sized shuffles.")
 val sb = new StringBuilder
 sb ++= "# PLANS — formatted physical plans of headline queries (sf0.01)\n\n"
 sb ++= "Generated from `df.queryExecution.explainString(FormattedMode)`; regenerate with tools/plans_dump.scala.\n"
