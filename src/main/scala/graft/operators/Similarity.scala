@@ -256,6 +256,37 @@ object Similarity {
         .where(col("rk") <= 10)
     }),
 
+    // ── The cell-blocked scale route for hard-negative mining (the
+    // path sim_hard_negatives' scaladoc promises): each anchor probes
+    // only its 2 nearest IVF cells and mines different-label
+    // neighbors from those cells' members — per-anchor work is
+    // O(probed-cell size), not O(corpus), so the candidate side
+    // shrinks with K exactly like ANN search does. Same bounded-
+    // anchor broadcast; recall vs the exhaustive miner is the
+    // documented trade (cells hold same-cluster vectors, which is
+    // where hard negatives live). ────────────────────────────────────
+    "sim_hard_negatives_ivf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cents = codebook(s, dir)
+      val e = Tables(s, dir, "embeddings")
+      val probes = e.where(col("vec_id") % 100 === 0 &&
+          col("vec_id") < HardNegAnchors * 100L)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("embedding").as("q_emb"),
+          explode(IvfIndex.probeCells(cents,
+            col("embedding").cast("array<double>"), 2)).as("p"))
+        .select(col("q_id"), col("q_label"), col("q_emb"),
+          col("p").getField("cid").as("centroid_id"))
+      val a = assigned(s, dir).join(e.select(col("vec_id"), col("label")), "vec_id")
+      val score = Num.roundp(Vectors.cosine(col("q_emb"), col("embedding")), 6)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+      a.join(broadcast(probes), "centroid_id")
+        .where(col("label") =!= col("q_label"))
+        .select(col("q_id"), col("vec_id"), col("label"), score.as("score"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 5)
+    }),
+
     // ── IVF assignment: nearest centroid per vector. The codebook is
     // K driver literals — the whole query is one map-side pass, no
     // join, no shuffle (.explain: a single Project over the scan). ────
@@ -908,6 +939,38 @@ object Similarity {
          |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk
          |  FROM scored)
          |SELECT q_id, vec_id, score, rk FROM ranked WHERE rk <= 3""".stripMargin,
+
+    "sim_hard_negatives_ivf" ->
+      s"""WITH $sqlCb,
+         |probes AS MATERIALIZED (
+         |  SELECT q_id, centroid_id FROM (
+         |    SELECT vec_id AS q_id, cid AS centroid_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS prk
+         |    FROM celldist
+         |    WHERE vec_id % 100 = 0 AND vec_id < ${HardNegAnchors * 100})
+         |  WHERE prk <= 2),
+         |n AS MATERIALIZED (
+         |  SELECT e.vec_id, l.label, e.embedding, a.centroid_id,
+         |    ${sqlNorm("e.embedding")} AS nrm
+         |  FROM e0 e JOIN asgn a USING (vec_id)
+         |  JOIN embeddings l ON l.vec_id = e.vec_id),
+         |nq AS MATERIALIZED (
+         |  SELECT p.q_id, l.label AS q_label, e.embedding AS q_emb,
+         |    ${sqlNorm("e.embedding")} AS nrm, p.centroid_id
+         |  FROM probes p JOIN e0 e ON e.vec_id = p.q_id
+         |  JOIN embeddings l ON l.vec_id = p.q_id),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id, e.label,
+         |    floor((${sqlDot("q.q_emb", "e.embedding")} / (q.nrm * e.nrm))
+         |      * 1000000 + 0.5) / 1000000 AS score
+         |  FROM nq q JOIN n e ON q.centroid_id = e.centroid_id
+         |  WHERE e.label <> q.q_label),
+         |ranked AS (
+         |  SELECT q_id, vec_id, label, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id)
+         |      AS rk
+         |  FROM scored)
+         |SELECT q_id, vec_id, label, score, rk FROM ranked WHERE rk <= 5""".stripMargin,
 
     "sim_ivf_recall" ->
       s"""WITH $sqlCb,
