@@ -334,12 +334,22 @@ object Similarity {
         .groupBy(col("vec_id"), col("label"))
         .agg(Num.roundp(sum((col("v") - col("c")) * (col("v") - col("c"))), 6)
           .as("dist2"))
+      // Moments from PLAIN sums (quantized 1e-3 over ~1e5-magnitude
+      // values): cross-engine residue is summation order only
+      // (~1e-11, far under the half-grid), unlike stddev_samp whose
+      // engine-specific algorithms differ by enough to flip a 1e-6
+      // grid (observed at sf0.001). mu/sigma then DERIVE identically
+      // on both engines from bit-equal inputs.
       val moments = dist.groupBy(col("label"))
-        .agg(Num.roundp(avg(col("dist2")), 6).as("mu"),
-          Num.roundp(stddev_samp(col("dist2")), 6).as("sigma"))
+        .agg(Num.roundp(sum(col("dist2")), 3).as("s1"),
+          Num.roundp(sum(col("dist2") * col("dist2")), 3).as("s2"),
+          count(lit(1)).as("n"))
+      val mu = col("s1") / col("n")
+      val sigma = sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
+        (col("n") - 1))
       dist.join(broadcast(moments), "label")
         .select(col("vec_id"), col("label"), col("dist2"),
-          Num.roundp((col("dist2") - col("mu")) / col("sigma"), 4).as("z"))
+          Num.roundp((col("dist2") - mu) / sigma, 4).as("z"))
         .withColumn("outlier", col("z") > 2.0)
     }),
 
@@ -766,12 +776,15 @@ object Similarity {
          |  FROM x JOIN cent ON x.label = cent.label AND x.dim = cent.dim
          |  GROUP BY vec_id, x.label),
          |mo AS (
-         |  SELECT label, floor(avg(dist2) * 1000000 + 0.5) / 1000000 AS mu,
-         |    floor(stddev_samp(dist2) * 1000000 + 0.5) / 1000000 AS sigma
+         |  SELECT label, floor(sum(dist2) * 1000 + 0.5) / 1000 AS s1,
+         |    floor(sum(dist2 * dist2) * 1000 + 0.5) / 1000 AS s2,
+         |    CAST(count(*) AS BIGINT) AS n
          |  FROM dist GROUP BY label)
          |SELECT vec_id, label, dist2,
-         |  floor((dist2 - mu) / sigma * 10000 + 0.5) / 10000 AS z,
-         |  floor((dist2 - mu) / sigma * 10000 + 0.5) / 10000 > 2.0 AS outlier
+         |  floor((dist2 - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))
+         |    * 10000 + 0.5) / 10000 AS z,
+         |  floor((dist2 - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))
+         |    * 10000 + 0.5) / 10000 > 2.0 AS outlier
          |FROM dist JOIN mo USING (label)""".stripMargin,
 
     "sim_label_centroids" ->
