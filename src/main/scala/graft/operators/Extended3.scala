@@ -61,13 +61,18 @@ object Extended3 {
     "a_group_outliers" -> ((s, dir) => {
       val li = Tables(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_extendedprice").as("x"))
+      // Stats are QUANTIZED before the 2σ predicate: the engines'
+      // stddev algorithms differ at ~1e-10 relative, and an
+      // unquantized threshold would let a row inside that band flip
+      // n_outliers between engines (the sim_label_outliers bug class).
       val stats = li.groupBy(col("l_returnflag"))
-        .agg(avg(col("x")).as("mean"), stddev_samp(col("x")).as("sd"))
+        .agg(Num.roundp(avg(col("x")), 4).as("mean"),
+          Num.roundp(stddev_samp(col("x")), 4).as("sd"))
       li.join(broadcast(stats), "l_returnflag")
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-          Num.roundp(first(col("mean")), 4).as("mean"),
-          Num.roundp(first(col("sd")), 4).as("sd"),
+          first(col("mean")).as("mean"),
+          first(col("sd")).as("sd"),
           sum(when(abs(col("x") - col("mean")) > lit(2.0) * col("sd"), 1).otherwise(0))
             .as("n_outliers"))
     }),
@@ -137,12 +142,12 @@ object Extended3 {
 
     "a_group_outliers" ->
       """WITH s AS (
-        |  SELECT l_returnflag, avg(l_extendedprice) AS mean,
-        |         stddev_samp(l_extendedprice) AS sd
+        |  SELECT l_returnflag,
+        |    floor(avg(l_extendedprice) * 10000 + 0.5) / 10000 AS mean,
+        |    floor(stddev_samp(l_extendedprice) * 10000 + 0.5) / 10000 AS sd
         |  FROM lineitem GROUP BY 1)
         |SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n,
-        |  floor(s.mean * 10000 + 0.5) / 10000 AS mean,
-        |  floor(s.sd * 10000 + 0.5) / 10000 AS sd,
+        |  s.mean AS mean, s.sd AS sd,
         |  CAST(count(*) FILTER (WHERE abs(l.l_extendedprice - s.mean) > 2.0 * s.sd) AS BIGINT)
         |    AS n_outliers
         |FROM lineitem l JOIN s ON s.l_returnflag = l.l_returnflag
