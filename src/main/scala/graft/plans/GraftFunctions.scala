@@ -16,6 +16,8 @@ object GraftFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> (es => VecDot(es(0), es(1))),
     "vec_sq_dist" -> (es => VecSqDist(es(0), es(1))),
+    "vec_dot_d" -> (es => VecDotD(es(0), es(1))),
+    "vec_sq_dist_d" -> (es => VecSqDistD(es(0), es(1))),
     "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))),
     "sorted_intersect_count_str" -> (es => SortedIntersectCountStr(es(0), es(1))),
     "word_shingles" -> (es => WordShingles(es(0),

@@ -23,6 +23,15 @@ class SqlFunctionsSpec extends SparkSuite {
       "SELECT sorted_intersect_count(array(1L, 3L, 5L, 9L), array(2L, 3L, 5L, 8L, 9L)) AS c")
       .collect().head.getLong(0)
     assert(ic == 3L)
+    // the double-array (codebook-path) variants are registered too
+    val dd = spark.sql(
+      "SELECT vec_dot_d(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(dd == 11.0)
+    val sdd = spark.sql(
+      "SELECT vec_sq_dist_d(array(0.0D), array(3.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(sdd == 9.0)
   }
 
   test("sorted_intersect_count agrees with array_intersect on random sorted sets") {
