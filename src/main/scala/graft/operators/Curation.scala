@@ -336,6 +336,34 @@ object Curation {
           (col("cum_start") >= col("bin") * N).as("is_doc_start"))
     }),
 
+    // ── Overlapping-window chunking — the RAG-ingest chunker (window
+    // 64 tokens, stride 48, so consecutive chunks share a 16-token
+    // overlap and no retrieval hit dies on a chunk boundary): emits
+    // one row per (doc, window) with offsets, token count and the
+    // chunk fingerprint the embedding/index stages key on. Pure
+    // per-doc arithmetic (sequence + slice over the token array) —
+    // no window functions, no shuffle before the explode, linear at
+    // any scale. ─────────────────────────────────────────────────────
+    "chunk_sliding_text" -> ((s, dir) => {
+      val W = 64
+      val S = 48
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), toks.as("tok"))
+        .where(size(col("tok")) > 0)
+        // window starts: 0, S, 2S, … while start < n (last window may
+        // be short; a doc shorter than W yields exactly one window)
+        .select(col("doc_id"), col("tok"),
+          explode(sequence(lit(0),
+            (greatest(size(col("tok")) - 1, lit(0)) / S).cast("int"))).as("w"))
+        .where(col("w") * S < size(col("tok")))
+      d.select(col("doc_id"), col("w").cast("long").as("chunk_id"),
+          (col("w") * S).cast("long").as("start_tok"),
+          slice(col("tok"), col("w") * S + 1, lit(W)).as("chunk"))
+        .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+          size(col("chunk")).cast("long").as("n_tok"),
+          md5(array_join(col("chunk"), " ").cast("binary")).as("chunk_md5"))
+    }),
+
     // ── Padding-waste profile: for each candidate context length N,
     // the token-slot waste of DOC-LEVEL batching (every doc padded up
     // to a multiple of N — the no-packing baseline) — the measurement
@@ -467,6 +495,21 @@ object Curation {
          |  GROUP BY tk.doc_id)
          |SELECT doc_id, n_tokens, lr FROM sc
          |ORDER BY lr DESC, doc_id LIMIT 20""".stripMargin,
+
+    "chunk_sliding_text" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $sqlToks AS tok FROM documents
+         |  WHERE len($sqlToks) > 0),
+         |w AS (
+         |  SELECT doc_id, tok, unnest(range(0,
+         |    CAST((len(tok) - 1) // 48 AS BIGINT) + 1)) AS w
+         |  FROM d)
+         |SELECT doc_id, CAST(w AS BIGINT) AS chunk_id,
+         |  CAST(w * 48 AS BIGINT) AS start_tok,
+         |  CAST(len(list_slice(tok, w * 48 + 1, w * 48 + 64)) AS BIGINT) AS n_tok,
+         |  md5(array_to_string(list_slice(tok, w * 48 + 1, w * 48 + 64), ' '))
+         |    AS chunk_md5
+         |FROM w WHERE w * 48 < len(tok)""".stripMargin,
 
     "pack_padding_waste" ->
       s"""WITH d AS (

@@ -56,6 +56,38 @@ object LshDedupStream {
       empty(StructField("c_id", StringType), StructField("c_sz", LongType)))
   }
 
+  /** Small-file compaction over the three persisted artifacts: every
+    * trigger appends a file per task, so a long-running gate turns its
+    * band/shingle/size tables into file-listing storms exactly like
+    * the lake partitions (Lake.compactPartition's problem). Rewrites
+    * each artifact directory into ceil(bytes / targetFileBytes) files
+    * with the same write-aside-then-rename swap. Contents unchanged;
+    * returns the per-artifact file counts. Run it from the maintenance
+    * cadence, not the trigger path. */
+  def compactArtifacts(s: org.apache.spark.sql.SparkSession, lshPath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Map[String, Int] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    Seq("bands", "shingles", "sizes").map { name =>
+      val dir = new org.apache.hadoop.fs.Path(s"$lshPath/$name")
+      val fs = dir.getFileSystem(conf)
+      if (!fs.exists(dir)) name -> 0
+      else {
+        val bytes = fs.getContentSummary(dir).getLength
+        val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+        val tmp = new org.apache.hadoop.fs.Path(s"$lshPath/.compact_$name")
+        s.read.parquet(dir.toString)
+          .repartition(nFiles)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(tmp.toString)
+        val old = new org.apache.hadoop.fs.Path(s"$lshPath/.old_$name")
+        fs.rename(dir, old)
+        fs.rename(tmp, dir)
+        fs.delete(old, true)
+        name -> fs.listStatus(dir).count(_.getPath.getName.endsWith(".parquet"))
+      }
+    }.toMap
+  }
+
   /** Attach `near_dup` / `match_id` / `jacc` to a `(doc_id, text)`
     * micro-batch. Semantics match the batch operator's near-dup stage:
     * candidate = shared LSH band bucket; verified at exact 3-gram

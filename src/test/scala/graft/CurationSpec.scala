@@ -148,6 +148,34 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("chunk_sliding_text tiles every doc with 64/48 overlapping windows") {
+    val r = SparkEntry.queries("chunk_sliding_text")(spark, sf001).collect()
+    assert(r.nonEmpty)
+    val nTok = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id").cast("long"),
+        org.apache.spark.sql.functions.size(
+          graft.functions.Text.tokens(
+            org.apache.spark.sql.functions.col("text"))).cast("long"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    r.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, g) =>
+      val n = nTok(id)
+      val sorted = g.sortBy(_.getAs[Long]("chunk_id"))
+      assert(sorted.map(_.getAs[Long]("chunk_id")).toSeq ==
+        sorted.indices.map(_.toLong))
+      sorted.foreach { c =>
+        assert(c.getAs[Long]("start_tok") == c.getAs[Long]("chunk_id") * 48)
+        val len = c.getAs[Long]("n_tok")
+        assert(len >= 1 && len <= 64)
+      }
+      // full coverage: the last window reaches the end of the doc, and
+      // every window's length is exactly min(64, n - start)
+      val last = sorted.last
+      assert(last.getAs[Long]("start_tok") + last.getAs[Long]("n_tok") == n)
+      sorted.foreach(c => assert(c.getAs[Long]("n_tok") ==
+        math.min(64L, n - c.getAs[Long]("start_tok"))))
+    }
+  }
+
   test("pack_padding_waste: doc-level padding waste grows with context length") {
     val r = SparkEntry.queries("pack_padding_waste")(spark, sf001).collect()
       .sortBy(_.getAs[Long]("n"))

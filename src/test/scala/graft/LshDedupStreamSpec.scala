@@ -64,4 +64,31 @@ class LshDedupStreamSpec extends SparkSuite {
     }
     assert(got.values.exists(_._1) && got.values.exists(!_._1))
   }
+
+  test("artifact compaction preserves contents and collapses the file count") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("lsh-compact").toString
+    val corpus = Tables(spark, sf001, "documents").where(col("doc_id") < 200)
+    val (bands, ex, sizes) = LshDedupStream.corpusArtifacts(corpus)
+    // simulate many tiny per-trigger appends
+    Seq(("bands", bands), ("shingles", ex), ("sizes", sizes)).foreach {
+      case (name, df) => df.repartition(16).write.parquet(s"$base/$name")
+    }
+    def snapshot(name: String) = spark.read.parquet(s"$base/$name").collect()
+      .map(_.toSeq).toSet
+    def fileCount(name: String) = new java.io.File(s"$base/$name")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val before = Seq("bands", "shingles", "sizes")
+      .map(n => n -> (snapshot(n), fileCount(n))).toMap
+    assert(before.values.forall(_._2 == 16))
+    val counts = LshDedupStream.compactArtifacts(spark, base)
+    Seq("bands", "shingles", "sizes").foreach { n =>
+      assert(counts(n) == 1, s"$n -> ${counts(n)}")
+      assert(fileCount(n) == 1)
+      assert(snapshot(n) == before(n)._1, s"$n contents changed")
+    }
+    // idempotent on an already-compacted set; missing dirs report 0
+    assert(LshDedupStream.compactArtifacts(spark, base)("bands") == 1)
+    assert(LshDedupStream.compactArtifacts(spark, s"$base/nope")("bands") == 0)
+  }
 }
