@@ -16,14 +16,26 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark's TimestampType
-    // (micros) cannot represent — read the raw int64 nanos and convert.
+    // events.ts has shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+    // across testdata generations. nanosAsLong=true makes a NANOS column
+    // surface as raw int64 (Spark's TimestampType is micros and cannot
+    // hold nanos); MICROS surfaces as a timestamp type directly. Branch on
+    // what the file actually gave us instead of assuming a generation.
     // Integer `div` (not `/`): ns-epoch ~1.7e18 overflows double's 53-bit
     // mantissa, so float division would corrupt timestamps.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") {
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _: org.apache.spark.sql.types.TimestampNTZType =>
+          // Session TZ is UTC everywhere (Verify/Bench/specs), so NTZ→TZ
+          // is a type tag change, not a wall-clock shift.
+          df.withColumn("ts", col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
+        case _ => df
+      }
+    } else df
   }
 }

@@ -157,6 +157,27 @@ object AsOf {
         .select(col("event_id"), col("user_id"),
           col("asof_purchase_id").as("purchase_id"),
           col("asof_purchase_value").as("purchase_value"))
+    }),
+
+    // ── Tolerance as-of: the backward match is only valid when it is at
+    // most 1 hour older than the left row — the sensor-fusion /
+    // stale-quote variant of ASOF. Composed ON TOP of the native
+    // operator: the unconditional nearest match is either inside the
+    // tolerance or there is no valid match at all (anything older is
+    // even staler), so one as-of + one CASE is complete — no second
+    // pass, same O(1)-state merge cost as j3_asof_native. The matched
+    // right time rides along as an extra payload column to evaluate the
+    // gap. ───────────────────────────────────────────────────────────
+    "j3_asof_tolerance" -> ((s, dir) => {
+      val (clicks, purchases) = clicksAndPurchases(s, dir)
+      val p = purchases.withColumn("p_ts", col("ts"))
+      val j = joinNative(clicks, p, "user_id", "ts",
+        Seq("purchase_id", "purchase_value", "p_ts"))
+      val fresh = col("p_ts").isNotNull &&
+        unix_micros(col("ts")) - unix_micros(col("p_ts")) <= lit(3600L * 1000000L)
+      j.select(col("event_id"), col("user_id"),
+        when(fresh, col("purchase_id")).as("purchase_id"),
+        when(fresh, col("purchase_value")).as("purchase_value"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -190,5 +211,16 @@ object AsOf {
         |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN
         |     (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase') p
-        |ON c.user_id = p.user_id AND c.ts <= p.ts""".stripMargin)
+        |ON c.user_id = p.user_id AND c.ts <= p.ts""".stripMargin,
+
+    "j3_asof_tolerance" ->
+      """SELECT c.event_id, c.user_id,
+        |  CASE WHEN p.ts IS NOT NULL AND epoch_us(c.ts) - epoch_us(p.ts) <= 3600000000
+        |       THEN p.event_id END AS purchase_id,
+        |  CASE WHEN p.ts IS NOT NULL AND epoch_us(c.ts) - epoch_us(p.ts) <= 3600000000
+        |       THEN p.value END AS purchase_value
+        |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN
+        |     (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase') p
+        |ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin)
 }

@@ -28,7 +28,7 @@ object Curation {
 
   private def toks = Text.tokens(col("text"))
 
-  val queries: Map[String, Relational.Q] = Map(
+  val queries: Map[String, Relational.Q] = Map[String, Relational.Q](
 
     // ── Gopher-style repetition profile per document. ─────────────────
     "text_repetition" -> ((s, dir) => {
@@ -426,6 +426,67 @@ object Curation {
           .as("pseudonym"),
         (floor(col("c_acctbal") / 1000) * 1000).cast("long").as("bal_band"),
         col("c_mktsegment")))
+  ) ++ extraQueries
+
+  /** Round-7 curation additions (split keeps the main map readable). */
+  private def extraQueries: Map[String, Relational.Q] = Map(
+
+    // ── Per-domain cap (the RefinedWeb / C4 "domain frequency" rule):
+    // keep at most 10 docs per source, preferring longer ones. Ranked
+    // with the bounded-heap [[graft.plans.TopKAggregator]] rather than a
+    // window sort: each group carries ≤10 entries through partial
+    // aggregation, so a pathological million-doc domain costs O(n·log k)
+    // map-side and ships 10 rows — the window formulation would sort the
+    // whole domain on one reducer (the exact skew a domain cap exists to
+    // handle). ───────────────────────────────────────────────────────
+    "curate_domain_cap" -> ((s, dir) => {
+      import s.implicits._
+      val agg = new graft.plans.TopKAggregator(10)
+      Tables(s, dir, "documents")
+        .select(col("source"), col("n_chars").cast("double"), col("doc_id"))
+        .as[(String, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(agg.toColumn.name("top"))
+        .flatMap { case (src, top) =>
+          top.zipWithIndex.map { case ((nc, id), i) =>
+            (src, id, nc.toLong, (i + 1).toLong) }
+        }
+        .toDF("source", "doc_id", "n_chars", "rk")
+    }),
+
+    // ── k-anonymity audit over the quasi-identifier (nation, segment):
+    // class sizes, k (the smallest class), and how many rows sit in
+    // classes below k=5 — the release gate a privacy review runs after
+    // pii_pseudonymize's generalization. Two aggregations, the second
+    // over |classes| rows. ───────────────────────────────────────────
+    "priv_k_anonymity" -> ((s, dir) => {
+      val g = Tables(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+      g.agg(count(lit(1)).as("n_classes"),
+        min(col("n")).as("k_anonymity"),
+        sum(when(col("n") < 5, 1L).otherwise(0L)).as("n_small_classes"),
+        sum(when(col("n") < 5, col("n")).otherwise(0L)).as("rows_at_risk"))
+    }),
+
+    // ── Effective sample size of the per-language char-weighted mix:
+    // ESS = (Σw)²/Σw² — how many "equivalent uniform docs" the weighting
+    // leaves (ESS ≪ n flags a mixture dominated by a few huge docs).
+    // Weights are integral chars, so both sums are exact integers (no
+    // float-order sensitivity) until the final division. ─────────────
+    "samp_ess" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("w_sum"),
+          sum(col("n_chars") * col("n_chars")).as("w2_sum"))
+        .select(col("lang"), col("n_docs"),
+          Num.roundp(col("w_sum").cast("double") * col("w_sum").cast("double") /
+            col("w2_sum").cast("double"), 4).as("ess"),
+          Num.roundp(col("w_sum").cast("double") * col("w_sum").cast("double") /
+            (col("w2_sum").cast("double") * col("n_docs").cast("double")), 6)
+            .as("ess_ratio")))
   )
 
   /** Source-weight tier: full / half / quarter keep rates. */
@@ -736,6 +797,34 @@ object Curation {
         |  substr(md5('pii|' || CAST(c_custkey AS VARCHAR)), 1, 12) AS pseudonym,
         |  CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS bal_band,
         |  c_mktsegment
-        |FROM customer""".stripMargin
+        |FROM customer""".stripMargin,
+
+    "curate_domain_cap" ->
+      """SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars, rk FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+        |  FROM documents) WHERE rk <= 10""".stripMargin,
+
+    "priv_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        |  min(n) AS k_anonymity,
+        |  CAST(coalesce(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |    AS n_small_classes,
+        |  CAST(coalesce(sum(CASE WHEN n < 5 THEN n ELSE 0 END), 0) AS BIGINT)
+        |    AS rows_at_risk
+        |FROM g""".stripMargin,
+
+    "samp_ess" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  floor(CAST(sum(n_chars) AS DOUBLE) * sum(n_chars) / sum(n_chars * n_chars)
+        |    * 10000 + 0.5) / 10000 AS ess,
+        |  floor(CAST(sum(n_chars) AS DOUBLE) * sum(n_chars)
+        |    / (CAST(sum(n_chars * n_chars) AS DOUBLE) * count(*))
+        |    * 1000000 + 0.5) / 1000000 AS ess_ratio
+        |FROM documents GROUP BY 1""".stripMargin
   )
 }

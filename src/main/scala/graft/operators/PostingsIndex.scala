@@ -60,28 +60,42 @@ object PostingsIndex {
     writeBatch(newDocs, path, SaveMode.Append)
 
   private def writeBatch(docs: DataFrame, path: String, mode: SaveMode): Unit = {
+    // Three outputs hang off the tokenization (postings, termstats,
+    // corpusstats) — without caching, each write re-tokenizes the batch
+    // from scratch (3× the dominant cost). Persist the tokenized frame
+    // and the postings aggregate for the duration of the batch;
+    // MEMORY_AND_DISK so an oversized batch spills instead of OOMing
+    // (per-batch lifetime — at 100 TB a build feeds bounded batches, or
+    // derives the stats from the just-written postings files).
+    import org.apache.spark.storage.StorageLevel
     val tk = docs.select(col("doc_id"),
       size(Text.tokens(col("text"))).cast("long").as("dl"),
       Text.tokens(col("text")).as("tok"))
-    val postings = tk
-      .select(col("doc_id"), col("dl"), explode(col("tok")).as("token"))
-      .groupBy(col("token"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("tbucket", tbucket(col("token")))
-    // Co-locate each bucket and sort by token so parquet row-group
-    // min/max stats prune within the bucket for the pushed token filter.
-    postings
-      .repartition(col("tbucket"))
-      .sortWithinPartitions(col("token"), col("doc_id"))
-      .write.mode(mode).partitionBy("tbucket").parquet(s"$path/postings")
-    postings
-      .groupBy(col("token"), col("tbucket"))
-      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
-      .select(col("token"), col("df"), col("tf_total"), col("tbucket"))
-      .write.mode(mode).partitionBy("tbucket").parquet(s"$path/termstats")
-    tk.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .coalesce(1)
-      .write.mode(mode).parquet(s"$path/corpusstats")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val postings = tk
+        .select(col("doc_id"), col("dl"), explode(col("tok")).as("token"))
+        .groupBy(col("token"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("tbucket", tbucket(col("token")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        // Co-locate each bucket and sort by token so parquet row-group
+        // min/max stats prune within the bucket for the pushed token filter.
+        postings
+          .repartition(col("tbucket"))
+          .sortWithinPartitions(col("token"), col("doc_id"))
+          .write.mode(mode).partitionBy("tbucket").parquet(s"$path/postings")
+        postings
+          .groupBy(col("token"), col("tbucket"))
+          .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
+          .select(col("token"), col("df"), col("tf_total"), col("tbucket"))
+          .write.mode(mode).partitionBy("tbucket").parquet(s"$path/termstats")
+      } finally postings.unpersist(blocking = false)
+      tk.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        .coalesce(1)
+        .write.mode(mode).parquet(s"$path/corpusstats")
+    } finally tk.unpersist(blocking = false)
   }
 
   /** Merged (df, tf_total) for `terms` — partial batches summed at

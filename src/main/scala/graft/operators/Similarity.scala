@@ -109,11 +109,12 @@ object Similarity {
 
     // ── Recall of int8-quantized search against exact search: top-5 by
     // cosine over RECONSTRUCTED vectors vs the full-precision top-5,
-    // recall@5 per query. The quantized dot is the classic
-    // matrix-multiply-as-join-aggregate (explode dims, join on d, sum
-    // products) — the shape a 100 TB engine uses when vectors live as
-    // (id, dim, value) shards. Recall 1.0 here is the empirical license
-    // to serve ANN from the 4×-smaller codes. ────────────────────────
+    // recall@5 per query. Reconstructions are re-assembled into d-ordered
+    // lists and scored with the sequential foldDot so the score is
+    // bit-deterministic and identical to the oracle's ordered fold (an
+    // unordered sum could flip a 1e-6-quantized tie between engines).
+    // Recall 1.0 here is the empirical license to serve ANN from the
+    // 4×-smaller codes. ───────────────────────────────────────────────
     "sim_quantized_recall" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables(s, dir, "embeddings")
@@ -138,18 +139,21 @@ object Similarity {
           floor((col("v") - col("lo")) / col("scale") + 0.5))).cast("int"))
       val r = x.join(broadcast(dims), "d")
         .select(col("vec_id"), col("d"), (col("lo") + code.cast("double") * col("scale")).as("rv"))
-      val qr = r.where(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("d"), col("rv").as("qv"))
-      // Join-aggregate dot over dims; norms likewise.
-      val norms = r.groupBy(col("vec_id")).agg(sqrt(sum(col("rv") * col("rv"))).as("nrm"))
-      val dots = r.join(broadcast(qr), "d")
+      // d-ORDERED reconstruction lists + sequential folds (not an
+      // unordered sum over the exploded rows): both engines then add in
+      // the SAME order, so a score at a 1e-6 grid boundary can't flip
+      // between Spark and the oracle (same contract as pqSearch's rlist).
+      val rlist = r.groupBy(col("vec_id"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("rv")))),
+          p => p.getField("rv")).as("rv"))
+        .withColumn("nrm", sqrt(IvfIndex.foldDot(col("rv"), col("rv"))))
+      val qlist = rlist.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("rv").as("qv"), col("nrm").as("q_nrm"))
+      val quant = rlist.crossJoin(broadcast(qlist))
         .where(col("vec_id") =!= col("q_id"))
-        .groupBy(col("q_id"), col("vec_id")).agg(sum(col("rv") * col("qv")).as("dot"))
-      val quant = dots
-        .join(broadcast(norms.select(col("vec_id").as("q_id"), col("nrm").as("q_nrm"))), "q_id")
-        .join(norms.select(col("vec_id"), col("nrm").as("v_nrm")), "vec_id")
         .select(col("q_id"), col("vec_id"),
-          Num.roundp(col("dot") / (col("q_nrm") * col("v_nrm")), 6).as("score"))
+          Num.roundp(IvfIndex.foldDot(col("qv"), col("rv")) /
+            (col("q_nrm") * col("nrm")), 6).as("score"))
       val qTop = quant
         .withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
         .select(col("q_id"), col("vec_id"))
@@ -725,18 +729,20 @@ object Similarity {
          |      e.vec_id) AS rk
          |  FROM n q JOIN n e ON q.vec_id < 5 AND e.vec_id <> q.vec_id),
          |exact5 AS (SELECT q_id, vec_id FROM ex WHERE rk <= 5),
-         |norms AS (SELECT vec_id, sqrt(sum(rv * rv)) AS nrm FROM rx GROUP BY vec_id),
-         |dots AS (
-         |  SELECT q.vec_id AS q_id, e.vec_id, sum(e.rv * q.rv) AS dot
-         |  FROM rx e JOIN rx q ON e.d = q.d AND q.vec_id < 5 AND e.vec_id <> q.vec_id
-         |  GROUP BY 1, 2),
+         |rlist AS (
+         |  -- d-ordered list + sequential fold, mirroring the Spark side's
+         |  -- foldDot (an unordered sum(rv*rv) could flip a 1e-6 boundary).
+         |  SELECT vec_id, list(rv ORDER BY d) AS rv FROM rx GROUP BY vec_id),
+         |rn AS (
+         |  SELECT vec_id, rv,
+         |    sqrt(list_sum(list_transform(range(1, ${Dim + 1}), i -> rv[i] * rv[i]))) AS nrm
+         |  FROM rlist),
          |qs AS (
-         |  SELECT q_id, dots.vec_id,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY
-         |      floor((dot / (qn.nrm * vn.nrm)) * 1000000 + 0.5) / 1000000 DESC, dots.vec_id) AS rk
-         |  FROM dots
-         |  JOIN norms qn ON qn.vec_id = q_id
-         |  JOIN norms vn ON vn.vec_id = dots.vec_id),
+         |  SELECT q.vec_id AS q_id, e.vec_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      floor((list_sum(list_transform(range(1, ${Dim + 1}), i -> q.rv[i] * e.rv[i]))
+         |        / (q.nrm * e.nrm)) * 1000000 + 0.5) / 1000000 DESC, e.vec_id) AS rk
+         |  FROM rn q JOIN rn e ON q.vec_id < 5 AND e.vec_id <> q.vec_id),
          |q5 AS (SELECT q_id, vec_id FROM qs WHERE rk <= 5)
          |SELECT q_id, CAST(count(*) AS DOUBLE) / 5.0 AS recall5
          |FROM exact5 JOIN q5 USING (q_id, vec_id)

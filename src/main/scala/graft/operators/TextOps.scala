@@ -313,6 +313,28 @@ object TextOps {
         .select(col("doc_id"), Num.roundp(rrf, 6).as("rrf"),
           col("dr"), col("sr"))
         .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+    }),
+
+    // ── Lexical diversity per doc: type-token ratio + hapax ratio
+    // (tokens occurring exactly once) — the degenerate-text signals the
+    // repetition filters don't see (a doc can avoid repeated n-grams yet
+    // cycle a tiny vocabulary). Expression-only per-doc work; the hapax
+    // scan is O(types·tokens) per doc, bounded by doc length — no
+    // shuffle at all, so it composes into any 100 TB scan. ───────────
+    "text_ttr" -> ((s, dir) => {
+      val tok = Text.tokens(col("text"))
+      val hapax = size(filter(array_distinct(col("tok")),
+        t => size(filter(col("tok"), u => u === t)) === 1))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), tok.as("tok"))
+        .select(col("doc_id"),
+          size(col("tok")).cast("long").as("n_tokens"),
+          size(array_distinct(col("tok"))).cast("long").as("n_types"),
+          hapax.cast("long").as("n_hapax"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          Num.roundp(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+          Num.roundp(col("n_hapax").cast("double") / col("n_types"), 6)
+            .as("hapax_ratio"))
     })
   )
 
@@ -712,6 +734,22 @@ object TextOps {
     // Mirrors the Spark plan expression-for-expression (same literal
     // order, same 1e-6 idf/partial grids before the 1e-4 score grid).
     "idx_bm25_topk" -> sqlBm25TopK,
+
+    "text_ttr" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, $sqlToks AS tok FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(tok) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(tok)) AS BIGINT) AS n_types,
+         |    CAST(len(list_filter(list_distinct(tok),
+         |      t -> len(list_filter(tok, u -> u = t)) = 1)) AS BIGINT) AS n_hapax
+         |  FROM tk)
+         |SELECT doc_id, n_tokens, n_types, n_hapax,
+         |  floor(CAST(n_types AS DOUBLE) / n_tokens * 1000000 + 0.5) / 1000000 AS ttr,
+         |  floor(CAST(n_hapax AS DOUBLE) / n_types * 1000000 + 0.5) / 1000000
+         |    AS hapax_ratio
+         |FROM m""".stripMargin,
 
     "idx_bm25_negatives" ->
       s"""$sqlBm25,

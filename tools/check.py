@@ -68,6 +68,14 @@ def main():
     missing = set(oracle) - spark_dirs
     for m in sorted(missing):
         print(f"FAIL {m}: oracle declared but no spark output"); n_bad += 1
+    # Verify writes _errors.json with every thrown query (even ones with no
+    # oracle) — surface those as FAIL instead of letting them vanish.
+    try:
+        errors = json.load(open(f"{out}/_errors.json"))
+    except FileNotFoundError:
+        errors = {}
+    for name in sorted(set(errors) - missing):
+        print(f"FAIL {name}: verify threw: {errors[name][:200]}"); n_bad += 1
     print(f"\n{n_ok} OK, {n_bad} FAIL, {len(spark_dirs) - n_ok - n_bad} rows-only")
     sys.exit(1 if n_bad else 0)
 
