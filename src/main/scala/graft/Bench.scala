@@ -61,10 +61,14 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val loadEnd = os.getSystemLoadAverage
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Millisecond precision: the artifact consumer keeps only a bounded
+    // tail of this line, and full-double formatting halves how many
+    // per-query timings fit in it. 1 ms ≪ the VM's run-to-run noise.
+    def ms(v: Double): String = (math.rint(v * 1000) / 1000).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg_start":$loadStart,"load_avg_end":$loadEnd}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg_start":$loadStart,"load_avg_end":$loadEnd}""")
     spark.stop()
   }
 }

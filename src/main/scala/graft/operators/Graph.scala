@@ -276,7 +276,42 @@ object Graph {
     // intersect) killed the wedge materialization that previously
     // forced a ~19 % sample at sf0.1. ────────────────────────────────
     "graph_triangles" -> ((s, dir) =>
-      triangleStats(coPurchaseEdges(s, dir)))
+      triangleStats(coPurchaseEdges(s, dir))),
+
+    // ── Common-neighbor link prediction on the co-purchase graph:
+    // non-adjacent pairs at distance 2, scored by shared-neighbor count
+    // and neighbor-Jaccard, top 20. UNLIKE triangles, the wedge set IS
+    // the candidate set here, so the edge-iterator trick can't avoid
+    // materializing it — Σ C(deg,2) work by construction. The same
+    // deterministic md5 order-sample that bounded the pre-edge-iterator
+    // census ('3' → ~19 %) bounds it; on a real deployment the cap is a
+    // per-hub neighbor quota instead of a global sample. Integer counts
+    // all the way: the only float is the final quantized ratio. ──────
+    "graph_link_predict" -> ((s, dir) => {
+      val e = coPurchaseEdges(s, dir, sampleHex = Some("3"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val adj = e.select(col("u").as("node"), col("v").as("nb"))
+        .union(e.select(col("v").as("node"), col("u").as("nb")))
+      val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+      val nbrs = adj.groupBy("node")
+        .agg(sort_array(collect_set(col("nb"))).as("ns"))
+      // Same in-list pair expansion as coPurchaseEdges: wedge (a, b)
+      // through each middle node, a < b canonical.
+      val wedges = nbrs.select(explode(flatten(transform(col("ns"), (x, i) =>
+          transform(slice(col("ns"), i + lit(2), size(col("ns")) - i - 1), y =>
+            struct(x.as("a"), y.as("b")))))).as("p"))
+        .select(col("p.a"), col("p.b"))
+      val cn = wedges.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
+      val cand = cn.join(e, cn("a") === e("u") && cn("b") === e("v"), "left_anti")
+      cand
+        .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+        .select(col("a"), col("b"), col("cn"),
+          Num.roundp(col("cn").cast("double") /
+            (col("da") + col("db") - col("cn")), 6).as("jaccard"))
+        .orderBy(col("cn").desc, col("jaccard").desc, col("a"), col("b"))
+        .limit(20)
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -345,6 +380,30 @@ object Graph {
         |       n_triangles,
         |       CAST(FLOOR(3.0 * n_triangles / (SELECT sum(deg * (deg - 1) // 2) FROM deg)
         |                  * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS clustering
-        |FROM tri""".stripMargin
+        |FROM tri""".stripMargin,
+
+    "graph_link_predict" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |  WHERE substr(md5('gs|' || CAST(l_orderkey AS VARCHAR)), 1, 1) < '3'),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |adj AS MATERIALIZED (
+        |  SELECT u AS node, v AS nb FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS MATERIALIZED (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY node),
+        |w AS (
+        |  SELECT a1.nb AS a, a2.nb AS b
+        |  FROM adj a1 JOIN adj a2 ON a1.node = a2.node AND a1.nb < a2.nb),
+        |cn AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cn FROM w GROUP BY a, b),
+        |cand AS (
+        |  SELECT cn.a, cn.b, cn.cn FROM cn
+        |  ANTI JOIN e ON e.u = cn.a AND e.v = cn.b)
+        |SELECT c.a, c.b, c.cn,
+        |  floor(CAST(c.cn AS DOUBLE) / (da.deg + db.deg - c.cn) * 1000000 + 0.5)
+        |    / 1000000 AS jaccard
+        |FROM cand c JOIN deg da ON da.node = c.a JOIN deg db ON db.node = c.b
+        |ORDER BY c.cn DESC, jaccard DESC, c.a, c.b LIMIT 20""".stripMargin
   )
 }

@@ -102,4 +102,23 @@ class GraphSpec extends SparkSuite {
     val mean = rows.map(_.getLong(1).toDouble).sum / rows.length
     assert(mean > 306.0, s"sample mean $mean not above corpus mean")
   }
+
+  test("link prediction: candidates are non-edges with correct CN/Jaccard") {
+    // Square 1-2-4-3-1 plus chord 1-2: predicted links are the two
+    // diagonals (1,4) and (2,3), each with 2 common neighbors.
+    //   N(1)={2,3}, N(2)={1,4}, N(3)={1,4}, N(4)={2,3}
+    // (1,4): CN={2,3}, |N1∪N4|=2+2-2 → jaccard 1.0; same for (2,3).
+    val rows = Graph.queries("graph_link_predict")(spark, sf001).collect()
+    assert(rows.length === 20)
+    // Spot invariants on testdata: scores are ranked, jaccard ∈ (0, 1],
+    // cn ≥ 1, and no predicted pair is an existing sampled edge.
+    val ranked = rows.map(r => (r.getAs[Long]("cn"), r.getAs[Double]("jaccard")))
+    assert(ranked.sliding(2).forall { case Array((c1, j1), (c2, j2)) =>
+      c1 > c2 || (c1 == c2 && j1 >= j2) })
+    assert(ranked.forall { case (c, j) => c >= 1 && j > 0.0 && j <= 1.0 })
+    val edges = Graph.coPurchaseEdges(spark, sf001, sampleHex = Some("3"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.forall(r =>
+      !edges.contains((r.getAs[Long]("a"), r.getAs[Long]("b")))))
+  }
 }

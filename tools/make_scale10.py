@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Build the 10x scale corpus used for the per-round scale curves
+(BASELINE.md "10x scale curves" sections). Dev-only tool; not part of
+the library.
+
+Method (established in round 5, kept identical for comparability):
+  - documents: 10 replicas; replica k suffixes every token with `_rk`,
+    so each replica is structure-isomorphic to the original (same
+    lengths, same planted near-dup families) with a DISJOINT vocabulary
+    -> shingle/LSH pair counts scale exactly linearly, not
+    quadratically. doc_id offset by k * 1_000_000; n_chars recomputed.
+  - embeddings: 10 replicas; vec_id offset; deterministic per-replica
+    perturbation (+k * 1e-3 on every dimension) so replicas are
+    distinct but the geometry (planted near-dup pairs) is preserved.
+  - events: 10 replicas; user_id offset by k * 1_000_000 (per-user
+    event sequences identical in every replica -> as-of/window work
+    scales linearly in users), event_id offset, ts unchanged.
+  - customer: 10 replicas; c_custkey offset (class sizes scale 10x).
+  - all other tables: copied as-is from the source sf dir.
+
+Usage: python3 tools/make_scale10.py [src_sf_dir] [out_dir]
+"""
+import sys, shutil, os
+import duckdb
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf0.1_x10"
+REPS = 10
+OFF = 1_000_000
+
+os.makedirs(OUT, exist_ok=True)
+con = duckdb.connect()
+
+# documents: token-renamed replicas
+parts = []
+for k in range(REPS):
+    parts.append(f"""
+      SELECT doc_id + {k * OFF} AS doc_id,
+        array_to_string(list_transform(
+          list_filter(string_split(text, ' '), t -> t <> ''),
+          t -> t || '_r{k}'), ' ') AS text,
+        lang, source,
+        CAST(len(array_to_string(list_transform(
+          list_filter(string_split(text, ' '), t -> t <> ''),
+          t -> t || '_r{k}'), ' ')) AS BIGINT) AS n_chars
+      FROM '{SRC}/documents.parquet'""")
+con.execute(f"COPY ({' UNION ALL '.join(parts)}) TO '{OUT}/documents.parquet' (FORMAT PARQUET)")
+
+# embeddings: perturbed replicas (keep FLOAT element type)
+parts = []
+for k in range(REPS):
+    parts.append(f"""
+      SELECT vec_id + {k * OFF} AS vec_id,
+        list_transform(embedding, x -> CAST(x + {k} * 0.001 AS FLOAT)) AS embedding,
+        label
+      FROM '{SRC}/embeddings.parquet'""")
+con.execute(f"COPY ({' UNION ALL '.join(parts)}) TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)")
+
+# events: user/event id offsets, ts unchanged
+parts = []
+for k in range(REPS):
+    parts.append(f"""
+      SELECT event_id + {k * OFF} AS event_id, ts,
+        user_id + {k * OFF} AS user_id, event_type, value, props
+      FROM '{SRC}/events.parquet'""")
+con.execute(f"COPY ({' UNION ALL '.join(parts)}) TO '{OUT}/events.parquet' (FORMAT PARQUET)")
+
+# customer: custkey offsets
+parts = []
+for k in range(REPS):
+    parts.append(f"""
+      SELECT c_custkey + {k * OFF} AS c_custkey, c_name, c_nationkey,
+        c_acctbal, c_mktsegment
+      FROM '{SRC}/customer.parquet'""")
+con.execute(f"COPY ({' UNION ALL '.join(parts)}) TO '{OUT}/customer.parquet' (FORMAT PARQUET)")
+
+for t in ["region", "nation", "supplier", "part", "orders", "lineitem"]:
+    shutil.copy(f"{SRC}/{t}.parquet", f"{OUT}/{t}.parquet")
+
+for t in ["documents", "embeddings", "events", "customer"]:
+    n = con.execute(f"SELECT count(*) FROM '{OUT}/{t}.parquet'").fetchone()[0]
+    print(f"{t}: {n} rows")
+print(f"done -> {OUT}")
