@@ -132,6 +132,66 @@ object Events {
       s1.agg(count(lit(1)).as("n_step1"))
         .crossJoin(s2.agg(count(lit(1)).as("n_step2")))
         .crossJoin(s3.agg(count(lit(1)).as("n_step3")))
+    }),
+
+    // ── Weekly cohort retention: users bucketed by first-active week,
+    // retention(k) = |active in cohort-week + k| / |cohort|. Two
+    // aggregations keyed on user_id (distinct weeks, first week) + one
+    // cohort-sized join — the corpus shuffles once on user_id; week
+    // arithmetic is exact integer µs (truncated weeks differ by exact
+    // multiples of 604 800 000 000), so k and the ratio are
+    // engine-stable. ─────────────────────────────────────────────────
+    "ev_retention_cohorts" -> ((s, dir) => {
+      val wk = Tables(s, dir, "events")
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .distinct()
+      val first = wk.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+      val sizes = first.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
+      wk.join(first, "user_id")
+        .select(col("cohort"),
+          expr("(unix_micros(wk) - unix_micros(cohort)) div 604800000000")
+            .as("k"))
+        .groupBy(col("cohort"), col("k")).agg(count(lit(1)).as("n_active"))
+        .join(sizes, "cohort")
+        .select(col("cohort"), col("k"), col("n_active"), col("n_cohort"),
+          Num.roundp(col("n_active").cast("double") / col("n_cohort"), 6)
+            .as("retention"))
+    }),
+
+    // ── Robust per-user outlier profile: rank-based median and MAD
+    // (median absolute deviation), flagging |v − med| > 3·MAD. The
+    // medians are ORDER-STATISTIC selections (row_number = (n+1) div 2
+    // over (value, event_id)) rather than interpolating percentiles —
+    // the selected value is an exact input double on BOTH engines, so
+    // the 3·MAD threshold compares identical bits and no quantization
+    // of the intermediate is needed. Two window passes + one grouped
+    // aggregate, all partitioned on user_id (one logical shuffle key);
+    // per-user event counts are bounded, so the windows never
+    // concentrate. ───────────────────────────────────────────────────
+    "t10_mad_outliers" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("value"))
+      val byUser = Window.partitionBy("user_id")
+      val wv = Window.partitionBy("user_id").orderBy(col("value"), col("event_id"))
+      val med = e.withColumn("rn", row_number().over(wv))
+        .withColumn("n", count(lit(1)).over(byUser))
+        .where(col("rn") === expr("(n + 1) div 2"))
+        .select(col("user_id"), col("value").as("med"))
+      val dev = e.join(med, "user_id")
+        .withColumn("ad", abs(col("value") - col("med")))
+      val wa = Window.partitionBy("user_id").orderBy(col("ad"), col("event_id"))
+      val mad = dev.withColumn("rn", row_number().over(wa))
+        .withColumn("n", count(lit(1)).over(byUser))
+        .where(col("rn") === expr("(n + 1) div 2"))
+        .select(col("user_id"), col("ad").as("mad"))
+      dev.join(mad, "user_id")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          Num.roundp(min(col("med")), 4).as("med"),
+          Num.roundp(min(col("mad")), 4).as("mad"),
+          sum(when(col("ad") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
     })
   )
 
@@ -221,6 +281,49 @@ object Events {
         |  GROUP BY 1)
         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_step1,
         |       (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_step2,
-        |       (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_step3""".stripMargin
+        |       (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_step3""".stripMargin,
+
+    "ev_retention_cohorts" ->
+      """WITH wk AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort FROM wk GROUP BY 1),
+        |sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_cohort
+        |       FROM f GROUP BY 1),
+        |act AS (
+        |  SELECT f.cohort,
+        |    CAST((epoch_us(wk.wk) - epoch_us(f.cohort)) // 604800000000
+        |      AS BIGINT) AS k,
+        |    CAST(count(*) AS BIGINT) AS n_active
+        |  FROM wk JOIN f ON f.user_id = wk.user_id
+        |  GROUP BY 1, 2)
+        |SELECT act.cohort, act.k, act.n_active, sz.n_cohort,
+        |  floor(CAST(act.n_active AS DOUBLE) / sz.n_cohort * 1000000 + 0.5)
+        |    / 1000000 AS retention
+        |FROM act JOIN sz USING (cohort)""".stripMargin,
+
+    "t10_mad_outliers" ->
+      """WITH e AS (SELECT user_id, event_id, value FROM events),
+        |r AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM e),
+        |med AS (SELECT user_id, value AS med FROM r WHERE rn = (n + 1) // 2),
+        |dev AS (
+        |  SELECT e.user_id, e.event_id, m.med, abs(e.value - m.med) AS ad
+        |  FROM e JOIN med m ON m.user_id = e.user_id),
+        |r2 AS (
+        |  SELECT user_id, ad,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ad, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM dev),
+        |mad AS (SELECT user_id, ad AS mad FROM r2 WHERE rn = (n + 1) // 2)
+        |SELECT d.user_id, CAST(count(*) AS BIGINT) AS n,
+        |  floor(min(d.med) * 10000 + 0.5) / 10000 AS med,
+        |  floor(min(m.mad) * 10000 + 0.5) / 10000 AS mad,
+        |  CAST(sum(CASE WHEN d.ad > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM dev d JOIN mad m ON m.user_id = d.user_id
+        |GROUP BY d.user_id""".stripMargin
   )
 }
