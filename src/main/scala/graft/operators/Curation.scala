@@ -486,7 +486,28 @@ object Curation {
             col("w2_sum").cast("double"), 4).as("ess"),
           Num.roundp(col("w_sum").cast("double") * col("w_sum").cast("double") /
             (col("w2_sum").cast("double") * col("n_docs").cast("double")), 6)
-            .as("ess_ratio")))
+            .as("ess_ratio"))),
+
+    // ── Divergence of the temperature-sampled language mix from the
+    // raw corpus mix (the samp_temperature policy, α = 0.7): forward
+    // and reverse KL plus total variation — the report a mixture change
+    // ships with. All per-language terms are deterministic functions of
+    // integer counts; the final sums run over |langs| rows. ──────────
+    "samp_kl_mix" -> ((s, dir) => {
+      val alpha = 0.7
+      val byLang = Tables(s, dir, "documents")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val tot = byLang.agg(sum(col("n")).as("total"),
+        sum(pow(col("n"), alpha)).as("z"))
+      val p = pow(col("n"), alpha) / col("z")
+      val q = col("n").cast("double") / col("total")
+      byLang.crossJoin(tot)
+        .select(p.as("p"), q.as("q"))
+        .agg(count(lit(1)).as("n_langs"),
+          Num.roundp(sum(col("p") * log(col("p") / col("q"))), 6).as("kl_fwd"),
+          Num.roundp(sum(col("q") * log(col("q") / col("p"))), 6).as("kl_rev"),
+          Num.roundp(sum(abs(col("p") - col("q"))) / 2.0, 6).as("tv_dist"))
+    })
   )
 
   /** Source-weight tier: full / half / quarter keep rates. */
@@ -825,6 +846,19 @@ object Curation {
         |  floor(CAST(sum(n_chars) AS DOUBLE) * sum(n_chars)
         |    / (CAST(sum(n_chars * n_chars) AS DOUBLE) * count(*))
         |    * 1000000 + 0.5) / 1000000 AS ess_ratio
-        |FROM documents GROUP BY 1""".stripMargin
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "samp_kl_mix" ->
+      """WITH l AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total, sum(pow(n, 0.7)) AS z FROM l),
+        |pq AS (
+        |  SELECT pow(n, 0.7) / z AS p, CAST(n AS DOUBLE) / total AS q
+        |  FROM l, t)
+        |SELECT CAST(count(*) AS BIGINT) AS n_langs,
+        |  floor(sum(p * ln(p / q)) * 1000000 + 0.5) / 1000000 AS kl_fwd,
+        |  floor(sum(q * ln(q / p)) * 1000000 + 0.5) / 1000000 AS kl_rev,
+        |  floor(sum(abs(p - q)) / 2.0 * 1000000 + 0.5) / 1000000 AS tv_dist
+        |FROM pq""".stripMargin
   )
 }

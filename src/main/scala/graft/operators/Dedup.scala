@@ -142,6 +142,35 @@ object Dedup {
     // ── MinHash + LSH candidate pairs ─────────────────────────────────
     "dedup_minhash_lsh" -> ((s, dir) => lshCandidates(s, dir)),
 
+    // ── LSH band-parameter tuning: for each (bands, band_size) layout
+    // of the 6 minhashes — (3,2) the production config, (2,3) stricter,
+    // (6,1) looser — the bucket census an operator reads BEFORE running
+    // the pair join at a new threshold: candidate workload Σ C(n,2),
+    // bucket count, and the largest bucket (the skew bound on the
+    // self-join). Computed entirely from bucket SIZES — no pair is ever
+    // materialized, so tuning costs one aggregation per config over
+    // the shared memoized signatures even when the workload it predicts
+    // would be quadratic. ────────────────────────────────────────────
+    "dedup_lsh_tuning" -> ((s, dir) => {
+      val mh = minhashes(s, dir)
+      val frames = TuneConfigs.map { case (nb, bs) =>
+        val bands = (0 until nb).map { b =>
+          val key = concat((0 until bs).map(i => col(s"h${b * bs + i}")): _*)
+          struct(lit(b).as("band"), key.as("key"))
+        }
+        mh.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+          .groupBy(col("bk.band").as("band"), col("bk.key").as("key"))
+          .agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_buckets"),
+            sum(expr("n * (n - 1) div 2")).as("n_candidates"),
+            max(col("n")).as("max_bucket"))
+          .select(lit(nb).cast("long").as("n_bands"),
+            lit(bs).cast("long").as("band_size"),
+            col("n_buckets"), col("n_candidates"), col("max_bucket"))
+      }
+      frames.reduce(_ unionByName _)
+    }),
+
     // ── Content-defined chunking (the FastCDC/Rabin recipe over
     // tokens): a chunk boundary falls wherever the rolling 4-token
     // window's hash lands in a 1/16 target band (4th md5 hex digit =
@@ -425,6 +454,22 @@ object Dedup {
       s"SELECT doc_id, $b AS band, $key AS key FROM mh"
     }.mkString(" UNION ALL ")
 
+  /** Band layouts probed by dedup_lsh_tuning (bands × band_size ≤ 6). */
+  private val TuneConfigs = Seq((3, 2), (2, 3), (6, 1))
+
+  private def sqlTuneCfg(nb: Int, bs: Int): String = {
+    val bands = (0 until nb).map { b =>
+      val key = (0 until bs).map(i => s"h${b * bs + i}").mkString(" || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM mh"
+    }.mkString(" UNION ALL ")
+    s"""SELECT CAST($nb AS BIGINT) AS n_bands, CAST($bs AS BIGINT) AS band_size,
+       |  CAST(count(*) AS BIGINT) AS n_buckets,
+       |  CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_candidates,
+       |  max(n) AS max_bucket
+       |FROM (SELECT band, key, CAST(count(*) AS BIGINT) AS n
+       |      FROM ($bands) GROUP BY band, key)""".stripMargin
+  }
+
   private[operators] val sqlCandidates =
     s"""$sqlShingles,
        |mh AS (SELECT doc_id, $sqlMinhashCols FROM ex GROUP BY doc_id),
@@ -508,6 +553,13 @@ object Dedup {
     "dedup_minhash_lsh" ->
       s"""$sqlCandidates
          |SELECT a, b FROM cand""".stripMargin,
+
+    "dedup_lsh_tuning" ->
+      s"""$sqlShingles,
+         |mh AS (SELECT doc_id, $sqlMinhashCols FROM ex GROUP BY doc_id)
+         |${TuneConfigs.map { case (nb, bs) =>
+             s"SELECT * FROM (${sqlTuneCfg(nb, bs)})" }.mkString(" UNION ALL ")}
+         |""".stripMargin,
 
     "dedup_cdc_chunks" ->
       s"""WITH tk AS MATERIALIZED (

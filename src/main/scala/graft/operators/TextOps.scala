@@ -335,6 +335,52 @@ object TextOps {
           Num.roundp(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
           Num.roundp(col("n_hapax").cast("double") / col("n_types"), 6)
             .as("hapax_ratio"))
+    }),
+
+    // ── Zipf exponent of the corpus frequency spectrum: OLS of
+    // log(freq) on log(rank) — the sanity stat that flags synthetic or
+    // template-heavy corpora (natural text ≈ −1). The corpus-sized work
+    // is one map-side-combined frequency count; the regression runs
+    // over the VOCABULARY (rank window + regr_slope), so the global
+    // window is vocab-bounded, not corpus-bounded. ────────────────────
+    "text_zipf_fit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val freq = Tables(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f"))
+      val ranked = freq.withColumn("rank",
+        row_number().over(Window.orderBy(col("f").desc, col("w"))).cast("long"))
+      ranked.agg(
+        count(lit(1)).as("n_vocab"),
+        Num.roundp(regr_slope(log(col("f")), log(col("rank"))), 4).as("zipf_slope"),
+        Num.roundp(regr_r2(log(col("f")), log(col("rank"))), 4).as("zipf_r2"))
+    }),
+
+    // ── Vocabulary coverage: the smallest frequency-ranked vocabulary
+    // reaching 50 / 90 / 99 % of token mass — the stat that sizes a
+    // tokenizer or an OOV budget. Rank + cumulative sum are one
+    // vocab-sized window (integer sums, so the running fraction is the
+    // same double on both engines); each target is then a one-row
+    // aggregate. ─────────────────────────────────────────────────────
+    "tok_vocab_coverage" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val freq = Tables(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f"))
+      val ord = Window.orderBy(col("f").desc, col("w"))
+      val ranked = freq
+        .withColumn("rank", row_number().over(ord).cast("long"))
+        .withColumn("cum", sum(col("f")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = freq.agg(sum(col("f")).as("total"))
+      val cov = ranked.crossJoin(tot)
+        .withColumn("cumfrac", col("cum").cast("double") / col("total"))
+      Seq(0.5, 0.9, 0.99).map { p =>
+        cov.where(col("cumfrac") >= p)
+          .agg(min(col("rank")).as("vocab_size"),
+            Num.roundp(min_by(col("cumfrac"), col("rank")), 6).as("coverage"))
+          .select(lit(p).as("target"), col("vocab_size"), col("coverage"))
+      }.reduce(_ unionByName _)
     })
   )
 
@@ -750,6 +796,33 @@ object TextOps {
          |  floor(CAST(n_hapax AS DOUBLE) / n_types * 1000000 + 0.5) / 1000000
          |    AS hapax_ratio
          |FROM m""".stripMargin,
+
+    "text_zipf_fit" ->
+      s"""WITH freq AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+         |    SELECT unnest($sqlToks) AS w FROM documents) GROUP BY w),
+         |r AS (
+         |  SELECT f, CAST(row_number() OVER (ORDER BY f DESC, w) AS BIGINT) AS rank
+         |  FROM freq)
+         |SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+         |  floor(regr_slope(ln(f), ln(rank)) * 10000 + 0.5) / 10000 AS zipf_slope,
+         |  floor(regr_r2(ln(f), ln(rank)) * 10000 + 0.5) / 10000 AS zipf_r2
+         |FROM r""".stripMargin,
+
+    "tok_vocab_coverage" ->
+      s"""WITH freq AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+         |    SELECT unnest($sqlToks) AS w FROM documents) GROUP BY w),
+         |r AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY f DESC, w) AS BIGINT) AS rank,
+         |    CAST(sum(f) OVER (ORDER BY f DESC, w ROWS UNBOUNDED PRECEDING)
+         |      AS DOUBLE) / (SELECT sum(f) FROM freq) AS cumfrac
+         |  FROM freq),
+         |t AS (SELECT unnest([0.5, 0.9, 0.99]) AS target)
+         |SELECT t.target, min(r.rank) AS vocab_size,
+         |  floor(arg_min(r.cumfrac, r.rank) * 1000000 + 0.5) / 1000000 AS coverage
+         |FROM t JOIN r ON r.cumfrac >= t.target
+         |GROUP BY t.target""".stripMargin,
 
     "idx_bm25_negatives" ->
       s"""$sqlBm25,
