@@ -318,19 +318,20 @@ object TextOps {
     // ── Lexical diversity per doc: type-token ratio + hapax ratio
     // (tokens occurring exactly once) — the degenerate-text signals the
     // repetition filters don't see (a doc can avoid repeated n-grams yet
-    // cycle a tiny vocabulary). Expression-only per-doc work; the hapax
-    // scan is O(types·tokens) per doc, bounded by doc length — no
-    // shuffle at all, so it composes into any 100 TB scan. ───────────
+    // cycle a tiny vocabulary). One native one-pass counter expression
+    // ([[graft.plans.TokenDiversity]]) per doc — the nested-HOF
+    // formulation was interpreted O(types·tokens); no shuffle at all,
+    // so it composes into any 100 TB scan. ───────────────────────────
     "text_ttr" -> ((s, dir) => {
-      val tok = Text.tokens(col("text"))
-      val hapax = size(filter(array_distinct(col("tok")),
-        t => size(filter(col("tok"), u => u === t)) === 1))
+      val div = org.apache.spark.sql.GraftBridge.column(
+        graft.plans.TokenDiversity(org.apache.spark.sql.GraftBridge.expression(
+          Text.tokens(col("text")))))
       Tables(s, dir, "documents")
-        .select(col("doc_id"), tok.as("tok"))
+        .select(col("doc_id"), div.as("d"))
         .select(col("doc_id"),
-          size(col("tok")).cast("long").as("n_tokens"),
-          size(array_distinct(col("tok"))).cast("long").as("n_types"),
-          hapax.cast("long").as("n_hapax"))
+          col("d.n_tokens").as("n_tokens"),
+          col("d.n_types").as("n_types"),
+          col("d.n_hapax").as("n_hapax"))
         .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
           Num.roundp(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
           Num.roundp(col("n_hapax").cast("double") / col("n_types"), 6)
