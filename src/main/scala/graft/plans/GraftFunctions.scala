@@ -21,7 +21,8 @@ object GraftFunctions {
     "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))),
     "sorted_intersect_count_str" -> (es => SortedIntersectCountStr(es(0), es(1))),
     "word_shingles" -> (es => WordShingles(es(0),
-      es(1).eval().asInstanceOf[Int])))
+      es(1).eval().asInstanceOf[Int])),
+    "token_diversity" -> (es => TokenDiversity(es(0))))
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (name, builder) =>

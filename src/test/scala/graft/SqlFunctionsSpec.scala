@@ -32,6 +32,13 @@ class SqlFunctionsSpec extends SparkSuite {
       "SELECT vec_sq_dist_d(array(0.0D), array(3.0D)) AS d")
       .collect().head.getDouble(0)
     assert(sdd == 9.0)
+    val td = spark.sql(
+      "SELECT token_diversity(array('a','b','a','c','b','a')) AS d")
+      .collect().head.getStruct(0)
+    assert((td.getLong(0), td.getLong(1), td.getLong(2)) === ((6L, 3L, 1L)))
+    val tdEmpty = spark.sql("SELECT token_diversity(array()) AS d")
+      .collect().head.getStruct(0)
+    assert((tdEmpty.getLong(0), tdEmpty.getLong(1), tdEmpty.getLong(2)) === ((0L, 0L, 0L)))
   }
 
   test("sorted_intersect_count agrees with array_intersect on random sorted sets") {
