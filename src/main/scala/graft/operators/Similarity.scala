@@ -517,6 +517,48 @@ object Similarity {
           Num.roundp(sum(coalesce(col("hit"), lit(0L))) / 3.0d, 4).as("recall3"))
     }),
 
+    // ── The recall/cost CURVE: recall@3 at nprobe ∈ {1, 2, 4} in one
+    // result — the operating table an ANN deployment reads to pick its
+    // probe budget (recall must be non-decreasing in nprobe; the spec
+    // and oracle pin the whole curve, not one point). Each nprobe level
+    // reuses the same memoized assignment and brute-force truth; the
+    // probed-cells set is a map-side driver-literal expression, so the
+    // extra levels cost only their candidate joins. ──────────────────
+    "sim_ivf_recall_curve" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cents = codebook(s, dir)
+      val e = Tables(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val score = Num.roundp(Vectors.cosine(col("q_emb"), col("embedding")), 6)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+      val brute = e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), score.as("score"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3).select(col("q_id"), col("vec_id"))
+      val a = assigned(s, dir)
+      RecallCurveProbes.map { np =>
+        val probes = e.where(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            explode(IvfIndex.probeCells(cents,
+              col("embedding").cast("array<double>"), np)).as("p"))
+          .select(col("q_id"), col("q_emb"), col("p").getField("cid").as("centroid_id"))
+        val ivf = a.join(broadcast(probes), "centroid_id")
+          .where(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"), score.as("score"))
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 3)
+          .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+        brute.join(ivf, Seq("q_id", "vec_id"), "left")
+          .groupBy(col("q_id"))
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+            Num.roundp(sum(coalesce(col("hit"), lit(0L))) / 3.0d, 4).as("recall3"))
+          .select(lit(np.toLong).as("nprobe"), col("q_id"),
+            col("n_hits"), col("recall3"))
+      }.reduce(_ unionByName _)
+    }),
+
     // ── IVF+PQ search: ADC scoring over int8-reconstructed codes in
     // the 2 probed cells, shortlist top-10 by ADC cosine, exact re-rank
     // to top-3. This is the production ANN read path: the shortlist is
@@ -547,6 +589,9 @@ object Similarity {
           Num.roundp(sum(coalesce(col("hit"), lit(0L))) / 3.0d, 4).as("recall3"))
     })
   )
+
+  /** nprobe levels of the sim_ivf_recall_curve operating table. */
+  val RecallCurveProbes: Seq[Int] = Seq(1, 2, 4)
 
   /** Eval-side row bound for [[decontamEmbed]]'s broadcast. 100k × a
     * 64-dim double vector ≈ 50 MB — inside a healthy executor broadcast
@@ -1021,6 +1066,49 @@ object Similarity {
          |GROUP BY b.q_id""".stripMargin,
 
     "sim_ivf_pq_search" -> sqlPqSearch,
+
+    "sim_ivf_recall_curve" -> {
+      val perNp = RecallCurveProbes.map { np =>
+        s"""SELECT CAST($np AS BIGINT) AS nprobe, b.q_id,
+           |  CAST(sum(coalesce(h.hit, 0)) AS BIGINT) AS n_hits,
+           |  floor((sum(coalesce(h.hit, 0)) / 3.0) * 10000 + 0.5) / 10000 AS recall3
+           |FROM brute b LEFT JOIN (
+           |  SELECT q_id, vec_id, 1 AS hit FROM (
+           |    SELECT q.q_id, e.vec_id,
+           |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+           |        floor((${sqlDot("q.q_emb", "e.embedding")} / (q.nrm * e.nrm)) * 1000000 + 0.5) / 1000000 DESC,
+           |        e.vec_id) AS rk
+           |    FROM (SELECT p.q_id, e0.embedding AS q_emb, ${sqlNorm("e0.embedding")} AS nrm, p.centroid_id
+           |          FROM probes p JOIN e0 ON e0.vec_id = p.q_id
+           |          WHERE p.prk <= $np) q
+           |    JOIN n e ON q.centroid_id = e.centroid_id
+           |    WHERE e.vec_id <> q.q_id)
+           |  WHERE rk <= 3) h
+           |ON b.q_id = h.q_id AND b.vec_id = h.vec_id
+           |GROUP BY b.q_id""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $sqlCb,
+         |nall AS MATERIALIZED (
+         |  SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM e0),
+         |brute AS MATERIALIZED (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.vec_id AS q_id, e.vec_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        floor((${sqlDot("q.embedding", "e.embedding")} / (q.nrm * e.nrm)) * 1000000 + 0.5) / 1000000 DESC,
+         |        e.vec_id) AS rk
+         |    FROM nall q JOIN nall e ON q.vec_id < 5 AND e.vec_id <> q.vec_id)
+         |  WHERE rk <= 3),
+         |probes AS MATERIALIZED (
+         |  SELECT vec_id AS q_id, cid AS centroid_id, prk FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS prk
+         |    FROM celldist WHERE vec_id < 5)
+         |  WHERE prk <= ${RecallCurveProbes.max}),
+         |n AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding, a.centroid_id, ${sqlNorm("e.embedding")} AS nrm
+         |  FROM e0 e JOIN asgn a USING (vec_id))
+         |$perNp""".stripMargin
+    },
 
     "sim_ivf_pq_recall" ->
       s"""WITH nall AS MATERIALIZED (

@@ -329,6 +329,26 @@ class OperatorSpec extends SparkSuite {
     assert(cells.length > 1 && cells.length <= graft.operators.IvfIndex.K)
   }
 
+  test("recall curve is monotone non-decreasing in nprobe, per query") {
+    val rows = SparkEntry.queries("sim_ivf_recall_curve")(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("nprobe"), r.getAs[Long]("q_id"),
+        r.getAs[Long]("n_hits")))
+    val probes = graft.operators.Similarity.RecallCurveProbes.map(_.toLong)
+    assert(rows.length === probes.length * 5)
+    // Widening the probe set can only ADD candidates: per query, hits
+    // at a larger nprobe must never drop.
+    rows.groupBy(_._2).values.foreach { qrows =>
+      val byNp = qrows.sortBy(_._1).map(_._3)
+      assert(byNp.zip(byNp.tail).forall { case (a, b) => a <= b },
+        s"recall regressed along the curve: $qrows")
+    }
+    // At nprobe = K the probe set is every cell — but already at 4 the
+    // curve must strictly improve somewhere on this corpus (pinned at
+    // sf0.001: nprobe 1 total hits 5, nprobe 4 total hits 8).
+    val tot = rows.groupBy(_._1).map { case (np, rs) => np -> rs.map(_._3).sum }
+    assert(tot(probes.max) > tot(probes.min))
+  }
+
   test("m2_kmeans is deterministic across runs (seed=42)") {
     val a = SparkEntry.queries("m2_kmeans_cluster")(spark, sf001).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
