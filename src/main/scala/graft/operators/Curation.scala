@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.{Num, Text}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Round-3 corpus-curation operators — the remaining standard
@@ -497,16 +498,25 @@ object Curation {
       val alpha = 0.7
       val byLang = Tables(s, dir, "documents")
         .groupBy(col("lang")).agg(count(lit(1)).as("n"))
-      val tot = byLang.agg(sum(col("n")).as("total"),
-        sum(pow(col("n"), alpha)).as("z"))
-      val p = pow(col("n"), alpha) / col("z")
-      val q = col("n").cast("double") / col("total")
-      byLang.crossJoin(tot)
-        .select(p.as("p"), q.as("q"))
-        .agg(count(lit(1)).as("n_langs"),
-          Num.roundp(sum(col("p") * log(col("p") / col("q"))), 6).as("kl_fwd"),
-          Num.roundp(sum(col("q") * log(col("q") / col("p"))), 6).as("kl_rev"),
-          Num.roundp(sum(abs(col("p") - col("q"))) / 2.0, 6).as("tv_dist"))
+      // Every float sum here folds sequentially over the lang-sorted
+      // array: a distributed `sum` has nondeterministic partial-agg
+      // order, and a kl/tv value landing exactly on the 1e-6
+      // quantization grid could flip between runs (same flake class as
+      // the r7 foldDot fix in Similarity).
+      val packed = byLang.agg(sort_array(collect_list(
+        struct(col("lang"), col("n").cast("double").as("n")))).as("rs"))
+      def fold(f: Column => Column): Column =
+        aggregate(col("rs"), lit(0.0d), (acc, x) => acc + f(x))
+      val staged = packed.select(col("rs"),
+        fold(x => x.getField("n")).as("total"),
+        fold(x => pow(x.getField("n"), alpha)).as("z"))
+      def p(x: Column) = pow(x.getField("n"), alpha) / col("z")
+      def q(x: Column) = x.getField("n") / col("total")
+      staged.select(
+        size(col("rs")).cast("long").as("n_langs"),
+        Num.roundp(fold(x => p(x) * log(p(x) / q(x))), 6).as("kl_fwd"),
+        Num.roundp(fold(x => q(x) * log(q(x) / p(x))), 6).as("kl_rev"),
+        Num.roundp(fold(x => abs(p(x) - q(x))) / 2.0, 6).as("tv_dist"))
     })
   )
 

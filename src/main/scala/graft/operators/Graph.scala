@@ -303,7 +303,7 @@ object Graph {
         .select(col("p.a"), col("p.b"))
       val cn = wedges.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
       val cand = cn.join(e, cn("a") === e("u") && cn("b") === e("v"), "left_anti")
-      cand
+      val top = cand
         .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
         .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
         .select(col("a"), col("b"), col("cn"),
@@ -311,6 +311,11 @@ object Graph {
             (col("da") + col("db") - col("cn")), 6).as("jaccard"))
         .orderBy(col("cn").desc, col("jaccard").desc, col("a"), col("b"))
         .limit(20)
+      // Materialize the (20-row) result, then drop the cached edge
+      // blocks so they don't accumulate across a 219-query session.
+      val out = top.localCheckpoint(true)
+      e.unpersist(blocking = false)
+      out
     })
   )
 

@@ -156,6 +156,21 @@ object TextOps {
         col("doc_id"),
         array_join(slice(toks, 1, 5), " ").as("head5"))),
 
+    // ── X10 proper: first sentence — text up to and including the first
+    // Korean terminator "다.", else the first 40 chars
+    // (dags/scripts/spark_daily_report.py:180; functions/Text.scala).
+    // The synthetic corpus is Latin-script (zero "다." occurrences), so
+    // a derived with-terminator column exercises the split branch while
+    // the raw text exercises the 40-char fallback. ────────────────────
+    "x10_first_sentence" -> ((s, dir) => {
+      val withTerm = concat(substring(col("text"), 1, 30), lit("다."),
+        substring(col("text"), 31, 50))
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        Text.firstSentence(col("text")).as("first_fallback"),
+        Text.firstSentence(withTerm).as("first_term"))
+    }),
+
     // ── document fingerprint: md5 of normalized text ──────────────────
     // ── Inverted index + boolean retrieval: postings are (token →
     // doc) rows, so "docs containing ALL of {query, window}" is a
@@ -726,6 +741,18 @@ object TextOps {
     "text_first_ngram" ->
       s"""SELECT doc_id, array_to_string(tok[1:5], ' ') AS head5
          |FROM (SELECT doc_id, $sqlToks AS tok FROM documents)""".stripMargin,
+
+    "x10_first_sentence" ->
+      """SELECT doc_id,
+        |  CASE WHEN contains(text, '다.')
+        |       THEN split_part(text, '다.', 1) || '다.'
+        |       ELSE substr(text, 1, 40) END AS first_fallback,
+        |  CASE WHEN contains(t2, '다.')
+        |       THEN split_part(t2, '다.', 1) || '다.'
+        |       ELSE substr(t2, 1, 40) END AS first_term
+        |FROM (SELECT doc_id, text,
+        |        substr(text, 1, 30) || '다.' || substr(text, 31, 50) AS t2
+        |      FROM documents)""".stripMargin,
 
     "idx_inverted_and" ->
       s"""WITH p AS (

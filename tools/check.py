@@ -74,6 +74,11 @@ def main():
         errors = json.load(open(f"{out}/_errors.json"))
     except FileNotFoundError:
         errors = {}
+    except json.JSONDecodeError as e:
+        # A truncated/corrupt errors file (Verify killed mid-write) is
+        # itself a gate failure, not a crash.
+        print(f"FAIL _errors.json: corrupt ({e})"); n_bad += 1
+        errors = {}
     for name in sorted(set(errors) - missing):
         print(f"FAIL {name}: verify threw: {errors[name][:200]}"); n_bad += 1
     print(f"\n{n_ok} OK, {n_bad} FAIL, {len(spark_dirs) - n_ok - n_bad} rows-only")
