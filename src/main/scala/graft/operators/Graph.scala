@@ -311,11 +311,15 @@ object Graph {
             (col("da") + col("db") - col("cn")), 6).as("jaccard"))
         .orderBy(col("cn").desc, col("jaccard").desc, col("a"), col("b"))
         .limit(20)
-      // Materialize the (20-row) result, then drop the cached edge
-      // blocks so they don't accumulate across a 219-query session.
-      val out = top.localCheckpoint(true)
+      // Materialize the (20-row) result via the TakeOrderedAndProject
+      // driver-side top-k (a localCheckpoint here re-executes through
+      // the .rdd path and loses that fast path — measured 9.1 s vs
+      // 4.8 s), then drop the cached edge blocks so they don't
+      // accumulate across a 219-query session. The collect is bounded
+      // by the LIMIT 20.
+      val rows = top.collect().toSeq
       e.unpersist(blocking = false)
-      out
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), top.schema)
     })
   )
 

@@ -7,14 +7,16 @@ import org.apache.spark.sql.functions._
   * opaque `binary` column with typed metadata; decode / feature-extract
   * / frame-sample run as partition-local batch transforms.
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * environment): [[StubDecoder]] produces a deterministic byte-histogram
-  * "feature vector". Everything around it — the schema, the
-  * `mapPartitions` batching (decoder initialized once per partition,
-  * rows streamed through), the fixed feature width, the partition-count
-  * preservation — is the real Spark-side contract a production decoder
-  * plugs into, mirroring how a Python pipeline would use
-  * `mapInPandas` with one model per batch.
+  * Two decoders ride the same per-partition seam: [[PngDecoder]] is a
+  * REAL image decode (javax.imageio, in the JDK — PNG bytes to pixel
+  * statistics, DuckDB-oracled via closed-form pixel values), and
+  * [[StubDecoder]] is the deterministic byte-histogram stand-in for
+  * codecs the JDK lacks (audio/video). Everything around them — the
+  * schema, the `mapPartitions` batching (decoder initialized once per
+  * partition, rows streamed through), the fixed feature width, the
+  * partition-count preservation — is the Spark-side contract a
+  * production decoder plugs into, mirroring how a Python pipeline would
+  * use `mapInPandas` with one model per batch.
   */
 object Multimodal {
 
@@ -43,6 +45,63 @@ object Multimodal {
     }
   }
 
+  /** REAL JDK decoder (javax.imageio, ships in the JDK — no external
+    * codec libs needed): PNG bytes → BufferedImage → per-channel pixel
+    * sums. Returns [width, height, sumR, sumG, sumB]; channel sums of an
+    * 8×8 image are ≤ 64·255, exact in Float. */
+  class PngDecoder extends MediaDecoder {
+    def decode(bytes: Array[Byte]): Array[Float] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val w = img.getWidth; val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      Array(w.toFloat, h.toFloat, sr.toFloat, sg.toFloat, sb.toFloat)
+    }
+  }
+
+  /** Deterministic 8×8 RGB PNG for `id`: every channel is a closed-form
+    * function of (id, x, y), so a DuckDB oracle reproduces the DECODED
+    * pixel statistics arithmetically, with no codec on the oracle side —
+    * a hash match proves the ImageIO encode→decode round-trip carries
+    * real pixels through the mapPartitions seam (PNG is lossless). */
+  def pngBytes(id: Long, w: Int = 8, h: Int = 8): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((id * 17 + x * 11 + y * 3) % 256).toInt
+        val b = ((id * 7 + x * 5 + y * 19) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** PNG media table: one deterministic image per document id,
+    * encoded executor-side. */
+  def syntheticPngMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, pngBytes(id), "image/png", 8, 8))
+  }
+
   /** Synthesize a media table from `documents` (UTF-8 bytes as fake
     * payloads) — exercises the binary-column plumbing end-to-end with
     * deterministic content. */
@@ -65,18 +124,30 @@ object Multimodal {
     }
   }
 
-  /** Inventory entry (rows-only: the stub decoder has no SQL
-    * equivalent): binary payloads → per-partition feature extraction →
-    * scalar profile per media item. */
+  /** Inventory entries. The former `mm_feature_stub` rows-only entry is
+    * retired: `mm_decode_png` exercises the identical decoder seam
+    * with a REAL codec and a full hash oracle (StubDecoder itself stays,
+    * spec-covered, as the contract demo for codecs the JDK lacks). */
   val queries: Map[String, Relational.Q] = Map(
-    "mm_feature_stub" -> ((s, dir) => {
+    // ── REAL image decode (r7 verdict #4): synthesize deterministic
+    // PNGs, decode actual pixels via javax.imageio in the same
+    // per-partition decoder seam as the stub, and emit per-channel
+    // means. The oracle computes the same statistics from the pixel
+    // formula — a hash match certifies the decode path end-to-end. ────
+    "mm_decode_png" -> ((s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.functions._
-      val feats = extractFeatures(syntheticMedia(s, dir).as[MediaRow]).toDF()
-      feats.select(col("media_id"), col("mime"), col("n_bytes").cast("long").as("n_bytes"),
-        size(col("features")).cast("long").as("n_features"),
-        graft.functions.Num.roundp(aggregate(col("features"),
-          lit(0.0d), (acc, x) => acc + x.cast("double")), 4).as("feat_l1"))
+      val feats = extractFeatures(syntheticPngMedia(s, dir),
+        () => new PngDecoder()).toDF()
+      // features = [w, h, sumR, sumG, sumB]; n = w·h = 64 (dyadic), so
+      // sum/n is exact in double and safe on the 1e-4 rounding grid.
+      val n = (element_at(col("features"), 1) *
+        element_at(col("features"), 2)).cast("double")
+      def mean(i: Int, name: String) = graft.functions.Num.roundp(
+        element_at(col("features"), i).cast("double") / n, 4).as(name)
+      feats.select(col("media_id"),
+        element_at(col("features"), 1).cast("long").as("width"),
+        element_at(col("features"), 2).cast("long").as("height"),
+        mean(3, "mean_r"), mean(4, "mean_g"), mean(5, "mean_b"))
     }),
 
     // ── frame-sample profile: every-4th 16-byte chunk of each payload,
@@ -92,6 +163,18 @@ object Multimodal {
     }))
 
   val oracles: Map[String, String] = Map(
+    "mm_decode_png" ->
+      """WITH px AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(i % 8 AS BIGINT) AS x, CAST(i // 8 AS BIGINT) AS y
+        |  FROM documents, range(64) t(i))
+        |SELECT media_id,
+        |  CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        |  floor(avg((media_id * 31 + x * 7 + y * 13) % 256) * 10000 + 0.5) / 10000 AS mean_r,
+        |  floor(avg((media_id * 17 + x * 11 + y * 3) % 256) * 10000 + 0.5) / 10000 AS mean_g,
+        |  floor(avg((media_id * 7 + x * 5 + y * 19) % 256) * 10000 + 0.5) / 10000 AS mean_b
+        |FROM px GROUP BY media_id""".stripMargin,
+
     "mm_chunk_stats" ->
       """WITH m AS (SELECT doc_id AS media_id, text, len(text) AS n FROM documents)
         |SELECT media_id,

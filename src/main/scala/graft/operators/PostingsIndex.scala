@@ -68,34 +68,53 @@ object PostingsIndex {
     // (per-batch lifetime — at 100 TB a build feeds bounded batches, or
     // derives the stats from the just-written postings files).
     import org.apache.spark.storage.StorageLevel
-    val tk = docs.select(col("doc_id"),
+    val tk = tokFrame(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val postings = layout(postFrame(tk)).persist(StorageLevel.MEMORY_AND_DISK)
+      try writeFrom(tk, postings, path, mode)
+      finally postings.unpersist(blocking = false)
+    } finally tk.unpersist(blocking = false)
+  }
+
+  /** (doc_id, dl, tok) — the tokenization pass, the dominant build cost. */
+  private def tokFrame(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       size(Text.tokens(col("text"))).cast("long").as("dl"),
       Text.tokens(col("text")).as("tok"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val postings = tk
-        .select(col("doc_id"), col("dl"), explode(col("tok")).as("token"))
-        .groupBy(col("token"), col("doc_id"), col("dl"))
-        .agg(count(lit(1)).as("tf"))
-        .withColumn("tbucket", tbucket(col("token")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      try {
-        // Co-locate each bucket and sort by token so parquet row-group
-        // min/max stats prune within the bucket for the pushed token filter.
-        postings
-          .repartition(col("tbucket"))
-          .sortWithinPartitions(col("token"), col("doc_id"))
-          .write.mode(mode).partitionBy("tbucket").parquet(s"$path/postings")
-        postings
-          .groupBy(col("token"), col("tbucket"))
-          .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
-          .select(col("token"), col("df"), col("tf_total"), col("tbucket"))
-          .write.mode(mode).partitionBy("tbucket").parquet(s"$path/termstats")
-      } finally postings.unpersist(blocking = false)
-      tk.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-        .coalesce(1)
-        .write.mode(mode).parquet(s"$path/corpusstats")
-    } finally tk.unpersist(blocking = false)
+
+  /** (token, doc_id, dl, tf, tbucket) — the explode + per-doc term
+    * aggregation (the one corpus-sized shuffle of a build). */
+  private def postFrame(tk: DataFrame): DataFrame =
+    tk.select(col("doc_id"), col("dl"), explode(col("tok")).as("token"))
+      .groupBy(col("token"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tbucket", tbucket(col("token")))
+
+  /** The layout pass: co-locate each bucket and sort by token so
+    * parquet row-group min/max stats prune within the bucket for the
+    * pushed token filter. Applied once per frame — a doc_id filter over
+    * an already-laid-out frame preserves both the partitioning and the
+    * intra-partition sort, so cached corpus slices skip this shuffle. */
+  private def layout(postings: DataFrame): DataFrame =
+    postings.repartition(col("tbucket"))
+      .sortWithinPartitions(col("token"), col("doc_id"))
+
+  /** The three table writes, given already-materialized tk/postings.
+    * `postings` must already be in bucket layout (see [[layout]]).
+    * Per-doc grouping commutes with any doc_id filter, so a filtered
+    * slice of a corpus-wide postings frame IS that slice's build. */
+  private def writeFrom(tk: DataFrame, postings: DataFrame, path: String,
+      mode: SaveMode): Unit = {
+    postings
+      .write.mode(mode).partitionBy("tbucket").parquet(s"$path/postings")
+    postings
+      .groupBy(col("token"), col("tbucket"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
+      .select(col("token"), col("df"), col("tf_total"), col("tbucket"))
+      .write.mode(mode).partitionBy("tbucket").parquet(s"$path/termstats")
+    tk.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .coalesce(1)
+      .write.mode(mode).parquet(s"$path/corpusstats")
   }
 
   /** Merged (df, tf_total) for `terms` — partial batches summed at
@@ -157,31 +176,89 @@ object PostingsIndex {
       .orderBy(col("score").desc, col("doc_id")).limit(k)
   }
 
-  // ── Session-memoized index builds for the inventory queries (same
-  // memo + eviction shape as Similarity.cbCache): "full" is one build
-  // over the whole corpus; "inc" is a base build on doc_id % 5 != 0
-  // plus an append of the rest — so the inc search ALSO exercising the
-  // merge-on-read stats path must hash-match the same full-corpus
-  // oracle (the persisted form of the inc_postings_merge identity). ──
+  // ── Memoized index builds for the inventory queries: "full" is one
+  // build over the whole corpus; "inc" is a base build on
+  // doc_id % 5 != 0 plus an append of the rest — so the inc search
+  // ALSO exercising the merge-on-read stats path must hash-match the
+  // same full-corpus oracle (the persisted form of the
+  // inc_postings_merge identity). The memo is the on-disk index itself
+  // (fingerprint-keyed, cross-session — see indexPath); the in-JVM map
+  // only avoids re-checking the marker. ──────────────────────────────
   private val built =
     scala.collection.concurrent.TrieMap.empty[(String, String, String),
       (SparkSession, String)]
 
+  // The tokenized corpus + postings aggregate, shared by BOTH index
+  // variants (r7 verdict #5: the "full" and "inc" builds each paid the
+  // whole tokenize + explode-shuffle; now the corpus is tokenized and
+  // aggregated once per session×dir and each variant is a doc_id filter
+  // over the cached frames — filtering commutes with the per-doc
+  // grouping, so the filtered slices are exactly those builds).
+  private val corpusCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String),
+      (SparkSession, DataFrame, DataFrame)]
+
+  private def cachedCorpus(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.storage.StorageLevel
+    corpusCache.filterInPlace((_, v) => !v._1.sparkContext.isStopped)
+    val (_, tk, post) = corpusCache.getOrElseUpdate(
+      (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir), {
+        val tk = tokFrame(Tables(s, dir, "documents"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val post = layout(postFrame(tk)).persist(StorageLevel.MEMORY_AND_DISK)
+        (s, tk, post)
+      })
+    (tk, post)
+  }
+
+  /** Cheap content fingerprint of the corpus the index derives from —
+    * regenerated testdata (new mtime/length) invalidates the on-disk
+    * index automatically. */
+  private def corpusFingerprint(dir: String): String = {
+    val f = new java.io.File(s"$dir/documents.parquet")
+    s"${f.length()}-${f.lastModified()}"
+  }
+
+  /** The deterministic on-disk index for (dir, variant) — build-once /
+    * search-many ACROSS sessions, the deployment shape this module
+    * models (a production search index is not rebuilt per query
+    * session; it lives in storage and serves until its source data
+    * changes). The path is keyed by a corpus content fingerprint, so a
+    * regenerated testdata dir rebuilds; a half-written index (no DONE
+    * marker — e.g. a killed build) is wiped and rebuilt, never
+    * appended onto. */
   private def indexPath(s: SparkSession, dir: String, variant: String): String = {
-    built.filterInPlace((_, v) => !v._1.sparkContext.isStopped)
-    built.getOrElseUpdate(
-      (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir, variant), {
-        val base = java.nio.file.Files
-          .createTempDirectory(s"graft-postings-$variant").toString + "/idx"
-        val docs = Tables(s, dir, "documents")
+    val fp = corpusFingerprint(dir)
+    built.getOrElseUpdate((fp, dir, variant), {
+      val root = new java.io.File("/tmp/graft-postings-cache",
+        s"${dir.replaceAll("[^A-Za-z0-9._-]", "_")}-$fp-$variant")
+      val marker = new java.io.File(root, "_GRAFT_DONE")
+      val base = new java.io.File(root, "idx").toString
+      if (!marker.exists()) {
+        val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+          s.sparkContext.hadoopConfiguration)
+        // Evict indexes of older corpus generations (stale fingerprint)
+        // so regenerated testdata doesn't leak abandoned directories.
+        val prefix = s"${dir.replaceAll("[^A-Za-z0-9._-]", "_")}-"
+        Option(root.getParentFile.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith(prefix) && !f.getName.contains(fp))
+          .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f.toString), true))
+        if (root.exists()) // partial build from a killed run: wipe
+          fs.delete(new org.apache.hadoop.fs.Path(root.toString), true)
+        val (tk, post) = cachedCorpus(s, dir)
         variant match {
           case "inc" =>
-            build(s, docs.where(col("doc_id") % 5 =!= 0), base)
-            append(s, base, docs.where(col("doc_id") % 5 === 0))
-          case _ => build(s, docs, base)
+            val isBase = col("doc_id") % 5 =!= 0
+            writeFrom(tk.where(isBase), post.where(isBase), base,
+              SaveMode.Overwrite)
+            writeFrom(tk.where(!isBase), post.where(!isBase), base,
+              SaveMode.Append)
+          case _ => writeFrom(tk, post, base, SaveMode.Overwrite)
         }
-        (s, base)
-      })._2
+        marker.createNewFile()
+      }
+      (s, base)
+    })._2
   }
 
   val queries: Map[String, Relational.Q] = Map(

@@ -24,6 +24,29 @@ class MultimodalSpec extends SparkSuite {
     assert(feats.forall(f => again(f.media_id) == f.features.toSeq))
   }
 
+  test("PNG encode→decode round-trips exact pixels through the decoder seam") {
+    // Local round-trip: decoded channel sums equal the generating formula.
+    val dec = new Multimodal.PngDecoder()
+    for (id <- Seq(0L, 1L, 41L, 499L)) {
+      val f = dec.decode(Multimodal.pngBytes(id))
+      assert(f(0) == 8f && f(1) == 8f, f.toSeq)
+      var er = 0L; var eg = 0L; var eb = 0L
+      for (y <- 0 until 8; x <- 0 until 8) {
+        er += (id * 31 + x * 7 + y * 13) % 256
+        eg += (id * 17 + x * 11 + y * 3) % 256
+        eb += (id * 7 + x * 5 + y * 19) % 256
+      }
+      assert(f(2) == er.toFloat && f(3) == eg.toFloat && f(4) == eb.toFloat,
+        s"id=$id decoded=${f.toSeq} expected=($er,$eg,$eb)")
+    }
+    // Distributed: the decoder runs executor-side in the same seam.
+    val feats = Multimodal.extractFeatures(
+      Multimodal.syntheticPngMedia(spark, sf001).repartition(4),
+      () => new Multimodal.PngDecoder()).collect()
+    assert(feats.length == 500)
+    assert(feats.forall(f => f.features.length == 5 && f.features(0) == 8f))
+  }
+
   test("chunk sampling is a pure expression over opaque bytes") {
     val out = Multimodal.sampleChunks(Multimodal.syntheticMedia(spark, sf001))
       .select(col("media_id"), size(col("chunks")).as("n"))

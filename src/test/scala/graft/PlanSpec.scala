@@ -96,9 +96,30 @@ class PlanSpec extends SparkSuite {
   }
 
   test("Q5 pushes the region predicate into the scan") {
-    val plan = formatted(SparkEntry.queries("sql_q5_region_revenue")(spark, sf001))
+    val df = SparkEntry.queries("sql_q5_region_revenue")(spark, sf001)
+    val plan = formatted(df)
     assert(plan.contains("EqualTo(r_name,ASIA)"), plan)
-    assert(plan.contains("BroadcastHashJoin"), plan)
+    val phys = physical(df)
+    // region, nation, supplier, customer are all fixed-or-small dims:
+    // every one of them must meet the fact chain as a broadcast — an
+    // AQE flip to SortMergeJoin here re-shuffles the fact at scale
+    // (r7 perf-weak pin).
+    assert(phys.contains("BroadcastHashJoin"), phys)
+    assert("BroadcastHashJoin".r.findAllIn(phys).size >= 3, phys)
+  }
+
+  test("Q3 pushes both dimension filters into the scans and broadcasts customer") {
+    val df = SparkEntry.queries("sql_q3_shipping")(spark, sf001)
+    val plan = formatted(df)
+    // segment filter reaches the customer scan; date filter reaches the
+    // orders scan — neither survives as a post-join filter
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"), plan)
+    assert(plan.contains("LessThan(o_orderdate"), plan)
+    val phys = physical(df)
+    // the filtered customer dim is broadcast (r7 perf-weak pin), and
+    // the final top-10 is TakeOrderedAndProject, not sort-the-world
+    assert(phys.contains("BroadcastHashJoin"), phys)
+    assert(phys.contains("TakeOrderedAndProject"), phys)
   }
 
   test("tfidf top-3 per doc uses WindowGroupLimit, not full sort+filter") {
