@@ -199,7 +199,8 @@ object Graph {
     * only |E| rows carrying arrays bounded by the orientation's
     * outdeg ≤ √(2|E|) cap, which is what makes the FULL census run in
     * seconds — no sampling. The intersect stays inside codegen. */
-  def triangleStats(edges: DataFrame): DataFrame = {
+  def triangleStats(edges: DataFrame,
+      broadcastMaxEdges: Long = TriBroadcastMaxEdges): DataFrame = {
     val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.select(col("u").as("node"))
       .union(e.select(col("v").as("node")))
@@ -216,33 +217,48 @@ object Graph {
       when(lower, col("v")).otherwise(col("u")).as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val edgeCount = oriented.count()
-    // No persist on adj: the two joins below reference the identical
-    // aggregate plan, which Catalyst dedups via ReusedExchange — one
-    // computation, no session-lifetime cache entry.
-    val adj = oriented.groupBy(col("src"))
+    val adj0 = oriented.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-    // Join geometry: the src-side join is already co-partitioned (adj
-    // is a groupBy(src) over the same hash), so it shuffles nothing
-    // extra — leave it a shuffle join. The dst-side join is the
-    // expensive one: it would re-shuffle every edge row WITH its
-    // src-side neighbor array attached (|E|·avg-deg longs). The
-    // adjacency table is node-sized, so below the ceiling broadcast
-    // that side only; above it the plan degrades to a co-partitioned
-    // shuffle join, mirroring pageRank's switch.
-    val hintDst: DataFrame => DataFrame =
-      if (edgeCount <= TriBroadcastMaxEdges) broadcast _ else identity _
-    // Inner joins are lossless here: src always has an adjacency row
-    // (it owns ≥1 out-edge), and a dst with no out-edges contributes
-    // zero to the sum anyway.
+    // Inner joins are lossless in both branches: src always has an
+    // adjacency row (it owns ≥1 out-edge), and a dst with no out-edges
+    // contributes zero to the sum anyway.
     // Per-edge kernel: |N⁺(a) ∩ N⁺(b)| by the codegen'd two-pointer
     // merge over the sorted arrays (array_intersect hash-builds per
     // row — millions of allocations per census).
-    val tri = oriented
-      .join(adj.select(col("src"), col("nbrs").as("na")), "src")
-      .join(hintDst(adj.select(col("src").as("dst"), col("nbrs").as("nb"))), "dst")
+    def census(withNa: DataFrame) = withNa
       .agg(coalesce(sum(
           graft.functions.Vectors.sortedIntersectCount(col("na"), col("nb"))), lit(0L))
         .cast("long").as("n_triangles"))
+    val tri =
+      if (edgeCount <= broadcastMaxEdges) {
+        // Small-graph plan: the src-side join is already co-partitioned
+        // (adj is a groupBy(src) over the same hash) so it shuffles
+        // nothing extra; the node-sized adjacency broadcasts into the
+        // dst side, so no edge row ever re-shuffles with its array
+        // attached.
+        census(oriented
+          .join(adj0.select(col("src"), col("nbrs").as("na")), "src")
+          .join(broadcast(adj0.select(col("src").as("dst"), col("nbrs").as("nb"))), "dst"))
+      } else {
+        // Above the ceiling the adjacency can't broadcast and one of
+        // the two arrays must ride a shuffle — O(wedge-volume), the
+        // MapReduce census bound. Order the joins to ship the CHEAPER
+        // side: degree orientation points edges at the (deg, id)-larger
+        // endpoint, so dst nodes are the high-degree ones with the
+        // SMALL out-lists — Σ|N⁺(dst)| = Σ indeg·outdeg is measured
+        // ~0.6× of Σ|N⁺(src)| = Σ outdeg² on the co-purchase graph.
+        // Attach nb (dst side) first, then join on src, where the
+        // persisted adjacency's groupBy(src) partitioning is reused —
+        // the heavy na arrays attach at their home partitions and
+        // never move. adj persists (not ReusedExchange) because the
+        // two references differ by join key, and the second must
+        // report its outputPartitioning to skip the exchange.
+        val adj = adj0.persist(StorageLevel.MEMORY_AND_DISK)
+        adj.count()
+        census(oriented
+          .join(adj.select(col("src").as("dst"), col("nbrs").as("nb")), "dst")
+          .join(adj.select(col("src"), col("nbrs").as("na")), "src"))
+      }
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
     val nEdges = e.agg(count(lit(1)).as("n_edges"))
     val wedges = deg.agg(sum(expr("deg * (deg - 1) DIV 2")).as("n_wedges"))

@@ -54,6 +54,19 @@ class GraphSpec extends SparkSuite {
     assert(edges <= Graph.coPurchaseEdges(spark, sf001).count())
   }
 
+  test("triangle shuffle path (above the edge ceiling) equals the broadcast path") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("u", "v")
+    def row(df: org.apache.spark.sql.DataFrame) =
+      df.collect()(0).toSeq
+    assert(row(Graph.triangleStats(k4, broadcastMaxEdges = 0L)) ===
+      row(Graph.triangleStats(k4)))
+    // and on the real co-purchase graph
+    val edges = Graph.coPurchaseEdges(spark, sf001)
+    assert(row(Graph.triangleStats(edges, broadcastMaxEdges = 0L)) ===
+      row(Graph.triangleStats(edges)))
+  }
+
   test("pageRank switches broadcast → shuffle join above the node ceiling") {
     val edges = Seq(("a", "c"), ("b", "c"), ("c", "d")).toDF("src", "dst")
     // Force a deterministic physical choice: with auto-broadcast off,

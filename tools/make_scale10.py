@@ -23,10 +23,22 @@ Usage: python3 tools/make_scale10.py [src_sf_dir] [out_dir]
 import sys, shutil, os
 import duckdb
 
-SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf0.1_x10"
+ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
+SRC = ARGS[0] if len(ARGS) > 0 else "/root/testdata/sf0.1"
+OUT = ARGS[1] if len(ARGS) > 1 else "/tmp/sf0.1_x10"
 REPS = 10
-OFF = 1_000_000
+# Offset must exceed the max id in SRC. Composing two passes for a 100x
+# corpus needs a larger second-pass offset (first-pass ids reach
+# 9 * OFF + n): e.g. pass 1 with 1_000_000, pass 2 with 100_000_000.
+OFF = int(ARGS[2]) if len(ARGS) > 2 else 1_000_000
+# --tpch additionally replicates orders/lineitem/supplier/part into
+# disjoint key universes (keys offset per replica, matching the
+# replicated customer keys) so the trade-graph queries (graph_pagerank,
+# graph_triangles — customer/supplier and co-purchase edges from
+# orders x lineitem) scale linearly in replicas, same
+# structure-isomorphic construction as documents. Default keeps the
+# r5-established method (TPC-H facts copied as-is) for comparability.
+TPCH = "--tpch" in sys.argv
 
 os.makedirs(OUT, exist_ok=True)
 con = duckdb.connect()
@@ -74,8 +86,27 @@ for k in range(REPS):
       FROM '{SRC}/customer.parquet'""")
 con.execute(f"COPY ({' UNION ALL '.join(parts)}) TO '{OUT}/customer.parquet' (FORMAT PARQUET)")
 
-for t in ["region", "nation", "supplier", "part", "orders", "lineitem"]:
-    shutil.copy(f"{SRC}/{t}.parquet", f"{OUT}/{t}.parquet")
+if TPCH:
+    # Disjoint TPC-H universes per replica: offset every key that joins
+    # another replicated table. nation/region keys are NOT offset, so
+    # those dims stay shared (copied as-is below).
+    repl = {
+        "orders": "o_orderkey + {o} AS o_orderkey, o_custkey + {o} AS o_custkey",
+        "lineitem": ("l_orderkey + {o} AS l_orderkey, "
+                     "l_partkey + {o} AS l_partkey, "
+                     "l_suppkey + {o} AS l_suppkey"),
+        "supplier": "s_suppkey + {o} AS s_suppkey",
+        "part": "p_partkey + {o} AS p_partkey",
+    }
+    for t, cols in repl.items():
+        parts = [f"SELECT * REPLACE ({cols.format(o=k * OFF)}) FROM '{SRC}/{t}.parquet'"
+                 for k in range(REPS)]
+        con.execute(f"COPY ({' UNION ALL '.join(parts)}) TO '{OUT}/{t}.parquet' (FORMAT PARQUET)")
+    for t in ["region", "nation"]:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{OUT}/{t}.parquet")
+else:
+    for t in ["region", "nation", "supplier", "part", "orders", "lineitem"]:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{OUT}/{t}.parquet")
 
 for t in ["documents", "embeddings", "events", "customer"]:
     n = con.execute(f"SELECT count(*) FROM '{OUT}/{t}.parquet'").fetchone()[0]
