@@ -7,11 +7,22 @@ import org.apache.spark.sql.functions._
 
 /** Persisted IVF index — the build-once / search-many deployment shape
   * of the `sim_ivf_*` inventory queries (SURVEY.md north-star
-  * similarity surface). The index is two parquet tables:
+  * similarity surface). The index is a VERSIONED directory of paired
+  * parquet tables plus a pointer file:
   *
-  *   <path>/centroids    centroid_id, c_emb (double[], the codebook)
-  *   <path>/assignments  vec_id, embedding, centroid_id   (bucketed
-  *                       data co-located by cell)
+  *   <path>/CURRENT           the live generation number N (text)
+  *   <path>/v<N>/centroids    centroid_id, c_emb (double[], codebook)
+  *   <path>/v<N>/assignments  vec_id, embedding, centroid_id (bucketed
+  *                            data co-located by cell)
+  *
+  * Codebook and assignments version TOGETHER: an assignment is only
+  * meaningful against the codebook that produced it, so a generation
+  * is the atomic unit. A retrain writes the next generation beside the
+  * live one and swaps CURRENT afterwards — a reader that resolved the
+  * pointer before the swap keeps a complete, immutable generation for
+  * its whole query (no read-own-write window). Generations older than
+  * the immediately previous one are pruned after a swap: in-flight
+  * readers span at most one retrain horizon.
   *
   * The codebook is **fixed-size** (K centroids, independent of corpus
   * size): K vectors sampled deterministically (smallest
@@ -117,25 +128,86 @@ object IvfIndex {
     cents
   }
 
-  /** Build and persist the index: train the codebook (or accept a
-    * pre-trained one — the incremental-maintenance path keeps the
-    * original codebook across appends), assign map-side, write
-    * partitioned by cell. */
+  // ---- generation pointer ------------------------------------------------
+
+  private def hfs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The live generation number, if the index exists. */
+  def currentVersion(spark: SparkSession, path: String): Option[Int] = {
+    val f = hfs(spark, path)
+    val cur = new org.apache.hadoop.fs.Path(s"$path/CURRENT")
+    if (!f.exists(cur)) None
+    else {
+      val in = f.open(cur)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+      finally in.close()
+    }
+  }
+
+  /** Directory of the live generation. Resolve ONCE per operation and
+    * read both tables from the resolved dir — that is what makes a
+    * concurrent retrain invisible to an in-flight reader. */
+  def currentDir(spark: SparkSession, path: String): String =
+    currentVersion(spark, path).map(n => s"$path/v$n").getOrElse(path)
+
+  /** Point CURRENT at generation `n`: write to a temp name, then
+    * delete+rename into place. On HDFS/local-FS rename is atomic; an
+    * object-store deployment would use a conditional put — the swap is
+    * the single mutation point either way. */
+  private def writePointer(spark: SparkSession, path: String, n: Int): Unit = {
+    val f = hfs(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.CURRENT.tmp")
+    val cur = new org.apache.hadoop.fs.Path(s"$path/CURRENT")
+    val out = f.create(tmp, true)
+    try out.write(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    f.delete(cur, false)
+    if (!f.rename(tmp, cur))
+      throw new java.io.IOException(s"pointer swap failed for $path -> v$n")
+  }
+
+  /** Drop generations older than the previous one (current and
+    * current−1 stay: in-flight readers hold at most one horizon). */
+  private def pruneVersions(spark: SparkSession, path: String, live: Int): Unit = {
+    val f = hfs(spark, path)
+    (1 until live - 1).foreach { n =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$path/v$n"), true)
+    }
+  }
+
+  // ---- build / append / retrain ------------------------------------------
+
+  /** Build and persist the index as the NEXT generation (train the
+    * codebook, or accept a pre-trained one — the incremental-
+    * maintenance path keeps the original codebook across appends),
+    * assign map-side, write partitioned by cell, then swap CURRENT. */
   def build(spark: SparkSession, corpus: DataFrame, path: String,
       codebook: Option[Seq[(Long, Array[Double])]] = None): Unit = {
     val cents = codebook.getOrElse(trainCodebook(corpus))
-    writeCodebook(spark, cents, path)
-    assignAndWrite(corpus, cents, path, SaveMode.Overwrite)
+    val next = currentVersion(spark, path).getOrElse(0) + 1
+    val dir = s"$path/v$next"
+    writeCodebook(spark, cents, dir)
+    assignAndWrite(corpus, cents, dir, SaveMode.Overwrite)
+    writePointer(spark, path, next)
+    pruneVersions(spark, path, next)
   }
 
   /** Incremental maintenance: assign new vectors to the EXISTING
-    * codebook and append to the bucketed assignments table — the
-    * continuous-ingest shape (reference: collect/ollama_consumer.py:
-    * 336-359 re-embeds each arriving batch). Because assignment is a
-    * deterministic function of (codebook, vector), append-then-search
-    * equals a fresh build over the union with the same codebook. */
-  def append(spark: SparkSession, path: String, newVectors: DataFrame): Unit =
-    assignAndWrite(newVectors, readCodebook(spark, path), path, SaveMode.Append)
+    * codebook and append to the live generation's bucketed assignments
+    * table — the continuous-ingest shape (reference:
+    * collect/ollama_consumer.py:336-359 re-embeds each arriving
+    * batch). Appends mutate the live generation in place (parquet
+    * append adds files, never rewrites), which is safe for readers;
+    * only a retrain needs the new-generation isolation. Because
+    * assignment is a deterministic function of (codebook, vector),
+    * append-then-search equals a fresh build over the union with the
+    * same codebook. */
+  def append(spark: SparkSession, path: String, newVectors: DataFrame): Unit = {
+    val dir = currentDir(spark, path)
+    assignAndWrite(newVectors, readCodebookDir(spark, dir), dir, SaveMode.Append)
+  }
 
   /** Cell-size skew (max / median over non-empty cells) above which
     * [[appendOrRetrain]] retrains: a codebook frozen at build time
@@ -155,51 +227,55 @@ object IvfIndex {
     * index is IDENTICAL to a fresh build over the union — spec-pinned.
     * The skew probe is one count-by-cell aggregation (K rows); the
     * retrain pays one full reassignment pass, amortized over the drift
-    * horizon. A production deployment writes the reassignment as a new
-    * index VERSION directory and swaps a pointer; here the union is
-    * materialized (localCheckpoint) before the in-place overwrite to
-    * cut the read-own-write hazard. */
+    * horizon. The retrain reads the live generation and writes the
+    * NEXT one (build() swaps the pointer at the end), so there is no
+    * read-own-write hazard and a reader that resolved the old pointer
+    * is untouched — no driver-side materialization needed. */
   def appendOrRetrain(spark: SparkSession, path: String,
       newVectors: DataFrame): Boolean = {
     append(spark, path, newVectors)
-    val sizes = spark.read.parquet(s"$path/assignments")
+    val dir = currentDir(spark, path)
+    val sizes = spark.read.parquet(s"$dir/assignments")
       .groupBy(col("centroid_id")).count()
       .collect().map(_.getAs[Long]("count")).sorted
     val median = sizes(sizes.length / 2)
     if (sizes.last <= SkewRetrainRatio * median) false
     else {
-      val all = spark.read.parquet(s"$path/assignments")
+      val all = spark.read.parquet(s"$dir/assignments")
         .select(col("vec_id"), col("embedding"))
-        .localCheckpoint(true)
       build(spark, all, path)
       true
     }
   }
 
   def readCodebook(spark: SparkSession, path: String): Seq[(Long, Array[Double])] =
-    spark.read.parquet(s"$path/centroids").collect()
+    readCodebookDir(spark, currentDir(spark, path))
+
+  private def readCodebookDir(spark: SparkSession,
+      dir: String): Seq[(Long, Array[Double])] =
+    spark.read.parquet(s"$dir/centroids").collect()
       .map(r => r.getAs[Long]("centroid_id") ->
         r.getAs[scala.collection.Seq[Double]]("c_emb").toArray)
       .sortBy(_._1).toSeq
 
   private def writeCodebook(spark: SparkSession,
-      cents: Seq[(Long, Array[Double])], path: String): Unit = {
+      cents: Seq[(Long, Array[Double])], dir: String): Unit = {
     import spark.implicits._
     cents.map { case (cid, c) => (cid, c.toSeq) }
       .toDF("centroid_id", "c_emb")
       .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
   }
 
   private def assignAndWrite(vectors: DataFrame,
-      cents: Seq[(Long, Array[Double])], path: String, mode: SaveMode): Unit =
+      cents: Seq[(Long, Array[Double])], dir: String, mode: SaveMode): Unit =
     vectors
       .select(col("vec_id"), col("embedding"),
         nearest(cents, col("embedding").cast("array<double>"))
           .getField("cid").as("centroid_id"))
       .write.mode(mode)
       .partitionBy("centroid_id") // probe → directory pruning
-      .parquet(s"$path/assignments")
+      .parquet(s"$dir/assignments")
 
   /** Top-k cosine neighbors for `queries` (vec_id, embedding), probing
     * each query's `nprobe` nearest cells. Probe cells come from the
@@ -209,7 +285,10 @@ object IvfIndex {
     * (q_id, vec_id, score, rk). */
   def search(spark: SparkSession, path: String, queries: DataFrame,
       k: Int = 3, nprobe: Int = 1): DataFrame = {
-    val cents = readCodebook(spark, path)
+    // Pin the generation ONCE: codebook and assignments must come from
+    // the same version even if a retrain swaps CURRENT mid-query.
+    val dir = currentDir(spark, path)
+    val cents = readCodebookDir(spark, dir)
     val q = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .withColumn("p",
@@ -222,7 +301,7 @@ object IvfIndex {
     // are type-stable instead of leaning on implicit coercion. (Partition
     // pruning still applies: the predicate references only the partition
     // column, casts included — IvfIndexSpec pins the pruned read.)
-    val assigned = spark.read.parquet(s"$path/assignments")
+    val assigned = spark.read.parquet(s"$dir/assignments")
       .withColumn("centroid_id", col("centroid_id").cast("long"))
       .where(col("centroid_id").isin(cids: _*))
     val score = Num.roundp(Vectors.cosine(col("q_emb"), col("embedding")), 6)

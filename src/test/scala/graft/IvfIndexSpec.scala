@@ -16,10 +16,12 @@ class IvfIndexSpec extends SparkSuite {
     val corpus = Tables(spark, sf001, "embeddings")
     IvfIndex.build(spark, corpus, tmp)
 
-    // layout: assignments partitioned by centroid_id; the codebook is
-    // FIXED-SIZE (≤ K cells, independent of corpus size)
-    val dirs = new java.io.File(s"$tmp/assignments").list()
-      .filter(_.startsWith("centroid_id="))
+    // layout: generation dir v1 + CURRENT pointer; assignments
+    // partitioned by centroid_id; the codebook is FIXED-SIZE (≤ K
+    // cells, independent of corpus size)
+    assert(IvfIndex.currentVersion(spark, tmp).contains(1))
+    val dirs = new java.io.File(s"${IvfIndex.currentDir(spark, tmp)}/assignments")
+      .list().filter(_.startsWith("centroid_id="))
     assert(dirs.length > 1 && dirs.length <= IvfIndex.K, dirs.toSeq)
 
     val queries = corpus.where(col("vec_id") < 5)
@@ -97,7 +99,9 @@ class IvfIndexSpec extends SparkSuite {
           r.getAs[Long]("vec_id"), r.getAs[Double]("score"))).toSet
     assert(rows(tmpA) == rows(tmpB))
     // and the appended index really holds the whole corpus
-    assert(spark.read.parquet(s"$tmpA/assignments").count() === 500L)
+    assert(spark.read
+      .parquet(s"${IvfIndex.currentDir(spark, tmpA)}/assignments")
+      .count() === 500L)
   }
 
   test("drifted append triggers a retrain; retrained index == fresh build on the union") {
@@ -135,6 +139,40 @@ class IvfIndexSpec extends SparkSuite {
         .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rk"),
           r.getAs[Long]("vec_id"), r.getAs[Double]("score"))).toSet
     assert(rows(tmpA) == rows(tmpB))
+  }
+
+  test("retrain publishes a new generation; a reader of the old one is unaffected") {
+    val tmp = Files.createTempDirectory("ivf-ver").toString + "/idx"
+    val corpus = Tables(spark, sf001, "embeddings")
+    IvfIndex.build(spark, corpus.where(col("vec_id") < 300), tmp)
+    assert(IvfIndex.currentVersion(spark, tmp).contains(1))
+
+    // A reader resolves the generation dir BEFORE the retrain and
+    // snapshots what it sees there.
+    val oldDir = IvfIndex.currentDir(spark, tmp)
+    def snapshot() = spark.read.parquet(s"$oldDir/assignments")
+      .select(col("vec_id"), col("centroid_id").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = snapshot()
+
+    // Drifted cohort forces a retrain → v2 + pointer swap.
+    val drifted = corpus.where(col("vec_id") >= 300)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x + lit(10.0f)).as("embedding"))
+    assert(IvfIndex.appendOrRetrain(spark, tmp, drifted))
+    assert(IvfIndex.currentVersion(spark, tmp).contains(2))
+    assert(IvfIndex.currentDir(spark, tmp) != oldDir)
+
+    // The old generation is bit-stable up to the reader's horizon: the
+    // retrain wrote ONLY the new dir. (The drifted append itself added
+    // rows to v1 — parquet append adds files, it rewrites nothing — so
+    // every pre-append row is still there with its original cell.)
+    val after = snapshot()
+    assert(before.forall { case (k, v) => after.get(k).contains(v) })
+    // and the new generation serves the full corpus
+    val served = spark.read
+      .parquet(s"${IvfIndex.currentDir(spark, tmp)}/assignments").count()
+    assert(served === 500L)
   }
 
   test("int8 quantization: error bounded by half a step, cosine recall ~1") {
