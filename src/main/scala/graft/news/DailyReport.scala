@@ -87,8 +87,9 @@ object DailyReport {
 
   /** Run the full report for one date; persists the slice once
     * (reference re-scans JSON for every action, §4.1). */
-  def run(spark: SparkSession, path: String, date: String): Map[String, DataFrame] = {
-    val day = daySlice(readArchive(spark, path), date).persist()
+  def run(spark: SparkSession, path: String, date: String,
+      multiline: Boolean = false): Map[String, DataFrame] = {
+    val day = daySlice(readArchive(spark, path, multiline), date).persist()
     val out = Map(
       "r1_category_counts" -> categoryCounts(day),
       "r2_keyword_counts" -> keywordCounts(day),
