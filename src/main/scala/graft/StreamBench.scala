@@ -1,0 +1,177 @@
+package graft
+
+import graft.streaming.{CdcStream, IngestPipeline, LshDedupStream}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming-throughput benchmark main (dev tool, like [[Bench]]):
+  * measures sustained rows/s and state size per key for the three
+  * stateful streaming surfaces, MemoryStream-fed and drained batch by
+  * batch (`processAllAvailable` per feed chunk = one micro-batch each,
+  * the AvailableNow shape without a file source in the loop):
+  *
+  *  - `cdc`    — [[CdcStream]] flatMapGroupsWithState snapshot apply
+  *               over the events changelog; state = one row per user
+  *               (read from the state-store's own progress metrics).
+  *  - `lsh`    — [[LshDedupStream]] corpus-artifact build + the
+  *               near-dup gate of one batch against it; state = the
+  *               persisted band/shingle/size tables (bytes from disk).
+  *  - `ingest` — the composed [[IngestPipeline]] gate chain (enrich →
+  *               span dedup → LSH gate → decontam → lake upsert) via
+  *               `processBatch`; state = lake + seen + lsh dirs.
+  *
+  * Prints ONE JSON line:
+  *   {"metric":"stream","sf":...,"pipelines":{"cdc":{"rows":...,
+  *    "secs":...,"rows_per_sec":...,"state_rows":...,
+  *    "state_bytes_per_key":...}, ...}}
+  *
+  * Knobs (env): SPARK_GRAFT_SF_DIR (corpus), SPARK_GRAFT_STREAMS
+  * (subset, default all), SPARK_GRAFT_EMBED_DIM (ingest enrich width,
+  * default 768 — the reference's embedding size,
+  * collect/ollama_consumer.py model dim), SPARK_GRAFT_BATCHES (feed
+  * chunks, default 10).
+  */
+object StreamBench {
+
+  private def du(path: java.nio.file.Path): Long = {
+    if (!java.nio.file.Files.exists(path)) return 0L
+    val s = java.nio.file.Files.walk(path)
+    try s.filter(java.nio.file.Files.isRegularFile(_))
+      .mapToLong(java.nio.file.Files.size(_)).sum()
+    finally s.close()
+  }
+
+  private def secsSince(t0: Long): Double = (System.nanoTime() - t0) / 1e9
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val which = sys.env.getOrElse("SPARK_GRAFT_STREAMS", "cdc,lsh,ingest")
+      .split(",").map(_.trim).toSet
+    val embedDim = sys.env.getOrElse("SPARK_GRAFT_EMBED_DIM", "768").toInt
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_BATCHES", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = java.nio.file.Files.createTempDirectory("graft-streambench")
+
+    val out = scala.collection.mutable.LinkedHashMap[String, String]()
+
+    if (which("cdc")) out += "cdc" -> cdcBench(spark, sfDir, s"$base/cdc", nBatches)
+    if (which("lsh")) out += "lsh" -> lshBench(spark, sfDir, s"$base/lsh")
+    if (which("ingest"))
+      out += "ingest" -> ingestBench(spark, sfDir, s"$base/ingest", embedDim, nBatches)
+
+    val ps = out.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"stream","sf":"$sfDir","pipelines":$ps}""")
+    spark.stop()
+  }
+
+  private def r3(v: Double): String = (math.rint(v * 1000) / 1000).toString
+
+  /** Events changelog → per-user snapshot state. Throughput is the
+    * drain wall clock over all feed chunks; state rows/bytes come from
+    * the final progress's state-operator metrics (the store's own
+    * accounting, not an estimate). */
+  private def cdcBench(spark: SparkSession, sfDir: String, ckpt: String,
+      nBatches: Int): String = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = Tables(spark, sfDir, "events")
+      .select(col("user_id").as("userId"),
+        unix_micros(col("ts")).as("us"),
+        col("event_id").as("eventId"),
+        col("event_type").as("op"),
+        col("value").cast("double").as("value"))
+      .as[CdcStream.Change].collect()
+    val src = MemoryStream[CdcStream.Change]
+    val q = CdcStream.apply(src.toDS()).writeStream
+      .outputMode("update").format("noop")
+      .option("checkpointLocation", ckpt).start()
+    val t0 = System.nanoTime()
+    data.grouped(data.length / nBatches + 1).foreach { chunk =>
+      src.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    val secs = secsSince(t0)
+    val st = q.lastProgress.stateOperators.apply(0)
+    val (rows, bytes) = (st.numRowsTotal, st.memoryUsedBytes)
+    q.stop()
+    s"""{"rows":${data.length},"secs":${r3(secs)},"rows_per_sec":${r3(data.length / secs)},""" +
+      s""""state_rows":$rows,"state_bytes_per_key":${r3(bytes.toDouble / math.max(1L, rows).toDouble)}}"""
+  }
+
+  /** Corpus-artifact build over all documents (the state an incremental
+    * LSH gate accumulates), then one 500-doc batch through the gate
+    * against the persisted artifacts. */
+  private def lshBench(spark: SparkSession, sfDir: String, dir: String): String = {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+    val n = docs.count()
+    val t0 = System.nanoTime()
+    val (b, sh, sz) = LshDedupStream.corpusArtifacts(docs)
+    b.write.mode(SaveMode.Overwrite).parquet(s"$dir/bands")
+    sh.write.mode(SaveMode.Overwrite).parquet(s"$dir/shingles")
+    sz.write.mode(SaveMode.Overwrite).parquet(s"$dir/sizes")
+    val buildSecs = secsSince(t0)
+    val stateBytes = du(java.nio.file.Paths.get(dir))
+
+    val batch = docs.where(abs(hash(col("doc_id"))) % lit((n / 500).max(1)) === 0)
+    val bn = batch.count()
+    val (cb, csh, csz) = (spark.read.parquet(s"$dir/bands"),
+      spark.read.parquet(s"$dir/shingles"), spark.read.parquet(s"$dir/sizes"))
+    val t1 = System.nanoTime()
+    LshDedupStream.gate(batch, cb, csh, csz)
+      .write.format("noop").mode("overwrite").save()
+    val gateSecs = secsSince(t1)
+    s"""{"rows":$n,"secs":${r3(buildSecs)},"rows_per_sec":${r3(n / buildSecs)},""" +
+      s""""state_bytes_per_key":${r3(stateBytes.toDouble / n)},""" +
+      s""""gate_rows":$bn,"gate_secs":${r3(gateSecs)},"gate_rows_per_sec":${r3(bn / gateSecs)}}"""
+  }
+
+  /** The composed gate chain, MemoryStream-fed: each chunk becomes one
+    * micro-batch through enrich → processBatch (span + LSH + decontam
+    * gates, lake upsert, corpus-state appends). */
+  private def ingestBench(spark: SparkSession, sfDir: String, dir: String,
+      embedDim: Int, nBatches: Int): String = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = Tables(spark, sfDir, "documents")
+      .select(concat(lit("http://ex/"), col("doc_id")).as("link"),
+        concat(lit("doc "), col("doc_id")).as("title"),
+        col("text").as("summary"))
+      .as[(String, String, String)].collect()
+    val evalShingles = graft.streaming.DecontamStream
+      .evalShingles(spark, sfDir).limit(0) // empty eval set: gate cost, no hits
+      .persist()
+    val src = MemoryStream[(String, String, String)]
+    val enriched = graft.udfs.Enrichers.enrich(
+      src.toDS().toDF("link", "title", "summary"), "summary", embedDim)
+    val q = enriched.writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        IngestPipeline.processBatch(batch, s"$dir/store", s"$dir/seen",
+          s"$dir/lsh", evalShingles)
+      }.start()
+    val t0 = System.nanoTime()
+    data.grouped(data.length / nBatches + 1).foreach { chunk =>
+      src.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    val secs = secsSince(t0)
+    q.stop()
+    val stateBytes = du(java.nio.file.Paths.get(s"$dir/seen")) +
+      du(java.nio.file.Paths.get(s"$dir/lsh"))
+    val lakeBytes = du(java.nio.file.Paths.get(s"$dir/store"))
+    s"""{"rows":${data.length},"secs":${r3(secs)},"rows_per_sec":${r3(data.length / secs)},""" +
+      s""""state_bytes_per_key":${r3(stateBytes.toDouble / data.length)},""" +
+      s""""lake_bytes_per_row":${r3(lakeBytes.toDouble / data.length)}}"""
+  }
+}

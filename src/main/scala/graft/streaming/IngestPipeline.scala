@@ -60,55 +60,64 @@ object IngestPipeline {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val s = batch.sparkSession
-        batch.persist() // scored by two gates + written — computed once
-        val docs = batch.select(col("link").as("doc_id"),
-          col("summary").as("text"))
-        val seen =
-          if (Lake.pathExists(s, seenPath)) s.read.parquet(seenPath)
-          else SpanDedupStream.emptySeen(s)
-        val span = SpanDedupStream.score(docs, seen)
-          .withColumnRenamed("doc_id", "link")
-        val (bandsP, shP, szP) =
-          (s"$lshPath/bands", s"$lshPath/shingles", s"$lshPath/sizes")
-        val (cBands, cSh, cSz) =
-          if (Lake.pathExists(s, szP))
-            (s.read.parquet(bandsP), s.read.parquet(shP), s.read.parquet(szP))
-          else LshDedupStream.emptyArtifacts(s)
-        val lsh = LshDedupStream.gate(docs, cBands, cSh, cSz)
-          .withColumnRenamed("doc_id", "link")
-        val dec = DecontamStream.score(docs, evalShingles)
-          .withColumnRenamed("doc_id", "link")
-        val gated = batch.join(span, Seq("link"), "left")
-          .join(lsh, Seq("link"), "left")
-          .join(dec, Seq("link"), "left")
-        Lake.upsertByLink(s, gated, storePath)
-        // The batch's new hashes extend the corpus state — computed
-        // against the PRE-append seen table (the gates above already
-        // ran), materialized before the append so the anti-join never
-        // reads the files it is writing.
-        val fresh = SpanDedupStream.freshHashes(docs, seen).persist()
-        fresh.count()
-        fresh.write.mode(SaveMode.Append).parquet(seenPath)
-        fresh.unpersist(blocking = false)
-        // LSH artifacts likewise extend by the batch's NEW doc ids only
-        // (anti-join on the sizes table = replay-idempotent append),
-        // materialized before any write for the same read-own-writes
-        // reason.
-        val newDocs = docs.dropDuplicates("doc_id")
-          .join(cSz.select(col("c_id").as("doc_id")), Seq("doc_id"), "left_anti")
-          .persist()
-        newDocs.count()
-        val (nb, nsh, nsz) = LshDedupStream.corpusArtifacts(newDocs)
-        val mats = Seq(nb, nsh, nsz).map { d => val p = d.persist(); p.count(); p }
-        mats(0).write.mode(SaveMode.Append).parquet(bandsP)
-        mats(1).write.mode(SaveMode.Append).parquet(shP)
-        mats(2).write.mode(SaveMode.Append).parquet(szP)
-        mats.foreach(_.unpersist(blocking = false))
-        newDocs.unpersist(blocking = false)
-        batch.unpersist(blocking = false)
-        ()
+        processBatch(batch, storePath, seenPath, lshPath, evalShingles)
       }
       .start()
+  }
+
+  /** One micro-batch through the gate chain + lake upsert + corpus-state
+    * append. Public so the chain can hang off ANY enriched source
+    * (kafka, file, MemoryStream — StreamBench drives it this way), not
+    * only the graft-rss reader `start` wires up. Expects `link` +
+    * `summary` columns (plus whatever payload should land in the lake). */
+  def processBatch(batch: DataFrame, storePath: String, seenPath: String,
+      lshPath: String, evalShingles: DataFrame): Unit = {
+    val s = batch.sparkSession
+    batch.persist() // scored by two gates + written — computed once
+    val docs = batch.select(col("link").as("doc_id"),
+      col("summary").as("text"))
+    val seen =
+      if (Lake.pathExists(s, seenPath)) s.read.parquet(seenPath)
+      else SpanDedupStream.emptySeen(s)
+    val span = SpanDedupStream.score(docs, seen)
+      .withColumnRenamed("doc_id", "link")
+    val (bandsP, shP, szP) =
+      (s"$lshPath/bands", s"$lshPath/shingles", s"$lshPath/sizes")
+    val (cBands, cSh, cSz) =
+      if (Lake.pathExists(s, szP))
+        (s.read.parquet(bandsP), s.read.parquet(shP), s.read.parquet(szP))
+      else LshDedupStream.emptyArtifacts(s)
+    val lsh = LshDedupStream.gate(docs, cBands, cSh, cSz)
+      .withColumnRenamed("doc_id", "link")
+    val dec = DecontamStream.score(docs, evalShingles)
+      .withColumnRenamed("doc_id", "link")
+    val gated = batch.join(span, Seq("link"), "left")
+      .join(lsh, Seq("link"), "left")
+      .join(dec, Seq("link"), "left")
+    Lake.upsertByLink(s, gated, storePath)
+    // The batch's new hashes extend the corpus state — computed
+    // against the PRE-append seen table (the gates above already
+    // ran), materialized before the append so the anti-join never
+    // reads the files it is writing.
+    val fresh = SpanDedupStream.freshHashes(docs, seen).persist()
+    fresh.count()
+    fresh.write.mode(SaveMode.Append).parquet(seenPath)
+    fresh.unpersist(blocking = false)
+    // LSH artifacts likewise extend by the batch's NEW doc ids only
+    // (anti-join on the sizes table = replay-idempotent append),
+    // materialized before any write for the same read-own-writes
+    // reason.
+    val newDocs = docs.dropDuplicates("doc_id")
+      .join(cSz.select(col("c_id").as("doc_id")), Seq("doc_id"), "left_anti")
+      .persist()
+    newDocs.count()
+    val (nb, nsh, nsz) = LshDedupStream.corpusArtifacts(newDocs)
+    val mats = Seq(nb, nsh, nsz).map { d => val p = d.persist(); p.count(); p }
+    mats(0).write.mode(SaveMode.Append).parquet(bandsP)
+    mats(1).write.mode(SaveMode.Append).parquet(shP)
+    mats(2).write.mode(SaveMode.Append).parquet(szP)
+    mats.foreach(_.unpersist(blocking = false))
+    newDocs.unpersist(blocking = false)
+    batch.unpersist(blocking = false)
   }
 }
