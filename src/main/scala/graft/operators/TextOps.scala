@@ -544,9 +544,80 @@ object TextOps {
     s.createDataFrame(merges.toSeq).toDF("round", "left", "right", "merged", "n")
   }
 
+  /** Vocabulary size up to which the 8-round merge loop runs on the
+    * driver. The corpus-sized work — the word-frequency aggregation —
+    * is always distributed; what the loop iterates over is the VOCAB
+    * table, which the apply step already assumes executor-sized (it
+    * broadcasts `vf`). Below this bound, 16 vocab-sized Spark jobs
+    * (2 per round, dominated by scheduling, ~6 s at sf0.1) collapse
+    * into one collect + a local loop (~1 s). The recurrence is
+    * byte-identical: same single-pass space-doubling replaces, argmax
+    * tie-broken by (n desc, l, r) in UTF-8 BINARY order — exactly
+    * UTF8String's and DuckDB's default collation, NOT
+    * String.compareTo's UTF-16 order. Past the bound (a 100 TB corpus
+    * under Heaps' law can exceed executor-sized vocab) the original
+    * distributed round loop below takes over unchanged. */
+  private val BpeDriverVocabMax = 2L * 1000 * 1000
+
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val (x, y) = (a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      if (x(i) != y(i)) return (x(i) & 0xff) < (y(i) & 0xff)
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  private def bpeTrainDriver(s: SparkSession, vocab0: DataFrame):
+      (Seq[(Long, String, String, String, Long)], DataFrame) = {
+    val rows = vocab0.select(col("w"), col("seq"), col("cnt")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    vocab0.unpersist(blocking = false)
+    var seqs = rows
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+    for (round <- 1 to BpeRounds) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      seqs.foreach { case (_, seq, cnt) =>
+        val sy = seq.split(" ")
+        var i = 0
+        while (i < sy.length - 1) {
+          val k = (sy(i), sy(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + cnt)
+          i += 1
+        }
+      }
+      var best: ((String, String), Long) = null
+      counts.foreach { case (k @ (cl, cr), cn) =>
+        if (best == null) best = (k, cn)
+        else {
+          val ((bl, br), bn) = best
+          val better = cn > bn || (cn == bn &&
+            (utf8Lt(cl, bl) || (cl == bl && utf8Lt(cr, br))))
+          if (better) best = (k, cn)
+        }
+      }
+      val ((l, r), n) = best
+      merges += ((round.toLong, l, r, l + r, n))
+      val (pat, rep) = (" " + l + "  " + r + " ", " " + l + r + " ")
+      seqs = seqs.map { case (w, seq, cnt) =>
+        (w, (" " + seq.replace(" ", "  ") + " ").replace(pat, rep)
+          .replace("  ", " ").trim, cnt)
+      }
+    }
+    import s.implicits._
+    val vf = seqs.toSeq.map { case (w, seq, _) => (w, seq.split(" ").length.toLong) }
+      .toDF("w", "n_sub").persist()
+    vf.count()
+    (merges.toSeq, vf)
+  }
+
   private def bpeTrainUncached(s: SparkSession, dir: String):
       (Seq[(Long, String, String, String, Long)], DataFrame) = {
     var vocab = bpeInitVocab(s, dir)
+    if (vocab.count() <= BpeDriverVocabMax) return bpeTrainDriver(s, vocab)
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
     for (round <- 1 to BpeRounds) {
       val best = bpePairCounts(vocab)
