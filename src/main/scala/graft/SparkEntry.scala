@@ -48,7 +48,8 @@ object SparkEntry {
       operators.MLOps.queries ++
       operators.Scale2.queries ++
       operators.SimJoin.queries ++
-      operators.PostingsIndex.queries
+      operators.PostingsIndex.queries ++
+      operators.IvfIndex.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -73,5 +74,6 @@ object SparkEntry {
       operators.MLOps.oracles ++
       operators.Scale2.oracles ++
       operators.SimJoin.oracles ++
+      operators.IvfIndex.oracles ++
       operators.PostingsIndex.oracles
 }

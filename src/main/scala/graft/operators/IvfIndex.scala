@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Tables
 import graft.functions.{Num, Vectors}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -312,4 +313,57 @@ object IvfIndex {
       .withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= k)
   }
+
+  // ---- inventory surface --------------------------------------------------
+
+  // In-JVM memo so one session resolves the on-disk index once.
+  private val builtIdx = scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** Cheap content fingerprint — regenerated testdata (new
+    * mtime/length) invalidates the on-disk index automatically (same
+    * convention as PostingsIndex). */
+  private def corpusFingerprint(dir: String): String = {
+    val f = new java.io.File(s"$dir/embeddings.parquet")
+    s"${f.length()}-${f.lastModified()}"
+  }
+
+  /** Deterministic on-disk versioned index for `dir` — build-once /
+    * search-many ACROSS sessions, mirroring PostingsIndex.indexPath.
+    * The CURRENT pointer doubles as the completion marker: build()
+    * writes it only after the generation is fully on disk, so a killed
+    * build leaves no pointer and the next caller rewrites the
+    * generation (SaveMode.Overwrite) instead of serving a torso. */
+  def persistedPath(s: SparkSession, dir: String): String = {
+    val fp = corpusFingerprint(dir)
+    builtIdx.getOrElseUpdate((fp, dir), {
+      val prefix = s"${dir.replaceAll("[^A-Za-z0-9._-]", "_")}-"
+      val root = new java.io.File("/tmp/graft-ivf-cache", prefix + fp)
+      val path = root.toString
+      if (currentVersion(s, path).isEmpty) {
+        // Evict indexes of older corpus generations.
+        val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+          s.sparkContext.hadoopConfiguration)
+        Option(root.getParentFile.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith(prefix) && f.getName != root.getName)
+          .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f.toString), true))
+        build(s, Tables(s, dir, "embeddings"), path)
+      }
+      path
+    })
+  }
+
+  /** The persisted versioned index must reproduce the inline
+    * `sim_ivf_search` EXACTLY — trainCodebook is deterministic in the
+    * vector multiset, probe-1 search visits the query's own cell — so
+    * the two queries share one oracle and the hash gate certifies the
+    * whole persist→version→search path at every SF. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ivf_persisted" -> ((s, dir) =>
+      search(s, persistedPath(s, dir),
+        Tables(s, dir, "embeddings").where(col("vec_id") < 5), k = 3, nprobe = 1))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "sim_ivf_persisted" -> Similarity.oracles("sim_ivf_search")
+  )
 }
