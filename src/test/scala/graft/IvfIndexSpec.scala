@@ -36,6 +36,21 @@ class IvfIndexSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("search scans only the probed cells (partition pruning pinned)") {
+    val tmp = Files.createTempDirectory("ivf-prune").toString + "/idx"
+    val corpus = Tables(spark, sf001, "embeddings")
+    IvfIndex.build(spark, corpus, tmp)
+    val plan = IvfIndex.search(spark, tmp, corpus.where(col("vec_id") < 5),
+        k = 3, nprobe = 1)
+      .queryExecution.executedPlan.toString
+    // The assignments scan must carry a static IN filter on the
+    // partition column — the probed cells are driver-side literals, so
+    // pruning needs no join or runtime filter to engage.
+    assert(plan.contains("PartitionFilters"), plan.take(2000))
+    assert("PartitionFilters: \\[[^\\]]*centroid_id[^\\]]* IN \\(".r
+      .findFirstIn(plan).isDefined, "no static IN pruning on centroid_id")
+  }
+
   test("wider probes never lose neighbors found by narrower ones") {
     val tmp = Files.createTempDirectory("ivf2").toString + "/idx"
     val corpus = Tables(spark, sf001, "embeddings")
