@@ -54,44 +54,15 @@ object Dedup {
     * matches by analyzed plan across queries. */
   private def materialized(df: DataFrame): DataFrame = { df.persist().count(); df }
 
-  // In-JVM memo so a session checks each artifact's marker once.
-  private val diskMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
-
-  /** Disk-backed corpus artifact (same conventions as
-    * PostingsIndex/IvfIndex: corpus-fingerprinted path under /tmp,
-    * completion marker, stale generations evicted): the shingle/
-    * signature views are pure functions of the documents table, and
-    * recomputing the tokenize→shingle→md5 stream was every cold
-    * session's single heaviest repeated cost. First touch builds and
-    * writes parquet; later sessions (and later queries in this one)
-    * read the artifact — the deployment shape of any derived corpus
-    * table. Values are byte-identical to the inline build (parquet
-    * round-trips long/string/bigint exactly); only row order differs,
-    * and every consumer aggregates or joins. */
+  /** Disk-backed corpus artifacts (see [[ArtifactCache]]): the
+    * shingle/signature views are pure functions of the documents
+    * table, and recomputing the tokenize→shingle→md5 stream was every
+    * cold session's single heaviest repeated cost. First touch builds
+    * and writes parquet; later sessions read the artifact — the
+    * deployment shape of any derived corpus table. */
   private def diskCached(s: SparkSession, dir: String, name: String)
-      (build: => DataFrame): DataFrame = {
-    val src = new java.io.File(s"$dir/documents.parquet")
-    val fp = s"${src.length()}-${src.lastModified()}"
-    val prefix = s"${dir.replaceAll("[^A-Za-z0-9._-]", "_")}-"
-    val root = new java.io.File("/tmp/graft-dedup-cache", prefix + fp)
-    val path = diskMemo.getOrElseUpdate((root.toString, name), {
-      val marker = new java.io.File(root, s"_GRAFT_DONE_$name")
-      val out = new java.io.File(root, name).toString
-      if (!marker.exists()) {
-        val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-          s.sparkContext.hadoopConfiguration)
-        Option(root.getParentFile.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.getName.startsWith(prefix) && f.getName != root.getName)
-          .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f.toString), true))
-        fs.delete(new org.apache.hadoop.fs.Path(out), true) // partial build
-        build.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
-        marker.createNewFile()
-      }
-      out
-    })
-    s.read.parquet(path)
-  }
+      (build: => DataFrame): DataFrame =
+    ArtifactCache.parquet(s, dir, name, Seq("documents"))(build)
 
   /** doc_id → distinct shingles (the set view, for Jaccard/SimHash).
     * One distinct-shuffle materialization serves every consumer in the

@@ -44,14 +44,19 @@ object Graph {
     * mapped into disjoint long ranges (customer → 2k, supplier → 2k+1):
     * integer keys keep every downstream shuffle/aggregation primitive
     * (string ids measured ~2× slower across the whole query). */
-  def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-    val o = Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .select((col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
-  }
+  def tradeEdges(spark: SparkSession, dir: String): DataFrame =
+    // Disk artifact (ArtifactCache): the edge list is a pure function
+    // of lineitem×orders, and its 60 M-row join+distinct was 48.6 s of
+    // graph_pagerank's 64.5 s at the 100× corpus — built once per
+    // corpus generation, read thereafter.
+    ArtifactCache.parquet(spark, dir, "trade-edges", Seq("lineitem", "orders")) {
+      val li = Tables(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val o = Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+    }
 
   /** Undirected co-purchase edges between parts appearing in the same
     * order, canonicalized u < v. Self-join of lineitem on the order key:
@@ -67,23 +72,29 @@ object Graph {
     * deterministic sample it keeps the same plan shape at 1/28 the
     * cost. Full-graph exactness is still covered at the smaller SFs. */
   def coPurchaseEdges(spark: SparkSession, dir: String,
-      sampleHex: Option[String] = None): DataFrame = {
-    val li0 = Tables(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val li = sampleHex match {
-      case Some(h) => li0.where(
-        substring(md5(concat(lit("gs|"), col("ok").cast("string"))), 1, 1) < h)
-      case None => li0
+      sampleHex: Option[String] = None): DataFrame =
+    // Disk artifact per sample variant — shared by the census, the
+    // degree profile and link prediction (all rebuilt this edge list
+    // per session before).
+    ArtifactCache.parquet(spark, dir,
+        s"copurchase-edges-${sampleHex.getOrElse("full")}",
+        Seq("lineitem")) {
+      val li0 = Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val li = sampleHex match {
+        case Some(h) => li0.where(
+          substring(md5(concat(lit("gs|"), col("ok").cast("string"))), 1, 1) < h)
+        case None => li0
+      }
+      // One shuffle to per-order part sets, then the C(items,2) pair
+      // fan-out stays map-side (orders are small) — measured ~25% faster
+      // than the self-join + filter form, which shuffles lineitem twice.
+      val ps = li.groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("ps"))
+      ps.select(explode(flatten(transform(col("ps"), (x, i) =>
+          transform(slice(col("ps"), i + lit(2), size(col("ps")) - i - 1), y =>
+            struct(x.as("u"), y.as("v")))))).as("p"))
+        .select(col("p.u"), col("p.v")).distinct()
     }
-    // One shuffle to per-order part sets, then the C(items,2) pair
-    // fan-out stays map-side (orders are small) — measured ~25% faster
-    // than the self-join + filter form, which shuffles lineitem twice.
-    val ps = li.groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("ps"))
-    ps.select(explode(flatten(transform(col("ps"), (x, i) =>
-        transform(slice(col("ps"), i + lit(2), size(col("ps")) - i - 1), y =>
-          struct(x.as("u"), y.as("v")))))).as("p"))
-      .select(col("p.u"), col("p.v")).distinct()
-  }
 
   /** One propagation round as a plan (shared by the loop and the plan-
     * pinning spec): inflow aggregation + damped update. `bcast` selects

@@ -115,11 +115,20 @@ object IvfIndex {
         .map { case (r, i) =>
           i.toLong -> r.getAs[scala.collection.Seq[Double]]("v").toArray }
     for (_ <- 1 to rounds) {
-      val byDim = e
-        .select(nearest(cents, col("v")).getField("cid").as("cid"),
-          posexplode(col("v")))
+      // Materialization barrier: phrased as one projection, Catalyst
+      // folds the O(K·Dim) nearest() INTO the Generate and re-evaluates
+      // it per EXPLODED row — a Dim× (64×) multiplier on the whole
+      // assignment cost, measured as the dominant ~250 s of the 100×
+      // SemDeDup run (stack: getField(cid) inside generate_doConsume).
+      // The persisted assignment evaluates nearest once per vector; the
+      // explode then reads cached (cid, v) rows.
+      val asg = e.select(nearest(cents, col("v")).getField("cid").as("cid"),
+        col("v")).persist()
+      val byDim = asg
+        .select(col("cid"), posexplode(col("v")))
         .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("m"))
         .collect()
+      asg.unpersist(blocking = false)
       cents = byDim.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (cid, rows) =>
         val c = new Array[Double](Dim)
         rows.foreach(r => c(r.getInt(1)) = q6(r.getDouble(2)))

@@ -274,10 +274,16 @@ object MLOps {
       e.select(col("vec_id"), least(cands: _*).getField("cid").as("cluster"), col("v"))
     }
     for (_ <- 1 until iters) {
-      val byDim = assign()
+      // Materialization barrier (same fix as IvfIndex.trainCodebook):
+      // without it the K interpreted HOF distance candidates fold into
+      // the Generate and re-evaluate per EXPLODED row — Dim× the
+      // assignment cost per round.
+      val asg = assign().persist()
+      val byDim = asg
         .select(col("cluster"), posexplode(col("v")).as(Seq("i", "x")))
         .groupBy(col("cluster"), col("i")).agg(avg(col("x")).as("m"))
         .collect()
+      asg.unpersist(blocking = false)
       cents = byDim.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (cid, rows) =>
         val c = new Array[Double](Dim)
         rows.foreach(r => c(r.getInt(1)) = quantize(r.getDouble(2)))

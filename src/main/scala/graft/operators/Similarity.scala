@@ -413,14 +413,27 @@ object Similarity {
         .select(col("vec_id"), col("embedding"),
           col("b").getField("cid").as("centroid_id"),
           col("b").getField("d").as("dist"))
+      // Block-split the within-cell self-join: a cell's O(cell²) pair
+      // work otherwise lands in ONE task (join key = centroid_id), and
+      // the biggest cells become a 2-task tail that dominated the 100×
+      // run. Tag the left side with a deterministic block (vec_id mod
+      // B), replicate the right side to every block, and join on
+      // (cell, block): each (u, v) pair still meets EXACTLY once — at
+      // block u%B — so the result is identical, but a cell's work
+      // spreads over B tasks. Replication costs B× the right side's
+      // shuffle volume; B=8 trades ~2.4 GB of extra shuffle at the
+      // 100× corpus for an 8-way split of the quadratic tail.
+      val B = 8L
       val l = base.select(col("centroid_id"), col("vec_id").as("u"),
-        col("embedding").as("eu"), col("dist").as("du"))
+        col("embedding").as("eu"), col("dist").as("du"),
+        pmod(col("vec_id"), lit(B)).as("blk"))
       val r = base.select(col("centroid_id"), col("vec_id").as("v"),
         col("embedding").as("ev"), col("dist").as("dv"))
+        .withColumn("blk", explode(array((0L until B).map(lit(_)): _*)))
       val cos = Num.roundp(Vectors.cosine(col("eu"), col("ev")), 6)
       val dominated = (col("du") > col("dv")) ||
         (col("du") === col("dv") && col("u") < col("v"))
-      val perVec = l.join(r, "centroid_id")
+      val perVec = l.join(r, Seq("centroid_id", "blk"))
         .where(col("u") =!= col("v") && cos >= 0.35)
         .groupBy(col("v"))
         .agg(count(lit(1)).as("n_dups"), max(dominated.cast("int")).as("pu"))
