@@ -240,22 +240,7 @@ object Relational {
     "x20_histogram" -> ((s, dir) =>
       Tables(s, dir, "documents")
         .select(floor(col("n_chars") / 100).cast("long").as("bucket"))
-        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))),
-
-    // ── X10: first-sentence extraction (spark_daily_report.py:180) ────
-    // The synthetic corpus has no Hangul terminator, so a derived body
-    // column exercises BOTH branches: doc_id % 3 == 0 rows get a Korean
-    // lead sentence (the "다." path), the rest hit the 40-char fallback.
-    "x10_first_sentence" -> ((s, dir) => {
-      val body = when(col("doc_id") % 3 === 0,
-        concat(lit("기사 내용입니다."), col("text"))).otherwise(col("text"))
-      Tables(s, dir, "documents")
-        .where(col("doc_id") % 7 === 0)
-        .select(col("doc_id"),
-          graft.functions.Text.firstSentence(body).as("first_sentence"))
-        .select(col("doc_id"), col("first_sentence"),
-          length(col("first_sentence")).cast("long").as("fs_len"))
-    })
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -408,20 +393,6 @@ object Relational {
 
     "x20_histogram" ->
       """SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket, count(*) AS n
-        |FROM documents GROUP BY 1""".stripMargin,
-
-    "x10_first_sentence" ->
-      """WITH b AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 3 = 0 THEN '기사 내용입니다.' || text ELSE text END AS body
-        |  FROM documents WHERE doc_id % 7 = 0),
-        |f AS (
-        |  SELECT doc_id,
-        |    CASE WHEN contains(body, '다.')
-        |         THEN split_part(body, '다.', 1) || '다.'
-        |         ELSE substring(body, 1, 40) END AS first_sentence
-        |  FROM b)
-        |SELECT doc_id, first_sentence,
-        |  CAST(length(first_sentence) AS BIGINT) AS fs_len FROM f""".stripMargin
+        |FROM documents GROUP BY 1""".stripMargin
   )
 }
