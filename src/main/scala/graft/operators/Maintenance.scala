@@ -175,8 +175,69 @@ object Maintenance {
         sum(when(col("o_orderdate") < lit("1995-01-01").cast("date") ||
           col("o_orderdate") >= lit("2002-01-01").cast("date"), 1).otherwise(0)).as("date_out_of_range"))
       orphans.crossJoin(liChecks).crossJoin(docChecks).crossJoin(oChecks)
+    }),
+
+    // ── Small-files compaction planner — the OPTIMIZE/bin-packing pass
+    // every 100 TB lake runs continuously (the reference's 1-minute
+    // file roll, collect/consumer2.py:206-207, produces exactly the
+    // many-tiny-files layout this repairs). Input here is the manifest
+    // a day-partitioned event lake would list — one file per
+    // (day, event_type), bytes = payload + per-row overhead — so the
+    // whole plan is SQL-reproducible; [[compactionPlan]] over the REAL
+    // FS listing is the production entry (spec-covered). The plan packs
+    // size-descending files into target bins via a running-sum rule
+    // (bin = floor(bytes-before / target)) — the SQL-expressible
+    // deterministic variant of Spark's own FilePartition greedy
+    // packing; an above-target file always lands alone in its bin
+    // (sequential rule) and is flagged rather than split. ─────────────
+    "maint_compact_plan" -> ((s, dir) => {
+      val manifest = Tables(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg((sum(length(col("props"))) + lit(64L) * count(lit(1))).as("bytes"))
+        .select(concat(date_format(col("day"), "yyyy-MM-dd"), lit("/"),
+          col("event_type"), lit(".json")).as("file"), col("bytes"))
+      compactionPlan(manifest, CompactTargetBytes)
     })
   )
+
+  /** Pack a (file, bytes) manifest into target-size compaction bins:
+    * size-descending order, bin index from the running sum of preceding
+    * bytes. Output is one row per planned output file. Metadata-sized
+    * end to end — the manifest is file-count rows, never data rows. */
+  def compactionPlan(manifest: DataFrame, target: Long): DataFrame = {
+    // Single-partition window by design: the input is a FILE MANIFEST,
+    // not data — 100 TB at 128 MB/file is ~800 K rows, and a global
+    // running sum over that is sub-second. (Data-sized prefix sums use
+    // the two-phase distributed form — see TextOps.packContextWindows.)
+    val w = Window.orderBy(col("bytes").desc, col("file"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    manifest
+      .withColumn("bin",
+        floor(coalesce(sum(col("bytes")).over(w), lit(0L)) / target))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("bytes")).as("bin_bytes"),
+        array_join(sort_array(collect_list(col("file"))), ",").as("files"),
+        max((col("bytes") > target).cast("int")).cast("boolean")
+          .as("oversized_single"))
+  }
+
+  /** Compaction bin target: deliberately small so the sf0.01 manifest
+    * yields several bins (a production pass uses 128 MB–1 GB). */
+  val CompactTargetBytes: Long = 64L * 1024
+
+  /** Real file listing (name, bytes) of the directory's parquet files —
+    * Hadoop FS metadata, driver-side by nature (every planner's listing
+    * is); the resulting frame is file-count-sized, never data-sized. */
+  def listParquetFiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => (st.getPath.getName, st.getLen))
+      .toDF("file", "bytes")
+  }
 
   def oracles: Map[String, String] = Map(
     // The identity under test: incremental refresh == full recompute.
@@ -262,6 +323,25 @@ object Maintenance {
         |    AS dup_doc_ids,
         |  (SELECT CAST(count(*) FILTER (WHERE o_orderdate < DATE '1995-01-01'
         |                                   OR o_orderdate >= DATE '2002-01-01') AS BIGINT) FROM orders)
-        |    AS date_out_of_range""".stripMargin
+        |    AS date_out_of_range""".stripMargin,
+
+    "maint_compact_plan" ->
+      s"""WITH m AS (
+         |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') || '/' || event_type
+         |           || '.json' AS file,
+         |         CAST(sum(length(props)) + 64 * count(*) AS BIGINT) AS bytes
+         |  FROM events GROUP BY 1),
+         |b AS (
+         |  SELECT file, bytes,
+         |    CAST(floor(coalesce(sum(bytes) OVER (ORDER BY bytes DESC, file
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      / $CompactTargetBytes) AS BIGINT) AS bin
+         |  FROM m)
+         |SELECT bin, count(*) AS n_files,
+         |  CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+         |  string_agg(file, ',' ORDER BY file) AS files,
+         |  CAST(max(CASE WHEN bytes > $CompactTargetBytes THEN 1 ELSE 0 END)
+         |    AS BOOLEAN) AS oversized_single
+         |FROM b GROUP BY bin""".stripMargin
   )
 }

@@ -124,4 +124,32 @@ class MaintenanceSpec extends SparkSuite {
     val r = SparkEntry.queries("dq_constraints")(spark, sf001).collect()(0)
     (0 until r.length).foreach(i => assert(r.getLong(i) === 0L, s"violation col $i"))
   }
+
+  test("compaction plan over the real FS listing partitions the files and bounds bins") {
+    val target = 64L * 1024
+    val manifest = Maintenance.listParquetFiles(spark, sf001)
+    val files = manifest.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(files.keySet === Set("region", "nation", "customer", "supplier",
+      "part", "orders", "lineitem", "events", "documents", "embeddings")
+      .map(_ + ".parquet"))
+    val plan = Maintenance.compactionPlan(manifest, target).collect()
+    val planned = plan.flatMap(_.getString(3).split(","))
+    // Exact partition of the input: every file planned exactly once.
+    assert(planned.sorted.toSeq === files.keys.toSeq.sorted)
+    plan.foreach { r =>
+      val (bytes, oversized) = (r.getLong(2), r.getBoolean(4))
+      val members = r.getString(3).split(",")
+      assert(bytes === members.map(files).sum, s"bin ${r.getLong(0)} byte sum")
+      // A bin above target must be a single unsplittable file, flagged.
+      if (bytes > target) {
+        assert(members.length === 1 && oversized, s"oversized bin ${r.getLong(0)}")
+      } else assert(!oversized)
+    }
+    // The sequential rule never leaves two adjacent bins both under
+    // half-target (that would mean a merge was missed): total bins is
+    // at most ceil(total/target) + number of oversized files.
+    val total = files.values.sum
+    val nOversized = files.values.count(_ > target)
+    assert(plan.length <= (total + target - 1) / target + nOversized)
+  }
 }
