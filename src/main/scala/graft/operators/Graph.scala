@@ -347,6 +347,44 @@ object Graph {
       val rows = top.collect().toSeq
       e.unpersist(blocking = false)
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), top.schema)
+    }),
+
+    // ── Link prediction, PRODUCTION SCALE PATH: the per-hub neighbor
+    // QUOTA the sampled variant's comment promises. Each node keeps its
+    // Q smallest neighbor ids (deterministic truncation — the standard
+    // hub cap in production link prediction), so wedge work is bounded
+    // by Σ C(min(deg,Q),2) ≤ N·C(Q,2): LINEAR in nodes at any scale,
+    // no sampling needed — this runs on the FULL graph the md5-sample
+    // variant subsets. Scores are quota-approximate by construction
+    // (cn counts middles via capped lists; jaccard uses capped
+    // degrees); ranking quality degrades gracefully with Q while the
+    // cost bound is hard. ────────────────────────────────────────────
+    "graph_link_predict_capped" -> ((s, dir) => {
+      val Q = 32
+      val e = coPurchaseEdges(s, dir)
+      val adj = e.select(col("u").as("node"), col("v").as("nb"))
+        .union(e.select(col("v").as("node"), col("u").as("nb")))
+      val nbrs = adj.groupBy("node")
+        .agg(slice(sort_array(collect_set(col("nb"))), 1, Q).as("ns"))
+      val deg = nbrs.select(col("node"), size(col("ns")).cast("long").as("deg"))
+      val wedges = nbrs.select(explode(flatten(transform(col("ns"), (x, i) =>
+          transform(slice(col("ns"), i + lit(2), size(col("ns")) - i - 1), y =>
+            struct(x.as("a"), y.as("b")))))).as("p"))
+        .select(col("p.a"), col("p.b"))
+      val cn = wedges.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
+      val cand = cn.join(e, cn("a") === e("u") && cn("b") === e("v"), "left_anti")
+      cand
+        .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+        .select(col("a"), col("b"), col("cn"),
+          // cn can exceed the CAPPED degree sum (middles count a/b via
+          // their own capped lists), so the union estimate is clamped
+          // to ≥1 — quota-jaccard is a bounded-cost approximation.
+          Num.roundp(col("cn").cast("double") /
+            greatest(col("da") + col("db") - col("cn"), lit(1L)), 6)
+            .as("jaccard"))
+        .orderBy(col("cn").desc, col("jaccard").desc, col("a"), col("b"))
+        .limit(20)
     })
   )
 
@@ -438,6 +476,33 @@ object Graph {
         |  ANTI JOIN e ON e.u = cn.a AND e.v = cn.b)
         |SELECT c.a, c.b, c.cn,
         |  floor(CAST(c.cn AS DOUBLE) / (da.deg + db.deg - c.cn) * 1000000 + 0.5)
+        |    / 1000000 AS jaccard
+        |FROM cand c JOIN deg da ON da.node = c.a JOIN deg db ON db.node = c.b
+        |ORDER BY c.cn DESC, jaccard DESC, c.a, c.b LIMIT 20""".stripMargin,
+
+    "graph_link_predict_capped" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |adj AS (
+        |  SELECT u AS node, v AS nb FROM e UNION ALL SELECT v, u FROM e),
+        |nbrs AS MATERIALIZED (
+        |  SELECT node, list_sort(list(nb))[:32] AS ns FROM adj GROUP BY node),
+        |deg AS MATERIALIZED (
+        |  SELECT node, CAST(len(ns) AS BIGINT) AS deg FROM nbrs),
+        |cadj AS (SELECT node, unnest(ns) AS nb FROM nbrs),
+        |w AS (
+        |  SELECT a1.nb AS a, a2.nb AS b
+        |  FROM cadj a1 JOIN cadj a2 ON a1.node = a2.node AND a1.nb < a2.nb),
+        |cn AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cn FROM w GROUP BY a, b),
+        |cand AS (
+        |  SELECT cn.a, cn.b, cn.cn FROM cn
+        |  ANTI JOIN e ON e.u = cn.a AND e.v = cn.b)
+        |SELECT c.a, c.b, c.cn,
+        |  floor(CAST(c.cn AS DOUBLE)
+        |      / greatest(da.deg + db.deg - c.cn, 1) * 1000000 + 0.5)
         |    / 1000000 AS jaccard
         |FROM cand c JOIN deg da ON da.node = c.a JOIN deg db ON db.node = c.b
         |ORDER BY c.cn DESC, jaccard DESC, c.a, c.b LIMIT 20""".stripMargin
