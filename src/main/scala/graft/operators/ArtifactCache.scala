@@ -45,7 +45,7 @@ private[graft] object ArtifactCache {
     val root = new java.io.File(Root, prefix + fp)
     val path = memo.getOrElseUpdate((root.toString, name), {
       val marker = new java.io.File(root, s"_GRAFT_DONE_$name")
-      val out = new java.io.File(root, name).toString
+      val out = new java.io.File(root, name)
       if (!marker.exists()) {
         val fs = org.apache.hadoop.fs.FileSystem.getLocal(
           s.sparkContext.hadoopConfiguration)
@@ -53,11 +53,24 @@ private[graft] object ArtifactCache {
         Option(root.getParentFile.listFiles()).getOrElse(Array.empty)
           .filter(f => f.getName.startsWith(prefix) && f.getName != root.getName)
           .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f.toString), true))
-        fs.delete(new org.apache.hadoop.fs.Path(out), true) // partial build
-        build.write.mode(SaveMode.Overwrite).parquet(out)
-        marker.createNewFile()
+        // Publish-by-rename (the same immutability contract as the
+        // versioned IvfIndex): build into a private temp dir, then
+        // atomically rename into place. A published artifact directory
+        // is never written again, so a concurrent reader can never see
+        // a half-built or mid-overwrite table; if a second builder
+        // races us and publishes first, our build is discarded.
+        val tmp = new java.io.File(root,
+          s".build-$name-${java.util.UUID.randomUUID().toString.take(8)}")
+        build.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        if (!marker.exists()) {
+          fs.delete(new org.apache.hadoop.fs.Path(out.toString), true) // unmarked torso
+          if (fs.rename(new org.apache.hadoop.fs.Path(tmp.toString),
+              new org.apache.hadoop.fs.Path(out.toString)))
+            marker.createNewFile()
+          else fs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
+        } else fs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
       }
-      out
+      out.toString
     })
     s.read.parquet(path)
   }
