@@ -82,6 +82,20 @@ object Sketches {
         (conv(expr("substring(h, 1 + 8 * seed, 8)"), 16, 10).cast("long") % CmsWidth).as("bucket"))
       .groupBy("seed", "bucket").agg(count(lit(1)).as("cnt"))
 
+  /** CMS from a KEYED AGGREGATE (key, weight): cell counts are sums of
+    * weights — bit-identical to [[cmsSketch]] over the raw rows, but
+    * the hash/explode work is key-cardinality-sized instead of
+    * corpus-sized. The right entry whenever an exact per-key count
+    * already exists in the plan (sk_cms_heavy probes one); raw-row
+    * cmsSketch remains the one-pass streaming shape. */
+  def cmsSketchWeighted(keyed: DataFrame, key: String, weight: String): DataFrame =
+    keyed.select(cmsHash(col(key)).as("h"), col(weight).as("w"))
+      .select(explode(seeds).as("seed"), col("h"), col("w"))
+      .select(col("seed"),
+        (conv(expr("substring(h, 1 + 8 * seed, 8)"), 16, 10).cast("long") % CmsWidth).as("bucket"),
+        col("w"))
+      .groupBy("seed", "bucket").agg(sum(col("w")).as("cnt"))
+
   /** Point-estimate the frequency of each row of `probes` (small) from a
     * built sketch: re-hash the key, look each seed's cell up, take the
     * min across seeds. The sketch side is broadcast — probing never
@@ -198,9 +212,15 @@ object Sketches {
     // keeps the overshoot near zero at these widths. ─────────────────
     "sk_cms_heavy" -> ((s, dir) => {
       val li = Tables(s, dir, "lineitem")
+      // One corpus-sized aggregate (map-side combined), then every
+      // downstream step — sketch build, probe, ranking — runs on the
+      // ~|suppliers| keyed frame. The weighted sketch is bit-identical
+      // to hashing the 6 M raw rows (cell count = Σ key weights).
       val exact = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("exact_cnt"))
+        .localCheckpoint(false)
       val top = exact.orderBy(col("exact_cnt").desc, col("l_suppkey")).limit(10)
-      cmsEstimate(cmsSketch(li, "l_suppkey"), top, "l_suppkey")
+      cmsEstimate(cmsSketchWeighted(exact, "l_suppkey", "exact_cnt"),
+        top, "l_suppkey")
     }),
 
     // ── Bloom pre-filter as a declarative data op (the runtime-
