@@ -322,4 +322,26 @@ class PlanSpec extends SparkSuite {
     // hash-building array_intersect.
     assert(plan.contains("sorted_intersect_count"), plan)
   }
+
+  test("capped link prediction: in-list wedge expansion, no pair join, engine-side top-k") {
+    val df = SparkEntry.queries("graph_link_predict_capped")(spark, sf001)
+    val plan = physical(df)
+    // The wedge set comes from Generate (explode over the Q-capped
+    // list expansion) — a self-join of the adjacency here would be the
+    // unbounded Σ deg² shape the quota exists to prevent.
+    assert(plan.contains("Generate"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("keyed CMS: exactly one pass over lineitem feeds sketch, probe and ranking") {
+    val df = SparkEntry.queries("sk_cms_heavy")(spark, sf001)
+    val plan = physical(df)
+    // The corpus-sized aggregate is localCheckpointed: the consumer
+    // plan scans the checkpoint, never lineitem.parquet (the keyed
+    // sketch build is |suppliers|-sized by construction).
+    assert(!plan.contains("lineitem.parquet"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
