@@ -12,12 +12,22 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *
   * Path is keyed by a cheap content fingerprint (length + mtime) of
   * every source file, so regenerated testdata invalidates
-  * automatically; a completion marker per artifact makes killed builds
-  * rewrite instead of serving a torso; sibling directories of older
-  * corpus generations are evicted on first build. Values are
-  * byte-identical to the inline build (parquet round-trips
-  * long/double/string exactly); only row order differs, and every
-  * consumer aggregates or joins.
+  * automatically; sibling directories of older corpus generations are
+  * evicted on first build. Values are byte-identical to the inline
+  * build (parquet round-trips long/double/string exactly); only row
+  * order differs, and every consumer aggregates or joins.
+  *
+  * Publication protocol (the same immutability contract as the
+  * versioned IvfIndex): the build runs in a private temp dir that
+  * already contains the `_GRAFT_DONE` completion marker, then a single
+  * atomic rename publishes it — "directory exists with marker" and
+  * "directory is complete" are therefore the SAME event, so no
+  * interleaving of builders and readers can observe a half-built
+  * table, and a killed build leaves only an ignorable temp dir (no
+  * unmarked torso at the published path). A losing racer discards its
+  * own build; published directories are never written again. In-JVM,
+  * a per-artifact lock additionally serializes builders so the build
+  * runs at most once per session.
   */
 private[graft] object ArtifactCache {
 
@@ -25,7 +35,18 @@ private[graft] object ArtifactCache {
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
+  // Per-artifact build lock: TrieMap.getOrElseUpdate may evaluate the
+  // op concurrently in racing threads, so the publish section takes a
+  // monitor keyed by (root, name) — one build per artifact per JVM.
+  private val locks =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Object]
+
   private val Root = "/tmp/graft-artifact-cache"
+
+  /** Marker file name INSIDE a published artifact directory. The
+    * leading underscore keeps Spark's parquet reader from treating it
+    * as data (same convention as `_SUCCESS`). */
+  private val Done = "_GRAFT_DONE"
 
   def parquet(s: SparkSession, dir: String, name: String,
       sources: Seq[String])(build: => DataFrame): DataFrame = {
@@ -43,35 +64,48 @@ private[graft] object ArtifactCache {
     val prefix =
       s"${dir.replaceAll("[^A-Za-z0-9._-]", "_")}-${sources.mkString("+")}-"
     val root = new java.io.File(Root, prefix + fp)
-    val path = memo.getOrElseUpdate((root.toString, name), {
-      val marker = new java.io.File(root, s"_GRAFT_DONE_$name")
-      val out = new java.io.File(root, name)
-      if (!marker.exists()) {
-        val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-          s.sparkContext.hadoopConfiguration)
-        // Evict artifact sets of older corpus generations.
-        Option(root.getParentFile.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.getName.startsWith(prefix) && f.getName != root.getName)
-          .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f.toString), true))
-        // Publish-by-rename (the same immutability contract as the
-        // versioned IvfIndex): build into a private temp dir, then
-        // atomically rename into place. A published artifact directory
-        // is never written again, so a concurrent reader can never see
-        // a half-built or mid-overwrite table; if a second builder
-        // races us and publishes first, our build is discarded.
-        val tmp = new java.io.File(root,
-          s".build-$name-${java.util.UUID.randomUUID().toString.take(8)}")
-        build.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        if (!marker.exists()) {
-          fs.delete(new org.apache.hadoop.fs.Path(out.toString), true) // unmarked torso
-          if (fs.rename(new org.apache.hadoop.fs.Path(tmp.toString),
-              new org.apache.hadoop.fs.Path(out.toString)))
-            marker.createNewFile()
-          else fs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
-        } else fs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
-      }
-      out.toString
-    })
+    val key = (root.toString, name)
+    val path = memo.getOrElseUpdate(key,
+      locks.getOrElseUpdate(key, new Object).synchronized {
+        memo.get(key).getOrElse(publish(s, root, prefix, name, build))
+      })
     s.read.parquet(path)
+  }
+
+  private def isPublished(out: java.io.File): Boolean =
+    new java.io.File(out, Done).exists()
+
+  private def publish(s: SparkSession, root: java.io.File, prefix: String,
+      name: String, build: => DataFrame): String = {
+    val out = new java.io.File(root, name)
+    if (isPublished(out)) return out.toString
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      s.sparkContext.hadoopConfiguration)
+    def del(f: java.io.File): Unit =
+      fs.delete(new org.apache.hadoop.fs.Path(f.toString), true)
+    // Evict artifact sets of older corpus generations (siblings under
+    // Root with this source-set prefix but a different fingerprint).
+    Option(root.getParentFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(prefix) && f.getName != root.getName)
+      .foreach(del)
+    val tmp = new java.io.File(root,
+      s".build-$name-${java.util.UUID.randomUUID().toString.take(8)}")
+    build.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    new java.io.File(tmp, Done).createNewFile()
+    // Publish. Never rename onto an existing directory (the local-FS
+    // fallback would nest tmp INSIDE it): re-check, clear only an
+    // UNMARKED dst, and treat "marked dst appeared" as losing the race.
+    var attempts = 0
+    var published = isPublished(out)
+    while (!published && attempts < 3) {
+      attempts += 1
+      if (out.exists() && !isPublished(out)) del(out)
+      published = fs.rename(new org.apache.hadoop.fs.Path(tmp.toString),
+        new org.apache.hadoop.fs.Path(out.toString)) || isPublished(out)
+    }
+    if (tmp.exists()) del(tmp)
+    if (!isPublished(out))
+      throw new IllegalStateException(s"artifact publish failed: $out")
+    out.toString
   }
 }

@@ -39,6 +39,16 @@ object Graph {
   private val Damping = 0.85
   private val PrIters = 3
 
+  /** All ordered pairs (a, b), a-before-b, from a SORTED array column —
+    * the map-side C(n,2) fan-out shared by the co-purchase edge build
+    * and both link-prediction wedge expansions. Bounds are 1-based
+    * (Spark `slice`): element i pairs with the i+2..n suffix. */
+  private def sortedPairs(ns: org.apache.spark.sql.Column,
+      a: String, b: String): org.apache.spark.sql.Column =
+    flatten(transform(ns, (x, i) =>
+      transform(slice(ns, i + lit(2), size(ns) - i - 1), y =>
+        struct(x.as(a), y.as(b)))))
+
   /** Customer→supplier interaction edges: one directed edge per distinct
     * (customer, supplier) trade in the order history. Node ids are
     * mapped into disjoint long ranges (customer → 2k, supplier → 2k+1):
@@ -90,9 +100,7 @@ object Graph {
       // fan-out stays map-side (orders are small) — measured ~25% faster
       // than the self-join + filter form, which shuffles lineitem twice.
       val ps = li.groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("ps"))
-      ps.select(explode(flatten(transform(col("ps"), (x, i) =>
-          transform(slice(col("ps"), i + lit(2), size(col("ps")) - i - 1), y =>
-            struct(x.as("u"), y.as("v")))))).as("p"))
+      ps.select(explode(sortedPairs(col("ps"), "u", "v")).as("p"))
         .select(col("p.u"), col("p.v")).distinct()
     }
 
@@ -128,6 +136,11 @@ object Graph {
     * being broadcast: at ~10 bytes per adjacency entry, 100 M edges is
     * ~1 GB of neighbor arrays — the practical broadcast ceiling. */
   val TriBroadcastMaxEdges = 100L * 1000 * 1000
+
+  /** Per-hub neighbor quota for graph_link_predict_capped — the single
+    * quality/cost knob of the capped variant. Interpolated into its
+    * DuckDB oracle so the two sides can never drift. */
+  val LinkPredQuota = 32
 
   /** Simplified PageRank, fixed iteration count: uniform init 1/N, then
     * pr'(v) = (1-d)/N + d·Σ_{u→v} pr(u)/outdeg(u). Dangling mass (nodes
@@ -324,9 +337,7 @@ object Graph {
         .agg(sort_array(collect_set(col("nb"))).as("ns"))
       // Same in-list pair expansion as coPurchaseEdges: wedge (a, b)
       // through each middle node, a < b canonical.
-      val wedges = nbrs.select(explode(flatten(transform(col("ns"), (x, i) =>
-          transform(slice(col("ns"), i + lit(2), size(col("ns")) - i - 1), y =>
-            struct(x.as("a"), y.as("b")))))).as("p"))
+      val wedges = nbrs.select(explode(sortedPairs(col("ns"), "a", "b")).as("p"))
         .select(col("p.a"), col("p.b"))
       val cn = wedges.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
       val cand = cn.join(e, cn("a") === e("u") && cn("b") === e("v"), "left_anti")
@@ -360,16 +371,14 @@ object Graph {
     // degrees); ranking quality degrades gracefully with Q while the
     // cost bound is hard. ────────────────────────────────────────────
     "graph_link_predict_capped" -> ((s, dir) => {
-      val Q = 32
+      val Q = LinkPredQuota
       val e = coPurchaseEdges(s, dir)
       val adj = e.select(col("u").as("node"), col("v").as("nb"))
         .union(e.select(col("v").as("node"), col("u").as("nb")))
       val nbrs = adj.groupBy("node")
         .agg(slice(sort_array(collect_set(col("nb"))), 1, Q).as("ns"))
       val deg = nbrs.select(col("node"), size(col("ns")).cast("long").as("deg"))
-      val wedges = nbrs.select(explode(flatten(transform(col("ns"), (x, i) =>
-          transform(slice(col("ns"), i + lit(2), size(col("ns")) - i - 1), y =>
-            struct(x.as("a"), y.as("b")))))).as("p"))
+      val wedges = nbrs.select(explode(sortedPairs(col("ns"), "a", "b")).as("p"))
         .select(col("p.a"), col("p.b"))
       val cn = wedges.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
       val cand = cn.join(e, cn("a") === e("u") && cn("b") === e("v"), "left_anti")
@@ -481,7 +490,7 @@ object Graph {
         |ORDER BY c.cn DESC, jaccard DESC, c.a, c.b LIMIT 20""".stripMargin,
 
     "graph_link_predict_capped" ->
-      """WITH li AS (
+      s"""WITH li AS (
         |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |e AS MATERIALIZED (
         |  SELECT DISTINCT a.pk AS u, b.pk AS v
@@ -489,7 +498,7 @@ object Graph {
         |adj AS (
         |  SELECT u AS node, v AS nb FROM e UNION ALL SELECT v, u FROM e),
         |nbrs AS MATERIALIZED (
-        |  SELECT node, list_sort(list(nb))[:32] AS ns FROM adj GROUP BY node),
+        |  SELECT node, list_sort(list(nb))[:$LinkPredQuota] AS ns FROM adj GROUP BY node),
         |deg AS MATERIALIZED (
         |  SELECT node, CAST(len(ns) AS BIGINT) AS deg FROM nbrs),
         |cadj AS (SELECT node, unnest(ns) AS nb FROM nbrs),

@@ -189,7 +189,10 @@ object Maintenance {
     // (bin = floor(bytes-before / target)) — the SQL-expressible
     // deterministic variant of Spark's own FilePartition greedy
     // packing; an above-target file always lands alone in its bin
-    // (sequential rule) and is flagged rather than split. ─────────────
+    // (sequential rule) and is flagged rather than split. Unflagged
+    // bins are < 2× target (a bin's first member can start anywhere
+    // inside its byte span), matching Spark's own maxSplitBytes
+    // packing, which also overshoots by up to one file. ───────────────
     "maint_compact_plan" -> ((s, dir) => {
       val manifest = Tables(s, dir, "events")
         .groupBy(to_date(col("ts")).as("day"), col("event_type"))

@@ -76,18 +76,15 @@ object Sketches {
     * stream d-fold *before* the shuffle, but partial aggregation caps
     * what actually moves at d·w rows per map task. */
   def cmsSketch(rows: DataFrame, key: String): DataFrame =
-    rows.select(cmsHash(col(key)).as("h"))
-      .select(explode(seeds).as("seed"), col("h"))
-      .select(col("seed"),
-        (conv(expr("substring(h, 1 + 8 * seed, 8)"), 16, 10).cast("long") % CmsWidth).as("bucket"))
-      .groupBy("seed", "bucket").agg(count(lit(1)).as("cnt"))
+    cmsSketchWeighted(rows.select(col(key), lit(1L).as("w")), key, "w")
 
   /** CMS from a KEYED AGGREGATE (key, weight): cell counts are sums of
-    * weights — bit-identical to [[cmsSketch]] over the raw rows, but
-    * the hash/explode work is key-cardinality-sized instead of
-    * corpus-sized. The right entry whenever an exact per-key count
-    * already exists in the plan (sk_cms_heavy probes one); raw-row
-    * cmsSketch remains the one-pass streaming shape. */
+    * weights — bit-identical to [[cmsSketch]] over the raw rows (which
+    * is exactly the weight-1 case), but the hash/explode work is
+    * key-cardinality-sized instead of corpus-sized. The right entry
+    * whenever an exact per-key count already exists in the plan
+    * (sk_cms_heavy probes one); raw-row cmsSketch remains the one-pass
+    * streaming shape. */
   def cmsSketchWeighted(keyed: DataFrame, key: String, weight: String): DataFrame =
     keyed.select(cmsHash(col(key)).as("h"), col(weight).as("w"))
       .select(explode(seeds).as("seed"), col("h"), col("w"))

@@ -73,9 +73,17 @@ class ArtifactCacheSpec extends SparkSuite {
       .filter(_.getName.startsWith(dir.replaceAll("[^A-Za-z0-9._-]", "_")))
     assert(root.length === 1)
     val entries = root.head.listFiles().map(_.getName)
-    assert(entries.count(_ == "race") === 1)
-    assert(entries.contains("_GRAFT_DONE_race"))
-    assert(!entries.exists(_.startsWith(".build-race")), "temp build dirs cleaned")
+    // Exactly the published artifact, no temp leftovers at any level.
+    assert(entries.toSet === Set("race"))
+    val published = new java.io.File(root.head, "race")
+    assert(new java.io.File(published, "_GRAFT_DONE").exists(),
+      "marker travels inside the published dir")
+    // The local-FS rename fallback can nest a losing temp dir INSIDE
+    // the published artifact — scan recursively, not just the root.
+    def walk(f: java.io.File): Seq[java.io.File] =
+      f +: Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+    assert(!walk(root.head).exists(_.getName.startsWith(".build-")),
+      "no temp build dirs anywhere under the artifact root")
   }
 
   test("an unmarked torso directory is rebuilt, not served") {

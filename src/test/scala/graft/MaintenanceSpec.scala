@@ -140,10 +140,16 @@ class MaintenanceSpec extends SparkSuite {
       val (bytes, oversized) = (r.getLong(2), r.getBoolean(4))
       val members = r.getString(3).split(",")
       assert(bytes === members.map(files).sum, s"bin ${r.getLong(0)} byte sum")
-      // A bin above target must be a single unsplittable file, flagged.
-      if (bytes > target) {
+      // An above-target FILE is always alone in its bin (sequential
+      // rule) and flagged; a multi-file bin can legitimately total up
+      // to just under 2x target (first member starts anywhere inside
+      // the bin's byte span), so the bound for unflagged bins is 2x.
+      if (members.exists(files(_) > target)) {
         assert(members.length === 1 && oversized, s"oversized bin ${r.getLong(0)}")
-      } else assert(!oversized)
+      } else {
+        assert(!oversized, s"bin ${r.getLong(0)} flag")
+        assert(bytes < 2 * target, s"bin ${r.getLong(0)} over 2x target")
+      }
     }
     // The sequential rule never leaves two adjacent bins both under
     // half-target (that would mean a merge was missed): total bins is

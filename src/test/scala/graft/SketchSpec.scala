@@ -124,10 +124,11 @@ class SketchSpec extends SparkSuite {
     val sk = Sketches.cmsSketch(li, "l_suppkey")
     // The sketch is bounded by d·w cells no matter the input row count…
     assert(sk.count() <= Sketches.CmsDepth.toLong * Sketches.CmsWidth)
-    // …and the plan carries a partial_count below the exchange, so only
-    // pre-combined cells cross the wire.
+    // …and the plan carries a partial aggregate below the exchange, so
+    // only pre-combined cells cross the wire (partial_sum since the
+    // sketch build went through the weighted form).
     val plan = sk.queryExecution.executedPlan.toString
-    assert(plan.contains("partial_count") || plan.contains("Partial"),
-      s"no map-side combine in:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count") ||
+      plan.contains("Partial"), s"no map-side combine in:\n$plan")
   }
 }
