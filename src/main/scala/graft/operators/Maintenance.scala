@@ -200,8 +200,48 @@ object Maintenance {
         .select(concat(date_format(col("day"), "yyyy-MM-dd"), lit("/"),
           col("event_type"), lit(".json")).as("file"), col("bytes"))
       compactionPlan(manifest, CompactTargetBytes)
+    }),
+
+    // ── Snapshot diff between two dataset releases — the audit a
+    // training-data pipeline publishes with every corpus version (what
+    // changed since v1, per source, by CONTENT, not by file). v2 is
+    // derived deterministically from the corpus (drops, edits, adds on
+    // disjoint doc_id residues) so the oracle reproduces it; the diff
+    // itself is the production shape: one full-outer join on the
+    // document key comparing content fingerprints — a single
+    // hash-partitioned shuffle at any scale, no content moves (only
+    // the md5 travels). ───────────────────────────────────────────────
+    "maint_snapshot_diff" -> ((s, dir) => {
+      val v1 = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+      val v2 = snapshotV2(Tables(s, dir, "documents"))
+        .select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+      val j = v1.as("a").join(v2.as("b"), Seq("doc_id"), "full_outer")
+      val status = when(col("a.fp").isNull, lit("added"))
+        .when(col("b.fp").isNull, lit("removed"))
+        .when(col("a.fp") === col("b.fp"), lit("unchanged"))
+        .otherwise(lit("changed"))
+      j.select(status.as("status"),
+          coalesce(col("b.source"), col("a.source")).as("source"),
+          col("doc_id"))
+        .groupBy(col("status"), col("source"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
     })
   )
+
+  /** Deterministic "next release" of the documents corpus: residue 97
+    * docs are dropped, residue 31 docs are edited (suffix appended),
+    * and residue 89 docs spawn a NEW doc at doc_id + 10M — disjoint
+    * mutation classes so the diff statuses are exactly attributable. */
+  def snapshotV2(docs: DataFrame): DataFrame = {
+    val kept = docs.where(col("doc_id") % 97 =!= 0)
+    val edited = kept.withColumn("text",
+      when(col("doc_id") % 31 === 0, concat(col("text"), lit(" v2"))).otherwise(col("text")))
+    val added = docs.where(col("doc_id") % 89 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+    edited.unionByName(added)
+  }
 
   /** Pack a (file, bytes) manifest into target-size compaction bins:
     * size-descending order, bin index from the running sum of preceding
@@ -345,6 +385,28 @@ object Maintenance {
          |  string_agg(file, ',' ORDER BY file) AS files,
          |  CAST(max(CASE WHEN bytes > $CompactTargetBytes THEN 1 ELSE 0 END)
          |    AS BOOLEAN) AS oversized_single
-         |FROM b GROUP BY bin""".stripMargin
+         |FROM b GROUP BY bin""".stripMargin,
+
+    "maint_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+        |kept AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+        |edited AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 31 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM kept),
+        |added AS (SELECT doc_id + 10000000 AS doc_id, source, text
+        |  FROM documents WHERE doc_id % 89 = 0),
+        |v2 AS (SELECT doc_id, source, md5(text) AS fp FROM
+        |  (SELECT * FROM edited UNION ALL SELECT * FROM added)),
+        |j AS (
+        |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |    coalesce(b.source, a.source) AS source,
+        |    CASE WHEN a.fp IS NULL THEN 'added'
+        |         WHEN b.fp IS NULL THEN 'removed'
+        |         WHEN a.fp = b.fp THEN 'unchanged'
+        |         ELSE 'changed' END AS status
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+        |SELECT status, source, count(*) AS n,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM j GROUP BY 1, 2""".stripMargin
   )
 }

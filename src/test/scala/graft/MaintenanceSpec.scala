@@ -125,6 +125,20 @@ class MaintenanceSpec extends SparkSuite {
     (0 until r.length).foreach(i => assert(r.getLong(i) === 0L, s"violation col $i"))
   }
 
+  test("snapshot diff statuses are exactly attributable to the mutation classes") {
+    val docs = Tables(spark, sf001, "documents")
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0))
+    val expected = Map(
+      "removed" -> ids.count(_ % 97 == 0).toLong,
+      "changed" -> ids.count(i => i % 31 == 0 && i % 97 != 0).toLong,
+      "added" -> ids.count(_ % 89 == 0).toLong,
+      "unchanged" -> ids.count(i => i % 97 != 0 && i % 31 != 0).toLong)
+    val got = SparkEntry.queries("maint_snapshot_diff")(spark, sf001)
+      .groupBy(col("status")).agg(sum(col("n")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
   test("compaction plan over the real FS listing partitions the files and bounds bins") {
     val target = 64L * 1024
     val manifest = Maintenance.listParquetFiles(spark, sf001)
