@@ -269,6 +269,33 @@ object Maintenance {
     * yields several bins (a production pass uses 128 MB–1 GB). */
   val CompactTargetBytes: Long = 64L * 1024
 
+  /** Execute a compaction plan over a directory of SAME-SCHEMA parquet
+    * files (one table partition — the unit real compaction operates
+    * on): each planned bin's members are read together and rewritten as
+    * ONE output file under `outDir/bin=<k>/`. The driver loop iterates
+    * the PLAN (file-count-sized metadata — the bounded-collect rule holds);
+    * each iteration is a distributed read+write job, the same
+    * one-job-per-bin shape Delta's OPTIMIZE uses (parallelize bins via
+    * concurrent job groups when bin count warrants it). Returns
+    * (bin, n_files_in, rows_out) for the audit log. */
+  def compactExec(spark: SparkSession, srcDir: String, target: Long,
+      outDir: String): DataFrame = {
+    import spark.implicits._
+    val plan = compactionPlan(listParquetFiles(spark, srcDir), target)
+      .select(col("bin"), col("files")).collect()
+    val stats = plan.map { r =>
+      val bin = r.getLong(0)
+      val members = r.getString(1).split(",").map(f => s"$srcDir/$f")
+      val df = spark.read.parquet(members.toIndexedSeq: _*)
+      val out = s"$outDir/bin=$bin"
+      df.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(out)
+      val rows = spark.read.parquet(out).count()
+      (bin, members.length.toLong, rows)
+    }
+    stats.toSeq.toDF("bin", "n_files_in", "rows_out")
+  }
+
   /** Real file listing (name, bytes) of the directory's parquet files —
     * Hadoop FS metadata, driver-side by nature (every planner's listing
     * is); the resulting frame is file-count-sized, never data-sized. */

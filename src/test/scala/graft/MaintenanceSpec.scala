@@ -139,6 +139,37 @@ class MaintenanceSpec extends SparkSuite {
     assert(got === expected)
   }
 
+  test("compaction exec rewrites each planned bin as one file, rows preserved") {
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("compact-src").toString
+    // 8 single-file parquet shards of one schema, uneven sizes.
+    val perShard = (1 to 8).map { i =>
+      val rows = i * 40L
+      val df = spark.range(rows).selectExpr("id", s"repeat('x', ${i * 20}) AS pad")
+      val tmp = s"$src/.w$i"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(s"$src/f$i.parquet"))
+      def rmr(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr); f.delete()
+      }
+      rmr(new java.io.File(tmp))
+      rows
+    }
+    val out = Files.createTempDirectory("compact-out").toString
+    val stats = Maintenance.compactExec(spark, src, 16L * 1024, out).collect()
+    // Every input file lands in exactly one bin; total rows preserved.
+    assert(stats.map(_.getLong(1)).sum === 8L)
+    assert(stats.map(_.getLong(2)).sum === perShard.sum)
+    // One data file per bin.
+    stats.foreach { r =>
+      val files = new java.io.File(s"$out/bin=${r.getLong(0)}").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(files === 1, s"bin ${r.getLong(0)}")
+    }
+  }
+
   test("compaction plan over the real FS listing partitions the files and bounds bins") {
     val target = 64L * 1024
     val manifest = Maintenance.listParquetFiles(spark, sf001)
