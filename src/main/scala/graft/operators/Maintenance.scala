@@ -212,18 +212,25 @@ object Maintenance {
     // hash-partitioned shuffle at any scale, no content moves (only
     // the md5 travels). ───────────────────────────────────────────────
     "maint_snapshot_diff" -> ((s, dir) => {
+      // Presence keys on the join-side doc_id, NOT the fingerprint:
+      // md5(NULL text) is NULL, and fp-based presence would call a
+      // NULL-text doc present in both releases "added". The content
+      // compare is null-safe (<=>) for the same reason.
       val v1 = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+        .select(col("doc_id").as("id_a"), col("source"),
+          md5(col("text")).as("fp"))
       val v2 = snapshotV2(Tables(s, dir, "documents"))
-        .select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
-      val j = v1.as("a").join(v2.as("b"), Seq("doc_id"), "full_outer")
-      val status = when(col("a.fp").isNull, lit("added"))
-        .when(col("b.fp").isNull, lit("removed"))
-        .when(col("a.fp") === col("b.fp"), lit("unchanged"))
+        .select(col("doc_id").as("id_b"), col("source"),
+          md5(col("text")).as("fp"))
+      val j = v1.as("a").join(v2.as("b"),
+        col("id_a") === col("id_b"), "full_outer")
+      val status = when(col("id_a").isNull, lit("added"))
+        .when(col("id_b").isNull, lit("removed"))
+        .when(col("a.fp") <=> col("b.fp"), lit("unchanged"))
         .otherwise(lit("changed"))
       j.select(status.as("status"),
           coalesce(col("b.source"), col("a.source")).as("source"),
-          col("doc_id"))
+          coalesce(col("id_a"), col("id_b")).as("doc_id"))
         .groupBy(col("status"), col("source"))
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
           max(col("doc_id")).as("max_id"))
@@ -232,8 +239,12 @@ object Maintenance {
 
   /** Deterministic "next release" of the documents corpus: residue 97
     * docs are dropped, residue 31 docs are edited (suffix appended),
-    * and residue 89 docs spawn a NEW doc at doc_id + 10M — disjoint
-    * mutation classes so the diff statuses are exactly attributable. */
+    * and residue 89 docs spawn a NEW doc at doc_id + 10M. The residue
+    * classes themselves can overlap (0 is in all three; multiples of
+    * 31·89 are edited AND spawn an add carrying the ORIGINAL text) —
+    * statuses stay exactly attributable because drop wins over edit by
+    * construction (edits apply to the kept set) and adds live at
+    * disjoint shifted ids. */
   def snapshotV2(docs: DataFrame): DataFrame = {
     val kept = docs.where(col("doc_id") % 97 =!= 0)
     val edited = kept.withColumn("text",
@@ -247,23 +258,28 @@ object Maintenance {
     * size-descending order, bin index from the running sum of preceding
     * bytes. Output is one row per planned output file. Metadata-sized
     * end to end — the manifest is file-count rows, never data rows. */
-  def compactionPlan(manifest: DataFrame, target: Long): DataFrame = {
+  /** Per-file bin assignment — the packing rule itself, shared by the
+    * display plan and the executor (which needs the membership as an
+    * ARRAY, not the comma-joined display string). */
+  private def binAssignments(manifest: DataFrame, target: Long): DataFrame = {
     // Single-partition window by design: the input is a FILE MANIFEST,
     // not data — 100 TB at 128 MB/file is ~800 K rows, and a global
     // running sum over that is sub-second. (Data-sized prefix sums use
     // the two-phase distributed form — see TextOps.packContextWindows.)
     val w = Window.orderBy(col("bytes").desc, col("file"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    manifest
-      .withColumn("bin",
-        floor(coalesce(sum(col("bytes")).over(w), lit(0L)) / target))
+    manifest.withColumn("bin",
+      floor(coalesce(sum(col("bytes")).over(w), lit(0L)) / target))
+  }
+
+  def compactionPlan(manifest: DataFrame, target: Long): DataFrame =
+    binAssignments(manifest, target)
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_files"),
         sum(col("bytes")).as("bin_bytes"),
         array_join(sort_array(collect_list(col("file"))), ",").as("files"),
         max((col("bytes") > target).cast("int")).cast("boolean")
           .as("oversized_single"))
-  }
 
   /** Compaction bin target: deliberately small so the sf0.01 manifest
     * yields several bins (a production pass uses 128 MB–1 GB). */
@@ -271,28 +287,50 @@ object Maintenance {
 
   /** Execute a compaction plan over a directory of SAME-SCHEMA parquet
     * files (one table partition — the unit real compaction operates
-    * on): each planned bin's members are read together and rewritten as
-    * ONE output file under `outDir/bin=<k>/`. The driver loop iterates
-    * the PLAN (file-count-sized metadata — the bounded-collect rule holds);
-    * each iteration is a distributed read+write job, the same
-    * one-job-per-bin shape Delta's OPTIMIZE uses (parallelize bins via
-    * concurrent job groups when bin count warrants it). Returns
-    * (bin, n_files_in, rows_out) for the audit log. */
+    * on): each MULTI-FILE bin's members are read together (parallel
+    * scan, shuffled to one writer) and rewritten as ONE output file
+    * under `outDir/bin=<k>/`; single-file bins — including every
+    * oversized-flagged one — are skipped, Delta-OPTIMIZE style. The
+    * whole output dir is built aside and swapped in by rename, so a
+    * reused outDir never carries stale bins of an earlier plan. The
+    * driver loop iterates the PLAN (file-count-sized metadata — the
+    * bounded-collect rule holds); one job per bin, parallelizable via
+    * concurrent job groups when bin count warrants it. Returns
+    * (bin, n_files_in, rows_out) for the REWRITTEN bins. */
   def compactExec(spark: SparkSession, srcDir: String, target: Long,
       outDir: String): DataFrame = {
     import spark.implicits._
-    val plan = compactionPlan(listParquetFiles(spark, srcDir), target)
-      .select(col("bin"), col("files")).collect()
+    // Membership travels as an ARRAY (never the comma-joined display
+    // string — a filename containing ',' must not split). Single-file
+    // bins — including every oversized-flagged one — are SKIPPED, the
+    // Delta-OPTIMIZE rule: rewriting one file into one file is pure
+    // wasted I/O; the caller leaves those files in place.
+    val plan = binAssignments(listParquetFiles(spark, srcDir), target)
+      .groupBy(col("bin"))
+      .agg(sort_array(collect_list(col("file"))).as("fs"))
+      .where(size(col("fs")) > 1)
+      .collect()
+    // Build aside, then swap the WHOLE output dir by rename — reusing
+    // an outDir must never leave stale bins from a previous plan
+    // (SaveMode.Overwrite only replaces bins the current plan emits).
+    val fsys = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = s"$outDir.inprogress"
+    fsys.delete(new org.apache.hadoop.fs.Path(tmp), true)
     val stats = plan.map { r =>
       val bin = r.getLong(0)
-      val members = r.getString(1).split(",").map(f => s"$srcDir/$f")
-      val df = spark.read.parquet(members.toIndexedSeq: _*)
-      val out = s"$outDir/bin=$bin"
-      df.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(out)
-      val rows = spark.read.parquet(out).count()
+      val members = r.getSeq[String](1).map(f => s"$srcDir/$f")
+      // repartition(1) (not coalesce) keeps the member-file SCAN
+      // parallel and shuffles to the single writer task.
+      spark.read.parquet(members: _*).repartition(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$tmp/bin=$bin")
+      val rows = spark.read.parquet(s"$tmp/bin=$bin").count()
       (bin, members.length.toLong, rows)
     }
+    fsys.delete(new org.apache.hadoop.fs.Path(outDir), true)
+    fsys.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(outDir))
     stats.toSeq.toDF("bin", "n_files_in", "rows_out")
   }
 
@@ -427,9 +465,9 @@ object Maintenance {
         |j AS (
         |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
         |    coalesce(b.source, a.source) AS source,
-        |    CASE WHEN a.fp IS NULL THEN 'added'
-        |         WHEN b.fp IS NULL THEN 'removed'
-        |         WHEN a.fp = b.fp THEN 'unchanged'
+        |    CASE WHEN a.doc_id IS NULL THEN 'added'
+        |         WHEN b.doc_id IS NULL THEN 'removed'
+        |         WHEN a.fp IS NOT DISTINCT FROM b.fp THEN 'unchanged'
         |         ELSE 'changed' END AS status
         |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
         |SELECT status, source, count(*) AS n,

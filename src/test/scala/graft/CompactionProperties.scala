@@ -18,12 +18,17 @@ import org.scalacheck.{Gen, Prop, Properties}
   */
 object CompactionProperties extends Properties("graft.compaction") {
 
+  // Same settings as SparkSuite: suites share one JVM, and whichever
+  // runs first wins getOrCreate — a divergent config here would
+  // silently re-configure every ScalaTest suite that follows.
   private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .appName("graft-props")
-    .config("spark.sql.shuffle.partitions", "2")
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-wh").toString)
     .getOrCreate()
 
   private val Target = 1000L

@@ -158,16 +158,34 @@ class MaintenanceSpec extends SparkSuite {
       rows
     }
     val out = Files.createTempDirectory("compact-out").toString
-    val stats = Maintenance.compactExec(spark, src, 16L * 1024, out).collect()
-    // Every input file lands in exactly one bin; total rows preserved.
-    assert(stats.map(_.getLong(1)).sum === 8L)
-    assert(stats.map(_.getLong(2)).sum === perShard.sum)
-    // One data file per bin.
+    val target = 16L * 1024
+    val stats = Maintenance.compactExec(spark, src, target, out).collect()
+    // The executor rewrites exactly the MULTI-FILE bins (single-file
+    // bins are skipped, Delta-OPTIMIZE style): recompute the expected
+    // partition from the plan and compare.
+    val byName = (1 to 8).map(i => f"f$i.parquet" -> perShard(i - 1)).toMap
+    val plan = Maintenance
+      .compactionPlan(Maintenance.listParquetFiles(spark, src), target)
+      .collect().map(r => r.getLong(0) -> r.getString(3).split(",").toSeq)
+    val multi = plan.filter(_._2.length > 1).toMap
+    assert(stats.map(_.getLong(0)).toSet === multi.keySet)
+    assert(stats.map(_.getLong(1)).sum === multi.values.map(_.length.toLong).sum)
     stats.foreach { r =>
+      val expectRows = multi(r.getLong(0)).map(byName).sum
+      assert(r.getLong(2) === expectRows, s"bin ${r.getLong(0)} rows")
       val files = new java.io.File(s"$out/bin=${r.getLong(0)}").listFiles()
         .count(_.getName.endsWith(".parquet"))
       assert(files === 1, s"bin ${r.getLong(0)}")
     }
+    // There is at least one multi-file bin in this fixture, and a
+    // RE-RUN with a bigger target swaps the output dir wholesale — no
+    // stale bins from the first plan survive.
+    assert(multi.nonEmpty)
+    val stats2 = Maintenance.compactExec(spark, src, 4 * target, out).collect()
+    val bins2 = stats2.map(r => s"bin=${r.getLong(0)}").toSet
+    val onDisk = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.startsWith("bin=")).toSet
+    assert(onDisk === bins2, "reused outDir carries only the new plan's bins")
   }
 
   test("compaction plan over the real FS listing partitions the files and bounds bins") {
