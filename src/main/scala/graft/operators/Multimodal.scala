@@ -102,6 +102,53 @@ object Multimodal {
       .map(id => MediaRow(id, pngBytes(id), "image/png", 8, 8))
   }
 
+  /** REAL JDK audio decoder (javax.sound.sampled, ships in the JDK):
+    * WAV bytes → AudioInputStream → PCM frames. Returns
+    * [n_frames, sum, min, max] of the unsigned 8-bit samples; the sum
+    * of 256 bytes is ≤ 65280, exact in Float. The RIFF/fmt parse is a
+    * real codec path — the audio twin of [[PngDecoder]]. */
+  class WavDecoder extends MediaDecoder {
+    def decode(bytes: Array[Byte]): Array[Float] = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val buf = in.readAllBytes()
+        var s = 0L; var mn = 255; var mx = 0
+        var i = 0
+        while (i < buf.length) {
+          val v = buf(i) & 0xff
+          s += v; if (v < mn) mn = v; if (v > mx) mx = v
+          i += 1
+        }
+        Array(buf.length.toFloat, s.toFloat, mn.toFloat, mx.toFloat)
+      } finally in.close()
+    }
+  }
+
+  /** Deterministic 256-sample 8-bit mono PCM WAV for `id`: sample t is
+    * the closed form (id·7 + t·13) % 256, so the oracle reproduces the
+    * DECODED waveform statistics arithmetically — a hash match proves
+    * the WAVE encode→parse round-trip carries real samples through the
+    * same seam (PCM is lossless). */
+  def wavBytes(id: Long, n: Int = 256): Array[Byte] = {
+    val samples = Array.tabulate(n)(t => ((id * 7 + t * 13) % 256).toByte)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** WAV media table: one deterministic clip per document id. */
+  def syntheticWavMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, wavBytes(id), "audio/wav", 256, 1))
+  }
+
   /** Synthesize a media table from `documents` (UTF-8 bytes as fake
     * payloads) — exercises the binary-column plumbing end-to-end with
     * deterministic content. */
@@ -150,6 +197,25 @@ object Multimodal {
         mean(3, "mean_r"), mean(4, "mean_g"), mean(5, "mean_b"))
     }),
 
+    // ── REAL audio decode: deterministic 8-bit PCM WAV clips, parsed
+    // back through javax.sound.sampled in the same per-partition
+    // decoder seam; per-clip waveform stats (frame count, mean level,
+    // min/max). The oracle computes the same statistics from the
+    // sample formula — the audio twin of mm_decode_png, retiring the
+    // "audio is only a stub" limitation. ──────────────────────────────
+    "mm_decode_wav" -> ((s, dir) => {
+      val feats = extractFeatures(syntheticWavMedia(s, dir),
+        () => new WavDecoder()).toDF()
+      // features = [n_frames, sum, min, max]; n_frames = 256 (dyadic),
+      // so sum/n is exact in double on the 1e-4 grid.
+      def f(i: Int) = element_at(col("features"), i).cast("double")
+      feats.select(col("media_id"),
+        f(1).cast("long").as("n_frames"),
+        graft.functions.Num.roundp(f(2) / f(1), 4).as("mean_level"),
+        f(3).cast("long").as("min_level"),
+        f(4).cast("long").as("max_level"))
+    }),
+
     // ── frame-sample profile: every-4th 16-byte chunk of each payload,
     // counted and byte-summed. DuckDB reproduces the slicing on the text
     // the synthetic payload encodes (ASCII ⇒ byte-exact), so unlike the
@@ -163,6 +229,17 @@ object Multimodal {
     }))
 
   val oracles: Map[String, String] = Map(
+    "mm_decode_wav" ->
+      """WITH sm AS (
+        |  SELECT doc_id AS media_id, (doc_id * 7 + i * 13) % 256 AS v
+        |  FROM documents, range(256) t(i))
+        |SELECT media_id,
+        |  CAST(count(*) AS BIGINT) AS n_frames,
+        |  floor(avg(v) * 10000 + 0.5) / 10000 AS mean_level,
+        |  CAST(min(v) AS BIGINT) AS min_level,
+        |  CAST(max(v) AS BIGINT) AS max_level
+        |FROM sm GROUP BY media_id""".stripMargin,
+
     "mm_decode_png" ->
       """WITH px AS (
         |  SELECT doc_id AS media_id,

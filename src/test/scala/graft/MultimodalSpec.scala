@@ -67,4 +67,18 @@ class MultimodalSpec extends SparkSuite {
     assert(out.forall(r =>
       again(r.getAs[Long]("media_id")) == r.getAs[Array[Byte]]("resized").toSeq))
   }
+
+  test("WAV encode→decode round-trips exact PCM samples through the decoder seam") {
+    // The bytes are a REAL RIFF/WAVE container, not raw samples…
+    val bytes = Multimodal.wavBytes(42L)
+    assert(new String(bytes.take(4), "US-ASCII") === "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") === "WAVE")
+    // …and the decoder recovers exactly the closed-form samples.
+    val feats = new Multimodal.WavDecoder().decode(bytes)
+    val expected = (0 until 256).map(t => (42L * 7 + t * 13) % 256)
+    assert(feats(0) === 256f)
+    assert(feats(1) === expected.sum.toFloat)
+    assert(feats(2) === expected.min.toFloat)
+    assert(feats(3) === expected.max.toFloat)
+  }
 }
