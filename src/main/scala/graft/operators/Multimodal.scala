@@ -149,6 +149,32 @@ object Multimodal {
       .map(id => MediaRow(id, wavBytes(id), "audio/wav", 256, 1))
   }
 
+  /** REAL image resize: decode (ImageIO), then nearest-neighbor
+    * downsample by explicit integer index mapping — source pixel
+    * (x·w/tw, y·h/th) — NOT Java2D's rendering pipeline, whose
+    * filtering is platform-dependent. Deterministic everywhere, and
+    * exactly the access pattern a production thumbnailer ships to
+    * executors. Returns [tw, th, sumR, sumG, sumB] of the RESAMPLED
+    * image. */
+  class PngResizeDecoder(tw: Int = 4, th: Int = 4) extends MediaDecoder {
+    def decode(bytes: Array[Byte]): Array[Float] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < th) {
+        var x = 0
+        while (x < tw) {
+          val p = img.getRGB(x * w / tw, y * h / th)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      Array(tw.toFloat, th.toFloat, sr.toFloat, sg.toFloat, sb.toFloat)
+    }
+  }
+
   /** Synthesize a media table from `documents` (UTF-8 bytes as fake
     * payloads) — exercises the binary-column plumbing end-to-end with
     * deterministic content. */
@@ -216,6 +242,25 @@ object Multimodal {
         f(4).cast("long").as("max_level"))
     }),
 
+    // ── REAL image resize: decode + integer nearest-neighbor
+    // downsample 8×8 → 4×4 in the decoder seam; per-channel means of
+    // the thumbnail. The oracle evaluates the pixel formula at the
+    // sampled coordinates (x·2, y·2) — the resample is real, the
+    // verification arithmetic. Replaces resizeStub as the production
+    // path (the stub stays as the opaque-bytes contract demo). ────────
+    "mm_resize_png" -> ((s, dir) => {
+      val feats = extractFeatures(syntheticPngMedia(s, dir),
+        () => new PngResizeDecoder(4, 4)).toDF()
+      val n = (element_at(col("features"), 1) *
+        element_at(col("features"), 2)).cast("double")
+      def mean(i: Int, name: String) = graft.functions.Num.roundp(
+        element_at(col("features"), i).cast("double") / n, 4).as(name)
+      feats.select(col("media_id"),
+        element_at(col("features"), 1).cast("long").as("width"),
+        element_at(col("features"), 2).cast("long").as("height"),
+        mean(3, "mean_r"), mean(4, "mean_g"), mean(5, "mean_b"))
+    }),
+
     // ── frame-sample profile: every-4th 16-byte chunk of each payload,
     // counted and byte-summed. DuckDB reproduces the slicing on the text
     // the synthetic payload encodes (ASCII ⇒ byte-exact), so unlike the
@@ -229,6 +274,18 @@ object Multimodal {
     }))
 
   val oracles: Map[String, String] = Map(
+    "mm_resize_png" ->
+      """WITH px AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST((i % 4) * 2 AS BIGINT) AS x, CAST((i // 4) * 2 AS BIGINT) AS y
+        |  FROM documents, range(16) t(i))
+        |SELECT media_id,
+        |  CAST(4 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+        |  floor(avg((media_id * 31 + x * 7 + y * 13) % 256) * 10000 + 0.5) / 10000 AS mean_r,
+        |  floor(avg((media_id * 17 + x * 11 + y * 3) % 256) * 10000 + 0.5) / 10000 AS mean_g,
+        |  floor(avg((media_id * 7 + x * 5 + y * 19) % 256) * 10000 + 0.5) / 10000 AS mean_b
+        |FROM px GROUP BY media_id""".stripMargin,
+
     "mm_decode_wav" ->
       """WITH sm AS (
         |  SELECT doc_id AS media_id, (doc_id * 7 + i * 13) % 256 AS v
