@@ -149,6 +149,85 @@ object Multimodal {
       .map(id => MediaRow(id, wavBytes(id), "audio/wav", 256, 1))
   }
 
+  /** Deterministic multi-frame media: an 8×8 RGB frame sequence in a
+    * MULTI-PAGE TIFF (ImageIO reads and writes TIFF since Java 9;
+    * lossless RGB, a real container with a page directory) — the
+    * video-shaped case: many frames, one payload. Pixel formula adds a
+    * frame term to the PNG formula. */
+  def tiffBytes(id: Long, frames: Int = 4, w: Int = 8, h: Int = 8): Array[Byte] = {
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("tiff").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(out)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < frames) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((id * 31 + x * 7 + y * 13 + f * 29) % 256).toInt
+          val g = ((id * 17 + x * 11 + y * 3 + f * 23) % 256).toInt
+          val b = ((id * 7 + x * 5 + y * 19 + f * 41) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    out.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  /** REAL frame-sampling decoder: parse the TIFF page directory, read
+    * every `every`-th frame (the others are never decoded — exactly
+    * how a video sampler skips), sum channels over the sampled frames.
+    * Returns [n_frames_total, n_sampled, sumR, sumG, sumB]. */
+  class TiffFrameDecoder(every: Int = 2) extends MediaDecoder {
+    def decode(bytes: Array[Byte]): Array[Float] = {
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("tiff").next()
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(in)
+        val n = reader.getNumImages(true)
+        var sampled = 0; var sr = 0L; var sg = 0L; var sb = 0L
+        var f = 0
+        while (f < n) {
+          val img = reader.read(f)
+          sampled += 1
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          f += every
+        }
+        Array(n.toFloat, sampled.toFloat, sr.toFloat, sg.toFloat, sb.toFloat)
+      } finally { reader.dispose(); in.close() }
+    }
+  }
+
+  /** TIFF media table: one deterministic 4-frame clip per document. */
+  def syntheticTiffMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, tiffBytes(id), "image/tiff", 8, 8))
+  }
+
   /** REAL image resize: decode (ImageIO), then nearest-neighbor
     * downsample by explicit integer index mapping — source pixel
     * (x·w/tw, y·h/th) — NOT Java2D's rendering pipeline, whose
@@ -223,6 +302,24 @@ object Multimodal {
         mean(3, "mean_r"), mean(4, "mean_g"), mean(5, "mean_b"))
     }),
 
+    // ── REAL multi-frame container + frame sampling: 4-frame 8×8 RGB
+    // multi-page TIFF per doc; the decoder parses the page directory
+    // and decodes every 2nd frame only — the video frame-sample access
+    // pattern over a real container (frames 0 and 2 of 4). Oracle =
+    // the pixel formula averaged over the sampled frames. ─────────────
+    "mm_frames_tiff" -> ((s, dir) => {
+      val feats = extractFeatures(syntheticTiffMedia(s, dir),
+        () => new TiffFrameDecoder(2)).toDF()
+      // n sampled pixels = 2 frames · 64 px (dyadic) → exact means.
+      val n = (element_at(col("features"), 2) * lit(64.0d)).cast("double")
+      def mean(i: Int, name: String) = graft.functions.Num.roundp(
+        element_at(col("features"), i).cast("double") / n, 4).as(name)
+      feats.select(col("media_id"),
+        element_at(col("features"), 1).cast("long").as("n_frames"),
+        element_at(col("features"), 2).cast("long").as("n_sampled"),
+        mean(3, "mean_r"), mean(4, "mean_g"), mean(5, "mean_b"))
+    }),
+
     // ── REAL audio decode: deterministic 8-bit PCM WAV clips, parsed
     // back through javax.sound.sampled in the same per-partition
     // decoder seam; per-clip waveform stats (frame count, mean level,
@@ -274,6 +371,18 @@ object Multimodal {
     }))
 
   val oracles: Map[String, String] = Map(
+    "mm_frames_tiff" ->
+      """WITH px AS (
+        |  SELECT doc_id AS media_id, f.f AS f,
+        |         CAST(i % 8 AS BIGINT) AS x, CAST(i // 8 AS BIGINT) AS y
+        |  FROM documents, (VALUES (0), (2)) f(f), range(64) t(i))
+        |SELECT media_id,
+        |  CAST(4 AS BIGINT) AS n_frames, CAST(2 AS BIGINT) AS n_sampled,
+        |  floor(avg((media_id * 31 + x * 7 + y * 13 + f * 29) % 256) * 10000 + 0.5) / 10000 AS mean_r,
+        |  floor(avg((media_id * 17 + x * 11 + y * 3 + f * 23) % 256) * 10000 + 0.5) / 10000 AS mean_g,
+        |  floor(avg((media_id * 7 + x * 5 + y * 19 + f * 41) % 256) * 10000 + 0.5) / 10000 AS mean_b
+        |FROM px GROUP BY media_id""".stripMargin,
+
     "mm_resize_png" ->
       """WITH px AS (
         |  SELECT doc_id AS media_id,

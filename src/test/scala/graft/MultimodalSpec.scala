@@ -68,6 +68,20 @@ class MultimodalSpec extends SparkSuite {
       again(r.getAs[Long]("media_id")) == r.getAs[Array[Byte]]("resized").toSeq))
   }
 
+  test("multi-page TIFF carries 4 real frames; the sampler decodes every 2nd") {
+    val bytes = Multimodal.tiffBytes(7L)
+    // Real TIFF container: II*\0 or MM\0* magic.
+    val magic = bytes.take(4).map(_ & 0xff)
+    assert(magic.sameElements(Array(0x49, 0x49, 0x2a, 0x00)) ||
+      magic.sameElements(Array(0x4d, 0x4d, 0x00, 0x2a)), magic.toSeq)
+    val f = new Multimodal.TiffFrameDecoder(2).decode(bytes)
+    assert(f(0) === 4f && f(1) === 2f)
+    // Channel sums equal the closed form over frames {0, 2}.
+    val expR = (for (fr <- Seq(0, 2); y <- 0 until 8; x <- 0 until 8)
+      yield (7L * 31 + x * 7 + y * 13 + fr * 29) % 256).sum
+    assert(f(2) === expR.toFloat)
+  }
+
   test("WAV encode→decode round-trips exact PCM samples through the decoder seam") {
     // The bytes are a REAL RIFF/WAVE container, not raw samples…
     val bytes = Multimodal.wavBytes(42L)
