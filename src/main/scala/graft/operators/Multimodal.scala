@@ -50,6 +50,12 @@ object Multimodal {
     * sums. Returns [width, height, sumR, sumG, sumB]; channel sums of an
     * 8×8 image are ≤ 64·255, exact in Float. */
   class PngDecoder extends MediaDecoder {
+    // ImageIO defaults to a DISK cache file per decode when fed a raw
+    // InputStream — at thousands of decodes per partition that is pure
+    // temp-file churn. The in-memory cache is correct for our ≤ KB
+    // payloads. (Static JVM flag; setting it at decoder init is the
+    // per-partition seam.)
+    javax.imageio.ImageIO.setUseCache(false)
     def decode(bytes: Array[Byte]): Array[Float] = {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       val w = img.getWidth; val h = img.getHeight
@@ -236,6 +242,7 @@ object Multimodal {
     * executors. Returns [tw, th, sumR, sumG, sumB] of the RESAMPLED
     * image. */
   class PngResizeDecoder(tw: Int = 4, th: Int = 4) extends MediaDecoder {
+    javax.imageio.ImageIO.setUseCache(false) // see PngDecoder
     def decode(bytes: Array[Byte]): Array[Float] = {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       val (w, h) = (img.getWidth, img.getHeight)
