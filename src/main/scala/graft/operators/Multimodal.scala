@@ -114,9 +114,44 @@ object Multimodal {
     * of 256 bytes is ≤ 65280, exact in Float. The RIFF/fmt parse is a
     * real codec path — the audio twin of [[PngDecoder]]. */
   class WavDecoder extends MediaDecoder {
+    // AudioSystem.getAudioInputStream re-runs a SYNCHRONIZED service-
+    // provider scan on EVERY call (JDK13Services.getProviders rebuilds
+    // the list each time) — measured NEGATIVE scaling: 100 K decodes
+    // take 8.9 s on one thread but 12.8 s on sixteen, and the 100×
+    // corpus serialized to 76 s on 32 cores. Loading the SPI readers
+    // ONCE here — the expensive-init contract this seam exists for —
+    // removes the global lock; the JDK's own WaveFileReader still does
+    // the actual RIFF/PCM parse.
+    @transient private lazy val readers: List[javax.sound.sampled.spi.AudioFileReader] = {
+      val it = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+      val b = List.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    // Remember the reader that accepted the last payload and try it
+    // first: the SPI order lists AIFF/AU before WAVE, and every miss
+    // costs a filled-in UnsupportedAudioFileException per decode.
+    @transient private var hit: javax.sound.sampled.spi.AudioFileReader = _
+    private def open(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+      if (hit != null) {
+        try return hit.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: javax.sound.sampled.UnsupportedAudioFileException => }
+      }
+      val rs = readers.iterator
+      while (rs.hasNext) {
+        val r = rs.next()
+        try {
+          val in = r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+          hit = r
+          return in
+        } catch { case _: javax.sound.sampled.UnsupportedAudioFileException => }
+      }
+      throw new javax.sound.sampled.UnsupportedAudioFileException(
+        "no SPI reader accepts the payload")
+    }
     def decode(bytes: Array[Byte]): Array[Float] = {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+      val in = open(bytes)
       try {
         val buf = in.readAllBytes()
         var s = 0L; var mn = 255; var mx = 0
@@ -136,14 +171,27 @@ object Multimodal {
     * DECODED waveform statistics arithmetically — a hash match proves
     * the WAVE encode→parse round-trip carries real samples through the
     * same seam (PCM is lossless). */
+  // The WAVE writer SPI, loaded once per JVM: AudioSystem.write scans
+  // the provider registry per call (same synchronized re-scan as the
+  // reader side — see WavDecoder).
+  @transient private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    var w: javax.sound.sampled.spi.AudioFileWriter = null
+    while (w == null && it.hasNext) {
+      val c = it.next()
+      if (c.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE)) w = c
+    }
+    w
+  }
+
   def wavBytes(id: Long, n: Int = 256): Array[Byte] = {
     val samples = Array.tabulate(n)(t => ((id * 7 + t * 13) % 256).toByte)
     val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(samples), fmt, n.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    wavWriter.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 
