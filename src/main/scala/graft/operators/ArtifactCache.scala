@@ -104,6 +104,15 @@ private[graft] object ArtifactCache {
         new org.apache.hadoop.fs.Path(out.toString)) || isPublished(out)
     }
     if (tmp.exists()) del(tmp)
+    // Lost-race repair: if another PROCESS published `out` between our
+    // unmarked-dst check and the rename, the local-FS rename fallback
+    // moved tmp INSIDE the published dir instead of failing — the old
+    // tmp path is gone (so the cleanup above was a no-op) and a
+    // .build-* orphan with its own marker sits inside the "immutable"
+    // artifact. Readers stay correct (Spark ignores dot-prefixed
+    // paths), but the dir must still match what the winner published.
+    val nested = new java.io.File(out, tmp.getName)
+    if (nested.exists()) del(nested)
     if (!isPublished(out))
       throw new IllegalStateException(s"artifact publish failed: $out")
     out.toString

@@ -310,6 +310,13 @@ object Maintenance {
       .agg(sort_array(collect_list(col("file"))).as("fs"))
       .where(size(col("fs")) > 1)
       .collect()
+    // Nothing to rewrite (every bin is a single file — e.g. a re-run
+    // over an already-compacted source): publish NOTHING and leave any
+    // previous output untouched. The old delete-then-rename would have
+    // destroyed the existing outDir and, with no tmp ever created,
+    // silently published nothing in its place.
+    if (plan.isEmpty)
+      return Seq.empty[(Long, Long, Long)].toDF("bin", "n_files_in", "rows_out")
     // Build aside, then swap the WHOLE output dir by rename — reusing
     // an outDir must never leave stale bins from a previous plan
     // (SaveMode.Overwrite only replaces bins the current plan emits).
@@ -321,16 +328,32 @@ object Maintenance {
       val bin = r.getLong(0)
       val members = r.getSeq[String](1).map(f => s"$srcDir/$f")
       // repartition(1) (not coalesce) keeps the member-file SCAN
-      // parallel and shuffles to the single writer task.
+      // parallel and shuffles to the single writer task. rows_out comes
+      // from an Observation riding the write job itself — no second
+      // scan of the freshly written bin.
+      val obs = org.apache.spark.sql.Observation(s"compact-bin-$bin")
       spark.read.parquet(members: _*).repartition(1)
+        .observe(obs, count(lit(1)).as("rows"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$tmp/bin=$bin")
-      val rows = spark.read.parquet(s"$tmp/bin=$bin").count()
-      (bin, members.length.toLong, rows)
+      (bin, members.length.toLong, obs.get("rows").asInstanceOf[Long])
     }
-    fsys.delete(new org.apache.hadoop.fs.Path(outDir), true)
-    fsys.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(outDir))
+    // Swap with a restore point: move the live dir ASIDE (not delete),
+    // publish tmp, then drop the old generation — and fail loudly on
+    // any rename the FS refuses, so a failed publish can't masquerade
+    // as success with a half-gone output.
+    val outP = new org.apache.hadoop.fs.Path(outDir)
+    val oldP = new org.apache.hadoop.fs.Path(s"$outDir.old")
+    fsys.delete(oldP, true)
+    if (fsys.exists(outP) && !fsys.rename(outP, oldP))
+      throw new IllegalStateException(
+        s"compaction publish: cannot move live $outDir aside")
+    if (!fsys.rename(new org.apache.hadoop.fs.Path(tmp), outP))
+      throw new IllegalStateException(
+        s"compaction publish: rename $tmp -> $outDir failed" +
+          (if (fsys.exists(oldP)) s"; previous output preserved at $outDir.old"
+           else ""))
+    fsys.delete(oldP, true)
     stats.toSeq.toDF("bin", "n_files_in", "rows_out")
   }
 

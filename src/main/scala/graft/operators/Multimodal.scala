@@ -25,6 +25,15 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, mime: String, n_bytes: Int,
       features: Array[Float])
 
+  /** ImageIO defaults to a DISK cache file per decode when fed a raw
+    * InputStream — at thousands of decodes per partition that is pure
+    * temp-file churn; the in-memory cache is correct for our ≤ KB
+    * payloads. The flag is PROCESS-GLOBAL JDK state, so the toggle
+    * lives here as a lazy val: executed at most once per JVM, however
+    * many decoder instances the partitions construct. */
+  @transient private lazy val imageIoMemCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Decoder contract: init is expensive (model load), decode is
     * per-item. Implementations must be deterministic for golden runs or
     * be marked nondeterministic at the call site. */
@@ -50,12 +59,7 @@ object Multimodal {
     * sums. Returns [width, height, sumR, sumG, sumB]; channel sums of an
     * 8×8 image are ≤ 64·255, exact in Float. */
   class PngDecoder extends MediaDecoder {
-    // ImageIO defaults to a DISK cache file per decode when fed a raw
-    // InputStream — at thousands of decodes per partition that is pure
-    // temp-file churn. The in-memory cache is correct for our ≤ KB
-    // payloads. (Static JVM flag; setting it at decoder init is the
-    // per-partition seam.)
-    javax.imageio.ImageIO.setUseCache(false)
+    imageIoMemCache // once-per-JVM (lazy val), not once per decoder
     def decode(bytes: Array[Byte]): Array[Float] = {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       val w = img.getWidth; val h = img.getHeight
@@ -182,6 +186,7 @@ object Multimodal {
       val c = it.next()
       if (c.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE)) w = c
     }
+    require(w != null, "no WAVE-capable AudioFileWriter on this JVM")
     w
   }
 
@@ -244,6 +249,7 @@ object Multimodal {
     * how a video sampler skips), sum channels over the sampled frames.
     * Returns [n_frames_total, n_sampled, sumR, sumG, sumB]. */
   class TiffFrameDecoder(every: Int = 2) extends MediaDecoder {
+    require(every >= 1, s"frame stride must be >= 1, got $every")
     def decode(bytes: Array[Byte]): Array[Float] = {
       val reader = javax.imageio.ImageIO
         .getImageReadersByFormatName("tiff").next()
@@ -290,7 +296,7 @@ object Multimodal {
     * executors. Returns [tw, th, sumR, sumG, sumB] of the RESAMPLED
     * image. */
   class PngResizeDecoder(tw: Int = 4, th: Int = 4) extends MediaDecoder {
-    javax.imageio.ImageIO.setUseCache(false) // see PngDecoder
+    imageIoMemCache // see the lazy val
     def decode(bytes: Array[Byte]): Array[Float] = {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       val (w, h) = (img.getWidth, img.getHeight)

@@ -146,6 +146,19 @@ class PlanSpec extends SparkSuite {
     assert(p8.contains("BroadcastHashJoin"), p8)
   }
 
+  test("Q7's implied region IN-filter is pushed to BOTH region scans") {
+    // The disjunctive pair predicate implies r_name IN (ASIA, EUROPE)
+    // on both the customer and supplier legs; Catalyst can't factor an
+    // OR across two columns, so the query writes the IN explicitly.
+    // Both region parquet scans must carry the pushed In-filter — if
+    // either leg joins the fact at full region width again, this pin
+    // fails before the regression costs anything at scale.
+    val p7 = formatted(SparkEntry.queries("sql_q7_trade_volume")(spark, sf001))
+    val pushedIn = "In(r_name, [ASIA,EUROPE])"
+    val hits = p7.sliding(pushedIn.length).count(_ == pushedIn)
+    assert(hits >= 2, s"expected $pushedIn pushed on both region legs, found $hits:\n$p7")
+  }
+
   test("Q21 NOT EXISTS executes as an anti join, EXISTS as a semi join") {
     val plan = physical(SparkEntry.queries("sql_q21_waiting_supplier")(spark, sf001))
     assert(plan.contains("LeftSemi"), plan)
