@@ -504,16 +504,9 @@ object Similarity {
     // approximate path at scale. ─────────────────────────────────────
     "sim_ivf_recall" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val e = Tables(s, dir, "embeddings")
-      val q = e.where(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val brute = bruteTruth(s, dir)
       val score = Num.roundp(Vectors.cosine(col("q_emb"), col("embedding")), 6)
       val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
-      val brute = e.crossJoin(broadcast(q))
-        .where(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"), score.as("score"))
-        .withColumn("rk", row_number().over(w))
-        .where(col("rk") <= 3).select(col("q_id"), col("vec_id"))
       val a = assigned(s, dir)
       val qa = a.where(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -541,15 +534,9 @@ object Similarity {
       import org.apache.spark.sql.expressions.Window
       val cents = codebook(s, dir)
       val e = Tables(s, dir, "embeddings")
-      val q = e.where(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val score = Num.roundp(Vectors.cosine(col("q_emb"), col("embedding")), 6)
       val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
-      val brute = e.crossJoin(broadcast(q))
-        .where(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"), score.as("score"))
-        .withColumn("rk", row_number().over(w))
-        .where(col("rk") <= 3).select(col("q_id"), col("vec_id"))
+      val brute = bruteTruth(s, dir)
       val a = assigned(s, dir)
       RecallCurveProbes.map { np =>
         val probes = e.where(col("vec_id") < 5)
@@ -583,17 +570,7 @@ object Similarity {
     // must dominate the plain probe-1 recall (sim_ivf_recall) for the
     // PQ path to be worth its extra index. ───────────────────────────
     "sim_ivf_pq_recall" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val e = Tables(s, dir, "embeddings")
-      val q = e.where(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val score = Num.roundp(Vectors.cosine(col("q_emb"), col("embedding")), 6)
-      val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
-      val brute = e.crossJoin(broadcast(q))
-        .where(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"), score.as("score"))
-        .withColumn("rk", row_number().over(w))
-        .where(col("rk") <= 3).select(col("q_id"), col("vec_id"))
+      val brute = bruteTruth(s, dir)
       val pq = pqSearch(s, dir)
         .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
       brute.join(pq, Seq("q_id", "vec_id"), "left")
@@ -605,6 +582,29 @@ object Similarity {
 
   /** nprobe levels of the sim_ivf_recall_curve operating table. */
   val RecallCurveProbes: Seq[Int] = Seq(1, 2, 4)
+
+  /** Exact brute-force top-3 ground truth for the fixed ANN query set
+    * (vec_id < 5): (q_id, vec_id) pairs, cosine desc, ties by vec_id.
+    * A disk artifact keyed on the embeddings corpus fingerprint — the
+    * truth is a pure function of the corpus and EVERY recall metric
+    * (plain IVF, the nprobe curve, IVF+PQ) joins against the same
+    * pairs, so recomputing the O(n·K) exact scan per recall query per
+    * session was pure waste; an index retrain never invalidates it
+    * (only a corpus regeneration does, via the fingerprint). */
+  private def bruteTruth(s: SparkSession, dir: String): DataFrame =
+    ArtifactCache.parquet(s, dir, "ann-truth-top3", Seq("embeddings")) {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val score = Num.roundp(Vectors.cosine(col("q_emb"), col("embedding")), 6)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), score.as("score"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3).select(col("q_id"), col("vec_id"))
+    }
 
   /** Eval-side row bound for [[decontamEmbed]]'s broadcast. 100k × a
     * 64-dim double vector ≈ 50 MB — inside a healthy executor broadcast
