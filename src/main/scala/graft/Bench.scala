@@ -20,13 +20,14 @@ object Bench {
     // big shuffles keep many partitions, small ones coalesce down).
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_INIT_PARTITIONS").foreach(n => builder
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", n))
+    sys.env.get("SPARK_GRAFT_JARS").foreach(j => builder.config("spark.jars", j))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

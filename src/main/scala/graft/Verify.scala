@@ -7,12 +7,20 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // Dev knobs (the driver never sets them): SPARK_GRAFT_MASTER runs
+    // the gate under an alternative master — local-cluster[2,8,8192]
+    // gives SEPARATE executor JVMs, surfacing closure-serialization,
+    // @transient re-init and broadcast-lifecycle bugs that local[n]
+    // structurally hides; SPARK_GRAFT_JARS ships the packaged graft
+    // jar to those executors (sbt package first).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_JARS").foreach(j => builder.config("spark.jars", j))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Dev aid: SPARK_GRAFT_ONLY=q1,q2 restricts the dump to a subset
