@@ -242,6 +242,24 @@ object Extended2 {
         .groupBy(col("lang"), col("split")).agg(count(lit(1)).as("n"))
     }),
 
+    // ── Deterministic per-epoch training order: shard by key residue
+    // (the reader-parallelism unit), order WITHIN each shard by a
+    // SEEDED md5 — every epoch is a fresh pseudorandom permutation any
+    // engine reproduces bit-for-bit. Scale shape: there is NO global
+    // sort — the only window is partitioned by shard, so each of the
+    // ~reader-count shards sorts its own slice independently; bumping
+    // the epoch literal reshuffles every shard without touching the
+    // sharding. This is the "shuffle the corpus each epoch" op every
+    // training loader needs, made reproducible and distributed. ──────
+    "samp_epoch_shuffle" -> ((s, dir) => {
+      val h = md5(concat(lit("epoch7|"), col("doc_id").cast("string")))
+      val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard"), h.as("h"))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("shard"), col("pos"), col("doc_id"))
+    }),
+
     // ── Per-stratum deterministic sample: keep 2/16 of each lang by
     // hash threshold; returns the rows themselves. ───────────────────
     "samp_stratified" -> ((s, dir) => {
@@ -577,6 +595,13 @@ object Extended2 {
       """SELECT p_partkey, p_brand AS m_brand, 2 AS m_size,
         |  'brand,type' AS m_keys, '2' AS m_b
         |FROM part""".stripMargin,
+
+    "samp_epoch_shuffle" ->
+      """SELECT doc_id % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY doc_id % 8
+        |    ORDER BY md5('epoch7|' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos,
+        |  doc_id
+        |FROM documents""".stripMargin,
 
     "samp_hash_split" ->
       """WITH h AS (

@@ -202,6 +202,29 @@ object Maintenance {
       compactionPlan(manifest, CompactTargetBytes)
     }),
 
+    // ── Vacuum/retention planner — the VACUUM half of the
+    // OPTIMIZE→VACUUM pair: after compaction, every member of a
+    // multi-file bin is SUPERSEDED by the bin's rewritten output but
+    // still sits on disk for time travel; vacuum lists the superseded
+    // files old enough to fall outside the retention window (here:
+    // manifest day < the cutoff) for physical deletion. Same manifest,
+    // same packing rule as maint_compact_plan, so plan and vacuum
+    // agree by construction; single-file bins (incl. every oversized
+    // one) were never rewritten and are never vacuumed. Metadata-sized
+    // end to end — the whole computation is over the file manifest. ───
+    "maint_vacuum_plan" -> ((s, dir) => {
+      val manifest = Tables(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg((sum(length(col("props"))) + lit(64L) * count(lit(1))).as("bytes"))
+        .select(concat(date_format(col("day"), "yyyy-MM-dd"), lit("/"),
+          col("event_type"), lit(".json")).as("file"), col("bytes"))
+      val assigns = binAssignments(manifest, CompactTargetBytes)
+      val counts = assigns.groupBy(col("bin")).agg(count(lit(1)).as("n_files"))
+      assigns.join(counts, "bin")
+        .where(col("n_files") > 1 && substring(col("file"), 1, 10) < "2024-01-15")
+        .select(col("file"), col("bytes"), col("bin"))
+    }),
+
     // ── Snapshot diff between two dataset releases — the audit a
     // training-data pipeline publishes with every corpus version (what
     // changed since v1, per source, by CONTENT, not by file). v2 is
@@ -474,6 +497,23 @@ object Maintenance {
          |  CAST(max(CASE WHEN bytes > $CompactTargetBytes THEN 1 ELSE 0 END)
          |    AS BOOLEAN) AS oversized_single
          |FROM b GROUP BY bin""".stripMargin,
+
+    "maint_vacuum_plan" ->
+      s"""WITH m AS (
+         |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') || '/' || event_type
+         |           || '.json' AS file,
+         |         CAST(sum(length(props)) + 64 * count(*) AS BIGINT) AS bytes
+         |  FROM events GROUP BY 1),
+         |b AS (
+         |  SELECT file, bytes,
+         |    CAST(floor(coalesce(sum(bytes) OVER (ORDER BY bytes DESC, file
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      / $CompactTargetBytes) AS BIGINT) AS bin
+         |  FROM m),
+         |c AS (SELECT bin, count(*) AS n_files FROM b GROUP BY 1)
+         |SELECT b.file, b.bytes, b.bin
+         |FROM b JOIN c USING (bin)
+         |WHERE c.n_files > 1 AND substr(b.file, 1, 10) < '2024-01-15'""".stripMargin,
 
     "maint_snapshot_diff" ->
       """WITH v1 AS (SELECT doc_id, source, md5(text) AS fp FROM documents),

@@ -189,6 +189,26 @@ object TextOps {
         .select(col("doc_id"))
     }),
 
+    // ── Positional phrase search: exact "table part" adjacency via
+    // POSITIONAL postings — each term's postings are filtered FIRST
+    // (term-frequency-sized, not corpus-sized), then intersected on
+    // (doc, position+1): the classic positional-index phrase
+    // algorithm. At 100 TB the positional postings table is the same
+    // build as idx_inverted_and's plus the position column; the
+    // phrase join only ever moves the two terms' postings — a phrase
+    // of rare terms costs near nothing regardless of corpus size. ────
+    "idx_phrase_search" -> ((s, dir) => {
+      val pos = Tables(s, dir, "documents")
+        .select(col("doc_id"), posexplode(toks))
+        .select(col("doc_id"), col("pos").cast("long").as("p"), col("col").as("tok"))
+      val first = pos.where(col("tok") === "table").select(col("doc_id"), col("p"))
+      val second = pos.where(col("tok") === "part")
+        .select(col("doc_id"), (col("p") - 1).as("p"))
+      first.join(second, Seq("doc_id", "p"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_occurrences"))
+    }),
+
     "text_fingerprint" -> ((s, dir) =>
       Tables(s, dir, "documents").select(
         col("doc_id"), Text.fingerprint(col("text")).as("fp"))),
@@ -831,6 +851,18 @@ object TextOps {
          |    SELECT doc_id, unnest($sqlToks) AS tok FROM documents))
          |SELECT doc_id FROM p WHERE tok IN ('query', 'window')
          |GROUP BY 1 HAVING count(DISTINCT tok) = 2""".stripMargin,
+
+    "idx_phrase_search" ->
+      s"""WITH tk AS MATERIALIZED (
+         |  SELECT doc_id, CAST(u.p AS BIGINT) AS p, u.tok AS tok
+         |  FROM (
+         |    SELECT doc_id, unnest(list_transform(range(len(tk0)),
+         |      i -> {'p': i, 'tok': tk0[i+1]})) AS u
+         |    FROM (SELECT doc_id, $sqlToks AS tk0 FROM documents)))
+         |SELECT a.doc_id, count(*) AS n_occurrences
+         |FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+         |WHERE a.tok = 'table' AND b.tok = 'part'
+         |GROUP BY 1""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
