@@ -17,6 +17,41 @@ class Extended2Spec extends SparkSuite {
     assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
   }
 
+  test("samp_epoch_shuffle is a per-shard permutation with contiguous positions") {
+    val rows = SparkEntry.queries("samp_epoch_shuffle")(spark, sf001).collect()
+    // Every document appears exactly once across all shards.
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet.size == rows.length)
+    assert(rows.length == 500)
+    // Within each shard, positions are exactly 1..n (a permutation,
+    // no gaps — the loader can consume pos as a dense index).
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (shard, rs) =>
+      val ps = rs.map(_.getAs[Long]("pos")).sorted
+      assert(ps.toSeq == (1L to rs.length).toSeq, s"shard $shard")
+    }
+    // Shard assignment is the key residue (the reader-parallelism
+    // contract), independent of the epoch seed.
+    rows.foreach(r =>
+      assert(r.getAs[Long]("shard") == r.getAs[Long]("doc_id") % 8))
+  }
+
+  test("idx_phrase_search matches a naive per-document adjacency count") {
+    val tk = graft.functions.Text.tokens(col("text"))
+    // Naive truth computed a completely different way: evaluate the
+    // adjacency predicate at every position of every document.
+    val naive = Tables(spark, sf001, "documents")
+      .select(col("doc_id"), size(filter(
+        transform(sequence(lit(0), greatest(size(tk) - lit(2), lit(0))),
+          i => element_at(tk, i + 1) === "table" &&
+            element_at(tk, i + 2) === "part"),
+        b => b)).cast("long").as("n"))
+      .where(col("n") > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val idx = SparkEntry.queries("idx_phrase_search")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_occurrences")).toMap
+    assert(idx === naive)
+    assert(idx.nonEmpty) // the phrase actually occurs in the corpus
+  }
+
   test("samp_stratified is deterministic across invocations") {
     val a = SparkEntry.queries("samp_stratified")(spark, sf001).collect()
       .map(_.getAs[Long]("doc_id")).sorted.toSeq

@@ -221,4 +221,47 @@ class MaintenanceSpec extends SparkSuite {
     val nOversized = files.values.count(_ > target)
     assert(plan.length <= (total + target - 1) / target + nOversized)
   }
+
+  test("compaction re-run with an empty plan preserves the existing output") {
+    import java.nio.file.Files
+    // A source where every bin is single-file (each file bigger than
+    // the target): the plan is empty — the re-run-on-already-compacted
+    // scenario. The executor must publish NOTHING and must NOT destroy
+    // whatever the previous run put at outDir.
+    val src = Files.createTempDirectory("compact-rerun-src").toString
+    val df = spark.range(2000).selectExpr("id", "repeat('y', 64) AS pad")
+    df.coalesce(1).write.mode("overwrite").parquet(s"$src/.w")
+    val part = new java.io.File(s"$src/.w").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, java.nio.file.Paths.get(s"$src/big.parquet"))
+    val out = Files.createTempDirectory("compact-rerun-out").toString
+    Files.writeString(java.nio.file.Paths.get(s"$out/previous-output.txt"), "keep me")
+    // target=1 byte: consecutive running sums differ by whole file
+    // sizes, so every file lands in its own bin — all single-file,
+    // nothing to rewrite.
+    val stats = operators.Maintenance.compactExec(spark, src, target = 1L, out)
+    assert(stats.collect().isEmpty)
+    assert(Files.readString(java.nio.file.Paths.get(s"$out/previous-output.txt")) == "keep me",
+      "re-run destroyed the previous output")
+  }
+
+  test("vacuum plan lists exactly the aged members of multi-file compaction bins") {
+    val vacuum = SparkEntry.queries("maint_vacuum_plan")(spark, sf001).collect()
+      .map(r => (r.getAs[String]("file"), r.getAs[Long]("bin"))).toSet
+    val plan = SparkEntry.queries("maint_compact_plan")(spark, sf001).collect()
+    val multiBinFiles = plan.filter(_.getAs[Long]("n_files") > 1)
+      .flatMap(r => r.getAs[String]("files").split(",").map(_ -> r.getAs[Long]("bin")))
+      .toSet
+    val singleBinFiles = plan.filter(_.getAs[Long]("n_files") == 1)
+      .flatMap(_.getAs[String]("files").split(",")).toSet
+    // Agreement by construction: every vacuumed file sits in a
+    // multi-file bin of the SAME plan (same bin id), none in a
+    // single-file bin, and all are older than the retention cutoff.
+    assert(vacuum.subsetOf(multiBinFiles))
+    assert(vacuum.forall { case (f, _) => !singleBinFiles.contains(f) })
+    assert(vacuum.forall { case (f, _) => f.take(10) < "2024-01-15" })
+    // And completeness: every aged multi-bin member IS vacuumed.
+    val agedMulti = multiBinFiles.filter(_._1.take(10) < "2024-01-15")
+    assert(vacuum === agedMulti)
+  }
 }
