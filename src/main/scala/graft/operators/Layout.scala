@@ -54,12 +54,50 @@ object Layout {
       .sortWithinPartitions("zkey")
       .write.mode("overwrite").parquet(path)
 
+  /** Simulated file size (rows) for the skipping metric. */
+  val SkipFileRows = 512
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── Morton keys for the orders table — the layout column a
     // z-ordered rewrite clusters on. Oracled bit-for-bit: the key is
     // plain integer arithmetic. ──────────────────────────────────────
     "layout_zorder" -> ((s, dir) =>
-      ordersZkeyed(s, dir).select(col("o_orderkey"), col("zkey")))
+      ordersZkeyed(s, dir).select(col("o_orderkey"), col("zkey"))),
+
+    // ── Zone-map file-skipping effectiveness — the NUMBER the z-order
+    // rewrite exists to move: lay the table out in 512-row "files"
+    // under each layout (natural key order vs Morton order), compute
+    // each file's min/max zone maps on both filter dims, and count the
+    // files a two-sided box predicate can SKIP. Natural order clusters
+    // one axis (stripes: the box hits every stripe crossing its
+    // x-range); Morton files cover quadrants, so both axes prune.
+    // The row_number here SIMULATES file assignment for the oracled
+    // metric (orders is dim-sized); production skipping reads real
+    // parquet footers — the layout rewrite itself is
+    // [[rewriteZordered]]'s distributed range partition. ─────────────
+    "layout_skipping" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = ordersZkeyed(s, dir).select(col("o_orderkey"), col("zkey"),
+        (col("o_custkey") % 256).as("xb"),
+        (datediff(col("o_orderdate"), lit("1992-01-01")) % 256).as("yb"))
+      def layout(name: String, order: Seq[Column]): DataFrame = {
+        val w = Window.orderBy(order: _*)
+        base
+          .withColumn("f", floor((row_number().over(w) - lit(1)) / SkipFileRows))
+          .groupBy(col("f"))
+          .agg(min(col("xb")).as("min_x"), max(col("xb")).as("max_x"),
+            min(col("yb")).as("min_y"), max(col("yb")).as("max_y"))
+          .agg(count(lit(1)).as("n_files"),
+            sum((col("max_x") < 16 || col("min_x") > 47 ||
+              col("max_y") < 64 || col("min_y") > 127).cast("long")).as("n_skipped"))
+          .select(lit(name).as("layout"), col("n_files"), col("n_skipped"))
+      }
+      val matches = base.where(col("xb").between(16, 47) && col("yb").between(64, 127))
+        .agg(count(lit(1)).as("n_match_rows"))
+      layout("natural", Seq(col("o_orderkey")))
+        .unionByName(layout("zorder", Seq(col("zkey"), col("o_orderkey"))))
+        .crossJoin(matches)
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -73,6 +111,41 @@ object Layout {
          |    date_diff('day', DATE '1992-01-01', o_orderdate) % 256 AS yb
          |  FROM orders)
          |SELECT o_orderkey, CAST($terms AS BIGINT) AS zkey FROM b""".stripMargin
+    },
+
+    "layout_skipping" -> {
+      val terms = (0 until Bits).map { i =>
+        s"((xb >> $i) & 1) * ${1L << (2 * i)} + ((yb >> $i) & 1) * ${1L << (2 * i + 1)}"
+      }.mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT o_orderkey,
+         |    o_custkey % 256 AS xb,
+         |    date_diff('day', DATE '1992-01-01', o_orderdate) % 256 AS yb
+         |  FROM orders),
+         |z AS (SELECT o_orderkey, xb, yb, CAST($terms AS BIGINT) AS zkey FROM b),
+         |nat AS (
+         |  SELECT (row_number() OVER (ORDER BY o_orderkey) - 1) // $SkipFileRows AS f,
+         |    xb, yb FROM z),
+         |zo AS (
+         |  SELECT (row_number() OVER (ORDER BY zkey, o_orderkey) - 1) // $SkipFileRows AS f,
+         |    xb, yb FROM z),
+         |natf AS (SELECT f, min(xb) mnx, max(xb) mxx, min(yb) mny, max(yb) mxy
+         |  FROM nat GROUP BY f),
+         |zof AS (SELECT f, min(xb) mnx, max(xb) mxx, min(yb) mny, max(yb) mxy
+         |  FROM zo GROUP BY f),
+         |m AS (SELECT count(*) AS n_match_rows FROM z
+         |  WHERE xb BETWEEN 16 AND 47 AND yb BETWEEN 64 AND 127),
+         |agg AS (
+         |  SELECT 'natural' AS layout, count(*) AS n_files,
+         |    CAST(sum(CASE WHEN mxx < 16 OR mnx > 47 OR mxy < 64 OR mny > 127
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped
+         |  FROM natf
+         |  UNION ALL
+         |  SELECT 'zorder', count(*),
+         |    CAST(sum(CASE WHEN mxx < 16 OR mnx > 47 OR mxy < 64 OR mny > 127
+         |      THEN 1 ELSE 0 END) AS BIGINT)
+         |  FROM zof)
+         |SELECT layout, n_files, n_skipped, n_match_rows FROM agg, m""".stripMargin
     }
   )
 }

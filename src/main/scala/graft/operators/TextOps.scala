@@ -209,6 +209,29 @@ object TextOps {
         .agg(count(lit(1)).as("n_occurrences"))
     }),
 
+    // ── Trigram substring index (pg_trgm shape): LIKE '%pat%' at
+    // 100 TB is otherwise a full scan; a char-3gram postings table
+    // turns it into (a) an index intersection over the PATTERN's
+    // trigrams — postings-sized, the candidate set must contain every
+    // gram — then (b) an exact contains() verify on candidates ONLY.
+    // The index is corpus-char-sized, built once like the token
+    // postings; the query never touches non-candidate text. ──────────
+    "idx_trigram_substr" -> ((s, dir) => {
+      val patGrams = TrigramPattern.sliding(3).toSeq.distinct
+      val docs = Tables(s, dir, "documents")
+      val grams = docs.where(length(col("text")) >= 3)
+        .select(col("doc_id"), explode(array_distinct(transform(
+          sequence(lit(0), length(col("text")) - lit(3)),
+          i => substring(col("text"), i + 1, lit(3))))).as("g"))
+      val cand = grams.where(col("g").isin(patGrams: _*))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("g")).as("ng"))
+        .where(col("ng") === patGrams.length)
+      cand.join(docs, "doc_id")
+        .where(col("text").contains(TrigramPattern))
+        .select(col("doc_id"))
+    }),
+
     "text_fingerprint" -> ((s, dir) =>
       Tables(s, dir, "documents").select(
         col("doc_id"), Text.fingerprint(col("text")).as("fp"))),
@@ -747,6 +770,10 @@ object TextOps {
   /** DuckDB token expression shared by the oracles below. */
   private val sqlToks = "list_filter(string_split(text, ' '), t -> t <> '')"
 
+  /** Substring pattern for the trigram-index query (shared by the
+    * Spark side and the generated oracle). */
+  private[operators] val TrigramPattern = "fast sort"
+
   val oracles: Map[String, String] = Map(
     "bpe_train_merges" -> sqlBpe,
     "bpe_apply_stats" -> sqlBpeApply,
@@ -851,6 +878,21 @@ object TextOps {
          |    SELECT doc_id, unnest($sqlToks) AS tok FROM documents))
          |SELECT doc_id FROM p WHERE tok IN ('query', 'window')
          |GROUP BY 1 HAVING count(DISTINCT tok) = 2""".stripMargin,
+
+    "idx_trigram_substr" -> {
+      val grams = TrigramPattern.sliding(3).toSeq.distinct
+      val inList = grams.map(g => s"'${g.replace("'", "''")}'").mkString(", ")
+      s"""WITH tg AS (
+         |  SELECT DISTINCT doc_id, g FROM (
+         |    SELECT doc_id, unnest(list_transform(range(len(text) - 2),
+         |      i -> substr(text, CAST(i + 1 AS INT), 3))) AS g
+         |    FROM documents WHERE len(text) >= 3)),
+         |cand AS (
+         |  SELECT doc_id FROM tg WHERE g IN ($inList)
+         |  GROUP BY doc_id HAVING count(DISTINCT g) = ${grams.length})
+         |SELECT c.doc_id FROM cand c JOIN documents d USING (doc_id)
+         |WHERE contains(d.text, '${TrigramPattern.replace("'", "''")}')""".stripMargin
+    },
 
     "idx_phrase_search" ->
       s"""WITH tk AS MATERIALIZED (
