@@ -471,6 +471,28 @@ object Curation {
         sum(when(col("n") < 5, col("n")).otherwise(0L)).as("rows_at_risk"))
     }),
 
+    // ── Differentially-private count release (ε = 1, sensitivity 1):
+    // per-category counts + Laplace noise via the inverse CDF,
+    // noise = −b·sign(u−½)·ln(1−2|u−½|) with b = 1/ε. The uniform u is
+    // SEEDED — 32 bits of md5('dp|'||key) — so the release is
+    // reproducible across engines and runs (the property a PUBLISHED
+    // dataset statistic needs: re-deriving the release never burns
+    // extra privacy budget, and the oracle can replay it exactly).
+    // A production deployment swaps the seeded u for a secret-keyed
+    // PRF — the mechanism, sensitivity analysis, and release shape
+    // are identical. One aggregation + per-row scalar math. ──────────
+    "priv_dp_count" -> ((s, dir) => {
+      val h = md5(concat(lit("dp|"), col("event_type")))
+      val u = conv(substring(h, 1, 8), 16, 10).cast("double") / lit(4294967296.0)
+      val c = u - lit(0.5)
+      val noise = -signum(c) * log(lit(1.0) - lit(2.0) * abs(c))
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"),
+          Num.roundp(col("n") + noise, 4).as("released"))
+    }),
+
     // ── Effective sample size of the per-language char-weighted mix:
     // ESS = (Σw)²/Σw² — how many "equivalent uniform docs" the weighting
     // leaves (ESS ≪ n flags a mixture dominated by a few huge docs).
@@ -848,6 +870,22 @@ object Curation {
         |  CAST(coalesce(sum(CASE WHEN n < 5 THEN n ELSE 0 END), 0) AS BIGINT)
         |    AS rows_at_risk
         |FROM g""".stripMargin,
+
+    "priv_dp_count" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    md5('dp|' || event_type) AS h
+        |  FROM events GROUP BY 1),
+        |u AS (
+        |  SELECT event_type, n,
+        |    list_sum(list_transform(range(8),
+        |      i -> (strpos('0123456789abcdef', substr(h, CAST(i + 1 AS INT), 1)) - 1)
+        |        * 16 ** (7 - i))) / 4294967296.0 AS u
+        |  FROM c)
+        |SELECT event_type, n,
+        |  floor((n + (-sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)))) * 10000 + 0.5)
+        |    / 10000 AS released
+        |FROM u""".stripMargin,
 
     "samp_ess" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

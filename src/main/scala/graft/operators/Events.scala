@@ -134,6 +134,30 @@ object Events {
         .crossJoin(s3.agg(count(lit(1)).as("n_step3")))
     }),
 
+    // ── Markov transition matrix over the per-user event sequence:
+    // (state → next state) counts via one lead() window keyed on
+    // user_id, then a global count + per-source normalization. Scale
+    // shape: the window shuffles once on user_id (per-user sequences
+    // processed independently), the transition matrix itself is
+    // |states|²-sized — the user-journey model every product-analytics
+    // and session-synthesis pipeline starts from. ────────────────────
+    "ev_markov_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val pairs = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("from_state"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+        .withColumn("to_state", lead(col("from_state"), 1).over(w))
+        .where(col("to_state").isNotNull)
+      val counts = pairs.groupBy(col("from_state"), col("to_state"))
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy(col("from_state")).agg(sum(col("n")).as("tot"))
+      counts.join(totals, "from_state")
+        .select(col("from_state"), col("to_state"), col("n"),
+          Num.roundp(col("n").cast("double") / col("tot"), 6).as("p"))
+    }),
+
     // ── Weekly cohort retention: users bucketed by first-active week,
     // retention(k) = |active in cohort-week + k| / |cohort|. Two
     // aggregations keyed on user_id (distinct weeks, first week) + one
@@ -282,6 +306,20 @@ object Events {
         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_step1,
         |       (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_step2,
         |       (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_step3""".stripMargin,
+
+    "ev_markov_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_state,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS to_state
+        |  FROM events),
+        |c AS (
+        |  SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_state, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.from_state, c.to_state, c.n,
+        |  floor((CAST(c.n AS DOUBLE) / t.tot) * 1000000 + 0.5) / 1000000 AS p
+        |FROM c JOIN t USING (from_state)""".stripMargin,
 
     "ev_retention_cohorts" ->
       """WITH wk AS (
