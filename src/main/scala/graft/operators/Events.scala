@@ -134,6 +134,29 @@ object Events {
         .crossJoin(s3.agg(count(lit(1)).as("n_step3")))
     }),
 
+    // ── Daily active users + CUMULATIVE distinct reach. A windowed
+    // COUNT(DISTINCT) is either rejected by engines or quadratic in
+    // history; the scale-correct decomposition counts each user on
+    // their FIRST day only (one user-keyed min), then running-sums the
+    // per-day news — every stage is a keyed aggregate; the only global
+    // window runs over day-count rows (30 here, ~3 650 for a decade —
+    // metadata-sized by construction). ───────────────────────────────
+    "ev_cumulative_reach" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val newPerDay = e.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+      val actPerDay = e.distinct()
+        .groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      actPerDay.join(newPerDay, Seq("day"), "left")
+        .select(col("day"), col("n_active"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"))
+        .withColumn("cum_reach", sum(col("n_new")).over(w))
+    }),
+
     // ── Markov transition matrix over the per-user event sequence:
     // (state → next state) counts via one lead() window keyed on
     // user_id, then a global count + per-source normalization. Scale
@@ -306,6 +329,16 @@ object Events {
         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_step1,
         |       (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_step2,
         |       (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_step3""".stripMargin,
+
+    "ev_cumulative_reach" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS day FROM d GROUP BY 1),
+        |nw AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM f GROUP BY 1),
+        |act AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active FROM d GROUP BY 1)
+        |SELECT act.day, act.n_active, coalesce(nw.n_new, 0) AS n_new,
+        |  sum(coalesce(nw.n_new, 0)) OVER (ORDER BY act.day
+        |    ROWS UNBOUNDED PRECEDING) AS cum_reach
+        |FROM act LEFT JOIN nw ON act.day = nw.day""".stripMargin,
 
     "ev_markov_transitions" ->
       """WITH p AS (
