@@ -65,25 +65,30 @@ object Layout {
       ordersZkeyed(s, dir).select(col("o_orderkey"), col("zkey"))),
 
     // ── Zone-map file-skipping effectiveness — the NUMBER the z-order
-    // rewrite exists to move: lay the table out in 512-row "files"
+    // rewrite exists to move: lay the table out in ~512-row "files"
     // under each layout (natural key order vs Morton order), compute
     // each file's min/max zone maps on both filter dims, and count the
     // files a two-sided box predicate can SKIP. Natural order clusters
     // one axis (stripes: the box hits every stripe crossing its
     // x-range); Morton files cover quadrants, so both axes prune.
-    // The row_number here SIMULATES file assignment for the oracled
-    // metric (orders is dim-sized); production skipping reads real
-    // parquet footers — the layout rewrite itself is
-    // [[rewriteZordered]]'s distributed range partition. ─────────────
+    // Files are KEY-RANGE delimited (equal-width slices of the layout
+    // key's span, file count from a scalar count agg) — exactly how a
+    // range-partitioned writer rolls files, and deliberately NOT a
+    // global row_number: file assignment is pure map-side arithmetic
+    // over three broadcast scalars, so the metric itself scales (the
+    // first cut used two global windows and degraded 20× at the 100×
+    // corpus). Production skipping reads real parquet footers; the
+    // rewrite itself is [[rewriteZordered]]'s range partition. ───────
     "layout_skipping" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val base = ordersZkeyed(s, dir).select(col("o_orderkey"), col("zkey"),
         (col("o_custkey") % 256).as("xb"),
         (datediff(col("o_orderdate"), lit("1992-01-01")) % 256).as("yb"))
-      def layout(name: String, order: Seq[Column]): DataFrame = {
-        val w = Window.orderBy(order: _*)
-        base
-          .withColumn("f", floor((row_number().over(w) - lit(1)) / SkipFileRows))
+      val stats = base.agg(count(lit(1)).as("n_rows"),
+        min(col("o_orderkey")).as("k_min"), max(col("o_orderkey")).as("k_max"))
+      val withNf = base.crossJoin(broadcast(stats))
+        .withColumn("nf", ceil(col("n_rows") / lit(SkipFileRows.toDouble)))
+      def layout(name: String, f: Column): DataFrame =
+        withNf.withColumn("f", f)
           .groupBy(col("f"))
           .agg(min(col("xb")).as("min_x"), max(col("xb")).as("max_x"),
             min(col("yb")).as("min_y"), max(col("yb")).as("max_y"))
@@ -91,11 +96,15 @@ object Layout {
             sum((col("max_x") < 16 || col("min_x") > 47 ||
               col("max_y") < 64 || col("min_y") > 127).cast("long")).as("n_skipped"))
           .select(lit(name).as("layout"), col("n_files"), col("n_skipped"))
-      }
       val matches = base.where(col("xb").between(16, 47) && col("yb").between(64, 127))
         .agg(count(lit(1)).as("n_match_rows"))
-      layout("natural", Seq(col("o_orderkey")))
-        .unionByName(layout("zorder", Seq(col("zkey"), col("o_orderkey"))))
+      // Equal-width key slices; products stay < 2^53, exact in the
+      // double division (keys ≤ ~1e9, nf ≤ ~3e4).
+      val natural = floor((col("o_orderkey") - col("k_min")) * col("nf") /
+        (col("k_max") - col("k_min") + lit(1L)))
+      val zorder = floor(col("zkey") * col("nf") / lit(65536L))
+      layout("natural", natural)
+        .unionByName(layout("zorder", zorder))
         .crossJoin(matches)
     })
   )
@@ -123,12 +132,15 @@ object Layout {
          |    date_diff('day', DATE '1992-01-01', o_orderdate) % 256 AS yb
          |  FROM orders),
          |z AS (SELECT o_orderkey, xb, yb, CAST($terms AS BIGINT) AS zkey FROM b),
+         |s AS (SELECT count(*) AS n_rows, min(o_orderkey) AS k_min,
+         |        max(o_orderkey) AS k_max FROM z),
+         |w AS (SELECT z.*, CAST(ceil(s.n_rows / $SkipFileRows.0) AS BIGINT) AS nf,
+         |        s.k_min, s.k_max FROM z, s),
          |nat AS (
-         |  SELECT (row_number() OVER (ORDER BY o_orderkey) - 1) // $SkipFileRows AS f,
-         |    xb, yb FROM z),
+         |  SELECT CAST(floor((o_orderkey - k_min) * nf
+         |    / CAST(k_max - k_min + 1 AS DOUBLE)) AS BIGINT) AS f, xb, yb FROM w),
          |zo AS (
-         |  SELECT (row_number() OVER (ORDER BY zkey, o_orderkey) - 1) // $SkipFileRows AS f,
-         |    xb, yb FROM z),
+         |  SELECT CAST(floor(zkey * nf / 65536.0) AS BIGINT) AS f, xb, yb FROM w),
          |natf AS (SELECT f, min(xb) mnx, max(xb) mxx, min(yb) mny, max(yb) mxy
          |  FROM nat GROUP BY f),
          |zof AS (SELECT f, min(xb) mnx, max(xb) mxx, min(yb) mny, max(yb) mxy
