@@ -72,8 +72,10 @@ object ManifestBench {
       // Manifest-level snapshot diff: release N vs N' (drops on one
       // residue, size-changes on another, adds beyond the old range) —
       // one full-outer hash join on the file key, the same shape as
-      // maint_snapshot_diff but at listing scale.
-      val v1 = manifest(n, 1)
+      // maint_snapshot_diff but at listing scale. v1 IS the planned
+      // manifest above (same binding, so plan and diff measure the
+      // same release by construction).
+      val v1 = m
       val v2 = manifest(n + n / 50, 1)
         .where(xxhash64(col("file")) % 97 =!= 0)
         .withColumn("bytes",

@@ -83,29 +83,36 @@ object Layout {
       val base = ordersZkeyed(s, dir).select(col("o_orderkey"), col("zkey"),
         (col("o_custkey") % 256).as("xb"),
         (datediff(col("o_orderdate"), lit("1992-01-01")) % 256).as("yb"))
+      // ONE scalar pass for everything broadcast downstream: row count
+      // (→ file count), the key span, and the predicate's true row
+      // count; then ONE zone-map pass over both layouts — each row
+      // explodes into its (layout, file) pair, so the whole metric is
+      // two scans of the table, not four.
       val stats = base.agg(count(lit(1)).as("n_rows"),
-        min(col("o_orderkey")).as("k_min"), max(col("o_orderkey")).as("k_max"))
+        min(col("o_orderkey")).as("k_min"), max(col("o_orderkey")).as("k_max"),
+        sum((col("xb").between(16, 47) && col("yb").between(64, 127))
+          .cast("long")).as("n_match_rows"))
       val withNf = base.crossJoin(broadcast(stats))
         .withColumn("nf", ceil(col("n_rows") / lit(SkipFileRows.toDouble)))
-      def layout(name: String, f: Column): DataFrame =
-        withNf.withColumn("f", f)
-          .groupBy(col("f"))
-          .agg(min(col("xb")).as("min_x"), max(col("xb")).as("max_x"),
-            min(col("yb")).as("min_y"), max(col("yb")).as("max_y"))
-          .agg(count(lit(1)).as("n_files"),
-            sum((col("max_x") < 16 || col("min_x") > 47 ||
-              col("max_y") < 64 || col("min_y") > 127).cast("long")).as("n_skipped"))
-          .select(lit(name).as("layout"), col("n_files"), col("n_skipped"))
-      val matches = base.where(col("xb").between(16, 47) && col("yb").between(64, 127))
-        .agg(count(lit(1)).as("n_match_rows"))
       // Equal-width key slices; products stay < 2^53, exact in the
       // double division (keys ≤ ~1e9, nf ≤ ~3e4).
       val natural = floor((col("o_orderkey") - col("k_min")) * col("nf") /
         (col("k_max") - col("k_min") + lit(1L)))
       val zorder = floor(col("zkey") * col("nf") / lit(65536L))
-      layout("natural", natural)
-        .unionByName(layout("zorder", zorder))
-        .crossJoin(matches)
+      withNf
+        .select(col("xb"), col("yb"), col("n_match_rows"),
+          explode(array(
+            struct(lit("natural").as("layout"), natural.as("f")),
+            struct(lit("zorder").as("layout"), zorder.as("f")))).as("lf"))
+        .groupBy(col("lf.layout").as("layout"), col("lf.f").as("f"))
+        .agg(min(col("xb")).as("min_x"), max(col("xb")).as("max_x"),
+          min(col("yb")).as("min_y"), max(col("yb")).as("max_y"),
+          first(col("n_match_rows")).as("n_match_rows"))
+        .groupBy(col("layout"))
+        .agg(count(lit(1)).as("n_files"),
+          sum((col("max_x") < 16 || col("min_x") > 47 ||
+            col("max_y") < 64 || col("min_y") > 127).cast("long")).as("n_skipped"),
+          first(col("n_match_rows")).as("n_match_rows"))
     })
   )
 

@@ -193,14 +193,8 @@ object Maintenance {
     // bins are < 2× target (a bin's first member can start anywhere
     // inside its byte span), matching Spark's own maxSplitBytes
     // packing, which also overshoots by up to one file. ───────────────
-    "maint_compact_plan" -> ((s, dir) => {
-      val manifest = Tables(s, dir, "events")
-        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
-        .agg((sum(length(col("props"))) + lit(64L) * count(lit(1))).as("bytes"))
-        .select(concat(date_format(col("day"), "yyyy-MM-dd"), lit("/"),
-          col("event_type"), lit(".json")).as("file"), col("bytes"))
-      compactionPlan(manifest, CompactTargetBytes)
-    }),
+    "maint_compact_plan" -> ((s, dir) =>
+      compactionPlan(eventsManifest(s, dir), CompactTargetBytes)),
 
     // ── Vacuum/retention planner — the VACUUM half of the
     // OPTIMIZE→VACUUM pair: after compaction, every member of a
@@ -213,12 +207,7 @@ object Maintenance {
     // one) were never rewritten and are never vacuumed. Metadata-sized
     // end to end — the whole computation is over the file manifest. ───
     "maint_vacuum_plan" -> ((s, dir) => {
-      val manifest = Tables(s, dir, "events")
-        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
-        .agg((sum(length(col("props"))) + lit(64L) * count(lit(1))).as("bytes"))
-        .select(concat(date_format(col("day"), "yyyy-MM-dd"), lit("/"),
-          col("event_type"), lit(".json")).as("file"), col("bytes"))
-      val assigns = binAssignments(manifest, CompactTargetBytes)
+      val assigns = binAssignments(eventsManifest(s, dir), CompactTargetBytes)
       val counts = assigns.groupBy(col("bin")).agg(count(lit(1)).as("n_files"))
       assigns.join(counts, "bin")
         .where(col("n_files") > 1 && substring(col("file"), 1, 10) < "2024-01-15")
@@ -259,6 +248,18 @@ object Maintenance {
           max(col("doc_id")).as("max_id"))
     })
   )
+
+  /** The day-partitioned event-lake manifest (one file per
+    * (day, event_type), bytes = payload + per-row overhead) shared by
+    * the compaction plan and the vacuum plan — the OPTIMIZE→VACUUM
+    * agreement both operators claim holds because this construction is
+    * SHARED, not because two copies happen to match. */
+  private def eventsManifest(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg((sum(length(col("props"))) + lit(64L) * count(lit(1))).as("bytes"))
+      .select(concat(date_format(col("day"), "yyyy-MM-dd"), lit("/"),
+        col("event_type"), lit(".json")).as("file"), col("bytes"))
 
   /** Deterministic "next release" of the documents corpus: residue 97
     * docs are dropped, residue 31 docs are edited (suffix appended),
@@ -364,18 +365,28 @@ object Maintenance {
     // Swap with a restore point: move the live dir ASIDE (not delete),
     // publish tmp, then drop the old generation — and fail loudly on
     // any rename the FS refuses, so a failed publish can't masquerade
-    // as success with a half-gone output.
+    // as success with a half-gone output. The restore point is only
+    // cleared when a NEW aside is about to replace it (a retry after a
+    // failed publish must not destroy the sole surviving copy of the
+    // previous generation), and a failed publish rolls the aside back
+    // to the live path so the pre-call state is restored.
     val outP = new org.apache.hadoop.fs.Path(outDir)
     val oldP = new org.apache.hadoop.fs.Path(s"$outDir.old")
-    fsys.delete(oldP, true)
-    if (fsys.exists(outP) && !fsys.rename(outP, oldP))
-      throw new IllegalStateException(
-        s"compaction publish: cannot move live $outDir aside")
-    if (!fsys.rename(new org.apache.hadoop.fs.Path(tmp), outP))
+    val movedAside = if (fsys.exists(outP)) {
+      fsys.delete(oldP, true)
+      if (!fsys.rename(outP, oldP))
+        throw new IllegalStateException(
+          s"compaction publish: cannot move live $outDir aside")
+      true
+    } else false
+    if (!fsys.rename(new org.apache.hadoop.fs.Path(tmp), outP)) {
+      val restored = movedAside && fsys.rename(oldP, outP)
       throw new IllegalStateException(
         s"compaction publish: rename $tmp -> $outDir failed" +
-          (if (fsys.exists(oldP)) s"; previous output preserved at $outDir.old"
+          (if (restored) s"; previous output restored at $outDir"
+           else if (fsys.exists(oldP)) s"; previous output preserved at $outDir.old"
            else ""))
+    }
     fsys.delete(oldP, true)
     stats.toSeq.toDF("bin", "n_files_in", "rows_out")
   }

@@ -39,8 +39,12 @@ class Extended2Spec extends SparkSuite {
     // Naive truth computed a completely different way: evaluate the
     // adjacency predicate at every position of every document.
     val naive = Tables(spark, sf001, "documents")
+      // Docs with < 2 tokens can't carry the phrase; dropping them
+      // first also keeps element_at in range (Spark 4's ANSI mode
+      // throws on out-of-bounds array indexing).
+      .where(size(tk) >= 2)
       .select(col("doc_id"), size(filter(
-        transform(sequence(lit(0), greatest(size(tk) - lit(2), lit(0))),
+        transform(sequence(lit(0), size(tk) - lit(2)),
           i => element_at(tk, i + 1) === "table" &&
             element_at(tk, i + 2) === "part"),
         b => b)).cast("long").as("n"))

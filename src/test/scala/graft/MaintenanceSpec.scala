@@ -260,8 +260,10 @@ class MaintenanceSpec extends SparkSuite {
     assert(vacuum.subsetOf(multiBinFiles))
     assert(vacuum.forall { case (f, _) => !singleBinFiles.contains(f) })
     assert(vacuum.forall { case (f, _) => f.take(10) < "2024-01-15" })
-    // And completeness: every aged multi-bin member IS vacuumed.
+    // And completeness: every aged multi-bin member IS vacuumed —
+    // non-vacuously (an empty plan would pass every assertion above).
     val agedMulti = multiBinFiles.filter(_._1.take(10) < "2024-01-15")
     assert(vacuum === agedMulti)
+    assert(vacuum.nonEmpty)
   }
 }
