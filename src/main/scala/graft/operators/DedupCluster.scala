@@ -164,6 +164,47 @@ object DedupCluster {
         .agg(count(lit(1)).as("n_docs"))
     }),
 
+    // ── INCREMENTAL connected components — the cluster map maintained
+    // under a delta batch without re-propagating the historical graph:
+    // base components (both-endpoints-old edges) are CONTRACTED to
+    // their labels, the delta edges are rewritten onto contracted ids,
+    // and CC runs only on that delta-sized graph; base nodes relabel
+    // through one label join, delta-only nodes take their contracted
+    // label directly. Exactness: a base label is its component's min
+    // member, so the contracted min equals the merged component's
+    // global min — the oracle is the FULL recompute over all edges
+    // (identical output to dedup_cc_clusters), which is the identity
+    // under test. At 100 TB the delta is batch-sized: the historical
+    // edge set never shuffles again, only the (tiny) label map joins. ─
+    "inc_cc_merge" -> ((s, dir) => {
+      val pairs = Dedup.lshCandidatesRaw(s, dir)
+      val isOld = (c: org.apache.spark.sql.Column) => c % 7 =!= 0
+      val base = pairs.where(isOld(col("a")) && isOld(col("b")))
+      val delta = pairs.where(!(isOld(col("a")) && isOld(col("b"))))
+      val baseCC = connectedComponents(base)
+      val contracted = delta
+        .join(baseCC.select(col("node").as("a"), col("cluster_id").as("la")),
+          Seq("a"), "left")
+        .join(baseCC.select(col("node").as("b"), col("cluster_id").as("lb")),
+          Seq("b"), "left")
+        .select(coalesce(col("la"), col("a")).as("a"),
+          coalesce(col("lb"), col("b")).as("b"))
+      val merged = connectedComponents(contracted)
+        .select(col("node").as("cid"), col("cluster_id").as("mid"))
+      val fromBase = baseCC.join(merged,
+          baseCC("cluster_id") === merged("cid"), "left")
+        .select(col("node"),
+          coalesce(col("mid"), col("cluster_id")).as("cluster_id"))
+      // Contracted ids not present among base NODES are exactly the
+      // delta-only nodes (every base label is itself a base node).
+      val deltaOnly = merged
+        .join(baseCC.select(col("node").as("cid")), Seq("cid"), "left_anti")
+        .select(col("cid").as("node"), col("mid").as("cluster_id"))
+      fromBase.unionByName(deltaOnly)
+        .select(col("node").as("doc_id"), col("cluster_id"),
+          (col("node") === col("cluster_id")).as("keep"))
+    }),
+
     // ── Quality-aware survivor selection: per duplicate cluster keep the
     // LONGEST member (most-complete-version policy — the practical
     // alternative to min-id when near-dups are truncations of one
@@ -230,6 +271,12 @@ object DedupCluster {
          |FROM tagged GROUP BY split""".stripMargin,
 
     "dedup_cc_clusters" ->
+      s"""$sqlCc
+         |SELECT node AS doc_id, cluster_id, node = cluster_id AS keep
+         |FROM cc""".stripMargin,
+
+    // The identity under test: incremental merge == full recompute.
+    "inc_cc_merge" ->
       s"""$sqlCc
          |SELECT node AS doc_id, cluster_id, node = cluster_id AS keep
          |FROM cc""".stripMargin,

@@ -56,6 +56,19 @@ class MaintenanceSpec extends SparkSuite {
     }
   }
 
+  test("incremental CC merge equals full propagation over all edges") {
+    // The delta identity for graphs: contract-base + delta-CC + relabel
+    // must reproduce min-label CC over the union — checked directly
+    // against the same propagation run on all edges at once.
+    val full = operators.DedupCluster
+      .connectedComponents(operators.Dedup.lshCandidatesRaw(spark, sf001))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inc = SparkEntry.queries("inc_cc_merge")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc === full)
+    assert(inc.nonEmpty)
+  }
+
   test("scd2 as-of snapshot returns exactly one interval per active user") {
     val snap = SparkEntry.queries("scd2_asof_snapshot")(spark, sf001)
     val perUser = snap.groupBy("user_id").count().where(col("count") =!= 1).count()
