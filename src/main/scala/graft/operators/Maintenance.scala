@@ -348,20 +348,33 @@ object Maintenance {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = s"$outDir.inprogress"
     fsys.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    val stats = plan.map { r =>
-      val bin = r.getLong(0)
-      val members = r.getSeq[String](1).map(f => s"$srcDir/$f")
-      // repartition(1) (not coalesce) keeps the member-file SCAN
-      // parallel and shuffles to the single writer task. rows_out comes
-      // from an Observation riding the write job itself — no second
-      // scan of the freshly written bin.
-      val obs = org.apache.spark.sql.Observation(s"compact-bin-$bin")
-      spark.read.parquet(members: _*).repartition(1)
-        .observe(obs, count(lit(1)).as("rows"))
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$tmp/bin=$bin")
-      (bin, members.length.toLong, obs.get("rows").asInstanceOf[Long])
-    }
+    // One job per bin, submitted CONCURRENTLY (bins write disjoint
+    // subdirs of tmp, so the jobs are independent): a single-writer
+    // bin job can't fill the cluster by itself, and overlapping the
+    // small-bin jobs hides their scheduling latency. Spark supports
+    // multi-threaded job submission natively; the pool is bounded so a
+    // huge plan can't flood the scheduler.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.min(8, plan.length))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val stats = try {
+      Await.result(Future.sequence(plan.toSeq.map { r => Future {
+        val bin = r.getLong(0)
+        val members = r.getSeq[String](1).map(f => s"$srcDir/$f")
+        // repartition(1) (not coalesce) keeps the member-file SCAN
+        // parallel and shuffles to the single writer task. rows_out
+        // comes from an Observation riding the write job itself — no
+        // second scan of the freshly written bin.
+        val obs = org.apache.spark.sql.Observation(s"compact-bin-$bin")
+        spark.read.parquet(members: _*).repartition(1)
+          .observe(obs, count(lit(1)).as("rows"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$tmp/bin=$bin")
+        (bin, members.length.toLong, obs.get("rows").asInstanceOf[Long])
+      }}), Duration.Inf)
+    } finally pool.shutdown()
     // Swap with a restore point: move the live dir ASIDE (not delete),
     // publish tmp, then drop the old generation — and fail loudly on
     // any rename the FS refuses, so a failed publish can't masquerade
