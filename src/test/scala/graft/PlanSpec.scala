@@ -146,6 +146,23 @@ class PlanSpec extends SparkSuite {
     assert(p8.contains("BroadcastHashJoin"), p8)
   }
 
+  test("epoch shuffle windows are shard-partitioned — no global sort") {
+    // The per-epoch permutation must never funnel the corpus through
+    // one partition: the only window is PARTITIONED by shard.
+    val p = physical(SparkEntry.queries("samp_epoch_shuffle")(spark, sf001))
+    assert(p.contains("hashpartitioning(shard"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("layout_skipping has no Window at all (key-range file arithmetic)") {
+    // The first implementation used two global row_number windows and
+    // degraded 20× at the 100× corpus; the redesign assigns files by
+    // key-range arithmetic over broadcast scalars. Any Window here is
+    // the regression coming back.
+    val p = physical(SparkEntry.queries("layout_skipping")(spark, sf001))
+    assert(!p.contains("Window"), p)
+  }
+
   test("Q7's implied region IN-filter is pushed to BOTH region scans") {
     // The disjunctive pair predicate implies r_name IN (ASIA, EUROPE)
     // on both the customer and supplier legs; Catalyst can't factor an
