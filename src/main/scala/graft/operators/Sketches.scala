@@ -59,6 +59,10 @@ object Sketches {
   val BloomBits = 4096
   val BloomK = 3
 
+  /** KMV sketch size (the K smallest distinct hashes kept per set);
+    * relative std error of the union estimate ≈ 1/√K ≈ 6%. */
+  val KmvK = 256
+
   private val Pow53 = 9007199254740992L // 2^53, exact in a double
 
   private def seeds: Column =
@@ -253,6 +257,61 @@ object Sketches {
         .crossJoin(trueKeys.agg(coalesce(sum(col("n")), lit(0L)).as("n_true_rows")))
     }),
 
+    // ── KMV (theta-sketch) set-operation estimation: the K smallest
+    // distinct member hashes per set are a MERGEABLE synopsis — the
+    // k-min of (A ∪ B) equals the k-min of (kmvA ∪ kmvB), so union
+    // cardinality ((K−1)/θ, θ = the Kth smallest normalized hash) and
+    // intersection (Jaccard over the union sketch × est-union) come
+    // from two K-sized sketches, never the sets. Built with the
+    // bounded-heap [[graft.plans.KmvAggregator]] (map-side K values
+    // per partition — the HLL feasibility argument applied to set
+    // algebra, which HLL itself cannot do: HLL has no intersection).
+    // Exact twins ride along so the estimate's error is visible; all
+    // arithmetic is seeded-md5 deterministic, so the DuckDB oracle
+    // replays the ESTIMATES bit-for-bit. Reference shape: the
+    // overlap-audit a corpus release runs between user segments /
+    // snapshot versions. ─────────────────────────────────────────────
+    "sk_kmv_intersect" -> ((s, dir) => {
+      import s.implicits._
+      val K = KmvK
+      val o = Tables(s, dir, "orders")
+      // Two PARTIALLY overlapping sets: customers who ordered in 1996
+      // vs in 1997 (the year-over-year retention overlap — a real
+      // release-audit shape; the event-log user sets fully coincide,
+      // which would degenerate the intersection demo to the union).
+      def inYear(y: Int) = o.where(year(col("o_orderdate")) === y)
+      def hashesOf(y: Int) = inYear(y)
+        .select(md5(concat(lit("kmv|"), col("o_custkey").cast("string"))).as("h"))
+      val agg = new graft.plans.KmvAggregator(K)
+      def sketchOf(y: Int, name: String) = hashesOf(y).as[String]
+        .groupByKey(_ => true).agg(agg.toColumn.name("kmv"))
+        .map(_._2).toDF(name)
+      val ex = o.where(year(col("o_orderdate")).isin(1996, 1997))
+        .groupBy(col("o_custkey"))
+        .agg(max((year(col("o_orderdate")) === 1996).cast("int")).as("v"),
+          max((year(col("o_orderdate")) === 1997).cast("int")).as("p"))
+        .agg(sum(when(col("v") === 1 || col("p") === 1, 1L).otherwise(0L))
+            .as("exact_union"),
+          sum(when(col("v") === 1 && col("p") === 1, 1L).otherwise(0L))
+            .as("exact_intersect"))
+      val est = sketchOf(1996, "a").crossJoin(sketchOf(1997, "b"))
+        .withColumn("u",
+          slice(array_sort(array_distinct(concat(col("a"), col("b")))), 1, K))
+        .withColumn("ku", size(col("u")))
+        .withColumn("theta",
+          conv(substring(element_at(col("u"), col("ku")), 1, 8), 16, 10)
+            .cast("double") / lit(4294967296.0))
+        .withColumn("est_union", when(col("ku") < K, col("ku").cast("double"))
+          .otherwise(lit((K - 1).toDouble) / col("theta")))
+        .withColumn("matches",
+          size(array_intersect(array_intersect(col("u"), col("a")), col("b"))))
+      est.crossJoin(ex).select(
+        Num.roundp(col("est_union"), 4).as("est_union"),
+        Num.roundp((col("matches").cast("double") / col("ku")) * col("est_union"), 4)
+          .as("est_intersect"),
+        col("exact_union"), col("exact_intersect"))
+    }),
+
     // ── HLL distinct parts per return flag, next to the exact count.
     // Exercises both estimator branches across scale factors: linear
     // counting at sf0.001 (≈200 distinct < 2.5m), the raw harmonic
@@ -270,6 +329,41 @@ object Sketches {
   )
 
   def oracles: Map[String, String] = Map(
+    "sk_kmv_intersect" ->
+      s"""WITH va AS (SELECT DISTINCT md5('kmv|' || CAST(o_custkey AS VARCHAR)) AS h
+         |            FROM orders WHERE year(o_orderdate) = 1996),
+         |vb AS (SELECT DISTINCT md5('kmv|' || CAST(o_custkey AS VARCHAR)) AS h
+         |       FROM orders WHERE year(o_orderdate) = 1997),
+         |a AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+         |      FROM va) WHERE rn <= $KmvK),
+         |b AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+         |      FROM vb) WHERE rn <= $KmvK),
+         |uu AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+         |       FROM (SELECT h FROM va UNION SELECT h FROM vb)) WHERE rn <= $KmvK),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS matches FROM uu
+         |      WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)),
+         |su AS (SELECT count(*) AS ku, max(h) AS hmax FROM uu),
+         |th AS (SELECT ku,
+         |  list_sum(list_transform(range(8),
+         |    i -> (strpos('0123456789abcdef', substr(hmax, CAST(i + 1 AS INT), 1)) - 1)
+         |      * 16 ** (7 - i))) / 4294967296.0 AS theta
+         |  FROM su),
+         |eu AS (SELECT CASE WHEN th.ku < $KmvK THEN CAST(th.ku AS DOUBLE)
+         |              ELSE ${KmvK - 1} / th.theta END AS est_union, th.ku
+         |       FROM th),
+         |ex AS (
+         |  SELECT CAST(count(*) FILTER (WHERE v OR p) AS BIGINT) AS exact_union,
+         |    CAST(count(*) FILTER (WHERE v AND p) AS BIGINT) AS exact_intersect
+         |  FROM (SELECT o_custkey, bool_or(year(o_orderdate) = 1996) AS v,
+         |          bool_or(year(o_orderdate) = 1997) AS p
+         |        FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+         |        GROUP BY 1))
+         |SELECT floor(eu.est_union * 10000 + 0.5) / 10000 AS est_union,
+         |  floor(((m.matches * 1.0 / eu.ku) * eu.est_union) * 10000 + 0.5) / 10000
+         |    AS est_intersect,
+         |  ex.exact_union, ex.exact_intersect
+         |FROM eu, m, ex""".stripMargin,
+
     "sk_quantile_hist" ->
       """WITH h AS (
         |  SELECT l_returnflag AS g,
