@@ -6,6 +6,32 @@ import org.apache.spark.sql.functions._
 /** Portable sketches: CMS / HLL guarantees, mergeability, determinism. */
 class SketchSpec extends SparkSuite {
 
+  test("KMV aggregator is mergeable: any partition of the input yields the K smallest distinct values") {
+    val agg = new plans.KmvAggregator(8)
+    val rnd = new scala.util.Random(42)
+    (1 to 50).foreach { _ =>
+      // Random multiset (duplicates included) split at random points,
+      // reduced shard-wise and merged in shuffled order — must equal
+      // the K smallest distinct values regardless of partitioning.
+      val xs = Seq.fill(rnd.nextInt(60) + 1)(f"${rnd.nextInt(40)}%04d")
+      val expected = xs.distinct.sorted.take(8)
+      val shards = rnd.shuffle(xs).grouped(rnd.nextInt(9) + 1).toSeq
+      val partials = shards.map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = rnd.shuffle(partials).foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(merged) === expected)
+    }
+  }
+
+  test("KMV estimates sit next to their exact twins within a loose error band") {
+    val r = SparkEntry.queries("sk_kmv_intersect")(spark, sf001).collect()(0)
+    val (eu, ei) = (r.getAs[Double]("est_union"), r.getAs[Double]("est_intersect"))
+    val (xu, xi) = (r.getAs[Long]("exact_union"), r.getAs[Long]("exact_intersect"))
+    // 1/sqrt(256) ~ 6% std error; 4 sigma keeps the test stable while
+    // still catching an estimator that is structurally wrong.
+    assert(math.abs(eu - xu) <= 0.25 * xu + 8, s"union est $eu vs exact $xu")
+    assert(math.abs(ei - xi) <= 0.35 * xi + 8, s"intersect est $ei vs exact $xi")
+  }
+
   test("CMS never undercounts; overshoot stays within the collision budget") {
     val li = Tables(spark, sf001, "lineitem")
     val n = li.count()
