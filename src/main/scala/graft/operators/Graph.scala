@@ -142,6 +142,11 @@ object Graph {
     * DuckDB oracle so the two sides can never drift. */
   val LinkPredQuota = 32
 
+  /** BFS round cap — hop distances beyond this are not computed (both
+    * the Spark frontier loop and the recursive oracle stop here, so
+    * the "distance ≤ cap" semantics are shared exactly). */
+  val BfsMaxHops = 4
+
   /** Simplified PageRank, fixed iteration count: uniform init 1/N, then
     * pr'(v) = (1-d)/N + d·Σ_{u→v} pr(u)/outdeg(u). Dangling mass (nodes
     * with no out-edges) is dropped, not redistributed — ranks sum to < 1,
@@ -394,10 +399,52 @@ object Graph {
             .as("jaccard"))
         .orderBy(col("cn").desc, col("jaccard").desc, col("a"), col("b"))
         .limit(20)
+    }),
+
+    // ── Multi-source BFS hop distance over the (undirected) trade
+    // graph, frontier-based: each round joins ONLY the newly-discovered
+    // frontier against the edges and anti-joins the settled set — the
+    // scale-correct BFS (joining the full distance map per round grows
+    // quadratically at scale; the frontier shrinks as the wave
+    // saturates). Rounds are capped at [[BfsMaxHops]]; per-round
+    // localCheckpoint truncates the iterative lineage (the fixpoint
+    // replay hazard — see inc_cc_merge's postmortem). Oracle: a
+    // recursive CTE with the same cap, min-d per node ≡ first-
+    // discovery round. Seeds: customer nodes with key < 5. ───────────
+    "graph_bfs_hops" -> ((s, dir) => {
+      val e0 = tradeEdges(s, dir)
+      val edges = e0.select(col("src"), col("dst"))
+        .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      var dist = edges.where(col("src") < 10).select(col("src").as("node"))
+        .distinct().withColumn("hops", lit(0L)).localCheckpoint()
+      var frontier = dist.select(col("node"))
+      for (r <- 1 to BfsMaxHops) {
+        val reached = frontier.join(edges, frontier("node") === edges("src"))
+          .select(col("dst").as("node")).distinct()
+        frontier = reached.join(dist, Seq("node"), "left_anti").localCheckpoint()
+        dist = dist
+          .unionByName(frontier.withColumn("hops", lit(r.toLong)))
+          .localCheckpoint()
+      }
+      dist
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "graph_bfs_hops" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src,
+         |                  l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |ee AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+         |walk(node, d) AS (
+         |  SELECT DISTINCT src AS node, 0 AS d FROM ee WHERE src < 10
+         |  UNION
+         |  SELECT ee.dst, w.d + 1 FROM walk w
+         |  JOIN ee ON ee.src = w.node WHERE w.d < $BfsMaxHops)
+         |SELECT node, CAST(min(d) AS BIGINT) AS hops
+         |FROM walk GROUP BY node""".stripMargin,
+
     "graph_pagerank" ->
       """WITH e AS (
         |  SELECT DISTINCT o_custkey * 2 AS src,
