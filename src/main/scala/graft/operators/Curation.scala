@@ -471,17 +471,20 @@ object Curation {
         sum(when(col("n") < 5, col("n")).otherwise(0L)).as("rows_at_risk"))
     }),
 
-    // ── Differentially-private count release (ε = 1, sensitivity 1):
-    // per-category counts + Laplace noise via the inverse CDF,
-    // noise = −b·sign(u−½)·ln(1−2|u−½|) with b = 1/ε. The uniform u is
-    // SEEDED — 32 bits of md5('dp|'||key) — so the release is
-    // reproducible across engines and runs (the property a PUBLISHED
-    // dataset statistic needs: re-deriving the release never burns
-    // extra privacy budget, and the oracle can replay it exactly).
-    // A production deployment swaps the seeded u for a secret-keyed
-    // PRF — the mechanism, sensitivity analysis, and release shape
-    // are identical. One aggregation + per-row scalar math. ──────────
-    "priv_dp_count" -> ((s, dir) => {
+    // ── Laplace count-release MECHANISM DEMO (the "_demo" suffix is
+    // the contract): per-category counts + Laplace noise via the
+    // inverse CDF, noise = −b·sign(u−½)·ln(1−2|u−½|) with b = 1/ε,
+    // ε = 1, sensitivity 1. The uniform u here is 32 bits of
+    // md5('dp|'||key) — a PUBLIC function of the PUBLIC category
+    // value, so any reader can recompute and subtract the noise: this
+    // release carries NO actual ε-guarantee. What the seeding buys is
+    // engine-replayability (the oracle reproduces the release bit-
+    // exactly) and idempotent re-derivation. A production deployment
+    // swaps u for a SECRET-KEYED PRF over the same mechanism — the
+    // sensitivity analysis and release shape are unchanged, and only
+    // then does the ε = 1 claim hold. One aggregation + per-row
+    // scalar math. ───────────────────────────────────────────────────
+    "priv_dp_count_demo" -> ((s, dir) => {
       val h = md5(concat(lit("dp|"), col("event_type")))
       val u = conv(substring(h, 1, 8), 16, 10).cast("double") / lit(4294967296.0)
       val c = u - lit(0.5)
@@ -871,7 +874,7 @@ object Curation {
         |    AS rows_at_risk
         |FROM g""".stripMargin,
 
-    "priv_dp_count" ->
+    "priv_dp_count_demo" ->
       """WITH c AS (
         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |    md5('dp|' || event_type) AS h

@@ -38,7 +38,18 @@ object DedupCluster {
   /** Connected components of an undirected edge list (columns `a`, `b`).
     * Returns (node, cluster_id) with cluster_id = min node id reachable.
     * Only nodes that appear in at least one edge are returned. */
-  def connectedComponents(edges: DataFrame, maxRounds: Int = 25): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 25): DataFrame =
+    connectedComponentsWithCache(edges, maxRounds)._1
+
+  /** As [[connectedComponents]], but also hands back the final-round
+    * PERSISTED label frame: the public result is a rename-projection
+    * over it, and `unpersist` on a derived frame is a no-op (the cache
+    * manager matches plans by sameResult), so a caller that does not
+    * want the session-long cache — e.g. a one-shot incremental merge —
+    * must release the underlying frame itself once its downstream has
+    * materialized. */
+  private[operators] def connectedComponentsWithCache(
+      edges: DataFrame, maxRounds: Int = 25): (DataFrame, DataFrame) = {
     // Symmetrize once: propagation below only follows src→dst.
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
@@ -77,7 +88,7 @@ object DedupCluster {
     // `labels` was materialized by the convergence aggregate; the edge
     // cache is no longer needed.
     sym.unpersist(blocking = false)
-    labels.select(col("node"), col("comp").as("cluster_id"))
+    (labels.select(col("node"), col("comp").as("cluster_id")), labels)
   }
 
   /** Session-memoized cluster map of the LSH pair graph for a sf dir.
@@ -196,8 +207,16 @@ object DedupCluster {
       // plan-cache matching (see lshClusters), and without a stable
       // backing store every action replayed the whole propagation —
       // measured 39 s for a 341-edge contracted graph.
+      // Capture the CC-internal label frame if the artifact build runs,
+      // so its final-round persist can be released once the parquet is
+      // published (the artifact read replaces it).
+      var baseBuilt: Option[DataFrame] = None
       val baseCC = ArtifactCache.parquet(s, dir, "cc-base-labels",
-        Seq("documents"))(connectedComponents(base))
+        Seq("documents")) {
+        val (out, cache) = connectedComponentsWithCache(base)
+        baseBuilt = Some(cache); out
+      }
+      baseBuilt.foreach(_.unpersist(blocking = false))
       val contracted = delta
         .join(baseCC.select(col("node").as("a"), col("cluster_id").as("la")),
           Seq("a"), "left")
@@ -205,8 +224,17 @@ object DedupCluster {
           Seq("b"), "left")
         .select(coalesce(col("la"), col("a")).as("a"),
           coalesce(col("lb"), col("b")).as("b"))
-      val merged = connectedComponents(contracted).localCheckpoint()
+      val (mergedOut, mergedCache) = connectedComponentsWithCache(contracted)
+      val merged = mergedOut.localCheckpoint()
         .select(col("node").as("cid"), col("cluster_id").as("mid"))
+      // localCheckpoint() is eager: everything downstream of the pair
+      // table has materialized — release the corpus-pair-sized cache and
+      // the CC-internal labels NOW instead of pinning them for the rest
+      // of the session (bench runs each query several times; leaked
+      // copies accumulate in the block manager and pressure the other
+      // artifact caches at the 100x corpus).
+      mergedCache.unpersist(blocking = false)
+      pairs.unpersist(blocking = false)
       val fromBase = baseCC.join(merged,
           baseCC("cluster_id") === merged("cid"), "left")
         .select(col("node"),

@@ -336,8 +336,8 @@ object Events {
         |nw AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM f GROUP BY 1),
         |act AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active FROM d GROUP BY 1)
         |SELECT act.day, act.n_active, coalesce(nw.n_new, 0) AS n_new,
-        |  sum(coalesce(nw.n_new, 0)) OVER (ORDER BY act.day
-        |    ROWS UNBOUNDED PRECEDING) AS cum_reach
+        |  CAST(sum(coalesce(nw.n_new, 0)) OVER (ORDER BY act.day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_reach
         |FROM act LEFT JOIN nw ON act.day = nw.day""".stripMargin,
 
     "ev_markov_transitions" ->

@@ -406,26 +406,44 @@ object Graph {
     // frontier against the edges and anti-joins the settled set — the
     // scale-correct BFS (joining the full distance map per round grows
     // quadratically at scale; the frontier shrinks as the wave
-    // saturates). Rounds are capped at [[BfsMaxHops]]; per-round
+    // saturates). Rounds are capped at [[BfsMaxHops]] and exit EARLY on
+    // an empty frontier (localCheckpoint is eager, so the emptiness
+    // check is a local lookup, not a recompute); per-round
     // localCheckpoint truncates the iterative lineage (the fixpoint
-    // replay hazard — see inc_cc_merge's postmortem). Oracle: a
-    // recursive CTE with the same cap, min-d per node ≡ first-
-    // discovery round. Seeds: customer nodes with key < 5. ───────────
+    // replay hazard — see inc_cc_merge's postmortem). The doubled edge
+    // list is persisted once across the rounds instead of re-deriving
+    // the union from the artifact per join. Oracle: a recursive CTE
+    // with the same cap, min-d per node ≡ first-discovery round.
+    // Seeds: ALL graph nodes with id < 10 — in the 2k/2k+1 node
+    // encoding that is customers with custkey < 5 AND suppliers with
+    // suppkey < 5 (the odd ids 1,3,5,7,9). ────────────────────────────
     "graph_bfs_hops" -> ((s, dir) => {
       val e0 = tradeEdges(s, dir)
       val edges = e0.select(col("src"), col("dst"))
         .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       var dist = edges.where(col("src") < 10).select(col("src").as("node"))
         .distinct().withColumn("hops", lit(0L)).localCheckpoint()
       var frontier = dist.select(col("node"))
-      for (r <- 1 to BfsMaxHops) {
+      var r = 1
+      var emptied = false
+      while (r <= BfsMaxHops && !emptied) {
         val reached = frontier.join(edges, frontier("node") === edges("src"))
           .select(col("dst").as("node")).distinct()
         frontier = reached.join(dist, Seq("node"), "left_anti").localCheckpoint()
-        dist = dist
-          .unionByName(frontier.withColumn("hops", lit(r.toLong)))
-          .localCheckpoint()
+        if (frontier.isEmpty) emptied = true
+        else {
+          dist = dist
+            .unionByName(frontier.withColumn("hops", lit(r.toLong)))
+            .localCheckpoint()
+          r += 1
+        }
       }
+      // dist is checkpoint-backed — the edge cache has no consumers left.
+      edges.unpersist(blocking = false)
+      org.slf4j.LoggerFactory.getLogger("graft.operators.Graph").info(
+        s"graph_bfs_hops: ${r - 1} rounds run" +
+          (if (emptied) " (frontier emptied early)" else " (hop cap reached)"))
       dist
     })
   )

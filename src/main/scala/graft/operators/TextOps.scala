@@ -214,16 +214,18 @@ object TextOps {
     // turns it into (a) an index intersection over the PATTERN's
     // trigrams — postings-sized, the candidate set must contain every
     // gram — then (b) an exact contains() verify on candidates ONLY.
-    // The index is corpus-char-sized, built once like the token
-    // postings; the query never touches non-candidate text. ──────────
+    // The index is a PERSISTED [[ArtifactCache]] entry (built once per
+    // corpus generation, like the token postings / graph edge tables),
+    // range-laid-out on the gram so the probe's pushed `g IN (…)`
+    // filter skips row groups by min/max stats: the per-query cost is
+    // pattern-gram postings reads + the candidate verify — corpus-
+    // size-independent I/O for a fixed result size, and the 10×/100×
+    // curve measures the PROBE, not a per-query corpus explode. ───────
     "idx_trigram_substr" -> ((s, dir) => {
       val patGrams = TrigramPattern.sliding(3).toSeq.distinct
       val docs = Tables(s, dir, "documents")
-      val grams = docs.where(length(col("text")) >= 3)
-        .select(col("doc_id"), explode(array_distinct(transform(
-          sequence(lit(0), length(col("text")) - lit(3)),
-          i => substring(col("text"), i + 1, lit(3))))).as("g"))
-      val cand = grams.where(col("g").isin(patGrams: _*))
+      val cand = trigramPostings(s, dir)
+        .where(col("g").isin(patGrams: _*))
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("g")).as("ng"))
         .where(col("ng") === patGrams.length)
@@ -773,6 +775,25 @@ object TextOps {
   /** Substring pattern for the trigram-index query (shared by the
     * Spark side and the generated oracle). */
   private[operators] val TrigramPattern = "fast sort"
+
+  /** The persisted (gram → doc) postings table behind
+    * idx_trigram_substr: built ONCE per corpus generation via
+    * [[ArtifactCache]] (keyed on the documents fingerprint), range-
+    * repartitioned and sorted on the gram so parquet min/max row-group
+    * stats make the probe's pushed `g IN (…)` filter an index seek
+    * rather than a postings-table scan. Corpus-char-sized like the
+    * token postings; every substring query after the build reads only
+    * its pattern's gram lists. */
+  private def trigramPostings(s: SparkSession, dir: String): DataFrame =
+    ArtifactCache.parquet(s, dir, "trigram-postings", Seq("documents")) {
+      Tables(s, dir, "documents")
+        .where(length(col("text")) >= 3)
+        .select(col("doc_id"), explode(array_distinct(transform(
+          sequence(lit(0), length(col("text")) - lit(3)),
+          i => substring(col("text"), i + 1, lit(3))))).as("g"))
+        .repartitionByRange(col("g"), col("doc_id"))
+        .sortWithinPartitions(col("g"), col("doc_id"))
+    }
 
   val oracles: Map[String, String] = Map(
     "bpe_train_merges" -> sqlBpe,

@@ -16,13 +16,28 @@ import org.apache.spark.sql.expressions.Aggregator
 class KmvAggregator(k: Int)
     extends Aggregator[String, Seq[String], Seq[String]] {
 
-  override def zero: Seq[String] = Nil
+  override def zero: Seq[String] = Vector.empty
 
-  override def reduce(buf: Seq[String], h: String): Seq[String] =
-    if (buf.contains(h)) buf
-    else if (buf.length < k) (buf :+ h).sorted
-    else if (h < buf.last) (buf.init :+ h).sorted
-    else buf
+  // The buffer invariant is "sorted, distinct, ≤ K elements", so the
+  // map-side hot path is a binary search for the insertion point
+  // (O(log K) string comparisons) plus a positional splice — not a
+  // linear membership scan and a full re-sort per accepted row.
+  override def reduce(buf: Seq[String], h: String): Seq[String] = {
+    val v: IndexedSeq[String] = buf match {
+      case iv: IndexedSeq[String] => iv
+      case other => other.toIndexedSeq
+    }
+    var lo = 0
+    var hi = v.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (v(mid) < h) lo = mid + 1 else hi = mid
+    }
+    if (lo < v.length && v(lo) == h) v // already in the sketch
+    else if (v.length < k) v.patch(lo, h :: Nil, 0)
+    else if (lo < k) v.patch(lo, h :: Nil, 0).dropRight(1)
+    else v // ≥ current K-th minimum: cannot enter the sketch
+  }
 
   override def merge(a: Seq[String], b: Seq[String]): Seq[String] =
     (a ++ b).distinct.sorted.take(k)

@@ -63,10 +63,20 @@ class MaintenanceSpec extends SparkSuite {
     val full = operators.DedupCluster
       .connectedComponents(operators.Dedup.lshCandidatesRaw(spark, sf001))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val inc = SparkEntry.queries("inc_cc_merge")(spark, sf001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(inc === full)
     assert(inc.nonEmpty)
+    // The query must not pin new plain caches in the block manager for
+    // the rest of the session (the r9 leak: the LSH pair frame and the
+    // CC label frames stayed persisted). localCheckpoint residue is the
+    // only allowed growth — everything else must be unpersisted by the
+    // time the result materializes.
+    val leaked = spark.sparkContext.getPersistentRDDs
+      .filter { case (id, rdd) => !before.contains(id) && !rdd.isCheckpointed }
+    assert(leaked.isEmpty,
+      s"inc_cc_merge leaked non-checkpoint caches: ${leaked.keys.toSeq.sorted}")
   }
 
   test("scd2 as-of snapshot returns exactly one interval per active user") {

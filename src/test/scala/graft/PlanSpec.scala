@@ -176,6 +176,17 @@ class PlanSpec extends SparkSuite {
     assert(hits >= 2, s"expected $pushedIn pushed on both region legs, found $hits:\n$p7")
   }
 
+  test("trigram substring search probes the persisted gram postings, not a corpus explode") {
+    // The pg_trgm-shaped index must be the BUILD-ONCE artifact: the
+    // query's plan reads the trigram-postings parquet with the pattern
+    // grams pushed into the scan, and contains no Generate (the r9
+    // regression: a corpus-char-sized explode ran per query).
+    val p = formatted(SparkEntry.queries("idx_trigram_substr")(spark, sf001))
+    assert(p.contains("trigram-postings"), p)
+    assert(!p.contains("Generate"), p)
+    assert(p.contains("In(g, "), p)
+  }
+
   test("Q21 NOT EXISTS executes as an anti join, EXISTS as a semi join") {
     val plan = physical(SparkEntry.queries("sql_q21_waiting_supplier")(spark, sf001))
     assert(plan.contains("LeftSemi"), plan)

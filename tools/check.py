@@ -7,6 +7,14 @@ Runs each oracle SQL from <out>/oracle_sql.json in DuckDB over the sf
 tables, loads the Spark result parquet written by graft.Verify, normalizes
 both (sort columns by name, round floats, canonical row sort), and
 reports per-query match/mismatch. Dev-only tool; not part of the library.
+
+STRICT by default: after the rounding normalization, every value is
+formatted to a string and compared exactly — this preserves the
+int-vs-float distinction (int64 134 -> "134", float64 134.0 -> "134.0"),
+reproducing the driver's formatted-value hash. An uncast DuckDB window
+sum (HUGEINT -> pandas float64) therefore FAILS here exactly as it fails
+the driver. Pass --tolerant for the old rtol-based numeric comparison
+(triage only; it is leniently wrong where the driver is strict).
 """
 import sys, json, glob
 import duckdb
@@ -28,9 +36,31 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
+def kind_class(dt) -> str:
+    # Only int-vs-float matters for the audit: within-class width changes
+    # (int32 vs int64) format identically, and everything else is caught by
+    # the exact string compare.
+    if dt.kind in "iub":
+        return "int"
+    if dt.kind == "f":
+        return "float"
+    return dt.kind
+
+def fmt(df: pd.DataFrame) -> pd.DataFrame:
+    # Driver-equivalent: hash/compare FORMATTED values. astype(str) on a
+    # float64 column renders "134.0" where int64 renders "134" — the exact
+    # distinction the driver's hash sees. Row-sort on the formatted values
+    # so equal frames land in identical canonical order.
+    out = df.copy()
+    for c in out.columns:
+        out[c] = out[c].astype(str)
+    return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
+
 def main():
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    tolerant = "--tolerant" in sys.argv
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
+    out = argv[1] if len(argv) > 1 else "/tmp/verify_out"
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
@@ -58,9 +88,31 @@ def main():
             n_bad += 1; continue
         if a.shape != b.shape:
             print(f"FAIL {name}: shape spark={a.shape} duck={b.shape}"); n_bad += 1; continue
+        # Standing dtype-kind audit: an oracle OUTPUT column that comes back
+        # float where Spark emits integer (DuckDB HUGEINT->float64 widening)
+        # is the exact class that slipped the lenient gate in round 9.
+        kind_bad = [c for c in a.columns
+                    if kind_class(a[c].dtype) != kind_class(b[c].dtype)
+                    and {kind_class(a[c].dtype), kind_class(b[c].dtype)} == {"int", "float"}]
+        if kind_bad and not tolerant:
+            print(f"FAIL {name}: dtype-kind mismatch (int vs float) cols={kind_bad} "
+                  f"spark={[str(a[c].dtype) for c in kind_bad]} "
+                  f"duck={[str(b[c].dtype) for c in kind_bad]} — CAST the oracle column")
+            n_bad += 1; continue
         try:
-            pd.testing.assert_frame_equal(a, b, check_dtype=False,
-                                          check_exact=False, rtol=1e-9, atol=1e-9)
+            if tolerant:
+                pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                              check_exact=False, rtol=1e-9, atol=1e-9)
+            else:
+                fa, fb = fmt(a), fmt(b)
+                neq = (fa != fb)
+                if neq.any().any():
+                    bad_cols = [c for c in fa.columns if neq[c].any()]
+                    c0 = bad_cols[0]
+                    i0 = int(neq[c0].idxmax())
+                    raise AssertionError(
+                        f"formatted values differ in cols={bad_cols}; first at "
+                        f"[{i0}][{c0}]: spark='{fa[c0].iloc[i0]}' duck='{fb[c0].iloc[i0]}'")
             print(f"OK   {name}: rows={len(a)}"); n_ok += 1
         except AssertionError as e:
             msg = str(e).split("\n")[0:3]
