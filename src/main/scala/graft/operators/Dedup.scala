@@ -280,6 +280,37 @@ object Dedup {
         .select(col("a"), col("b"), Num.roundp(j, 4).as("jacc"))
     }),
 
+    // ── candidate-then-verify: asymmetric n-gram CONTAINMENT on LSH
+    // candidates — |A∩B| / min(|A|,|B|), the truncation/quotation
+    // detector: a short doc fully embedded in a longer one has low
+    // Jaccard (the union is big-doc-sized) but containment ≈ 1, so the
+    // jaccard verify drops exactly the pairs keep-longest exists for.
+    // Same bucketed candidate set and postings-shaped intersection
+    // join as dedup_ngram_jaccard — never all-pairs. Honest recall
+    // note: candidates come from the MinHash-LSH stage, which is tuned
+    // for JACCARD; a production containment pass additionally LSHes
+    // the smaller side's shingle sample so low-Jaccard containments
+    // still collide. The verify math here is exact. ──────────────────
+    "dedup_containment" -> ((s, dir) => {
+      val cand = lshCandidates(s, dir)
+      val ex = shingleRows(s, dir)
+      val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val ea = ex.toDF("a", "s")
+      val eb = ex.toDF("b", "s")
+      val inter = cand.join(ea, "a").join(eb, Seq("b", "s"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
+      val cont = col("i").cast("double") /
+        least(col("sa.sz"), col("sb.sz")).cast("double")
+      inter
+        .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
+        .where(cont >= 0.8)
+        .select(col("a"), col("b"),
+          Num.roundp(cont, 4).as("containment"),
+          when(col("sa.sz") <= col("sb.sz"), lit("a")).otherwise(lit("b"))
+            .as("contained_side"))
+    }),
+
     // ── SimHash 32-bit signatures ─────────────────────────────────────
     // Frequency-weighted (votes over the raw shingle stream, the
     // standard formulation): no distinct shuffle — the 32 per-doc vote
@@ -645,6 +676,23 @@ object Dedup {
          |JOIN sizes sa ON sa.doc_id = a
          |JOIN sizes sb ON sb.doc_id = b
          |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""".stripMargin,
+
+    "dedup_containment" ->
+      s"""$sqlCandidates,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+         |inter AS (
+         |  SELECT cand.a, cand.b, count(*) AS i FROM cand
+         |  JOIN ex ea ON ea.doc_id = cand.a
+         |  JOIN ex eb ON eb.doc_id = cand.b AND eb.s = ea.s
+         |  GROUP BY cand.a, cand.b)
+         |SELECT a, b,
+         |  floor((CAST(i AS DOUBLE) / least(sa.sz, sb.sz)) * 10000 + 0.5) / 10000
+         |    AS containment,
+         |  CASE WHEN sa.sz <= sb.sz THEN 'a' ELSE 'b' END AS contained_side
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = a
+         |JOIN sizes sb ON sb.doc_id = b
+         |WHERE CAST(i AS DOUBLE) / least(sa.sz, sb.sz) >= 0.8""".stripMargin,
 
     "dedup_simhash" ->
       s"""$sqlShingles,

@@ -312,6 +312,51 @@ object Sketches {
         col("exact_union"), col("exact_intersect"))
     }),
 
+    // ── KMV set-DIFFERENCE estimation — the churn side of the
+    // sk_kmv_intersect release audit: |A \ B| ≈ est_union × (u-sample
+    // hashes in A but not B) / |u|. Membership against B is exact on
+    // the sketches: u is the k-min of A ∪ B, so any u-hash belonging
+    // to B is ≤ θ_u ≤ θ_B and therefore present in B's k-min — the
+    // same below-theta argument the intersection rides. Two K-sized
+    // sketches, never the sets; exact twin alongside; seeded-md5
+    // arithmetic so the oracle replays the estimate bit-for-bit.
+    // Reference shape: "how many users/docs did we LOSE between
+    // snapshot versions" — the question a corpus diff answers before
+    // a release ships. ───────────────────────────────────────────────
+    "sk_kmv_diff" -> ((s, dir) => {
+      import s.implicits._
+      val K = KmvK
+      val o = Tables(s, dir, "orders")
+      def hashesOf(y: Int) = o.where(year(col("o_orderdate")) === y)
+        .select(md5(concat(lit("kmv|"), col("o_custkey").cast("string"))).as("h"))
+      val agg = new graft.plans.KmvAggregator(K)
+      def sketchOf(y: Int, name: String) = hashesOf(y).as[String]
+        .groupByKey(_ => true).agg(agg.toColumn.name("kmv"))
+        .map(_._2).toDF(name)
+      val ex = o.where(year(col("o_orderdate")).isin(1996, 1997))
+        .groupBy(col("o_custkey"))
+        .agg(max((year(col("o_orderdate")) === 1996).cast("int")).as("v"),
+          max((year(col("o_orderdate")) === 1997).cast("int")).as("p"))
+        .agg(sum(when(col("v") === 1 && col("p") === 0, 1L).otherwise(0L))
+          .as("exact_diff"))
+      val est = sketchOf(1996, "a").crossJoin(sketchOf(1997, "b"))
+        .withColumn("u",
+          slice(array_sort(array_distinct(concat(col("a"), col("b")))), 1, K))
+        .withColumn("ku", size(col("u")))
+        .withColumn("theta",
+          conv(substring(element_at(col("u"), col("ku")), 1, 8), 16, 10)
+            .cast("double") / lit(4294967296.0))
+        .withColumn("est_union", when(col("ku") < K, col("ku").cast("double"))
+          .otherwise(lit((K - 1).toDouble) / col("theta")))
+        .withColumn("onlya",
+          size(array_except(array_intersect(col("u"), col("a")), col("b"))))
+      est.crossJoin(ex).select(
+        Num.roundp(col("est_union"), 4).as("est_union"),
+        Num.roundp((col("onlya").cast("double") / col("ku")) * col("est_union"), 4)
+          .as("est_diff"),
+        col("exact_diff"))
+    }),
+
     // ── HLL distinct parts per return flag, next to the exact count.
     // Exercises both estimator branches across scale factors: linear
     // counting at sf0.001 (≈200 distinct < 2.5m), the raw harmonic
@@ -362,6 +407,40 @@ object Sketches {
          |  floor(((m.matches * 1.0 / eu.ku) * eu.est_union) * 10000 + 0.5) / 10000
          |    AS est_intersect,
          |  ex.exact_union, ex.exact_intersect
+         |FROM eu, m, ex""".stripMargin,
+
+    "sk_kmv_diff" ->
+      s"""WITH va AS (SELECT DISTINCT md5('kmv|' || CAST(o_custkey AS VARCHAR)) AS h
+         |            FROM orders WHERE year(o_orderdate) = 1996),
+         |vb AS (SELECT DISTINCT md5('kmv|' || CAST(o_custkey AS VARCHAR)) AS h
+         |       FROM orders WHERE year(o_orderdate) = 1997),
+         |a AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+         |      FROM va) WHERE rn <= $KmvK),
+         |b AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+         |      FROM vb) WHERE rn <= $KmvK),
+         |uu AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+         |       FROM (SELECT h FROM va UNION SELECT h FROM vb)) WHERE rn <= $KmvK),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS onlya FROM uu
+         |      WHERE h IN (SELECT h FROM a) AND h NOT IN (SELECT h FROM b)),
+         |su AS (SELECT count(*) AS ku, max(h) AS hmax FROM uu),
+         |th AS (SELECT ku,
+         |  list_sum(list_transform(range(8),
+         |    i -> (strpos('0123456789abcdef', substr(hmax, CAST(i + 1 AS INT), 1)) - 1)
+         |      * 16 ** (7 - i))) / 4294967296.0 AS theta
+         |  FROM su),
+         |eu AS (SELECT CASE WHEN th.ku < $KmvK THEN CAST(th.ku AS DOUBLE)
+         |              ELSE ${KmvK - 1} / th.theta END AS est_union, th.ku
+         |       FROM th),
+         |ex AS (
+         |  SELECT CAST(count(*) FILTER (WHERE v AND NOT p) AS BIGINT) AS exact_diff
+         |  FROM (SELECT o_custkey, bool_or(year(o_orderdate) = 1996) AS v,
+         |          bool_or(year(o_orderdate) = 1997) AS p
+         |        FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+         |        GROUP BY 1))
+         |SELECT floor(eu.est_union * 10000 + 0.5) / 10000 AS est_union,
+         |  floor(((m.onlya * 1.0 / eu.ku) * eu.est_union) * 10000 + 0.5) / 10000
+         |    AS est_diff,
+         |  ex.exact_diff
          |FROM eu, m, ex""".stripMargin,
 
     "sk_quantile_hist" ->

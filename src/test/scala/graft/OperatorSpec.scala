@@ -28,6 +28,18 @@ class OperatorSpec extends SparkSuite {
     assert(verified.forall(r => r.getAs[Long]("a") < r.getAs[Long]("b")))
   }
 
+  test("containment dominates jaccard on every verified pair and catches subset dups") {
+    val cont = SparkEntry.queries("dedup_containment")(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) -> r.getAs[Double]("containment")).toMap
+    val jacc = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) -> r.getAs[Double]("jacc")).toMap
+    assert(cont.nonEmpty)
+    // |A∩B|/min ≥ |A∩B|/|A∪B| always: a pair passing the 0.5-jaccard
+    // verify with containment ≥ 0.8 must appear in both with cont ≥ jacc.
+    for ((pair, c) <- cont; j <- jacc.get(pair)) assert(c >= j, s"$pair c=$c j=$j")
+    assert(cont.values.forall(c => c >= 0.8 && c <= 1.0))
+  }
+
   test("chunk-span dedup: kept chunks account exactly for distinct spans") {
     val spans = SparkEntry.queries("dedup_chunk_spans")(spark, sf001).collect()
     val purge = SparkEntry.queries("dedup_chunk_purge")(spark, sf001).collect()

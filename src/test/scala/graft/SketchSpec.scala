@@ -32,6 +32,20 @@ class SketchSpec extends SparkSuite {
     assert(math.abs(ei - xi) <= 0.35 * xi + 8, s"intersect est $ei vs exact $xi")
   }
 
+  test("KMV diff estimate is consistent: diff + intersect partitions the A-side") {
+    val d = SparkEntry.queries("sk_kmv_diff")(spark, sf001).collect()(0)
+    val i = SparkEntry.queries("sk_kmv_intersect")(spark, sf001).collect()(0)
+    // Same sketches, same union estimate.
+    assert(d.getAs[Double]("est_union") === i.getAs[Double]("est_union"))
+    // Every u-hash in A is either also in B (intersect) or not (diff),
+    // so the two estimates must sum to A's below-theta share of the
+    // union estimate — and A's exact cardinality within the band.
+    val estA = d.getAs[Double]("est_diff") + i.getAs[Double]("est_intersect")
+    val exactA = i.getAs[Long]("exact_intersect") + d.getAs[Long]("exact_diff")
+    assert(math.abs(estA - exactA) <= 0.25 * exactA + 8, s"A est $estA vs exact $exactA")
+    assert(d.getAs[Double]("est_diff") >= 0.0)
+  }
+
   test("CMS never undercounts; overshoot stays within the collision budget") {
     val li = Tables(spark, sf001, "lineitem")
     val n = li.count()
