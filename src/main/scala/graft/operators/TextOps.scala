@@ -234,6 +234,37 @@ object TextOps {
         .select(col("doc_id"))
     }),
 
+    // ── BATCHED substring probe — the production shape of the trigram
+    // index: a blocklist / contamination-phrase batch resolved in ONE
+    // postings pass instead of P corpus scans. The union of all
+    // patterns' grams is pushed to the artifact scan as a literal IN
+    // (row-group skipping works per-gram); a broadcast (pattern, gram)
+    // map then fans each posting to the patterns needing it, the
+    // per-(pattern, doc) gram count must hit the pattern's gram count
+    // (the same all-grams-present containment test), and the exact
+    // contains() verify runs on candidates only. Cost at 100 TB:
+    // Σ|pattern-gram postings| + |candidates| — independent of both
+    // corpus size and of P beyond the postings actually read. ────────
+    "idx_substr_batch" -> ((s, dir) => {
+      val pats = Seq("fast sort", "hash join", "window agg")
+      val pg = pats.flatMap(p => p.sliding(3).toSeq.distinct.map(g => (p, g)))
+      val allGrams = pg.map(_._2).distinct
+      val pgDf = s.createDataFrame(pg).toDF("pat", "g")
+      val need = pgDf.groupBy(col("pat")).agg(count(lit(1)).as("need"))
+      val docs = Tables(s, dir, "documents")
+      val cand = trigramPostings(s, dir)
+        .where(col("g").isin(allGrams: _*))
+        .join(broadcast(pgDf), Seq("g"))
+        .groupBy(col("pat"), col("doc_id"))
+        .agg(countDistinct(col("g")).as("ng"))
+        .join(broadcast(need), Seq("pat"))
+        .where(col("ng") === col("need"))
+      cand.join(docs, "doc_id")
+        .where(col("text").contains(col("pat")))
+        .groupBy(col("pat"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
     "text_fingerprint" -> ((s, dir) =>
       Tables(s, dir, "documents").select(
         col("doc_id"), Text.fingerprint(col("text")).as("fp"))),
@@ -899,6 +930,12 @@ object TextOps {
          |    SELECT doc_id, unnest($sqlToks) AS tok FROM documents))
          |SELECT doc_id FROM p WHERE tok IN ('query', 'window')
          |GROUP BY 1 HAVING count(DISTINCT tok) = 2""".stripMargin,
+
+    "idx_substr_batch" ->
+      """SELECT p.pat, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM (VALUES ('fast sort'), ('hash join'), ('window agg')) p(pat)
+        |JOIN documents d ON contains(d.text, p.pat)
+        |GROUP BY p.pat""".stripMargin,
 
     "idx_trigram_substr" -> {
       val grams = TrigramPattern.sliding(3).toSeq.distinct

@@ -187,6 +187,14 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("In(g, "), p)
   }
 
+  test("batched substring probe: one artifact pass, broadcast pattern map, no explode") {
+    val p = formatted(SparkEntry.queries("idx_substr_batch")(spark, sf001))
+    assert(p.contains("trigram-postings"), p)
+    assert(!p.contains("Generate"), p)
+    assert(p.contains("In(g, "), p) // union of all patterns' grams pushed
+    assert(p.contains("BroadcastHashJoin"), p) // pattern map never shuffles postings
+  }
+
   test("Q21 NOT EXISTS executes as an anti join, EXISTS as a semi join") {
     val plan = physical(SparkEntry.queries("sql_q21_waiting_supplier")(spark, sf001))
     assert(plan.contains("LeftSemi"), plan)
