@@ -123,6 +123,42 @@ object DedupCluster {
         (col("node") === col("cluster_id")).as("keep"))
     }),
 
+    // ── Dedup × quality interaction report — does near-dup removal
+    // SHIFT the quality distribution? Per duplicate cluster: does it
+    // straddle token-length quality buckets, and would the min-id
+    // canonical policy keep a different bucket than keep-longest?
+    // (Straddling clusters are where dedup is also a quality decision
+    // — the curation review runs this before choosing a keep policy.)
+    // Buckets are integer-exact (token counts), so the report is
+    // engine-stable. Cost: the cluster map is duplicate-subgraph-sized
+    // (broadcastable); both windows partition by cluster_id over
+    // cluster MEMBERS only — docs without an LSH collision never enter
+    // any window; the final rollup is 4-row-sized. ───────────────────
+    "dedup_quality_mix" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cc = lshClusters(s, dir)
+        .select(col("node").as("doc_id"), col("cluster_id"))
+      val docs = Tables(s, dir, "documents").select(col("doc_id"),
+        size(graft.functions.Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      val m = cc.join(docs, "doc_id")
+        .withColumn("bucket", when(col("n_tokens") < 40, "short")
+          .when(col("n_tokens") <= 80, "mid").otherwise("long"))
+      val wLong = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_tokens").desc, col("doc_id"))
+      val wCanon = Window.partitionBy(col("cluster_id")).orderBy(col("doc_id"))
+      val per = m
+        .withColumn("rk", row_number().over(wLong))
+        .withColumn("crk", row_number().over(wCanon))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("bucket")).as("nb"),
+          max(when(col("rk") === 1, col("bucket"))).as("longest_b"),
+          max(when(col("crk") === 1, col("bucket"))).as("canon_b"))
+      per.groupBy((col("nb") > 1).as("straddles"),
+          (col("canon_b") =!= col("longest_b")).as("policy_disagrees"))
+        .agg(count(lit(1)).as("n_clusters"), sum(col("n_docs")).as("n_docs"))
+    }),
+
     // ── Dedup-aware sampling weights — "count each unique content
     // once": every doc in a duplicate cluster carries weight
     // 1/cluster_size (singletons weigh 1), so an expectation over the
@@ -318,6 +354,32 @@ object DedupCluster {
       s"""$sqlCc
          |SELECT node AS doc_id, cluster_id, node = cluster_id AS keep
          |FROM cc""".stripMargin,
+
+    "dedup_quality_mix" ->
+      s"""$sqlCc,
+         |mem AS (
+         |  SELECT c.cluster_id, c.node AS doc_id,
+         |    CAST(len(list_filter(string_split(d.text, ' '), t -> t <> '')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM cc c JOIN documents d ON d.doc_id = c.node),
+         |bk AS (
+         |  SELECT cluster_id, doc_id, n_tokens,
+         |    CASE WHEN n_tokens < 40 THEN 'short'
+         |         WHEN n_tokens <= 80 THEN 'mid' ELSE 'long' END AS bucket,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY n_tokens DESC, doc_id) AS rk,
+         |    row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id) AS crk
+         |  FROM mem),
+         |per AS (
+         |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |    count(DISTINCT bucket) AS nb,
+         |    max(CASE WHEN rk = 1 THEN bucket END) AS longest_b,
+         |    max(CASE WHEN crk = 1 THEN bucket END) AS canon_b
+         |  FROM bk GROUP BY cluster_id)
+         |SELECT nb > 1 AS straddles, canon_b <> longest_b AS policy_disagrees,
+         |  CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sum(n_docs) AS BIGINT) AS n_docs
+         |FROM per GROUP BY 1, 2""".stripMargin,
 
     // The identity under test: incremental merge == full recompute.
     "inc_cc_merge" ->
