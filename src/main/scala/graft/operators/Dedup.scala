@@ -137,6 +137,25 @@ object Dedup {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
   }
 
+  /** (a, b, i, sza, szb): exact shingle-intersection counts plus both
+    * sides' set sizes over the LSH candidate pairs — the SHARED verify
+    * input for the jaccard and containment passes. One copy of the
+    * candidate/intersection scaffolding means the two verifies see the
+    * same pair set and counts by construction (the dominance property
+    * OperatorSpec pins, containment ≥ jaccard pairwise, depends on
+    * that). Postings-shaped join, never all-pairs. */
+  private def candidateIntersections(s: SparkSession, dir: String): DataFrame = {
+    val cand = lshCandidates(s, dir)
+    val ex = shingleRows(s, dir)
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val ea = ex.toDF("a", "s")
+    val eb = ex.toDF("b", "s")
+    cand.join(ea, "a").join(eb, Seq("b", "s"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+  }
+
   val queries: Map[String, Relational.Q] = Map(
 
     // ── exact dedup: canonical row per key group ──────────────────────
@@ -264,18 +283,9 @@ object Dedup {
 
     // ── candidate-then-verify: exact 3-gram Jaccard on LSH candidates ─
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      val cand = lshCandidates(s, dir)
-      val ex = shingleRows(s, dir)
-      val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val ea = ex.toDF("a", "s")
-      val eb = ex.toDF("b", "s")
-      val inter = cand.join(ea, "a").join(eb, Seq("b", "s"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
       val j = col("i").cast("double") /
-        (col("sa.sz") + col("sb.sz") - col("i")).cast("double")
-      inter
-        .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
-        .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
+        (col("sza") + col("szb") - col("i")).cast("double")
+      candidateIntersections(s, dir)
         .where(j >= 0.5)
         .select(col("a"), col("b"), Num.roundp(j, 4).as("jacc"))
     }),
@@ -292,22 +302,13 @@ object Dedup {
     // the smaller side's shingle sample so low-Jaccard containments
     // still collide. The verify math here is exact. ──────────────────
     "dedup_containment" -> ((s, dir) => {
-      val cand = lshCandidates(s, dir)
-      val ex = shingleRows(s, dir)
-      val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val ea = ex.toDF("a", "s")
-      val eb = ex.toDF("b", "s")
-      val inter = cand.join(ea, "a").join(eb, Seq("b", "s"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
       val cont = col("i").cast("double") /
-        least(col("sa.sz"), col("sb.sz")).cast("double")
-      inter
-        .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
-        .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
+        least(col("sza"), col("szb")).cast("double")
+      candidateIntersections(s, dir)
         .where(cont >= 0.8)
         .select(col("a"), col("b"),
           Num.roundp(cont, 4).as("containment"),
-          when(col("sa.sz") <= col("sb.sz"), lit("a")).otherwise(lit("b"))
+          when(col("sza") <= col("szb"), lit("a")).otherwise(lit("b"))
             .as("contained_side"))
     }),
 

@@ -145,15 +145,16 @@ object DedupCluster {
           .when(col("n_tokens") <= 80, "mid").otherwise("long"))
       val wLong = Window.partitionBy(col("cluster_id"))
         .orderBy(col("n_tokens").desc, col("doc_id"))
-      val wCanon = Window.partitionBy(col("cluster_id")).orderBy(col("doc_id"))
+      // The min-id canonical needs no window: a cluster's label IS its
+      // minimum member id (connectedComponents' min-label invariant),
+      // so the canonical row is simply doc_id === cluster_id.
       val per = m
         .withColumn("rk", row_number().over(wLong))
-        .withColumn("crk", row_number().over(wCanon))
         .groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("bucket")).as("nb"),
           max(when(col("rk") === 1, col("bucket"))).as("longest_b"),
-          max(when(col("crk") === 1, col("bucket"))).as("canon_b"))
+          max(when(col("doc_id") === col("cluster_id"), col("bucket"))).as("canon_b"))
       per.groupBy((col("nb") > 1).as("straddles"),
           (col("canon_b") =!= col("longest_b")).as("policy_disagrees"))
         .agg(count(lit(1)).as("n_clusters"), sum(col("n_docs")).as("n_docs"))
@@ -367,14 +368,13 @@ object DedupCluster {
          |    CASE WHEN n_tokens < 40 THEN 'short'
          |         WHEN n_tokens <= 80 THEN 'mid' ELSE 'long' END AS bucket,
          |    row_number() OVER (PARTITION BY cluster_id
-         |      ORDER BY n_tokens DESC, doc_id) AS rk,
-         |    row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id) AS crk
+         |      ORDER BY n_tokens DESC, doc_id) AS rk
          |  FROM mem),
          |per AS (
          |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
          |    count(DISTINCT bucket) AS nb,
          |    max(CASE WHEN rk = 1 THEN bucket END) AS longest_b,
-         |    max(CASE WHEN crk = 1 THEN bucket END) AS canon_b
+         |    max(CASE WHEN doc_id = cluster_id THEN bucket END) AS canon_b
          |  FROM bk GROUP BY cluster_id)
          |SELECT nb > 1 AS straddles, canon_b <> longest_b AS policy_disagrees,
          |  CAST(count(*) AS BIGINT) AS n_clusters,

@@ -63,6 +63,46 @@ object Sketches {
     * relative std error of the union estimate ≈ 1/√K ≈ 6%. */
   val KmvK = 256
 
+  /** Per-customer 1996/1997 presence flags — the shared exact-twin
+    * input for the KMV set-algebra queries. Two PARTIALLY overlapping
+    * sets: customers who ordered in 1996 vs 1997 (year-over-year
+    * retention — a real release-audit shape; the event-log user sets
+    * fully coincide, which would degenerate the demos to the union). */
+  private def kmvYearFlags(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .where(year(col("o_orderdate")).isin(1996, 1997))
+      .groupBy(col("o_custkey"))
+      .agg(max((year(col("o_orderdate")) === 1996).cast("int")).as("v"),
+        max((year(col("o_orderdate")) === 1997).cast("int")).as("p"))
+
+  /** The shared KMV sketch pipeline for the set-algebra queries: one
+    * row carrying both year-sketches (a, b), their k-min union sample
+    * u, ku = |u|, and the union estimate (K−1)/θ. Intersect and diff
+    * BOTH derive from this frame — the SketchSpec consistency test
+    * (d.est_union === i.est_union, exact Double equality) is guaranteed
+    * by construction because there is exactly one copy of the theta
+    * arithmetic to drift. */
+  private def kmvYearUnionEst(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val K = KmvK
+    def hashesOf(y: Int) = Tables(s, dir, "orders")
+      .where(year(col("o_orderdate")) === y)
+      .select(md5(concat(lit("kmv|"), col("o_custkey").cast("string"))).as("h"))
+    val agg = new graft.plans.KmvAggregator(K)
+    def sketchOf(y: Int, name: String) = hashesOf(y).as[String]
+      .groupByKey(_ => true).agg(agg.toColumn.name("kmv"))
+      .map(_._2).toDF(name)
+    sketchOf(1996, "a").crossJoin(sketchOf(1997, "b"))
+      .withColumn("u",
+        slice(array_sort(array_distinct(concat(col("a"), col("b")))), 1, K))
+      .withColumn("ku", size(col("u")))
+      .withColumn("theta",
+        conv(substring(element_at(col("u"), col("ku")), 1, 8), 16, 10)
+          .cast("double") / lit(4294967296.0))
+      .withColumn("est_union", when(col("ku") < K, col("ku").cast("double"))
+        .otherwise(lit((K - 1).toDouble) / col("theta")))
+  }
+
   private val Pow53 = 9007199254740992L // 2^53, exact in a double
 
   private def seeds: Column =
@@ -272,37 +312,12 @@ object Sketches {
     // overlap-audit a corpus release runs between user segments /
     // snapshot versions. ─────────────────────────────────────────────
     "sk_kmv_intersect" -> ((s, dir) => {
-      import s.implicits._
-      val K = KmvK
-      val o = Tables(s, dir, "orders")
-      // Two PARTIALLY overlapping sets: customers who ordered in 1996
-      // vs in 1997 (the year-over-year retention overlap — a real
-      // release-audit shape; the event-log user sets fully coincide,
-      // which would degenerate the intersection demo to the union).
-      def inYear(y: Int) = o.where(year(col("o_orderdate")) === y)
-      def hashesOf(y: Int) = inYear(y)
-        .select(md5(concat(lit("kmv|"), col("o_custkey").cast("string"))).as("h"))
-      val agg = new graft.plans.KmvAggregator(K)
-      def sketchOf(y: Int, name: String) = hashesOf(y).as[String]
-        .groupByKey(_ => true).agg(agg.toColumn.name("kmv"))
-        .map(_._2).toDF(name)
-      val ex = o.where(year(col("o_orderdate")).isin(1996, 1997))
-        .groupBy(col("o_custkey"))
-        .agg(max((year(col("o_orderdate")) === 1996).cast("int")).as("v"),
-          max((year(col("o_orderdate")) === 1997).cast("int")).as("p"))
+      val ex = kmvYearFlags(s, dir)
         .agg(sum(when(col("v") === 1 || col("p") === 1, 1L).otherwise(0L))
             .as("exact_union"),
           sum(when(col("v") === 1 && col("p") === 1, 1L).otherwise(0L))
             .as("exact_intersect"))
-      val est = sketchOf(1996, "a").crossJoin(sketchOf(1997, "b"))
-        .withColumn("u",
-          slice(array_sort(array_distinct(concat(col("a"), col("b")))), 1, K))
-        .withColumn("ku", size(col("u")))
-        .withColumn("theta",
-          conv(substring(element_at(col("u"), col("ku")), 1, 8), 16, 10)
-            .cast("double") / lit(4294967296.0))
-        .withColumn("est_union", when(col("ku") < K, col("ku").cast("double"))
-          .otherwise(lit((K - 1).toDouble) / col("theta")))
+      val est = kmvYearUnionEst(s, dir)
         .withColumn("matches",
           size(array_intersect(array_intersect(col("u"), col("a")), col("b"))))
       est.crossJoin(ex).select(
@@ -324,30 +339,10 @@ object Sketches {
     // snapshot versions" — the question a corpus diff answers before
     // a release ships. ───────────────────────────────────────────────
     "sk_kmv_diff" -> ((s, dir) => {
-      import s.implicits._
-      val K = KmvK
-      val o = Tables(s, dir, "orders")
-      def hashesOf(y: Int) = o.where(year(col("o_orderdate")) === y)
-        .select(md5(concat(lit("kmv|"), col("o_custkey").cast("string"))).as("h"))
-      val agg = new graft.plans.KmvAggregator(K)
-      def sketchOf(y: Int, name: String) = hashesOf(y).as[String]
-        .groupByKey(_ => true).agg(agg.toColumn.name("kmv"))
-        .map(_._2).toDF(name)
-      val ex = o.where(year(col("o_orderdate")).isin(1996, 1997))
-        .groupBy(col("o_custkey"))
-        .agg(max((year(col("o_orderdate")) === 1996).cast("int")).as("v"),
-          max((year(col("o_orderdate")) === 1997).cast("int")).as("p"))
+      val ex = kmvYearFlags(s, dir)
         .agg(sum(when(col("v") === 1 && col("p") === 0, 1L).otherwise(0L))
           .as("exact_diff"))
-      val est = sketchOf(1996, "a").crossJoin(sketchOf(1997, "b"))
-        .withColumn("u",
-          slice(array_sort(array_distinct(concat(col("a"), col("b")))), 1, K))
-        .withColumn("ku", size(col("u")))
-        .withColumn("theta",
-          conv(substring(element_at(col("u"), col("ku")), 1, 8), 16, 10)
-            .cast("double") / lit(4294967296.0))
-        .withColumn("est_union", when(col("ku") < K, col("ku").cast("double"))
-          .otherwise(lit((K - 1).toDouble) / col("theta")))
+      val est = kmvYearUnionEst(s, dir)
         .withColumn("onlya",
           size(array_except(array_intersect(col("u"), col("a")), col("b"))))
       est.crossJoin(ex).select(

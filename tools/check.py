@@ -24,7 +24,7 @@ import numpy as np
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
-def norm(df: pd.DataFrame) -> pd.DataFrame:
+def norm(df: pd.DataFrame, sort: bool = True) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         k = df[c].dtype.kind
@@ -34,6 +34,8 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("datetime64[us]")
         elif df[c].dtype == object:
             df[c] = df[c].astype(str)
+    if not sort:  # strict mode sorts AFTER formatting, in fmt()
+        return df.reset_index(drop=True)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 def kind_class(dt) -> str:
@@ -82,7 +84,7 @@ def main():
             ddf = con.execute(oracle[name]).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); n_bad += 1; continue
-        a, b = norm(sdf), norm(ddf)
+        a, b = norm(sdf, sort=tolerant), norm(ddf, sort=tolerant)
         if list(a.columns) != list(b.columns):
             print(f"FAIL {name}: columns spark={list(a.columns)} duck={list(b.columns)}")
             n_bad += 1; continue
@@ -91,14 +93,15 @@ def main():
         # Standing dtype-kind audit: an oracle OUTPUT column that comes back
         # float where Spark emits integer (DuckDB HUGEINT->float64 widening)
         # is the exact class that slipped the lenient gate in round 9.
-        kind_bad = [c for c in a.columns
-                    if kind_class(a[c].dtype) != kind_class(b[c].dtype)
-                    and {kind_class(a[c].dtype), kind_class(b[c].dtype)} == {"int", "float"}]
-        if kind_bad and not tolerant:
-            print(f"FAIL {name}: dtype-kind mismatch (int vs float) cols={kind_bad} "
-                  f"spark={[str(a[c].dtype) for c in kind_bad]} "
-                  f"duck={[str(b[c].dtype) for c in kind_bad]} — CAST the oracle column")
-            n_bad += 1; continue
+        if not tolerant:
+            kind_bad = [c for c in a.columns
+                        if kind_class(a[c].dtype) != kind_class(b[c].dtype)
+                        and {kind_class(a[c].dtype), kind_class(b[c].dtype)} == {"int", "float"}]
+            if kind_bad:
+                print(f"FAIL {name}: dtype-kind mismatch (int vs float) cols={kind_bad} "
+                      f"spark={[str(a[c].dtype) for c in kind_bad]} "
+                      f"duck={[str(b[c].dtype) for c in kind_bad]} — CAST the oracle column")
+                n_bad += 1; continue
         try:
             if tolerant:
                 pd.testing.assert_frame_equal(a, b, check_dtype=False,
