@@ -91,26 +91,27 @@ object DedupCluster {
     (labels.select(col("node"), col("comp").as("cluster_id")), labels)
   }
 
-  /** Session-memoized cluster map of the LSH pair graph for a sf dir.
-    * Four inventory queries (clusters, purge, leakage split, curate
-    * e2e) consume the same labels; the iterative propagation leaves its
-    * final round persisted, so handing every consumer the SAME frame
-    * turns three full re-propagations into cache hits (the iterative
-    * var-rebinding inside connectedComponents defeats Spark's
-    * analyzed-plan cache matching, so the memo must live here). */
-  // Keyed by sessionUUID (globally unique — identityHashCode could
-  // collide and alias sessions). A weak map can't reclaim these
-  // entries anyway: the cached DataFrame strongly references its
-  // SparkSession, which would pin a weak key forever. Instead, entries
-  // whose session has stopped are evicted on every access — bounded by
-  // the number of LIVE sessions, and a dead session's plans are
-  // dropped the next time any session uses the memo.
-  private val ccCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  /** doc → duplicate-cluster labels as a DISK ARTIFACT (build-once /
+    * read-many): the cluster map is a pure function of the documents
+    * table that a production pipeline persists and refreshes when the
+    * corpus changes — exactly what inc_cc_merge's base labels already
+    * model. Six inventory queries (clusters, purge, dedup-aware
+    * weights, leakage split, keep-longest, quality-mix) consume the
+    * same labels; the parquet read is analyzed-plan-cache friendly
+    * (the r5 in-session memo existed because the iterative
+    * var-rebinding inside connectedComponents defeats plan matching —
+    * a stable scan does not), NOTHING stays pinned in the block
+    * manager between queries, and cold SESSIONS — not just cold
+    * queries — skip the propagation entirely. The CC-internal persist
+    * is released as soon as the parquet is published. */
   def lshClusters(s: SparkSession, dir: String): DataFrame = {
-    ccCache.filterInPlace((_, df) => !df.sparkSession.sparkContext.isStopped)
-    ccCache.getOrElseUpdate((org.apache.spark.sql.GraftBridge.sessionUUID(s), dir),
-      connectedComponents(Dedup.lshCandidatesRaw(s, dir)))
+    var built: Option[DataFrame] = None
+    val out = ArtifactCache.parquet(s, dir, "cc-labels", Seq("documents")) {
+      val (o, cache) = connectedComponentsWithCache(Dedup.lshCandidatesRaw(s, dir))
+      built = Some(cache); o
+    }
+    built.foreach(_.unpersist(blocking = false))
+    out
   }
 
   val queries: Map[String, Relational.Q] = Map(

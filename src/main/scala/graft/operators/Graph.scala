@@ -230,6 +230,24 @@ object Graph {
     * seconds — no sampling. The intersect stays inside codegen. */
   def triangleStats(edges: DataFrame,
       broadcastMaxEdges: Long = TriBroadcastMaxEdges): DataFrame = {
+    val (out, cleanup) = triangleStatsPlan(edges, broadcastMaxEdges)
+    // The census result is ONE row — materialize it driver-side so every
+    // cached input (edge list, degrees, oriented edges, the shuffled
+    // adjacency) is released before returning; a lazy return would pin
+    // all four frames in the block manager for the session (the
+    // inc_cc_merge leak class; the collect is bounded by the 1-row
+    // cross-join of scalar aggregates).
+    val rows = out.collect().toSeq
+    cleanup()
+    val s = edges.sparkSession
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+  }
+
+  /** The census' LAZY plan plus a cleanup handle for its caches — split
+    * out so PlanSpec can pin the physical shape (broadcast adjacency,
+    * codegen'd sorted-intersect kernel) before materialization. */
+  private[graft] def triangleStatsPlan(edges: DataFrame,
+      broadcastMaxEdges: Long = TriBroadcastMaxEdges): (DataFrame, () => Unit) = {
     val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.select(col("u").as("node"))
       .union(e.select(col("v").as("node")))
@@ -258,6 +276,7 @@ object Graph {
       .agg(coalesce(sum(
           graft.functions.Vectors.sortedIntersectCount(col("na"), col("nb"))), lit(0L))
         .cast("long").as("n_triangles"))
+    var adjPersisted: Option[DataFrame] = None
     val tri =
       if (edgeCount <= broadcastMaxEdges) {
         // Small-graph plan: the src-side join is already co-partitioned
@@ -283,6 +302,7 @@ object Graph {
         // two references differ by join key, and the second must
         // report its outputPartitioning to skip the exchange.
         val adj = adj0.persist(StorageLevel.MEMORY_AND_DISK)
+        adjPersisted = Some(adj)
         adj.count()
         census(oriented
           .join(adj.select(col("src").as("dst"), col("nbrs").as("nb")), "dst")
@@ -291,9 +311,16 @@ object Graph {
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
     val nEdges = e.agg(count(lit(1)).as("n_edges"))
     val wedges = deg.agg(sum(expr("deg * (deg - 1) DIV 2")).as("n_wedges"))
-    nNodes.crossJoin(nEdges).crossJoin(wedges).crossJoin(tri)
+    val out = nNodes.crossJoin(nEdges).crossJoin(wedges).crossJoin(tri)
       .withColumn("clustering",
         Num.roundp(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
+    val cleanup = () => {
+      e.unpersist(blocking = false)
+      deg.unpersist(blocking = false)
+      oriented.unpersist(blocking = false)
+      adjPersisted.foreach(_.unpersist(blocking = false))
+    }
+    (out, cleanup)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -23,7 +23,14 @@ class GraphSpec extends SparkSuite {
   test("triangle census: K4 is fully clustered, a path has no triangles") {
     val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
       .toDF("u", "v")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val r = Graph.triangleStats(k4).collect()(0)
+    // The census materializes its 1-row result and must release every
+    // cached input (edge/degree/oriented/adjacency frames) on return.
+    val leaked = spark.sparkContext.getPersistentRDDs
+      .filter { case (id, rdd) => !before.contains(id) && !rdd.isCheckpointed }
+    assert(leaked.isEmpty,
+      s"triangleStats leaked caches: ${leaked.keys.toSeq.sorted}")
     assert(r.getAs[Long]("n_nodes") === 4L)
     assert(r.getAs[Long]("n_edges") === 6L)
     assert(r.getAs[Long]("n_wedges") === 12L) // 4 · C(3,2)

@@ -363,13 +363,18 @@ class PlanSpec extends SparkSuite {
   }
 
   test("exact triangle census: dst-side adjacency is broadcast below the ceiling") {
-    val df = graft.operators.Graph.queries("graph_triangles")(spark, sf001)
-    val plan = physical(df)
-    assert(plan.contains("BroadcastHashJoin"), plan)
-    assert(!plan.contains("CartesianProduct"), plan)
-    // The per-edge kernel must be the codegen'd merge, not the
-    // hash-building array_intersect.
-    assert(plan.contains("sorted_intersect_count"), plan)
+    // graph_triangles materializes its 1-row result and releases its
+    // caches, so the shape is pinned on the census' LAZY plan.
+    val (df, cleanup) = graft.operators.Graph
+      .triangleStatsPlan(graft.operators.Graph.coPurchaseEdges(spark, sf001))
+    try {
+      val plan = physical(df)
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+      // The per-edge kernel must be the codegen'd merge, not the
+      // hash-building array_intersect.
+      assert(plan.contains("sorted_intersect_count"), plan)
+    } finally cleanup()
   }
 
   test("capped link prediction: in-list wedge expansion, no pair join, engine-side top-k") {
