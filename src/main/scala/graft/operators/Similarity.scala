@@ -40,7 +40,9 @@ object Similarity {
   // ── Fixed-K codebook, memoized per (session, sf dir): training runs
   // one sample pass + CbRounds refinement aggregations; every sim_ivf_*
   // entry shares the result. Same memo shape + stopped-session eviction
-  // rule as TextOps.bpeCache / DedupCluster.ccCache. ──────────────────
+  // rule as TextOps.bpeCache. (Unlike the former DedupCluster CC memo —
+  // now the cc-labels disk artifact — this caches a driver-side array,
+  // not a persisted frame, so it pins nothing in the block manager.) ──
   private val cbCache =
     scala.collection.concurrent.TrieMap.empty[(String, String),
       (SparkSession, Seq[(Long, Array[Double])])]
