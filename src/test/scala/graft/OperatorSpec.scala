@@ -40,6 +40,25 @@ class OperatorSpec extends SparkSuite {
     assert(cont.values.forall(c => c >= 0.8 && c <= 1.0))
   }
 
+  test("batched substring probe equals per-pattern direct contains counts") {
+    val got = SparkEntry.queries("idx_substr_batch")(spark, sf001).collect()
+      .map(r => r.getAs[String]("pat") -> r.getAs[Long]("n_docs")).toMap
+    val docs = Tables(spark, sf001, "documents")
+    for (p <- Seq("fast sort", "hash join", "window agg")) {
+      val naive = docs.where(col("text").contains(p)).count()
+      if (naive > 0) assert(got(p) === naive, p)
+      else assert(!got.contains(p), p) // groupBy emits no zero rows
+    }
+  }
+
+  test("quality-mix rollup tiles the cluster map exactly") {
+    val mix = SparkEntry.queries("dedup_quality_mix")(spark, sf001).collect()
+    val cc = SparkEntry.queries("dedup_cc_clusters")(spark, sf001)
+    assert(mix.map(_.getAs[Long]("n_clusters")).sum ===
+      cc.select("cluster_id").distinct().count())
+    assert(mix.map(_.getAs[Long]("n_docs")).sum === cc.count())
+  }
+
   test("chunk-span dedup: kept chunks account exactly for distinct spans") {
     val spans = SparkEntry.queries("dedup_chunk_spans")(spark, sf001).collect()
     val purge = SparkEntry.queries("dedup_chunk_purge")(spark, sf001).collect()
