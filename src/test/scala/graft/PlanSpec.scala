@@ -187,6 +187,14 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("In(g, "), p)
   }
 
+  test("cluster-map consumers read the cc-labels artifact, not a propagation") {
+    // lshClusters is a build-once parquet artifact since round 10: the
+    // consumer plan must be a scan of cc-labels (plus its own joins),
+    // with no shuffle-heavy label propagation re-run per query.
+    val p = formatted(SparkEntry.queries("dedup_cc_clusters")(spark, sf001))
+    assert(p.contains("cc-labels"), p)
+  }
+
   test("batched substring probe: one artifact pass, broadcast pattern map, no explode") {
     val p = formatted(SparkEntry.queries("idx_substr_batch")(spark, sf001))
     assert(p.contains("trigram-postings"), p)
