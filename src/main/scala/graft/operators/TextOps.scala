@@ -265,6 +265,29 @@ object TextOps {
         .agg(count(lit(1)).as("n_docs"))
     }),
 
+    // ── Regex search through the trigram index — the pg_trgm trick
+    // for REGEXES: any match of 'fast [a-z]+ sort' must contain the
+    // required literal spans "fast " and " sort", so every trigram of
+    // every span must be present — the candidate set is the postings
+    // intersection of all six grams and the actual regex engine runs
+    // on candidates ONLY. At 100 TB this turns a full-corpus regex
+    // scan (the single most expensive text op there is) into a
+    // postings probe + a candidate-sized rlike; patterns with no ≥3-
+    // char literal span simply fall back to the scan, which is the
+    // honest pg_trgm contract too. ───────────────────────────────────
+    "idx_regex_prefilter" -> ((s, dir) => {
+      val allGrams = RegexSpans.flatMap(_.sliding(3).toSeq).distinct
+      val docs = Tables(s, dir, "documents")
+      val cand = trigramPostings(s, dir)
+        .where(col("g").isin(allGrams: _*))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("g")).as("ng"))
+        .where(col("ng") === allGrams.length)
+      cand.join(docs, "doc_id")
+        .where(col("text").rlike(RegexPattern))
+        .select(col("doc_id"))
+    }),
+
     "text_fingerprint" -> ((s, dir) =>
       Tables(s, dir, "documents").select(
         col("doc_id"), Text.fingerprint(col("text")).as("fp"))),
@@ -807,6 +830,13 @@ object TextOps {
     * Spark side and the generated oracle). */
   private[operators] val TrigramPattern = "fast sort"
 
+  /** Regex for idx_regex_prefilter plus its required literal spans —
+    * the substrings every match must contain (hand-extracted here; a
+    * production implementation derives them from the regex AST, the
+    * pg_trgm approach). Both engines use find-anywhere semantics. */
+  private[operators] val RegexPattern = "fast [a-z]+ sort"
+  private[operators] val RegexSpans = Seq("fast ", " sort")
+
   /** The persisted (gram → doc) postings table behind
     * idx_trigram_substr: built ONCE per corpus generation via
     * [[ArtifactCache]] (keyed on the documents fingerprint), range-
@@ -930,6 +960,10 @@ object TextOps {
          |    SELECT doc_id, unnest($sqlToks) AS tok FROM documents))
          |SELECT doc_id FROM p WHERE tok IN ('query', 'window')
          |GROUP BY 1 HAVING count(DISTINCT tok) = 2""".stripMargin,
+
+    "idx_regex_prefilter" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE regexp_matches(text, '${RegexPattern.replace("'", "''")}')""".stripMargin,
 
     "idx_substr_batch" ->
       """SELECT p.pat, CAST(count(*) AS BIGINT) AS n_docs

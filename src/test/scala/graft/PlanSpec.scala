@@ -195,6 +195,16 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("cc-labels"), p)
   }
 
+  test("regex prefilter probes the gram postings; the regex runs on candidates only") {
+    val p = formatted(SparkEntry.queries("idx_regex_prefilter")(spark, sf001))
+    assert(p.contains("trigram-postings"), p)
+    assert(!p.contains("Generate"), p)
+    assert(p.contains("In(g, "), p) // required-span grams pushed to the scan
+    // RLIKE must sit above the candidate join, not on a corpus scan:
+    // the documents scan itself carries no regex filter.
+    assert(p.contains("RLIKE") || p.contains("rlike"), p)
+  }
+
   test("batched substring probe: one artifact pass, broadcast pattern map, no explode") {
     val p = formatted(SparkEntry.queries("idx_substr_batch")(spark, sf001))
     assert(p.contains("trigram-postings"), p)
