@@ -193,14 +193,15 @@ object TextOps {
     // POSITIONAL postings — each term's postings are filtered FIRST
     // (term-frequency-sized, not corpus-sized), then intersected on
     // (doc, position+1): the classic positional-index phrase
-    // algorithm. At 100 TB the positional postings table is the same
-    // build as idx_inverted_and's plus the position column; the
-    // phrase join only ever moves the two terms' postings — a phrase
-    // of rare terms costs near nothing regardless of corpus size. ────
+    // algorithm. The postings are a PERSISTED artifact since round 10
+    // (previously the corpus was posexplode'd per query — the same
+    // class the trigram index shed): range-laid-out on the token so
+    // the probe's pushed `tok IN (…)` skips row groups, and the phrase
+    // join only ever moves the two terms' postings — a phrase of rare
+    // terms costs near nothing regardless of corpus size. ────────────
     "idx_phrase_search" -> ((s, dir) => {
-      val pos = Tables(s, dir, "documents")
-        .select(col("doc_id"), posexplode(toks))
-        .select(col("doc_id"), col("pos").cast("long").as("p"), col("col").as("tok"))
+      val pos = positionalPostings(s, dir)
+        .where(col("tok").isin("table", "part"))
       val first = pos.where(col("tok") === "table").select(col("doc_id"), col("p"))
       val second = pos.where(col("tok") === "part")
         .select(col("doc_id"), (col("p") - 1).as("p"))
@@ -845,6 +846,19 @@ object TextOps {
     * rather than a postings-table scan. Corpus-char-sized like the
     * token postings; every substring query after the build reads only
     * its pattern's gram lists. */
+  /** (tok, doc_id, p) positional postings as a build-once artifact —
+    * the token postings with the position column, the layout every
+    * phrase/proximity query probes. Range-partitioned + sorted on the
+    * token so parquet row-group stats serve the pushed `tok IN (…)`. */
+  private def positionalPostings(s: SparkSession, dir: String): DataFrame =
+    ArtifactCache.parquet(s, dir, "positional-postings", Seq("documents")) {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), posexplode(toks))
+        .select(col("doc_id"), col("pos").cast("long").as("p"), col("col").as("tok"))
+        .repartitionByRange(col("tok"), col("doc_id"))
+        .sortWithinPartitions(col("tok"), col("doc_id"), col("p"))
+    }
+
   private def trigramPostings(s: SparkSession, dir: String): DataFrame =
     ArtifactCache.parquet(s, dir, "trigram-postings", Seq("documents")) {
       Tables(s, dir, "documents")

@@ -195,6 +195,13 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("cc-labels"), p)
   }
 
+  test("phrase search probes the positional-postings artifact, not a corpus explode") {
+    val p = formatted(SparkEntry.queries("idx_phrase_search")(spark, sf001))
+    assert(p.contains("positional-postings"), p)
+    assert(!p.contains("Generate"), p)
+    assert(p.contains("In(tok, "), p) // both phrase terms pushed to the scan
+  }
+
   test("regex prefilter probes the gram postings; the regex runs on candidates only") {
     val p = formatted(SparkEntry.queries("idx_regex_prefilter")(spark, sf001))
     assert(p.contains("trigram-postings"), p)
