@@ -179,15 +179,16 @@ object TextOps {
     // At 100 TB the postings table is built once (explode + distinct,
     // one shuffle), persisted bucketed by token, and every boolean
     // retrieval after that is an index lookup. ───────────────────────
-    "idx_inverted_and" -> ((s, dir) => {
-      val postings = Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(array_distinct(toks)).as("token"))
-      postings.where(col("token").isin("query", "window"))
+    "idx_inverted_and" -> ((s, dir) =>
+      // Probes the persisted positional postings (countDistinct absorbs
+      // the per-position duplicate rows); only the two query terms'
+      // postings are read, pushed `tok IN (…)` + row-group skipping.
+      positionalPostings(s, dir)
+        .where(col("tok").isin("query", "window"))
         .groupBy(col("doc_id"))
-        .agg(countDistinct(col("token")).as("nt"))
+        .agg(countDistinct(col("tok")).as("nt"))
         .where(col("nt") === 2)
-        .select(col("doc_id"))
-    }),
+        .select(col("doc_id"))),
 
     // ── Positional phrase search: exact "table part" adjacency via
     // POSITIONAL postings — each term's postings are filtered FIRST
