@@ -1,0 +1,93 @@
+package graft.functions
+
+/** Required-literal-span extraction from a regex — the analysis behind
+  * pg_trgm's regex index support (and Lucene/RE2 prefilters): every
+  * match of the pattern must contain each extracted span as a plain
+  * substring, so an n-gram index can intersect the spans' grams and
+  * run the real regex engine on candidates only.
+  *
+  * CONSERVATIVE by construction: the extractor handles the common
+  * subset (literals, escaped literals, character classes, `.`,
+  * single-atom quantifiers, anchors) and returns None — "no index
+  * help, fall back to the scan" — on anything whose span analysis is
+  * nontrivial (alternation, groups, backreferences, lookaround).
+  * Being conservative can only ADD candidates, never lose a match:
+  *  - a class/dot/shorthand atom breaks the current literal run;
+  *  - `*`/`?`/`{0,…}` make the preceding atom optional → it is
+  *    removed from the run and the run breaks;
+  *  - `+`/`{1,…}` keep the preceding atom (≥1 occurrence guaranteed)
+  *    but still break the run after it — "ab+c" guarantees "ab" and
+  *    "c" but the extractor does not claim the adjacency "bc".
+  * Runs shorter than [[MinSpan]] are dropped (they carry no full
+  * trigram). Reference behavior: /root/reference has no regex index;
+  * this serves the engine's own idx_regex_prefilter operator. */
+object RegexLiterals {
+
+  /** Spans shorter than this carry no complete trigram. */
+  val MinSpan = 3
+
+  private val ClassShorthand = "dDwWsSbB"
+
+  /** The literal substrings every match must contain, or None when the
+    * pattern uses constructs outside the analyzed subset (alternation,
+    * groups, backreferences, lookaround) or yields no span ≥ MinSpan. */
+  def requiredSpans(pattern: String): Option[Seq[String]] = {
+    val spans = scala.collection.mutable.ArrayBuffer[String]()
+    val run = new StringBuilder
+    def flush(): Unit = { if (run.length >= MinSpan) spans += run.toString; run.clear() }
+    var i = 0
+    val n = pattern.length
+    while (i < n) {
+      pattern.charAt(i) match {
+        case '|' | '(' | ')' => return None // alternation/groups: bail
+        case '^' | '$' => flush(); i += 1 // anchors just break the run
+        case '[' => // character class: skip to its ']', break the run
+          flush()
+          var j = i + 1
+          if (j < n && pattern.charAt(j) == '^') j += 1
+          if (j < n && pattern.charAt(j) == ']') j += 1 // leading ] is literal
+          while (j < n && pattern.charAt(j) != ']') {
+            if (pattern.charAt(j) == '\\') j += 1
+            j += 1
+          }
+          if (j >= n) return None // unterminated class
+          i = j + 1
+        case '.' => flush(); i += 1
+        case '*' | '?' => // preceding atom optional: if it was a literal
+          // char still in the run, drop it; either way break the run.
+          if (run.nonEmpty) run.setLength(run.length - 1)
+          flush(); i += 1
+        case '+' => flush(); i += 1 // atom guaranteed once; break after it
+        case '{' => // {m,…}: m = 0 behaves like *, m ≥ 1 like +
+          val j = pattern.indexOf('}', i)
+          if (j < 0) return None
+          val body = pattern.substring(i + 1, j)
+          val m = body.takeWhile(_.isDigit)
+          if (m.isEmpty) return None
+          if (m.toInt == 0 && run.nonEmpty) run.setLength(run.length - 1)
+          flush(); i = j + 1
+        case '\\' =>
+          if (i + 1 >= n) return None
+          val c = pattern.charAt(i + 1)
+          if (ClassShorthand.indexOf(c) >= 0) { flush(); i += 2 } // \d \w \s \b …
+          else if (c.isDigit) return None // backreference: bail
+          else {
+            // escaped literal — but if a *, ? or {0,…} follows, the
+            // quantifier branch above would drop only ONE char of the
+            // run; peek so the whole atom is handled here.
+            i += 2
+            if (i < n && (pattern.charAt(i) == '*' || pattern.charAt(i) == '?')) {
+              flush(); i += 1 // optional atom: never enters the run
+            } else run += c
+          }
+        case c =>
+          i += 1
+          if (i < n && (pattern.charAt(i) == '*' || pattern.charAt(i) == '?')) {
+            flush(); i += 1 // optional atom: never enters the run
+          } else run += c
+      }
+    }
+    flush()
+    if (spans.isEmpty) None else Some(spans.toSeq)
+  }
+}

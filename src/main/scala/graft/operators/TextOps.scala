@@ -278,16 +278,21 @@ object TextOps {
     // char literal span simply fall back to the scan, which is the
     // honest pg_trgm contract too. ───────────────────────────────────
     "idx_regex_prefilter" -> ((s, dir) => {
-      val allGrams = RegexSpans.flatMap(_.sliding(3).toSeq).distinct
       val docs = Tables(s, dir, "documents")
-      val cand = trigramPostings(s, dir)
-        .where(col("g").isin(allGrams: _*))
-        .groupBy(col("doc_id"))
-        .agg(countDistinct(col("g")).as("ng"))
-        .where(col("ng") === allGrams.length)
-      cand.join(docs, "doc_id")
-        .where(col("text").rlike(RegexPattern))
-        .select(col("doc_id"))
+      graft.functions.RegexLiterals.requiredSpans(RegexPattern) match {
+        case Some(spans) =>
+          val allGrams = spans.flatMap(_.sliding(3).toSeq).distinct
+          val cand = trigramPostings(s, dir)
+            .where(col("g").isin(allGrams: _*))
+            .groupBy(col("doc_id"))
+            .agg(countDistinct(col("g")).as("ng"))
+            .where(col("ng") === allGrams.length)
+          cand.join(docs, "doc_id")
+            .where(col("text").rlike(RegexPattern))
+            .select(col("doc_id"))
+        case None => // no usable literal span — the honest full scan
+          docs.where(col("text").rlike(RegexPattern)).select(col("doc_id"))
+      }
     }),
 
     "text_fingerprint" -> ((s, dir) =>
@@ -832,12 +837,12 @@ object TextOps {
     * Spark side and the generated oracle). */
   private[operators] val TrigramPattern = "fast sort"
 
-  /** Regex for idx_regex_prefilter plus its required literal spans —
-    * the substrings every match must contain (hand-extracted here; a
-    * production implementation derives them from the regex AST, the
-    * pg_trgm approach). Both engines use find-anywhere semantics. */
+  /** Regex for idx_regex_prefilter; its required literal spans are
+    * DERIVED by [[graft.functions.RegexLiterals.requiredSpans]] (the
+    * pg_trgm analysis) — RegexLiteralsSpec pins the extraction for
+    * this pattern to Seq("fast ", " sort"). Both engines use
+    * find-anywhere semantics. */
   private[operators] val RegexPattern = "fast [a-z]+ sort"
-  private[operators] val RegexSpans = Seq("fast ", " sort")
 
   /** The persisted (gram → doc) postings table behind
     * idx_trigram_substr: built ONCE per corpus generation via

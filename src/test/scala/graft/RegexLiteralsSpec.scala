@@ -1,0 +1,54 @@
+package graft
+
+import graft.functions.RegexLiterals.requiredSpans
+import org.apache.spark.sql.functions._
+
+/** Required-literal-span extraction: exact cases for the analyzed
+  * subset, bail-out cases for everything else, and the soundness
+  * property on real corpus data — every rlike match must contain
+  * every extracted span (conservativeness can add candidates but
+  * must never lose a match). */
+class RegexLiteralsSpec extends SparkSuite {
+
+  test("extracts the spans idx_regex_prefilter depends on") {
+    assert(requiredSpans("fast [a-z]+ sort") === Some(Seq("fast ", " sort")))
+  }
+
+  test("subset cases extract conservative spans") {
+    assert(requiredSpans("hello.*world") === Some(Seq("hello", "world")))
+    // '?' makes the previous atom optional — it never enters the run.
+    assert(requiredSpans("colou?r") === Some(Seq("colo")))
+    // {0,n} behaves like '*': the atom is dropped from the run.
+    assert(requiredSpans("a{0,2}bcd") === Some(Seq("bcd")))
+    // Anchors break runs but don't bail.
+    assert(requiredSpans("^prefix") === Some(Seq("prefix")))
+    // Escaped literal characters join the run.
+    assert(requiredSpans("""foo\.bar""") === Some(Seq("foo.bar")))
+  }
+
+  test("bails to None on constructs outside the subset or short spans") {
+    assert(requiredSpans("a|b") === None) // alternation
+    assert(requiredSpans("(foo)+") === None) // groups
+    assert(requiredSpans("""\d{3}-\d{4}""") === None) // no span >= 3
+    assert(requiredSpans("ab+c") === None) // runs too short after breaks
+    assert(requiredSpans("""(\w)\1""") === None) // backreference
+    assert(requiredSpans("[unterminated") === None)
+  }
+
+  test("soundness on corpus data: every rlike match contains every span") {
+    val docs = Tables(spark, sf001, "documents")
+    for (pat <- Seq("fast [a-z]+ sort", "hello.*world", "table [a-z]+ part",
+        "big\\s+data")) {
+      requiredSpans(pat).foreach { spans =>
+        val matches = docs.where(col("text").rlike(pat))
+        val violating = spans.foldLeft(matches) { (df, sp) =>
+          df.where(!col("text").contains(sp))
+        }
+        // every span-violating row would be a lost match
+        assert(spans.forall(sp =>
+          matches.where(!col("text").contains(sp)).count() === 0L), pat)
+        assert(violating.count() === 0L, pat)
+      }
+    }
+  }
+}
