@@ -26,7 +26,17 @@ object RegexLiterals {
   /** Spans shorter than this carry no complete trigram. */
   val MinSpan = 3
 
-  private val ClassShorthand = "dDwWsSbB"
+  private val ClassShorthand = "dDwWsS"
+  private val ZeroWidth = "bBAGzZ" // anchors/boundaries: match positions, not chars
+
+  /** Escapes that denote a single known literal character. Everything
+    * ALPHANUMERIC outside this map, the shorthands and the zero-width
+    * anchors is treated as "outside the subset" (\\Q…\\E quoting, \\xhh,
+    * \\uhhhh, \\cX, \\p{…}, \\k<…>, backreferences) — the extractor
+    * bails rather than guess, because a wrong span LOSES matches. */
+  private val ControlEscape: Map[Char, Char] = Map(
+    'n' -> '\n', 't' -> '\t', 'r' -> '\r', 'f' -> '\f',
+    'a' -> '', 'e' -> '')
 
   /** The literal substrings every match must contain, or None when the
     * pattern uses constructs outside the analyzed subset (alternation,
@@ -47,7 +57,11 @@ object RegexLiterals {
           if (j < n && pattern.charAt(j) == '^') j += 1
           if (j < n && pattern.charAt(j) == ']') j += 1 // leading ] is literal
           while (j < n && pattern.charAt(j) != ']') {
-            if (pattern.charAt(j) == '\\') j += 1
+            pattern.charAt(j) match {
+              case '\\' => j += 1
+              case '[' => return None // Java nested class ([a&&[^b]]): bail
+              case _ =>
+            }
             j += 1
           }
           if (j >= n) return None // unterminated class
@@ -69,12 +83,23 @@ object RegexLiterals {
         case '\\' =>
           if (i + 1 >= n) return None
           val c = pattern.charAt(i + 1)
-          if (ClassShorthand.indexOf(c) >= 0) { flush(); i += 2 } // \d \w \s \b …
+          if (ClassShorthand.indexOf(c) >= 0) { flush(); i += 2 } // \d \w \s …
+          else if (ZeroWidth.indexOf(c) >= 0) { flush(); i += 2 } // \b \A \z …
           else if (c.isDigit) return None // backreference: bail
+          else if (c.isLetter) ControlEscape.get(c) match {
+            // Known control escape → its literal character; any OTHER
+            // alphabetic escape (\Q, \E, \x, \u, \c, \p, \k, …) is
+            // outside the subset — a guessed span would LOSE matches.
+            case None => return None
+            case Some(lit) =>
+              i += 2
+              if (i < n && (pattern.charAt(i) == '*' || pattern.charAt(i) == '?')) {
+                flush(); i += 1 // optional atom: never enters the run
+              } else run += lit
+          }
           else {
-            // escaped literal — but if a *, ? or {0,…} follows, the
-            // quantifier branch above would drop only ONE char of the
-            // run; peek so the whole atom is handled here.
+            // escaped punctuation literal (\. \- \\ \+ …) — peek so an
+            // optional quantifier drops the whole atom, not one char.
             i += 2
             if (i < n && (pattern.charAt(i) == '*' || pattern.charAt(i) == '?')) {
               flush(); i += 1 // optional atom: never enters the run

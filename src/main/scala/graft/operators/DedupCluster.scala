@@ -106,12 +106,12 @@ object DedupCluster {
     * is released as soon as the parquet is published. */
   def lshClusters(s: SparkSession, dir: String): DataFrame = {
     var built: Option[DataFrame] = None
-    val out = ArtifactCache.parquet(s, dir, "cc-labels", Seq("documents")) {
+    // finally: if the parquet write or publish rename throws AFTER the
+    // propagation ran, the labels cache must still be released.
+    try ArtifactCache.parquet(s, dir, "cc-labels", Seq("documents")) {
       val (o, cache) = connectedComponentsWithCache(Dedup.lshCandidatesRaw(s, dir))
       built = Some(cache); o
-    }
-    built.foreach(_.unpersist(blocking = false))
-    out
+    } finally built.foreach(_.unpersist(blocking = false))
   }
 
   val queries: Map[String, Relational.Q] = Map(
@@ -249,42 +249,46 @@ object DedupCluster {
       // so its final-round persist can be released once the parquet is
       // published (the artifact read replaces it).
       var baseBuilt: Option[DataFrame] = None
-      val baseCC = ArtifactCache.parquet(s, dir, "cc-base-labels",
-        Seq("documents")) {
-        val (out, cache) = connectedComponentsWithCache(base)
-        baseBuilt = Some(cache); out
-      }
-      baseBuilt.foreach(_.unpersist(blocking = false))
-      val contracted = delta
-        .join(baseCC.select(col("node").as("a"), col("cluster_id").as("la")),
-          Seq("a"), "left")
-        .join(baseCC.select(col("node").as("b"), col("cluster_id").as("lb")),
-          Seq("b"), "left")
-        .select(coalesce(col("la"), col("a")).as("a"),
-          coalesce(col("lb"), col("b")).as("b"))
-      val (mergedOut, mergedCache) = connectedComponentsWithCache(contracted)
-      val merged = mergedOut.localCheckpoint()
-        .select(col("node").as("cid"), col("cluster_id").as("mid"))
-      // localCheckpoint() is eager: everything downstream of the pair
-      // table has materialized — release the corpus-pair-sized cache and
-      // the CC-internal labels NOW instead of pinning them for the rest
-      // of the session (bench runs each query several times; leaked
+      var mergedCacheOpt: Option[DataFrame] = None
+      // finally: by the time the try body completes, everything
+      // downstream of the pair table has materialized (localCheckpoint
+      // is eager) and on a FAILED run the caches must not outlive the
+      // query either — bench runs each query several times; leaked
       // copies accumulate in the block manager and pressure the other
-      // artifact caches at the 100x corpus).
-      mergedCache.unpersist(blocking = false)
-      pairs.unpersist(blocking = false)
-      val fromBase = baseCC.join(merged,
-          baseCC("cluster_id") === merged("cid"), "left")
-        .select(col("node"),
-          coalesce(col("mid"), col("cluster_id")).as("cluster_id"))
-      // Contracted ids not present among base NODES are exactly the
-      // delta-only nodes (every base label is itself a base node).
-      val deltaOnly = merged
-        .join(baseCC.select(col("node").as("cid")), Seq("cid"), "left_anti")
-        .select(col("cid").as("node"), col("mid").as("cluster_id"))
-      fromBase.unionByName(deltaOnly)
-        .select(col("node").as("doc_id"), col("cluster_id"),
-          (col("node") === col("cluster_id")).as("keep"))
+      // artifact caches at the 100x corpus.
+      try {
+        val baseCC = try ArtifactCache.parquet(s, dir, "cc-base-labels",
+          Seq("documents")) {
+          val (out, cache) = connectedComponentsWithCache(base)
+          baseBuilt = Some(cache); out
+        } finally baseBuilt.foreach(_.unpersist(blocking = false))
+        val contracted = delta
+          .join(baseCC.select(col("node").as("a"), col("cluster_id").as("la")),
+            Seq("a"), "left")
+          .join(baseCC.select(col("node").as("b"), col("cluster_id").as("lb")),
+            Seq("b"), "left")
+          .select(coalesce(col("la"), col("a")).as("a"),
+            coalesce(col("lb"), col("b")).as("b"))
+        val (mergedOut, mergedCache) = connectedComponentsWithCache(contracted)
+        mergedCacheOpt = Some(mergedCache)
+        val merged = mergedOut.localCheckpoint()
+          .select(col("node").as("cid"), col("cluster_id").as("mid"))
+        val fromBase = baseCC.join(merged,
+            baseCC("cluster_id") === merged("cid"), "left")
+          .select(col("node"),
+            coalesce(col("mid"), col("cluster_id")).as("cluster_id"))
+        // Contracted ids not present among base NODES are exactly the
+        // delta-only nodes (every base label is itself a base node).
+        val deltaOnly = merged
+          .join(baseCC.select(col("node").as("cid")), Seq("cid"), "left_anti")
+          .select(col("cid").as("node"), col("mid").as("cluster_id"))
+        fromBase.unionByName(deltaOnly)
+          .select(col("node").as("doc_id"), col("cluster_id"),
+            (col("node") === col("cluster_id")).as("keep"))
+      } finally {
+        mergedCacheOpt.foreach(_.unpersist(blocking = false))
+        pairs.unpersist(blocking = false)
+      }
     }),
 
     // ── Quality-aware survivor selection: per duplicate cluster keep the

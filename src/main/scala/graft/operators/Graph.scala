@@ -237,8 +237,9 @@ object Graph {
     // all four frames in the block manager for the session (the
     // inc_cc_merge leak class; the collect is bounded by the 1-row
     // cross-join of scalar aggregates).
-    val rows = out.collect().toSeq
-    cleanup()
+    // finally: a failed census job must still release the caches, or
+    // an error-tolerant driver session carries them forever.
+    val rows = try out.collect().toSeq finally cleanup()
     val s = edges.sparkSession
     s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
   }

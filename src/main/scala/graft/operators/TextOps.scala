@@ -223,18 +223,11 @@ object TextOps {
     // pattern-gram postings reads + the candidate verify — corpus-
     // size-independent I/O for a fixed result size, and the 10×/100×
     // curve measures the PROBE, not a per-query corpus explode. ───────
-    "idx_trigram_substr" -> ((s, dir) => {
-      val patGrams = TrigramPattern.sliding(3).toSeq.distinct
-      val docs = Tables(s, dir, "documents")
-      val cand = trigramPostings(s, dir)
-        .where(col("g").isin(patGrams: _*))
-        .groupBy(col("doc_id"))
-        .agg(countDistinct(col("g")).as("ng"))
-        .where(col("ng") === patGrams.length)
-      cand.join(docs, "doc_id")
+    "idx_trigram_substr" -> ((s, dir) =>
+      gramCandidates(s, dir, TrigramPattern.sliding(3).toSeq.distinct)
+        .join(Tables(s, dir, "documents"), "doc_id")
         .where(col("text").contains(TrigramPattern))
-        .select(col("doc_id"))
-    }),
+        .select(col("doc_id"))),
 
     // ── BATCHED substring probe — the production shape of the trigram
     // index: a blocklist / contamination-phrase batch resolved in ONE
@@ -281,13 +274,8 @@ object TextOps {
       val docs = Tables(s, dir, "documents")
       graft.functions.RegexLiterals.requiredSpans(RegexPattern) match {
         case Some(spans) =>
-          val allGrams = spans.flatMap(_.sliding(3).toSeq).distinct
-          val cand = trigramPostings(s, dir)
-            .where(col("g").isin(allGrams: _*))
-            .groupBy(col("doc_id"))
-            .agg(countDistinct(col("g")).as("ng"))
-            .where(col("ng") === allGrams.length)
-          cand.join(docs, "doc_id")
+          gramCandidates(s, dir, spans.flatMap(_.sliding(3).toSeq).distinct)
+            .join(docs, "doc_id")
             .where(col("text").rlike(RegexPattern))
             .select(col("doc_id"))
         case None => // no usable literal span — the honest full scan
@@ -554,9 +542,14 @@ object TextOps {
     * as a literal. Returns the merge list and the fully-merged
     * vocabulary as (word, subword-count), persisted — the apply step is
     * then a vocabulary LOOKUP, never a per-occurrence re-encode. */
-  // Session memo (same shape and eviction rule as
-  // DedupCluster.ccCache — see the rationale there): the train and
-  // apply inventory entries share one training pass.
+  // Session memo: the train and apply inventory entries share one
+  // training pass. Keyed by sessionUUID (globally unique —
+  // identityHashCode could collide and alias sessions); entries whose
+  // session has stopped are evicted on every access, so the map stays
+  // bounded by the number of LIVE sessions. (The former DedupCluster
+  // CC memo with the same shape became the cc-labels disk artifact;
+  // this one stays a memo because training returns a driver-side merge
+  // list plus a vocab-bounded frame, not a corpus-derived table.)
   private val bpeCache =
     scala.collection.concurrent.TrieMap.empty[(String, String),
       (Seq[(Long, String, String, String, Long)], DataFrame)]
@@ -864,6 +857,20 @@ object TextOps {
         .repartitionByRange(col("tok"), col("doc_id"))
         .sortWithinPartitions(col("tok"), col("doc_id"), col("p"))
     }
+
+  /** doc_ids whose text contains ALL of `grams` — the all-grams-present
+    * candidate test shared by the substring and regex probes (the
+    * batched probe fans the same test per pattern via a broadcast
+    * map). One copy keeps the pushed-IN layout and the count test in
+    * sync across the index family's consumers. */
+  private def gramCandidates(s: SparkSession, dir: String,
+      grams: Seq[String]): DataFrame =
+    trigramPostings(s, dir)
+      .where(col("g").isin(grams: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("ng"))
+      .where(col("ng") === grams.length)
+      .select(col("doc_id"))
 
   private def trigramPostings(s: SparkSession, dir: String): DataFrame =
     ArtifactCache.parquet(s, dir, "trigram-postings", Seq("documents")) {

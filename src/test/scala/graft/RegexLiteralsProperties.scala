@@ -15,11 +15,23 @@ object RegexLiteralsProperties extends Properties("graft.regexliterals") {
 
   private val litChar: Gen[Char] = Gen.oneOf(('a' to 'z') ++ ('0' to '9'))
 
-  /** (pattern fragment, one matching instantiation). */
+  /** (pattern fragment, one matching instantiation). Includes the atom
+    * classes the first fuzz round could not reach: escaped punctuation
+    * (\.), control escapes (\n, \t), class shorthands (\d), zero-width
+    * anchors (\b), and Java NESTED classes (bail region). */
   private val atom: Gen[(String, String)] = Gen.oneOf(
     litChar.map(c => (c.toString, c.toString)),
     Gen.oneOf("x", "q", "7").map(c => (s"[$c$c]", c)), // tiny class
-    litChar.map(c => (".", c.toString))
+    litChar.map(c => (".", c.toString)),
+    Gen.oneOf(('.', "."), ('+', "+"), ('-', "-")).map { case (c, i) =>
+      (s"\\$c", i) }, // escaped punctuation literal
+    Gen.oneOf(('n', "\n"), ('t', "\t"), ('r', "\r")).map { case (c, i) =>
+      (s"\\$c", i) }, // control escapes — the r10 soundness hole
+    Gen.oneOf(("\\d", "5"), ("\\w", "k"), ("\\s", " ")), // shorthands
+    // (zero-width \b is NOT generated: mid-word it would break the
+    // "instantiation matches the pattern" invariant below; the exact
+    // spec covers anchors.)
+    Gen.const(("[a&&[^b]]", "a")) // Java nested class — must bail (None)
   )
 
   private val quantified: Gen[(String, String)] = for {
@@ -40,13 +52,16 @@ object RegexLiteralsProperties extends Properties("graft.regexliterals") {
 
   property("every extracted span occurs in every matching string") =
     Prop.forAll(patternAndMatch) { case (pattern, matching) =>
-      requiredSpans(pattern) match {
+      // Generator invariant, checked against the REAL engine (the one
+      // rlike uses): the constructed string is a genuine full match.
+      java.util.regex.Pattern.compile(pattern).matcher(matching).matches() &&
+      (requiredSpans(pattern) match {
         case Some(spans) => spans.forall(matching.contains(_))
         case None => true // bailing is always sound
-      }
+      })
     }
 
-  property("spans are at least trigram-sized and pattern substrings of literals") =
+  property("spans are at least trigram-sized") =
     Prop.forAll(patternAndMatch) { case (pattern, _) =>
       requiredSpans(pattern).forall(_.forall(sp =>
         sp.length >= graft.functions.RegexLiterals.MinSpan))

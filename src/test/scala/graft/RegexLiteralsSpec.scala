@@ -33,6 +33,26 @@ class RegexLiteralsSpec extends SparkSuite {
     assert(requiredSpans("ab+c") === None) // runs too short after breaks
     assert(requiredSpans("""(\w)\1""") === None) // backreference
     assert(requiredSpans("[unterminated") === None)
+    // Alphabetic escapes outside the known control set are NOT literal
+    // trailing characters — guessing would lose matches (\Qab.cd\E
+    // would have produced the bogus span "Qab.cdE").
+    assert(requiredSpans("""\Qab.cd\E""") === None)
+    assert(requiredSpans("""foo\x41bar""") === None) // hex escape
+    // (built by concatenation: Scala pre-processes \u even in triple quotes)
+    assert(requiredSpans("foo\\" + "u0041bar") === None) // unicode escape
+    // Java nested character classes bail rather than mis-scan the
+    // outer ']' into a span no match contains.
+    assert(requiredSpans("[a-z&&[^x]]abc") === None)
+  }
+
+  test("control escapes map to their real characters; anchors are zero-width") {
+    // \n is the newline, not the letter n — "foo\nbar" must yield
+    // spans real matches contain.
+    assert(requiredSpans("""foo\nbar""") === Some(Seq("foo\nbar")))
+    assert(requiredSpans("""tab\there""") === Some(Seq("tab\there")))
+    // \b and \z match positions: they break the run, never enter it.
+    assert(requiredSpans("""word\b next""") === Some(Seq("word", " next")))
+    assert(requiredSpans("""ending\z""") === Some(Seq("ending")))
   }
 
   test("soundness on corpus data: every rlike match contains every span") {
