@@ -45,6 +45,15 @@ object RegexLiterals {
     val spans = scala.collection.mutable.ArrayBuffer[String]()
     val run = new StringBuilder
     def flush(): Unit = { if (run.length >= MinSpan) spans += run.toString; run.clear() }
+    // Quantifiers bind to CODE POINTS, not UTF-16 units: dropping one
+    // unit of a supplementary atom would leave a lone surrogate in the
+    // run — an unsound span (a match need not contain it). Drop the
+    // whole last code point.
+    def dropLastAtom(): Unit = if (run.nonEmpty) {
+      val k = if (run.length >= 2 && Character.isLowSurrogate(run.charAt(run.length - 1))
+        && Character.isHighSurrogate(run.charAt(run.length - 2))) 2 else 1
+      run.setLength(run.length - k)
+    }
     var i = 0
     val n = pattern.length
     while (i < n) {
@@ -68,8 +77,8 @@ object RegexLiterals {
           i = j + 1
         case '.' => flush(); i += 1
         case '*' | '?' => // preceding atom optional: if it was a literal
-          // char still in the run, drop it; either way break the run.
-          if (run.nonEmpty) run.setLength(run.length - 1)
+          // atom still in the run, drop it; either way break the run.
+          dropLastAtom()
           flush(); i += 1
         case '+' => flush(); i += 1 // atom guaranteed once; break after it
         case '{' => // {m,…}: m = 0 behaves like *, m ≥ 1 like +
@@ -77,12 +86,15 @@ object RegexLiterals {
           if (j < 0) return None
           val body = pattern.substring(i + 1, j)
           val m = body.takeWhile(_.isDigit)
-          if (m.isEmpty) return None
-          if (m.toInt == 0 && run.nonEmpty) run.setLength(run.length - 1)
+          // Counts beyond Int range are outside the subset — bail (the
+          // documented None contract), never NumberFormatException.
+          if (m.isEmpty || m.length > 9) return None
+          if (m.toInt == 0) dropLastAtom()
           flush(); i = j + 1
         case '\\' =>
           if (i + 1 >= n) return None
           val c = pattern.charAt(i + 1)
+          if (Character.isSurrogate(c)) return None // \<astral>: outside the subset
           if (ClassShorthand.indexOf(c) >= 0) { flush(); i += 2 } // \d \w \s …
           else if (ZeroWidth.indexOf(c) >= 0) { flush(); i += 2 } // \b \A \z …
           else if (c.isDigit) return None // backreference: bail
@@ -106,10 +118,19 @@ object RegexLiterals {
             } else run += c
           }
         case c =>
-          i += 1
+          // A supplementary code point is ONE regex atom spanning two
+          // UTF-16 units — consume both so a following quantifier binds
+          // to the whole pair. An UNPAIRED surrogate is outside the
+          // subset (its match semantics are not a plain substring): bail.
+          val pairLen =
+            if (Character.isHighSurrogate(c) && i + 1 < n &&
+              Character.isLowSurrogate(pattern.charAt(i + 1))) 2
+            else if (Character.isSurrogate(c)) return None
+            else 1
+          i += pairLen
           if (i < n && (pattern.charAt(i) == '*' || pattern.charAt(i) == '?')) {
             flush(); i += 1 // optional atom: never enters the run
-          } else run += c
+          } else run ++= pattern.substring(i - pairLen, i)
       }
     }
     flush()

@@ -455,20 +455,24 @@ object Graph {
       var frontier = dist.select(col("node"))
       var r = 1
       var emptied = false
-      while (r <= BfsMaxHops && !emptied) {
-        val reached = frontier.join(edges, frontier("node") === edges("src"))
-          .select(col("dst").as("node")).distinct()
-        frontier = reached.join(dist, Seq("node"), "left_anti").localCheckpoint()
-        if (frontier.isEmpty) emptied = true
-        else {
-          dist = dist
-            .unionByName(frontier.withColumn("hops", lit(r.toLong)))
-            .localCheckpoint()
-          r += 1
+      // try/finally: a throwing round must still release the edge cache
+      // (the session-lifetime leak class the triangle census and
+      // inc_cc_merge close the same way).
+      try {
+        while (r <= BfsMaxHops && !emptied) {
+          val reached = frontier.join(edges, frontier("node") === edges("src"))
+            .select(col("dst").as("node")).distinct()
+          frontier = reached.join(dist, Seq("node"), "left_anti").localCheckpoint()
+          if (frontier.isEmpty) emptied = true
+          else {
+            dist = dist
+              .unionByName(frontier.withColumn("hops", lit(r.toLong)))
+              .localCheckpoint()
+            r += 1
+          }
         }
-      }
-      // dist is checkpoint-backed — the edge cache has no consumers left.
-      edges.unpersist(blocking = false)
+        // dist is checkpoint-backed — the edge cache has no consumers left.
+      } finally edges.unpersist(blocking = false)
       org.slf4j.LoggerFactory.getLogger("graft.operators.Graph").info(
         s"graph_bfs_hops: ${r - 1} rounds run" +
           (if (emptied) " (frontier emptied early)" else " (hop cap reached)"))

@@ -837,14 +837,6 @@ object TextOps {
     * find-anywhere semantics. */
   private[operators] val RegexPattern = "fast [a-z]+ sort"
 
-  /** The persisted (gram → doc) postings table behind
-    * idx_trigram_substr: built ONCE per corpus generation via
-    * [[ArtifactCache]] (keyed on the documents fingerprint), range-
-    * repartitioned and sorted on the gram so parquet min/max row-group
-    * stats make the probe's pushed `g IN (…)` filter an index seek
-    * rather than a postings-table scan. Corpus-char-sized like the
-    * token postings; every substring query after the build reads only
-    * its pattern's gram lists. */
   /** (tok, doc_id, p) positional postings as a build-once artifact —
     * the token postings with the position column, the layout every
     * phrase/proximity query probes. Range-partitioned + sorted on the
@@ -864,14 +856,29 @@ object TextOps {
     * map). One copy keeps the pushed-IN layout and the count test in
     * sync across the index family's consumers. */
   private def gramCandidates(s: SparkSession, dir: String,
-      grams: Seq[String]): DataFrame =
+      grams: Seq[String]): DataFrame = {
+    // Defensive dedup: the count test below compares DISTINCT grams
+    // present against the requested list's length, so a caller passing
+    // duplicates would silently make the test unsatisfiable (dropping
+    // every candidate = lost matches). Soundness must not depend on
+    // each caller remembering .distinct.
+    val gs = grams.distinct
     trigramPostings(s, dir)
-      .where(col("g").isin(grams: _*))
+      .where(col("g").isin(gs: _*))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("g")).as("ng"))
-      .where(col("ng") === grams.length)
+      .where(col("ng") === gs.length)
       .select(col("doc_id"))
+  }
 
+  /** The persisted (gram → doc) postings table behind
+    * idx_trigram_substr: built ONCE per corpus generation via
+    * [[ArtifactCache]] (keyed on the documents fingerprint), range-
+    * repartitioned and sorted on the gram so parquet min/max row-group
+    * stats make the probe's pushed `g IN (…)` filter an index seek
+    * rather than a postings-table scan. Corpus-char-sized like the
+    * token postings; every substring query after the build reads only
+    * its pattern's gram lists. */
   private def trigramPostings(s: SparkSession, dir: String): DataFrame =
     ArtifactCache.parquet(s, dir, "trigram-postings", Seq("documents")) {
       Tables(s, dir, "documents")

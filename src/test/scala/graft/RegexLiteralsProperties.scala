@@ -31,7 +31,12 @@ object RegexLiteralsProperties extends Properties("graft.regexliterals") {
     // (zero-width \b is NOT generated: mid-word it would break the
     // "instantiation matches the pattern" invariant below; the exact
     // spec covers anchors.)
-    Gen.const(("[a&&[^b]]", "a")) // Java nested class — must bail (None)
+    Gen.const(("[a&&[^b]]", "a")), // Java nested class — must bail (None)
+    // Supplementary (astral) literals — two UTF-16 units, one regex
+    // atom: the r11 surrogate-soundness case (a quantifier must drop
+    // the WHOLE pair, or a zero-repetition match lacks the lone high
+    // surrogate the buggy span would claim).
+    Gen.oneOf("😀", "𝒳", "🚀").map(s => (s, s))
   )
 
   private val quantified: Gen[(String, String)] = for {

@@ -43,6 +43,27 @@ class RegexLiteralsSpec extends SparkSuite {
     // Java nested character classes bail rather than mis-scan the
     // outer ']' into a span no match contains.
     assert(requiredSpans("[a-z&&[^x]]abc") === None)
+    // Repetition counts beyond Int range bail, never throw.
+    assert(requiredSpans("abc{99999999999}") === None)
+    // Escaped surrogate halves are outside the subset.
+    assert(requiredSpans("abc\\" + "😀") === None)
+    // Unpaired surrogates are outside the subset.
+    assert(requiredSpans("abc\uD83Dxyz") === None)
+  }
+
+  test("supplementary code points are single atoms under quantifiers") {
+    // 😀 is two UTF-16 units; '*' must drop BOTH — the r10 hole left a
+    // lone high surrogate in the span ("ab\uD83D"), which "ab" (the
+    // zero-repetition match) does not contain.
+    assert(requiredSpans("ab😀*") === None) // "ab" < MinSpan
+    assert(requiredSpans("abc😀*") === Some(Seq("abc")))
+    assert(requiredSpans("abc😀?def") === Some(Seq("abc", "def")))
+    // {0,n} takes the same whole-atom drop path.
+    assert(requiredSpans("abc😀{0,2}def") === Some(Seq("abc", "def")))
+    // Unquantified astral literals DO enter the run intact.
+    assert(requiredSpans("ab😀cd") === Some(Seq("ab😀cd")))
+    // '+' guarantees one occurrence: the pair stays, run breaks after.
+    assert(requiredSpans("abc😀+") === Some(Seq("abc😀")))
   }
 
   test("control escapes map to their real characters; anchors are zero-width") {
