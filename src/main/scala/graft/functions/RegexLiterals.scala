@@ -136,4 +136,65 @@ object RegexLiterals {
     flush()
     if (spans.isEmpty) None else Some(spans.toSeq)
   }
+
+  /** Per-branch required spans for a pattern with TOP-LEVEL alternation
+    * — pg_trgm's treatment of `A|B|C`: every match is a match of SOME
+    * branch and therefore contains all of THAT branch's spans, so an
+    * n-gram prefilter may take the UNION of the branches' candidate
+    * sets. Returns one span list per branch; None when any branch is
+    * outside the analyzed subset or yields no span ≥ MinSpan (that
+    * branch's matches would be invisible to the index — the whole
+    * pattern must fall back to the scan). Contamination blocklists are
+    * alternations in practice, so this is the difference between the
+    * prefilter firing and not. A pattern without top-level `|`
+    * degenerates to a single [[requiredSpans]] branch. */
+  def branchSpans(pattern: String): Option[Seq[Seq[String]]] =
+    splitTopLevel(pattern) match {
+      case Some(branches) =>
+        val per = branches.map(requiredSpans)
+        if (per.exists(_.isEmpty)) None else Some(per.map(_.get))
+      case None =>
+        // The splitter could not confidently scan (nested class, group,
+        // trailing backslash …) — defer to the single-pattern analysis,
+        // which bails on the same constructs.
+        requiredSpans(pattern).map(Seq(_))
+    }
+
+  /** Split at top-level `|` only: not escaped, not inside a character
+    * class, not inside a group. None when the scan meets a construct
+    * it cannot confidently skip (groups, nested classes, unterminated
+    * class/escape) — [[branchSpans]] then falls back to the
+    * single-pattern path, whose own bails keep soundness. */
+  private def splitTopLevel(pattern: String): Option[Seq[String]] = {
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var i = 0
+    val n = pattern.length
+    while (i < n) {
+      pattern.charAt(i) match {
+        case '\\' =>
+          if (i + 1 >= n) return None
+          cur ++= pattern.substring(i, i + 2); i += 2
+        case '(' | ')' => return None // grouped alternation: not top-level-splittable
+        case '[' => // skip the class wholesale; '|' inside is literal
+          var j = i + 1
+          if (j < n && pattern.charAt(j) == '^') j += 1
+          if (j < n && pattern.charAt(j) == ']') j += 1
+          while (j < n && pattern.charAt(j) != ']') {
+            pattern.charAt(j) match {
+              case '\\' => j += 1
+              case '[' => return None // Java nested class: can't scan confidently
+              case _ =>
+            }
+            j += 1
+          }
+          if (j >= n) return None // unterminated class
+          cur ++= pattern.substring(i, j + 1); i = j + 1
+        case '|' => parts += cur.toString; cur.clear(); i += 1
+        case c => cur += c; i += 1
+      }
+    }
+    parts += cur.toString
+    Some(parts.toSeq)
+  }
 }

@@ -270,18 +270,20 @@ object TextOps {
     // postings probe + a candidate-sized rlike; patterns with no ≥3-
     // char literal span simply fall back to the scan, which is the
     // honest pg_trgm contract too. ───────────────────────────────────
-    "idx_regex_prefilter" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
-      graft.functions.RegexLiterals.requiredSpans(RegexPattern) match {
-        case Some(spans) =>
-          gramCandidates(s, dir, spans.flatMap(_.sliding(3).toSeq).distinct)
-            .join(docs, "doc_id")
-            .where(col("text").rlike(RegexPattern))
-            .select(col("doc_id"))
-        case None => // no usable literal span — the honest full scan
-          docs.where(col("text").rlike(RegexPattern)).select(col("doc_id"))
-      }
-    }),
+    "idx_regex_prefilter" -> ((s, dir) => regexPrefilter(s, dir, RegexPattern)),
+
+    // ── Alternation through the same prefilter — the shape real
+    // contamination blocklists take ('phrase A|phrase B|…'): every
+    // match satisfies SOME branch, so the candidate set is the UNION
+    // of the branches' all-grams-present sets (pg_trgm's per-branch
+    // treatment, [[graft.functions.RegexLiterals.branchSpans]]), and
+    // the regex engine still runs on candidates ONLY. A branch with no
+    // usable span poisons the whole pattern back to the honest full
+    // scan — union soundness requires every branch indexed. At 100 TB:
+    // cost is Σ branch-gram postings + candidate rlike, independent of
+    // corpus size — vs the full-corpus regex scan, the most expensive
+    // text op there is. ──────────────────────────────────────────────
+    "idx_regex_alt" -> ((s, dir) => regexPrefilter(s, dir, RegexAltPattern)),
 
     "text_fingerprint" -> ((s, dir) =>
       Tables(s, dir, "documents").select(
@@ -837,6 +839,35 @@ object TextOps {
     * find-anywhere semantics. */
   private[operators] val RegexPattern = "fast [a-z]+ sort"
 
+  /** Alternation pattern for idx_regex_alt — a blocklist-shaped regex:
+    * three branches, one of them itself wildcarded. branchSpans pins to
+    * Seq(Seq("fast ", " sort"), Seq("hash join"), Seq("window agg")). */
+  private[operators] val RegexAltPattern = "fast [a-z]+ sort|hash join|window agg"
+
+  /** Regex search through the trigram index — shared engine of
+    * idx_regex_prefilter / idx_regex_alt: per-branch required spans →
+    * union of all-grams-present candidate sets → exact rlike on
+    * candidates only; honest full scan when the analysis bails. */
+  private def regexPrefilter(s: SparkSession, dir: String,
+      pattern: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    graft.functions.RegexLiterals.branchSpans(pattern) match {
+      case Some(branches) =>
+        val cands = branches.map(spans =>
+          gramCandidates(s, dir, spans.flatMap(_.sliding(3).toSeq).distinct))
+        // distinct: a doc satisfying several branches' gram sets must
+        // still verify (and emit) once.
+        val cand =
+          if (cands.size == 1) cands.head
+          else cands.reduce(_ unionByName _).distinct()
+        cand.join(docs, "doc_id")
+          .where(col("text").rlike(pattern))
+          .select(col("doc_id"))
+      case None => // no usable literal span — the honest full scan
+        docs.where(col("text").rlike(pattern)).select(col("doc_id"))
+    }
+  }
+
   /** (tok, doc_id, p) positional postings as a build-once artifact —
     * the token postings with the position column, the layout every
     * phrase/proximity query probes. Range-partitioned + sorted on the
@@ -998,6 +1029,10 @@ object TextOps {
     "idx_regex_prefilter" ->
       s"""SELECT doc_id FROM documents
          |WHERE regexp_matches(text, '${RegexPattern.replace("'", "''")}')""".stripMargin,
+
+    "idx_regex_alt" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE regexp_matches(text, '${RegexAltPattern.replace("'", "''")}')""".stripMargin,
 
     "idx_substr_batch" ->
       """SELECT p.pat, CAST(count(*) AS BIGINT) AS n_docs

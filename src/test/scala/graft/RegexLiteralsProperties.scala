@@ -71,4 +71,30 @@ object RegexLiteralsProperties extends Properties("graft.regexliterals") {
       requiredSpans(pattern).forall(_.forall(sp =>
         sp.length >= graft.functions.RegexLiterals.MinSpan))
     }
+
+  // ── Alternation soundness: a match of `A|B|C` satisfies SOME branch,
+  // so it must contain ALL of that branch's spans — the property the
+  // union-of-candidates prefilter rests on. The generated match is an
+  // instantiation of one randomly picked branch. ─────────────────────
+  private val altPatternAndMatch: Gen[(String, String, Int)] = for {
+    k <- Gen.choose(2, 4)
+    branches <- Gen.listOfN(k, patternAndMatch)
+    pick <- Gen.choose(0, k - 1)
+  } yield (branches.map(_._1).mkString("|"), branches(pick)._2, pick)
+
+  property("alternation: the matched branch's spans all occur in the match") =
+    Prop.forAll(altPatternAndMatch) { case (pattern, matching, _) =>
+      java.util.regex.Pattern.compile(pattern).matcher(matching).matches() &&
+      (graft.functions.RegexLiterals.branchSpans(pattern) match {
+        case Some(branches) =>
+          branches.exists(spans => spans.forall(matching.contains(_)))
+        case None => true // bailing is always sound
+      })
+    }
+
+  property("alternation: branch count matches the top-level pipes") =
+    Prop.forAll(altPatternAndMatch) { case (pattern, _, _) =>
+      graft.functions.RegexLiterals.branchSpans(pattern).forall(
+        _.length == pattern.count(_ == '|') + 1)
+    }
 }

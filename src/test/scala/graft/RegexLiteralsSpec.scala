@@ -76,6 +76,26 @@ class RegexLiteralsSpec extends SparkSuite {
     assert(requiredSpans("""ending\z""") === Some(Seq("ending")))
   }
 
+  test("top-level alternation splits into per-branch spans") {
+    import graft.functions.RegexLiterals.branchSpans
+    // The idx_regex_alt pattern, pinned.
+    assert(branchSpans("fast [a-z]+ sort|hash join|window agg") ===
+      Some(Seq(Seq("fast ", " sort"), Seq("hash join"), Seq("window agg"))))
+    // One branch without a usable span poisons the whole pattern: its
+    // matches would be invisible to the union-of-candidates index.
+    assert(branchSpans("hash join|ab") === None) // "ab" < MinSpan
+    assert(branchSpans("hash join|\\d+") === None) // span-free branch
+    assert(branchSpans("hash join|(foo)bar") === None) // grouped branch bails
+    // '|' inside a character class is literal, not an alternation.
+    assert(branchSpans("abc[|]def") === Some(Seq(Seq("abc", "def"))))
+    // Escaped '|' is a literal too — one branch, pipe in the span.
+    assert(branchSpans("""abc\|def""") === Some(Seq(Seq("abc|def"))))
+    // No alternation degenerates to the single requiredSpans branch.
+    assert(branchSpans("fast [a-z]+ sort") === Some(Seq(Seq("fast ", " sort"))))
+    // An empty branch (trailing '|') matches anything: bail.
+    assert(branchSpans("hash join|") === None)
+  }
+
   test("soundness on corpus data: every rlike match contains every span") {
     val docs = Tables(spark, sf001, "documents")
     for (pat <- Seq("fast [a-z]+ sort", "hello.*world", "table [a-z]+ part",
