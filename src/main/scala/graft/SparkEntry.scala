@@ -49,6 +49,7 @@ object SparkEntry {
       operators.Scale2.queries ++
       operators.SimJoin.queries ++
       operators.PostingsIndex.queries ++
+      operators.IncPostings.queries ++
       operators.IvfIndex.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -75,5 +76,6 @@ object SparkEntry {
       operators.Scale2.oracles ++
       operators.SimJoin.oracles ++
       operators.IvfIndex.oracles ++
-      operators.PostingsIndex.oracles
+      operators.PostingsIndex.oracles ++
+      operators.IncPostings.oracles
 }

@@ -269,14 +269,24 @@ object Maintenance {
     * statuses stay exactly attributable because drop wins over edit by
     * construction (edits apply to the kept set) and adds live at
     * disjoint shifted ids. */
-  def snapshotV2(docs: DataFrame): DataFrame = {
+  def snapshotV2(docs: DataFrame): DataFrame = snapshotV2(docs, AddShift)
+
+  /** Same release with the added-doc id shift as a parameter: the
+    * default 10M clears every SF dir's id space, but the composed
+    * decade corpora (make_scale10.py, replica offsets up to 9×100M)
+    * need a larger shift to keep added ids disjoint. */
+  def snapshotV2(docs: DataFrame, shift: Long): DataFrame = {
     val kept = docs.where(col("doc_id") % 97 =!= 0)
     val edited = kept.withColumn("text",
       when(col("doc_id") % 31 === 0, concat(col("text"), lit(" v2"))).otherwise(col("text")))
     val added = docs.where(col("doc_id") % 89 === 0)
-      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+      .withColumn("doc_id", col("doc_id") + lit(shift))
     edited.unionByName(added)
   }
+
+  /** The id offset that keeps snapshotV2's added docs disjoint from
+    * every v1 id in the SF dirs. */
+  val AddShift = 10000000L
 
   /** Pack a (file, bytes) manifest into target-size compaction bins:
     * size-descending order, bin index from the running sum of preceding

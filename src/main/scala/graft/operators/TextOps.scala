@@ -912,14 +912,22 @@ object TextOps {
     * its pattern's gram lists. */
   private def trigramPostings(s: SparkSession, dir: String): DataFrame =
     ArtifactCache.parquet(s, dir, "trigram-postings", Seq("documents")) {
-      Tables(s, dir, "documents")
-        .where(length(col("text")) >= 3)
-        .select(col("doc_id"), explode(array_distinct(transform(
-          sequence(lit(0), length(col("text")) - lit(3)),
-          i => substring(col("text"), i + 1, lit(3))))).as("g"))
-        .repartitionByRange(col("g"), col("doc_id"))
-        .sortWithinPartitions(col("g"), col("doc_id"))
+      trigramRowsOf(Tables(s, dir, "documents"))
     }
+
+  /** Distinct (doc_id, g) char-trigram rows of any `(doc_id, text)`
+    * frame, in probe layout: range-partitioned + sorted on the gram so
+    * parquet row-group min/max stats serve a pushed `g IN (…)`. Shared
+    * by the full-build artifact above and the incremental segments of
+    * [[IncPostings]] — one explode definition, so base, delta, and
+    * fresh-rebuild postings agree by construction. */
+  private[graft] def trigramRowsOf(docs: DataFrame): DataFrame =
+    docs.where(length(col("text")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(0), length(col("text")) - lit(3)),
+        i => substring(col("text"), i + 1, lit(3))))).as("g"))
+      .repartitionByRange(col("g"), col("doc_id"))
+      .sortWithinPartitions(col("g"), col("doc_id"))
 
   val oracles: Map[String, String] = Map(
     "bpe_train_merges" -> sqlBpe,

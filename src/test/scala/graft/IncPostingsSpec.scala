@@ -1,0 +1,138 @@
+package graft
+
+import graft.operators.IncPostings
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** LSM semantics of the incremental trigram index: tombstone
+  * visibility (seq rule), re-adds after deletes, multi-generation
+  * commits, atomic CURRENT swaps, and the probe-side pushdown through
+  * the merged view. The oracled queries prove merge ≡ rebuild on the
+  * corpus; this spec pins the mechanism on a corpus small enough to
+  * enumerate by hand. */
+class IncPostingsSpec extends SparkSuite {
+
+  private def docsDf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def idsDf(ids: Long*) = {
+    import spark.implicits._
+    ids.toDF("doc_id")
+  }
+
+  private def freshRoot(): java.io.File =
+    Files.createTempDirectory("incpostings-spec").toFile
+
+  /** Expected distinct (doc_id, gram) pairs of a corpus, by hand. */
+  private def expectedPostings(rows: Seq[(Long, String)]): Set[(Long, String)] =
+    rows.flatMap { case (id, text) =>
+      text.sliding(3).filter(_.length == 3).toSeq.distinct.map((id, _))
+    }.toSet
+
+  private def readSet(root: java.io.File): Set[(Long, String)] =
+    IncPostings.readCurrent(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("base commit + read round-trips the v1 postings") {
+    val root = freshRoot()
+    val v1 = Seq(1L -> "abcd", 2L -> "wxyz")
+    IncPostings.commitBase(root, operators.TextOps.trigramRowsOf(docsDf(v1: _*)))
+    assert(readSet(root) === expectedPostings(v1))
+  }
+
+  test("delta commit: edit + delete + insert resolve by the seq rule") {
+    val root = freshRoot()
+    val v1 = Seq(1L -> "abcd", 2L -> "wxyz", 3L -> "gone")
+    IncPostings.commitBase(root, operators.TextOps.trigramRowsOf(docsDf(v1: _*)))
+    // Increment: doc 1 edited, doc 3 deleted, doc 9 inserted.
+    val delta = Seq(1L -> "efgh", 9L -> "news")
+    IncPostings.commitDelta(root,
+      operators.TextOps.trigramRowsOf(docsDf(delta: _*)),
+      idsDf(1L, 3L))
+    // Live corpus: doc 1 NEW text (old rows tombstoned, new rows at the
+    // tombstone's own seq survive), doc 2 untouched, doc 9 inserted.
+    assert(readSet(root) ===
+      expectedPostings(Seq(1L -> "efgh", 2L -> "wxyz", 9L -> "news")))
+  }
+
+  test("re-add after delete: a newer segment outlives an older tombstone") {
+    val root = freshRoot()
+    IncPostings.commitBase(root,
+      operators.TextOps.trigramRowsOf(docsDf(7L -> "abcd")))
+    // gen-2 deletes doc 7 …
+    IncPostings.commitDelta(root,
+      operators.TextOps.trigramRowsOf(docsDf()),
+      idsDf(7L))
+    assert(readSet(root) === Set.empty)
+    // … gen-3 re-adds it with new text: the gen-2 tombstone must kill
+    // only segments OLDER than itself, never the gen-3 rows.
+    IncPostings.commitDelta(root,
+      operators.TextOps.trigramRowsOf(docsDf(7L -> "back")),
+      idsDf())
+    assert(readSet(root) === expectedPostings(Seq(7L -> "back")))
+  }
+
+  test("three generations equal an incremental rebuild; CURRENT is atomic text") {
+    val root = freshRoot()
+    val v1 = Seq(1L -> "alpha beta", 2L -> "gamma delta")
+    IncPostings.commitBase(root, operators.TextOps.trigramRowsOf(docsDf(v1: _*)))
+    IncPostings.commitDelta(root,
+      operators.TextOps.trigramRowsOf(docsDf(3L -> "epsilon")),
+      idsDf())
+    val gen = IncPostings.commitDelta(root,
+      operators.TextOps.trigramRowsOf(docsDf(2L -> "gamma prime")),
+      idsDf(2L))
+    assert(gen === 3)
+    assert(new String(Files.readAllBytes(
+      new java.io.File(root, "CURRENT").toPath)).trim === "3")
+    assert(readSet(root) === expectedPostings(
+      Seq(1L -> "alpha beta", 2L -> "gamma prime", 3L -> "epsilon")))
+  }
+
+  test("probe pushdown: the g IN filter reaches every segment scan") {
+    val root = freshRoot()
+    IncPostings.commitBase(root,
+      operators.TextOps.trigramRowsOf(docsDf(1L -> "abcdef")))
+    IncPostings.commitDelta(root,
+      operators.TextOps.trigramRowsOf(docsDf(2L -> "abcxyz")),
+      idsDf())
+    val probe = IncPostings.readCurrent(spark, root)
+      .where(col("g").isin("abc", "bcd"))
+    probe.collect() // finalize AQE
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    def collectScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => collectScans(a.executedPlan)
+      case q: QueryStageExec => collectScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(collectScans)
+    }
+    val scans = collectScans(probe.queryExecution.executedPlan)
+    // Both postings segments are scanned, and each scan carries the
+    // pushed In(g, …) filter (tombstone scans carry none — they read
+    // only doc_id).
+    val postingScans = scans.filter(_.schema.fieldNames.contains("g"))
+    assert(postingScans.size >= 2)
+    assert(postingScans.forall(_.metadata("PushedFilters").contains("In(g,")))
+  }
+
+  test("inventory delta derivation matches snapshotV2 exactly") {
+    val docs = Tables(spark, sf001, "documents")
+    val v2 = operators.Maintenance.snapshotV2(docs)
+      .select(col("doc_id"), col("text"))
+    // unchanged ∪ delta must BE v2 (ids and texts), with the
+    // tombstoned ids exactly the complement of the unchanged set.
+    val unchanged = docs
+      .join(IncPostings.tombstoneDocIds(docs), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text"))
+    val rebuilt = unchanged.unionByName(
+      IncPostings.deltaDocs(docs, operators.Maintenance.AddShift)
+        .select(col("doc_id"), col("text")))
+    assert(rebuilt.exceptAll(v2).count() === 0L)
+    assert(v2.exceptAll(rebuilt).count() === 0L)
+  }
+}
