@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.{IncPostings, Maintenance, TextOps}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Decade-curve driver for the incremental trigram index (dev tool,
+  * BASELINE.md evidence): times the base build, the delta build+commit,
+  * the full v2 rebuild it replaces, and the merged-view probe, on any
+  * corpus dir. One JSON line per run.
+  *
+  * Usage: IncPostingsBench <docsDir> [addShift]  — the shift must clear
+  * the corpus id space (decade corpora: 1e9; SF dirs: default 10M).
+  */
+object IncPostingsBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val shift = if (args.length > 1) args(1).toLong else Maintenance.AddShift
+    val cpus = math.min(32, Runtime.getRuntime.availableProcessors())
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables(spark, dir, "documents")
+    val root = java.nio.file.Files.createTempDirectory("incpostings-bench").toFile
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val nDocs = docs.count()
+    val nDelta = IncPostings.deltaDocs(docs, shift).count()
+
+    val baseS = timed(IncPostings.commitBase(root, TextOps.trigramRowsOf(docs)))
+    val deltaS = timed(IncPostings.commitDelta(root,
+      TextOps.trigramRowsOf(IncPostings.deltaDocs(docs, shift)),
+      IncPostings.tombstoneDocIds(docs)))
+    // The cost the increment avoids: a fresh full tokenize+layout+write
+    // of the v2 corpus.
+    val freshDir = new java.io.File(root, "fresh-v2").toString
+    val rebuildS = timed(TextOps.trigramRowsOf(
+      Maintenance.snapshotV2(docs, shift).select(col("doc_id"), col("text")))
+      .write.parquet(freshDir))
+    // Merged-view probe (the idx_postings_inc shape, shift-aware).
+    val grams = TextOps.TrigramPattern.sliding(3).toSeq.distinct
+    var probeRows = 0L
+    val probeS = timed {
+      probeRows = IncPostings.readCurrent(spark, root)
+        .where(col("g").isin(grams: _*))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("g")).as("ng"))
+        .where(col("ng") === grams.length)
+        .join(Maintenance.snapshotV2(docs, shift), "doc_id")
+        .where(col("text").contains(TextOps.TrigramPattern))
+        .count()
+    }
+    def r3(v: Double) = math.rint(v * 1000) / 1000
+    println(s"""{"metric":"incpostings","dir":"$dir","n_docs":$nDocs,"n_delta_docs":$nDelta,"base_build_s":${r3(baseS)},"delta_commit_s":${r3(deltaS)},"full_rebuild_s":${r3(rebuildS)},"probe_s":${r3(probeS)},"probe_rows":$probeRows}""")
+    org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root.toString), true)
+    spark.stop()
+  }
+}

@@ -830,7 +830,7 @@ object TextOps {
 
   /** Substring pattern for the trigram-index query (shared by the
     * Spark side and the generated oracle). */
-  private[operators] val TrigramPattern = "fast sort"
+  private[graft] val TrigramPattern = "fast sort"
 
   /** Regex for idx_regex_prefilter; its required literal spans are
     * DERIVED by [[graft.functions.RegexLiterals.requiredSpans]] (the
