@@ -144,8 +144,16 @@ object Dedup {
     * same pair set and counts by construction (the dominance property
     * OperatorSpec pins, containment ≥ jaccard pairwise, depends on
     * that). Postings-shaped join, never all-pairs. */
-  private def candidateIntersections(s: SparkSession, dir: String): DataFrame = {
-    val cand = lshCandidates(s, dir)
+  private def candidateIntersections(s: SparkSession, dir: String): DataFrame =
+    intersectionsOf(s, dir, lshCandidates(s, dir))
+
+  /** The exact-verify scaffolding over ANY candidate pair set: one
+    * postings-shaped intersection join + both sides' set sizes. Shared
+    * by the jaccard/containment verifies (LSH candidates) and the
+    * containment-complete verify (widened candidates) so every verify
+    * sees identical counts by construction. */
+  private def intersectionsOf(s: SparkSession, dir: String,
+      cand: DataFrame): DataFrame = {
     val ex = shingleRows(s, dir)
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val ea = ex.toDF("a", "s")
@@ -155,6 +163,46 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
       .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
   }
+
+  /** Shingle-sample size of the containment candidate pass. */
+  val SampleK = 10
+
+  /** Bottom-K shingle sample per doc (K smallest by md5 — a
+    * deterministic pseudo-random sample both engines reproduce). */
+  private[graft] def shingleSamplesOf(ex: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(md5(col("s")), col("s"))
+    ex.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= SampleK)
+      .select(col("doc_id"), col("s"))
+  }
+
+  /** Containment-complete candidate pairs — the pass the
+    * dedup_containment comment prescribes: MinHash-LSH banding is
+    * tuned for JACCARD, and the pairs containment exists for (short
+    * doc embedded in a long one, Jaccard ≪ τ) are exactly the pairs
+    * least likely to collide there. Instead, probe each doc's
+    * bottom-K shingle SAMPLE against the full shingle postings: a doc
+    * B containing ≥ ⌈0.5·min(K,|A|)⌉ of A's sampled shingles is a
+    * candidate. Recall: DETERMINISTIC for |A| ≤ K (the sample is the
+    * whole set, and containment ≥ 0.8 forces a majority match);
+    * P(miss) ≈ Binom(K, 0.8) < K/2 ≈ 0.006 at K = 10 otherwise.
+    * Scale shape: postings-probe join keyed on the shingle (sample
+    * rows ≪ corpus shingles), never all-pairs; ultra-common shingles
+    * are the skew axis — a production pass additionally drops
+    * stop-shingles above a df cap, the same knob as the trigram
+    * index's gram postings. */
+  private[graft] def sampleCandidatesOf(ex: DataFrame): DataFrame =
+    shingleSamplesOf(ex).toDF("pa", "s")
+      .join(ex.toDF("pb", "s"), "s")
+      .where(col("pa") =!= col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("m"))
+      .join(ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        .select(col("doc_id").as("pa"), col("sz").as("szp")), "pa")
+      .where(col("m") >= ceil(lit(0.5) * least(lit(SampleK), col("szp"))))
+      .select(least(col("pa"), col("pb")).as("a"),
+        greatest(col("pa"), col("pb")).as("b"))
+      .distinct()
 
   val queries: Map[String, Relational.Q] = Map(
 
@@ -305,6 +353,28 @@ object Dedup {
       val cont = col("i").cast("double") /
         least(col("sza"), col("szb")).cast("double")
       candidateIntersections(s, dir)
+        .where(cont >= 0.8)
+        .select(col("a"), col("b"),
+          Num.roundp(cont, 4).as("containment"),
+          when(col("sza") <= col("szb"), lit("a")).otherwise(lit("b"))
+            .as("contained_side"))
+    }),
+
+    // ── containment with the COMPLETE candidate stage: the LSH pairs
+    // UNIONED with the shingle-sample postings probe (sampleCandidatesOf
+    // above), then the same exact verify. Supersedes dedup_containment's
+    // honest recall caveat — the planted truncation/quotation pairs
+    // Jaccard-LSH misses now collide via the sample probe
+    // (DedupContainmentSpec), and the result dominates dedup_containment
+    // row-wise by construction (same verify over a superset of pairs).
+    // Still never all-pairs: both candidate passes are postings-shaped. ─
+    "dedup_containment_full" -> ((s, dir) => {
+      val cont = col("i").cast("double") /
+        least(col("sza"), col("szb")).cast("double")
+      val widened = lshCandidates(s, dir)
+        .unionByName(sampleCandidatesOf(shingleRows(s, dir)))
+        .distinct()
+      intersectionsOf(s, dir, widened)
         .where(cont >= 0.8)
         .select(col("a"), col("b"),
           Num.roundp(cont, 4).as("containment"),
@@ -686,6 +756,38 @@ object Dedup {
          |  JOIN ex ea ON ea.doc_id = cand.a
          |  JOIN ex eb ON eb.doc_id = cand.b AND eb.s = ea.s
          |  GROUP BY cand.a, cand.b)
+         |SELECT a, b,
+         |  floor((CAST(i AS DOUBLE) / least(sa.sz, sb.sz)) * 10000 + 0.5) / 10000
+         |    AS containment,
+         |  CASE WHEN sa.sz <= sb.sz THEN 'a' ELSE 'b' END AS contained_side
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = a
+         |JOIN sizes sb ON sb.doc_id = b
+         |WHERE CAST(i AS DOUBLE) / least(sa.sz, sb.sz) >= 0.8""".stripMargin,
+
+    "dedup_containment_full" ->
+      s"""$sqlCandidates,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+         |samp AS (
+         |  SELECT doc_id, s FROM (
+         |    SELECT doc_id, s,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY md5(s), s) AS rn
+         |    FROM ex)
+         |  WHERE rn <= $SampleK),
+         |scand AS (
+         |  SELECT least(pa, pb) AS a, greatest(pa, pb) AS b FROM (
+         |    SELECT sa.doc_id AS pa, eb.doc_id AS pb, count(*) AS m
+         |    FROM samp sa JOIN ex eb ON eb.s = sa.s AND eb.doc_id <> sa.doc_id
+         |    GROUP BY 1, 2) j
+         |  JOIN sizes za ON za.doc_id = j.pa
+         |  WHERE m >= ceil(0.5 * least($SampleK, za.sz))
+         |  GROUP BY 1, 2),
+         |wide AS (SELECT a, b FROM cand UNION SELECT a, b FROM scand),
+         |inter AS (
+         |  SELECT wide.a, wide.b, count(*) AS i FROM wide
+         |  JOIN ex ea ON ea.doc_id = wide.a
+         |  JOIN ex eb ON eb.doc_id = wide.b AND eb.s = ea.s
+         |  GROUP BY wide.a, wide.b)
          |SELECT a, b,
          |  floor((CAST(i AS DOUBLE) / least(sa.sz, sb.sz)) * 10000 + 0.5) / 10000
          |    AS containment,
