@@ -71,7 +71,7 @@ object PostingsIndex {
     val tk = tokFrame(docs).persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val postings = layout(postFrame(tk)).persist(StorageLevel.MEMORY_AND_DISK)
-      try writeFrom(tk, postings, path, mode)
+      try writeFrom(tk.select(col("doc_id"), col("dl")), postings, path, mode)
       finally postings.unpersist(blocking = false)
     } finally tk.unpersist(blocking = false)
   }
@@ -99,11 +99,13 @@ object PostingsIndex {
     postings.repartition(col("tbucket"))
       .sortWithinPartitions(col("token"), col("doc_id"))
 
-  /** The three table writes, given already-materialized tk/postings.
-    * `postings` must already be in bucket layout (see [[layout]]).
-    * Per-doc grouping commutes with any doc_id filter, so a filtered
-    * slice of a corpus-wide postings frame IS that slice's build. */
-  private def writeFrom(tk: DataFrame, postings: DataFrame, path: String,
+  /** The three table writes, given already-materialized doclens
+    * (`(doc_id, dl)`, one row per document INCLUDING zero-token docs —
+    * they count into n_docs) and postings. `postings` must already be
+    * in bucket layout (see [[layout]]). Per-doc grouping commutes with
+    * any doc_id filter, so a filtered slice of a corpus-wide postings
+    * frame IS that slice's build. */
+  private def writeFrom(doclens: DataFrame, postings: DataFrame, path: String,
       mode: SaveMode): Unit = {
     postings
       .write.mode(mode).partitionBy("tbucket").parquet(s"$path/postings")
@@ -112,7 +114,7 @@ object PostingsIndex {
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
       .select(col("token"), col("df"), col("tf_total"), col("tbucket"))
       .write.mode(mode).partitionBy("tbucket").parquet(s"$path/termstats")
-    tk.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    doclens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .coalesce(1)
       .write.mode(mode).parquet(s"$path/corpusstats")
   }
@@ -188,12 +190,22 @@ object PostingsIndex {
     scala.collection.concurrent.TrieMap.empty[(String, String, String),
       (SparkSession, String)]
 
-  // The tokenized corpus + postings aggregate, shared by BOTH index
+  // The postings aggregate + per-doc lengths, shared by BOTH index
   // variants (r7 verdict #5: the "full" and "inc" builds each paid the
-  // whole tokenize + explode-shuffle; now the corpus is tokenized and
-  // aggregated once per session×dir and each variant is a doc_id filter
+  // whole tokenize + explode-shuffle; each variant is a doc_id filter
   // over the cached frames — filtering commutes with the per-doc
   // grouping, so the filtered slices are exactly those builds).
+  //
+  // Since round 11 both frames DERIVE from the positional-postings
+  // ARTIFACT (TextOps) by aggregation instead of re-tokenizing the
+  // corpus — the r10 verdict's shared-tokenization pass: ONE corpus
+  // tokenize+explode (the dominant build cost) now feeds the phrase
+  // index AND this BM25 index. tf = rows per (tok, doc), dl = rows per
+  // doc, both exactly what postFrame computed from a fresh explode
+  // (posexplode enumerates the same token multiset), and zero-token
+  // docs — absent from the postings — re-enter doclens via the
+  // documents left join so n_docs/avgdl are unchanged. Probe hashes
+  // are pinned unchanged by the shared idx_bm25_topk oracle.
   private val corpusCache =
     scala.collection.concurrent.TrieMap.empty[(String, String),
       (SparkSession, DataFrame, DataFrame)]
@@ -201,14 +213,24 @@ object PostingsIndex {
   private def cachedCorpus(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     corpusCache.filterInPlace((_, v) => !v._1.sparkContext.isStopped)
-    val (_, tk, post) = corpusCache.getOrElseUpdate(
+    val (_, doclens, post) = corpusCache.getOrElseUpdate(
       (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir), {
-        val tk = tokFrame(Tables(s, dir, "documents"))
+        val pos = TextOps.positionalPostings(s, dir)
+        val dl = pos.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val doclens = Tables(s, dir, "documents").select(col("doc_id"))
+          .join(dl, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("dl"), lit(0L)).as("dl"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val post = layout(postFrame(tk)).persist(StorageLevel.MEMORY_AND_DISK)
-        (s, tk, post)
+        val post = layout(
+          pos.groupBy(col("tok").as("token"), col("doc_id"))
+            .agg(count(lit(1)).as("tf"))
+            .join(dl, Seq("doc_id"))
+            .select(col("token"), col("doc_id"), col("dl"), col("tf"))
+            .withColumn("tbucket", tbucket(col("token"))))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        (s, doclens, post)
       })
-    (tk, post)
+    (doclens, post)
   }
 
   /** Cheap content fingerprint of the corpus the index derives from —
@@ -245,15 +267,15 @@ object PostingsIndex {
           .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f.toString), true))
         if (root.exists()) // partial build from a killed run: wipe
           fs.delete(new org.apache.hadoop.fs.Path(root.toString), true)
-        val (tk, post) = cachedCorpus(s, dir)
+        val (doclens, post) = cachedCorpus(s, dir)
         variant match {
           case "inc" =>
             val isBase = col("doc_id") % 5 =!= 0
-            writeFrom(tk.where(isBase), post.where(isBase), base,
+            writeFrom(doclens.where(isBase), post.where(isBase), base,
               SaveMode.Overwrite)
-            writeFrom(tk.where(!isBase), post.where(!isBase), base,
+            writeFrom(doclens.where(!isBase), post.where(!isBase), base,
               SaveMode.Append)
-          case _ => writeFrom(tk, post, base, SaveMode.Overwrite)
+          case _ => writeFrom(doclens, post, base, SaveMode.Overwrite)
         }
         marker.createNewFile()
       }

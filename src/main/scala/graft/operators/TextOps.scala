@@ -871,8 +871,12 @@ object TextOps {
   /** (tok, doc_id, p) positional postings as a build-once artifact —
     * the token postings with the position column, the layout every
     * phrase/proximity query probes. Range-partitioned + sorted on the
-    * token so parquet row-group stats serve the pushed `tok IN (…)`. */
-  private def positionalPostings(s: SparkSession, dir: String): DataFrame =
+    * token so parquet row-group stats serve the pushed `tok IN (…)`.
+    * ALSO the shared tokenization pass of the text-index family:
+    * [[PostingsIndex]] derives its (token, doc_id, tf, dl) rows from
+    * this artifact by aggregation instead of re-tokenizing the corpus
+    * (r10 verdict #5 — one corpus explode feeds both indexes). */
+  private[operators] def positionalPostings(s: SparkSession, dir: String): DataFrame =
     ArtifactCache.parquet(s, dir, "positional-postings", Seq("documents")) {
       Tables(s, dir, "documents")
         .select(col("doc_id"), posexplode(toks))
