@@ -190,22 +190,26 @@ object PostingsIndex {
     scala.collection.concurrent.TrieMap.empty[(String, String, String),
       (SparkSession, String)]
 
-  // The postings aggregate + per-doc lengths, shared by BOTH index
+  // The tokenized corpus + postings aggregate, shared by BOTH index
   // variants (r7 verdict #5: the "full" and "inc" builds each paid the
-  // whole tokenize + explode-shuffle; each variant is a doc_id filter
+  // whole tokenize + explode-shuffle; now the corpus is tokenized and
+  // aggregated once per session×dir and each variant is a doc_id filter
   // over the cached frames — filtering commutes with the per-doc
   // grouping, so the filtered slices are exactly those builds).
   //
-  // Since round 11 both frames DERIVE from the positional-postings
-  // ARTIFACT (TextOps) by aggregation instead of re-tokenizing the
-  // corpus — the r10 verdict's shared-tokenization pass: ONE corpus
-  // tokenize+explode (the dominant build cost) now feeds the phrase
-  // index AND this BM25 index. tf = rows per (tok, doc), dl = rows per
-  // doc, both exactly what postFrame computed from a fresh explode
-  // (posexplode enumerates the same token multiset), and zero-token
-  // docs — absent from the postings — re-enter doclens via the
-  // documents left join so n_docs/avgdl are unchanged. Probe hashes
-  // are pinned unchanged by the shared idx_bm25_topk oracle.
+  // Round-11 note — shared tokenization MEASURED AND REJECTED: the r10
+  // verdict proposed deriving these frames from the positional-postings
+  // artifact (tf = rows per (tok, doc), dl = rows per doc) so one
+  // corpus tokenize feeds both indexes. Implemented and measured, the
+  // derived build LOST at both decades (×10: 9.7 s vs 4.2 s fresh;
+  // ×100: 15.7 s vs 10.4 s fresh, positional artifact warm): reading
+  // back the corpus-token-sized artifact plus the extra dl aggregation
+  // costs more than re-splitting the text — whitespace tokenization is
+  // NOT the dominant cost of this family (the char-trigram explode is,
+  // 510 s at ×100, and that one cannot share a token pass; its real
+  // fix is the IncPostings delta path). Kept: the single-tokenize-per-
+  // session cache below and the doclens-based writeFrom seam the
+  // experiment introduced.
   private val corpusCache =
     scala.collection.concurrent.TrieMap.empty[(String, String),
       (SparkSession, DataFrame, DataFrame)]
@@ -215,20 +219,13 @@ object PostingsIndex {
     corpusCache.filterInPlace((_, v) => !v._1.sparkContext.isStopped)
     val (_, doclens, post) = corpusCache.getOrElseUpdate(
       (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir), {
-        val pos = TextOps.positionalPostings(s, dir)
-        val dl = pos.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-        val doclens = Tables(s, dir, "documents").select(col("doc_id"))
-          .join(dl, Seq("doc_id"), "left")
-          .select(col("doc_id"), coalesce(col("dl"), lit(0L)).as("dl"))
+        // Persist the token frame itself so doclens and the postings
+        // aggregate share ONE tokenization (doclens is a projection of
+        // the cached plan).
+        val tk = tokFrame(Tables(s, dir, "documents"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val post = layout(
-          pos.groupBy(col("tok").as("token"), col("doc_id"))
-            .agg(count(lit(1)).as("tf"))
-            .join(dl, Seq("doc_id"))
-            .select(col("token"), col("doc_id"), col("dl"), col("tf"))
-            .withColumn("tbucket", tbucket(col("token"))))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        (s, doclens, post)
+        val post = layout(postFrame(tk)).persist(StorageLevel.MEMORY_AND_DISK)
+        (s, tk.select(col("doc_id"), col("dl")), post)
       })
     (doclens, post)
   }
