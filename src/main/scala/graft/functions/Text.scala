@@ -36,6 +36,15 @@ object Text {
   def shingles(toks: Column, n: Int): Column =
     GraftBridge.column(graft.plans.WordShingles(GraftBridge.expression(toks), n))
 
+  /** DISTINCT character n-grams (the trigram-index build explode),
+    * backed by the native [[graft.plans.CharGrams]] expression — the
+    * sequence+transform+array_distinct formulation re-scans the string
+    * per position (quadratic per doc) and dominated the index family's
+    * one-time build cost (89 s at ×10, 510 s at ×100 in r10's decade
+    * table). */
+  def chargrams(text: Column, n: Int): Column =
+    GraftBridge.column(graft.plans.CharGrams(GraftBridge.expression(text), n))
+
   /** Keep only tokens containing a run of >=3 Hangul chars, joined by
     * spaces — the reference's crawl text filter
     * (collect/consumer.py:109,112; X3+X9). */

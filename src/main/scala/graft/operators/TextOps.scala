@@ -927,9 +927,7 @@ object TextOps {
     * fresh-rebuild postings agree by construction. */
   private[graft] def trigramRowsOf(docs: DataFrame): DataFrame =
     docs.where(length(col("text")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(transform(
-        sequence(lit(0), length(col("text")) - lit(3)),
-        i => substring(col("text"), i + 1, lit(3))))).as("g"))
+      .select(col("doc_id"), explode(Text.chargrams(col("text"), 3)).as("g"))
       .repartitionByRange(col("g"), col("doc_id"))
       .sortWithinPartitions(col("g"), col("doc_id"))
 

@@ -48,3 +48,55 @@ case class WordShingles(child: Expression, n: Int)
 
   override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
 }
+
+/** DISTINCT character n-grams of a string — the trigram-index build
+  * explode, natively. The composable formulation
+  * `array_distinct(transform(sequence(0, length-n), i -> substring(text, i+1, n)))`
+  * materializes an index array, walks the interpreted HOF tree per
+  * position (each `substring` re-scanning the string's code points from
+  * the front — quadratic per doc), then hashes the result again for
+  * array_distinct. This expression does one code-point offset pass and
+  * one insertion-ordered dedup. Semantics match the HOF version and the
+  * DuckDB oracle (`substr` counts CODE POINTS in both engines): fewer
+  * than n code points → empty array; first-occurrence order (order is
+  * irrelevant downstream — the grams are exploded into set-shaped
+  * postings — but parity keeps plans comparable). */
+case class CharGrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"gram size must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_grams"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val len = s.length
+    // Code-point start offsets (one pass; == char offsets for BMP-only
+    // strings, surrogate pairs advance by 2).
+    val offs = new Array[Int](len + 1)
+    var i = 0
+    var m = 0
+    while (i < len) {
+      offs(m) = i
+      i += Character.charCount(s.codePointAt(i))
+      m += 1
+    }
+    offs(m) = len
+    if (m < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val seen = new java.util.LinkedHashSet[String](math.min(m, 256))
+      var k = 0
+      while (k + n <= m) {
+        seen.add(s.substring(offs(k), offs(k + n)))
+        k += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): CharGrams = copy(child = c)
+}

@@ -59,6 +59,24 @@ object TextProperties extends Properties("graft.text") {
       toks.forall(_.nonEmpty) && sh.length == math.max(0, toks.length - 2)
     }
 
+  property("chargrams equals the HOF formulation it replaces") =
+    Prop.forAll(mixedText, Gen.oneOf("", "😀", "𝒳한")) { (s0, astral) =>
+      // Include supplementary chars: both engines' substr counts CODE
+      // POINTS, so the native offset walk must too.
+      val s = s0 + astral
+      import spark.implicits._
+      val n = 3
+      val hof = when(length(col("s")) >= n,
+        array_distinct(transform(
+          sequence(lit(0), length(col("s")) - lit(n)),
+          i => substring(col("s"), i + 1, lit(n)))))
+        .otherwise(array())
+      val row = Seq(s).toDF("s").select(
+        Text.chargrams(col("s"), n).as("native"), hof.as("hof")).collect().head
+      row.getAs[scala.collection.Seq[String]]("native") ==
+        row.getAs[scala.collection.Seq[String]]("hof")
+    }
+
   property("keywordsExpr returns at most 5 distinct tokens from the text") =
     Prop.forAll(mixedText.suchThat(_.trim.nonEmpty)) { s =>
       val ks = eval1(Enrichers.keywordsExpr(col("s")), s)
