@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.operators.{IncPostings, TextOps}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming maintenance of the incremental trigram index — the
+  * micro-batch twin of [[IncPostings]]' batch timeline (r10 verdict
+  * #6): a CDC-shaped change stream `(doc_id, text, op)` with
+  * `op ∈ {upsert, delete}` drives one committed index generation per
+  * micro-batch through the same segment/tombstone/manifest machinery,
+  * so a stream-maintained index IS a batch-maintained index — same
+  * storage, same reader, same LSM visibility rule.
+  *
+  * Replay idempotence (foreachBatch's at-least-once contract): each
+  * applied batch leaves a `commits/batch-<id>` marker INSIDE the index
+  * root, written only after the generation's CURRENT swap. A replayed
+  * batch (restart between sink commit and checkpoint write) sees its
+  * marker and skips; a batch killed mid-commit left no marker and no
+  * CURRENT swap — its half-written segment files are overwritten by
+  * the replay (SaveMode.Overwrite) and the commit completes exactly
+  * once. Contract: at most one change record per doc_id per batch
+  * (upstream CDC compaction — the same assumption as CdcStream's
+  * tombstone stream).
+  *
+  * Scale shape: per batch, cost is batch-sized tokenization + one
+  * metadata commit — the standing corpus is never re-read; probes stay
+  * merge-on-read over segments. At 100 TB this is the only viable
+  * freshness path for a text index (the full rebuild is 510 s at the
+  * 100× corpus — BASELINE.md decade table — and a daily stream of
+  * edits cannot pay it per batch). */
+object IndexDeltaStream {
+
+  /** Apply one change batch as one index generation. Exposed for the
+    * spec's direct replay test; the streaming entry below wires it
+    * into foreachBatch. */
+  private[graft] def applyBatch(root: java.io.File, batch: DataFrame,
+      batchId: Long): Unit = {
+    val marker = new java.io.File(root, f"commits/batch-$batchId%05d")
+    if (marker.exists()) return // replayed batch: already committed
+    val ups = batch.where(col("op") === "upsert")
+      .select(col("doc_id"), col("text"))
+    val dels = batch.where(col("op") === "delete").select(col("doc_id"))
+    // An upsert tombstones the doc's OLD postings; its new rows ride
+    // the delta segment at the tombstone's seq (the LSM rule keeps
+    // exactly the new ones). A delete is tombstone-only.
+    IncPostings.commitDelta(root, TextOps.trigramRowsOf(ups),
+      dels.unionByName(ups.select(col("doc_id"))))
+    marker.getParentFile.mkdirs()
+    marker.createNewFile()
+  }
+
+  /** Start maintaining the index at `root` (which must hold a committed
+    * base generation — [[IncPostings.commitBase]]) from a change
+    * stream. */
+  def start(changes: DataFrame, root: java.io.File,
+      checkpoint: String): StreamingQuery =
+    changes.writeStream
+      .foreachBatch((b: Dataset[Row], id: Long) => applyBatch(root, b.toDF(), id))
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .start()
+}

@@ -1,0 +1,110 @@
+package graft
+
+import graft.operators.{IncPostings, TextOps}
+import graft.streaming.IndexDeltaStream
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Stream-maintained index ≡ batch rebuild, replay-idempotent: a CDC
+  * change stream drives one committed generation per micro-batch
+  * through the IncPostings machinery, and the merged view after any
+  * prefix of batches equals a fresh build over the corpus state that
+  * prefix implies. */
+class IndexDeltaStreamSpec extends SparkSuite {
+
+  private def docsDf(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def readSet(root: java.io.File): Set[(Long, String)] =
+    IncPostings.readCurrent(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  private def freshSet(corpus: Seq[(Long, String)]): Set[(Long, String)] =
+    TextOps.trigramRowsOf(docsDf(corpus))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("streamed generations equal the batch rebuild after every batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("idxdelta").toFile
+    val base = Seq(1L -> "alpha doc", 2L -> "beta doc", 3L -> "gamma doc")
+    IncPostings.commitBase(root, TextOps.trigramRowsOf(docsDf(base)))
+
+    val changes = MemoryStream[(Long, String, String)]
+    val q = IndexDeltaStream.start(
+      changes.toDS().toDF("doc_id", "text", "op"), root,
+      Files.createTempDirectory("idxdelta-ckpt").toString)
+    try {
+      // Batch 1: edit doc 2, insert doc 4.
+      changes.addData((2L, "beta prime", "upsert"), (4L, "delta doc", "upsert"))
+      q.processAllAvailable()
+      assert(readSet(root) === freshSet(Seq(1L -> "alpha doc",
+        2L -> "beta prime", 3L -> "gamma doc", 4L -> "delta doc")))
+      // Batch 2: delete doc 1, re-edit doc 4.
+      changes.addData((1L, "", "delete"), (4L, "delta rev", "upsert"))
+      q.processAllAvailable()
+      assert(readSet(root) === freshSet(Seq(2L -> "beta prime",
+        3L -> "gamma doc", 4L -> "delta rev")))
+    } finally q.stop()
+    // Three generations: base + one per batch.
+    assert(new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(root, "CURRENT").toPath)).trim === "3")
+  }
+
+  test("replayed batches are skipped: at-least-once delivery, exactly-once index") {
+    val root = Files.createTempDirectory("idxdelta-replay").toFile
+    IncPostings.commitBase(root,
+      TextOps.trigramRowsOf(docsDf(Seq(1L -> "first text"))))
+    val batch = docsDf(Seq(5L -> "second text"))
+      .withColumn("op", lit("upsert"))
+    IndexDeltaStream.applyBatch(root, batch, batchId = 0L)
+    val after = readSet(root)
+    // The replay (same batchId) must be a no-op: no new generation, no
+    // duplicated postings.
+    IndexDeltaStream.applyBatch(root, batch, batchId = 0L)
+    assert(readSet(root) === after)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(root, "CURRENT").toPath)).trim === "2")
+    // A NEW batchId does commit.
+    IndexDeltaStream.applyBatch(root,
+      docsDf(Seq(6L -> "third text")).withColumn("op", lit("upsert")), 1L)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(root, "CURRENT").toPath)).trim === "3")
+    assert(readSet(root) === freshSet(Seq(1L -> "first text",
+      5L -> "second text", 6L -> "third text")))
+  }
+
+  test("restart from checkpoint resumes without re-applying or losing batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("idxdelta-restart").toFile
+    val ckpt = Files.createTempDirectory("idxdelta-restart-ckpt").toString
+    IncPostings.commitBase(root,
+      TextOps.trigramRowsOf(docsDf(Seq(1L -> "base text"))))
+
+    val src = MemoryStream[(Long, String, String)]
+    val q1 = IndexDeltaStream.start(src.toDS().toDF("doc_id", "text", "op"),
+      root, ckpt)
+    try {
+      src.addData((2L, "added text", "upsert"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // Restarted query over the same source + checkpoint: committed
+    // offsets are honored (no re-apply), batchIds continue, and new
+    // data lands in the next generation.
+    val q2 = IndexDeltaStream.start(src.toDS().toDF("doc_id", "text", "op"),
+      root, ckpt)
+    try {
+      src.addData((3L, "later text", "upsert"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    assert(readSet(root) === freshSet(Seq(1L -> "base text",
+      2L -> "added text", 3L -> "later text")))
+  }
+}
