@@ -144,8 +144,16 @@ object IncPostings {
     * `g IN (…)` filter reaches every segment scan through the union
     * and the anti-join (plan-pinned in IncPostingsSpec). */
   private[graft] def readCurrent(s: SparkSession,
-      root: java.io.File): DataFrame = {
-    val m = manifestOf(root, currentGen(root))
+      root: java.io.File): DataFrame =
+    readAt(s, root, currentGen(root))
+
+  /** Time travel: the merged view AS OF generation `gen`. Manifests
+    * and segments are immutable and never referenced-then-rewritten,
+    * so every committed generation stays readable until a retention
+    * pass drops it — the Iceberg/Delta snapshot contract. */
+  private[graft] def readAt(s: SparkSession, root: java.io.File,
+      gen: Int): DataFrame = {
+    val m = manifestOf(root, gen)
     m.segments.map { seg =>
       val df = s.read.parquet(seg.path)
       val killers = m.tombstones.filter(_.seq > seg.seq)
@@ -156,6 +164,29 @@ object IncPostings {
         df.join(broadcast(dead), Seq("doc_id"), "left_anti")
       }
     }.reduce(_ unionByName _)
+  }
+
+  /** LSM compaction: fold the live generation's segments + tombstones
+    * into ONE fresh segment and commit it as the next generation. After
+    * many streamed deltas the read path pays per-segment scans and
+    * tombstone anti-joins (read amplification); compaction resets that
+    * to a single bucket-laid-out segment while every PRIOR generation
+    * stays readable (old manifests still reference the old segments —
+    * a retention pass, not compaction, reclaims them; the
+    * maint_vacuum_plan shape). Readers never block: the swap is the
+    * same atomic CURRENT move as any commit. */
+  private[graft] def compact(s: SparkSession, root: java.io.File): Int = {
+    val prev = currentGen(root)
+    val gen = prev + 1
+    val seg = new java.io.File(root, f"segments/seg-$gen%05d")
+    readAt(s, root, prev)
+      .repartitionByRange(col("g"), col("doc_id"))
+      .sortWithinPartitions(col("g"), col("doc_id"))
+      .write.mode(SaveMode.Overwrite).parquet(seg.toString)
+    writeText(new java.io.File(root, f"gens/gen-$gen%05d/MANIFEST.json"),
+      manifestJson(Manifest(Seq(Segment(seg.toString, gen)), Seq.empty)))
+    swapCurrent(root, gen)
+    gen
   }
 
   // ── the simulated v1 → v2 timeline over the documents table ────────

@@ -120,6 +120,35 @@ class IncPostingsSpec extends SparkSuite {
     assert(postingScans.forall(_.metadata("PushedFilters").contains("In(g,")))
   }
 
+  test("compaction folds segments into one; prior generations stay readable") {
+    val root = freshRoot()
+    IncPostings.commitBase(root,
+      operators.TextOps.trigramRowsOf(docsDf(1L -> "abcd", 2L -> "wxyz")))
+    IncPostings.commitDelta(root,
+      operators.TextOps.trigramRowsOf(docsDf(1L -> "efgh", 3L -> "mnop")),
+      idsDf(1L))
+    val before = readSet(root)
+    val gen = IncPostings.compact(spark, root)
+    assert(gen === 3)
+    // Same merged view, now from ONE segment with no tombstones.
+    assert(readSet(root) === before)
+    val m = java.nio.file.Files.readString(
+      new java.io.File(root, "gens/gen-00003/MANIFEST.json").toPath)
+    assert(m.contains("seg-00003") && !m.contains("seg-00001"))
+    assert(m.contains("\"tombstones\":[]"))
+    // Time travel: every prior generation still reads what it read.
+    assert(IncPostings.readAt(spark, root, 1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
+      expectedPostings(Seq(1L -> "abcd", 2L -> "wxyz")))
+    assert(IncPostings.readAt(spark, root, 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet === before)
+    // And the compacted index accepts further deltas as usual.
+    IncPostings.commitDelta(root,
+      operators.TextOps.trigramRowsOf(docsDf(4L -> "qrst")), idsDf())
+    assert(readSet(root) === expectedPostings(Seq(1L -> "efgh",
+      2L -> "wxyz", 3L -> "mnop", 4L -> "qrst")))
+  }
+
   test("inventory delta derivation matches snapshotV2 exactly") {
     val docs = Tables(spark, sf001, "documents")
     val v2 = operators.Maintenance.snapshotV2(docs)
