@@ -41,12 +41,18 @@ object Bench {
       } else if (depth <= 0) Seq.empty
       else Option(f.listFiles()).getOrElse(Array.empty).toSeq
         .flatMap(walk(_, depth - 1))
-    ArtifactRoots.flatMap(r => walk(new java.io.File(r), 4)).map { m =>
-      val owner = m.getParentFile
-      val root = ArtifactRoots.find(owner.getPath.startsWith(_))
-        .map(p => new java.io.File(p).getName.stripPrefix("graft-")
-          .stripSuffix("-cache")).getOrElse("?")
-      s"$root:${owner.getName.replaceAll("[0-9]{6,}", "#")}"
+    ArtifactRoots.flatMap { r =>
+      walk(new java.io.File(r), 4).map { m =>
+        val owner = m.getParentFile
+        val root = new java.io.File(r).getName
+          .stripPrefix("graft-").stripSuffix("-cache")
+        // Label = ROOT-RELATIVE owner path (digit runs collapsed): the
+        // corpus-identifying parent dir must stay in the label, or two
+        // corpora's same-named artifacts collapse to one set entry and
+        // a rebuild hides behind the other's marker.
+        val rel = owner.getPath.stripPrefix(r).stripPrefix("/")
+        s"$root:${rel.replaceAll("[0-9]{6,}", "#")}"
+      }
     }.toSet
   }
 
