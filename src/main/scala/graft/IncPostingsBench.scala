@@ -59,8 +59,33 @@ object IncPostingsBench {
     }
     def r3(v: Double) = math.rint(v * 1000) / 1000
     println(s"""{"metric":"incpostings","dir":"$dir","n_docs":$nDocs,"n_delta_docs":$nDelta,"base_build_s":${r3(baseS)},"delta_commit_s":${r3(deltaS)},"full_rebuild_s":${r3(rebuildS)},"probe_s":${r3(probeS)},"probe_rows":$probeRows}""")
-    org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(root.toString), true)
+
+    // ── the same curve for the POSITIONAL timeline (idx_phrase_inc) ──
+    val posRoot = java.nio.file.Files.createTempDirectory("incpos-bench").toFile
+    val posBaseS = timed(IncPostings.commitBase(posRoot,
+      TextOps.positionalRowsOf(docs)))
+    val posDeltaS = timed(IncPostings.commitDelta(posRoot,
+      TextOps.positionalRowsOf(IncPostings.deltaDocs(docs, shift)),
+      IncPostings.tombstoneDocIds(docs)))
+    val posFreshDir = new java.io.File(posRoot, "fresh-v2").toString
+    val posRebuildS = timed(TextOps.positionalRowsOf(
+      Maintenance.snapshotV2(docs, shift).select(col("doc_id"), col("text")))
+      .write.parquet(posFreshDir))
+    var phraseRows = 0L
+    val posProbeS = timed {
+      val pos = IncPostings.readCurrent(spark, posRoot)
+        .where(col("tok").isin("table", "part"))
+      val first = pos.where(col("tok") === "table").select(col("doc_id"), col("p"))
+      val second = pos.where(col("tok") === "part")
+        .select(col("doc_id"), (col("p") - 1).as("p"))
+      phraseRows = first.join(second, Seq("doc_id", "p"))
+        .groupBy(col("doc_id")).agg(count(lit(1))).count()
+    }
+    println(s"""{"metric":"incpositional","dir":"$dir","n_docs":$nDocs,"n_delta_docs":$nDelta,"base_build_s":${r3(posBaseS)},"delta_commit_s":${r3(posDeltaS)},"full_rebuild_s":${r3(posRebuildS)},"probe_s":${r3(posProbeS)},"probe_rows":$phraseRows}""")
+    val lfs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    lfs.delete(new org.apache.hadoop.fs.Path(root.toString), true)
+    lfs.delete(new org.apache.hadoop.fs.Path(posRoot.toString), true)
     spark.stop()
   }
 }

@@ -175,13 +175,15 @@ object IncPostings {
     * a retention pass, not compaction, reclaims them; the
     * maint_vacuum_plan shape). Readers never block: the swap is the
     * same atomic CURRENT move as any commit. */
-  private[graft] def compact(s: SparkSession, root: java.io.File): Int = {
+  private[graft] def compact(s: SparkSession, root: java.io.File,
+      layout: Seq[String] = Seq("g", "doc_id")): Int = {
     val prev = currentGen(root)
     val gen = prev + 1
     val seg = new java.io.File(root, f"segments/seg-$gen%05d")
+    val lay = layout.map(col)
     readAt(s, root, prev)
-      .repartitionByRange(col("g"), col("doc_id"))
-      .sortWithinPartitions(col("g"), col("doc_id"))
+      .repartitionByRange(lay: _*)
+      .sortWithinPartitions(lay: _*)
       .write.mode(SaveMode.Overwrite).parquet(seg.toString)
     writeText(new java.io.File(root, f"gens/gen-$gen%05d/MANIFEST.json"),
       manifestJson(Manifest(Seq(Segment(seg.toString, gen)), Seq.empty)))
@@ -215,21 +217,24 @@ object IncPostings {
   // ── memoized on-disk index per corpus generation ───────────────────
 
   private val built =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Build-once index root for `dir` (fingerprint-keyed, stale-
-    * generation eviction — the PostingsIndex.indexPath protocol). The
-    * build runs the whole timeline: base commit over v1, then the
-    * delta commit; per-phase wall times are logged so the decade
-    * tables can attribute base vs delta cost. */
-  private def indexRoot(s: SparkSession, dir: String,
+    * generation eviction — the PostingsIndex.indexPath protocol),
+    * parameterized by index `kind` and its row builder so the trigram
+    * and positional timelines share one cache protocol. The build runs
+    * the whole timeline: base commit over v1, then the delta commit;
+    * per-phase wall times are logged so the decade tables can
+    * attribute base vs delta cost. */
+  private def indexRoot(s: SparkSession, dir: String, kind: String,
+      rowsOf: DataFrame => DataFrame,
       shift: Long = Maintenance.AddShift): java.io.File = {
     val f = new java.io.File(s"$dir/documents.parquet")
     val fp = s"${f.length()}-${f.lastModified()}"
-    val path = built.getOrElseUpdate((dir, fp), {
-      val prefix = s"${dir.replaceAll("[^A-Za-z0-9._-]", "_")}-"
+    val path = built.getOrElseUpdate((dir, kind, fp), {
+      val prefix = s"${dir.replaceAll("[^A-Za-z0-9._-]", "_")}-$kind-"
       val root = new java.io.File("/tmp/graft-incpostings-cache", prefix + fp)
       val marker = new java.io.File(root, "_GRAFT_DONE")
       if (!marker.exists()) {
@@ -242,12 +247,12 @@ object IncPostings {
           hfs.delete(new org.apache.hadoop.fs.Path(root.toString), true)
         val docs = Tables(s, dir, "documents")
         val t0 = System.nanoTime()
-        commitBase(root, TextOps.trigramRowsOf(docs))
+        commitBase(root, rowsOf(docs))
         val t1 = System.nanoTime()
-        commitDelta(root, TextOps.trigramRowsOf(deltaDocs(docs, shift)),
+        commitDelta(root, rowsOf(deltaDocs(docs, shift)),
           tombstoneDocIds(docs))
         val t2 = System.nanoTime()
-        log.info(f"[incpostings] $dir base build ${(t1 - t0) / 1e9}%.2f s, " +
+        log.info(f"[incpostings] $dir $kind base build ${(t1 - t0) / 1e9}%.2f s, " +
           f"delta build+commit ${(t2 - t1) / 1e9}%.2f s")
         marker.createNewFile()
       }
@@ -256,9 +261,17 @@ object IncPostings {
     new java.io.File(path)
   }
 
-  /** The live merged postings view for the inventory queries. */
+  /** The live merged trigram postings view for the inventory queries. */
   private[graft] def mergedPostings(s: SparkSession, dir: String): DataFrame =
-    readCurrent(s, indexRoot(s, dir))
+    readCurrent(s, indexRoot(s, dir, "trigram", TextOps.trigramRowsOf))
+
+  /** The live merged POSITIONAL postings view — the same LSM timeline
+    * applied to the phrase index's (doc_id, p, tok) layout, so the
+    * engine's whole text-index family is delta-maintainable: trigram
+    * (substring/regex), positional (phrase/boolean), and BM25 (which
+    * already merges base+delta stats in idx_bm25_inc_search). */
+  private[graft] def mergedPositional(s: SparkSession, dir: String): DataFrame =
+    readCurrent(s, indexRoot(s, dir, "positional", TextOps.positionalRowsOf))
 
   /** Fresh full rebuild over the v2 corpus — the parity baseline the
     * increment must equal (and the cost it avoids). Artifact-cached so
@@ -267,6 +280,14 @@ object IncPostings {
   private def freshV2Postings(s: SparkSession, dir: String): DataFrame =
     ArtifactCache.parquet(s, dir, "trigram-postings-v2", Seq("documents")) {
       TextOps.trigramRowsOf(Maintenance.snapshotV2(Tables(s, dir, "documents"))
+        .select(col("doc_id"), col("text")))
+    }
+
+  /** Fresh positional rebuild over the v2 corpus — the parity baseline
+    * for the positional timeline (same contract as freshV2Postings). */
+  private def freshV2Positional(s: SparkSession, dir: String): DataFrame =
+    ArtifactCache.parquet(s, dir, "positional-postings-v2", Seq("documents")) {
+      TextOps.positionalRowsOf(Maintenance.snapshotV2(Tables(s, dir, "documents"))
         .select(col("doc_id"), col("text")))
     }
 
@@ -305,6 +326,39 @@ object IncPostings {
         countDistinct(col("g")).as("n_grams"),
         countDistinct(col("doc_id")).as("n_docs"))
       onlyM.crossJoin(onlyF).crossJoin(stats)
+    }),
+
+    // ── Phrase search through the MERGED positional index: the
+    // idx_phrase_search algorithm (filter each term's postings first,
+    // intersect on (doc, p+1)) over base∪delta minus tombstones. The
+    // oracle recomputes adjacency from the v2 corpus, so a hash match
+    // proves the increment preserved PHRASE semantics — positions and
+    // all — not just doc membership. ─────────────────────────────────
+    "idx_phrase_inc" -> ((s, dir) => {
+      val pos = mergedPositional(s, dir)
+        .where(col("tok").isin("table", "part"))
+      val first = pos.where(col("tok") === "table").select(col("doc_id"), col("p"))
+      val second = pos.where(col("tok") === "part")
+        .select(col("doc_id"), (col("p") - 1).as("p"))
+      first.join(second, Seq("doc_id", "p"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_occurrences"))
+    }),
+
+    // ── Structural parity for the positional timeline: merged ≡ fresh
+    // v2 rebuild as a MULTISET of (doc_id, p, tok) rows. Positions make
+    // this strictly stronger than the trigram parity — an off-by-one in
+    // the delta's posexplode would pass doc-membership checks and fail
+    // here. ──────────────────────────────────────────────────────────
+    "idx_phrase_inc_parity" -> ((s, dir) => {
+      val merged = mergedPositional(s, dir)
+      val fresh = freshV2Positional(s, dir)
+      val onlyM = merged.exceptAll(fresh).agg(count(lit(1)).as("only_merged"))
+      val onlyF = fresh.exceptAll(merged).agg(count(lit(1)).as("only_fresh"))
+      val stats = fresh.agg(count(lit(1)).as("n_postings"),
+        countDistinct(col("tok")).as("n_toks"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      onlyM.crossJoin(onlyF).crossJoin(stats)
     })
   )
 
@@ -325,6 +379,38 @@ object IncPostings {
       s"""$sqlV2
          |SELECT doc_id FROM v2
          |WHERE contains(text, '${TextOps.TrigramPattern.replace("'", "''")}')""".stripMargin,
+
+    "idx_phrase_inc" ->
+      s"""$sqlV2,
+         |tk AS (
+         |  SELECT doc_id, CAST(u.p AS BIGINT) AS p, u.tok AS tok
+         |  FROM (
+         |    SELECT doc_id, unnest(list_transform(range(len(tk0)),
+         |      i -> {'p': i, 'tok': tk0[i+1]})) AS u
+         |    FROM (SELECT doc_id,
+         |      list_filter(string_split(text, ' '), t -> t <> '') AS tk0
+         |      FROM v2)))
+         |SELECT a.doc_id, count(*) AS n_occurrences
+         |FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+         |WHERE a.tok = 'table' AND b.tok = 'part'
+         |GROUP BY 1""".stripMargin,
+
+    "idx_phrase_inc_parity" ->
+      s"""$sqlV2,
+         |tk AS (
+         |  SELECT doc_id, u.tok AS tok
+         |  FROM (
+         |    SELECT doc_id, unnest(list_transform(range(len(tk0)),
+         |      i -> {'p': i, 'tok': tk0[i+1]})) AS u
+         |    FROM (SELECT doc_id,
+         |      list_filter(string_split(text, ' '), t -> t <> '') AS tk0
+         |      FROM v2)))
+         |SELECT CAST(0 AS BIGINT) AS only_merged,
+         |  CAST(0 AS BIGINT) AS only_fresh,
+         |  CAST(count(*) AS BIGINT) AS n_postings,
+         |  CAST(count(DISTINCT tok) AS BIGINT) AS n_toks,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM tk""".stripMargin,
 
     "idx_postings_inc_parity" ->
       s"""$sqlV2,

@@ -878,12 +878,20 @@ object TextOps {
     * (r10 verdict #5 — one corpus explode feeds both indexes). */
   private[operators] def positionalPostings(s: SparkSession, dir: String): DataFrame =
     ArtifactCache.parquet(s, dir, "positional-postings", Seq("documents")) {
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), posexplode(toks))
-        .select(col("doc_id"), col("pos").cast("long").as("p"), col("col").as("tok"))
-        .repartitionByRange(col("tok"), col("doc_id"))
-        .sortWithinPartitions(col("tok"), col("doc_id"), col("p"))
+      positionalRowsOf(Tables(s, dir, "documents"))
     }
+
+  /** (doc_id, p, tok) rows for an arbitrary docs frame, in the probe
+    * layout above. Shared by the full-build artifact and the
+    * incremental segments of [[IncPostings]] — one explode definition,
+    * so base, delta, and fresh-rebuild postings agree by construction
+    * (the trigramRowsOf contract at the positional layer). */
+  private[graft] def positionalRowsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(toks))
+      .select(col("doc_id"), col("pos").cast("long").as("p"), col("col").as("tok"))
+      .repartitionByRange(col("tok"), col("doc_id"))
+      .sortWithinPartitions(col("tok"), col("doc_id"), col("p"))
 
   /** doc_ids whose text contains ALL of `grams` — the all-grams-present
     * candidate test shared by the substring and regex probes (the

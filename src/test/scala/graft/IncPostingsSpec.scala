@@ -149,6 +149,60 @@ class IncPostingsSpec extends SparkSuite {
       2L -> "wxyz", 3L -> "mnop", 4L -> "qrst")))
   }
 
+  // ── positional timeline: the same LSM machinery at the phrase
+  // index's (doc_id, p, tok) layout. Positions make the checks
+  // stronger — an off-by-one in the delta explode passes membership
+  // tests and fails these. ─────────────────────────────────────────
+
+  /** Expected (doc_id, p, tok) rows of a corpus, by hand. */
+  private def expectedPositional(rows: Seq[(Long, String)]): Set[(Long, Long, String)] =
+    rows.flatMap { case (id, text) =>
+      text.split(" ").filter(_.nonEmpty).zipWithIndex
+        .map { case (t, i) => (id, i.toLong, t) }
+    }.toSet
+
+  private def readPosSet(root: java.io.File): Set[(Long, Long, String)] =
+    IncPostings.readCurrent(spark, root)
+      .select(col("doc_id"), col("p"), col("tok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+  test("positional delta commit preserves positions through the seq rule") {
+    val root = freshRoot()
+    val v1 = Seq(1L -> "big table part here", 2L -> "no match")
+    IncPostings.commitBase(root, operators.TextOps.positionalRowsOf(docsDf(v1: _*)))
+    assert(readPosSet(root) === expectedPositional(v1))
+    // Edit shifts doc 1's phrase right by one token; doc 2 deleted;
+    // doc 9 inserted with the phrase at the front.
+    val delta = Seq(1L -> "pad big table part", 9L -> "table part now")
+    IncPostings.commitDelta(root,
+      operators.TextOps.positionalRowsOf(docsDf(delta: _*)), idsDf(1L, 2L))
+    val live = Seq(1L -> "pad big table part", 9L -> "table part now")
+    assert(readPosSet(root) === expectedPositional(live))
+    // Phrase adjacency over the merged view finds both docs at the
+    // post-edit positions (doc 1 at p=2, doc 9 at p=0).
+    val pos = IncPostings.readCurrent(spark, root)
+    val first = pos.where(col("tok") === "table").select(col("doc_id"), col("p"))
+    val second = pos.where(col("tok") === "part")
+      .select(col("doc_id"), (col("p") - 1).as("p"))
+    val hits = first.join(second, Seq("doc_id", "p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits === Set((1L, 2L), (9L, 0L)))
+  }
+
+  test("positional compaction honors the layout parameter") {
+    val root = freshRoot()
+    IncPostings.commitBase(root,
+      operators.TextOps.positionalRowsOf(docsDf(1L -> "a b c", 2L -> "d e")))
+    IncPostings.commitDelta(root,
+      operators.TextOps.positionalRowsOf(docsDf(3L -> "f g")), idsDf(2L))
+    val before = readPosSet(root)
+    IncPostings.compact(spark, root, Seq("tok", "doc_id"))
+    assert(readPosSet(root) === before)
+    val m = java.nio.file.Files.readString(
+      new java.io.File(root, "gens/gen-00003/MANIFEST.json").toPath)
+    assert(m.contains("\"tombstones\":[]"))
+  }
+
   test("inventory delta derivation matches snapshotV2 exactly") {
     val docs = Tables(spark, sf001, "documents")
     val v2 = operators.Maintenance.snapshotV2(docs)
