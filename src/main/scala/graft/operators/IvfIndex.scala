@@ -361,18 +361,59 @@ object IvfIndex {
     })
   }
 
+  /** The simulated continuous-ingest split for the ORACLED incremental
+    * timeline: residue-19 vec_ids are the "arrivals" appended after the
+    * base build (~5% of the corpus — a daily-ingest-sized batch). SQL
+    * form shared with the DuckDB oracle so both sides derive the same
+    * split by construction. */
+  val IncArrivalsWhere = "vec_id % 19 = 0"
+
+  /** Build-once incremental index for `dir`: codebook trained on the
+    * base (pre-arrival) vectors only, arrivals appended to the live
+    * generation through [[append]] — the frozen-codebook ingest path,
+    * persisted under its own kind-keyed root beside [[persistedPath]].
+    * Because assignment is deterministic in (codebook, vector), the
+    * result is bit-identical to a same-codebook build over the union —
+    * which is exactly what the oracle recomputes. */
+  def incPersistedPath(s: SparkSession, dir: String): String = {
+    val fp = corpusFingerprint(dir)
+    builtIdx.getOrElseUpdate((fp, s"$dir#inc"), {
+      val prefix = s"${dir.replaceAll("[^A-Za-z0-9._-]", "_")}-inc-"
+      val root = new java.io.File("/tmp/graft-ivf-cache", prefix + fp)
+      val path = root.toString
+      if (currentVersion(s, path).isEmpty) {
+        val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+          s.sparkContext.hadoopConfiguration)
+        Option(root.getParentFile.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith(prefix) && f.getName != root.getName)
+          .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f.toString), true))
+        val e = Tables(s, dir, "embeddings")
+        build(s, e.where(not(expr(IncArrivalsWhere))), path)
+        append(s, path, e.where(expr(IncArrivalsWhere)))
+      }
+      path
+    })
+  }
+
   /** The persisted versioned index must reproduce the inline
     * `sim_ivf_search` EXACTLY — trainCodebook is deterministic in the
     * vector multiset, probe-1 search visits the query's own cell — so
     * the two queries share one oracle and the hash gate certifies the
-    * whole persist→version→search path at every SF. */
+    * whole persist→version→search path at every SF. The INC variant
+    * searches the appended index; its oracle trains the codebook on
+    * the base subset only, so a hash match proves the frozen-codebook
+    * append preserved search semantics end to end. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ivf_persisted" -> ((s, dir) =>
       search(s, persistedPath(s, dir),
+        Tables(s, dir, "embeddings").where(col("vec_id") < 5), k = 3, nprobe = 1)),
+    "sim_ivf_inc" -> ((s, dir) =>
+      search(s, incPersistedPath(s, dir),
         Tables(s, dir, "embeddings").where(col("vec_id") < 5), k = 3, nprobe = 1))
   )
 
   def oracles: Map[String, String] = Map(
-    "sim_ivf_persisted" -> Similarity.oracles("sim_ivf_search")
+    "sim_ivf_persisted" -> Similarity.oracles("sim_ivf_search"),
+    "sim_ivf_inc" -> Similarity.sqlIvfIncSearch
   )
 }

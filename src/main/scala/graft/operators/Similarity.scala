@@ -720,7 +720,7 @@ object Similarity {
     *   celldist (vec_id, cid, dist)      — quantized dist to every cell
     *   asgn     (vec_id, centroid_id, dist) — nearest cell
     */
-  private def sqlCbWith(kSelect: String): String = {
+  private def sqlCbWith(kSelect: String, trainWhere: String = "TRUE"): String = {
     val rounds = (1 to IvfIndex.CbRounds).map { t =>
       s"""cba$t AS MATERIALIZED (
          |  SELECT vec_id, cid FROM (
@@ -728,20 +728,21 @@ object Similarity {
          |      floor(list_sum(list_transform(range(1, ${Dim + 1}),
          |        i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) * 1000000 + 0.5) / 1000000,
          |      c.cid) AS rn
-         |    FROM e0 e, cb${t - 1} c) WHERE rn = 1),
+         |    FROM e0t e, cb${t - 1} c) WHERE rn = 1),
          |cb$t AS MATERIALIZED (
          |  SELECT cid, list(m ORDER BY i) AS v FROM (
          |    SELECT a.cid, r.i AS i, floor(avg(e.v[r.i]) * 1000000 + 0.5) / 1000000 AS m
-         |    FROM cba$t a JOIN e0 e USING (vec_id), range(1, ${Dim + 1}) r(i)
+         |    FROM cba$t a JOIN e0t e USING (vec_id), range(1, ${Dim + 1}) r(i)
          |    GROUP BY 1, 2) GROUP BY cid)""".stripMargin
     }.mkString(",\n")
     s"""e0 AS MATERIALIZED (
        |  SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |e0t AS MATERIALIZED (SELECT * FROM e0 WHERE $trainWhere),
        |kk AS MATERIALIZED ($kSelect),
        |cb0 AS MATERIALIZED (
        |  SELECT cid, v FROM (
        |    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid, v
-       |    FROM e0) s, kk
+       |    FROM e0t) s, kk
        |  WHERE s.cid < kk.k),
        |$rounds,
        |cb AS MATERIALIZED (SELECT cid, v FROM cb${IvfIndex.CbRounds}),
@@ -760,6 +761,33 @@ object Similarity {
   /** Fixed-K prelude (search-grade codebook, all sim_ivf_* oracles). */
   private lazy val sqlCb: String =
     sqlCbWith(s"SELECT CAST(${IvfIndex.K} AS BIGINT) AS k")
+
+  /** Probe-1 top-3 search body over a codebook prelude — shared by the
+    * full-corpus oracle and the incremental-index oracle, which differ
+    * ONLY in which vectors trained the codebook. */
+  private def sqlIvfSearch(prelude: String): String =
+    s"""WITH $prelude,
+       |n AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding, a.centroid_id, ${sqlNorm("e.embedding")} AS nrm
+       |  FROM e0 e JOIN asgn a USING (vec_id)),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id,
+       |    floor((${sqlDot("q.embedding", "e.embedding")} / (q.nrm * e.nrm)) * 1000000 + 0.5) / 1000000 AS score
+       |  FROM n q JOIN n e ON q.centroid_id = e.centroid_id
+       |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk
+       |  FROM scored)
+       |SELECT q_id, vec_id, score, rk FROM ranked WHERE rk <= 3""".stripMargin
+
+  /** Oracle for [[IvfIndex]]'s incremental timeline: the codebook is
+    * trained on the pre-arrival subset ONLY (the frozen-codebook
+    * contract of append()), while assignment and search cover every
+    * vector — base and appended alike. */
+  private[operators] lazy val sqlIvfIncSearch: String =
+    sqlIvfSearch(sqlCbWith(s"SELECT CAST(${IvfIndex.K} AS BIGINT) AS k",
+      s"NOT (${IvfIndex.IncArrivalsWhere})"))
 
   /** Adaptive-K prelude — the SQL twin of [[IvfIndex.semK]]:
     * K = greatest(16, ⌊√(n/2)⌋), the all-pairs (SemDeDup) sizing. */
@@ -979,21 +1007,7 @@ object Similarity {
          |  coalesce(d.pu, 0) = 1 AS purged
          |FROM asgn a LEFT JOIN dups d USING (vec_id)""".stripMargin,
 
-    "sim_ivf_search" ->
-      s"""WITH $sqlCb,
-         |n AS MATERIALIZED (
-         |  SELECT e.vec_id, e.embedding, a.centroid_id, ${sqlNorm("e.embedding")} AS nrm
-         |  FROM e0 e JOIN asgn a USING (vec_id)),
-         |scored AS (
-         |  SELECT q.vec_id AS q_id, e.vec_id,
-         |    floor((${sqlDot("q.embedding", "e.embedding")} / (q.nrm * e.nrm)) * 1000000 + 0.5) / 1000000 AS score
-         |  FROM n q JOIN n e ON q.centroid_id = e.centroid_id
-         |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id),
-         |ranked AS (
-         |  SELECT q_id, vec_id, score,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk
-         |  FROM scored)
-         |SELECT q_id, vec_id, score, rk FROM ranked WHERE rk <= 3""".stripMargin,
+    "sim_ivf_search" -> sqlIvfSearch(sqlCb),
 
     "sim_ivf_probe2" ->
       s"""WITH $sqlCb,

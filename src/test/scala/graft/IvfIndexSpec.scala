@@ -36,6 +36,28 @@ class IvfIndexSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("incPersistedPath: arrivals land in the live generation; codebook is base-trained") {
+    val corpus = Tables(spark, sf001, "embeddings")
+    val path = IvfIndex.incPersistedPath(spark, sf001)
+    val dir = IvfIndex.currentDir(spark, path)
+    // Every vector — base and appended arrivals — is searchable.
+    val assigned = spark.read.parquet(s"$dir/assignments")
+    assert(assigned.count() === corpus.count())
+    val nArrivals = corpus.where(expr(IvfIndex.IncArrivalsWhere)).count()
+    assert(assigned.where(expr(IvfIndex.IncArrivalsWhere)).count() === nArrivals)
+    assert(nArrivals > 0)
+    // The codebook is the BASE-ONLY training result (frozen at build):
+    // identical to training on the base subset, different from the
+    // full-corpus codebook (else the inc oracle would be vacuous).
+    val baseCb = IvfIndex.trainCodebook(
+      corpus.where(not(expr(IvfIndex.IncArrivalsWhere))))
+    val gotCb = IvfIndex.readCodebook(spark, path)
+    assert(gotCb.map(_._1) === baseCb.map(_._1))
+    assert(gotCb.zip(baseCb).forall { case ((_, a), (_, b)) => a.sameElements(b) })
+    val fullCb = IvfIndex.trainCodebook(corpus)
+    assert(!gotCb.zip(fullCb).forall { case ((_, a), (_, b)) => a.sameElements(b) })
+  }
+
   test("search scans only the probed cells (partition pruning pinned)") {
     val tmp = Files.createTempDirectory("ivf-prune").toString + "/idx"
     val corpus = Tables(spark, sf001, "embeddings")
