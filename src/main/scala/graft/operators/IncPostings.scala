@@ -191,6 +191,52 @@ object IncPostings {
     gen
   }
 
+  /** Segment count of the live generation — the read-amplification
+    * gauge maintenance policies trigger on. */
+  private[graft] def liveSegmentCount(root: java.io.File): Int =
+    manifestOf(root, currentGen(root)).segments.size
+
+  /** Retention: expire every generation older than the newest
+    * `keepGens` and delete the segment/tombstone files no surviving
+    * manifest references — the expire-snapshots half of the lifecycle
+    * (compaction resets read amplification; retention reclaims disk).
+    * Deletion order is crash-safe: manifests of expired generations go
+    * FIRST, so a reader can never resolve a generation whose files are
+    * mid-delete — after a crash the worst case is unreferenced segment
+    * files, which the next retention pass re-collects (the
+    * maint_vacuum_plan contract). The live generation is always kept.
+    * Returns the deleted file-set roots (for logging/tests). */
+  private[graft] def retain(s: SparkSession, root: java.io.File,
+      keepGens: Int): Seq[String] = {
+    require(keepGens >= 1, "retention must keep at least the live generation")
+    val live = currentGen(root)
+    val cutoff = live - keepGens + 1
+    val gensDir = new java.io.File(root, "gens")
+    val allGens = Option(gensDir.list()).getOrElse(Array.empty)
+      .filter(_.startsWith("gen-")).map(_.stripPrefix("gen-").toInt).sorted
+    val (dead, kept) = allGens.partition(_ < cutoff)
+    if (dead.isEmpty) return Seq.empty
+    val referenced = kept.flatMap { g =>
+      val m = manifestOf(root, g)
+      (m.segments ++ m.tombstones).map(_.path)
+    }.toSet
+    val hfs = org.apache.hadoop.fs.FileSystem.getLocal(
+      s.sparkContext.hadoopConfiguration)
+    // 1. Expire manifests — readers lose the pointer before files go.
+    dead.foreach { g =>
+      hfs.delete(new org.apache.hadoop.fs.Path(
+        new java.io.File(gensDir, f"gen-$g%05d").toString), true)
+    }
+    // 2. Reclaim files referenced by NO surviving generation.
+    val deletable = Seq("segments", "tombstones").flatMap { kind =>
+      Option(new java.io.File(root, kind).listFiles()).getOrElse(Array.empty)
+        .filter(f => !referenced.contains(f.toString)).map(_.toString)
+    }
+    deletable.foreach(p =>
+      hfs.delete(new org.apache.hadoop.fs.Path(p), true))
+    deletable
+  }
+
   // ── the simulated v1 → v2 timeline over the documents table ────────
 
   /** v2-side docs that are NEW OR CHANGED — the only docs the

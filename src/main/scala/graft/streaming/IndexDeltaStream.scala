@@ -36,7 +36,8 @@ object IndexDeltaStream {
     * spec's direct replay test; the streaming entry below wires it
     * into foreachBatch. */
   private[graft] def applyBatch(root: java.io.File, batch: DataFrame,
-      batchId: Long): Unit = {
+      batchId: Long, compactAtSegments: Int = Int.MaxValue,
+      keepGens: Int = Int.MaxValue): Unit = {
     val marker = new java.io.File(root, f"commits/batch-$batchId%05d")
     if (marker.exists()) return // replayed batch: already committed
     val ups = batch.where(col("op") === "upsert")
@@ -49,15 +50,30 @@ object IndexDeltaStream {
       dels.unionByName(ups.select(col("doc_id"))))
     marker.getParentFile.mkdirs()
     marker.createNewFile()
+    // Post-commit maintenance (best-effort — a crash here costs nothing
+    // a later batch's pass won't redo): compaction when the live
+    // generation's segment chain passes the read-amplification bound,
+    // then retention of expired generations. Runs AFTER the marker, so
+    // a replayed batch skips it with the commit; maintenance cadence is
+    // per fresh batch, which bounds the chain at compactAtSegments + 1.
+    val s = batch.sparkSession
+    if (IncPostings.liveSegmentCount(root) >= compactAtSegments)
+      IncPostings.compact(s, root)
+    if (keepGens != Int.MaxValue)
+      IncPostings.retain(s, root, keepGens)
   }
 
   /** Start maintaining the index at `root` (which must hold a committed
     * base generation — [[IncPostings.commitBase]]) from a change
-    * stream. */
-  def start(changes: DataFrame, root: java.io.File,
-      checkpoint: String): StreamingQuery =
+    * stream. `compactAtSegments` / `keepGens` bound read amplification
+    * and disk growth over an unbounded stream — without them a
+    * long-running maintainer accretes one segment per batch forever. */
+  def start(changes: DataFrame, root: java.io.File, checkpoint: String,
+      compactAtSegments: Int = Int.MaxValue,
+      keepGens: Int = Int.MaxValue): StreamingQuery =
     changes.writeStream
-      .foreachBatch((b: Dataset[Row], id: Long) => applyBatch(root, b.toDF(), id))
+      .foreachBatch((b: Dataset[Row], id: Long) =>
+        applyBatch(root, b.toDF(), id, compactAtSegments, keepGens))
       .option("checkpointLocation", checkpoint)
       .outputMode("update")
       .start()

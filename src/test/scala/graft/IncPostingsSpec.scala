@@ -203,6 +203,38 @@ class IncPostingsSpec extends SparkSuite {
     assert(m.contains("\"tombstones\":[]"))
   }
 
+  test("retention expires old generations and reclaims unreferenced files") {
+    val root = freshRoot()
+    IncPostings.commitBase(root,
+      operators.TextOps.trigramRowsOf(docsDf(1L -> "abcd", 2L -> "wxyz")))
+    IncPostings.commitDelta(root,
+      operators.TextOps.trigramRowsOf(docsDf(3L -> "mnop")), idsDf())
+    IncPostings.compact(spark, root) // gen-3 references ONLY seg-00003
+    val before = readSet(root)
+    // keepGens=2 keeps gens 2 and 3; gen-1's manifest dies, but
+    // seg-00001 is still referenced by gen-2 → must survive.
+    val deleted1 = IncPostings.retain(spark, root, keepGens = 2)
+    assert(deleted1.isEmpty)
+    assert(!new java.io.File(root, "gens/gen-00001").exists())
+    assert(new java.io.File(root, "segments/seg-00001").exists())
+    assert(readSet(root) === before)
+    assert(IncPostings.readAt(spark, root, 2).count() > 0) // kept gen readable
+    // keepGens=1 keeps only the live compacted gen; seg-00001/2 and the
+    // gen-2 tombstone set are now unreferenced → reclaimed.
+    val deleted2 = IncPostings.retain(spark, root, keepGens = 1)
+    assert(deleted2.exists(_.contains("seg-00001")))
+    assert(deleted2.exists(_.contains("seg-00002")))
+    assert(!new java.io.File(root, "segments/seg-00001").exists())
+    assert(new java.io.File(root, "segments/seg-00003").exists())
+    assert(readSet(root) === before)
+    // Idempotent once converged; live generation always survives.
+    assert(IncPostings.retain(spark, root, keepGens = 1).isEmpty)
+    // And the retained index accepts further deltas as usual.
+    IncPostings.commitDelta(root,
+      operators.TextOps.trigramRowsOf(docsDf(4L -> "qrst")), idsDf())
+    assert(readSet(root) === before ++ expectedPostings(Seq(4L -> "qrst")))
+  }
+
   test("inventory delta derivation matches snapshotV2 exactly") {
     val docs = Tables(spark, sf001, "documents")
     val v2 = operators.Maintenance.snapshotV2(docs)

@@ -55,6 +55,39 @@ class IndexDeltaStreamSpec extends SparkSuite {
       new java.io.File(root, "CURRENT").toPath)).trim === "3")
   }
 
+  test("inline maintenance bounds the segment chain and reclaims expired generations") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("idxdelta-maint").toFile
+    var corpus = Map(1L -> "alpha doc", 2L -> "beta doc")
+    IncPostings.commitBase(root, TextOps.trigramRowsOf(docsDf(corpus.toSeq)))
+
+    val changes = MemoryStream[(Long, String, String)]
+    val q = IndexDeltaStream.start(
+      changes.toDS().toDF("doc_id", "text", "op"), root,
+      Files.createTempDirectory("idxdelta-maint-ckpt").toString,
+      compactAtSegments = 3, keepGens = 1)
+    try {
+      (10L to 16L).foreach { id =>
+        changes.addData((id, s"streamed doc $id", "upsert"))
+        q.processAllAvailable()
+        corpus += id -> s"streamed doc $id"
+        // Correctness never depends on where maintenance last ran.
+        assert(readSet(root) === freshSet(corpus.toSeq))
+        // Chain bounded: compaction fires before a 4th segment lives.
+        assert(IncPostings.liveSegmentCount(root) <= 3)
+      }
+    } finally q.stop()
+    // Retention kept only the live generation's manifest...
+    val gens = new java.io.File(root, "gens").list().sorted
+    assert(gens.length === 1, gens.toSeq)
+    // ...and reclaimed every unreferenced segment file.
+    val live = IncPostings.readCurrent(spark, root)
+    val segs = new java.io.File(root, "segments").list()
+    assert(segs.length <= 3, segs.toSeq)
+    assert(live.count() > 0)
+  }
+
   test("replayed batches are skipped: at-least-once delivery, exactly-once index") {
     val root = Files.createTempDirectory("idxdelta-replay").toFile
     IncPostings.commitBase(root,
