@@ -37,7 +37,9 @@ object IndexDeltaStream {
     * into foreachBatch. */
   private[graft] def applyBatch(root: java.io.File, batch: DataFrame,
       batchId: Long, compactAtSegments: Int = Int.MaxValue,
-      keepGens: Int = Int.MaxValue): Unit = {
+      keepGens: Int = Int.MaxValue,
+      rowsOf: DataFrame => DataFrame = TextOps.trigramRowsOf,
+      layout: Seq[String] = Seq("g", "doc_id")): Unit = {
     val marker = new java.io.File(root, f"commits/batch-$batchId%05d")
     if (marker.exists()) return // replayed batch: already committed
     val ups = batch.where(col("op") === "upsert")
@@ -46,7 +48,7 @@ object IndexDeltaStream {
     // An upsert tombstones the doc's OLD postings; its new rows ride
     // the delta segment at the tombstone's seq (the LSM rule keeps
     // exactly the new ones). A delete is tombstone-only.
-    IncPostings.commitDelta(root, TextOps.trigramRowsOf(ups),
+    IncPostings.commitDelta(root, rowsOf(ups),
       dels.unionByName(ups.select(col("doc_id"))))
     marker.getParentFile.mkdirs()
     marker.createNewFile()
@@ -58,7 +60,7 @@ object IndexDeltaStream {
     // per fresh batch, which bounds the chain at compactAtSegments + 1.
     val s = batch.sparkSession
     if (IncPostings.liveSegmentCount(root) >= compactAtSegments)
-      IncPostings.compact(s, root)
+      IncPostings.compact(s, root, layout)
     if (keepGens != Int.MaxValue)
       IncPostings.retain(s, root, keepGens)
   }
@@ -67,13 +69,19 @@ object IndexDeltaStream {
     * base generation — [[IncPostings.commitBase]]) from a change
     * stream. `compactAtSegments` / `keepGens` bound read amplification
     * and disk growth over an unbounded stream — without them a
-    * long-running maintainer accretes one segment per batch forever. */
+    * long-running maintainer accretes one segment per batch forever.
+    * `rowsOf`/`layout` select the index kind: trigram postings by
+    * default, [[TextOps.positionalRowsOf]] + `Seq("tok","doc_id")` for
+    * the phrase index — any (doc_id, …) postings layout rides the same
+    * LSM machinery. */
   def start(changes: DataFrame, root: java.io.File, checkpoint: String,
       compactAtSegments: Int = Int.MaxValue,
-      keepGens: Int = Int.MaxValue): StreamingQuery =
+      keepGens: Int = Int.MaxValue,
+      rowsOf: DataFrame => DataFrame = TextOps.trigramRowsOf,
+      layout: Seq[String] = Seq("g", "doc_id")): StreamingQuery =
     changes.writeStream
       .foreachBatch((b: Dataset[Row], id: Long) =>
-        applyBatch(root, b.toDF(), id, compactAtSegments, keepGens))
+        applyBatch(root, b.toDF(), id, compactAtSegments, keepGens, rowsOf, layout))
       .option("checkpointLocation", checkpoint)
       .outputMode("update")
       .start()

@@ -120,6 +120,30 @@ class IncPostingsSpec extends SparkSuite {
     assert(postingScans.forall(_.metadata("PushedFilters").contains("In(g,")))
   }
 
+  test("positional probe pushdown: the tok IN filter reaches every segment scan") {
+    val root = freshRoot()
+    IncPostings.commitBase(root,
+      operators.TextOps.positionalRowsOf(docsDf(1L -> "big table part")))
+    IncPostings.commitDelta(root,
+      operators.TextOps.positionalRowsOf(docsDf(2L -> "table part too")),
+      idsDf())
+    val probe = IncPostings.readCurrent(spark, root)
+      .where(col("tok").isin("table", "part"))
+    probe.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    def collectScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => collectScans(a.executedPlan)
+      case q: QueryStageExec => collectScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(collectScans)
+    }
+    val scans = collectScans(probe.queryExecution.executedPlan)
+    val postingScans = scans.filter(_.schema.fieldNames.contains("tok"))
+    assert(postingScans.size >= 2)
+    assert(postingScans.forall(_.metadata("PushedFilters").contains("In(tok,")))
+  }
+
   test("compaction folds segments into one; prior generations stay readable") {
     val root = freshRoot()
     IncPostings.commitBase(root,

@@ -88,6 +88,49 @@ class IndexDeltaStreamSpec extends SparkSuite {
     assert(live.count() > 0)
   }
 
+  test("positional index rides the same stream: kind-parameterized maintenance") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("idxdelta-pos").toFile
+    var corpus = Map(1L -> "big table part here", 2L -> "plain doc")
+    IncPostings.commitBase(root, TextOps.positionalRowsOf(docsDf(corpus.toSeq)))
+
+    def posSet(): Set[(Long, Long, String)] =
+      IncPostings.readCurrent(spark, root)
+        .select(col("doc_id"), col("p"), col("tok"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    def freshPos(): Set[(Long, Long, String)] =
+      TextOps.positionalRowsOf(docsDf(corpus.toSeq))
+        .select(col("doc_id"), col("p"), col("tok"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+    val changes = MemoryStream[(Long, String, String)]
+    val q = IndexDeltaStream.start(
+      changes.toDS().toDF("doc_id", "text", "op"), root,
+      Files.createTempDirectory("idxdelta-pos-ckpt").toString,
+      compactAtSegments = 2, keepGens = 1,
+      rowsOf = TextOps.positionalRowsOf, layout = Seq("tok", "doc_id"))
+    try {
+      // Edit shifts doc 1's phrase; delete doc 2; insert doc 3.
+      changes.addData((1L, "pad big table part", "upsert"), (2L, "", "delete"))
+      q.processAllAvailable()
+      corpus = corpus - 2L + (1L -> "pad big table part")
+      assert(posSet() === freshPos())
+      changes.addData((3L, "table part again", "upsert"))
+      q.processAllAvailable()
+      corpus += 3L -> "table part again"
+      assert(posSet() === freshPos())
+      // Phrase adjacency over the stream-maintained merged view.
+      val pos = IncPostings.readCurrent(spark, root)
+      val hits = pos.where(col("tok") === "table").select(col("doc_id"), col("p"))
+        .join(pos.where(col("tok") === "part")
+          .select(col("doc_id"), (col("p") - 1).as("p")), Seq("doc_id", "p"))
+        .select("doc_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(hits === Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("replayed batches are skipped: at-least-once delivery, exactly-once index") {
     val root = Files.createTempDirectory("idxdelta-replay").toFile
     IncPostings.commitBase(root,
