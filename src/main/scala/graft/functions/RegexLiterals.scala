@@ -151,14 +151,118 @@ object RegexLiterals {
   def branchSpans(pattern: String): Option[Seq[Seq[String]]] =
     splitTopLevel(pattern) match {
       case Some(branches) =>
-        val per = branches.map(requiredSpans)
-        if (per.exists(_.isEmpty)) None else Some(per.map(_.get))
+        val per = branches.map { b =>
+          // Small literal-only classes expand into explicit variants
+          // ([Tt]able → Table, table): every match of the branch is a
+          // match of SOME variant, so the variant span-lists join the
+          // union like ordinary alternation branches. Expansion must
+          // strictly succeed (every variant spanned) or the branch
+          // falls back to the unexpanded analysis, where the class
+          // just breaks the literal run — expansion can only ever ADD
+          // index coverage, never remove it.
+          expandSmallClasses(b)
+            .flatMap { vs =>
+              val spans = vs.map(requiredSpans)
+              if (spans.exists(_.isEmpty)) None else Some(spans.map(_.get))
+            }
+            .orElse(requiredSpans(b).map(Seq(_)))
+        }
+        if (per.exists(_.isEmpty)) None else Some(per.flatMap(_.get))
       case None =>
         // The splitter could not confidently scan (nested class, group,
         // trailing backslash …) — defer to the single-pattern analysis,
         // which bails on the same constructs.
         requiredSpans(pattern).map(Seq(_))
     }
+
+  /** Variant bound for [[expandSmallClasses]] — the cartesian product
+    * of expanded class sizes may not exceed this (each variant costs
+    * one all-grams-present postings probe). */
+  val MaxExpandedVariants = 8
+
+  /** Rewrite SMALL literal-only character classes as explicit variant
+    * patterns — the case-variant-blocklist shape (`[Tt]able`,
+    * `gr[ae]y`). A class expands only when ALL of: not negated, no
+    * escapes / `&` / nested class / surrogates inside, every range
+    * small, total members keep the variant product ≤
+    * [[MaxExpandedVariants]], and no quantifier binds it (expanding
+    * `[ab]+` to `a+|b+` would LOSE mixed matches like "ab"). Classes
+    * that do not qualify stay in place — the downstream analysis
+    * treats them as run-breakers, which is always sound. Substituted
+    * members are re-escaped unless alphanumeric, so `[.+]` expands to
+    * `\.` / `\+`, never to a metacharacter. Returns None when nothing
+    * expanded (caller keeps the unexpanded path). */
+  private[graft] def expandSmallClasses(branch: String): Option[Seq[String]] = {
+    // Parse into alternating literal-text segments and expandable
+    // member lists; opaque classes stay inside the text segments.
+    val segs = scala.collection.mutable.ArrayBuffer[Either[String, Seq[String]]]()
+    val cur = new StringBuilder
+    var product = 1L
+    var expandedAny = false
+    var i = 0
+    val n = branch.length
+    while (i < n) {
+      branch.charAt(i) match {
+        case '\\' =>
+          if (i + 1 >= n) return None
+          cur ++= branch.substring(i, i + 2); i += 2
+        case '[' =>
+          var j = i + 1
+          val neg = j < n && branch.charAt(j) == '^'
+          if (neg) j += 1
+          var opaque = neg
+          val members = scala.collection.mutable.ArrayBuffer[Char]()
+          if (j < n && branch.charAt(j) == ']') {
+            // Leading ] is a literal member — but `[]-a]` is the range
+            // ]-a, and mis-parsing it as {], -, a} would LOSE matches.
+            // Rare shape; keep the class opaque rather than model it.
+            opaque = true; j += 1
+          }
+          while (j < n && branch.charAt(j) != ']') {
+            branch.charAt(j) match {
+              case '\\' => opaque = true; j += 1 // escapes: out of subset
+              case '[' => return None // nested class: can't even scan
+              case '&' => opaque = true // && intersection risk
+              case c if Character.isSurrogate(c) => opaque = true
+              case c =>
+                // a-z range (not a leading/trailing literal '-')
+                if (j + 2 < n && branch.charAt(j + 1) == '-' &&
+                  branch.charAt(j + 2) != ']') {
+                  val hi = branch.charAt(j + 2)
+                  if (Character.isSurrogate(hi) || hi < c ||
+                    hi - c + 1 > MaxExpandedVariants) opaque = true
+                  else (c to hi).foreach(members += _)
+                  j += 2
+                } else members += c
+            }
+            j += 1
+          }
+          if (j >= n) return None // unterminated class
+          // A quantifier binds the whole class atom: do not expand.
+          if (j + 1 < n && "*?+{".indexOf(branch.charAt(j + 1)) >= 0) opaque = true
+          if (members.isEmpty) opaque = true
+          val dm = members.distinct
+          if (!opaque && product * dm.size <= MaxExpandedVariants) {
+            segs += Left(cur.toString); cur.clear()
+            segs += Right(dm.map { c =>
+              if (c.isLetterOrDigit) c.toString else "\\" + c
+            }.toSeq)
+            product *= dm.size
+            expandedAny = true
+          } else cur ++= branch.substring(i, j + 1)
+          i = j + 1
+        case c => cur += c; i += 1
+      }
+    }
+    if (!expandedAny) return None
+    segs += Left(cur.toString)
+    // Cartesian product of the expanded member choices.
+    val variants = segs.foldLeft(Seq("")) {
+      case (acc, Left(text)) => acc.map(_ + text)
+      case (acc, Right(ms)) => acc.flatMap(v => ms.map(v + _))
+    }
+    Some(variants)
+  }
 
   /** Split at top-level `|` only: not escaped, not inside a character
     * class, not inside a group. None when the scan meets a construct

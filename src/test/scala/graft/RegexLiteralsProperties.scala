@@ -22,6 +22,11 @@ object RegexLiteralsProperties extends Properties("graft.regexliterals") {
   private val atom: Gen[(String, String)] = Gen.oneOf(
     litChar.map(c => (c.toString, c.toString)),
     Gen.oneOf("x", "q", "7").map(c => (s"[$c$c]", c)), // tiny class
+    // Multi-member literal class, instantiated by ONE member — the
+    // r11 class-expansion case ([Tt]able → variants): the variant the
+    // instantiation picked must be among the returned span-lists.
+    Gen.choose(2, 3).flatMap(k => Gen.listOfN(k, litChar)).flatMap(ms =>
+      Gen.oneOf(ms).map(m => (s"[${ms.mkString}]", m.toString))),
     litChar.map(c => (".", c.toString)),
     Gen.oneOf(('.', "."), ('+', "+"), ('-', "-")).map { case (c, i) =>
       (s"\\$c", i) }, // escaped punctuation literal
@@ -92,9 +97,12 @@ object RegexLiteralsProperties extends Properties("graft.regexliterals") {
       })
     }
 
-  property("alternation: branch count matches the top-level pipes") =
+  property("alternation: at least one span-list per top-level pipe branch") =
+    // Class expansion may add VARIANTS beyond the pipe count (each a
+    // sound union member), but can never return fewer lists than
+    // branches — every branch contributes at least one.
     Prop.forAll(altPatternAndMatch) { case (pattern, _, _) =>
       graft.functions.RegexLiterals.branchSpans(pattern).forall(
-        _.length == pattern.count(_ == '|') + 1)
+        _.length >= pattern.count(_ == '|') + 1)
     }
 }

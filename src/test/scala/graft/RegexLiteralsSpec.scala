@@ -86,14 +86,51 @@ class RegexLiteralsSpec extends SparkSuite {
     assert(branchSpans("hash join|ab") === None) // "ab" < MinSpan
     assert(branchSpans("hash join|\\d+") === None) // span-free branch
     assert(branchSpans("hash join|(foo)bar") === None) // grouped branch bails
-    // '|' inside a character class is literal, not an alternation.
-    assert(branchSpans("abc[|]def") === Some(Seq(Seq("abc", "def"))))
+    // '|' inside a character class is literal, not an alternation —
+    // and a single-member class EXPANDS, fusing the runs into one
+    // stronger span (r11 class expansion).
+    assert(branchSpans("abc[|]def") === Some(Seq(Seq("abc|def"))))
     // Escaped '|' is a literal too — one branch, pipe in the span.
     assert(branchSpans("""abc\|def""") === Some(Seq(Seq("abc|def"))))
     // No alternation degenerates to the single requiredSpans branch.
     assert(branchSpans("fast [a-z]+ sort") === Some(Seq(Seq("fast ", " sort"))))
     // An empty branch (trailing '|') matches anything: bail.
     assert(branchSpans("hash join|") === None)
+  }
+
+  test("small literal classes expand into variant span-lists") {
+    import graft.functions.RegexLiterals.branchSpans
+    // The case-variant blocklist shape.
+    assert(branchSpans("[Tt]able") ===
+      Some(Seq(Seq("Table"), Seq("table"))))
+    assert(branchSpans("gr[ae]y matter") ===
+      Some(Seq(Seq("gray matter"), Seq("grey matter"))))
+    // Small range expands; members dedup.
+    assert(branchSpans("ab[0-1]cd") ===
+      Some(Seq(Seq("ab0cd"), Seq("ab1cd"))))
+    assert(branchSpans("ab[xx]cd") === Some(Seq(Seq("abxcd"))))
+    // Metacharacter members re-escape: [.] is a literal dot, not a
+    // wildcard — the variant span must contain the dot itself.
+    assert(branchSpans("ab[.]cd") === Some(Seq(Seq("ab.cd"))))
+    // Expansion composes with top-level alternation (union flattens).
+    assert(branchSpans("[Tt]able|hash join") ===
+      Some(Seq(Seq("Table"), Seq("table"), Seq("hash join"))))
+    // Budget is greedy left-to-right: the first 3-member class expands
+    // (3 ≤ 8), the second would make 9 variants > 8 and stays an
+    // opaque run-breaker — partial expansion, still sound.
+    assert(branchSpans("[abc]xyzq[def]") ===
+      Some(Seq(Seq("axyzq"), Seq("bxyzq"), Seq("cxyzq"))))
+    // Quantified classes never expand ([ab]+ to a+|b+ would lose "ab").
+    assert(branchSpans("abc[xy]+def") === Some(Seq(Seq("abc", "def"))))
+    // Negated / escaped / big-range classes stay opaque run-breakers.
+    assert(branchSpans("abc[^x]def") === Some(Seq(Seq("abc", "def"))))
+    assert(branchSpans("abc[a-z]def") === Some(Seq(Seq("abc", "def"))))
+    // Expansion that leaves a variant span-free falls back to the
+    // unexpanded analysis ("[ab]cd" variants "acd"/"bcd" are fine, but
+    // "[ab]cd" unexpanded has no span ≥ 3 → expansion is what saves it).
+    assert(branchSpans("[ab]cd") === Some(Seq(Seq("acd"), Seq("bcd"))))
+    // A leading-] class is opaque (the []-a] range mis-parse trap).
+    assert(branchSpans("abc[]x]def") === Some(Seq(Seq("abc", "def"))))
   }
 
   test("soundness on corpus data: every rlike match contains every span") {
