@@ -349,16 +349,28 @@ object IvfIndex {
       val root = new java.io.File("/tmp/graft-ivf-cache", prefix + fp)
       val path = root.toString
       if (currentVersion(s, path).isEmpty) {
-        // Evict indexes of older corpus generations.
-        val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-          s.sparkContext.hadoopConfiguration)
-        Option(root.getParentFile.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.getName.startsWith(prefix) && f.getName != root.getName)
-          .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f.toString), true))
+        evictStaleSiblings(s, root, prefix)
         build(s, Tables(s, dir, "embeddings"), path)
       }
       path
     })
+  }
+
+  /** Evict on-disk indexes of OLDER corpus generations only: siblings
+    * whose name is `prefix` + a bare `length-mtime` fingerprint. The
+    * bare-fingerprint requirement keeps kinds disjoint — the base
+    * root's `<dir>-` prefix must not match the incremental root
+    * `<dir>-inc-<fp>` (its remainder `inc-<fp>` is not a bare
+    * fingerprint), or a cold base build would delete the just-built
+    * current-generation incremental index. */
+  private[graft] def evictStaleSiblings(s: SparkSession, root: java.io.File,
+      prefix: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      s.sparkContext.hadoopConfiguration)
+    Option(root.getParentFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(prefix) && f.getName != root.getName &&
+        f.getName.stripPrefix(prefix).matches("\\d+-\\d+"))
+      .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f.toString), true))
   }
 
   /** The simulated continuous-ingest split for the ORACLED incremental
@@ -382,11 +394,7 @@ object IvfIndex {
       val root = new java.io.File("/tmp/graft-ivf-cache", prefix + fp)
       val path = root.toString
       if (currentVersion(s, path).isEmpty) {
-        val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-          s.sparkContext.hadoopConfiguration)
-        Option(root.getParentFile.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.getName.startsWith(prefix) && f.getName != root.getName)
-          .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f.toString), true))
+        evictStaleSiblings(s, root, prefix)
         val e = Tables(s, dir, "embeddings")
         build(s, e.where(not(expr(IncArrivalsWhere))), path)
         append(s, path, e.where(expr(IncArrivalsWhere)))

@@ -212,6 +212,25 @@ class IvfIndexSpec extends SparkSuite {
     assert(served === 500L)
   }
 
+  test("stale-sibling eviction spares other index kinds (inc root survives a base build)") {
+    // r11 ADVICE: the base root's '<dir>-' prefix also string-matches
+    // the incremental root '<dir>-inc-<fp>', so a cold base build used
+    // to delete the just-built incremental index. The eviction filter
+    // now requires the post-prefix remainder to be a BARE fingerprint.
+    val parent = Files.createTempDirectory("ivf-evict").toFile
+    val prefix = "corpus-"
+    val target = new java.io.File(parent, prefix + "100-200")
+    val staleBase = new java.io.File(parent, prefix + "50-60")     // older fp: evict
+    val incSibling = new java.io.File(parent, prefix + "inc-100-200") // other kind: keep
+    val unrelated = new java.io.File(parent, "other-100-200")       // other corpus: keep
+    Seq(target, staleBase, incSibling, unrelated).foreach(_.mkdirs())
+    IvfIndex.evictStaleSiblings(spark, target, prefix)
+    assert(!staleBase.exists(), "stale same-kind sibling must be evicted")
+    assert(incSibling.exists(), "the -inc- root must survive a base-kind eviction")
+    assert(unrelated.exists())
+    assert(target.exists())
+  }
+
   test("int8 quantization: error bounded by half a step, cosine recall ~1") {
     import org.apache.spark.sql.functions._
     val q = SparkEntry.queries("sim_quantize_int8")(spark, sf001)
