@@ -110,6 +110,12 @@ object Bench {
       val fam = family(name)
       if (prevFam.nonEmpty && fam != prevFam) spark.catalog.clearCache()
       prevFam = fam
+      // Per-query load sample (r11 verdict #7): the 1-minute load
+      // average AT QUERY START, so a tail-of-run ambient-load move is
+      // attributable from the artifact alone — the r11 link-predict
+      // 1.5× question needed a rerun to answer; this answers it in
+      // place alongside the cold map.
+      val loadAt = os.getSystemLoadAverage
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -125,7 +131,7 @@ object Bench {
       // per-family map stays well inside the consumer's bounded tail.
       val rfam = fam.replaceAll("[0-9]+$", "")
       famSecs(rfam) = famSecs.getOrElse(rfam, 0.0) + secs
-      name -> secs
+      (name, secs, loadAt)
     }
     val loadEnd = os.getSystemLoadAverage
     // Millisecond precision: full-double formatting would halve how many
@@ -133,12 +139,15 @@ object Bench {
     def ms(v: Double): String = (math.rint(v * 1000) / 1000).toString
     def jmap(kvs: Seq[(String, String)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = jmap(results.map { case (k, v) => k -> ms(v) })
+    val qs = jmap(results.map { case (k, v, _) => k -> ms(v) })
+    // Per-query 1-min load samples, 2-decimal (the attribution map).
+    def l2(v: Double): String = (math.rint(v * 100) / 100).toString
+    val loads = jmap(results.map { case (k, _, l) => k -> l2(l) })
     val coldJson = jmap(coldBuilds.toSeq.take(12).map { case (q, arts) =>
       q -> arts.mkString("[\"", "\",\"", "\"]")
     })
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total_full","value":${ms(total)},"unit":"sec","queries":$qs,"cold":$coldJson,"n_cold_builds":${coldBuilds.size},"sf":"$sfDir","load_avg_start":$loadStart,"load_avg_end":$loadEnd}""")
+    println(s"""{"metric":"total_full","value":${ms(total)},"unit":"sec","queries":$qs,"loads":$loads,"cold":$coldJson,"n_cold_builds":${coldBuilds.size},"sf":"$sfDir","load_avg_start":$loadStart,"load_avg_end":$loadEnd}""")
 
     // Durable full copy (best-effort; the stdout tail truncates line 1).
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
@@ -147,7 +156,7 @@ object Bench {
       val f = new java.io.File(outFile)
       Option(f.getParentFile).foreach(_.mkdirs())
       val w = new java.io.FileWriter(f)
-      try w.write(s"""{"metric":"total_full","value":${ms(total)},"unit":"sec","sf":"$sfDir","queries":$qs,"cold":$coldJson,"n_cold_builds":${coldBuilds.size},"load_avg_start":$loadStart,"load_avg_end":$loadEnd}\n""")
+      try w.write(s"""{"metric":"total_full","value":${ms(total)},"unit":"sec","sf":"$sfDir","queries":$qs,"loads":$loads,"cold":$coldJson,"n_cold_builds":${coldBuilds.size},"load_avg_start":$loadStart,"load_avg_end":$loadEnd}\n""")
       finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
@@ -162,13 +171,17 @@ object Bench {
       else if (times.size % 2 == 1) times(times.size / 2)
       else (times(times.size / 2 - 1) + times(times.size / 2)) / 2
     val worst10 = jmap(results.sortBy(-_._2).take(10)
-      .map { case (k, v) => k -> ms(v) })
+      .map { case (k, v, _) => k -> ms(v) })
+    // Load samples FOR the worst-10 (the queries whose moves need
+    // attribution) — full per-query loads are in line 1 + the file.
+    val worstLoads = jmap(results.sortBy(-_._2).take(10)
+      .map { case (k, _, l) => k -> l2(l) })
     val fams = jmap(famSecs.toSeq.map { case (k, v) => k -> ms(v) })
     // cold per query as COUNTS here (names are in line 1 + the file):
     // keeps this line safely inside the ~2 KB durable tail.
     val coldCounts = jmap(coldBuilds.toSeq.take(12)
       .map { case (q, arts) => q -> arts.size.toString })
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"median":${ms(median)},"worst10":$worst10,"families":$fams,"cold":$coldCounts,"n_cold_builds":${coldBuilds.size},"queries_file":"$outFile","sf":"$sfDir","load_avg_start":$loadStart,"load_avg_end":$loadEnd}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"median":${ms(median)},"worst10":$worst10,"worst10_loads":$worstLoads,"families":$fams,"cold":$coldCounts,"n_cold_builds":${coldBuilds.size},"queries_file":"$outFile","sf":"$sfDir","load_avg_start":$loadStart,"load_avg_end":$loadEnd}""")
     spark.stop()
   }
 }

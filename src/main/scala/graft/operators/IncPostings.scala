@@ -16,22 +16,29 @@ import org.apache.spark.sql.functions._
   * Storage layout (one root per corpus generation, content-fingerprint
   * keyed like [[PostingsIndex]]):
   *
-  *   segments/seg-00001/        (doc_id, g) postings  — immutable
-  *   segments/seg-00002/        delta postings        — immutable
-  *   tombstones/seg-00002/      doc_id                — immutable
+  *   segments/seg-00001-ab12cd34/   (doc_id, g) postings  — immutable
+  *   segments/seg-00002-9f0e1d2c/   delta postings        — immutable
+  *   tombstones/seg-00002-77aa88bb/ doc_id                — immutable
   *   gens/gen-00001/MANIFEST.json
   *   gens/gen-00002/MANIFEST.json
-  *   CURRENT                    live generation number (text)
+  *   CURRENT                        reader HINT (monotonic, best-effort)
   *
   * A manifest lists (segment path, seq) plus (tombstone path, seq); a
   * tombstone kills a doc's rows in every segment with a LOWER seq only
   * (the standard LSM visibility rule — an edited doc's fresh postings
   * live in the delta segment at the tombstone's own seq and survive).
-  * Commits follow the same protocol as the versioned [[IvfIndex]]:
-  * segments and the new manifest are written beside the live
-  * generation, then one atomic CURRENT swap publishes — readers that
-  * resolved the pointer earlier keep a complete immutable view, and a
-  * killed build leaves no half-visible generation.
+  * Commits are OPTIMISTIC-CONCURRENCY (the Iceberg protocol): data
+  * files are written under writer-unique names beside the live
+  * generation, then the fully-written manifest is hard-linked into
+  * `gens/gen-N/MANIFEST.json` — an atomic create-fails-if-exists, so
+  * exactly one writer wins each generation and a loser (a concurrent
+  * delta committer racing a compaction daemon — the production
+  * two-writer reality) rebases on the winner's manifest and retries
+  * at the next number. The live generation is the max manifest on
+  * disk; CURRENT is only a hint. Readers that resolved an earlier
+  * generation keep a complete immutable view, and a killed build
+  * leaves no half-visible generation (an unlinked manifest is
+  * invisible; orphaned data dirs are retention's to sweep).
   *
   * The simulated timeline uses [[Maintenance.snapshotV2]]'s release
   * semantics (residue 97 drops, residue 31 edits, residue 89 adds at
@@ -49,14 +56,17 @@ object IncPostings {
   /** One immutable postings file set with its commit sequence. */
   private[graft] case class Segment(path: String, seq: Int)
 
-  /** A generation = the segments visible plus the tombstones in force. */
+  /** A generation = the segments visible plus the tombstones in force,
+    * plus (for stream-maintained indexes) the id of the micro-batch
+    * whose commit produced it — the transactional replay marker. */
   private[graft] case class Manifest(segments: Seq[Segment],
-      tombstones: Seq[Segment])
+      tombstones: Seq[Segment], batchId: Option[Long] = None)
 
   private def manifestJson(m: Manifest): String = {
     def arr(ss: Seq[Segment]) = ss.map(s =>
       s"""{"path":"${s.path}","seq":${s.seq}}""").mkString("[", ",", "]")
-    s"""{"segments":${arr(m.segments)},"tombstones":${arr(m.tombstones)}}"""
+    val batch = m.batchId.map(id => s""","batchId":$id""").getOrElse("")
+    s"""{"segments":${arr(m.segments)},"tombstones":${arr(m.tombstones)}$batch}"""
   }
 
   private def parseManifest(json: String): Manifest = {
@@ -67,7 +77,8 @@ object IncPostings {
     def segs(field: String): Seq[Segment] =
       (ast \ field).extract[Seq[Map[String, JValue]]].map(m =>
         Segment(m("path").extract[String], m("seq").extract[Int]))
-    Manifest(segs("segments"), segs("tombstones"))
+    Manifest(segs("segments"), segs("tombstones"),
+      (ast \ "batchId").extractOpt[Long])
   }
 
   private def writeText(f: java.io.File, text: String): Unit = {
@@ -80,17 +91,36 @@ object IncPostings {
     new String(java.nio.file.Files.readAllBytes(f.toPath),
       java.nio.charset.StandardCharsets.UTF_8)
 
-  /** Live generation number, resolved once per read. */
-  private def currentGen(root: java.io.File): Int =
-    readText(new java.io.File(root, "CURRENT")).trim.toInt
+  /** Live (= max committed) generation: the highest
+    * `gens/gen-N/MANIFEST.json` on disk. This listing is authoritative
+    * — the CURRENT file is only a monotonic reader hint (Iceberg's
+    * version-hint.text), because a pointer file cannot be
+    * compare-and-swapped portably and two racing writers could leave
+    * it behind. Manifests are created by an atomic
+    * create-fails-if-exists, so a listed manifest is always complete. */
+  private[graft] def committedGen(root: java.io.File): Int =
+    committedGens(root).foldLeft(0)(math.max)
 
-  private def manifestOf(root: java.io.File, gen: Int): Manifest =
+  /** All committed (manifest-bearing) generation numbers, ascending.
+    * A bare `gens/gen-N/` directory without a manifest is an abandoned
+    * claim from a crashed or racing writer — never a generation. */
+  private def committedGens(root: java.io.File): Seq[Int] = {
+    val gensDir = new java.io.File(root, "gens")
+    Option(gensDir.list()).getOrElse(Array.empty).toSeq
+      .filter(_.startsWith("gen-"))
+      .map(_.stripPrefix("gen-").toInt)
+      .filter(g => new java.io.File(gensDir,
+        f"gen-$g%05d/MANIFEST.json").exists())
+      .sorted
+  }
+
+  private[graft] def manifestOf(root: java.io.File, gen: Int): Manifest =
     parseManifest(readText(
       new java.io.File(root, f"gens/gen-$gen%05d/MANIFEST.json")))
 
-  /** Atomic pointer swap: write beside, rename over (same protocol as
-    * IvfIndex.writePointer — rename is atomic on a local FS and the
-    * pointer file is tiny). */
+  /** Atomic pointer-hint swap: write beside, rename over (same
+    * protocol as IvfIndex.writePointer — rename is atomic on a local
+    * FS and the pointer file is tiny). */
   private def swapCurrent(root: java.io.File, gen: Int): Unit = {
     val tmp = new java.io.File(root, ".CURRENT.tmp")
     writeText(tmp, gen.toString)
@@ -100,42 +130,110 @@ object IncPostings {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Best-effort monotonic advance of the CURRENT hint. Synchronized
+    * so in-JVM writers never regress it; a cross-process interleaving
+    * could harmlessly leave it behind — readers resolve
+    * [[committedGen]], never the hint. */
+  private def advanceHint(root: java.io.File, gen: Int): Unit = synchronized {
+    val cur = try readText(new java.io.File(root, "CURRENT")).trim.toInt
+      catch { case _: Exception => 0 }
+    if (gen > cur) swapCurrent(root, gen)
+  }
+
+  /** A writer-unique immutable data directory under `root/<kind>/`.
+    * The generation guess in the name is cosmetic (the manifest, not
+    * the filename, carries the committed seq); the nonce guarantees
+    * two racing writers never collide on data files — they contend
+    * only on the manifest link, where the filesystem arbitrates. */
+  private def newDataDir(root: java.io.File, kind: String): java.io.File = {
+    val guess = committedGen(root) + 1
+    val nonce = java.util.UUID.randomUUID.toString.take(8)
+    new java.io.File(root, f"$kind/seg-$guess%05d-$nonce")
+  }
+
+  /** Optimistic-concurrency commit (the Iceberg protocol): build the
+    * next manifest on the LATEST COMMITTED basis, then claim
+    * generation basis+1 by hard-linking the fully-written manifest
+    * file into `gens/gen-N/MANIFEST.json`. Link creation is atomic
+    * and fails if the target exists, so exactly one writer wins each
+    * generation number; the loser re-reads the (now advanced) basis,
+    * REBASES through `build`, and retries at the next number —
+    * generations stay contiguous and no segment is ever silently
+    * dropped by a last-swap-wins race. `build` receives the basis
+    * manifest and the generation number being claimed and must be
+    * pure (it may run several times under contention). */
+  private[graft] def commitManifest(root: java.io.File)(
+      build: (Manifest, Int) => Manifest): Int = {
+    var attempts = 0
+    while (attempts < 10000) {
+      val prev = committedGen(root)
+      val basis =
+        if (prev == 0) Manifest(Seq.empty, Seq.empty)
+        else manifestOf(root, prev)
+      val gen = prev + 1
+      val dir = new java.io.File(root, f"gens/gen-$gen%05d")
+      dir.mkdirs()
+      var tmp: java.io.File = null
+      try {
+        tmp = java.io.File.createTempFile("MANIFEST-", ".tmp", dir)
+        writeText(tmp, manifestJson(build(basis, gen)))
+        java.nio.file.Files.createLink(
+          new java.io.File(dir, "MANIFEST.json").toPath, tmp.toPath)
+        tmp.delete()
+        advanceHint(root, gen)
+        return gen
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          if (tmp != null) tmp.delete() // lost the race: rebase and retry
+          attempts += 1
+        case _: java.io.IOException =>
+          // a retention pass swept our still-unclaimed gen dir out from
+          // under the tmp write/link — recreate and retry
+          attempts += 1
+      }
+    }
+    sys.error(s"manifest commit contention: gave up after $attempts attempts at $root")
+  }
+
   // ── commit operations (shared by the batch timeline below and the
   //    streaming delta twin, which appends per micro-batch) ───────────
 
-  /** Write the FIRST generation: one base segment, no tombstones. */
+  /** Write the FIRST generation: one base segment, no tombstones.
+    * Single-call contract: the base is committed once per fresh root
+    * (two concurrent base commits would union two copies of the
+    * corpus — a caller bug the LSM cannot resolve). */
   private[graft] def commitBase(root: java.io.File,
       basePostings: DataFrame): Unit = {
-    val seg = new java.io.File(root, "segments/seg-00001")
+    val seg = newDataDir(root, "segments")
     basePostings.write.mode(SaveMode.Overwrite).parquet(seg.toString)
-    writeText(new java.io.File(root, "gens/gen-00001/MANIFEST.json"),
-      manifestJson(Manifest(Seq(Segment(seg.toString, 1)), Seq.empty)))
-    swapCurrent(root, 1)
+    commitManifest(root)((basis, gen) =>
+      Manifest(basis.segments :+ Segment(seg.toString, gen),
+        basis.tombstones))
   }
 
   /** Append one increment: delta postings + tombstone ids become an
-    * immutable segment pair at seq = gen+1, the new manifest extends
-    * the live one, and the CURRENT swap is the only mutation readers
-    * can observe. Cost: delta-sized postings build + metadata — the
-    * standing corpus is never re-read. Idempotence note: the caller
-    * guards replays (the streaming twin keys on batchId; the batch
-    * timeline runs once under the build marker). */
+    * immutable segment pair whose seq is the generation the commit
+    * WINS (assigned by [[commitManifest]] — under contention the same
+    * data files are re-committed at the next number, rebased on the
+    * competing writer's manifest). Cost: delta-sized postings build +
+    * metadata — the standing corpus is never re-read. Concurrent
+    * deltas touching the SAME doc_id resolve last-committer-wins by
+    * the seq rule — the standard LSM semantic; ordered per-doc
+    * updates remain the caller's contract (the streaming twin's CDC
+    * stream delivers at most one change per doc per batch).
+    * `batchId`, when given, is recorded in the manifest as the
+    * transactional replay marker (see IndexDeltaStream). */
   private[graft] def commitDelta(root: java.io.File,
-      deltaPostings: DataFrame, tombstoneIds: DataFrame): Int = {
-    val prev = currentGen(root)
-    val gen = prev + 1
-    val seg = new java.io.File(root, f"segments/seg-$gen%05d")
-    val tomb = new java.io.File(root, f"tombstones/seg-$gen%05d")
+      deltaPostings: DataFrame, tombstoneIds: DataFrame,
+      batchId: Option[Long] = None): Int = {
+    val seg = newDataDir(root, "segments")
+    val tomb = newDataDir(root, "tombstones")
     deltaPostings.write.mode(SaveMode.Overwrite).parquet(seg.toString)
     tombstoneIds.select(col("doc_id"))
       .write.mode(SaveMode.Overwrite).parquet(tomb.toString)
-    val m = manifestOf(root, prev)
-    val next = Manifest(m.segments :+ Segment(seg.toString, gen),
-      m.tombstones :+ Segment(tomb.toString, gen))
-    writeText(new java.io.File(root, f"gens/gen-$gen%05d/MANIFEST.json"),
-      manifestJson(next))
-    swapCurrent(root, gen)
-    gen
+    commitManifest(root)((basis, gen) =>
+      Manifest(basis.segments :+ Segment(seg.toString, gen),
+        basis.tombstones :+ Segment(tomb.toString, gen), batchId))
   }
 
   /** Merge-on-read over the live generation: each segment minus the
@@ -145,7 +243,7 @@ object IncPostings {
     * and the anti-join (plan-pinned in IncPostingsSpec). */
   private[graft] def readCurrent(s: SparkSession,
       root: java.io.File): DataFrame =
-    readAt(s, root, currentGen(root))
+    readAt(s, root, committedGen(root))
 
   /** Time travel: the merged view AS OF generation `gen`. Manifests
     * and segments are immutable and never referenced-then-rewritten,
@@ -177,24 +275,36 @@ object IncPostings {
     * same atomic CURRENT move as any commit. */
   private[graft] def compact(s: SparkSession, root: java.io.File,
       layout: Seq[String] = Seq("g", "doc_id")): Int = {
-    val prev = currentGen(root)
-    val gen = prev + 1
-    val seg = new java.io.File(root, f"segments/seg-$gen%05d")
+    val foldedAsOf = committedGen(root)
+    val seg = newDataDir(root, "segments")
     val lay = layout.map(col)
-    readAt(s, root, prev)
+    readAt(s, root, foldedAsOf)
       .repartitionByRange(lay: _*)
       .sortWithinPartitions(lay: _*)
       .write.mode(SaveMode.Overwrite).parquet(seg.toString)
-    writeText(new java.io.File(root, f"gens/gen-$gen%05d/MANIFEST.json"),
-      manifestJson(Manifest(Seq(Segment(seg.toString, gen)), Seq.empty)))
-    swapCurrent(root, gen)
-    gen
+    // The folded segment stands in for everything ≤ foldedAsOf at seq
+    // foldedAsOf; a delta committed by a RACING writer between our
+    // fold and our manifest link survives the rebase — its segments
+    // and tombstones (seq > foldedAsOf) ride along, and its
+    // tombstones still kill old rows inside the fold (seq rule).
+    commitManifest(root)((basis, gen) =>
+      Manifest(
+        Segment(seg.toString, foldedAsOf) +:
+          basis.segments.filter(_.seq > foldedAsOf),
+        basis.tombstones.filter(_.seq > foldedAsOf)))
   }
 
   /** Segment count of the live generation — the read-amplification
     * gauge maintenance policies trigger on. */
   private[graft] def liveSegmentCount(root: java.io.File): Int =
-    manifestOf(root, currentGen(root)).segments.size
+    manifestOf(root, committedGen(root)).segments.size
+
+  /** batchIds recorded in the RETAINED manifests — the transactional
+    * replay markers a restarted streaming maintainer consults when its
+    * fast-path marker file is missing (crash between manifest link and
+    * marker write; see IndexDeltaStream.applyBatch). */
+  private[graft] def committedBatchIds(root: java.io.File): Set[Long] =
+    committedGens(root).flatMap(g => manifestOf(root, g).batchId).toSet
 
   /** Retention: expire every generation older than the newest
     * `keepGens` and delete the segment/tombstone files no surviving
@@ -205,15 +315,37 @@ object IncPostings {
     * mid-delete — after a crash the worst case is unreferenced segment
     * files, which the next retention pass re-collects (the
     * maint_vacuum_plan contract). The live generation is always kept.
+    *
+    * READER-HORIZON CONTRACT: expired generations' files are deleted
+    * immediately, so a reader that resolved [[committedGen]] must
+    * finish its scan before that generation leaves the retention
+    * window — i.e. within `keepGens` subsequent commits. With
+    * keepGens=1 a lagging reader racing the next commit+retention can
+    * lose segment files mid-scan; size keepGens to the slowest
+    * reader's horizon (Iceberg's snapshot-expiry contract — there is
+    * no reader lease).
+    *
+    * `graceMs` guards CONCURRENT WRITERS: an optimistic committer
+    * writes its data dirs before linking its manifest, so for that
+    * window they are unreferenced — a racing retention pass must not
+    * sweep them. Data dirs younger than `graceMs` are skipped
+    * (Iceberg's remove-orphan-files `older_than`). The default 0 is
+    * for single-writer callers (the streaming maintainer runs
+    * retention inline between its own commits); set it above the
+    * longest data-write whenever retention can race a writer.
     * Returns the deleted file-set roots (for logging/tests). */
   private[graft] def retain(s: SparkSession, root: java.io.File,
-      keepGens: Int): Seq[String] = {
+      keepGens: Int, graceMs: Long = 0L): Seq[String] = {
     require(keepGens >= 1, "retention must keep at least the live generation")
-    val live = currentGen(root)
+    val live = committedGen(root)
     val cutoff = live - keepGens + 1
     val gensDir = new java.io.File(root, "gens")
+    // Only manifest-bearing generations count; a bare gen dir below
+    // the cutoff is an abandoned claim and is swept with the dead.
     val allGens = Option(gensDir.list()).getOrElse(Array.empty)
       .filter(_.startsWith("gen-")).map(_.stripPrefix("gen-").toInt).sorted
+      .filter(g => g < cutoff || new java.io.File(gensDir,
+        f"gen-$g%05d/MANIFEST.json").exists())
     val (dead, kept) = allGens.partition(_ < cutoff)
     if (dead.isEmpty) return Seq.empty
     val referenced = kept.flatMap { g =>
@@ -227,10 +359,14 @@ object IncPostings {
       hfs.delete(new org.apache.hadoop.fs.Path(
         new java.io.File(gensDir, f"gen-$g%05d").toString), true)
     }
-    // 2. Reclaim files referenced by NO surviving generation.
+    // 2. Reclaim files referenced by NO surviving generation (sparing
+    //    dirs inside the concurrent-writer grace window).
+    val now = System.currentTimeMillis()
     val deletable = Seq("segments", "tombstones").flatMap { kind =>
       Option(new java.io.File(root, kind).listFiles()).getOrElse(Array.empty)
-        .filter(f => !referenced.contains(f.toString)).map(_.toString)
+        .filter(f => !referenced.contains(f.toString) &&
+          now - f.lastModified() >= graceMs)
+        .map(_.toString)
     }
     deletable.foreach(p =>
       hfs.delete(new org.apache.hadoop.fs.Path(p), true))
@@ -276,7 +412,25 @@ object IncPostings {
     * attribute base vs delta cost. */
   private def indexRoot(s: SparkSession, dir: String, kind: String,
       rowsOf: DataFrame => DataFrame,
-      shift: Long = Maintenance.AddShift): java.io.File = {
+      shift: Long = Maintenance.AddShift): java.io.File =
+    cachedRoot(s, dir, kind) { root =>
+      val docs = Tables(s, dir, "documents")
+      val t0 = System.nanoTime()
+      commitBase(root, rowsOf(docs))
+      val t1 = System.nanoTime()
+      commitDelta(root, rowsOf(deltaDocs(docs, shift)),
+        tombstoneDocIds(docs))
+      val t2 = System.nanoTime()
+      log.info(f"[incpostings] $dir $kind base build ${(t1 - t0) / 1e9}%.2f s, " +
+        f"delta build+commit ${(t2 - t1) / 1e9}%.2f s")
+    }
+
+  /** The shared build-once cache protocol (fingerprint-keyed root +
+    * stale-sibling eviction + done marker), factored out so timelines
+    * with different build sequences (the standard base+delta above,
+    * the full lifecycle below) share it. */
+  private def cachedRoot(s: SparkSession, dir: String, kind: String)(
+      buildAt: java.io.File => Unit): java.io.File = {
     val f = new java.io.File(s"$dir/documents.parquet")
     val fp = s"${f.length()}-${f.lastModified()}"
     val path = built.getOrElseUpdate((dir, kind, fp), {
@@ -291,21 +445,34 @@ object IncPostings {
           .foreach(x => hfs.delete(new org.apache.hadoop.fs.Path(x.toString), true))
         if (root.exists()) // half-written timeline from a killed run
           hfs.delete(new org.apache.hadoop.fs.Path(root.toString), true)
-        val docs = Tables(s, dir, "documents")
-        val t0 = System.nanoTime()
-        commitBase(root, rowsOf(docs))
-        val t1 = System.nanoTime()
-        commitDelta(root, rowsOf(deltaDocs(docs, shift)),
-          tombstoneDocIds(docs))
-        val t2 = System.nanoTime()
-        log.info(f"[incpostings] $dir $kind base build ${(t1 - t0) / 1e9}%.2f s, " +
-          f"delta build+commit ${(t2 - t1) / 1e9}%.2f s")
+        buildAt(root)
         marker.createNewFile()
       }
       root.toString
     })
     new java.io.File(path)
   }
+
+  /** The full index lifecycle as ONE artifact (r11 verdict #4):
+    * base commit over v1 → snapshot-diff delta commit → pre-retention
+    * probe snapshot → compaction → retention to the single live
+    * generation. The composed inventory query below probes the
+    * RETAINED index and carries the before/after probe drift, so any
+    * cross-op contract break (a compaction losing a tombstone, a
+    * retention sweeping a live segment) fails the hash GATE, not just
+    * a spec. */
+  private def lifecycleRoot(s: SparkSession, dir: String): java.io.File =
+    cachedRoot(s, dir, "lifecycle") { root =>
+      val docs = Tables(s, dir, "documents")
+      commitBase(root, TextOps.trigramRowsOf(docs))
+      commitDelta(root, TextOps.trigramRowsOf(
+        deltaDocs(docs, Maintenance.AddShift)), tombstoneDocIds(docs))
+      trigramProbe(s, dir, readCurrent(s, root))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(new java.io.File(root, "probe-before").toString)
+      compact(s, root)
+      retain(s, root, keepGens = 1)
+    }
 
   /** The live merged trigram postings view for the inventory queries. */
   private[graft] def mergedPostings(s: SparkSession, dir: String): DataFrame =
@@ -314,10 +481,43 @@ object IncPostings {
   /** The live merged POSITIONAL postings view — the same LSM timeline
     * applied to the phrase index's (doc_id, p, tok) layout, so the
     * engine's whole text-index family is delta-maintainable: trigram
-    * (substring/regex), positional (phrase/boolean), and BM25 (which
-    * already merges base+delta stats in idx_bm25_inc_search). */
+    * (substring/regex), positional (phrase/boolean), and BM25 (below —
+    * the r11 verdict #3 port; the older idx_bm25_inc_search keeps the
+    * append-only partial-stats merge path alive beside it). */
   private[graft] def mergedPositional(s: SparkSession, dir: String): DataFrame =
     readCurrent(s, indexRoot(s, dir, "positional", TextOps.positionalRowsOf))
+
+  /** (doc_id, token, tf, dl) — the BM25 postings layout on the LSM
+    * timeline: term frequency per (doc, token) with the document
+    * length DENORMALIZED into every row (PostingsIndex's doc-values
+    * trick), so scoring joins no doclen table. One row per (doc,
+    * token) by construction, and the timeline's tombstones keep that
+    * invariant across edits. */
+  private[graft] def bm25RowsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.Text.tokens(col("text")).as("tok"))
+      .withColumn("dl", size(col("tok")).cast("long"))
+      .select(col("doc_id"), col("dl"), explode(col("tok")).as("token"))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), col("token"), col("tf"), col("dl"))
+
+  /** (doc_id, dl) — one row per document, INCLUDING zero-token docs
+    * (they count into n_docs/avgdl but have no postings rows). Kept as
+    * its OWN tiny LSM kind so BM25's corpus stats are exact under
+    * deletes without scanning the postings: additive corpusstats
+    * partials (the PostingsIndex append path) cannot subtract a
+    * tombstoned doc's dl, and merge-on-read over a doc-count-sized
+    * two-column table is the scale-correct alternative. */
+  private[graft] def doclenRowsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(graft.functions.Text.tokens(col("text"))).cast("long").as("dl"))
+
+  private[graft] def mergedBm25(s: SparkSession, dir: String): DataFrame =
+    readCurrent(s, indexRoot(s, dir, "bm25", bm25RowsOf))
+
+  private[graft] def mergedDoclens(s: SparkSession, dir: String): DataFrame =
+    readCurrent(s, indexRoot(s, dir, "bm25dl", doclenRowsOf))
 
   /** Fresh full rebuild over the v2 corpus — the parity baseline the
     * increment must equal (and the cost it avoids). Artifact-cached so
@@ -337,6 +537,33 @@ object IncPostings {
         .select(col("doc_id"), col("text")))
     }
 
+  /** Fresh BM25-layout rebuild over the v2 corpus — the parity
+    * baseline for the BM25 timeline. */
+  private def freshV2Bm25(s: SparkSession, dir: String): DataFrame =
+    ArtifactCache.parquet(s, dir, "bm25-postings-v2", Seq("documents")) {
+      bm25RowsOf(Maintenance.snapshotV2(Tables(s, dir, "documents"))
+        .select(col("doc_id"), col("text")))
+    }
+
+  /** Substring search through a trigram postings view: all-grams-
+    * present candidates, exact contains() verify against the v2
+    * corpus — the probe shared by idx_postings_inc and the lifecycle
+    * query. */
+  private def trigramProbe(s: SparkSession, dir: String,
+      postings: DataFrame): DataFrame = {
+    val grams = TextOps.TrigramPattern.sliding(3).toSeq.distinct
+    val v2 = Maintenance.snapshotV2(Tables(s, dir, "documents"))
+    postings
+      .where(col("g").isin(grams: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("ng"))
+      .where(col("ng") === grams.length)
+      .select(col("doc_id"))
+      .join(v2, "doc_id")
+      .where(col("text").contains(TextOps.TrigramPattern))
+      .select(col("doc_id"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     // ── substring search through the MERGED index: all-grams-present
     // candidates from base∪delta minus tombstones, exact contains()
@@ -344,19 +571,8 @@ object IncPostings {
     // from the v2 corpus directly, so a hash match proves the
     // increment preserved search semantics end to end — the persisted
     // form of the inc_postings_merge invariant at the trigram layer. ─
-    "idx_postings_inc" -> ((s, dir) => {
-      val grams = TextOps.TrigramPattern.sliding(3).toSeq.distinct
-      val v2 = Maintenance.snapshotV2(Tables(s, dir, "documents"))
-      mergedPostings(s, dir)
-        .where(col("g").isin(grams: _*))
-        .groupBy(col("doc_id"))
-        .agg(countDistinct(col("g")).as("ng"))
-        .where(col("ng") === grams.length)
-        .select(col("doc_id"))
-        .join(v2, "doc_id")
-        .where(col("text").contains(TextOps.TrigramPattern))
-        .select(col("doc_id"))
-    }),
+    "idx_postings_inc" -> ((s, dir) =>
+      trigramProbe(s, dir, mergedPostings(s, dir))),
 
     // ── structural parity: the merged view must equal a fresh v2
     // rebuild as a MULTISET of (doc_id, g) rows — exceptAll in both
@@ -404,6 +620,80 @@ object IncPostings {
       val stats = fresh.agg(count(lit(1)).as("n_postings"),
         countDistinct(col("tok")).as("n_toks"),
         countDistinct(col("doc_id")).as("n_docs"))
+      onlyM.crossJoin(onlyF).crossJoin(stats)
+    }),
+
+    // ── Okapi BM25 top-10 through the MERGED LSM index (r11 verdict
+    // #3): the idx_bm25_topk scoring recurrence (k1=1.2, b=0.75, the
+    // same 1e-6/1e-4 rounding grids) over base∪delta minus tombstones,
+    // with exact corpus stats from the doclen twin timeline. The
+    // oracle recomputes BM25 from the v2 corpus directly, so a hash
+    // match proves generations/tombstones/compaction-ready storage
+    // preserved RANKED-retrieval semantics — stats and all — not just
+    // membership. ────────────────────────────────────────────────────
+    "idx_bm25_inc" -> ((s, dir) => {
+      import graft.functions.Num
+      val terms = PostingsIndex.Terms
+      val post = mergedBm25(s, dir).where(col("token").isin(terms: _*))
+      val cs = mergedDoclens(s, dir)
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        .select(col("n_docs"),
+          (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+      val idf = Num.roundp(org.apache.spark.sql.functions.log(
+        lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)), 6)
+      val stats = post.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .crossJoin(cs).withColumn("idf", idf)
+      val denom = col("tf") +
+        lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))
+      val part = Num.roundp(col("idf") * (col("tf") * lit(2.2)) / denom, 6)
+      post.join(broadcast(stats), "token")
+        .select(col("doc_id"), part.as("p"))
+        .groupBy(col("doc_id"))
+        .agg(Num.roundp(sum(col("p")), 4).as("score"),
+          count(lit(1)).as("n_terms"))
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
+    }),
+
+    // ── The composed index lifecycle (r11 verdict #4): ONE query that
+    // runs the whole timeline — base commit, snapshot-diff delta,
+    // compaction, retention to a single generation — then probes the
+    // RETAINED index. Result rows are the substring hits over the
+    // surviving compacted segment, annotated with (a) the multiset
+    // drift between this probe and the pre-retention probe snapshot
+    // (must be 0/0: compaction+retention may not move a probe) and
+    // (b) the terminal generation number and retained-manifest count
+    // (pins that compaction committed gen 3 and retention expired
+    // gens 1-2). The oracle recomputes the hits from the v2 corpus and
+    // asserts the constants, so any cross-op drift fails the GATE. ───
+    "pipe_index_lifecycle" -> ((s, dir) => {
+      val root = lifecycleRoot(s, dir)
+      val after = trigramProbe(s, dir, readCurrent(s, root))
+      val before = s.read.parquet(
+        new java.io.File(root, "probe-before").toString)
+      val drift = after.exceptAll(before)
+        .agg(count(lit(1)).as("probe_only_after"))
+        .crossJoin(before.exceptAll(after)
+          .agg(count(lit(1)).as("probe_only_before")))
+      after.crossJoin(drift)
+        .withColumn("live_gen", lit(committedGen(root)).cast("long"))
+        .withColumn("n_gens_retained",
+          lit(committedGens(root).size).cast("long"))
+    }),
+
+    // ── Structural parity for the BM25 timeline: merged ≡ fresh v2
+    // rebuild as a MULTISET of (doc_id, token, tf, dl) rows — tf and
+    // the denormalized dl make this stronger than membership parity
+    // (a lost tombstone duplicating a row, or a stale dl on an edited
+    // doc, fails here). ──────────────────────────────────────────────
+    "idx_bm25_inc_parity" -> ((s, dir) => {
+      val merged = mergedBm25(s, dir)
+      val fresh = freshV2Bm25(s, dir)
+      val onlyM = merged.exceptAll(fresh).agg(count(lit(1)).as("only_merged"))
+      val onlyF = fresh.exceptAll(merged).agg(count(lit(1)).as("only_fresh"))
+      val stats = fresh.agg(count(lit(1)).as("n_postings"),
+        countDistinct(col("token")).as("n_tokens"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("tf")).as("sum_tf"))
       onlyM.crossJoin(onlyF).crossJoin(stats)
     })
   )
@@ -457,6 +747,39 @@ object IncPostings {
          |  CAST(count(DISTINCT tok) AS BIGINT) AS n_toks,
          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
          |FROM tk""".stripMargin,
+
+    "pipe_index_lifecycle" ->
+      s"""$sqlV2
+         |SELECT doc_id,
+         |  CAST(0 AS BIGINT) AS probe_only_after,
+         |  CAST(0 AS BIGINT) AS probe_only_before,
+         |  CAST(3 AS BIGINT) AS live_gen,
+         |  CAST(1 AS BIGINT) AS n_gens_retained
+         |FROM v2
+         |WHERE contains(text, '${TextOps.TrigramPattern.replace("'", "''")}')""".stripMargin,
+
+    // The inline BM25 oracle re-targeted at the v2 corpus: splice the
+    // v2 CTE chain in front and point the tokenization at it.
+    "idx_bm25_inc" ->
+      (sqlV2 + ",\n" + TextOps.sqlBm25TopK.stripPrefix("WITH ")
+        .replace("FROM documents", "FROM v2")),
+
+    "idx_bm25_inc_parity" ->
+      s"""$sqlV2,
+         |tk AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+         |    t -> t <> '')) AS tok
+         |  FROM v2),
+         |pt AS (
+         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tk GROUP BY doc_id, tok)
+         |SELECT CAST(0 AS BIGINT) AS only_merged,
+         |  CAST(0 AS BIGINT) AS only_fresh,
+         |  CAST(count(*) AS BIGINT) AS n_postings,
+         |  CAST(count(DISTINCT tok) AS BIGINT) AS n_tokens,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(sum(tf) AS BIGINT) AS sum_tf
+         |FROM pt""".stripMargin,
 
     "idx_postings_inc_parity" ->
       s"""$sqlV2,

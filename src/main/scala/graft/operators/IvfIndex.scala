@@ -403,6 +403,58 @@ object IvfIndex {
     })
   }
 
+  /** The simulated DRIFT cohort for the ORACLED retrain timeline: a
+    * third of the corpus (residue-3 vec_ids) re-arrives shifted +10.0
+    * per dimension — far outside the build distribution, so the whole
+    * cohort piles into one or two cells of the frozen codebook and
+    * trips [[SkewRetrainRatio]]. Disjoint residue from the append
+    * timeline's %19 so the two inventory indexes never share a cache
+    * key shape. SQL form shared with the DuckDB oracle. */
+  val RetrainArrivalsWhere = "vec_id % 3 = 0"
+
+  /** The shifted arrival batch (float32 `x + 10.0f` per dim — the
+    * oracle reproduces the same rounding via DOUBLE add + FLOAT cast). */
+  private[graft] def retrainArrivals(e: DataFrame): DataFrame =
+    e.where(expr(RetrainArrivalsWhere))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x + lit(10.0f)).as("embedding"))
+
+  /** The post-retrain corpus: unshifted base ∪ shifted arrivals —
+    * what the retrained index indexes, and where its queries come
+    * from. */
+  private[graft] def retrainCorpus(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    e.where(not(expr(RetrainArrivalsWhere)))
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(retrainArrivals(e))
+  }
+
+  /** Build-once RETRAIN timeline (r11 verdict #8): base build on the
+    * non-arrival subset, then [[appendOrRetrain]] with the shifted
+    * cohort — the skew policy MUST trip (required loudly, so a policy
+    * regression fails the build rather than silently serving the
+    * frozen codebook), leaving a generation-2 index retrained on the
+    * union. Search over it is oracled end to end: the DuckDB twin
+    * trains on the same union, so a hash match certifies both the
+    * trigger and the post-retrain search semantics. */
+  def retrainPersistedPath(s: SparkSession, dir: String): String = {
+    val fp = corpusFingerprint(dir)
+    builtIdx.getOrElseUpdate((fp, s"$dir#retrain"), {
+      val prefix = s"${dir.replaceAll("[^A-Za-z0-9._-]", "_")}-retrain-"
+      val root = new java.io.File("/tmp/graft-ivf-cache", prefix + fp)
+      val path = root.toString
+      if (currentVersion(s, path).isEmpty) {
+        evictStaleSiblings(s, root, prefix)
+        val e = Tables(s, dir, "embeddings")
+        build(s, e.where(not(expr(RetrainArrivalsWhere))), path)
+        val retrained = appendOrRetrain(s, path, retrainArrivals(e))
+        require(retrained,
+          s"skewed arrival batch must trip the retrain policy at $dir")
+      }
+      path
+    })
+  }
+
   /** The persisted versioned index must reproduce the inline
     * `sim_ivf_search` EXACTLY — trainCodebook is deterministic in the
     * vector multiset, probe-1 search visits the query's own cell — so
@@ -417,11 +469,17 @@ object IvfIndex {
         Tables(s, dir, "embeddings").where(col("vec_id") < 5), k = 3, nprobe = 1)),
     "sim_ivf_inc" -> ((s, dir) =>
       search(s, incPersistedPath(s, dir),
-        Tables(s, dir, "embeddings").where(col("vec_id") < 5), k = 3, nprobe = 1))
+        Tables(s, dir, "embeddings").where(col("vec_id") < 5), k = 3, nprobe = 1)),
+    // Queries come from the POST-RETRAIN corpus (vec 0 and 3 are
+    // shifted arrivals), matching the oracle's index-contents q set.
+    "sim_ivf_retrain" -> ((s, dir) =>
+      search(s, retrainPersistedPath(s, dir),
+        retrainCorpus(s, dir).where(col("vec_id") < 5), k = 3, nprobe = 1))
   )
 
   def oracles: Map[String, String] = Map(
     "sim_ivf_persisted" -> Similarity.oracles("sim_ivf_search"),
-    "sim_ivf_inc" -> Similarity.sqlIvfIncSearch
+    "sim_ivf_inc" -> Similarity.sqlIvfIncSearch,
+    "sim_ivf_retrain" -> Similarity.sqlIvfRetrainSearch
   )
 }

@@ -720,7 +720,8 @@ object Similarity {
     *   celldist (vec_id, cid, dist)      — quantized dist to every cell
     *   asgn     (vec_id, centroid_id, dist) — nearest cell
     */
-  private def sqlCbWith(kSelect: String, trainWhere: String = "TRUE"): String = {
+  private def sqlCbWith(kSelect: String, trainWhere: String = "TRUE",
+      corpusSql: String = "SELECT vec_id, embedding FROM embeddings"): String = {
     val rounds = (1 to IvfIndex.CbRounds).map { t =>
       s"""cba$t AS MATERIALIZED (
          |  SELECT vec_id, cid FROM (
@@ -736,7 +737,8 @@ object Similarity {
          |    GROUP BY 1, 2) GROUP BY cid)""".stripMargin
     }.mkString(",\n")
     s"""e0 AS MATERIALIZED (
-       |  SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |  SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM ($corpusSql)),
        |e0t AS MATERIALIZED (SELECT * FROM e0 WHERE $trainWhere),
        |kk AS MATERIALIZED ($kSelect),
        |cb0 AS MATERIALIZED (
@@ -788,6 +790,23 @@ object Similarity {
   private[operators] lazy val sqlIvfIncSearch: String =
     sqlIvfSearch(sqlCbWith(s"SELECT CAST(${IvfIndex.K} AS BIGINT) AS k",
       s"NOT (${IvfIndex.IncArrivalsWhere})"))
+
+  /** Oracle for the RETRAIN path: the corpus is base ∪ the shifted
+    * (out-of-distribution) arrival batch, and the codebook is trained
+    * on ALL of it — appendOrRetrain's post-retrain state is provably a
+    * fresh build over the union (trainCodebook is deterministic in
+    * the vector multiset; IvfIndexSpec pins the identity), so the
+    * oracle replays exactly that. The DOUBLE-add-then-CAST-to-FLOAT
+    * shift reproduces Spark's float32 `x + 10.0f` bit-for-bit (both
+    * are round-to-nearest-float of the exact sum). */
+  private[operators] lazy val sqlIvfRetrainSearch: String =
+    sqlIvfSearch(sqlCbWith(s"SELECT CAST(${IvfIndex.K} AS BIGINT) AS k",
+      corpusSql = s"""SELECT vec_id, embedding FROM embeddings
+         | WHERE NOT (${IvfIndex.RetrainArrivalsWhere})
+         | UNION ALL
+         | SELECT vec_id, CAST(list_transform(embedding,
+         |   x -> CAST(x AS DOUBLE) + 10.0) AS FLOAT[]) AS embedding
+         | FROM embeddings WHERE ${IvfIndex.RetrainArrivalsWhere}""".stripMargin))
 
   /** Adaptive-K prelude — the SQL twin of [[IvfIndex.semK]]:
     * K = greatest(16, ⌊√(n/2)⌋), the all-pairs (SemDeDup) sizing. */

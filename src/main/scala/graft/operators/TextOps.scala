@@ -872,10 +872,11 @@ object TextOps {
     * the token postings with the position column, the layout every
     * phrase/proximity query probes. Range-partitioned + sorted on the
     * token so parquet row-group stats serve the pushed `tok IN (…)`.
-    * ALSO the shared tokenization pass of the text-index family:
-    * [[PostingsIndex]] derives its (token, doc_id, tf, dl) rows from
-    * this artifact by aggregation instead of re-tokenizing the corpus
-    * (r10 verdict #5 — one corpus explode feeds both indexes). */
+    * (The r10 idea of ALSO deriving [[PostingsIndex]]'s
+    * (token, doc_id, tf, dl) rows from this artifact was implemented,
+    * measured SLOWER at both decades, and REVERTED — see the
+    * rejection record at PostingsIndex.cachedCorpus; each index
+    * tokenizes independently.) */
   private[operators] def positionalPostings(s: SparkSession, dir: String): DataFrame =
     ArtifactCache.parquet(s, dir, "positional-postings", Seq("documents")) {
       positionalRowsOf(Tables(s, dir, "documents"))

@@ -13,16 +13,23 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * so a stream-maintained index IS a batch-maintained index — same
   * storage, same reader, same LSM visibility rule.
   *
-  * Replay idempotence (foreachBatch's at-least-once contract): each
-  * applied batch leaves a `commits/batch-<id>` marker INSIDE the index
-  * root, written only after the generation's CURRENT swap. A replayed
-  * batch (restart between sink commit and checkpoint write) sees its
-  * marker and skips; a batch killed mid-commit left no marker and no
-  * CURRENT swap — its half-written segment files are overwritten by
-  * the replay (SaveMode.Overwrite) and the commit completes exactly
-  * once. Contract: at most one change record per doc_id per batch
-  * (upstream CDC compaction — the same assumption as CdcStream's
-  * tombstone stream).
+  * Replay idempotence (foreachBatch's at-least-once contract): the
+  * batchId rides INSIDE the committed manifest — the same atomic
+  * create-fails-if-exists that publishes the generation records which
+  * batch produced it, so the replay marker is transactional with the
+  * commit itself. A `commits/batch-<id>` marker file written after
+  * the commit is only the fast path; when it is missing (crash
+  * between manifest link and marker write) the replay consults the
+  * retained manifests' batchIds before committing again, so the
+  * commit completes exactly once in every crash position. (Retention
+  * cannot expire the unmarked generation first: maintenance for a
+  * batch runs after its marker, and later batches are only delivered
+  * once this batch's foreachBatch returned.) A batch killed
+  * mid-commit left no manifest — its orphaned segment files are
+  * superseded by the replay's fresh writer-unique dirs and swept by
+  * retention. Contract: at most one change record per doc_id per
+  * batch (upstream CDC compaction — the same assumption as
+  * CdcStream's tombstone stream).
   *
   * Scale shape: per batch, cost is batch-sized tokenization + one
   * metadata commit — the standing corpus is never re-read; probes stay
@@ -41,15 +48,17 @@ object IndexDeltaStream {
       rowsOf: DataFrame => DataFrame = TextOps.trigramRowsOf,
       layout: Seq[String] = Seq("g", "doc_id")): Unit = {
     val marker = new java.io.File(root, f"commits/batch-$batchId%05d")
-    if (marker.exists()) return // replayed batch: already committed
-    val ups = batch.where(col("op") === "upsert")
-      .select(col("doc_id"), col("text"))
-    val dels = batch.where(col("op") === "delete").select(col("doc_id"))
-    // An upsert tombstones the doc's OLD postings; its new rows ride
-    // the delta segment at the tombstone's seq (the LSM rule keeps
-    // exactly the new ones). A delete is tombstone-only.
-    IncPostings.commitDelta(root, rowsOf(ups),
-      dels.unionByName(ups.select(col("doc_id"))))
+    if (marker.exists()) return // replayed batch: fast path
+    if (!IncPostings.committedBatchIds(root).contains(batchId)) {
+      val ups = batch.where(col("op") === "upsert")
+        .select(col("doc_id"), col("text"))
+      val dels = batch.where(col("op") === "delete").select(col("doc_id"))
+      // An upsert tombstones the doc's OLD postings; its new rows ride
+      // the delta segment at the tombstone's seq (the LSM rule keeps
+      // exactly the new ones). A delete is tombstone-only.
+      IncPostings.commitDelta(root, rowsOf(ups),
+        dels.unionByName(ups.select(col("doc_id"))), Some(batchId))
+    }
     marker.getParentFile.mkdirs()
     marker.createNewFile()
     // Post-commit maintenance (best-effort — a crash here costs nothing

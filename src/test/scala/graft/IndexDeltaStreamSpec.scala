@@ -154,6 +154,30 @@ class IndexDeltaStreamSpec extends SparkSuite {
       5L -> "second text", 6L -> "third text")))
   }
 
+  test("crash between manifest link and marker write: replay still commits exactly once") {
+    // The replay marker is transactional with the commit — the batchId
+    // rides in the manifest. Simulate the crash position by committing
+    // the generation directly (as applyBatch would) and NEVER writing
+    // the fast-path marker file; the replay must detect the committed
+    // batchId and skip, not stack a duplicate generation.
+    val root = Files.createTempDirectory("idxdelta-crash").toFile
+    IncPostings.commitBase(root,
+      TextOps.trigramRowsOf(docsDf(Seq(1L -> "first text"))))
+    val batch = docsDf(Seq(5L -> "second text")).withColumn("op", lit("upsert"))
+    IncPostings.commitDelta(root,
+      TextOps.trigramRowsOf(batch.select(col("doc_id"), col("text"))),
+      batch.select(col("doc_id")), batchId = Some(0L))
+    assert(!new java.io.File(root, "commits/batch-00000").exists())
+    val genBefore = IncPostings.committedGen(root)
+    val viewBefore = readSet(root)
+    IndexDeltaStream.applyBatch(root, batch, batchId = 0L)
+    assert(IncPostings.committedGen(root) === genBefore,
+      "replay after a marker-less crash must not commit a new generation")
+    assert(readSet(root) === viewBefore)
+    // ...and the replay healed the fast-path marker for the next restart.
+    assert(new java.io.File(root, "commits/batch-00000").exists())
+  }
+
   test("restart from checkpoint resumes without re-applying or losing batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

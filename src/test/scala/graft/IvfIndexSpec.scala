@@ -212,6 +212,26 @@ class IvfIndexSpec extends SparkSuite {
     assert(served === 500L)
   }
 
+  test("sim_ivf_retrain is non-vacuous: retrained search differs from the frozen-codebook twin") {
+    val e = Tables(spark, sf001, "embeddings")
+    // The oracled retrain timeline: policy must have tripped (the
+    // builder requires it), leaving generation 2.
+    val retrained = IvfIndex.retrainPersistedPath(spark, sf001)
+    assert(IvfIndex.currentVersion(spark, retrained).contains(2))
+    // Frozen-codebook twin: same base, same shifted arrivals, but a
+    // plain append — no retrain.
+    val frozen = Files.createTempDirectory("ivf-frozen").toString + "/idx"
+    IvfIndex.build(spark, e.where(not(expr(IvfIndex.RetrainArrivalsWhere))), frozen)
+    IvfIndex.append(spark, frozen, IvfIndex.retrainArrivals(e))
+    val queries = IvfIndex.retrainCorpus(spark, sf001).where(col("vec_id") < 5)
+    def rows(path: String) =
+      IvfIndex.search(spark, path, queries, k = 3, nprobe = 1).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rk"),
+          r.getAs[Long]("vec_id"))).toSet
+    assert(rows(retrained) !== rows(frozen),
+      "the retrain must change search results on the drifted corpus, or the oracle is vacuous")
+  }
+
   test("stale-sibling eviction spares other index kinds (inc root survives a base build)") {
     // r11 ADVICE: the base root's '<dir>-' prefix also string-matches
     // the incremental root '<dir>-inc-<fp>', so a cold base build used
