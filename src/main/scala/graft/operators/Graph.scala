@@ -324,6 +324,44 @@ object Graph {
     (out, cleanup)
   }
 
+  /** The capped link-prediction plan: returns the lazy top-20 frame
+    * (plan-pinned in PlanSpec: in-list wedge expansion, no pair join,
+    * TakeOrderedAndProject) plus the PERSISTED capped adjacency it
+    * hangs off. The adjacency feeds THREE consumers (the wedge explode
+    * and both degree joins) — persisting it runs the corpus-sized
+    * adjacency aggregation once, not per consumer (r11 watch item:
+    * 3.4 → 2.7 s at sf0.1, 19.1 → 15.9 s at the 10× decade,
+    * steady-state; the table is node-sized, so the footprint is
+    * bounded). The caller must unpersist after materializing. */
+  private[graft] def cappedLinkPredict(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val Q = LinkPredQuota
+    val e = coPurchaseEdges(s, dir)
+    val adj = e.select(col("u").as("node"), col("v").as("nb"))
+      .union(e.select(col("v").as("node"), col("u").as("nb")))
+    val nbrs = adj.groupBy("node")
+      .agg(slice(sort_array(collect_set(col("nb"))), 1, Q).as("ns"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = nbrs.select(col("node"), size(col("ns")).cast("long").as("deg"))
+    val wedges = nbrs.select(explode(sortedPairs(col("ns"), "a", "b")).as("p"))
+      .select(col("p.a"), col("p.b"))
+    val cn = wedges.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
+    val cand = cn.join(e, cn("a") === e("u") && cn("b") === e("v"), "left_anti")
+    val top = cand
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(col("a"), col("b"), col("cn"),
+        // cn can exceed the CAPPED degree sum (middles count a/b via
+        // their own capped lists), so the union estimate is clamped
+        // to ≥1 — quota-jaccard is a bounded-cost approximation.
+        Num.roundp(col("cn").cast("double") /
+          greatest(col("da") + col("db") - col("cn"), lit(1L)), 6)
+          .as("jaccard"))
+      .orderBy(col("cn").desc, col("jaccard").desc, col("a"), col("b"))
+      .limit(20)
+    (top, nbrs)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── PageRank authority over the customer→supplier trade graph,
     // 3 fixed iterations (oracle = exact SQL unroll). Customers have no
@@ -404,29 +442,12 @@ object Graph {
     // degrees); ranking quality degrades gracefully with Q while the
     // cost bound is hard. ────────────────────────────────────────────
     "graph_link_predict_capped" -> ((s, dir) => {
-      val Q = LinkPredQuota
-      val e = coPurchaseEdges(s, dir)
-      val adj = e.select(col("u").as("node"), col("v").as("nb"))
-        .union(e.select(col("v").as("node"), col("u").as("nb")))
-      val nbrs = adj.groupBy("node")
-        .agg(slice(sort_array(collect_set(col("nb"))), 1, Q).as("ns"))
-      val deg = nbrs.select(col("node"), size(col("ns")).cast("long").as("deg"))
-      val wedges = nbrs.select(explode(sortedPairs(col("ns"), "a", "b")).as("p"))
-        .select(col("p.a"), col("p.b"))
-      val cn = wedges.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
-      val cand = cn.join(e, cn("a") === e("u") && cn("b") === e("v"), "left_anti")
-      cand
-        .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
-        .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
-        .select(col("a"), col("b"), col("cn"),
-          // cn can exceed the CAPPED degree sum (middles count a/b via
-          // their own capped lists), so the union estimate is clamped
-          // to ≥1 — quota-jaccard is a bounded-cost approximation.
-          Num.roundp(col("cn").cast("double") /
-            greatest(col("da") + col("db") - col("cn"), lit(1L)), 6)
-            .as("jaccard"))
-        .orderBy(col("cn").desc, col("jaccard").desc, col("a"), col("b"))
-        .limit(20)
+      val (top, nbrs) = cappedLinkPredict(s, dir)
+      // Materialize via the TakeOrderedAndProject driver top-k (LIMIT-
+      // bounded collect), then drop the cached adjacency blocks.
+      val rows = top.collect().toSeq
+      nbrs.unpersist(blocking = false)
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), top.schema)
     }),
 
     // ── Multi-source BFS hop distance over the (undirected) trade

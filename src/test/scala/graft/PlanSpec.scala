@@ -403,15 +403,21 @@ class PlanSpec extends SparkSuite {
   }
 
   test("capped link prediction: in-list wedge expansion, no pair join, engine-side top-k") {
-    val df = SparkEntry.queries("graph_link_predict_capped")(spark, sf001)
-    val plan = physical(df)
-    // The wedge set comes from Generate (explode over the Q-capped
-    // list expansion) — a self-join of the adjacency here would be the
-    // unbounded Σ deg² shape the quota exists to prevent.
-    assert(plan.contains("Generate"), plan)
-    assert(!plan.contains("CartesianProduct"), plan)
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
-    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // Pin the LAZY plan (the inventory query materializes it through a
+    // LIMIT-bounded collect and returns a local frame).
+    val (df, nbrs) = graft.operators.Graph.cappedLinkPredict(spark, sf001)
+    try {
+      val plan = physical(df)
+      // The wedge set comes from Generate (explode over the Q-capped
+      // list expansion) — a self-join of the adjacency here would be the
+      // unbounded Σ deg² shape the quota exists to prevent.
+      assert(plan.contains("Generate"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(plan.contains("TakeOrderedAndProject"), plan)
+      // The capped adjacency is cached across its three consumers.
+      assert(plan.contains("InMemoryTableScan"), plan)
+    } finally nbrs.unpersist(blocking = false)
   }
 
   test("keyed CMS: exactly one pass over lineitem feeds sketch, probe and ranking") {
