@@ -403,9 +403,15 @@ object Graph {
         .persist(StorageLevel.MEMORY_AND_DISK)
       val adj = e.select(col("u").as("node"), col("v").as("nb"))
         .union(e.select(col("v").as("node"), col("u").as("nb")))
-      val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+      // One adjacency aggregation feeds all three consumers: the edges
+      // are DISTINCT pairs, so the true degree IS the neighbor-list
+      // size — deriving deg from the persisted nbrs saves the second
+      // corpus-sized groupBy the old plan paid (same shape as the
+      // capped variant's r12 fix).
       val nbrs = adj.groupBy("node")
         .agg(sort_array(collect_set(col("nb"))).as("ns"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val deg = nbrs.select(col("node"), size(col("ns")).cast("long").as("deg"))
       // Same in-list pair expansion as coPurchaseEdges: wedge (a, b)
       // through each middle node, a < b canonical.
       val wedges = nbrs.select(explode(sortedPairs(col("ns"), "a", "b")).as("p"))
@@ -428,6 +434,7 @@ object Graph {
       // by the LIMIT 20.
       val rows = top.collect().toSeq
       e.unpersist(blocking = false)
+      nbrs.unpersist(blocking = false)
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), top.schema)
     }),
 

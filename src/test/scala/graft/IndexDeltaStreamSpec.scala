@@ -154,6 +154,45 @@ class IndexDeltaStreamSpec extends SparkSuite {
       5L -> "second text", 6L -> "third text")))
   }
 
+  test("BM25 layout rides the same stream: ranked-retrieval rows maintained per batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("idxdelta-bm25").toFile
+    var corpus = Map(1L -> "spark query engine", 2L -> "window query plan")
+    IncPostings.commitBase(root, IncPostings.bm25RowsOf(docsDf(corpus.toSeq)))
+
+    def bm25Set(): Set[(Long, String, Long, Long)] =
+      IncPostings.readCurrent(spark, root)
+        .select(col("doc_id"), col("token"), col("tf"), col("dl"))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).toSet
+    def freshSet(): Set[(Long, String, Long, Long)] =
+      IncPostings.bm25RowsOf(docsDf(corpus.toSeq))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).toSet
+
+    val changes = MemoryStream[(Long, String, String)]
+    val q = IndexDeltaStream.start(
+      changes.toDS().toDF("doc_id", "text", "op"), root,
+      Files.createTempDirectory("idxdelta-bm25-ckpt").toString,
+      compactAtSegments = 2, keepGens = 1,
+      rowsOf = IncPostings.bm25RowsOf, layout = Seq("token", "doc_id"))
+    try {
+      // Edit doc 1 (tf of 'query' rises, dl changes); delete doc 2.
+      changes.addData((1L, "query query spark", "upsert"), (2L, "", "delete"))
+      q.processAllAvailable()
+      corpus = corpus - 2L + (1L -> "query query spark")
+      assert(bm25Set() === freshSet())
+      // Insert doc 3; the maintained tf/dl stay exact through the
+      // compaction the second batch triggers.
+      changes.addData((3L, "spark window window window", "upsert"))
+      q.processAllAvailable()
+      corpus += 3L -> "spark window window window"
+      assert(bm25Set() === freshSet())
+      assert(bm25Set().contains((3L, "window", 3L, 4L)))
+    } finally q.stop()
+  }
+
   test("crash between manifest link and marker write: replay still commits exactly once") {
     // The replay marker is transactional with the commit — the batchId
     // rides in the manifest. Simulate the crash position by committing
