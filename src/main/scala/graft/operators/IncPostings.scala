@@ -162,6 +162,11 @@ object IncPostings {
     * dropped by a last-swap-wins race. `build` receives the basis
     * manifest and the generation number being claimed and must be
     * pure (it may run several times under contention). */
+  /** Lost-race rebases across the JVM — contention observability for
+    * specs and the LsmCommitBench evidence (a commit that never races
+    * adds 0). */
+  private[graft] val contentionRetries = new java.util.concurrent.atomic.AtomicLong
+
   private[graft] def commitManifest(root: java.io.File)(
       build: (Manifest, Int) => Manifest): Int = {
     var attempts = 0
@@ -186,10 +191,12 @@ object IncPostings {
         case _: java.nio.file.FileAlreadyExistsException =>
           if (tmp != null) tmp.delete() // lost the race: rebase and retry
           attempts += 1
+          contentionRetries.incrementAndGet()
         case _: java.io.IOException =>
           // a retention pass swept our still-unclaimed gen dir out from
           // under the tmp write/link — recreate and retry
           attempts += 1
+          contentionRetries.incrementAndGet()
       }
     }
     sys.error(s"manifest commit contention: gave up after $attempts attempts at $root")
