@@ -170,12 +170,11 @@ object Bench {
       if (times.isEmpty) 0.0
       else if (times.size % 2 == 1) times(times.size / 2)
       else (times(times.size / 2 - 1) + times(times.size / 2)) / 2
-    val worst10 = jmap(results.sortBy(-_._2).take(10)
-      .map { case (k, v, _) => k -> ms(v) })
+    val worst = results.sortBy(-_._2).take(10)
+    val worst10 = jmap(worst.map { case (k, v, _) => k -> ms(v) })
     // Load samples FOR the worst-10 (the queries whose moves need
     // attribution) — full per-query loads are in line 1 + the file.
-    val worstLoads = jmap(results.sortBy(-_._2).take(10)
-      .map { case (k, _, l) => k -> l2(l) })
+    val worstLoads = jmap(worst.map { case (k, _, l) => k -> l2(l) })
     val fams = jmap(famSecs.toSeq.map { case (k, v) => k -> ms(v) })
     // cold per query as COUNTS here (names are in line 1 + the file):
     // keeps this line safely inside the ~2 KB durable tail.

@@ -104,27 +104,13 @@ object IncPostingsBench {
       .write.parquet(bmFreshDir))
     var bmRows = 0L
     val bmProbeS = timed {
-      import graft.functions.Num
-      val terms = graft.operators.PostingsIndex.Terms
-      val post = IncPostings.readCurrent(spark, bmRoot)
-        .where(col("token").isin(terms: _*))
-      val cs = IncPostings.readCurrent(spark, dlRoot)
-        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-        .select(col("n_docs"),
-          (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
-      val idf = Num.roundp(org.apache.spark.sql.functions.log(
-        lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)), 6)
-      val stats = post.groupBy(col("token")).agg(count(lit(1)).as("df"))
-        .crossJoin(cs).withColumn("idf", idf)
-      val denom = col("tf") +
-        lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))
-      val part = Num.roundp(col("idf") * (col("tf") * lit(2.2)) / denom, 6)
-      bmRows = post.join(broadcast(stats), "token")
-        .select(col("doc_id"), part.as("p"))
-        .groupBy(col("doc_id"))
-        .agg(Num.roundp(sum(col("p")), 4).as("score"))
-        .orderBy(col("score").desc, col("doc_id")).limit(10)
-        .count()
+      // The EXACT gated query body (shared definition — see
+      // IncPostings.bm25Probe), so this decade row measures what the
+      // correctness gate certifies.
+      bmRows = IncPostings.bm25Probe(
+        IncPostings.readCurrent(spark, bmRoot),
+        IncPostings.readCurrent(spark, dlRoot),
+        graft.operators.PostingsIndex.Terms, 10).count()
     }
     println(s"""{"metric":"incbm25","dir":"$dir","n_docs":$nDocs,"n_delta_docs":$nDelta,"base_build_s":${r3(bmBaseS)},"delta_commit_s":${r3(bmDeltaS)},"full_rebuild_s":${r3(bmRebuildS)},"probe_s":${r3(bmProbeS)},"probe_rows":$bmRows}""")
 

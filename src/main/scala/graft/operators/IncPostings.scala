@@ -92,14 +92,29 @@ object IncPostings {
       java.nio.charset.StandardCharsets.UTF_8)
 
   /** Live (= max committed) generation: the highest
-    * `gens/gen-N/MANIFEST.json` on disk. This listing is authoritative
-    * — the CURRENT file is only a monotonic reader hint (Iceberg's
-    * version-hint.text), because a pointer file cannot be
+    * `gens/gen-N/MANIFEST.json` on disk. The manifest set is
+    * authoritative — the CURRENT file is only a monotonic reader hint
+    * (Iceberg's version-hint.text), because a pointer file cannot be
     * compare-and-swapped portably and two racing writers could leave
     * it behind. Manifests are created by an atomic
-    * create-fails-if-exists, so a listed manifest is always complete. */
-  private[graft] def committedGen(root: java.io.File): Int =
-    committedGens(root).foldLeft(0)(math.max)
+    * create-fails-if-exists, so a listed manifest is always complete.
+    *
+    * Resolution is O(1) on the hot path: generations are contiguous,
+    * so start at the hint and probe forward until the first missing
+    * manifest (the hint is advanced per commit — typically 0 or 1
+    * probe steps). A stale-beyond-retention or absent hint falls back
+    * to the full directory listing. */
+  private[graft] def committedGen(root: java.io.File): Int = {
+    def exists(g: Int) = g >= 1 &&
+      new java.io.File(root, f"gens/gen-$g%05d/MANIFEST.json").exists()
+    val hint = try readText(new java.io.File(root, "CURRENT")).trim.toInt
+      catch { case _: Exception => 0 }
+    if (exists(hint)) {
+      var g = hint
+      while (exists(g + 1)) g += 1
+      g
+    } else committedGens(root).foldLeft(0)(math.max)
+  }
 
   /** All committed (manifest-bearing) generation numbers, ascending.
     * A bare `gens/gen-N/` directory without a manifest is an abandoned
@@ -192,11 +207,18 @@ object IncPostings {
           if (tmp != null) tmp.delete() // lost the race: rebase and retry
           attempts += 1
           contentionRetries.incrementAndGet()
-        case _: java.io.IOException =>
+        case _: java.nio.file.NoSuchFileException =>
           // a retention pass swept our still-unclaimed gen dir out from
-          // under the tmp write/link — recreate and retry
+          // under the tmp write/link — recreate and retry; any OTHER
+          // I/O failure (disk full, permissions) propagates: it is an
+          // environment error, not contention, and retrying would both
+          // mask it and miscount it as a lost race
+          if (tmp != null) tmp.delete()
           attempts += 1
           contentionRetries.incrementAndGet()
+        case e: java.io.IOException =>
+          if (tmp != null) tmp.delete() // don't leak tmps into the gen dir
+          throw e
       }
     }
     sys.error(s"manifest commit contention: gave up after $attempts attempts at $root")
@@ -271,6 +293,39 @@ object IncPostings {
     }.reduce(_ unionByName _)
   }
 
+  /** Default orphan-sweep grace for [[retain]]: five minutes, above
+    * any realistic delta data-write, so retention racing an optimistic
+    * committer never sweeps its not-yet-referenced data dirs. */
+  private[graft] val RetainGraceMs = 300000L
+
+  /** Thrown when a compaction's fold went stale under it: a CONCURRENT
+    * compaction replaced the very segments this one folded, so the
+    * rebase would double-commit their contents (the loser's fold PLUS
+    * the winner's fold both contain every pre-fold row). Deltas never
+    * conflict — only fold-vs-fold does (Iceberg's rewrite-files
+    * conflict). */
+  private[graft] final class CompactConflict extends Exception
+
+  /** Pure rebase step of a compaction, conflict-checked: the folded
+    * segment stands in for exactly `folded`'s segments and tombstones
+    * at seq `foldedAsOf`; a racing DELTA's newer segments/tombstones
+    * (seq > foldedAsOf) ride along and its tombstones still kill old
+    * rows inside the fold (seq rule). If the basis no longer carries
+    * exactly the folded file set at ≤ foldedAsOf — a racing COMPACTION
+    * won — the fold is stale and must abort, not rebase. Factored out
+    * for direct unit-testing of the conflict check. */
+  private[graft] def compactRebase(basis: Manifest, folded: Manifest,
+      foldedAsOf: Int, segPath: String): Manifest = {
+    val basisOld = basis.segments.filter(_.seq <= foldedAsOf)
+    val basisOldTombs = basis.tombstones.filter(_.seq <= foldedAsOf)
+    if (basisOld.toSet != folded.segments.toSet ||
+        basisOldTombs.toSet != folded.tombstones.toSet)
+      throw new CompactConflict
+    Manifest(
+      Segment(segPath, foldedAsOf) +: basis.segments.filter(_.seq > foldedAsOf),
+      basis.tombstones.filter(_.seq > foldedAsOf))
+  }
+
   /** LSM compaction: fold the live generation's segments + tombstones
     * into ONE fresh segment and commit it as the next generation. After
     * many streamed deltas the read path pays per-segment scans and
@@ -279,26 +334,32 @@ object IncPostings {
     * stays readable (old manifests still reference the old segments —
     * a retention pass, not compaction, reclaims them; the
     * maint_vacuum_plan shape). Readers never block: the swap is the
-    * same atomic CURRENT move as any commit. */
+    * same atomic manifest commit as any delta.
+    *
+    * Concurrency: a racing DELTA rides through the rebase (see
+    * [[compactRebase]]); a racing COMPACTION conflicts — the loser
+    * ABORTS (compaction is an optimization; aborting is always safe),
+    * leaves its orphaned fold segment to retention's grace-aware
+    * sweep, and returns the live generation unchanged. Returns the
+    * committed (or, on abort, current) generation. */
   private[graft] def compact(s: SparkSession, root: java.io.File,
       layout: Seq[String] = Seq("g", "doc_id")): Int = {
     val foldedAsOf = committedGen(root)
+    val folded = manifestOf(root, foldedAsOf)
     val seg = newDataDir(root, "segments")
     val lay = layout.map(col)
     readAt(s, root, foldedAsOf)
       .repartitionByRange(lay: _*)
       .sortWithinPartitions(lay: _*)
       .write.mode(SaveMode.Overwrite).parquet(seg.toString)
-    // The folded segment stands in for everything ≤ foldedAsOf at seq
-    // foldedAsOf; a delta committed by a RACING writer between our
-    // fold and our manifest link survives the rebase — its segments
-    // and tombstones (seq > foldedAsOf) ride along, and its
-    // tombstones still kill old rows inside the fold (seq rule).
-    commitManifest(root)((basis, gen) =>
-      Manifest(
-        Segment(seg.toString, foldedAsOf) +:
-          basis.segments.filter(_.seq > foldedAsOf),
-        basis.tombstones.filter(_.seq > foldedAsOf)))
+    try commitManifest(root)((basis, gen) =>
+      compactRebase(basis, folded, foldedAsOf, seg.toString))
+    catch {
+      case _: CompactConflict =>
+        log.info(s"[incpostings] compaction at $root aborted: " +
+          "a concurrent compaction replaced the folded segments")
+        committedGen(root)
+    }
   }
 
   /** Segment count of the live generation — the read-amplification
@@ -306,12 +367,27 @@ object IncPostings {
   private[graft] def liveSegmentCount(root: java.io.File): Int =
     manifestOf(root, committedGen(root)).segments.size
 
-  /** batchIds recorded in the RETAINED manifests — the transactional
-    * replay markers a restarted streaming maintainer consults when its
-    * fast-path marker file is missing (crash between manifest link and
-    * marker write; see IndexDeltaStream.applyBatch). */
-  private[graft] def committedBatchIds(root: java.io.File): Set[Long] =
-    committedGens(root).flatMap(g => manifestOf(root, g).batchId).toSet
+  /** Is `batchId` already recorded in a retained manifest? The
+    * transactional replay check a restarted streaming maintainer runs
+    * when its fast-path marker file is missing (crash between manifest
+    * link and marker write — see IndexDeltaStream.applyBatch). Scans
+    * manifests NEWEST-FIRST and stops at the first one carrying an
+    * OLDER batchId: a single maintainer commits batches in order, so
+    * nothing deeper can hold this batch. Cost is O(non-batch commits
+    * since the last batch) — compactions in between — not O(total
+    * retained generations), so a fresh batch's (always-miss) check
+    * stays cheap on an unboundedly-retained timeline. */
+  private[graft] def isBatchCommitted(root: java.io.File, batchId: Long): Boolean = {
+    val gens = committedGens(root)
+    for (g <- gens.reverseIterator) {
+      manifestOf(root, g).batchId match {
+        case Some(b) if b == batchId => return true
+        case Some(b) if b < batchId => return false
+        case _ => // newer batch or non-batch commit (compaction): keep looking
+      }
+    }
+    false
+  }
 
   /** Retention: expire every generation older than the newest
     * `keepGens` and delete the segment/tombstone files no surviving
@@ -335,14 +411,15 @@ object IncPostings {
     * `graceMs` guards CONCURRENT WRITERS: an optimistic committer
     * writes its data dirs before linking its manifest, so for that
     * window they are unreferenced — a racing retention pass must not
-    * sweep them. Data dirs younger than `graceMs` are skipped
-    * (Iceberg's remove-orphan-files `older_than`). The default 0 is
-    * for single-writer callers (the streaming maintainer runs
-    * retention inline between its own commits); set it above the
-    * longest data-write whenever retention can race a writer.
-    * Returns the deleted file-set roots (for logging/tests). */
+    * sweep them (the committer's manifest link would still succeed
+    * and publish a generation referencing deleted files). Data dirs
+    * younger than `graceMs` are skipped (Iceberg's
+    * remove-orphan-files `older_than`). The DEFAULT is the safe
+    * [[RetainGraceMs]]; pass 0 only when the caller can prove no
+    * other writer exists (a single-writer test, a quiesced offline
+    * maintenance window). Returns the deleted file-set roots. */
   private[graft] def retain(s: SparkSession, root: java.io.File,
-      keepGens: Int, graceMs: Long = 0L): Seq[String] = {
+      keepGens: Int, graceMs: Long = RetainGraceMs): Seq[String] = {
     require(keepGens >= 1, "retention must keep at least the live generation")
     val live = committedGen(root)
     val cutoff = live - keepGens + 1
@@ -478,7 +555,11 @@ object IncPostings {
         .write.mode(SaveMode.Overwrite)
         .parquet(new java.io.File(root, "probe-before").toString)
       compact(s, root)
-      retain(s, root, keepGens = 1)
+      // graceMs = 0: the cachedRoot build is single-writer by
+      // construction, so immediate reclamation is provably safe (and
+      // the query's n_gens_retained/probe checks want the terminal
+      // retained state, not a grace-deferred one).
+      retain(s, root, keepGens = 1, graceMs = 0L)
     }
 
   /** The live merged trigram postings view for the inventory queries. */
@@ -525,6 +606,35 @@ object IncPostings {
 
   private[graft] def mergedDoclens(s: SparkSession, dir: String): DataFrame =
     readCurrent(s, indexRoot(s, dir, "bm25dl", doclenRowsOf))
+
+  /** Okapi BM25 top-k over a merged postings view + doclen view — the
+    * idx_bm25_topk scoring recurrence (k1=1.2, b=0.75, the 1e-6
+    * idf/partial grids before the 1e-4 score grid). ONE definition
+    * shared by the gated idx_bm25_inc query and IncPostingsBench's
+    * decade probe, so the benched probe IS the query the correctness
+    * gate certifies. */
+  private[graft] def bm25Probe(postings: DataFrame, doclens: DataFrame,
+      terms: Seq[String], k: Int): DataFrame = {
+    import graft.functions.Num
+    val post = postings.where(col("token").isin(terms: _*))
+    val cs = doclens
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val idf = Num.roundp(org.apache.spark.sql.functions.log(
+      lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)), 6)
+    val stats = post.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .crossJoin(cs).withColumn("idf", idf)
+    val denom = col("tf") +
+      lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))
+    val part = Num.roundp(col("idf") * (col("tf") * lit(2.2)) / denom, 6)
+    post.join(broadcast(stats), "token")
+      .select(col("doc_id"), part.as("p"))
+      .groupBy(col("doc_id"))
+      .agg(Num.roundp(sum(col("p")), 4).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
 
   /** Fresh full rebuild over the v2 corpus — the parity baseline the
     * increment must equal (and the cost it avoids). Artifact-cached so
@@ -638,28 +748,9 @@ object IncPostings {
     // match proves generations/tombstones/compaction-ready storage
     // preserved RANKED-retrieval semantics — stats and all — not just
     // membership. ────────────────────────────────────────────────────
-    "idx_bm25_inc" -> ((s, dir) => {
-      import graft.functions.Num
-      val terms = PostingsIndex.Terms
-      val post = mergedBm25(s, dir).where(col("token").isin(terms: _*))
-      val cs = mergedDoclens(s, dir)
-        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-        .select(col("n_docs"),
-          (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
-      val idf = Num.roundp(org.apache.spark.sql.functions.log(
-        lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)), 6)
-      val stats = post.groupBy(col("token")).agg(count(lit(1)).as("df"))
-        .crossJoin(cs).withColumn("idf", idf)
-      val denom = col("tf") +
-        lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))
-      val part = Num.roundp(col("idf") * (col("tf") * lit(2.2)) / denom, 6)
-      post.join(broadcast(stats), "token")
-        .select(col("doc_id"), part.as("p"))
-        .groupBy(col("doc_id"))
-        .agg(Num.roundp(sum(col("p")), 4).as("score"),
-          count(lit(1)).as("n_terms"))
-        .orderBy(col("score").desc, col("doc_id")).limit(10)
-    }),
+    "idx_bm25_inc" -> ((s, dir) =>
+      bm25Probe(mergedBm25(s, dir), mergedDoclens(s, dir),
+        PostingsIndex.Terms, 10)),
 
     // ── The composed index lifecycle (r11 verdict #4): ONE query that
     // runs the whole timeline — base commit, snapshot-diff delta,

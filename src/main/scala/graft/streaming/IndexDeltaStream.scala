@@ -46,10 +46,11 @@ object IndexDeltaStream {
       batchId: Long, compactAtSegments: Int = Int.MaxValue,
       keepGens: Int = Int.MaxValue,
       rowsOf: DataFrame => DataFrame = TextOps.trigramRowsOf,
-      layout: Seq[String] = Seq("g", "doc_id")): Unit = {
+      layout: Seq[String] = Seq("g", "doc_id"),
+      retainGraceMs: Long = IncPostings.RetainGraceMs): Unit = {
     val marker = new java.io.File(root, f"commits/batch-$batchId%05d")
     if (marker.exists()) return // replayed batch: fast path
-    if (!IncPostings.committedBatchIds(root).contains(batchId)) {
+    if (!IncPostings.isBatchCommitted(root, batchId)) {
       val ups = batch.where(col("op") === "upsert")
         .select(col("doc_id"), col("text"))
       val dels = batch.where(col("op") === "delete").select(col("doc_id"))
@@ -71,7 +72,11 @@ object IndexDeltaStream {
     if (IncPostings.liveSegmentCount(root) >= compactAtSegments)
       IncPostings.compact(s, root, layout)
     if (keepGens != Int.MaxValue)
-      IncPostings.retain(s, root, keepGens)
+      // The grace default keeps this safe even when a SEPARATE
+      // compaction daemon shares the root (the two-writer reality the
+      // optimistic commit protocol admits): an in-flight fold's
+      // unreferenced data dirs survive the sweep.
+      IncPostings.retain(s, root, keepGens, retainGraceMs)
   }
 
   /** Start maintaining the index at `root` (which must hold a committed
@@ -87,10 +92,12 @@ object IndexDeltaStream {
       compactAtSegments: Int = Int.MaxValue,
       keepGens: Int = Int.MaxValue,
       rowsOf: DataFrame => DataFrame = TextOps.trigramRowsOf,
-      layout: Seq[String] = Seq("g", "doc_id")): StreamingQuery =
+      layout: Seq[String] = Seq("g", "doc_id"),
+      retainGraceMs: Long = IncPostings.RetainGraceMs): StreamingQuery =
     changes.writeStream
       .foreachBatch((b: Dataset[Row], id: Long) =>
-        applyBatch(root, b.toDF(), id, compactAtSegments, keepGens, rowsOf, layout))
+        applyBatch(root, b.toDF(), id, compactAtSegments, keepGens, rowsOf,
+          layout, retainGraceMs))
       .option("checkpointLocation", checkpoint)
       .outputMode("update")
       .start()

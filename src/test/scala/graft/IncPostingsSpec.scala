@@ -242,7 +242,10 @@ class IncPostingsSpec extends SparkSuite {
     def segsNamed(prefix: String): Seq[java.io.File] =
       Option(new java.io.File(root, "segments").listFiles())
         .getOrElse(Array.empty).filter(_.getName.startsWith(prefix)).toSeq
-    val deleted1 = IncPostings.retain(spark, root, keepGens = 2)
+    // graceMs = 0: this spec is the single-writer case where immediate
+    // reclamation is provably safe (the default grace would spare the
+    // just-written files).
+    val deleted1 = IncPostings.retain(spark, root, keepGens = 2, graceMs = 0L)
     assert(deleted1.isEmpty)
     assert(!new java.io.File(root, "gens/gen-00001").exists())
     assert(segsNamed("seg-00001").nonEmpty)
@@ -250,14 +253,14 @@ class IncPostingsSpec extends SparkSuite {
     assert(IncPostings.readAt(spark, root, 2).count() > 0) // kept gen readable
     // keepGens=1 keeps only the live compacted gen; seg-00001/2 and the
     // gen-2 tombstone set are now unreferenced → reclaimed.
-    val deleted2 = IncPostings.retain(spark, root, keepGens = 1)
+    val deleted2 = IncPostings.retain(spark, root, keepGens = 1, graceMs = 0L)
     assert(deleted2.exists(_.contains("seg-00001")))
     assert(deleted2.exists(_.contains("seg-00002")))
     assert(segsNamed("seg-00001").isEmpty)
     assert(segsNamed("seg-00003").nonEmpty)
     assert(readSet(root) === before)
     // Idempotent once converged; live generation always survives.
-    assert(IncPostings.retain(spark, root, keepGens = 1).isEmpty)
+    assert(IncPostings.retain(spark, root, keepGens = 1, graceMs = 0L).isEmpty)
     // And the retained index accepts further deltas as usual.
     IncPostings.commitDelta(root,
       operators.TextOps.trigramRowsOf(docsDf(4L -> "qrst")), idsDf())
@@ -318,6 +321,39 @@ class IncPostingsSpec extends SparkSuite {
     assert(m.segments.map(_.seq).sorted === Seq(1, 2, 3))
     assert(readSet(root) === expectedPostings(
       Seq(1L -> "abcd", 10L -> "wxyz", 20L -> "mnop")))
+  }
+
+  test("concurrent compactions conflict: the stale fold aborts instead of double-committing") {
+    import IncPostings.{Manifest, Segment}
+    // C1 folded gens ≤ 2 (segments s1,s2 + tombstone t2). Meanwhile C2
+    // won: the basis now carries C2's fold (f2@2) instead of s1/s2.
+    // C1's rebase must detect the replacement and abort — keeping both
+    // folds would duplicate every pre-fold row in the merged view.
+    val folded = Manifest(Seq(Segment("s1", 1), Segment("s2", 2)),
+      Seq(Segment("t2", 2)))
+    val basisAfterC2 = Manifest(Seq(Segment("f2", 2)), Seq.empty)
+    intercept[IncPostings.CompactConflict] {
+      IncPostings.compactRebase(basisAfterC2, folded, 2, "f1")
+    }
+    // A racing DELTA (segments/tombstones at seq 3) is NOT a conflict:
+    // the fold replaces exactly its own inputs and the delta rides.
+    val basisAfterDelta = Manifest(
+      folded.segments :+ Segment("d3", 3),
+      folded.tombstones :+ Segment("dt3", 3))
+    val rebased = IncPostings.compactRebase(basisAfterDelta, folded, 2, "f1")
+    assert(rebased.segments === Seq(Segment("f1", 2), Segment("d3", 3)))
+    assert(rebased.tombstones === Seq(Segment("dt3", 3)))
+    // End-to-end: a compact whose fold goes stale under a live root
+    // returns the current generation unchanged (abort, not corrupt).
+    val root = freshRoot()
+    IncPostings.commitBase(root,
+      operators.TextOps.trigramRowsOf(docsDf(1L -> "abcd")))
+    IncPostings.commitDelta(root,
+      operators.TextOps.trigramRowsOf(docsDf(2L -> "wxyz")), idsDf())
+    val before = readSet(root)
+    val g1 = IncPostings.compact(spark, root)   // wins normally
+    assert(g1 === 3)
+    assert(readSet(root) === before)
   }
 
   test("stress: two delta writers + a compactor serialize with zero lost docs") {

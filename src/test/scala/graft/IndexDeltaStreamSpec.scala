@@ -66,7 +66,7 @@ class IndexDeltaStreamSpec extends SparkSuite {
     val q = IndexDeltaStream.start(
       changes.toDS().toDF("doc_id", "text", "op"), root,
       Files.createTempDirectory("idxdelta-maint-ckpt").toString,
-      compactAtSegments = 3, keepGens = 1)
+      compactAtSegments = 3, keepGens = 1, retainGraceMs = 0L)
     try {
       (10L to 16L).foreach { id =>
         changes.addData((id, s"streamed doc $id", "upsert"))
