@@ -114,12 +114,39 @@ object IncPostingsBench {
     }
     println(s"""{"metric":"incbm25","dir":"$dir","n_docs":$nDocs,"n_delta_docs":$nDelta,"base_build_s":${r3(bmBaseS)},"delta_commit_s":${r3(bmDeltaS)},"full_rebuild_s":${r3(bmRebuildS)},"probe_s":${r3(bmProbeS)},"probe_rows":$bmRows}""")
 
+    // ── the same curve for the LSH BAND timeline (dedup_lsh_inc):
+    // delta = re-minhash only the arrivals; rebuild = fresh
+    // shingle→minhash→band over v2; probe = the arrivals' asymmetric
+    // bucket-collision join against the merged view (candidate
+    // generation only — the exact-verify cost is candidate-sized and
+    // identical for both maintenance strategies). ────────────────────
+    val lshRoot = java.nio.file.Files.createTempDirectory("inclsh-bench").toFile
+    val lshBaseS = timed(IncPostings.commitBase(lshRoot,
+      IncPostings.lshBandRowsOf(docs)))
+    val lshDeltaS = timed(IncPostings.commitDelta(lshRoot,
+      IncPostings.lshBandRowsOf(IncPostings.deltaDocs(docs, shift)),
+      IncPostings.tombstoneDocIds(docs)))
+    val lshFreshDir = new java.io.File(lshRoot, "fresh-v2").toString
+    val lshRebuildS = timed(IncPostings.lshBandRowsOf(
+      Maintenance.snapshotV2(docs, shift)).write.parquet(lshFreshDir))
+    var lshRows = 0L
+    val lshProbeS = timed {
+      lshRows = IncPostings.lshBandRowsOf(
+          IncPostings.deltaDocs(docs, shift)).as("x")
+        .join(IncPostings.readCurrent(spark, lshRoot).as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") =!= col("y.doc_id"))
+        .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
+    }
+    println(s"""{"metric":"inclshband","dir":"$dir","n_docs":$nDocs,"n_delta_docs":$nDelta,"base_build_s":${r3(lshBaseS)},"delta_commit_s":${r3(lshDeltaS)},"full_rebuild_s":${r3(lshRebuildS)},"probe_s":${r3(lshProbeS)},"probe_rows":$lshRows}""")
+
     val lfs = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration)
     lfs.delete(new org.apache.hadoop.fs.Path(root.toString), true)
     lfs.delete(new org.apache.hadoop.fs.Path(posRoot.toString), true)
     lfs.delete(new org.apache.hadoop.fs.Path(bmRoot.toString), true)
     lfs.delete(new org.apache.hadoop.fs.Path(dlRoot.toString), true)
+    lfs.delete(new org.apache.hadoop.fs.Path(lshRoot.toString), true)
     spark.stop()
   }
 }

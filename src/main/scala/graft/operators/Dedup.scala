@@ -117,7 +117,7 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
-  private def bandRows(s: SparkSession, dir: String): DataFrame =
+  private[operators] def bandRows(s: SparkSession, dir: String): DataFrame =
     bandRowsOf(minhashes(s, dir))
 
   /** Candidate pairs (a < b) sharing at least one LSH band bucket.
@@ -327,6 +327,73 @@ object Dedup {
             .when(col("near_id").isNotNull, lit("near_dup"))
             .otherwise(lit("unique")).as("verdict"),
           coalesce(col("exact_id"), col("near_id")).as("match_id"))
+    }),
+
+    // ── incremental dedup against the LSM-MAINTAINED band index: the
+    // arrivals (edits + adds of the v1→v2 release) probe the MERGED
+    // (base∪delta minus tombstones) corpus band view for bucket
+    // collisions, then exact-Jaccard-verify only the candidate docs.
+    // This is dedup_incremental's asymmetric shape with the corpus
+    // side upgraded from a rebuild-only artifact to the delta-
+    // maintained timeline — at 100 TB the band index absorbs corpus
+    // churn at delta cost (generations/tombstones/compaction/
+    // retention/time-travel all apply; same machinery as the
+    // trigram/positional/BM25 kinds). The oracle recomputes the
+    // answer from the v2 corpus directly, so a hash match proves the
+    // timeline preserved CANDIDATE-GENERATION semantics end to end —
+    // a lost band row surfaces as a missed near_dup verdict. Adds
+    // carry a still-live original's text (Jaccard 1.0), so near-dup
+    // hits are structurally guaranteed, and an edited arrival must
+    // NOT match its own tombstoned v1 rows. ──────────────────────────
+    "dedup_lsh_inc" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val arrivals = IncPostings.deltaDocs(docs, Maintenance.AddShift)
+      val arrBands = IncPostings.lshBandRowsOf(arrivals)
+      val cand = arrBands.as("x")
+        .join(IncPostings.mergedLshBands(s, dir).as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") =!= col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      // Exact verify shingles ONLY the candidate docs (semi-join into
+      // the v2 snapshot) — candidate-sized, never corpus-sized.
+      val v2 = Maintenance.snapshotV2(docs).select(col("doc_id"), col("text"))
+      val candDocs = cand.select(col("a").as("doc_id"))
+        .union(cand.select(col("b").as("doc_id"))).distinct()
+      val ex = shinglesOf(v2.join(candDocs, "doc_id")).distinct()
+      val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = cand
+        .join(ex.toDF("a", "s"), "a").join(ex.toDF("b", "s"), Seq("b", "s"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
+      val j = col("i").cast("double") /
+        (col("sa.sz") + col("sb.sz") - col("i")).cast("double")
+      val near = inter
+        .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
+        .where(j >= 0.5)
+        .groupBy(col("a")).agg(min(col("b")).as("match_id"))
+        .withColumnRenamed("a", "doc_id")
+      arrivals.select(col("doc_id"))
+        .join(near, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("match_id").isNotNull, lit("near_dup"))
+            .otherwise(lit("unique")).as("verdict"),
+          col("match_id"))
+    }),
+
+    // ── structural parity: the merged band view must equal a fresh
+    // v2 band rebuild as a MULTISET of (doc_id, band, key) rows —
+    // exceptAll both ways plus the rebuild's own summary stats (the
+    // idx_postings_inc_parity pattern on the dedup layout). ──────────
+    "dedup_lsh_inc_parity" -> ((s, dir) => {
+      val merged = IncPostings.mergedLshBands(s, dir)
+      val fresh = IncPostings.freshV2LshBands(s, dir)
+      val onlyM = merged.exceptAll(fresh).agg(count(lit(1)).as("only_merged"))
+      val onlyF = fresh.exceptAll(merged).agg(count(lit(1)).as("only_fresh"))
+      val stats = fresh.agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(concat(col("band").cast("string"), lit("#"),
+          col("key"))).as("n_buckets"))
+      onlyM.crossJoin(onlyF).crossJoin(stats)
     }),
 
     // ── candidate-then-verify: exact 3-gram Jaccard on LSH candidates ─
@@ -593,6 +660,19 @@ object Dedup {
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
        |  JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)""".stripMargin
 
+  /** The shingle CTE chain re-targeted at the v1→v2 release snapshot
+    * (spliced after IncPostings.sqlV2) — the oracle side of the
+    * LSM-band-index queries. */
+  private val sqlShinglesV2 =
+    sqlShingles.stripPrefix("WITH ").replace("FROM documents", "FROM v2")
+
+  /** Arrival predicate over the v2 snapshot: edits keep their natural
+    * id (multiples of 31 that survived the drop), adds live at the
+    * disjoint shifted ids (≥ AddShift) — exactly
+    * IncPostings.deltaDocs' membership. */
+  private def sqlArrivalPred(a: String) =
+    s"($a.doc_id >= ${Maintenance.AddShift} OR $a.doc_id % 31 = 0)"
+
   /** Asymmetric (batch-vs-corpus) candidate CTE for the incremental
     * gate: same minhash/band recurrence, join restricted to batch-side
     * x meeting corpus-side y. */
@@ -732,6 +812,48 @@ object Dedup {
          |LEFT JOIN ext e ON e.doc_id = d.doc_id
          |LEFT JOIN near n ON n.doc_id = d.doc_id
          |WHERE d.doc_id % 10 = 7""".stripMargin,
+
+    "dedup_lsh_inc" ->
+      s"""${IncPostings.sqlV2},
+         |$sqlShinglesV2,
+         |mh AS (SELECT doc_id, $sqlMinhashCols FROM ex GROUP BY doc_id),
+         |bands AS ($sqlBands),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
+         |  JOIN bands y ON x.band = y.band AND x.key = y.key
+         |   AND x.doc_id <> y.doc_id
+         |  WHERE ${sqlArrivalPred("x")}),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+         |inter AS (
+         |  SELECT cand.a, cand.b, count(*) AS i FROM cand
+         |  JOIN ex ea ON ea.doc_id = cand.a
+         |  JOIN ex eb ON eb.doc_id = cand.b AND eb.s = ea.s
+         |  GROUP BY cand.a, cand.b),
+         |near AS (
+         |  SELECT a AS doc_id, min(b) AS match_id FROM inter
+         |  JOIN sizes sa ON sa.doc_id = a
+         |  JOIN sizes sb ON sb.doc_id = b
+         |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+         |  GROUP BY a)
+         |SELECT d.doc_id AS doc_id,
+         |  CASE WHEN n.match_id IS NOT NULL THEN 'near_dup'
+         |       ELSE 'unique' END AS verdict,
+         |  n.match_id AS match_id
+         |FROM v2 d LEFT JOIN near n ON n.doc_id = d.doc_id
+         |WHERE ${sqlArrivalPred("d")}""".stripMargin,
+
+    "dedup_lsh_inc_parity" ->
+      s"""${IncPostings.sqlV2},
+         |$sqlShinglesV2,
+         |mh AS (SELECT doc_id, $sqlMinhashCols FROM ex GROUP BY doc_id),
+         |bands AS ($sqlBands)
+         |SELECT CAST(0 AS BIGINT) AS only_merged,
+         |  CAST(0 AS BIGINT) AS only_fresh,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT (CAST(band AS VARCHAR) || '#' || key))
+         |    AS BIGINT) AS n_buckets
+         |FROM bands""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""$sqlCandidates,

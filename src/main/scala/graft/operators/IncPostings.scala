@@ -636,6 +636,42 @@ object IncPostings {
       .orderBy(col("score").desc, col("doc_id")).limit(k)
   }
 
+  /** (doc_id, band, key) MinHash-LSH band rows for any (doc_id, text)
+    * frame — the dedup family's candidate-generation layout (Dedup's
+    * shingle → k-minhash → banded-key recurrence), here as an LSM
+    * kind so the corpus band index is DELTA-maintainable: at 100 TB
+    * the standing band table is the artifact every incremental-dedup
+    * batch probes, and re-minhashing the corpus on every corpus
+    * change is the unpayable cost this timeline avoids (the same
+    * argument as the trigram/positional/BM25 kinds). */
+  private[graft] def lshBandRowsOf(docs: DataFrame): DataFrame =
+    Dedup.bandRowsOf(Dedup.minhashesOf(Dedup.shinglesOf(
+      docs.select(col("doc_id"), col("text")))))
+
+  /** The lshband timeline root. The BASE commit reads Dedup's
+    * persisted v1 minhash artifact (signatures already exist for the
+    * batch dedup family — banding a K-column signature table is ~free)
+    * rather than re-minhashing the corpus; the DELTA commit minhashes
+    * only the arrivals (delta-sized). */
+  private def lshBandRoot(s: SparkSession, dir: String): java.io.File =
+    cachedRoot(s, dir, "lshband") { root =>
+      val docs = Tables(s, dir, "documents")
+      commitBase(root, Dedup.bandRows(s, dir))
+      commitDelta(root, lshBandRowsOf(deltaDocs(docs, Maintenance.AddShift)),
+        tombstoneDocIds(docs))
+    }
+
+  /** The live merged (doc_id, band, key) view for the dedup queries. */
+  private[operators] def mergedLshBands(s: SparkSession, dir: String): DataFrame =
+    readCurrent(s, lshBandRoot(s, dir))
+
+  /** Fresh band rebuild over the v2 corpus — the parity baseline for
+    * the lshband timeline (same contract as freshV2Postings). */
+  private[operators] def freshV2LshBands(s: SparkSession, dir: String): DataFrame =
+    ArtifactCache.parquet(s, dir, "lshband-v2", Seq("documents")) {
+      lshBandRowsOf(Maintenance.snapshotV2(Tables(s, dir, "documents")))
+    }
+
   /** Fresh full rebuild over the v2 corpus — the parity baseline the
     * increment must equal (and the cost it avoids). Artifact-cached so
     * the parity query's repeated runs measure the probe, not the
@@ -798,7 +834,7 @@ object IncPostings {
 
   /** DuckDB v2-corpus CTE shared by both oracles (snapshotV2 in SQL —
     * the maint_snapshot_diff construction). */
-  private val sqlV2 =
+  private[operators] val sqlV2 =
     """WITH kept AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
       |edited AS (SELECT doc_id,
       |    CASE WHEN doc_id % 31 = 0 THEN text || ' v2' ELSE text END AS text

@@ -323,6 +323,38 @@ class IncPostingsSpec extends SparkSuite {
       Seq(1L -> "abcd", 10L -> "wxyz", 20L -> "mnop")))
   }
 
+  test("lshband kind: the dedup band index rides the LSM with exact merge semantics") {
+    import IncPostings.lshBandRowsOf
+    val root = freshRoot()
+    val t1 = "the quick brown fox jumps over the lazy dog"
+    val t2 = "completely different text content goes right here now"
+    val t2b = "a fully rewritten second document after the edit lands"
+    IncPostings.commitBase(root,
+      lshBandRowsOf(docsDf(1L -> t1, 2L -> t2)))
+    // Delta: doc 2 edited (old signature rows must die), doc 3 added
+    // as an exact copy of doc 1 (the arrival that MUST collide).
+    IncPostings.commitDelta(root,
+      lshBandRowsOf(docsDf(2L -> t2b, 3L -> t1)), idsDf(2L))
+    def bandSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val merged = bandSet(IncPostings.readCurrent(spark, root))
+    // Merged ≡ fresh rebuild over the v2 corpus, row for row.
+    assert(merged === bandSet(
+      lshBandRowsOf(docsDf(1L -> t1, 2L -> t2b, 3L -> t1))))
+    // The copy shares ALL bands with its original (identical text →
+    // identical signature), so the incremental probe must surface it.
+    val b1 = merged.filter(_._1 == 1L).map(x => (x._2, x._3))
+    val b3 = merged.filter(_._1 == 3L).map(x => (x._2, x._3))
+    assert(b1 === b3 && b1.nonEmpty)
+    // And doc 2's OLD signature is fully tombstoned: its surviving
+    // rows are exactly the edited text's bands.
+    val b2 = merged.filter(_._1 == 2L).map(x => (x._2, x._3))
+    assert(b2 === bandSet(lshBandRowsOf(docsDf(2L -> t2b)))
+      .map(x => (x._2, x._3)))
+    assert(b2.intersect(bandSet(lshBandRowsOf(docsDf(2L -> t2)))
+      .map(x => (x._2, x._3))).isEmpty)
+  }
+
   test("concurrent compactions conflict: the stale fold aborts instead of double-committing") {
     import IncPostings.{Manifest, Segment}
     // C1 folded gens ≤ 2 (segments s1,s2 + tombstone t2). Meanwhile C2

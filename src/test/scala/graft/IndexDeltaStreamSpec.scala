@@ -131,6 +131,46 @@ class IndexDeltaStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("lshband kind rides the same stream: the dedup band index stays probe-fresh") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("idxdelta-lsh").toFile
+    val t1 = "the quick brown fox jumps over the lazy dog"
+    val t2 = "completely different text content goes right here now"
+    var corpus = Map(1L -> t1, 2L -> t2)
+    IncPostings.commitBase(root, IncPostings.lshBandRowsOf(docsDf(corpus.toSeq)))
+
+    def bandSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("band"), col("key"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+
+    val changes = MemoryStream[(Long, String, String)]
+    val q = IndexDeltaStream.start(
+      changes.toDS().toDF("doc_id", "text", "op"), root,
+      Files.createTempDirectory("idxdelta-lsh-ckpt").toString,
+      compactAtSegments = 2, keepGens = 1,
+      rowsOf = IncPostings.lshBandRowsOf, layout = Seq("key", "doc_id"),
+      retainGraceMs = 0L)
+    try {
+      // Delete doc 2; stream in doc 3 as a copy of doc 1.
+      changes.addData((2L, "", "delete"), (3L, t1, "upsert"))
+      q.processAllAvailable()
+      corpus = corpus - 2L + (3L -> t1)
+      assert(bandSet(IncPostings.readCurrent(spark, root)) ===
+        bandSet(IncPostings.lshBandRowsOf(docsDf(corpus.toSeq))))
+      // The stream-maintained view answers the incremental-dedup
+      // probe: doc 3's bands collide with doc 1 on every band.
+      val merged = IncPostings.readCurrent(spark, root)
+      val hits = IncPostings.lshBandRowsOf(docsDf(Seq(3L -> t1))).as("x")
+        .join(merged.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") =!= col("y.doc_id"))
+        .select(col("y.doc_id")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(hits === Set(1L))
+    } finally q.stop()
+  }
+
   test("replayed batches are skipped: at-least-once delivery, exactly-once index") {
     val root = Files.createTempDirectory("idxdelta-replay").toFile
     IncPostings.commitBase(root,
