@@ -349,17 +349,25 @@ object Dedup {
       val docs = Tables(s, dir, "documents")
       val arrivals = IncPostings.deltaDocs(docs, Maintenance.AddShift)
       val arrBands = IncPostings.lshBandRowsOf(arrivals)
+      // Materialized eagerly: cand feeds THREE consumers (both verify
+      // sides + the candidate-doc semi-join) and ex two — lazy persist
+      // would let concurrent stages each recompute the full
+      // band-probe lineage (the materialized() trap above).
+      // Candidate-sized frames, never corpus-sized.
       val cand = arrBands.as("x")
         .join(IncPostings.mergedLshBands(s, dir).as("y"),
           col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
             col("x.doc_id") =!= col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+        .persist()
+      cand.count()
       // Exact verify shingles ONLY the candidate docs (semi-join into
       // the v2 snapshot) — candidate-sized, never corpus-sized.
       val v2 = Maintenance.snapshotV2(docs).select(col("doc_id"), col("text"))
       val candDocs = cand.select(col("a").as("doc_id"))
         .union(cand.select(col("b").as("doc_id"))).distinct()
-      val ex = shinglesOf(v2.join(candDocs, "doc_id")).distinct()
+      val ex = shinglesOf(v2.join(candDocs, "doc_id")).distinct().persist()
+      ex.count()
       val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val inter = cand
         .join(ex.toDF("a", "s"), "a").join(ex.toDF("b", "s"), Seq("b", "s"))

@@ -17,6 +17,9 @@ val keys = Seq("a1_pricing_summary", "j2_dim_broadcast", "j2_fact_join", "o2_top
   "dedup_semantic", "idx_bm25_persisted", "dedup_substr_spans", "dsir_select",
   "m3_logreg_quality", "sim_hard_negatives", "sim_binary_hamming",
   "sim_mrl_recall", "mix_token_budget", "text_dedup_intradoc",
+  // dedup_lsh_inc is appended tree-only with cached subtrees elided (its
+  // formatted dump re-inlines each persisted plan per scan, ~200 KB) —
+  // see the section's note; keep it out of the full-dump key list.
   "dedup_incremental", "dedup_cdc_chunks", "samp_dedup_aware",
   "idx_bm25_negatives", "idx_eval_ndcg", "pack_padding_waste",
   "sim_label_outliers", "quality_gopher", "dedup_keep_longest",
@@ -80,6 +83,7 @@ val notes: Map[String, String] = Map(
   "mix_token_budget" -> "One corpus-sized token count per source (map-side combined); every downstream step runs on the sources-sized frame against a broadcast scalar.",
   "text_dedup_intradoc" -> "Every window and aggregate keys on doc_id (PlanSpec-pinned: no off-key exchange) — per-doc repair work, embarrassingly parallel.",
   "dedup_incremental" -> "Asymmetric LSH: batch-side band rows meet only colliding corpus buckets — O(batch*collisions); the corpus is never self-joined; Jaccard verify touches candidate ids only.",
+  "dedup_lsh_inc" -> "Same asymmetric shape over the LSM-maintained band view: arrival bands (delta-sized, broadcastable) meet the merged parquet scan; tombstone anti-join is broadcast; shingles are computed only for candidate docs (semi-join into v2).",
   "dedup_cdc_chunks" -> "Rolling-hash boundary detection and chunk assembly are per-doc windows keyed on doc_id; chunk hashes feed the content-addressed span-dedup machinery.",
   "samp_dedup_aware" -> "Only the duplicate subgraph shuffles (CC build); the weights attach via a broadcastable left join — the clean majority of the corpus passes through untouched.",
   "idx_bm25_negatives" -> "idx_bm25_topk's plan plus one anti-join against the (small) relevant set; ranking stays TakeOrderedAndProject.",
