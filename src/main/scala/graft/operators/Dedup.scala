@@ -120,6 +120,28 @@ object Dedup {
   private[operators] def bandRows(s: SparkSession, dir: String): DataFrame =
     bandRowsOf(minhashes(s, dir))
 
+  /** Exact-Jaccard verify shared by the incremental dedup gates: for
+    * candidate pairs (a, b) and a (doc_id, s) distinct-shingle view,
+    * keep pairs with Jaccard >= 0.5 and return each a's smallest
+    * matching b as (doc_id, outCol). One copy of the sizes /
+    * intersection / union-size arithmetic serves dedup_incremental
+    * and dedup_lsh_inc, so a threshold or formula fix reaches both. */
+  private def jaccardNearest(cand: DataFrame, ex: DataFrame,
+      outCol: String): DataFrame = {
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(ex.toDF("a", "s"), "a").join(ex.toDF("b", "s"), Seq("b", "s"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
+    val j = col("i").cast("double") /
+      (col("sa.sz") + col("sb.sz") - col("i")).cast("double")
+    inter
+      .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
+      .where(j >= 0.5)
+      .groupBy(col("a")).agg(min(col("b")).as(outCol))
+      .withColumnRenamed("a", "doc_id")
+  }
+
   /** Candidate pairs (a < b) sharing at least one LSH band bucket.
     * Self-join on (band, key): only bucket collisions ever meet. */
   private[operators] def lshCandidates(s: SparkSession, dir: String): DataFrame =
@@ -306,19 +328,7 @@ object Dedup {
         .join(bands.where(!isBatch).as("y"),
           col("x.band") === col("y.band") && col("x.key") === col("y.key"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-      val ex = shingleRows(s, dir)
-      val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val inter = cand
-        .join(ex.toDF("a", "s"), "a").join(ex.toDF("b", "s"), Seq("b", "s"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
-      val j = col("i").cast("double") /
-        (col("sa.sz") + col("sb.sz") - col("i")).cast("double")
-      val near = inter
-        .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
-        .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
-        .where(j >= 0.5)
-        .groupBy(col("a")).agg(min(col("b")).as("near_id"))
-        .withColumnRenamed("a", "doc_id")
+      val near = jaccardNearest(cand, shingleRows(s, dir), "near_id")
       docs.where(isBatch).select(col("doc_id"))
         .join(exact, Seq("doc_id"), "left")
         .join(near, Seq("doc_id"), "left")
@@ -341,10 +351,14 @@ object Dedup {
     // trigram/positional/BM25 kinds). The oracle recomputes the
     // answer from the v2 corpus directly, so a hash match proves the
     // timeline preserved CANDIDATE-GENERATION semantics end to end —
-    // a lost band row surfaces as a missed near_dup verdict. Adds
-    // carry a still-live original's text (Jaccard 1.0), so near-dup
-    // hits are structurally guaranteed, and an edited arrival must
-    // NOT match its own tombstoned v1 rows. ──────────────────────────
+    // a lost band row surfaces as a missed near_dup verdict.
+    // Non-vacuity: MOST adds (% 89, original kept unedited — the
+    // ~96% whose id is not also % 97 or % 31) copy a still-live
+    // original's text verbatim (Jaccard 1.0) and must hit; an add
+    // whose original was itself dropped (% 97) has no live copy and
+    // may legitimately verdict unique, and one whose original was
+    // edited (% 31) faces Jaccard < 1.0 against the " v2" text. An
+    // edited arrival must NOT match its own tombstoned v1 rows. ──────
     "dedup_lsh_inc" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       val arrivals = IncPostings.deltaDocs(docs, Maintenance.AddShift)
