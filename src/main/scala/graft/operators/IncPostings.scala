@@ -512,10 +512,13 @@ object IncPostings {
   /** The shared build-once cache protocol (fingerprint-keyed root +
     * stale-sibling eviction + done marker), factored out so timelines
     * with different build sequences (the standard base+delta above,
-    * the full lifecycle below) share it. */
-  private def cachedRoot(s: SparkSession, dir: String, kind: String)(
+    * the full lifecycle below) share it. `src` names the corpus table
+    * the fingerprint tracks — the text kinds key on `documents`, the
+    * vector kind ([[IvfIndex]]'s `ivfvec`) on `embeddings`. */
+  private[operators] def cachedRoot(s: SparkSession, dir: String,
+      kind: String, src: String = "documents")(
       buildAt: java.io.File => Unit): java.io.File = {
-    val f = new java.io.File(s"$dir/documents.parquet")
+    val f = new java.io.File(s"$dir/$src.parquet")
     val fp = s"${f.length()}-${f.lastModified()}"
     val path = built.getOrElseUpdate((dir, kind, fp), {
       val prefix = s"${dir.replaceAll("[^A-Za-z0-9._-]", "_")}-$kind-"

@@ -455,6 +455,109 @@ object IvfIndex {
     })
   }
 
+  // ---- the LSM vector timeline (kind `ivfvec`) ----------------------------
+
+  /** The same simulated v1 → v2 churn event that drives the text-index
+    * timelines ([[IncPostings.deltaDocs]]: residue-97 drops, residue-31
+    * edits, residue-89 adds), applied to the EMBEDDING side of the
+    * corpus — when a document is edited it is re-embedded (here a
+    * deterministic float32 `x + 0.25f` per dimension, far enough to
+    * move cells), when it is added its vector arrives verbatim at the
+    * shifted id, and when it is dropped its vector must leave the
+    * index. Only these delta vectors are ever re-assigned — the
+    * standing corpus is never re-read, which is the cost shape a
+    * 100 TB vector index needs under churn. */
+  private[graft] def deltaVecs(e: DataFrame): DataFrame = {
+    val edited = e
+      .where(col("vec_id") % 97 =!= 0 && col("vec_id") % 31 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x + lit(0.25f)).as("embedding"))
+    val added = e.where(col("vec_id") % 89 === 0)
+      .select((col("vec_id") + lit(Maintenance.AddShift)).as("vec_id"),
+        col("embedding"))
+    edited.unionByName(added)
+  }
+
+  /** v1 vec_ids whose index rows die in the increment: drops AND edits
+    * (the edit's new row rides the delta segment at the tombstone's
+    * seq — the [[IncPostings]] visibility rule keeps exactly it). The
+    * column is named doc_id because that is the key the LSM tombstone
+    * anti-join kills on. */
+  private[graft] def vecTombstones(e: DataFrame): DataFrame =
+    e.where(col("vec_id") % 97 === 0 ||
+        (col("vec_id") % 97 =!= 0 && col("vec_id") % 31 === 0))
+      .select(col("vec_id").as("doc_id"))
+
+  /** The post-churn (v2) vector corpus: unchanged survivors ∪ the
+    * delta — what the merged index must be equivalent to, and where
+    * its queries come from. */
+  private[graft] def v2Vectors(e: DataFrame): DataFrame =
+    e.where(col("vec_id") % 97 =!= 0 && col("vec_id") % 31 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(deltaVecs(e))
+
+  /** (doc_id, cid, embedding) — the vector index's LSM row layout:
+    * each vector's frozen-codebook cell assignment with the vector
+    * denormalized in (so search scans no side table). One row per
+    * vector; the timeline's tombstones keep that invariant across
+    * edits. Assignment is a map-side expression over driver-literal
+    * centroids — a delta commit never shuffles. */
+  private[graft] def vecRowsOf(cents: Seq[(Long, Array[Double])],
+      vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id").as("doc_id"),
+      nearest(cents, col("embedding").cast("array<double>"))
+        .getField("cid").as("cid"),
+      col("embedding"))
+
+  /** The ivfvec timeline root: codebook trained ONCE on the v1 corpus
+    * (frozen across the increment — the [[append]] contract, now with
+    * the delete/edit story the append path lacks), base commit of the
+    * v1 assignment, then one delta commit of re-assigned arrivals +
+    * tombstones. Generations, compaction, retention and time travel
+    * all ride [[IncPostings]]' machinery unchanged, which closes the
+    * engine's last index family (trigram / positional / BM25 /
+    * lshband / vectors) onto ONE maintenance protocol. */
+  private[graft] def lsmRoot(s: SparkSession, dir: String): java.io.File =
+    IncPostings.cachedRoot(s, dir, "ivfvec", src = "embeddings") { root =>
+      val e = Tables(s, dir, "embeddings")
+      val cents = trainCodebook(e)
+      writeCodebook(s, cents, root.toString)
+      IncPostings.commitBase(root,
+        vecRowsOf(cents, e.select(col("vec_id"), col("embedding"))))
+      IncPostings.commitDelta(root, vecRowsOf(cents, deltaVecs(e)),
+        vecTombstones(e))
+    }
+
+  /** The frozen codebook + live merged (doc_id, cid, embedding) view. */
+  private[graft] def mergedVectors(
+      s: SparkSession, dir: String): (Seq[(Long, Array[Double])], DataFrame) = {
+    val root = lsmRoot(s, dir)
+    (readCodebookDir(s, root.toString), IncPostings.readCurrent(s, root))
+  }
+
+  /** [[search]] over a merged LSM view instead of a versioned
+    * directory: probe each query's `nprobe` nearest cells under the
+    * frozen codebook, broadcast the (tiny) query×cell set against the
+    * view, exact-cosine rank within the probed cells. The cell filter
+    * reaches every segment scan through the merge-on-read union the
+    * same way the text probes' `g IN` does; a compaction with
+    * layout=Seq("cid") restores static file-level pruning. */
+  private[graft] def searchView(cents: Seq[(Long, Array[Double])],
+      view: DataFrame, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val q = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("p",
+        explode(probeCells(cents, col("q_emb").cast("array<double>"), nprobe)))
+      .select(col("q_id"), col("q_emb"), col("p").getField("cid").as("cid"))
+    val score = Num.roundp(Vectors.cosine(col("q_emb"), col("embedding")), 6)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    view.join(broadcast(q), "cid")
+      .where(col("doc_id") =!= col("q_id"))
+      .select(col("q_id"), col("doc_id").as("vec_id"), score.as("score"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+  }
+
   /** The persisted versioned index must reproduce the inline
     * `sim_ivf_search` EXACTLY — trainCodebook is deterministic in the
     * vector multiset, probe-1 search visits the query's own cell — so
@@ -474,12 +577,45 @@ object IvfIndex {
     // shifted arrivals), matching the oracle's index-contents q set.
     "sim_ivf_retrain" -> ((s, dir) =>
       search(s, retrainPersistedPath(s, dir),
-        retrainCorpus(s, dir).where(col("vec_id") < 5), k = 3, nprobe = 1))
+        retrainCorpus(s, dir).where(col("vec_id") < 5), k = 3, nprobe = 1)),
+
+    // ── Probe-1 top-3 search through the MERGED LSM vector index:
+    // base∪delta minus tombstones under the frozen v1 codebook, with
+    // queries drawn from the v2 corpus. The oracle trains the same
+    // codebook on v1, assigns the v2 corpus, and searches it directly
+    // — a hash match proves the increment preserved ANN-search
+    // semantics through deletes and edits, which the append-only
+    // sim_ivf_inc path never exercises. ─────────────────────────────
+    "sim_ivf_lsm" -> ((s, dir) => {
+      val (cents, view) = mergedVectors(s, dir)
+      searchView(cents, view,
+        v2Vectors(Tables(s, dir, "embeddings")).where(col("vec_id") < 5),
+        k = 3, nprobe = 1)
+    }),
+
+    // ── Structural parity for the vector timeline: merged ≡ fresh
+    // same-codebook assignment of the v2 corpus as a MULTISET of
+    // (doc_id, cid, embedding) rows — the embedding column makes a
+    // corrupted vector fail here, not just a wrong cell. The oracle
+    // pins the summary from the corpus and asserts both differences
+    // are zero. ─────────────────────────────────────────────────────
+    "sim_ivf_lsm_parity" -> ((s, dir) => {
+      val (cents, merged) = mergedVectors(s, dir)
+      val fresh = vecRowsOf(cents, v2Vectors(Tables(s, dir, "embeddings")))
+      val onlyM = merged.exceptAll(fresh).agg(count(lit(1)).as("only_merged"))
+      val onlyF = fresh.exceptAll(merged).agg(count(lit(1)).as("only_fresh"))
+      val stats = fresh.agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("cid")).as("n_cells"),
+        sum(col("cid")).as("sum_cid"))
+      onlyM.crossJoin(onlyF).crossJoin(stats)
+    })
   )
 
   def oracles: Map[String, String] = Map(
     "sim_ivf_persisted" -> Similarity.oracles("sim_ivf_search"),
     "sim_ivf_inc" -> Similarity.sqlIvfIncSearch,
-    "sim_ivf_retrain" -> Similarity.sqlIvfRetrainSearch
+    "sim_ivf_retrain" -> Similarity.sqlIvfRetrainSearch,
+    "sim_ivf_lsm" -> Similarity.sqlIvfLsmSearch,
+    "sim_ivf_lsm_parity" -> Similarity.sqlIvfLsmParity
   )
 }

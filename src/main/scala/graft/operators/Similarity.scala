@@ -721,7 +721,19 @@ object Similarity {
     *   asgn     (vec_id, centroid_id, dist) — nearest cell
     */
   private def sqlCbWith(kSelect: String, trainWhere: String = "TRUE",
-      corpusSql: String = "SELECT vec_id, embedding FROM embeddings"): String = {
+      corpusSql: String = "SELECT vec_id, embedding FROM embeddings",
+      trainSql: String = ""): String = {
+    // The training corpus is usually a WHERE-subset of the indexed
+    // corpus (the frozen-codebook append oracle); the LSM timeline
+    // instead trains on v1 while indexing v2 — two sets related by
+    // churn, neither a subset of the other — so `trainSql`, when
+    // given, defines e0t from its own corpus instead of filtering e0.
+    val e0t =
+      if (trainSql.isEmpty) s"e0t AS MATERIALIZED (SELECT * FROM e0 WHERE $trainWhere)"
+      else
+        s"""e0t AS MATERIALIZED (
+           |  SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM ($trainSql))""".stripMargin
     val rounds = (1 to IvfIndex.CbRounds).map { t =>
       s"""cba$t AS MATERIALIZED (
          |  SELECT vec_id, cid FROM (
@@ -739,7 +751,7 @@ object Similarity {
     s"""e0 AS MATERIALIZED (
        |  SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS v
        |  FROM ($corpusSql)),
-       |e0t AS MATERIALIZED (SELECT * FROM e0 WHERE $trainWhere),
+       |$e0t,
        |kk AS MATERIALIZED ($kSelect),
        |cb0 AS MATERIALIZED (
        |  SELECT cid, v FROM (
@@ -807,6 +819,48 @@ object Similarity {
          | SELECT vec_id, CAST(list_transform(embedding,
          |   x -> CAST(x AS DOUBLE) + 10.0) AS FLOAT[]) AS embedding
          | FROM embeddings WHERE ${IvfIndex.RetrainArrivalsWhere}""".stripMargin))
+
+  /** The v2 (post-churn) vector corpus in SQL — the embedding twin of
+    * [[IncPostings.sqlV2]]: residue-97 drops, residue-31 edits
+    * re-embedded (DOUBLE add + FLOAT cast reproduces Spark's float32
+    * `x + 0.25f` bit-for-bit), residue-89 adds verbatim at the
+    * shifted id. */
+  private lazy val sqlV2Vectors: String =
+    s"""SELECT vec_id, embedding FROM embeddings
+       | WHERE vec_id % 97 <> 0 AND vec_id % 31 <> 0
+       | UNION ALL
+       | SELECT vec_id, CAST(list_transform(embedding,
+       |   x -> CAST(x AS DOUBLE) + 0.25) AS FLOAT[]) AS embedding
+       | FROM embeddings WHERE vec_id % 97 <> 0 AND vec_id % 31 = 0
+       | UNION ALL
+       | SELECT vec_id + 10000000 AS vec_id, embedding
+       | FROM embeddings WHERE vec_id % 89 = 0""".stripMargin
+
+  /** Prelude for the LSM vector timeline: codebook trained on the v1
+    * corpus (the frozen-at-base-commit contract), assignment and
+    * search over the v2 corpus — deletes and edits applied. */
+  private lazy val sqlCbLsm: String =
+    sqlCbWith(s"SELECT CAST(${IvfIndex.K} AS BIGINT) AS k",
+      corpusSql = sqlV2Vectors,
+      trainSql = "SELECT vec_id, embedding FROM embeddings")
+
+  /** Oracle for [[IvfIndex]]'s `sim_ivf_lsm`: probe-1 top-3 search of
+    * the v2 corpus under the v1-trained codebook — exactly what the
+    * merged (base∪delta minus tombstones) view must serve. */
+  private[operators] lazy val sqlIvfLsmSearch: String = sqlIvfSearch(sqlCbLsm)
+
+  /** Oracle for `sim_ivf_lsm_parity`: the merged view equals a fresh
+    * same-codebook v2 assignment, so both multiset differences are
+    * zero and the summary comes straight from the oracle's own
+    * assignment of the v2 corpus. */
+  private[operators] lazy val sqlIvfLsmParity: String =
+    s"""WITH $sqlCbLsm
+       |SELECT CAST(0 AS BIGINT) AS only_merged,
+       |  CAST(0 AS BIGINT) AS only_fresh,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(count(DISTINCT centroid_id) AS BIGINT) AS n_cells,
+       |  CAST(sum(centroid_id) AS BIGINT) AS sum_cid
+       |FROM asgn""".stripMargin
 
   /** Adaptive-K prelude — the SQL twin of [[IvfIndex.semK]]:
     * K = greatest(16, ⌊√(n/2)⌋), the all-pairs (SemDeDup) sizing. */

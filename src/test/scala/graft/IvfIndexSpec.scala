@@ -270,4 +270,74 @@ class IvfIndexSpec extends SparkSuite {
     assert(r.length === 5)
     r.foreach(row => assert(row.getDouble(1) === 1.0, s"q ${row.getLong(0)}"))
   }
+
+  test("ivfvec LSM: drops leave, edits move cells, adds land, time travel sees v1") {
+    import graft.operators.{IncPostings, IvfIndex}
+    val (cents, merged) = IvfIndex.mergedVectors(spark, sf001)
+    val root = IvfIndex.lsmRoot(spark, sf001)
+    val e = Tables(spark, sf001, "embeddings")
+    def cellsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select(col("doc_id"), col("cid")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val now = cellsOf(merged)
+    val v1 = cellsOf(IncPostings.readAt(spark, root, 1))
+
+    // every merged doc appears exactly once (the tombstone seq rule)
+    assert(merged.groupBy(col("doc_id")).count()
+      .where(col("count") > 1).count() === 0L)
+
+    val dropped = e.where(col("vec_id") % 97 === 0)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(dropped.nonEmpty && dropped.forall(d => !now.contains(d)))
+
+    // non-vacuity of EDITS: every edited vec survives at its own id,
+    // and the +0.25f re-embedding moved at least one to a new cell —
+    // so the tombstone+delta pair is provably exercised, not a no-op
+    val edited = e.where(col("vec_id") % 97 =!= 0 && col("vec_id") % 31 === 0)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(edited.nonEmpty && edited.forall(now.contains))
+    assert(edited.exists(id => now(id) != v1(id)),
+      "no edited vector changed cell — the edit delta is vacuous")
+
+    // ADDS: verbatim copies land at the shifted id in the SAME cell as
+    // their v1 source (assignment is deterministic in the vector)
+    val adds = e.where(col("vec_id") % 89 === 0)
+      .collect().map(_.getAs[Long]("vec_id"))
+    assert(adds.nonEmpty && adds.forall(id =>
+      now(id + operators.Maintenance.AddShift) == v1(id)))
+
+    // time travel: generation 1 IS the v1 assignment, as a multiset
+    val freshV1 = IvfIndex.vecRowsOf(cents,
+      e.select(col("vec_id"), col("embedding")))
+    val g1 = IncPostings.readAt(spark, root, 1)
+    assert(g1.exceptAll(freshV1).count() === 0L)
+    assert(freshV1.exceptAll(g1).count() === 0L)
+  }
+
+  test("ivfvec LSM: compaction (cid layout) + retention leave search unchanged") {
+    import graft.operators.{IncPostings, IvfIndex}
+    val tmp = Files.createTempDirectory("ivfvec-lc").toFile
+    val e = Tables(spark, sf001, "embeddings")
+    val cents = IvfIndex.trainCodebook(e)
+    IncPostings.commitBase(tmp,
+      IvfIndex.vecRowsOf(cents, e.select(col("vec_id"), col("embedding"))))
+    IncPostings.commitDelta(tmp,
+      IvfIndex.vecRowsOf(cents, IvfIndex.deltaVecs(e)),
+      IvfIndex.vecTombstones(e))
+    val qs = IvfIndex.v2Vectors(e).where(col("vec_id") < 5)
+    def hits(): Seq[(Long, Long, Long)] =
+      IvfIndex.searchView(cents, IncPostings.readCurrent(spark, tmp),
+        qs, k = 3, nprobe = 1)
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rk"),
+          r.getAs[Long]("vec_id"))).toSeq.sorted
+    val before = hits()
+    // vector rows have no `g` column — compaction lays out by cell,
+    // which is also what restores file-level pruning for cell probes
+    IncPostings.compact(spark, tmp, layout = Seq("cid", "doc_id"))
+    assert(IncPostings.committedGen(tmp) === 3)
+    assert(hits() === before)
+    IncPostings.retain(spark, tmp, keepGens = 1, graceMs = 0L)
+    assert(hits() === before)
+    assert(IncPostings.liveSegmentCount(tmp) === 1)
+  }
 }
