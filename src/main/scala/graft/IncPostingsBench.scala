@@ -26,6 +26,12 @@ object IncPostingsBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_KINDS=trigram,positional,bm25,lshband,ivfvec restricts
+    // the run (default: all) — the same dev contract as SPARK_GRAFT_ONLY.
+    val kinds = sys.env.get("SPARK_GRAFT_KINDS")
+      .map(_.split(",").map(_.trim).toSet)
+    def want(k: String): Boolean = kinds.forall(_.contains(k))
+
     val docs = Tables(spark, dir, "documents")
     val root = java.nio.file.Files.createTempDirectory("incpostings-bench").toFile
     def timed(f: => Unit): Double = {
@@ -33,7 +39,9 @@ object IncPostingsBench {
     }
     val nDocs = docs.count()
     val nDelta = IncPostings.deltaDocs(docs, shift).count()
+    def r3(v: Double) = math.rint(v * 1000) / 1000
 
+    if (want("trigram")) {
     val baseS = timed(IncPostings.commitBase(root, TextOps.trigramRowsOf(docs)))
     val deltaS = timed(IncPostings.commitDelta(root,
       TextOps.trigramRowsOf(IncPostings.deltaDocs(docs, shift)),
@@ -57,11 +65,12 @@ object IncPostingsBench {
         .where(col("text").contains(TextOps.TrigramPattern))
         .count()
     }
-    def r3(v: Double) = math.rint(v * 1000) / 1000
     println(s"""{"metric":"incpostings","dir":"$dir","n_docs":$nDocs,"n_delta_docs":$nDelta,"base_build_s":${r3(baseS)},"delta_commit_s":${r3(deltaS)},"full_rebuild_s":${r3(rebuildS)},"probe_s":${r3(probeS)},"probe_rows":$probeRows}""")
+    }
 
     // ── the same curve for the POSITIONAL timeline (idx_phrase_inc) ──
     val posRoot = java.nio.file.Files.createTempDirectory("incpos-bench").toFile
+    if (want("positional")) {
     val posBaseS = timed(IncPostings.commitBase(posRoot,
       TextOps.positionalRowsOf(docs)))
     val posDeltaS = timed(IncPostings.commitDelta(posRoot,
@@ -82,10 +91,12 @@ object IncPostingsBench {
         .groupBy(col("doc_id")).agg(count(lit(1))).count()
     }
     println(s"""{"metric":"incpositional","dir":"$dir","n_docs":$nDocs,"n_delta_docs":$nDelta,"base_build_s":${r3(posBaseS)},"delta_commit_s":${r3(posDeltaS)},"full_rebuild_s":${r3(posRebuildS)},"probe_s":${r3(posProbeS)},"probe_rows":$phraseRows}""")
+    }
     // ── the same curve for the BM25 timeline (idx_bm25_inc): postings
     // kind + the doclen twin, searched together. ─────────────────────
     val bmRoot = java.nio.file.Files.createTempDirectory("incbm25-bench").toFile
     val dlRoot = java.nio.file.Files.createTempDirectory("incbm25dl-bench").toFile
+    if (want("bm25")) {
     val bmBaseS = timed {
       IncPostings.commitBase(bmRoot, IncPostings.bm25RowsOf(docs))
       IncPostings.commitBase(dlRoot, IncPostings.doclenRowsOf(docs))
@@ -113,6 +124,7 @@ object IncPostingsBench {
         graft.operators.PostingsIndex.Terms, 10).count()
     }
     println(s"""{"metric":"incbm25","dir":"$dir","n_docs":$nDocs,"n_delta_docs":$nDelta,"base_build_s":${r3(bmBaseS)},"delta_commit_s":${r3(bmDeltaS)},"full_rebuild_s":${r3(bmRebuildS)},"probe_s":${r3(bmProbeS)},"probe_rows":$bmRows}""")
+    }
 
     // ── the same curve for the LSH BAND timeline (dedup_lsh_inc):
     // delta = re-minhash only the arrivals; rebuild = fresh
@@ -121,6 +133,7 @@ object IncPostingsBench {
     // generation only — the exact-verify cost is candidate-sized and
     // identical for both maintenance strategies). ────────────────────
     val lshRoot = java.nio.file.Files.createTempDirectory("inclsh-bench").toFile
+    if (want("lshband")) {
     val lshBaseS = timed(IncPostings.commitBase(lshRoot,
       IncPostings.lshBandRowsOf(docs)))
     val lshDeltaS = timed(IncPostings.commitDelta(lshRoot,
@@ -139,6 +152,44 @@ object IncPostingsBench {
         .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
     }
     println(s"""{"metric":"inclshband","dir":"$dir","n_docs":$nDocs,"n_delta_docs":$nDelta,"base_build_s":${r3(lshBaseS)},"delta_commit_s":${r3(lshDeltaS)},"full_rebuild_s":${r3(lshRebuildS)},"probe_s":${r3(lshProbeS)},"probe_rows":$lshRows}""")
+    }
+
+    // ── the same curve for the VECTOR timeline (sim_ivf_lsm): base =
+    // codebook train + v1 assignment; delta = frozen-codebook
+    // re-assignment of the arrivals only; rebuild = what an LSM-less
+    // deployment pays on churn — retrain the codebook on v2 AND
+    // reassign everything; probe = probe-1 top-3 searchView for the
+    // v2 queries. ────────────────────────────────────────────────────
+    import graft.operators.IvfIndex
+    val vecRoot = java.nio.file.Files.createTempDirectory("incivfvec-bench").toFile
+    if (want("ivfvec")) {
+    val e = Tables(spark, dir, "embeddings")
+    val nVecs = e.count()
+    val nVecDelta = IvfIndex.deltaVecs(e, shift).count()
+    var cents: Seq[(Long, Array[Double])] = null
+    val vecBaseS = timed {
+      cents = IvfIndex.trainCodebook(e)
+      IncPostings.commitBase(vecRoot,
+        IvfIndex.vecRowsOf(cents, e.select(col("vec_id"), col("embedding"))))
+    }
+    val vecDeltaS = timed(IncPostings.commitDelta(vecRoot,
+      IvfIndex.vecRowsOf(cents, IvfIndex.deltaVecs(e, shift)),
+      IvfIndex.vecTombstones(e)))
+    val vecFreshDir = new java.io.File(vecRoot, "fresh-v2").toString
+    val vecRebuildS = timed {
+      val v2 = IvfIndex.v2Vectors(e, shift)
+      IvfIndex.vecRowsOf(IvfIndex.trainCodebook(v2), v2)
+        .write.parquet(vecFreshDir)
+    }
+    var vecRows = 0L
+    val vecProbeS = timed {
+      vecRows = IvfIndex.searchView(cents,
+        IncPostings.readCurrent(spark, vecRoot),
+        IvfIndex.v2Vectors(e, shift).where(col("vec_id") < 5),
+        k = 3, nprobe = 1).count()
+    }
+    println(s"""{"metric":"incivfvec","dir":"$dir","n_vecs":$nVecs,"n_delta_vecs":$nVecDelta,"base_build_s":${r3(vecBaseS)},"delta_commit_s":${r3(vecDeltaS)},"full_rebuild_s":${r3(vecRebuildS)},"probe_s":${r3(vecProbeS)},"probe_rows":$vecRows}""")
+    }
 
     val lfs = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration)
@@ -147,6 +198,7 @@ object IncPostingsBench {
     lfs.delete(new org.apache.hadoop.fs.Path(bmRoot.toString), true)
     lfs.delete(new org.apache.hadoop.fs.Path(dlRoot.toString), true)
     lfs.delete(new org.apache.hadoop.fs.Path(lshRoot.toString), true)
+    lfs.delete(new org.apache.hadoop.fs.Path(vecRoot.toString), true)
     spark.stop()
   }
 }

@@ -467,14 +467,14 @@ object IvfIndex {
     * index. Only these delta vectors are ever re-assigned — the
     * standing corpus is never re-read, which is the cost shape a
     * 100 TB vector index needs under churn. */
-  private[graft] def deltaVecs(e: DataFrame): DataFrame = {
+  private[graft] def deltaVecs(e: DataFrame,
+      shift: Long = Maintenance.AddShift): DataFrame = {
     val edited = e
       .where(col("vec_id") % 97 =!= 0 && col("vec_id") % 31 === 0)
       .select(col("vec_id"),
         transform(col("embedding"), x => x + lit(0.25f)).as("embedding"))
     val added = e.where(col("vec_id") % 89 === 0)
-      .select((col("vec_id") + lit(Maintenance.AddShift)).as("vec_id"),
-        col("embedding"))
+      .select((col("vec_id") + lit(shift)).as("vec_id"), col("embedding"))
     edited.unionByName(added)
   }
 
@@ -491,10 +491,11 @@ object IvfIndex {
   /** The post-churn (v2) vector corpus: unchanged survivors ∪ the
     * delta — what the merged index must be equivalent to, and where
     * its queries come from. */
-  private[graft] def v2Vectors(e: DataFrame): DataFrame =
+  private[graft] def v2Vectors(e: DataFrame,
+      shift: Long = Maintenance.AddShift): DataFrame =
     e.where(col("vec_id") % 97 =!= 0 && col("vec_id") % 31 =!= 0)
       .select(col("vec_id"), col("embedding"))
-      .unionByName(deltaVecs(e))
+      .unionByName(deltaVecs(e, shift))
 
   /** (doc_id, cid, embedding) — the vector index's LSM row layout:
     * each vector's frozen-codebook cell assignment with the vector

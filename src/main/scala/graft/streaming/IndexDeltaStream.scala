@@ -51,8 +51,10 @@ object IndexDeltaStream {
     val marker = new java.io.File(root, f"commits/batch-$batchId%05d")
     if (marker.exists()) return // replayed batch: fast path
     if (!IncPostings.isBatchCommitted(root, batchId)) {
-      val ups = batch.where(col("op") === "upsert")
-        .select(col("doc_id"), col("text"))
+      // Payload-agnostic: the change record is (doc_id, <payload>, op)
+      // — text for the postings kinds, an embedding for the vector
+      // kind — and `rowsOf` owns turning the payload into index rows.
+      val ups = batch.where(col("op") === "upsert").drop("op")
       val dels = batch.where(col("op") === "delete").select(col("doc_id"))
       // An upsert tombstones the doc's OLD postings; its new rows ride
       // the delta segment at the tombstone's seq (the LSM rule keeps

@@ -171,6 +171,51 @@ class IndexDeltaStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("ivfvec kind rides the same stream: the vector index stays search-fresh") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.IvfIndex
+    val root = Files.createTempDirectory("idxdelta-vec").toFile
+    val corpus = Tables(spark, sf001, "embeddings")
+      .where(col("vec_id") < 20).select(col("vec_id"), col("embedding"))
+    val cents = IvfIndex.trainCodebook(corpus)
+    IncPostings.commitBase(root, IvfIndex.vecRowsOf(cents, corpus))
+    val embOf = corpus.collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toSeq).toMap
+
+    def rowSet(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toSeq)).toSet
+
+    val changes = MemoryStream[(Long, Seq[Float], String)]
+    val q = IndexDeltaStream.start(
+      changes.toDS().toDF("doc_id", "embedding", "op"), root,
+      Files.createTempDirectory("idxdelta-vec-ckpt").toString,
+      rowsOf = df => IvfIndex.vecRowsOf(cents,
+        df.select(col("doc_id").as("vec_id"), col("embedding"))),
+      layout = Seq("cid", "doc_id"))
+    try {
+      // Delete vec 2; stream in vec 21 as a copy of vec 1's embedding.
+      changes.addData((2L, Seq.empty[Float], "delete"),
+        (21L, embOf(1L), "upsert"))
+      q.processAllAvailable()
+      val want = corpus.where(col("vec_id") =!= 2)
+        .unionByName(Seq((21L, embOf(1L))).toDF("vec_id", "embedding"))
+      assert(rowSet(IncPostings.readCurrent(spark, root)) ===
+        rowSet(IvfIndex.vecRowsOf(cents, want)))
+      // The stream-maintained view answers ANN search: vec 1's probe
+      // finds its streamed twin at cosine 1.0, and vec 2 is gone.
+      val hits = IvfIndex.searchView(cents,
+          IncPostings.readCurrent(spark, root),
+          Seq((1L, embOf(1L))).toDF("vec_id", "embedding"), k = 3, nprobe = 1)
+        .collect()
+      assert(hits.head.getAs[Long]("vec_id") === 21L)
+      assert(hits.head.getAs[Double]("score") === 1.0)
+      assert(!hits.map(_.getAs[Long]("vec_id")).contains(2L))
+    } finally q.stop()
+  }
+
   test("replayed batches are skipped: at-least-once delivery, exactly-once index") {
     val root = Files.createTempDirectory("idxdelta-replay").toFile
     IncPostings.commitBase(root,
