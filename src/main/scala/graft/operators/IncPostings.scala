@@ -119,7 +119,7 @@ object IncPostings {
   /** All committed (manifest-bearing) generation numbers, ascending.
     * A bare `gens/gen-N/` directory without a manifest is an abandoned
     * claim from a crashed or racing writer — never a generation. */
-  private def committedGens(root: java.io.File): Seq[Int] = {
+  private[operators] def committedGens(root: java.io.File): Seq[Int] = {
     val gensDir = new java.io.File(root, "gens")
     Option(gensDir.list()).getOrElse(Array.empty).toSeq
       .filter(_.startsWith("gen-"))
@@ -515,7 +515,7 @@ object IncPostings {
     * the full lifecycle below) share it. `src` names the corpus table
     * the fingerprint tracks — the text kinds key on `documents`, the
     * vector kind ([[IvfIndex]]'s `ivfvec`) on `embeddings`. */
-  private[operators] def cachedRoot(s: SparkSession, dir: String,
+  private[graft] def cachedRoot(s: SparkSession, dir: String,
       kind: String, src: String = "documents")(
       buildAt: java.io.File => Unit): java.io.File = {
     val f = new java.io.File(s"$dir/$src.parquet")
@@ -527,8 +527,14 @@ object IncPostings {
       if (!marker.exists()) {
         val hfs = org.apache.hadoop.fs.FileSystem.getLocal(
           s.sparkContext.hadoopConfiguration)
+        // Evict OLDER corpus generations of THIS kind only: the text
+        // after the prefix must be a bare length-mtime fingerprint, or
+        // kind `ivfvec` would sweep `ivfvec-lifecycle-<fp>` roots —
+        // the same prefix-collision the IvfIndex.evictStaleSiblings
+        // bare-fingerprint rule guards against.
         Option(root.getParentFile.listFiles()).getOrElse(Array.empty)
-          .filter(x => x.getName.startsWith(prefix) && x.getName != root.getName)
+          .filter(x => x.getName.startsWith(prefix) && x.getName != root.getName &&
+            x.getName.stripPrefix(prefix).matches("\\d+-\\d+"))
           .foreach(x => hfs.delete(new org.apache.hadoop.fs.Path(x.toString), true))
         if (root.exists()) // half-written timeline from a killed run
           hfs.delete(new org.apache.hadoop.fs.Path(root.toString), true)

@@ -536,6 +536,32 @@ object IvfIndex {
     (readCodebookDir(s, root.toString), IncPostings.readCurrent(s, root))
   }
 
+  /** The full VECTOR index lifecycle as ONE artifact (the
+    * pipe_index_lifecycle precedent at the ivfvec kind): base commit →
+    * delta commit → pre-maintenance probe snapshot → compaction in
+    * cell layout → retention to the single live generation. The
+    * composed query probes the RETAINED index and carries the probe
+    * drift, so a compaction losing a tombstone or a retention sweeping
+    * a live segment fails the hash GATE, not just the spec. */
+  private def vecLifecycleRoot(s: SparkSession, dir: String): java.io.File =
+    IncPostings.cachedRoot(s, dir, "ivfvec-lifecycle", src = "embeddings") { root =>
+      val e = Tables(s, dir, "embeddings")
+      val cents = trainCodebook(e)
+      writeCodebook(s, cents, root.toString)
+      IncPostings.commitBase(root,
+        vecRowsOf(cents, e.select(col("vec_id"), col("embedding"))))
+      IncPostings.commitDelta(root, vecRowsOf(cents, deltaVecs(e)),
+        vecTombstones(e))
+      searchView(cents, IncPostings.readCurrent(s, root),
+          v2Vectors(e).where(col("vec_id") < 5), k = 3, nprobe = 1)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(new java.io.File(root, "probe-before").toString)
+      IncPostings.compact(s, root, layout = Seq("cid", "doc_id"))
+      // graceMs = 0: single-writer by construction (cachedRoot builds
+      // once), and the query pins the terminal retained state.
+      IncPostings.retain(s, root, keepGens = 1, graceMs = 0L)
+    }
+
   /** [[search]] over a merged LSM view instead of a versioned
     * directory: probe each query's `nprobe` nearest cells under the
     * frozen codebook, broadcast the (tiny) query×cell set against the
@@ -594,6 +620,30 @@ object IvfIndex {
         k = 3, nprobe = 1)
     }),
 
+    // ── The composed vector-index lifecycle: ONE query runs base →
+    // delta → compaction (cid layout) → retention, probes the
+    // RETAINED index, and pins the drift against the pre-maintenance
+    // probe (must be 0/0) plus the terminal generation constants —
+    // the pipe_index_lifecycle contract at the ivfvec kind. ─────────
+    "pipe_vector_lifecycle" -> ((s, dir) => {
+      val root = vecLifecycleRoot(s, dir)
+      val cents = readCodebookDir(s, root.toString)
+      val after = searchView(cents, IncPostings.readCurrent(s, root),
+        v2Vectors(Tables(s, dir, "embeddings")).where(col("vec_id") < 5),
+        k = 3, nprobe = 1)
+      val before = s.read.parquet(
+        new java.io.File(root, "probe-before").toString)
+      val drift = after.exceptAll(before)
+        .agg(count(lit(1)).as("probe_only_after"))
+        .crossJoin(before.exceptAll(after)
+          .agg(count(lit(1)).as("probe_only_before")))
+      after.crossJoin(drift)
+        .withColumn("live_gen",
+          lit(IncPostings.committedGen(root)).cast("long"))
+        .withColumn("n_gens_retained",
+          lit(IncPostings.committedGens(root).size).cast("long"))
+    }),
+
     // ── Structural parity for the vector timeline: merged ≡ fresh
     // same-codebook assignment of the v2 corpus as a MULTISET of
     // (doc_id, cid, embedding) rows — the embedding column makes a
@@ -617,6 +667,7 @@ object IvfIndex {
     "sim_ivf_inc" -> Similarity.sqlIvfIncSearch,
     "sim_ivf_retrain" -> Similarity.sqlIvfRetrainSearch,
     "sim_ivf_lsm" -> Similarity.sqlIvfLsmSearch,
-    "sim_ivf_lsm_parity" -> Similarity.sqlIvfLsmParity
+    "sim_ivf_lsm_parity" -> Similarity.sqlIvfLsmParity,
+    "pipe_vector_lifecycle" -> Similarity.sqlIvfLsmLifecycle
   )
 }

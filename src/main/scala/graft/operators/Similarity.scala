@@ -779,7 +779,7 @@ object Similarity {
   /** Probe-1 top-3 search body over a codebook prelude — shared by the
     * full-corpus oracle and the incremental-index oracle, which differ
     * ONLY in which vectors trained the codebook. */
-  private def sqlIvfSearch(prelude: String): String =
+  private def sqlIvfSearch(prelude: String, extraCols: String = ""): String =
     s"""WITH $prelude,
        |n AS MATERIALIZED (
        |  SELECT e.vec_id, e.embedding, a.centroid_id, ${sqlNorm("e.embedding")} AS nrm
@@ -793,7 +793,7 @@ object Similarity {
        |  SELECT q_id, vec_id, score,
        |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk
        |  FROM scored)
-       |SELECT q_id, vec_id, score, rk FROM ranked WHERE rk <= 3""".stripMargin
+       |SELECT q_id, vec_id, score, rk$extraCols FROM ranked WHERE rk <= 3""".stripMargin
 
   /** Oracle for [[IvfIndex]]'s incremental timeline: the codebook is
     * trained on the pre-arrival subset ONLY (the frozen-codebook
@@ -848,6 +848,19 @@ object Similarity {
     * the v2 corpus under the v1-trained codebook — exactly what the
     * merged (base∪delta minus tombstones) view must serve. */
   private[operators] lazy val sqlIvfLsmSearch: String = sqlIvfSearch(sqlCbLsm)
+
+  /** Oracle for `pipe_vector_lifecycle`: the retained, compacted
+    * index must serve the same search as the pre-maintenance view
+    * (drift 0/0), land at generation 3 (base, delta, compaction) with
+    * exactly one retained manifest — the pipe_index_lifecycle
+    * constants at the ivfvec kind. */
+  private[operators] lazy val sqlIvfLsmLifecycle: String =
+    sqlIvfSearch(sqlCbLsm, extraCols =
+      """,
+        |  CAST(0 AS BIGINT) AS probe_only_after,
+        |  CAST(0 AS BIGINT) AS probe_only_before,
+        |  CAST(3 AS BIGINT) AS live_gen,
+        |  CAST(1 AS BIGINT) AS n_gens_retained""".stripMargin)
 
   /** Oracle for `sim_ivf_lsm_parity`: the merged view equals a fresh
     * same-codebook v2 assignment, so both multiset differences are

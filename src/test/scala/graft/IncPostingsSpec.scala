@@ -445,4 +445,22 @@ class IncPostingsSpec extends SparkSuite {
     assert(rebuilt.exceptAll(v2).count() === 0L)
     assert(v2.exceptAll(rebuilt).count() === 0L)
   }
+
+  test("cachedRoot eviction spares dash-suffixed sibling kinds (bare-fingerprint rule)") {
+    // A cold `xka` build must evict only stale `xka-<fp>` roots — not
+    // the `xka-lifecycle-<fp>` sibling, whose name shares the prefix
+    // (the IvfIndex.evictStaleSiblings prefix-collision guard, applied
+    // to the shared cache protocol).
+    val lifecycle = IncPostings.cachedRoot(spark, sf001, "xka-lifecycle")(_.mkdirs())
+    assert(lifecycle.exists())
+    // Plant a stale same-kind sibling (bare fingerprint): must be swept.
+    val stale = new java.io.File(lifecycle.getParentFile,
+      lifecycle.getName.replace("xka-lifecycle", "xka")
+        .replaceAll("\\d+-\\d+$", "1-1"))
+    stale.mkdirs()
+    IncPostings.cachedRoot(spark, sf001, "xka")(_.mkdirs())
+    assert(lifecycle.exists(),
+      "cold xka build must not sweep the xka-lifecycle root")
+    assert(!stale.exists(), "stale bare-fingerprint sibling must be swept")
+  }
 }
