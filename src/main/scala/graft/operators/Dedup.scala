@@ -125,9 +125,17 @@ object Dedup {
     * keep pairs with Jaccard >= 0.5 and return each a's smallest
     * matching b as (doc_id, outCol). One copy of the sizes /
     * intersection / union-size arithmetic serves dedup_incremental
-    * and dedup_lsh_inc, so a threshold or formula fix reaches both. */
-  private def jaccardNearest(cand: DataFrame, ex: DataFrame,
+    * and dedup_lsh_inc, so a threshold or formula fix reaches both.
+    * The shingle view is semi-joined down to the candidate docs
+    * FIRST — only their sizes are ever consulted, and at 100 TB a
+    * corpus-sized size aggregation for a candidate-sized verify is
+    * the wrong shape (a no-op when the caller pre-filtered, as
+    * dedup_lsh_inc's persisted candidate shingles already are). */
+  private def jaccardNearest(cand: DataFrame, exAll: DataFrame,
       outCol: String): DataFrame = {
+    val candDocs = cand.select(col("a").as("doc_id"))
+      .union(cand.select(col("b").as("doc_id"))).distinct()
+    val ex = exAll.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(ex.toDF("a", "s"), "a").join(ex.toDF("b", "s"), Seq("b", "s"))
@@ -382,18 +390,7 @@ object Dedup {
         .union(cand.select(col("b").as("doc_id"))).distinct()
       val ex = shinglesOf(v2.join(candDocs, "doc_id")).distinct().persist()
       ex.count()
-      val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val inter = cand
-        .join(ex.toDF("a", "s"), "a").join(ex.toDF("b", "s"), Seq("b", "s"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
-      val j = col("i").cast("double") /
-        (col("sa.sz") + col("sb.sz") - col("i")).cast("double")
-      val near = inter
-        .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
-        .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
-        .where(j >= 0.5)
-        .groupBy(col("a")).agg(min(col("b")).as("match_id"))
-        .withColumnRenamed("a", "doc_id")
+      val near = jaccardNearest(cand, ex, "match_id")
       arrivals.select(col("doc_id"))
         .join(near, Seq("doc_id"), "left")
         .select(col("doc_id"),
