@@ -58,15 +58,24 @@ object IncPostings {
 
   /** A generation = the segments visible plus the tombstones in force,
     * plus (for stream-maintained indexes) the id of the micro-batch
-    * whose commit produced it — the transactional replay marker. */
+    * whose commit produced it — the transactional replay marker — plus
+    * an optional KIND-OWNED metadata pointer (`meta`) that versions
+    * atomically with the generation. The machinery never interprets
+    * it; the ivfvec kind stores its codebook path there, so a
+    * recluster's new codebook and the reassigned rows publish in ONE
+    * atomic commit and time travel reads every generation with the
+    * codebook that produced it. Deltas and compactions inherit the
+    * basis' meta unchanged. */
   private[graft] case class Manifest(segments: Seq[Segment],
-      tombstones: Seq[Segment], batchId: Option[Long] = None)
+      tombstones: Seq[Segment], batchId: Option[Long] = None,
+      meta: Option[String] = None)
 
   private def manifestJson(m: Manifest): String = {
     def arr(ss: Seq[Segment]) = ss.map(s =>
       s"""{"path":"${s.path}","seq":${s.seq}}""").mkString("[", ",", "]")
     val batch = m.batchId.map(id => s""","batchId":$id""").getOrElse("")
-    s"""{"segments":${arr(m.segments)},"tombstones":${arr(m.tombstones)}$batch}"""
+    val meta = m.meta.map(p => s""","meta":"$p"""").getOrElse("")
+    s"""{"segments":${arr(m.segments)},"tombstones":${arr(m.tombstones)}$batch$meta}"""
   }
 
   private def parseManifest(json: String): Manifest = {
@@ -78,7 +87,8 @@ object IncPostings {
       (ast \ field).extract[Seq[Map[String, JValue]]].map(m =>
         Segment(m("path").extract[String], m("seq").extract[Int]))
     Manifest(segs("segments"), segs("tombstones"),
-      (ast \ "batchId").extractOpt[Long])
+      (ast \ "batchId").extractOpt[Long],
+      (ast \ "meta").extractOpt[String])
   }
 
   private def writeText(f: java.io.File, text: String): Unit = {
@@ -160,7 +170,7 @@ object IncPostings {
     * the filename, carries the committed seq); the nonce guarantees
     * two racing writers never collide on data files — they contend
     * only on the manifest link, where the filesystem arbitrates. */
-  private def newDataDir(root: java.io.File, kind: String): java.io.File = {
+  private[graft] def newDataDir(root: java.io.File, kind: String): java.io.File = {
     val guess = committedGen(root) + 1
     val nonce = java.util.UUID.randomUUID.toString.take(8)
     new java.io.File(root, f"$kind/seg-$guess%05d-$nonce")
@@ -232,12 +242,12 @@ object IncPostings {
     * (two concurrent base commits would union two copies of the
     * corpus — a caller bug the LSM cannot resolve). */
   private[graft] def commitBase(root: java.io.File,
-      basePostings: DataFrame): Unit = {
+      basePostings: DataFrame, meta: Option[String] = None): Unit = {
     val seg = newDataDir(root, "segments")
     basePostings.write.mode(SaveMode.Overwrite).parquet(seg.toString)
     commitManifest(root)((basis, gen) =>
       Manifest(basis.segments :+ Segment(seg.toString, gen),
-        basis.tombstones))
+        basis.tombstones, meta = meta))
   }
 
   /** Append one increment: delta postings + tombstone ids become an
@@ -262,7 +272,8 @@ object IncPostings {
       .write.mode(SaveMode.Overwrite).parquet(tomb.toString)
     commitManifest(root)((basis, gen) =>
       Manifest(basis.segments :+ Segment(seg.toString, gen),
-        basis.tombstones :+ Segment(tomb.toString, gen), batchId))
+        basis.tombstones :+ Segment(tomb.toString, gen), batchId,
+        meta = basis.meta))
   }
 
   /** Merge-on-read over the live generation: each segment minus the
@@ -323,7 +334,7 @@ object IncPostings {
       throw new CompactConflict
     Manifest(
       Segment(segPath, foldedAsOf) +: basis.segments.filter(_.seq > foldedAsOf),
-      basis.tombstones.filter(_.seq > foldedAsOf))
+      basis.tombstones.filter(_.seq > foldedAsOf), meta = basis.meta)
   }
 
   /** LSM compaction: fold the live generation's segments + tombstones
@@ -359,6 +370,42 @@ object IncPostings {
         log.info(s"[incpostings] compaction at $root aborted: " +
           "a concurrent compaction replaced the folded segments")
         committedGen(root)
+    }
+  }
+
+  /** Thrown when a whole-state replacement went stale under it: ANY
+    * commit (delta, compaction, or another replace) landed since the
+    * basis was read. Unlike [[compactRebase]] — where a racing delta's
+    * rows are valid and ride through — a replace REINTERPRETS every
+    * row (the recluster shape: rows re-derived under new kind-owned
+    * meta, e.g. a retrained codebook), so rows committed against the
+    * old meta cannot ride: they would mix interpretations in one view.
+    * The caller re-reads the advanced state and re-derives. */
+  private[graft] final class ReplaceConflict extends Exception
+
+  /** Whole-state optimistic replacement: commit `rows` as the ONLY
+    * segment (no tombstones — every delete is already applied in the
+    * derivation) with fresh kind-owned `meta`, conflict-checked
+    * against the exact basis the caller derived from. This is the
+    * RECLUSTER commit for the ivfvec kind — retrain the codebook on
+    * the merged view, reassign, publish codebook + assignments in one
+    * atomic generation — and, generically, any maintenance that
+    * re-derives the whole artifact under new parameters. Prior
+    * generations stay readable with THEIR meta (time travel across a
+    * recluster reads each view with the codebook that produced it). */
+  private[graft] def commitReplace(s: SparkSession, root: java.io.File,
+      rows: DataFrame, basisGen: Int, meta: Option[String],
+      layout: Seq[String]): Int = {
+    val basisM = manifestOf(root, basisGen)
+    val seg = newDataDir(root, "segments")
+    val lay = layout.map(col)
+    rows.repartitionByRange(lay: _*).sortWithinPartitions(lay: _*)
+      .write.mode(SaveMode.Overwrite).parquet(seg.toString)
+    commitManifest(root) { (basis, gen) =>
+      if (basis.segments != basisM.segments ||
+          basis.tombstones != basisM.tombstones)
+        throw new ReplaceConflict
+      Manifest(Seq(Segment(seg.toString, basisGen)), Seq.empty, None, meta)
     }
   }
 
@@ -434,7 +481,7 @@ object IncPostings {
     if (dead.isEmpty) return Seq.empty
     val referenced = kept.flatMap { g =>
       val m = manifestOf(root, g)
-      (m.segments ++ m.tombstones).map(_.path)
+      (m.segments ++ m.tombstones).map(_.path) ++ m.meta
     }.toSet
     val hfs = org.apache.hadoop.fs.FileSystem.getLocal(
       s.sparkContext.hadoopConfiguration)
@@ -446,7 +493,11 @@ object IncPostings {
     // 2. Reclaim files referenced by NO surviving generation (sparing
     //    dirs inside the concurrent-writer grace window).
     val now = System.currentTimeMillis()
-    val deletable = Seq("segments", "tombstones").flatMap { kind =>
+    // `meta` holds kind-owned attachments (e.g. the ivfvec codebooks);
+    // an attachment referenced by NO surviving manifest — a
+    // reclustered-away codebook past its horizon — is reclaimed like
+    // any other expired file set.
+    val deletable = Seq("segments", "tombstones", "meta").flatMap { kind =>
       Option(new java.io.File(root, kind).listFiles()).getOrElse(Array.empty)
         .filter(f => !referenced.contains(f.toString) &&
           now - f.lastModified() >= graceMs)

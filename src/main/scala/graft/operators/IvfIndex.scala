@@ -529,12 +529,99 @@ object IvfIndex {
         vecTombstones(e))
     }
 
+  /** The codebook that produced generation `gen`: the manifest's
+    * kind-owned meta attachment when present (post-recluster
+    * generations, and every generation of the retrain timeline), else
+    * the root-level base codebook (the frozen-codebook timelines). */
+  private[graft] def codebookOf(s: SparkSession, root: java.io.File,
+      gen: Int): Seq[(Long, Array[Double])] =
+    IncPostings.manifestOf(root, gen).meta
+      .map(readCodebookDir(s, _))
+      .getOrElse(readCodebookDir(s, root.toString))
+
   /** The frozen codebook + live merged (doc_id, cid, embedding) view. */
   private[graft] def mergedVectors(
       s: SparkSession, dir: String): (Seq[(Long, Array[Double])], DataFrame) = {
     val root = lsmRoot(s, dir)
-    (readCodebookDir(s, root.toString), IncPostings.readCurrent(s, root))
+    (codebookOf(s, root, IncPostings.committedGen(root)),
+      IncPostings.readCurrent(s, root))
   }
+
+  /** Cell-size skew (max / median) of a merged (…, cid, …) view — the
+    * [[SkewRetrainRatio]] gauge on the LSM timeline; one K-row
+    * aggregation, never corpus-sized on the driver. */
+  private[graft] def cellSkew(view: DataFrame): Double = {
+    val sizes = view.groupBy(col("cid")).count()
+      .collect().map(_.getAs[Long]("count")).sorted
+    sizes.last.toDouble / sizes(sizes.length / 2)
+  }
+
+  /** RECLUSTER the live generation: retrain the codebook on the merged
+    * view's vectors and publish codebook + full reassignment in ONE
+    * atomic commit ([[IncPostings.commitReplace]]) — the LSM answer to
+    * [[appendOrRetrain]]'s drift handling. The new codebook rides the
+    * manifest's kind-owned meta, so prior generations keep reading
+    * with the codebook that produced them (time travel ACROSS a
+    * codebook change), and a racing delta — whose rows were assigned
+    * under the old codebook — conflicts the replace instead of mixing
+    * codebooks in one view. Returns the committed generation. */
+  private[graft] def recluster(s: SparkSession, root: java.io.File): Int = {
+    val basisGen = IncPostings.committedGen(root)
+    val corpus = IncPostings.readAt(s, root, basisGen)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    val cents = trainCodebook(corpus)
+    val cbDir = IncPostings.newDataDir(root, "meta")
+    writeCodebook(s, cents, cbDir.toString)
+    IncPostings.commitReplace(s, root, vecRowsOf(cents, corpus), basisGen,
+      Some(cbDir.toString), layout = Seq("cid", "doc_id"))
+  }
+
+  /** The LSM retrain timeline's skewed-arrival cohort: residue-3=1
+    * vec_ids (a third of the corpus — a re-embedding-wave-sized
+    * batch; smaller cohorts measured below the 4x gauge at sf0.001)
+    * re-arrive at ids past the churn adds' range, shifted +10.0f per
+    * dimension — far outside the build distribution, so under the
+    * frozen codebook the whole cohort piles into one or two cells and
+    * trips [[SkewRetrainRatio]]. Residue disjoint from the
+    * versioned-dir retrain timeline's %3=0 so the two inventory
+    * indexes never share a drift cohort. SQL twin in
+    * [[Similarity.sqlIvfLsmRetrainSearch]]. */
+  private[graft] val LsmSkewShift: Long = 2 * Maintenance.AddShift
+  private[graft] def skewVecs(e: DataFrame): DataFrame =
+    e.where(col("vec_id") % 3 === 1)
+      .select((col("vec_id") + lit(LsmSkewShift)).as("vec_id"),
+        transform(col("embedding"), x => x + lit(10.0f)).as("embedding"))
+
+  /** The post-recluster corpus: the v2 churn survivors ∪ the skewed
+    * arrivals — exactly what the recluster's merged view held, and
+    * what the oracle trains on. */
+  private[graft] def lsmRetrainCorpus(e: DataFrame): DataFrame =
+    v2Vectors(e).unionByName(skewVecs(e))
+
+  /** The ivfvec RETRAIN timeline root: base (frozen v1 codebook as the
+    * gen-1 meta attachment) → churn delta → skewed-arrival delta
+    * (assigned under the DECAYED frozen codebook) → skew gauge MUST
+    * trip (required loudly: a policy regression fails the build) →
+    * [[recluster]] publishes the retrained codebook + reassignment as
+    * generation 4. */
+  private[graft] def lsmRetrainRoot(s: SparkSession, dir: String): java.io.File =
+    IncPostings.cachedRoot(s, dir, "ivfvec-retrain", src = "embeddings") { root =>
+      val e = Tables(s, dir, "embeddings")
+      val cents = trainCodebook(e)
+      val cbDir = IncPostings.newDataDir(root, "meta")
+      writeCodebook(s, cents, cbDir.toString)
+      IncPostings.commitBase(root,
+        vecRowsOf(cents, e.select(col("vec_id"), col("embedding"))),
+        meta = Some(cbDir.toString))
+      IncPostings.commitDelta(root, vecRowsOf(cents, deltaVecs(e)),
+        vecTombstones(e))
+      IncPostings.commitDelta(root, vecRowsOf(cents, skewVecs(e)),
+        e.where(lit(false)).select(col("vec_id").as("doc_id")))
+      val skew = cellSkew(IncPostings.readCurrent(s, root))
+      require(skew > SkewRetrainRatio,
+        f"skewed arrivals must trip the recluster policy at $dir (skew $skew%.1f)")
+      recluster(s, root)
+    }
 
   /** The full VECTOR index lifecycle as ONE artifact (the
     * pipe_index_lifecycle precedent at the ivfvec kind): base commit →
@@ -620,6 +707,22 @@ object IvfIndex {
         k = 3, nprobe = 1)
     }),
 
+    // ── Probe-1 top-3 search through the RECLUSTERED LSM vector
+    // index: the skewed-arrival cohort decays the frozen codebook,
+    // the gauge trips, and recluster publishes a retrained codebook +
+    // full reassignment in one atomic generation (kind-owned manifest
+    // meta — codebook and assignments version TOGETHER, the property
+    // the versioned-dir format had and the LSM kind now shares). The
+    // oracle trains on the same merged corpus, so a hash match
+    // certifies the trigger AND post-recluster search semantics. ────
+    "sim_ivf_lsm_retrain" -> ((s, dir) => {
+      val root = lsmRetrainRoot(s, dir)
+      val gen = IncPostings.committedGen(root)
+      searchView(codebookOf(s, root, gen), IncPostings.readAt(s, root, gen),
+        lsmRetrainCorpus(Tables(s, dir, "embeddings")).where(col("vec_id") < 5),
+        k = 3, nprobe = 1)
+    }),
+
     // ── The composed vector-index lifecycle: ONE query runs base →
     // delta → compaction (cid layout) → retention, probes the
     // RETAINED index, and pins the drift against the pre-maintenance
@@ -668,6 +771,7 @@ object IvfIndex {
     "sim_ivf_retrain" -> Similarity.sqlIvfRetrainSearch,
     "sim_ivf_lsm" -> Similarity.sqlIvfLsmSearch,
     "sim_ivf_lsm_parity" -> Similarity.sqlIvfLsmParity,
-    "pipe_vector_lifecycle" -> Similarity.sqlIvfLsmLifecycle
+    "pipe_vector_lifecycle" -> Similarity.sqlIvfLsmLifecycle,
+    "sim_ivf_lsm_retrain" -> Similarity.sqlIvfLsmRetrainSearch
   )
 }

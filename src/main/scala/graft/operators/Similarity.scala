@@ -849,6 +849,21 @@ object Similarity {
     * merged (base∪delta minus tombstones) view must serve. */
   private[operators] lazy val sqlIvfLsmSearch: String = sqlIvfSearch(sqlCbLsm)
 
+  /** Oracle for `sim_ivf_lsm_retrain`: the recluster trains on the
+    * merged view — the v2 churn survivors ∪ the +10.0f-shifted
+    * residue-3=1 arrivals — and searches it, so the oracle trains and
+    * indexes that same union (the DOUBLE add + FLOAT cast reproduces
+    * Spark's float32 shift bit-for-bit, the sqlIvfRetrainSearch
+    * precedent). */
+  private[operators] lazy val sqlIvfLsmRetrainSearch: String =
+    sqlIvfSearch(sqlCbWith(s"SELECT CAST(${IvfIndex.K} AS BIGINT) AS k",
+      corpusSql = s"""$sqlV2Vectors
+         | UNION ALL
+         | SELECT vec_id + ${IvfIndex.LsmSkewShift} AS vec_id,
+         |   CAST(list_transform(embedding,
+         |     x -> CAST(x AS DOUBLE) + 10.0) AS FLOAT[]) AS embedding
+         | FROM embeddings WHERE vec_id % 3 = 1""".stripMargin))
+
   /** Oracle for `pipe_vector_lifecycle`: the retained, compacted
     * index must serve the same search as the pre-maintenance view
     * (drift 0/0), land at generation 3 (base, delta, compaction) with

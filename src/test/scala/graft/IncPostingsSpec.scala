@@ -450,7 +450,16 @@ class IncPostingsSpec extends SparkSuite {
     // A cold `xka` build must evict only stale `xka-<fp>` roots — not
     // the `xka-lifecycle-<fp>` sibling, whose name shares the prefix
     // (the IvfIndex.evictStaleSiblings prefix-collision guard, applied
-    // to the shared cache protocol).
+    // to the shared cache protocol). Sweep the kind's roots from prior
+    // runs first: a persisted _GRAFT_DONE marker would skip the cold
+    // build (and with it the eviction pass under test).
+    def rmRf(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
+      f.delete()
+    }
+    Option(new java.io.File("/tmp/graft-incpostings-cache").listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.contains("-xka")).foreach(rmRf)
     val lifecycle = IncPostings.cachedRoot(spark, sf001, "xka-lifecycle")(_.mkdirs())
     assert(lifecycle.exists())
     // Plant a stale same-kind sibling (bare fingerprint): must be swept.

@@ -314,6 +314,82 @@ class IvfIndexSpec extends SparkSuite {
     assert(freshV1.exceptAll(g1).count() === 0L)
   }
 
+  test("ivfvec recluster: codebook versions with the generation; time travel crosses it") {
+    import graft.operators.{IncPostings, IvfIndex}
+    val root = IvfIndex.lsmRetrainRoot(spark, sf001)
+    val e = Tables(spark, sf001, "embeddings")
+    val gen = IncPostings.committedGen(root)
+    assert(gen === 4) // base, churn delta, skew delta, recluster
+    val cbOld = IvfIndex.codebookOf(spark, root, 3)
+    val cbNew = IvfIndex.codebookOf(spark, root, gen)
+    // non-vacuity: the recluster actually retrained
+    assert(cbOld.map(_._2.toSeq) != cbNew.map(_._2.toSeq),
+      "reclustered codebook must differ from the frozen one")
+    // generation 3 (pre-recluster) still reads as the OLD codebook's
+    // assignment of the same corpus; generation 4 as the NEW one's —
+    // and at least one vector moved cell between them
+    val corpus = IvfIndex.lsmRetrainCorpus(e)
+    val g3 = IncPostings.readAt(spark, root, 3)
+    val g4 = IncPostings.readAt(spark, root, gen)
+    def diff(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).count() + b.exceptAll(a).count()
+    assert(diff(g3, IvfIndex.vecRowsOf(cbOld, corpus)) === 0L)
+    assert(diff(g4, IvfIndex.vecRowsOf(cbNew, corpus)) === 0L)
+    val moved = g3.select(col("doc_id"), col("cid").as("c3"))
+      .join(g4.select(col("doc_id"), col("cid").as("c4")), "doc_id")
+      .where(col("c3") =!= col("c4")).count()
+    assert(moved > 0L, "recluster must move at least one vector's cell")
+  }
+
+  test("commitReplace conflicts on ANY racing commit (no codebook mixing)") {
+    import graft.operators.{IncPostings, IvfIndex}
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("ivfvec-replace").toFile
+    val e = Tables(spark, sf001, "embeddings").where(col("vec_id") < 30)
+    val cents = IvfIndex.trainCodebook(e)
+    IncPostings.commitBase(tmp, IvfIndex.vecRowsOf(cents, e))
+    val basisGen = IncPostings.committedGen(tmp)
+    // A delta lands between the basis read and the replace commit: its
+    // rows were assigned under the basis codebook, so the replace must
+    // ABORT rather than publish a view mixing interpretations.
+    IncPostings.commitDelta(tmp,
+      IvfIndex.vecRowsOf(cents, Seq((99L, Seq.fill(64)(0.1f)))
+        .toDF("vec_id", "embedding")),
+      Seq.empty[Long].toDF("doc_id"))
+    intercept[IncPostings.ReplaceConflict] {
+      IncPostings.commitReplace(spark, tmp,
+        IvfIndex.vecRowsOf(cents, e), basisGen, Some("cb2"),
+        layout = Seq("cid", "doc_id"))
+    }
+    // The failed replace published nothing: the live view is basis+delta.
+    assert(IncPostings.committedGen(tmp) === basisGen + 1)
+    assert(IncPostings.readCurrent(spark, tmp).count() === e.count() + 1)
+  }
+
+  test("retention reclaims a reclustered-away codebook past its horizon") {
+    import graft.operators.{IncPostings, IvfIndex}
+    val tmp = Files.createTempDirectory("ivfvec-cbretain").toFile
+    val e = Tables(spark, sf001, "embeddings").where(col("vec_id") < 30)
+    val cents = IvfIndex.trainCodebook(e)
+    val cb1 = IncPostings.newDataDir(tmp, "meta")
+    // private writeCodebook path: reuse recluster's public surface by
+    // committing base with meta, then reclustering
+    e.sparkSession.createDataFrame(
+      cents.map { case (cid, c) => (cid, c.toSeq) })
+      .toDF("centroid_id", "c_emb")
+      .write.parquet(s"$cb1/centroids")
+    IncPostings.commitBase(tmp, IvfIndex.vecRowsOf(cents, e),
+      meta = Some(cb1.toString))
+    val gen2 = IvfIndex.recluster(spark, tmp)
+    val cb2 = IncPostings.manifestOf(tmp, gen2).meta.get
+    assert(cb2 != cb1.toString)
+    IncPostings.retain(spark, tmp, keepGens = 1, graceMs = 0L)
+    assert(!cb1.exists(), "expired generation's codebook must be reclaimed")
+    assert(new java.io.File(cb2).exists(), "live codebook must survive")
+    // the surviving generation still reads with its own codebook
+    assert(IvfIndex.codebookOf(spark, tmp, gen2).nonEmpty)
+  }
+
   test("ivfvec LSM: compaction (cid layout) + retention leave search unchanged") {
     import graft.operators.{IncPostings, IvfIndex}
     val tmp = Files.createTempDirectory("ivfvec-lc").toFile
