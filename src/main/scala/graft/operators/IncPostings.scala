@@ -250,6 +250,14 @@ object IncPostings {
         basis.tombstones, meta = meta))
   }
 
+  /** Thrown when a delta that declared `derivedUnder` meets a basis
+    * whose meta has moved: a [[commitReplace]] (recluster) landed
+    * between the delta's derivation and its commit, so its rows were
+    * computed under the SUPERSEDED interpretation (the old codebook)
+    * and committing them would mix interpretations in one view. The
+    * writer re-reads the live meta, re-derives, and retries. */
+  private[graft] final class MetaConflict extends Exception
+
   /** Append one increment: delta postings + tombstone ids become an
     * immutable segment pair whose seq is the generation the commit
     * WINS (assigned by [[commitManifest]] — under contention the same
@@ -261,19 +269,30 @@ object IncPostings {
     * updates remain the caller's contract (the streaming twin's CDC
     * stream delivers at most one change per doc per batch).
     * `batchId`, when given, is recorded in the manifest as the
-    * transactional replay marker (see IndexDeltaStream). */
+    * transactional replay marker (see IndexDeltaStream).
+    *
+    * `derivedUnder` OPTS INTO meta-consistency checking for kinds
+    * whose rows are a function of the manifest's meta (ivfvec rows
+    * embed a codebook-dependent cid): pass the meta the rows were
+    * derived under and the commit throws [[MetaConflict]] if a racing
+    * replace moved it. Meta-less kinds (text postings) leave it None
+    * — their rows are interpretation-free. */
   private[graft] def commitDelta(root: java.io.File,
       deltaPostings: DataFrame, tombstoneIds: DataFrame,
-      batchId: Option[Long] = None): Int = {
+      batchId: Option[Long] = None,
+      derivedUnder: Option[String] = None): Int = {
     val seg = newDataDir(root, "segments")
     val tomb = newDataDir(root, "tombstones")
     deltaPostings.write.mode(SaveMode.Overwrite).parquet(seg.toString)
     tombstoneIds.select(col("doc_id"))
       .write.mode(SaveMode.Overwrite).parquet(tomb.toString)
-    commitManifest(root)((basis, gen) =>
+    commitManifest(root) { (basis, gen) =>
+      if (derivedUnder.exists(m => !basis.meta.contains(m)))
+        throw new MetaConflict
       Manifest(basis.segments :+ Segment(seg.toString, gen),
         basis.tombstones :+ Segment(tomb.toString, gen), batchId,
-        meta = basis.meta))
+        meta = basis.meta)
+    }
   }
 
   /** Merge-on-read over the live generation: each segment minus the

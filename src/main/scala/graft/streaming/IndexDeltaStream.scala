@@ -47,7 +47,9 @@ object IndexDeltaStream {
       keepGens: Int = Int.MaxValue,
       rowsOf: DataFrame => DataFrame = TextOps.trigramRowsOf,
       layout: Seq[String] = Seq("g", "doc_id"),
-      retainGraceMs: Long = IncPostings.RetainGraceMs): Unit = {
+      retainGraceMs: Long = IncPostings.RetainGraceMs,
+      postCommit: (org.apache.spark.sql.SparkSession, java.io.File) => Unit =
+        (_, _) => ()): Unit = {
     val marker = new java.io.File(root, f"commits/batch-$batchId%05d")
     if (marker.exists()) return // replayed batch: fast path
     if (!IncPostings.isBatchCommitted(root, batchId)) {
@@ -79,6 +81,11 @@ object IndexDeltaStream {
       // optimistic commit protocol admits): an in-flight fold's
       // unreferenced data dirs survive the sweep.
       IncPostings.retain(s, root, keepGens, retainGraceMs)
+    // Kind-owned maintenance policy (e.g. the ivfvec skew gauge +
+    // recluster): runs on the maintainer's own thread after each FRESH
+    // batch, so a policy commit is single-writer with the batch
+    // commits and a commitReplace here cannot conflict with them.
+    postCommit(s, root)
   }
 
   /** Start maintaining the index at `root` (which must hold a committed
@@ -95,11 +102,13 @@ object IndexDeltaStream {
       keepGens: Int = Int.MaxValue,
       rowsOf: DataFrame => DataFrame = TextOps.trigramRowsOf,
       layout: Seq[String] = Seq("g", "doc_id"),
-      retainGraceMs: Long = IncPostings.RetainGraceMs): StreamingQuery =
+      retainGraceMs: Long = IncPostings.RetainGraceMs,
+      postCommit: (org.apache.spark.sql.SparkSession, java.io.File) => Unit =
+        (_, _) => ()): StreamingQuery =
     changes.writeStream
       .foreachBatch((b: Dataset[Row], id: Long) =>
         applyBatch(root, b.toDF(), id, compactAtSegments, keepGens, rowsOf,
-          layout, retainGraceMs))
+          layout, retainGraceMs, postCommit))
       .option("checkpointLocation", checkpoint)
       .outputMode("update")
       .start()

@@ -216,6 +216,70 @@ class IndexDeltaStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("vector stream reclusters on drift mid-stream; later batches ride the new codebook") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.IvfIndex
+    val root = Files.createTempDirectory("idxdelta-recluster").toFile
+    val base = Tables(spark, sf001, "embeddings")
+      .where(col("vec_id") < 200).select(col("vec_id"), col("embedding"))
+    val cb1 = IvfIndex.trainCodebook(base)
+    val cb1Dir = IncPostings.newDataDir(root, "meta")
+    spark.createDataFrame(cb1.map { case (cid, c) => (cid, c.toSeq) })
+      .toDF("centroid_id", "c_emb").write.parquet(s"$cb1Dir/centroids")
+    IncPostings.commitBase(root, IvfIndex.vecRowsOf(cb1, base),
+      meta = Some(cb1Dir.toString))
+    val embOf = base.where(col("vec_id") < 3).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toSeq).toMap
+
+    // The production maintainer contract for meta-dependent kinds:
+    // resolve the codebook PER BATCH (a fixed closure would assign
+    // post-recluster batches under the superseded codebook), and let
+    // the post-commit policy recluster when the gauge trips.
+    def liveCb() = IvfIndex.codebookOf(spark, root, IncPostings.committedGen(root))
+    val changes = MemoryStream[(Long, Seq[Float], String)]
+    val q = IndexDeltaStream.start(
+      changes.toDS().toDF("doc_id", "embedding", "op"), root,
+      Files.createTempDirectory("idxdelta-recluster-ckpt").toString,
+      rowsOf = df => IvfIndex.vecRowsOf(liveCb(),
+        df.select(col("doc_id").as("vec_id"), col("embedding"))),
+      layout = Seq("cid", "doc_id"),
+      postCommit = (s, r) => {
+        if (IvfIndex.cellSkew(IncPostings.readCurrent(s, r)) >
+            IvfIndex.SkewRetrainRatio) { IvfIndex.recluster(s, r); () }
+      })
+    try {
+      // Batch 1: in-distribution upserts — the gauge must NOT trip.
+      changes.addData((1000L, embOf(0L), "upsert"), (1001L, embOf(1L), "upsert"))
+      q.processAllAvailable()
+      assert(IncPostings.manifestOf(root,
+        IncPostings.committedGen(root)).meta.contains(cb1Dir.toString))
+      // Batch 2: an out-of-distribution pile — recluster mid-stream.
+      val ood = (0 until 100).map(i =>
+        (2000L + i, embOf((i % 3).toLong).map(_ + 10.0f), "upsert"))
+      changes.addData(ood: _*)
+      q.processAllAvailable()
+      val metaAfter = IncPostings.manifestOf(root,
+        IncPostings.committedGen(root)).meta
+      assert(metaAfter.isDefined && !metaAfter.contains(cb1Dir.toString),
+        "the OOD batch must have triggered a recluster")
+      // Batch 3: rides the NEW codebook via per-batch resolution; the
+      // stream-maintained view equals a fresh assignment of the full
+      // state under the live codebook.
+      changes.addData((1002L, embOf(2L), "upsert"))
+      q.processAllAvailable()
+      val want = base
+        .unionByName(Seq((1000L, embOf(0L)), (1001L, embOf(1L)),
+          (1002L, embOf(2L))).toDF("vec_id", "embedding"))
+        .unionByName(ood.map(t => (t._1, t._2)).toDF("vec_id", "embedding"))
+      val fresh = IvfIndex.vecRowsOf(liveCb(), want)
+      val merged = IncPostings.readCurrent(spark, root)
+      assert(merged.exceptAll(fresh).count() === 0L)
+      assert(fresh.exceptAll(merged).count() === 0L)
+    } finally q.stop()
+  }
+
   test("replayed batches are skipped: at-least-once delivery, exactly-once index") {
     val root = Files.createTempDirectory("idxdelta-replay").toFile
     IncPostings.commitBase(root,

@@ -366,6 +366,115 @@ class IvfIndexSpec extends SparkSuite {
     assert(IncPostings.readCurrent(spark, tmp).count() === e.count() + 1)
   }
 
+  test("a delta derived under a superseded codebook is rejected (MetaConflict)") {
+    import graft.operators.{IncPostings, IvfIndex}
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("ivfvec-metaconflict").toFile
+    val base = Tables(spark, sf001, "embeddings")
+      .where(col("vec_id") < 50).select(col("vec_id"), col("embedding"))
+    val cb1 = IvfIndex.trainCodebook(base)
+    val cb1Dir = IncPostings.newDataDir(tmp, "meta")
+    spark.createDataFrame(cb1.map { case (cid, c) => (cid, c.toSeq) })
+      .toDF("centroid_id", "c_emb").write.parquet(s"$cb1Dir/centroids")
+    IncPostings.commitBase(tmp, IvfIndex.vecRowsOf(cb1, base),
+      meta = Some(cb1Dir.toString))
+    // Derive a delta under cb1, then let a recluster land first.
+    val rows = IvfIndex.vecRowsOf(cb1,
+      Seq((999L, Seq.fill(64)(0.2f))).toDF("vec_id", "embedding"))
+    IvfIndex.recluster(spark, tmp)
+    intercept[IncPostings.MetaConflict] {
+      IncPostings.commitDelta(tmp, rows, Seq.empty[Long].toDF("doc_id"),
+        derivedUnder = Some(cb1Dir.toString))
+    }
+    // An interpretation-free commit (no derivedUnder) is the caller's
+    // explicit choice and still goes through — text kinds rely on it.
+    IncPostings.commitDelta(tmp,
+      IvfIndex.vecRowsOf(IvfIndex.codebookOf(spark, tmp,
+        IncPostings.committedGen(tmp)),
+        Seq((999L, Seq.fill(64)(0.2f))).toDF("vec_id", "embedding")),
+      Seq.empty[Long].toDF("doc_id"))
+    assert(IncPostings.readCurrent(spark, tmp).count() === 51L)
+  }
+
+  test("racing delta vs recluster: MetaConflict forces re-derivation, no codebook mixing") {
+    import graft.operators.{IncPostings, IvfIndex}
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("ivfvec-race").toFile
+    val base = Tables(spark, sf001, "embeddings")
+      .where(col("vec_id") < 100).select(col("vec_id"), col("embedding"))
+    val cb1 = IvfIndex.trainCodebook(base)
+    val cb1Dir = IncPostings.newDataDir(tmp, "meta")
+    spark.createDataFrame(cb1.map { case (cid, c) => (cid, c.toSeq) })
+      .toDF("centroid_id", "c_emb").write.parquet(s"$cb1Dir/centroids")
+    IncPostings.commitBase(tmp, IvfIndex.vecRowsOf(cb1, base),
+      meta = Some(cb1Dir.toString))
+    val arrivals = Tables(spark, sf001, "embeddings")
+      .where(col("vec_id") >= 100 && col("vec_id") < 130)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toSeq)).toSeq
+
+    // Writer A: 10 one-vector deltas, each derived under the LIVE
+    // codebook and committed with derivedUnder — on MetaConflict (the
+    // reclusterer won meanwhile) it re-reads and re-derives.
+    // Writer B: one recluster, retried on ReplaceConflict (a delta won
+    // meanwhile). Either serialization is legal; mixing is not.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    import scala.concurrent.{ExecutionContext, Future, Await}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val fA = Future {
+      arrivals.take(10).foreach { case (id, emb) =>
+        var done = false
+        while (!done) {
+          val gen = IncPostings.committedGen(tmp)
+          val meta = IncPostings.manifestOf(tmp, gen).meta
+          val cb = IvfIndex.codebookOf(spark, tmp, gen)
+          val rows = IvfIndex.vecRowsOf(cb,
+            Seq((id, emb)).toDF("vec_id", "embedding"))
+          try {
+            IncPostings.commitDelta(tmp, rows,
+              Seq.empty[Long].toDF("doc_id"), derivedUnder = meta)
+            done = true
+          } catch { case _: IncPostings.MetaConflict => /* re-derive */ }
+        }
+      }
+    }
+    val fB = Future {
+      var done = false
+      while (!done) {
+        try { IvfIndex.recluster(spark, tmp); done = true }
+        catch { case _: IncPostings.ReplaceConflict => /* rebase */ }
+      }
+    }
+    Await.result(fA, 300.seconds); Await.result(fB, 300.seconds)
+    pool.shutdown()
+
+    // Whatever the interleaving: every committed row's cid must be the
+    // live codebook's assignment of its vector IF it was committed
+    // after the recluster, or a pre-recluster row that the recluster's
+    // replace folded in. Check the invariant that matters: rows
+    // committed at generations AFTER the replace all agree with the
+    // live codebook, and no doc is lost or duplicated.
+    val gen = IncPostings.committedGen(tmp)
+    val live = IncPostings.readCurrent(spark, tmp)
+    assert(live.groupBy(col("doc_id")).count()
+      .where(col("count") > 1).count() === 0L)
+    assert(live.count() === 100L + 10L)
+    val liveCb = IvfIndex.codebookOf(spark, tmp, gen)
+    val replaceGen = (1 to gen).find(g =>
+      IncPostings.manifestOf(tmp, g).meta.exists(_ != cb1Dir.toString)).get
+    val m = IncPostings.manifestOf(tmp, gen)
+    val postReplaceSegs = m.segments.filter(_.seq > replaceGen)
+    postReplaceSegs.foreach { seg =>
+      val rows = spark.read.parquet(seg.path)
+      val want = IvfIndex.vecRowsOf(liveCb,
+        rows.select(col("doc_id").as("vec_id"), col("embedding")))
+      assert(rows.exceptAll(want).count() === 0L,
+        s"segment ${seg.path} holds rows not derived under the live codebook")
+    }
+  }
+
   test("retention reclaims a reclustered-away codebook past its horizon") {
     import graft.operators.{IncPostings, IvfIndex}
     val tmp = Files.createTempDirectory("ivfvec-cbretain").toFile
