@@ -155,7 +155,8 @@ object Bench {
     try {
       val f = new java.io.File(outFile)
       Option(f.getParentFile).foreach(_.mkdirs())
-      val w = new java.io.FileWriter(f)
+      val w = new java.io.OutputStreamWriter(new java.io.FileOutputStream(f),
+        java.nio.charset.StandardCharsets.UTF_8)
       try w.write(s"""{"metric":"total_full","value":${ms(total)},"unit":"sec","sf":"$sfDir","queries":$qs,"loads":$loads,"cold":$coldJson,"n_cold_builds":${coldBuilds.size},"load_avg_start":$loadStart,"load_avg_end":$loadEnd}\n""")
       finally w.close()
     } catch { case e: Throwable =>

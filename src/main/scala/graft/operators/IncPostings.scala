@@ -70,11 +70,26 @@ object IncPostings {
       tombstones: Seq[Segment], batchId: Option[Long] = None,
       meta: Option[String] = None)
 
+  /** JSON string escape for the hand-rolled writer: backslash, quote,
+    * and all control chars. Paths are internally generated and benign
+    * today, but a manifest writer must be correct by construction —
+    * an unescapable root path would otherwise corrupt every manifest
+    * under it. Roundtrip is ScalaCheck-pinned (IncPostingsSpec). */
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   private def manifestJson(m: Manifest): String = {
     def arr(ss: Seq[Segment]) = ss.map(s =>
-      s"""{"path":"${s.path}","seq":${s.seq}}""").mkString("[", ",", "]")
+      s"""{"path":${jstr(s.path)},"seq":${s.seq}}""").mkString("[", ",", "]")
     val batch = m.batchId.map(id => s""","batchId":$id""").getOrElse("")
-    val meta = m.meta.map(p => s""","meta":"$p"""").getOrElse("")
+    val meta = m.meta.map(p => s""","meta":${jstr(p)}""").getOrElse("")
     s"""{"segments":${arr(m.segments)},"tombstones":${arr(m.tombstones)}$batch$meta}"""
   }
 
@@ -93,7 +108,13 @@ object IncPostings {
 
   private def writeText(f: java.io.File, text: String): Unit = {
     f.getParentFile.mkdirs()
-    val w = new java.io.FileWriter(f)
+    // Explicit UTF-8: FileWriter's no-charset constructor uses the
+    // platform default (ANSI_X3.4-1968 in this container), which
+    // silently mangles any non-ASCII byte on the write side while
+    // readText decodes UTF-8 — found by the ManifestProperties
+    // roundtrip fuzz on an astral-char segment path.
+    val w = new java.io.OutputStreamWriter(
+      new java.io.FileOutputStream(f), java.nio.charset.StandardCharsets.UTF_8)
     try w.write(text) finally w.close()
   }
 

@@ -1,6 +1,7 @@
 package graft.sources
 
-import java.io.{BufferedWriter, File, FileWriter}
+import java.io.{BufferedWriter, File, FileOutputStream, OutputStreamWriter}
+import java.nio.charset.StandardCharsets.UTF_8
 import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
@@ -93,7 +94,8 @@ private[sources] class JsonlStreamingWrite(path: String, schema: StructType)
       require(ok, s"publish failed for ${m.tmpName}")
       s"${m.finalName}\t${m.rows}"
     }
-    val mf = new BufferedWriter(new FileWriter(manifest))
+    val mf = new BufferedWriter(
+      new OutputStreamWriter(new FileOutputStream(manifest), UTF_8))
     try entries.foreach { e => mf.write(e); mf.newLine() } finally mf.close()
   }
 
@@ -124,7 +126,8 @@ private[sources] class JsonlBatchWrite(path: String, schema: StructType) extends
       require(ok, s"publish failed for ${m.tmpName}")
       s"${m.finalName}\t${m.rows}"
     }
-    val mf = new BufferedWriter(new FileWriter(new File(dir, "_GRAFT_MANIFEST")))
+    val mf = new BufferedWriter(new OutputStreamWriter(
+      new FileOutputStream(new File(dir, "_GRAFT_MANIFEST")), UTF_8))
     try entries.foreach { e => mf.write(e); mf.newLine() } finally mf.close()
   }
 
@@ -149,7 +152,13 @@ private[sources] class JsonlWriter(path: String, schema: StructType,
   private val finalName = f"$epochTag%spart-$partitionId%05d.jsonl"
   private val file = new File(new File(path), tmpName)
   file.getParentFile.mkdirs()
-  private val out = new BufferedWriter(new FileWriter(file))
+  // Explicit UTF-8: the row data carries Korean text, and FileWriter's
+  // no-charset constructor uses the platform default — ANSI_X3.4-1968
+  // in this container — which would silently write '?' for every
+  // non-ASCII char (esc() passes non-ASCII through by design; JSON is
+  // UTF-8 on the wire). Spec-pinned with a Hangul roundtrip.
+  private val out = new BufferedWriter(
+    new OutputStreamWriter(new FileOutputStream(file), UTF_8))
   private var rows = 0L
 
   private def esc(s: String): String = {

@@ -14,6 +14,11 @@ class JsonlSinkSpec extends SparkSuite {
     val df = Seq(
       (1L, "plain", 1.5, true),
       (2L, "quote\" and \\ and\nnewline", -0.25, false),
+      // Korean + astral text: the writer must emit real UTF-8 bytes —
+      // a platform-default-charset writer turns every non-ASCII char
+      // into '?' in this container (ANSI_X3.4-1968 default), which is
+      // silent corruption for the reference's Korean news rows.
+      (4L, "뉴스 기사 제목 𝄞 café", 2.5, true),
       (3L, null.asInstanceOf[String], 0.0, true))
       .toDF("id", "txt", "score", "flag").repartition(3)
 
@@ -27,7 +32,7 @@ class JsonlSinkSpec extends SparkSuite {
     // Manifest rows sum to the dataframe size and list exactly the parts.
     val manifest = scala.io.Source.fromFile(new File(dir, "_GRAFT_MANIFEST")).getLines()
       .map(_.split("\t")).map(a => a(0) -> a(1).toLong).toMap
-    assert(manifest.values.sum === 3L)
+    assert(manifest.values.sum === 4L)
     assert(manifest.keySet === files.filter(_.endsWith(".jsonl")).toSet)
 
     // Spark's JSON reader round-trips the content (underscore-prefixed
