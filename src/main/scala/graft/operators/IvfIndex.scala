@@ -42,6 +42,18 @@ import org.apache.spark.sql.functions._
   * the probed cells are a subset of the ≤K known cids, search pushes
   * an `IN (probed cids)` literal filter that prunes to the probed
   * directories instead of scanning the corpus.
+  *
+  * TWO deployment shapes, one algorithm: this versioned-dir format is
+  * the READ-OPTIMIZED shape — statically cell-partitioned files,
+  * directory pruning per probe, appends cheap but deletes/edits
+  * requiring a rebuild. The `ivfvec` LSM kind below is the
+  * CHURN-OPTIMIZED shape — the same rows on [[IncPostings]]'
+  * generations/tombstones machinery, where deletes and edits are
+  * delta commits, the codebook versions atomically with each
+  * generation (manifest meta), drift reclusters in place, and a
+  * compaction in cid layout recovers the read-optimized file layout.
+  * A production deployment runs the LSM shape under churn and reads
+  * through its compacted segments; both are oracled end to end.
   */
 object IvfIndex {
 
