@@ -1,0 +1,388 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** From-scratch Kafka WIRE-PROTOCOL client — the byte-transport layer
+  * the reference's producer/consumer pair rides
+  * (collect/producer.py:26-29,50 publishes JSON records to
+  * `article-topic`; collect/consumer.py:152-159 consumes from the
+  * earliest offset). This sandbox ships no Kafka artifact (no
+  * kafka-clients jar, no spark-sql-kafka connector, zero egress), so
+  * the transport is implemented directly against the PUBLIC protocol
+  * specification (kafka.apache.org/protocol) and driven in tests over
+  * real TCP against an in-JVM broker double — the same pattern that
+  * proves the S11 HTTP crawl against an in-JVM HTTP server.
+  *
+  * Deliberately minimal, deliberately real:
+  *  - pre-flexible protocol versions only (INT16-length strings,
+  *    INT32-length arrays, no tagged fields): ApiVersions v0 (18),
+  *    Metadata v0 (3), Produce v2 (0), Fetch v2 (1);
+  *  - message format v1 (magic=1): CRC32 over magic..end, CreateTime
+  *    timestamps, no compression — every record's CRC is VERIFIED on
+  *    the consume side (a corrupted batch throws, never yields rows);
+  *  - murmur2 key partitioning — Kafka's own default partitioner
+  *    hash, so keyed records land on the same partition a stock
+  *    client would pick;
+  *  - big-endian framing: INT32 length prefix per request/response.
+  *
+  * Spark integration is executor-side and partition-parallel, the
+  * shape the real connector has: the producer opens one connection
+  * per dataframe partition (foreachPartition), the consumer runs one
+  * fetch loop per topic partition (parallelized over the cluster),
+  * so neither side funnels data through the driver.
+  */
+object KafkaWire {
+
+  // ── primitive codec (big-endian, pre-flexible encodings) ───────────
+
+  final class Writer {
+    private var buf = new Array[Byte](256)
+    private var n = 0
+    private def ensure(k: Int): Unit = if (n + k > buf.length) {
+      buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, n + k))
+    }
+    def int8(v: Int): Writer = { ensure(1); buf(n) = v.toByte; n += 1; this }
+    def int16(v: Int): Writer = { ensure(2)
+      buf(n) = (v >> 8).toByte; buf(n + 1) = v.toByte; n += 2; this }
+    def int32(v: Int): Writer = { ensure(4)
+      var i = 0; while (i < 4) { buf(n + i) = (v >> (24 - 8 * i)).toByte; i += 1 }
+      n += 4; this }
+    def int64(v: Long): Writer = { ensure(8)
+      var i = 0; while (i < 8) { buf(n + i) = (v >> (56 - 8 * i)).toByte; i += 1 }
+      n += 8; this }
+    def raw(b: Array[Byte]): Writer = { ensure(b.length)
+      System.arraycopy(b, 0, buf, n, b.length); n += b.length; this }
+    /** NULLABLE_STRING: INT16 length (-1 = null) + UTF-8 bytes. */
+    def str(s: String): Writer =
+      if (s == null) int16(-1)
+      else { val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        int16(b.length); raw(b) }
+    /** BYTES: INT32 length (-1 = null) + bytes. */
+    def bytes(b: Array[Byte]): Writer =
+      if (b == null) int32(-1) else { int32(b.length); raw(b) }
+    def result(): Array[Byte] = java.util.Arrays.copyOf(buf, n)
+  }
+
+  final class Reader(buf: Array[Byte]) {
+    private var p = 0
+    def int8(): Int = { p += 1; buf(p - 1) }
+    def int16(): Int = { p += 2
+      ((buf(p - 2) & 0xff) << 8 | (buf(p - 1) & 0xff)).toShort.toInt }
+    def int32(): Int = { p += 4
+      (buf(p - 4) & 0xff) << 24 | (buf(p - 3) & 0xff) << 16 |
+        (buf(p - 2) & 0xff) << 8 | (buf(p - 1) & 0xff) }
+    def int64(): Long = ((int32().toLong & 0xffffffffL) << 32) |
+      (int32().toLong & 0xffffffffL)
+    def raw(k: Int): Array[Byte] = { p += k
+      java.util.Arrays.copyOfRange(buf, p - k, p) }
+    def str(): String = { val k = int16()
+      if (k < 0) null
+      else new String(raw(k), java.nio.charset.StandardCharsets.UTF_8) }
+    def bytes(): Array[Byte] = { val k = int32(); if (k < 0) null else raw(k) }
+    def remaining: Int = buf.length - p
+  }
+
+  // ── murmur2 — Kafka's default-partitioner hash (public algorithm) ──
+
+  def murmur2(data: Array[Byte]): Int = {
+    val seed = 0x9747b28c; val m = 0x5bd1e995; val r = 24
+    var h = seed ^ data.length
+    val n4 = data.length / 4
+    var i = 0
+    while (i < n4) {
+      val i4 = i * 4
+      var k = (data(i4) & 0xff) | ((data(i4 + 1) & 0xff) << 8) |
+        ((data(i4 + 2) & 0xff) << 16) | ((data(i4 + 3) & 0xff) << 24)
+      k *= m; k ^= k >>> r; k *= m
+      h *= m; h ^= k
+      i += 1
+    }
+    (data.length % 4) match {
+      case 3 => h ^= (data((n4 * 4) + 2) & 0xff) << 16
+        h ^= (data((n4 * 4) + 1) & 0xff) << 8
+        h ^= data(n4 * 4) & 0xff; h *= m
+      case 2 => h ^= (data((n4 * 4) + 1) & 0xff) << 8
+        h ^= data(n4 * 4) & 0xff; h *= m
+      case 1 => h ^= data(n4 * 4) & 0xff; h *= m
+      case _ =>
+    }
+    h ^= h >>> 13; h *= m; h ^= h >>> 15
+    h
+  }
+
+  /** Kafka's default keyed partitioning: toPositive(murmur2(key)) %
+    * numPartitions; null keys here go to partition 0 (the stock
+    * client round-robins — a fixed choice keeps the client
+    * deterministic, and the reference keys every record by link). */
+  def partitionFor(key: Array[Byte], numPartitions: Int): Int =
+    if (key == null) 0 else (murmur2(key) & 0x7fffffff) % numPartitions
+
+  // ── message format v1 (magic 1, CRC32 over magic..end) ─────────────
+
+  /** One consumed record with its broker-assigned absolute offset. */
+  final case class Record(offset: Long, timestamp: Long,
+      key: Array[Byte], value: Array[Byte])
+
+  private def encodeMessage(timestamp: Long, key: Array[Byte],
+      value: Array[Byte]): Array[Byte] = {
+    val body = new Writer()
+      .int8(1)            // magic = 1
+      .int8(0)            // attributes: no compression, CreateTime
+      .int64(timestamp)
+      .bytes(key)
+      .bytes(value)
+      .result()
+    val crc = new java.util.zip.CRC32(); crc.update(body)
+    new Writer().int32(crc.getValue.toInt).raw(body).result()
+  }
+
+  /** MessageSet v1: [offset INT64, size INT32, message]*. The producer
+    * writes relative offsets 0..n-1 (the broker assigns absolutes);
+    * the consumer reads the broker's absolutes back. */
+  def encodeMessageSet(records: Seq[(Array[Byte], Array[Byte])],
+      timestamp: Long): Array[Byte] = {
+    val w = new Writer()
+    records.zipWithIndex.foreach { case ((k, v), i) =>
+      val msg = encodeMessage(timestamp, k, v)
+      w.int64(i.toLong).int32(msg.length).raw(msg)
+    }
+    w.result()
+  }
+
+  /** MessageSet v1 with EXPLICIT absolute offsets — the Fetch-response
+    * side of the codec (a broker serves stored records back with the
+    * offsets it assigned at produce time). */
+  def encodeMessageSetAt(records: Seq[Record]): Array[Byte] = {
+    val w = new Writer()
+    records.foreach { rec =>
+      val msg = encodeMessage(rec.timestamp, rec.key, rec.value)
+      w.int64(rec.offset).int32(msg.length).raw(msg)
+    }
+    w.result()
+  }
+
+  /** Decode + CRC-VERIFY a message set; a partial trailing message
+    * (the broker may truncate at max_bytes) is dropped, a CRC mismatch
+    * throws — corruption must never surface as data. */
+  def decodeMessageSet(bytes: Array[Byte]): Seq[Record] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Record]
+    val r = new Reader(bytes)
+    while (r.remaining >= 12) {
+      val offset = r.int64()
+      val size = r.int32()
+      if (r.remaining < size) return out.toSeq // truncated tail
+      val msg = r.raw(size)
+      val mr = new Reader(msg)
+      val crc = mr.int32()
+      val check = new java.util.zip.CRC32()
+      check.update(msg, 4, msg.length - 4)
+      if (check.getValue.toInt != crc)
+        throw new java.io.IOException(
+          s"CRC mismatch in message at offset $offset")
+      val magic = mr.int8()
+      require(magic == 1, s"unsupported message magic $magic")
+      mr.int8() // attributes (no compression supported)
+      val ts = mr.int64()
+      out += Record(offset, ts, mr.bytes(), mr.bytes())
+    }
+    out.toSeq
+  }
+
+  // ── framed request/response over TCP ────────────────────────────────
+
+  /** One broker connection: INT32-framed request out, INT32-framed
+    * response in, correlation ids checked. */
+  final class Conn(host: String, port: Int, clientId: String = "graft") {
+    private val sock = new java.net.Socket(host, port)
+    private val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(sock.getOutputStream))
+    private val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(sock.getInputStream))
+    private var corr = 0
+
+    def call(apiKey: Int, apiVersion: Int, body: Array[Byte]): Reader = {
+      corr += 1
+      val header = new Writer()
+        .int16(apiKey).int16(apiVersion).int32(corr).str(clientId).result()
+      out.writeInt(header.length + body.length)
+      out.write(header); out.write(body); out.flush()
+      val len = in.readInt()
+      val resp = new Array[Byte](len)
+      in.readFully(resp)
+      val r = new Reader(resp)
+      val gotCorr = r.int32()
+      require(gotCorr == corr, s"correlation mismatch: $gotCorr != $corr")
+      r
+    }
+    def close(): Unit = sock.close()
+  }
+
+  /** ApiVersions v0: (errorCode, Map(apiKey -> (min, max))). */
+  def apiVersions(c: Conn): (Int, Map[Int, (Int, Int)]) = {
+    val r = c.call(18, 0, Array.emptyByteArray)
+    val err = r.int16()
+    val n = r.int32()
+    (err, (0 until n).map(_ => r.int16() -> (r.int16(), r.int16())).toMap)
+  }
+
+  /** Metadata v0 for one topic: number of partitions (leader checks
+    * omitted — the test double is a single broker). */
+  def partitionCount(c: Conn, topic: String): Int = {
+    val body = new Writer().int32(1).str(topic).result()
+    val r = c.call(3, 0, body)
+    val nBrokers = r.int32()
+    (0 until nBrokers).foreach { _ => r.int32(); r.str(); r.int32() }
+    val nTopics = r.int32()
+    require(nTopics == 1, s"expected 1 topic, got $nTopics")
+    val err = r.int16(); require(err == 0, s"metadata error $err")
+    val name = r.str(); require(name == topic)
+    val nParts = r.int32()
+    (0 until nParts).foreach { _ =>
+      r.int16(); r.int32(); r.int32()
+      val nr = r.int32(); (0 until nr).foreach(_ => r.int32())
+      val ni = r.int32(); (0 until ni).foreach(_ => r.int32())
+    }
+    nParts
+  }
+
+  /** Produce v2 (acks=-1): one partition's records; returns the
+    * broker-assigned base offset. */
+  def produce(c: Conn, topic: String, partition: Int,
+      records: Seq[(Array[Byte], Array[Byte])], timestamp: Long): Long = {
+    val set = encodeMessageSet(records, timestamp)
+    val body = new Writer()
+      .int16(-1).int32(30000) // acks=all, timeout
+      .int32(1).str(topic)
+      .int32(1).int32(partition)
+      .int32(set.length).raw(set)
+      .result()
+    val r = c.call(0, 2, body)
+    val nTopics = r.int32(); require(nTopics == 1)
+    r.str()
+    val nParts = r.int32(); require(nParts == 1)
+    r.int32() // partition
+    val err = r.int16(); require(err == 0, s"produce error $err")
+    val baseOffset = r.int64()
+    r.int64() // log_append_time
+    r.int32() // throttle_time_ms
+    baseOffset
+  }
+
+  /** ListOffsets v1: the log-end (timestamp = -1, "latest") or
+    * log-start (-2, "earliest") offset of one partition — how a
+    * consumer resolves its admission window without fetching data. */
+  def listOffset(c: Conn, topic: String, partition: Int,
+      timestamp: Long = -1L): Long = {
+    val body = new Writer()
+      .int32(-1) // replica_id
+      .int32(1).str(topic)
+      .int32(1).int32(partition).int64(timestamp)
+      .result()
+    val r = c.call(2, 1, body)
+    val nTopics = r.int32(); require(nTopics == 1)
+    r.str()
+    val nParts = r.int32(); require(nParts == 1)
+    r.int32() // partition
+    val err = r.int16(); require(err == 0, s"listOffsets error $err")
+    r.int64() // timestamp
+    r.int64() // offset
+  }
+
+  /** Fetch v2 from `offset`: (records, highWatermark). */
+  def fetch(c: Conn, topic: String, partition: Int, offset: Long,
+      maxBytes: Int = 1 << 20): (Seq[Record], Long) = {
+    val body = new Writer()
+      .int32(-1).int32(100).int32(0) // replica=-1, max_wait, min_bytes
+      .int32(1).str(topic)
+      .int32(1).int32(partition).int64(offset).int32(maxBytes)
+      .result()
+    val r = c.call(1, 2, body)
+    r.int32() // throttle_time_ms
+    val nTopics = r.int32(); require(nTopics == 1)
+    r.str()
+    val nParts = r.int32(); require(nParts == 1)
+    r.int32() // partition
+    val err = r.int16(); require(err == 0, s"fetch error $err")
+    val hw = r.int64()
+    val set = r.bytes()
+    (if (set == null) Seq.empty else decodeMessageSet(set), hw)
+  }
+
+  // ── Spark integration (executor-side, partition-parallel) ──────────
+
+  /** S2, the producer sink: write a (key STRING, value STRING)
+    * dataframe to `topic`, one broker connection per dataframe
+    * partition on the executors, records routed to topic partitions
+    * by murmur2(key) — the reference's `producer.send(topic,
+    * key=entry.link, value=json)` loop (collect/producer.py:50),
+    * distributed. */
+  def produceDataFrame(df: DataFrame, host: String, port: Int,
+      topic: String, timestamp: Long): Unit = {
+    df.select(col("key").cast("string"), col("value").cast("string"))
+      .foreachPartition { rows: Iterator[Row] =>
+        // resolved inside the task: Charset instances don't serialize
+        val u8 = java.nio.charset.StandardCharsets.UTF_8
+        if (rows.nonEmpty) {
+          val c = new Conn(host, port)
+          try {
+            val nParts = partitionCount(c, topic)
+            rows.grouped(500).foreach { chunk =>
+              chunk
+                .map { row =>
+                  val k = Option(row.getString(0)).map(_.getBytes(u8)).orNull
+                  val v = Option(row.getString(1)).map(_.getBytes(u8)).orNull
+                  (partitionFor(k, nParts), k, v)
+                }
+                .groupBy(_._1)
+                .foreach { case (p, recs) =>
+                  produce(c, topic, p, recs.map(t => (t._2, t._3)), timestamp)
+                }
+            }
+          } finally c.close()
+        }
+      }
+  }
+
+  /** A foreachBatch sink for the streaming (S2) shape — the
+    * JdbcUpsert.foreachBatchWriter pattern on the Kafka wire. */
+  def foreachBatchProducer(host: String, port: Int, topic: String,
+      timestamp: Long): (Dataset[Row], Long) => Unit =
+    (batch, _) => produceDataFrame(batch.toDF(), host, port, topic, timestamp)
+
+  /** S3, the consumer source (batch form): read every record from
+    * `fromOffset` (earliest = 0, the reference's
+    * `auto_offset_reset="earliest"`) to the current high watermark,
+    * one fetch loop per topic partition, parallelized over the
+    * cluster. Returns (partition, offset, timestamp, key, value). */
+  def pollOnce(spark: SparkSession, host: String, port: Int,
+      topic: String, fromOffset: Long = 0L): DataFrame = {
+    val meta = new Conn(host, port)
+    val nParts = try partitionCount(meta, topic) finally meta.close()
+    val rows = spark.sparkContext
+      .parallelize(0 until nParts, nParts)
+      .flatMap { p =>
+        val u8 = java.nio.charset.StandardCharsets.UTF_8
+        val c = new Conn(host, port)
+        try {
+          val out = scala.collection.mutable.ArrayBuffer.empty[
+            (Int, Long, Long, String, String)]
+          var off = fromOffset
+          var done = false
+          while (!done) {
+            val (recs, hw) = fetch(c, topic, p, off)
+            recs.foreach { r =>
+              out += ((p, r.offset, r.timestamp,
+                if (r.key == null) null else new String(r.key, u8),
+                if (r.value == null) null else new String(r.value, u8)))
+            }
+            off = if (recs.isEmpty) hw else recs.last.offset + 1
+            done = recs.isEmpty || off >= hw
+          }
+          out.toSeq
+        } finally c.close()
+      }
+    spark.createDataFrame(rows)
+      .toDF("partition", "offset", "timestamp", "key", "value")
+  }
+}

@@ -37,6 +37,19 @@ object EnrichStream {
       .load()
       .selectExpr("CAST(value AS STRING) AS json")
 
+  /** The same consumer entry on the library's OWN wire-protocol source
+    * (`graft-kafka`, [[graft.sources.KafkaWireDataSource]]) — runnable
+    * in-sandbox against a real TCP broker endpoint, earliest offsets,
+    * checkpointed exactly-once resume. Query shape downstream is
+    * identical to [[fromKafka]]. */
+  def fromKafkaWire(spark: SparkSession, host: String, port: Int,
+      topic: String): DataFrame =
+    spark.readStream.format("graft-kafka")
+      .option("host", host).option("port", port.toString)
+      .option("topic", topic)
+      .load()
+      .selectExpr("CAST(value AS STRING) AS json")
+
   /** Parse the wire JSON, dedup by link within the watermark (F12 — the
     * streaming analogue of the producer's bounded URL deque, state
     * bounded by event time instead of a fixed count), then enrich.

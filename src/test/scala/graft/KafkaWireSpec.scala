@@ -22,10 +22,15 @@ import org.apache.spark.sql.types._
   *     bytes must round-trip through `NewsSchema.wireSchema` with no
   *     field lost — i.e. producer output IS valid consumer input.
   *
-  * The only unpinned layer left is Kafka itself (byte transport), which
-  * is not this library's code. `fromKafka`'s option set (earliest,
-  * subscribe) mirrors collect/consumer.py:154 and is asserted compile-
-  * time by its use in EnrichStream.
+  * The byte-transport layer this file once left unpinned is now
+  * implemented and tested too: [[graft.sources.KafkaWire]] speaks the
+  * public protocol directly (murmur2-routed Produce, CRC-verified
+  * Fetch, ListOffsets, message format v1) and KafkaProtocolSpec
+  * drives it over real TCP against an in-JVM broker double, up
+  * through the `graft-kafka` Structured Streaming source with
+  * checkpointed resume. `fromKafka`'s option set (earliest,
+  * subscribe) mirrors collect/consumer.py:154; `fromKafkaWire` is the
+  * same entry on the library's own transport.
   */
 class KafkaWireSpec extends SparkSuite {
 
