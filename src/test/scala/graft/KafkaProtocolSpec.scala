@@ -203,6 +203,31 @@ class KafkaProtocolSpec extends SparkSuite {
     } finally srv.stop()
   }
 
+  test("S4: CREATE TABLE ... USING graft-kafka — the declarative source-table shape") {
+    // consumer2.py:136-152 declares the Kafka source as a Flink DDL
+    // table; the Spark-first form is SQL DDL over the DSv2 provider,
+    // with PROCTIME() becoming current_timestamp() at read time.
+    val srv = new MiniKafkaServer(numPartitions = 1)
+    try {
+      val c = new KafkaWire.Conn("localhost", srv.port)
+      try KafkaWire.produce(c, "article-topic", 0,
+        Seq(("k1".getBytes(u8), """{"t":"기사"}""".getBytes(u8))), 7L)
+      finally c.close()
+      spark.sql("DROP TABLE IF EXISTS news_wire")
+      spark.sql(s"""CREATE TABLE news_wire USING `graft-kafka`
+        OPTIONS (host 'localhost', port '${srv.port}', topic 'article-topic')""")
+      try {
+        val rows = spark.sql(
+          """SELECT key, value, current_timestamp() AS proctime
+            |FROM news_wire""".stripMargin).collect()
+        assert(rows.length == 1)
+        assert(rows.head.getAs[String]("key") == "k1")
+        assert(rows.head.getAs[String]("value") == """{"t":"기사"}""")
+        assert(rows.head.getAs[java.sql.Timestamp]("proctime") != null)
+      } finally spark.sql("DROP TABLE news_wire")
+    } finally srv.stop()
+  }
+
   test("S2→S3 end to end: RSS → produceDataFrame → broker → pollOnce → enrich") {
     val srv = new MiniKafkaServer(numPartitions = 2)
     try {
