@@ -1,0 +1,102 @@
+package graft
+
+import java.sql.DriverManager
+
+import graft.sources.{JdbcUpsert, KafkaWire, Rss}
+import graft.streaming.EnrichStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The WHOLE reference topology in one run, every hop executing
+  * in-sandbox: RSS poll → Kafka wire produce (producer.py) → broker →
+  * `graft-kafka` streaming consume → parse + enrich (consumer.py /
+  * ollama_consumer.py) → JDBC upsert (consumer.py's Postgres sink,
+  * here embedded Derby) AND partitioned lake files (consumer2.py's
+  * Flink HDFS sink) — with a second producer round proving the
+  * resume + idempotence story across the full chain. */
+class FullTopologySpec extends SparkSuite {
+
+  private val jdbcUrl = "jdbc:derby:memory:topodb;create=true"
+
+  test("RSS → wire Kafka → stream enrich → JDBC upsert + lake, resumable end to end") {
+    val srv = new MiniKafkaServer(numPartitions = 2)
+    val conn0 = DriverManager.getConnection(jdbcUrl)
+    try conn0.createStatement().execute(
+      """CREATE TABLE news_full (
+        |  link VARCHAR(300) NOT NULL PRIMARY KEY,
+        |  title VARCHAR(300),
+        |  author VARCHAR(100),
+        |  updated TIMESTAMP)""".stripMargin)
+    finally conn0.close()
+    try {
+      def feed(n: Int) = new Rss.FeedFetcher {
+        def fetch(url: String): Seq[Rss.FeedEntry] = (1 to n).map(i =>
+          Rss.FeedEntry("김기자", s"$url/$i", s"본문 요약 $i", s"제목 $i",
+            f"2025-05-24 09:$i%02d:00"))
+      }
+      def produce(n: Int): Unit = KafkaWire.produceDataFrame(
+        Rss.toKafkaJson(Rss.pollOnce(spark, Seq("http://feed"), feed(n))),
+        "localhost", srv.port, "article-topic", 1716500000000L)
+
+      val ckpt = java.nio.file.Files.createTempDirectory("topo-ckpt").toString
+      val lake = java.nio.file.Files.createTempDirectory("topo-lake").toString
+      val jdbcWriter = JdbcUpsert.foreachBatchWriter(
+        jdbcUrl, "news_full", Seq("link"), JdbcUpsert.DerbyUpsertDialect)
+
+      def runOnce(): Unit = {
+        val enriched = EnrichStream.enrichParsed(
+          EnrichStream.fromKafkaWire(spark, "localhost", srv.port,
+            "article-topic"), embedDim = 8)
+        val q = enriched.writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            batch.persist()
+            jdbcWriter(batch.select(col("link"), col("title"),
+              col("author"), col("updated_ts").as("updated")), id)
+            batch.withColumn("day", date_format(col("event_ts"), "yyyyMMdd"))
+              .select("day", "link", "title", "summary")
+              .write.mode("append").partitionBy("day").parquet(lake)
+            batch.unpersist(); ()
+          }
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+
+      def jdbcCount(): Long = {
+        val c = DriverManager.getConnection(jdbcUrl)
+        try {
+          val rs = c.createStatement()
+            .executeQuery("SELECT count(*) FROM news_full")
+          rs.next(); rs.getLong(1)
+        } finally c.close()
+      }
+
+      // Round 1: three articles travel the whole chain.
+      produce(3)
+      runOnce()
+      assert(jdbcCount() == 3L)
+      val lake1 = spark.read.parquet(lake)
+      assert(lake1.count() == 3L)
+      // partition values read back type-inferred (int here)
+      assert(lake1.select("day").distinct().collect()
+        .head.get(0).toString == "20250524")
+      // Korean content arrived intact at the terminal store
+      assert(lake1.where(col("link") === "http://feed/2")
+        .select("title").head().getString(0) == "제목 2")
+
+      // Round 2: the producer re-publishes 1-3 (at-least-once) plus
+      // two fresh articles; the checkpointed consumer resumes past
+      // its committed offsets, and the JDBC upsert absorbs what the
+      // broker re-delivered — terminal state is exactly 5 rows.
+      produce(5)
+      runOnce()
+      assert(jdbcCount() == 5L)
+      assert(spark.read.parquet(lake).select("link").distinct().count() == 5L)
+    } finally {
+      srv.stop()
+      val c = DriverManager.getConnection(jdbcUrl)
+      try c.createStatement().execute("DROP TABLE news_full") finally c.close()
+    }
+  }
+}
