@@ -533,7 +533,10 @@ object IvfIndex {
   private[graft] def lsmRoot(s: SparkSession, dir: String): java.io.File =
     IncPostings.cachedRoot(s, dir, "ivfvec", src = "embeddings") { root =>
       val e = Tables(s, dir, "embeddings")
-      val cents = trainCodebook(e)
+      // the session-memoized v1 codebook — sim_ivf_*, the lifecycle and
+      // the retrain timeline all train on the same corpus; one training
+      // per session serves them all
+      val cents = Similarity.codebook(s, dir)
       writeCodebook(s, cents, root.toString)
       IncPostings.commitBase(root,
         vecRowsOf(cents, e.select(col("vec_id"), col("embedding"))))
@@ -619,7 +622,7 @@ object IvfIndex {
   private[graft] def lsmRetrainRoot(s: SparkSession, dir: String): java.io.File =
     IncPostings.cachedRoot(s, dir, "ivfvec-retrain", src = "embeddings") { root =>
       val e = Tables(s, dir, "embeddings")
-      val cents = trainCodebook(e)
+      val cents = Similarity.codebook(s, dir) // session-memoized v1 training
       val cbDir = IncPostings.newDataDir(root, "meta")
       writeCodebook(s, cents, cbDir.toString)
       IncPostings.commitBase(root,
@@ -645,7 +648,7 @@ object IvfIndex {
   private def vecLifecycleRoot(s: SparkSession, dir: String): java.io.File =
     IncPostings.cachedRoot(s, dir, "ivfvec-lifecycle", src = "embeddings") { root =>
       val e = Tables(s, dir, "embeddings")
-      val cents = trainCodebook(e)
+      val cents = Similarity.codebook(s, dir) // session-memoized v1 training
       writeCodebook(s, cents, root.toString)
       IncPostings.commitBase(root,
         vecRowsOf(cents, e.select(col("vec_id"), col("embedding"))))

@@ -47,7 +47,7 @@ object Similarity {
     scala.collection.concurrent.TrieMap.empty[(String, String),
       (SparkSession, Seq[(Long, Array[Double])])]
 
-  private def codebook(s: SparkSession, dir: String): Seq[(Long, Array[Double])] = {
+  private[operators] def codebook(s: SparkSession, dir: String): Seq[(Long, Array[Double])] = {
     cbCache.filterInPlace((_, v) => !v._1.sparkContext.isStopped)
     cbCache.getOrElseUpdate(
       (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir),
