@@ -125,16 +125,43 @@ object KafkaWire {
       key: Array[Byte], value: Array[Byte])
 
   private def encodeMessage(timestamp: Long, key: Array[Byte],
-      value: Array[Byte]): Array[Byte] = {
+      value: Array[Byte], attributes: Int = 0): Array[Byte] = {
     val body = new Writer()
       .int8(1)            // magic = 1
-      .int8(0)            // attributes: no compression, CreateTime
+      .int8(attributes)   // bits 0-2 codec (0 none, 1 gzip), CreateTime
       .int64(timestamp)
       .bytes(key)
       .bytes(value)
       .result()
     val crc = new java.util.zip.CRC32(); crc.update(body)
     new Writer().int32(crc.getValue.toInt).raw(body).result()
+  }
+
+  private def gzip(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.util.zip.GZIPOutputStream(bos)
+    try out.write(data) finally out.close()
+    bos.toByteArray
+  }
+
+  private def gunzip(data: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(data))
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** MessageSet v1 with GZIP: the records are encoded as an INNER
+    * message set with RELATIVE offsets 0..n-1, gzipped, and wrapped in
+    * ONE outer message whose attributes carry codec=1 and whose
+    * timestamp is the max inner timestamp (the v1 wrapper convention;
+    * the broker assigns the wrapper's offset to the LAST inner
+    * message, and a consumer reconstructs the rest — see
+    * [[decodeMessageSet]]). */
+  def encodeMessageSetGzip(records: Seq[(Array[Byte], Array[Byte])],
+      timestamp: Long): Array[Byte] = {
+    val inner = encodeMessageSet(records, timestamp)
+    val wrapper = encodeMessage(timestamp, null, gzip(inner), attributes = 1)
+    new Writer().int64(0L).int32(wrapper.length).raw(wrapper).result()
   }
 
   /** MessageSet v1: [offset INT64, size INT32, message]*. The producer
@@ -182,9 +209,24 @@ object KafkaWire {
           s"CRC mismatch in message at offset $offset")
       val magic = mr.int8()
       require(magic == 1, s"unsupported message magic $magic")
-      mr.int8() // attributes (no compression supported)
+      val attrs = mr.int8()
       val ts = mr.int64()
-      out += Record(offset, ts, mr.bytes(), mr.bytes())
+      val key = mr.bytes(); val value = mr.bytes()
+      (attrs & 0x07) match {
+        case 0 => out += Record(offset, ts, key, value)
+        case 1 =>
+          // GZIP wrapper: the value is an inner message set with
+          // RELATIVE offsets 0..n-1, and the wrapper's offset is the
+          // absolute offset of the LAST inner message (the v1
+          // convention) — reconstruct absolutes as
+          // wrapperOffset - (n-1) + innerOffset.
+          val inner = decodeMessageSet(gunzip(value))
+          val base = offset - (inner.length - 1)
+          inner.foreach(r =>
+            out += Record(base + r.offset, r.timestamp, r.key, r.value))
+        case c =>
+          throw new java.io.IOException(s"unsupported compression codec $c")
+      }
     }
     out.toSeq
   }
@@ -247,10 +289,15 @@ object KafkaWire {
   }
 
   /** Produce v2 (acks=-1): one partition's records; returns the
-    * broker-assigned base offset. */
+    * broker-assigned base offset. `gzipped` sends the batch as one
+    * GZIP wrapper message (codec bit 1) — the broker double, like a
+    * real broker validating recompressed batches, decompresses
+    * through the same [[decodeMessageSet]]. */
   def produce(c: Conn, topic: String, partition: Int,
-      records: Seq[(Array[Byte], Array[Byte])], timestamp: Long): Long = {
-    val set = encodeMessageSet(records, timestamp)
+      records: Seq[(Array[Byte], Array[Byte])], timestamp: Long,
+      gzipped: Boolean = false): Long = {
+    val set = if (gzipped) encodeMessageSetGzip(records, timestamp)
+      else encodeMessageSet(records, timestamp)
     val body = new Writer()
       .int16(-1).int32(30000) // acks=all, timeout
       .int32(1).str(topic)

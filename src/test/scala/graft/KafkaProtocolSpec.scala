@@ -123,6 +123,34 @@ class KafkaProtocolSpec extends SparkSuite {
     } finally srv.stop()
   }
 
+  test("gzip message sets: wrapper decode reconstructs v1 relative offsets") {
+    // Direct codec roundtrip with a broker-assigned wrapper offset:
+    // inner relatives 0..2 under wrapper offset 9 → absolutes 7,8,9.
+    val recs = (1 to 3).map(i => (s"k$i".getBytes(u8), s"기사 $i".getBytes(u8)))
+    val set = KafkaWire.encodeMessageSetGzip(recs, 42L)
+    // rewrite the wrapper offset the way a broker would (first 8 bytes)
+    val w = set.clone()
+    val bb = java.nio.ByteBuffer.wrap(w); bb.putLong(0, 9L)
+    val out = KafkaWire.decodeMessageSet(w)
+    assert(out.map(_.offset) == Seq(7L, 8L, 9L))
+    assert(out.map(r => new String(r.value, u8)) == Seq("기사 1", "기사 2", "기사 3"))
+    assert(out.forall(_.timestamp == 42L))
+
+    // End to end: a gzipped produce travels the wire, the broker
+    // decompresses-and-validates, fetch serves the records back.
+    val srv = new MiniKafkaServer(numPartitions = 1)
+    try {
+      val c = new KafkaWire.Conn("localhost", srv.port)
+      try {
+        KafkaWire.produce(c, "t", 0, recs, 42L, gzipped = true)
+        val (back, hw) = KafkaWire.fetch(c, "t", 0, 0L)
+        assert(hw == 3L && back.length == 3)
+        assert(back.map(r => new String(r.key, u8)) == Seq("k1", "k2", "k3"))
+        assert(back.map(_.offset) == Seq(0L, 1L, 2L))
+      } finally c.close()
+    } finally srv.stop()
+  }
+
   test("graft-kafka readStream: earliest start, checkpointed resume, exactly once") {
     import org.apache.spark.sql.streaming.Trigger
     val srv = new MiniKafkaServer(numPartitions = 2)
