@@ -26,7 +26,8 @@ val keys = Seq("a1_pricing_summary", "j2_dim_broadcast", "j2_fact_join", "o2_top
   "j3_asof_tolerance", "curate_domain_cap", "priv_k_anonymity",
   "samp_ess", "text_ttr", "graph_link_predict", "ev_retention_cohorts",
   "t10_mad_outliers", "sim_ivf_persisted", "maint_compact_plan",
-  "graph_link_predict_capped", "sk_cms_heavy", "maint_snapshot_diff")
+  "graph_link_predict_capped", "sk_cms_heavy", "maint_snapshot_diff",
+  "sim_ivf_lsm", "sim_ivf_lsm_retrain", "pipe_vector_lifecycle")
 // One-line reviewed finding per plan: what the physical plan must show
 // (and does — PlanSpec pins the load-bearing ones as assertions).
 val notes: Map[String, String] = Map(
@@ -104,7 +105,10 @@ val notes: Map[String, String] = Map(
   "maint_compact_plan" -> "Manifest build is one partial+final HashAggregate over (day, type); the packing window and bin aggregate run on file-count-sized rows — the single-partition sort is metadata-bounded by design.",
   "graph_link_predict_capped" -> "Wedge fan-out is in-list expansion over Q-capped neighbor lists (N·C(Q,2) hard bound, full graph, no sample); the anti-join probes the edge artifact scan; TakeOrderedAndProject for the top-20.",
   "sk_cms_heavy" -> "One map-side-combined aggregate over lineitem, localCheckpointed; sketch build, probe and ranking all run on the |suppliers| keyed frame — the sketch broadcast-joins the 10-row probe.",
-  "maint_snapshot_diff" -> "One full-outer SortMergeJoin on doc_id comparing md5 fingerprints — only the 32-char hash crosses the shuffle, never the text; the status rollup is a partial+final aggregate.")
+  "maint_snapshot_diff" -> "One full-outer SortMergeJoin on doc_id comparing md5 fingerprints — only the 32-char hash crosses the shuffle, never the text; the status rollup is a partial+final aggregate.",
+  "sim_ivf_lsm" -> "Merge-on-read: union of segment scans minus BROADCAST tombstone anti-joins; the query x probed-cell set broadcasts against the view; exact cosine ranks via a window over query-sized partitions — no corpus shuffle anywhere.",
+  "sim_ivf_lsm_retrain" -> "Post-recluster the live generation is ONE cid-laid-out segment under its own codebook (manifest meta), so the probe is a single parquet scan + broadcast query join — the read-optimized shape recovered after drift handling.",
+  "pipe_vector_lifecycle" -> "Probes the RETAINED index: one compacted cid-laid-out segment scan; the drift guard cross-joins two candidate-sized exceptAll aggregates; the terminal generation constants are literals.")
 val sb = new StringBuilder
 sb ++= "# PLANS — formatted physical plans of headline queries (sf0.01)\n\n"
 sb ++= "Generated from `df.queryExecution.explainString(FormattedMode)`; regenerate with tools/plans_dump.scala.\n"
