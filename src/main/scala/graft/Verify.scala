@@ -22,23 +22,25 @@ object Verify {
     sys.env.get("SPARK_GRAFT_JARS").foreach(j => builder.config("spark.jars", j))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Start from an EMPTY output dir: a reused dir can carry result
-    // directories for queries since renamed or removed, which the
-    // driver's directory enumeration (and tools/check.py) would count
-    // as extra rows-only entries — stale state masquerading as
-    // inventory (seen with a renamed query's day-old output).
+    // Dev aid: SPARK_GRAFT_ONLY=q1,q2 restricts the dump to a subset
+    // (same contract as Bench). The driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    // A FULL dump starts from an EMPTY output dir: a reused dir can
+    // carry result directories for queries since renamed or removed,
+    // which the driver's directory enumeration (and tools/check.py)
+    // counts as extra rows-only entries — stale state masquerading as
+    // inventory (seen with a renamed query's day-old output). Subset
+    // runs (the SPARK_GRAFT_ONLY fast loop) overwrite surgically and
+    // must NOT wipe the sibling results they iterate beside.
     val outRoot = new java.io.File(outDir)
-    if (outRoot.exists()) {
+    if (only.isEmpty && outRoot.exists()) {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
       }
       rm(outRoot)
     }
     outRoot.mkdirs()
-    // Dev aid: SPARK_GRAFT_ONLY=q1,q2 restricts the dump to a subset
-    // (same contract as Bench). The driver never sets it.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.filter {
       case (name, _) => only.forall(_.contains(name))
     }
