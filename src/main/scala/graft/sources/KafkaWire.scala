@@ -234,9 +234,13 @@ object KafkaWire {
   // ── framed request/response over TCP ────────────────────────────────
 
   /** One broker connection: INT32-framed request out, INT32-framed
-    * response in, correlation ids checked. */
-  final class Conn(host: String, port: Int, clientId: String = "graft") {
+    * response in, correlation ids checked. Single-threaded by design
+    * (one task, one Conn); the read timeout bounds how long a hung
+    * broker can block an executor task (request.timeout.ms's job). */
+  final class Conn(host: String, port: Int, clientId: String = "graft",
+      timeoutMs: Int = 30000) {
     private val sock = new java.net.Socket(host, port)
+    sock.setSoTimeout(timeoutMs)
     private val out = new java.io.DataOutputStream(
       new java.io.BufferedOutputStream(sock.getOutputStream))
     private val in = new java.io.DataInputStream(
