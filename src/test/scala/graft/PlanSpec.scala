@@ -429,4 +429,27 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("lineitem.parquet"), plan)
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("LSM vector search: broadcast probe over the merged view, no corpus shuffle") {
+    val plan = physical(SparkEntry.queries("sim_ivf_lsm")(spark, sf001))
+    // tombstone anti-join AND the query x cell probe are both broadcast
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains(", LeftAnti,"), plan)
+    assert(plan.contains(", Inner,"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("post-recluster search reads ONE compacted segment with its own codebook") {
+    val plan = physical(SparkEntry.queries("sim_ivf_lsm_retrain")(spark, sf001))
+    // commitReplace leaves a single segment and zero tombstones: the
+    // VIEW side is exactly one LSM-cache parquet scan with no
+    // anti-join — the read-optimized shape recovered after drift.
+    // (The query side unions the corpus construction; that's input
+    // prep, not index reads.)
+    assert(plan.split("graft-incpostings-cache").length - 1 == 1, plan)
+    assert(!plan.contains("LeftAnti"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
