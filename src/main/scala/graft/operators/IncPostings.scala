@@ -228,9 +228,10 @@ object IncPostings {
       try {
         tmp = java.io.File.createTempFile("MANIFEST-", ".tmp", dir)
         writeText(tmp, manifestJson(build(basis, gen)))
-        java.nio.file.Files.createLink(
-          new java.io.File(dir, "MANIFEST.json").toPath, tmp.toPath)
-        tmp.delete()
+        // the commit point — an atomic create-fails-if-exists claim
+        // (hard link locally, rename-without-overwrite on HDFS; see
+        // CommitPrimitive for why each filesystem gets its own)
+        CommitPrimitive.active.claim(tmp, new java.io.File(dir, "MANIFEST.json"))
         advanceHint(root, gen)
         return gen
       } catch {
@@ -247,8 +248,14 @@ object IncPostings {
           if (tmp != null) tmp.delete()
           attempts += 1
           contentionRetries.incrementAndGet()
-        case e: java.io.IOException =>
-          if (tmp != null) tmp.delete() // don't leak tmps into the gen dir
+        case e: Throwable =>
+          // non-retryable: I/O errors AND conflicts thrown by `build`
+          // (MetaConflict, ReplaceConflict, CompactConflict) — clean the
+          // tmp before rethrowing so an aborted commit leaks neither a
+          // MANIFEST-*.tmp nor a bare gen dir (delete() on the dir is a
+          // no-op unless empty, so a won gen is never touched)
+          if (tmp != null) tmp.delete()
+          dir.delete()
           throw e
       }
     }
@@ -706,6 +713,23 @@ object IncPostings {
 
   private[graft] def mergedDoclens(s: SparkSession, dir: String): DataFrame =
     readCurrent(s, indexRoot(s, dir, "bm25dl", doclenRowsOf))
+
+  /** idx_bm25_inc_search's timeline (r12 directive #6): the v1 corpus
+    * committed in two LSM increments — base (doc_id % 5 != 0) plus one
+    * delta commit for the remaining fifth — replacing the retired
+    * pre-LSM append-only partial-stats path, so the engine has exactly
+    * ONE increment mechanism per maintained index family. The final
+    * state is the whole v1 corpus; the probe shares idx_bm25_topk's
+    * oracle (merge-on-read == full build, persisted). */
+  private[operators] def v1SplitRoot(s: SparkSession, dir: String,
+      kind: String, rowsOf: DataFrame => DataFrame): java.io.File =
+    cachedRoot(s, dir, kind) { root =>
+      val docs = Tables(s, dir, "documents")
+      val isBase = col("doc_id") % 5 =!= 0
+      commitBase(root, rowsOf(docs.where(isBase)))
+      commitDelta(root, rowsOf(docs.where(!isBase)),
+        docs.select(col("doc_id")).limit(0))
+    }
 
   /** Okapi BM25 top-k over a merged postings view + doclen view — the
     * idx_bm25_topk scoring recurrence (k1=1.2, b=0.75, the 1e-6

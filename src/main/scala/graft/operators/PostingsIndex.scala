@@ -49,15 +49,17 @@ object PostingsIndex {
   private def tbucket(token: Column): Column =
     pmod(xxhash64(token), lit(NBuckets.toLong)).cast("int")
 
-  /** Build (overwrite) the index from a `documents`-shaped frame. */
+  /** Build (overwrite) the index from a `documents`-shaped frame.
+    * This module is the BUILD-ONCE / SEARCH-MANY shape only: since r13
+    * the maintained (incremental) form of the BM25 index rides the
+    * [[IncPostings]] LSM timeline exclusively — the old append-only
+    * partial-stats increment was the one index family with a second
+    * maintenance mechanism, retired per the r12 directive. The
+    * partial-summing read path ([[termStats]] / corpusStats) stays: it
+    * is what makes a COMPACTION of LSM-built batches into this layout
+    * a pure fold, and it costs nothing for single-batch indexes. */
   def build(spark: SparkSession, docs: DataFrame, path: String): Unit =
     writeBatch(docs, path, SaveMode.Overwrite)
-
-  /** Append a new document batch: postings rows plus PARTIAL stats —
-    * additive over disjoint doc sets, merged at read time, so
-    * append-then-search equals a fresh build over the union. */
-  def append(spark: SparkSession, path: String, newDocs: DataFrame): Unit =
-    writeBatch(newDocs, path, SaveMode.Append)
 
   private def writeBatch(docs: DataFrame, path: String, mode: SaveMode): Unit = {
     // Three outputs hang off the tokenization (postings, termstats,
@@ -265,15 +267,7 @@ object PostingsIndex {
         if (root.exists()) // partial build from a killed run: wipe
           fs.delete(new org.apache.hadoop.fs.Path(root.toString), true)
         val (doclens, post) = cachedCorpus(s, dir)
-        variant match {
-          case "inc" =>
-            val isBase = col("doc_id") % 5 =!= 0
-            writeFrom(doclens.where(isBase), post.where(isBase), base,
-              SaveMode.Overwrite)
-            writeFrom(doclens.where(!isBase), post.where(!isBase), base,
-              SaveMode.Append)
-          case _ => writeFrom(doclens, post, base, SaveMode.Overwrite)
-        }
+        writeFrom(doclens, post, base, SaveMode.Overwrite)
         marker.createNewFile()
       }
       (s, base)
@@ -287,11 +281,18 @@ object PostingsIndex {
     "idx_bm25_persisted" -> ((s, dir) =>
       bm25Search(s, indexPath(s, dir, "full"), Terms, 10)),
 
-    // ── search after incremental append: base(80%) + delta(20%) via
-    // merge-on-read must equal the full build — the persisted
-    // inc_postings_merge invariant, enforced by the shared oracle. ───
+    // ── search after an increment: base(80%) + one delta commit(20%)
+    // on the IncPostings LSM timeline (r12 directive #6 — the old
+    // append-only partial-stats path is retired; ONE increment
+    // mechanism per index family). Merge-on-read must equal the full
+    // build — enforced by the shared oracle. ─────────────────────────
     "idx_bm25_inc_search" -> ((s, dir) =>
-      bm25Search(s, indexPath(s, dir, "inc"), Terms, 10))
+      IncPostings.bm25Probe(
+        IncPostings.readCurrent(s,
+          IncPostings.v1SplitRoot(s, dir, "bm25v1inc", IncPostings.bm25RowsOf)),
+        IncPostings.readCurrent(s,
+          IncPostings.v1SplitRoot(s, dir, "bm25dlv1inc", IncPostings.doclenRowsOf)),
+        Terms, 10))
   )
 
   val oracles: Map[String, String] = Map(

@@ -340,6 +340,11 @@ object KafkaWire {
     r.int64() // offset
   }
 
+  /** Hard ceiling for the grow-on-truncation fetch retry (64 MiB) —
+    * past this a single message is declared too large and the read
+    * fails loudly instead of silently skipping the offset range. */
+  val MaxFetchBytes: Int = 1 << 26
+
   /** Fetch v2 from `offset`: (records, highWatermark). */
   def fetch(c: Conn, topic: String, partition: Int, offset: Long,
       maxBytes: Int = 1 << 20): (Seq[Record], Long) = {
@@ -360,6 +365,45 @@ object KafkaWire {
     (if (set == null) Seq.empty else decodeMessageSet(set), hw)
   }
 
+  /** Produce with reconnect-and-retry — the client half of the
+    * at-least-once contract. A connection that dies BEFORE the ack
+    * leaves the client unable to know whether the batch landed (the
+    * classic produce ambiguity), so the retry re-sends: a batch that
+    * did land is DUPLICATED, never dropped — the downstream J1
+    * anti-join upsert absorbs replays. I/O failures reconnect and
+    * retry up to `maxAttempts`; protocol violations (correlation-id
+    * mismatch) are NOT retried — a broker that mis-routes responses
+    * must abort the task, not be trusted with a resend. */
+  final class RetryingProducer(host: String, port: Int, topic: String,
+      maxAttempts: Int = 3) {
+    private var conn: Conn = null
+    private var nParts = -1
+    private def ensure(): Unit = if (conn == null) {
+      conn = new Conn(host, port)
+      nParts = partitionCount(conn, topic)
+    }
+    private def reset(): Unit = {
+      if (conn != null) { try conn.close() catch { case _: Exception => } }
+      conn = null
+    }
+    def partitions: Int = { ensure(); nParts }
+    def send(partition: Int, records: Seq[(Array[Byte], Array[Byte])],
+        timestamp: Long): Long = {
+      var attempt = 1
+      while (true) {
+        try { ensure(); return produce(conn, topic, partition, records, timestamp) }
+        catch {
+          case e: java.io.IOException =>
+            reset()
+            if (attempt >= maxAttempts) throw e
+            attempt += 1
+        }
+      }
+      -1L // unreachable
+    }
+    def close(): Unit = reset()
+  }
+
   // ── Spark integration (executor-side, partition-parallel) ──────────
 
   /** S2, the producer sink: write a (key STRING, value STRING)
@@ -375,9 +419,9 @@ object KafkaWire {
         // resolved inside the task: Charset instances don't serialize
         val u8 = java.nio.charset.StandardCharsets.UTF_8
         if (rows.nonEmpty) {
-          val c = new Conn(host, port)
+          val prod = new RetryingProducer(host, port, topic)
           try {
-            val nParts = partitionCount(c, topic)
+            val nParts = prod.partitions
             rows.grouped(500).foreach { chunk =>
               chunk
                 .map { row =>
@@ -387,10 +431,10 @@ object KafkaWire {
                 }
                 .groupBy(_._1)
                 .foreach { case (p, recs) =>
-                  produce(c, topic, p, recs.map(t => (t._2, t._3)), timestamp)
+                  prod.send(p, recs.map(t => (t._2, t._3)), timestamp)
                 }
             }
-          } finally c.close()
+          } finally prod.close()
         }
       }
   }
@@ -419,16 +463,35 @@ object KafkaWire {
           val out = scala.collection.mutable.ArrayBuffer.empty[
             (Int, Long, Long, String, String)]
           var off = fromOffset
+          var maxBytes = 1 << 20
           var done = false
           while (!done) {
-            val (recs, hw) = fetch(c, topic, p, off)
-            recs.foreach { r =>
-              out += ((p, r.offset, r.timestamp,
-                if (r.key == null) null else new String(r.key, u8),
-                if (r.value == null) null else new String(r.value, u8)))
+            val (recs, hw) = fetch(c, topic, p, off, maxBytes)
+            if (off >= hw) done = true
+            else {
+              // drop below-cursor records (a gzip wrapper batch serves
+              // the whole batch containing `off`, including earlier
+              // offsets already emitted)
+              val kept = recs.filter(_.offset >= off)
+              if (kept.nonEmpty) {
+                kept.foreach { r =>
+                  out += ((p, r.offset, r.timestamp,
+                    if (r.key == null) null else new String(r.key, u8),
+                    if (r.value == null) null else new String(r.value, u8)))
+                }
+                off = kept.last.offset + 1
+                done = off >= hw
+              } else if (maxBytes >= MaxFetchBytes) {
+                // a single message above the cap — never jump to hw
+                // (that silently drops the rest of the log); fail loudly
+                throw new java.io.IOException(
+                  s"message at offset $off of $topic-$p exceeds fetch " +
+                    s"cap $MaxFetchBytes")
+              } else {
+                maxBytes =
+                  math.min(maxBytes.toLong * 2, MaxFetchBytes.toLong).toInt
+              }
             }
-            off = if (recs.isEmpty) hw else recs.last.offset + 1
-            done = recs.isEmpty || off >= hw
           }
           out.toSeq
         } finally c.close()

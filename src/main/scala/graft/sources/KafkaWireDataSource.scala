@@ -3,10 +3,12 @@ package graft.sources
 import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -37,9 +39,14 @@ class KafkaWireDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     KafkaWireDataSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new KafkaWireTable(properties.get("host"),
-      Integer.parseInt(properties.get("port")), properties.get("topic"))
+      properties: util.Map[String, String]): Table = {
+    val host = properties.get("host")
+    val port = properties.get("port")
+    val topic = properties.get("topic")
+    require(host != null && port != null && topic != null,
+      "options host, port, topic are required")
+    new KafkaWireTable(host, Integer.parseInt(port), topic)
+  }
 }
 
 object KafkaWireDataSource {
@@ -52,16 +59,111 @@ object KafkaWireDataSource {
 }
 
 private[sources] class KafkaWireTable(host: String, port: Int, topic: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   require(host != null && topic != null, "options host, port, topic are required")
   override def name(): String = s"graft-kafka($topic@$host:$port)"
   override def schema(): StructType = KafkaWireDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new KafkaWireScan(host, port, topic)
     }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write =
+        new KafkaWireWrite(host, port, topic, info.schema())
+    }
+}
+
+/** The write half of S2 as a first-class DSv2 sink: `df.write` /
+  * `writeStream.format("graft-kafka")` — the declarative shape of the
+  * reference's producer loop (collect/producer.py:50), replacing the
+  * foreachPartition/foreachBatch helpers with the engine-managed
+  * epoch-id-keyed protocol. Semantics are AT-LEAST-ONCE, exactly like
+  * the stock connector's: a task retry or epoch replay re-produces its
+  * rows (the wire protocol has no transactions in the pre-flexible
+  * subset), and the canonical downstream absorber is the J1 anti-join
+  * upsert. The input needs `key`/`value` columns (anything castable to
+  * string); extra columns are ignored, so a `graft-kafka` source can
+  * round-trip straight back into the sink. */
+private[sources] class KafkaWireWrite(host: String, port: Int, topic: String,
+    schema: StructType) extends Write {
+  require(schema.fieldNames.contains("key") && schema.fieldNames.contains("value"),
+    s"graft-kafka sink needs key and value columns; got ${schema.simpleString}")
+  private def factory = KafkaWriterFactory(host, port, topic,
+    schema.fieldIndex("key"), schema.fieldIndex("value"),
+    System.currentTimeMillis())
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    private val f = factory
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = f
+    override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+    override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  }
+
+  override def toStreaming: StreamingWrite = new StreamingWrite {
+    private val f = factory
+    override def createStreamingWriterFactory(
+        info: PhysicalWriteInfo): StreamingDataWriterFactory = f
+    // at-least-once: records are on the broker when the task's
+    // commit() returns; the epoch-level commit is bookkeeping only
+    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+    override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  }
+}
+
+private[sources] case class KafkaWriteCommit(rows: Long) extends WriterCommitMessage
+
+private[sources] case class KafkaWriterFactory(host: String, port: Int,
+    topic: String, keyIdx: Int, valueIdx: Int, timestamp: Long)
+    extends DataWriterFactory with StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new KafkaProduceWriter(host, port, topic, keyIdx, valueIdx, timestamp)
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new KafkaProduceWriter(host, port, topic, keyIdx, valueIdx, timestamp)
+}
+
+/** One task's producer: buffers rows, routes them to topic partitions
+  * by murmur2(key), flushes 500-record chunks through the
+  * reconnect-retrying client. An abort stops cleanly but cannot unsend
+  * flushed chunks — that is the at-least-once contract, absorbed by
+  * the J1 upsert downstream. */
+private[sources] class KafkaProduceWriter(host: String, port: Int,
+    topic: String, keyIdx: Int, valueIdx: Int, timestamp: Long)
+    extends DataWriter[InternalRow] {
+  private val prod = new KafkaWire.RetryingProducer(host, port, topic)
+  private val buf =
+    scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Array[Byte])]
+  private var written = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val k = if (row.isNullAt(keyIdx)) null
+      else row.getUTF8String(keyIdx).getBytes
+    val v = if (row.isNullAt(valueIdx)) null
+      else row.getUTF8String(valueIdx).getBytes
+    buf += ((k, v))
+    written += 1
+    if (buf.length >= 500) flush()
+  }
+
+  private def flush(): Unit = if (buf.nonEmpty) {
+    val nParts = prod.partitions
+    buf.groupBy(r => KafkaWire.partitionFor(r._1, nParts)).foreach {
+      case (p, recs) => prod.send(p, recs.toSeq, timestamp)
+    }
+    buf.clear()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flush()
+    KafkaWriteCommit(written)
+  }
+  override def abort(): Unit = ()
+  override def close(): Unit = prod.close()
 }
 
 private[sources] class KafkaWireScan(host: String, port: Int, topic: String)
@@ -162,17 +264,35 @@ private[sources] class KafkaRangeReader(p: KafkaRangePartition)
   private var buf: Seq[KafkaWire.Record] = Seq.empty
   private var i = -1
   private var pos = p.from
+  private var maxBytes = 1 << 20
 
   override def next(): Boolean = {
     i += 1
-    if (i < buf.length) true
-    else if (pos >= p.until) false
-    else {
-      val (recs, _) = KafkaWire.fetch(conn, p.topic, p.partition, pos)
-      buf = recs.filter(_.offset < p.until) // the range end is exclusive
-      if (buf.isEmpty) false
-      else { pos = buf.last.offset + 1; i = 0; true }
+    if (i < buf.length) return true
+    while (pos < p.until) {
+      val (recs, _) = KafkaWire.fetch(conn, p.topic, p.partition, pos, maxBytes)
+      // A real broker serves the whole batch containing `pos` — a gzip
+      // wrapper decompresses to records BELOW the cursor, which must not
+      // be re-emitted (they belong to the previous micro-batch). Both
+      // bounds matter: >= pos for exactly-once, < until for range end.
+      val kept = recs.filter(r => r.offset >= pos && r.offset < p.until)
+      if (kept.nonEmpty) {
+        buf = kept; i = 0; pos = kept.last.offset + 1
+        return true
+      }
+      if (recs.nonEmpty && recs.last.offset >= p.until) return false
+      // Zero complete records in [pos, until): a single message larger
+      // than maxBytes (decodeMessageSet drops the truncated tail).
+      // Ending here would silently skip the rest of a committed range
+      // while the checkpoint advances — grow and retry, and past the
+      // cap fail LOUDLY (the stock consumer's RecordTooLargeException).
+      if (maxBytes >= KafkaWire.MaxFetchBytes)
+        throw new java.io.IOException(
+          s"message at offset $pos of ${p.topic}-${p.partition} exceeds " +
+            s"fetch cap ${KafkaWire.MaxFetchBytes}")
+      maxBytes = math.min(maxBytes.toLong * 2, KafkaWire.MaxFetchBytes.toLong).toInt
     }
+    false
   }
 
   override def get(): InternalRow = {

@@ -99,4 +99,89 @@ class FullTopologySpec extends SparkSuite {
       try c.createStatement().execute("DROP TABLE news_full") finally c.close()
     }
   }
+
+  test("both halves over the wire: streaming SINK → broker → streaming SOURCE → upsert, with a wire fault") {
+    // The S2 declarative shape end to end: the producer is
+    // writeStream.format("graft-kafka") (not the foreachPartition
+    // helper), the consumer is the checkpointed graft-kafka source,
+    // and a post-append connection drop on round 2 forces the wire
+    // client's at-least-once retry — the duplicate batch must be
+    // absorbed by the terminal J1 upsert, leaving exactly 5 rows.
+    val srv = new MiniKafkaServer(numPartitions = 2)
+    val url = "jdbc:derby:memory:topodb2;create=true"
+    val conn0 = DriverManager.getConnection(url)
+    try conn0.createStatement().execute(
+      """CREATE TABLE news_wire2 (
+        |  link VARCHAR(300) NOT NULL PRIMARY KEY,
+        |  title VARCHAR(300),
+        |  author VARCHAR(100),
+        |  updated TIMESTAMP)""".stripMargin)
+    finally conn0.close()
+    try {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Rss.FeedEntry]
+      val sinkCkpt = java.nio.file.Files.createTempDirectory("topo2-sink").toString
+      val srcCkpt = java.nio.file.Files.createTempDirectory("topo2-src").toString
+      val jdbcWriter = JdbcUpsert.foreachBatchWriter(
+        url, "news_wire2", Seq("link"), JdbcUpsert.DerbyUpsertDialect)
+
+      def produceOnce(): Unit = {
+        val q = Rss.toKafkaJson(in.toDF())
+          .writeStream.format("graft-kafka")
+          .option("host", "localhost").option("port", srv.port.toString)
+          .option("topic", "article-topic")
+          .option("checkpointLocation", sinkCkpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.stop()
+      }
+      def consumeOnce(): Unit = {
+        val enriched = EnrichStream.enrichParsed(
+          EnrichStream.fromKafkaWire(spark, "localhost", srv.port,
+            "article-topic"), embedDim = 8)
+        val q = enriched.writeStream
+          .option("checkpointLocation", srcCkpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            jdbcWriter(batch.select(col("link"), col("title"),
+              col("author"), col("updated_ts").as("updated")), id)
+            ()
+          }
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      def jdbcCount(): Long = {
+        val c = DriverManager.getConnection(url)
+        try {
+          val rs = c.createStatement()
+            .executeQuery("SELECT count(*) FROM news_wire2")
+          rs.next(); rs.getLong(1)
+        } finally c.close()
+      }
+      def entry(i: Int) = Rss.FeedEntry("김기자", s"http://w/$i",
+        s"본문 $i", s"제목 $i", f"2025-05-24 10:$i%02d:00")
+
+      in.addData(entry(1), entry(2), entry(3))
+      produceOnce()
+      consumeOnce()
+      assert(jdbcCount() == 3L)
+
+      // round 2 under a wire fault: the broker appends the batch but
+      // drops the connection before the ack — the sink's retry lands
+      // it twice on the broker
+      srv.dropNextProduceAfterAppend.set(1)
+      in.addData(entry(4), entry(5))
+      produceOnce()
+      val onWire = (0 until 2).map(p => srv.stored("article-topic", p).size).sum
+      assert(onWire > 5, "the post-append drop must have duplicated a batch")
+      consumeOnce()
+      assert(jdbcCount() == 5L,
+        "the J1 upsert must absorb the wire-level replay")
+    } finally {
+      srv.stop()
+      val c = DriverManager.getConnection(url)
+      try c.createStatement().execute("DROP TABLE news_wire2") finally c.close()
+    }
+  }
 }

@@ -11,8 +11,26 @@ import java.nio.file.Files
   * commits, atomic CURRENT swaps, and the probe-side pushdown through
   * the merged view. The oracled queries prove merge ≡ rebuild on the
   * corpus; this spec pins the mechanism on a corpus small enough to
-  * enumerate by hand. */
-class IncPostingsSpec extends SparkSuite {
+  * enumerate by hand.
+  *
+  * The battery is ABSTRACT over the commit primitive and instantiated
+  * once per implementation ([[IncPostingsSpec]] = local hard link,
+  * [[IncPostingsHadoopCommitSpec]] = Hadoop rename-without-overwrite),
+  * so every race/conflict/retention contract is proven under both the
+  * single-host CAS and the one a 100 TB lake filesystem offers. */
+abstract class IncPostingsBattery extends SparkSuite
+    with org.scalatest.BeforeAndAfterAll {
+  protected def primitive: graft.operators.CommitPrimitive
+  private var saved: graft.operators.CommitPrimitive = _
+  override protected def beforeAll(): Unit = {
+    super.beforeAll()
+    saved = graft.operators.CommitPrimitive.active
+    graft.operators.CommitPrimitive.set(primitive)
+  }
+  override protected def afterAll(): Unit = {
+    graft.operators.CommitPrimitive.set(saved)
+    super.afterAll()
+  }
 
   private def docsDf(rows: (Long, String)*) = {
     import spark.implicits._
@@ -457,19 +475,37 @@ class IncPostingsSpec extends SparkSuite {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
       f.delete()
     }
+    // cachedRoot memoizes per-JVM, so each battery instantiation needs
+    // its own kind name — a swept-but-memoized root would read as a
+    // phantom failure in the second suite
+    val kindTag = "xka" + primitive.name.filter(_.isLetter)
     Option(new java.io.File("/tmp/graft-incpostings-cache").listFiles())
       .getOrElse(Array.empty)
-      .filter(_.getName.contains("-xka")).foreach(rmRf)
-    val lifecycle = IncPostings.cachedRoot(spark, sf001, "xka-lifecycle")(_.mkdirs())
+      .filter(_.getName.contains(s"-$kindTag")).foreach(rmRf)
+    val lifecycle = IncPostings.cachedRoot(spark, sf001, s"$kindTag-lifecycle")(_.mkdirs())
     assert(lifecycle.exists())
     // Plant a stale same-kind sibling (bare fingerprint): must be swept.
     val stale = new java.io.File(lifecycle.getParentFile,
-      lifecycle.getName.replace("xka-lifecycle", "xka")
+      lifecycle.getName.replace(s"$kindTag-lifecycle", kindTag)
         .replaceAll("\\d+-\\d+$", "1-1"))
     stale.mkdirs()
-    IncPostings.cachedRoot(spark, sf001, "xka")(_.mkdirs())
+    IncPostings.cachedRoot(spark, sf001, kindTag)(_.mkdirs())
     assert(lifecycle.exists(),
-      "cold xka build must not sweep the xka-lifecycle root")
+      s"cold $kindTag build must not sweep the $kindTag-lifecycle root")
     assert(!stale.exists(), "stale bare-fingerprint sibling must be swept")
   }
+}
+
+/** The battery under the single-host primitive: POSIX hard link. */
+class IncPostingsSpec extends IncPostingsBattery {
+  override protected def primitive = graft.operators.CommitPrimitive.LocalLink
+}
+
+/** The SAME battery under the lake-filesystem primitive: Hadoop
+  * `FileSystem.rename` without overwrite (HDFS commit semantics),
+  * exercised in-sandbox through the local Hadoop FileSystem — every
+  * lost-the-race, conflict, stress, and retention contract must hold
+  * unchanged when the CAS is the one HDFS actually offers. */
+class IncPostingsHadoopCommitSpec extends IncPostingsBattery {
+  override protected def primitive = graft.operators.CommitPrimitive.HadoopRename
 }

@@ -1,0 +1,283 @@
+package graft
+
+import graft.sources.KafkaWire
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+/** The write half of S2 as a DSv2 sink, plus the wire client under
+  * injected broker faults — proving the retry/abort split behind the
+  * at-least-once claim with real failures on real sockets:
+  *
+  *  - connection drop BEFORE the broker appends → retry re-sends, no
+  *    loss and no duplicate;
+  *  - connection drop AFTER the append but before the ack → retry
+  *    DUPLICATES (the unavoidable half of at-least-once), absorbed
+  *    downstream by the J1 anti-join/dropDuplicates upsert;
+  *  - torn Fetch frame → loud I/O failure, never rows from a torn
+  *    frame, never a hang (read timeout bounds it);
+  *  - correlation-id mismatch → abort, NOT retry: a broker that
+  *    mis-routes responses cannot be trusted with a resend. */
+class KafkaSinkFaultSpec extends SparkSuite {
+
+  private val u8 = java.nio.charset.StandardCharsets.UTF_8
+
+  test("df.write.format(graft-kafka): batch DSv2 write lands murmur2-routed records") {
+    val srv = new MiniKafkaServer(numPartitions = 2)
+    try {
+      import spark.implicits._
+      (1 to 40).map(i => (s"key-$i", s"val-$i")).toDF("key", "value")
+        .repartition(4)
+        .write.format("graft-kafka")
+        .option("host", "localhost").option("port", srv.port.toString)
+        .option("topic", "t").mode("append").save()
+      val all = (0 until 2).flatMap(p => srv.stored("t", p).map(r =>
+        (p, new String(r.key, u8), new String(r.value, u8))))
+      assert(all.length == 40)
+      assert(all.map(_._2).toSet == (1 to 40).map(i => s"key-$i").toSet)
+      // client-side routing matches what a stock partitioner would pick
+      all.foreach { case (p, k, _) =>
+        assert(KafkaWire.partitionFor(k.getBytes(u8), 2) == p)
+      }
+    } finally srv.stop()
+  }
+
+  test("writeStream.format(graft-kafka): epoch-keyed sink with checkpointed resume") {
+    val srv = new MiniKafkaServer(numPartitions = 2)
+    try {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val in = MemoryStream[(String, String)]
+      val ckpt = java.nio.file.Files.createTempDirectory("gks-ckpt").toString
+      def runOnce(): Unit = {
+        val q = in.toDF().toDF("key", "value")
+          .writeStream.format("graft-kafka")
+          .option("host", "localhost").option("port", srv.port.toString)
+          .option("topic", "t")
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.stop()
+      }
+      in.addData(("a", "va"), ("b", "vb"), ("c", "vc"))
+      runOnce()
+      def keys() = (0 until 2).flatMap(p =>
+        srv.stored("t", p).map(r => new String(r.key, u8)))
+      assert(keys().sorted == Seq("a", "b", "c"))
+      // resume: the engine's commit log replays nothing already committed
+      in.addData(("d", "vd"))
+      runOnce()
+      assert(keys().sorted == Seq("a", "b", "c", "d"),
+        "a resumed sink run must not re-produce committed epochs")
+      // and the graft-kafka SOURCE reads the sink's records back — the
+      // wire round-trips through both DSv2 halves
+      val back = spark.read.format("graft-kafka")
+        .option("host", "localhost").option("port", srv.port.toString)
+        .option("topic", "t").load()
+      assert(back.count() == 4L)
+    } finally srv.stop()
+  }
+
+  test("sink rejects an input without key/value columns, loudly") {
+    val srv = new MiniKafkaServer(numPartitions = 1)
+    try {
+      import spark.implicits._
+      val err = intercept[Exception] {
+        Seq(("a", "b")).toDF("k", "v")
+          .write.format("graft-kafka")
+          .option("host", "localhost").option("port", srv.port.toString)
+          .option("topic", "t").mode("append").save()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(err).exists(_.contains("key and value columns")))
+    } finally srv.stop()
+  }
+
+  test("missing port option fails with the required-options message, not NumberFormatException") {
+    val err = intercept[Exception] {
+      spark.read.format("graft-kafka")
+        .option("host", "localhost").option("topic", "t").load()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("host, port, topic are required")))
+  }
+
+  // ── r12 advice #1: a gzip wrapper batch serves below-cursor records
+  // the consumer must drop. The broker double now stores batches and
+  // serves whole wrappers, so this is testable for real. ─────────────
+  test("resume inside a gzip wrapper: below-cursor records are dropped, not re-emitted") {
+    val srv = new MiniKafkaServer(numPartitions = 1)
+    try {
+      val c = new KafkaWire.Conn("localhost", srv.port)
+      try {
+        val recs = (0 to 4).map(i => (s"k$i".getBytes(u8), s"v$i".getBytes(u8)))
+        KafkaWire.produce(c, "t", 0, recs, 9L, gzipped = true)
+        // the raw wire serves the WHOLE wrapper from offset 2 — proof
+        // the below-cursor records really travel
+        val (raw, _) = KafkaWire.fetch(c, "t", 0, 2L)
+        assert(raw.map(_.offset) == Seq(0L, 1L, 2L, 3L, 4L))
+      } finally c.close()
+      // pollOnce from offset 2 must emit exactly 2..4 — once
+      val out = KafkaWire.pollOnce(spark, "localhost", srv.port, "t",
+        fromOffset = 2L).collect()
+      assert(out.map(_.getAs[Long]("offset")).sorted.toSeq == Seq(2L, 3L, 4L))
+      assert(out.map(_.getAs[String]("key")).sorted.toSeq == Seq("k2", "k3", "k4"))
+    } finally srv.stop()
+  }
+
+  test("gzip wrapper spanning a micro-batch boundary: streaming stays exactly-once") {
+    val srv = new MiniKafkaServer(numPartitions = 1)
+    try {
+      val c = new KafkaWire.Conn("localhost", srv.port)
+      try {
+        KafkaWire.produce(c, "t", 0,
+          (0 to 2).map(i => (s"a$i".getBytes(u8), s"v$i".getBytes(u8))), 1L,
+          gzipped = true)
+        val ckpt = java.nio.file.Files.createTempDirectory("gz-ckpt").toString
+        val outDir = java.nio.file.Files.createTempDirectory("gz-out").toString
+        def runOnce(): Unit = {
+          val q = spark.readStream.format("graft-kafka")
+            .option("host", "localhost").option("port", srv.port.toString)
+            .option("topic", "t").load()
+            .writeStream.format("parquet").option("path", outDir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.processAllAvailable(); q.stop()
+        }
+        runOnce()
+        KafkaWire.produce(c, "t", 0,
+          (3 to 5).map(i => (s"a$i".getBytes(u8), s"v$i".getBytes(u8))), 2L,
+          gzipped = true)
+        runOnce()
+        val all = spark.read.parquet(outDir).collect()
+        assert(all.length == 6, "wrapper resume must neither lose nor duplicate")
+        assert(all.map(_.getAs[Long]("offset")).sorted.toSeq == (0L to 5L))
+      } finally c.close()
+    } finally srv.stop()
+  }
+
+  // ── r12 advice #2: a message larger than max_bytes yields ZERO
+  // complete records; the reader must grow-and-retry, never skip. ────
+  test("oversized message: the reader grows max_bytes instead of silently skipping") {
+    val srv = new MiniKafkaServer(numPartitions = 1)
+    try {
+      val c = new KafkaWire.Conn("localhost", srv.port)
+      try {
+        val big = Array.fill[Byte](3 << 20)(7) // 3 MiB > the 1 MiB start
+        KafkaWire.produce(c, "t", 0, Seq(("small".getBytes(u8), "v".getBytes(u8))), 1L)
+        KafkaWire.produce(c, "t", 0, Seq(("big".getBytes(u8), big)), 2L)
+        KafkaWire.produce(c, "t", 0, Seq(("tail".getBytes(u8), "w".getBytes(u8))), 3L)
+        // the raw first fetch at the big message really is empty
+        val (raw, hw) = KafkaWire.fetch(c, "t", 0, 1L)
+        assert(raw.isEmpty && hw == 3L,
+          "broker must truncate the oversized message at max_bytes")
+      } finally c.close()
+      // pollOnce and the DSv2 reader both deliver ALL three records
+      val polled = KafkaWire.pollOnce(spark, "localhost", srv.port, "t").collect()
+      assert(polled.map(_.getAs[String]("key")).sorted.toSeq ==
+        Seq("big", "small", "tail"))
+      val scanned = spark.read.format("graft-kafka")
+        .option("host", "localhost").option("port", srv.port.toString)
+        .option("topic", "t").load().collect()
+      assert(scanned.map(_.getAs[String]("key")).sorted.toSeq ==
+        Seq("big", "small", "tail"))
+      assert(scanned.find(_.getAs[String]("key") == "big").get
+        .getAs[String]("value").length == (3 << 20))
+    } finally srv.stop()
+  }
+
+  // ── fault injection: the retry/abort contract ──────────────────────
+
+  test("produce retry after a pre-append connection drop: no loss, no duplicate") {
+    val srv = new MiniKafkaServer(numPartitions = 1)
+    try {
+      srv.dropNextProduce.set(1)
+      val prod = new KafkaWire.RetryingProducer("localhost", srv.port, "t")
+      try prod.send(0, Seq(("k1".getBytes(u8), "v1".getBytes(u8))), 1L)
+      finally prod.close()
+      val stored = srv.stored("t", 0)
+      assert(stored.length == 1)
+      assert(new String(stored.head.key, u8) == "k1")
+      assert(srv.producesAppended.get() == 1, "the dropped attempt appended nothing")
+    } finally srv.stop()
+  }
+
+  test("produce retry after a post-append drop DUPLICATES; the J1 upsert absorbs it") {
+    val srv = new MiniKafkaServer(numPartitions = 1)
+    try {
+      srv.dropNextProduceAfterAppend.set(1)
+      val prod = new KafkaWire.RetryingProducer("localhost", srv.port, "t")
+      try prod.send(0,
+        Seq(("k1".getBytes(u8), "v1".getBytes(u8)),
+            ("k2".getBytes(u8), "v2".getBytes(u8))), 1L)
+      finally prod.close()
+      // at-least-once, demonstrated: the batch landed twice
+      val stored = srv.stored("t", 0)
+      assert(stored.length == 4, "an unacked-but-appended batch is re-sent")
+      assert(srv.producesAppended.get() == 2)
+      // …and the canonical downstream absorber removes the replay: the
+      // J1 shape keeps the first arrival per key (consumer.py's
+      // ON CONFLICT (link) DO NOTHING)
+      val consumed = KafkaWire.pollOnce(spark, "localhost", srv.port, "t")
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val absorbed = consumed
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("key").orderBy("offset")))
+        .where(col("rn") === 1).drop("rn")
+      assert(absorbed.count() == 2L)
+      assert(absorbed.select("key").collect().map(_.getString(0)).sorted.toSeq
+        == Seq("k1", "k2"))
+    } finally srv.stop()
+  }
+
+  test("exhausted produce retries surface the I/O failure") {
+    val srv = new MiniKafkaServer(numPartitions = 1)
+    try {
+      srv.dropNextProduce.set(10) // more drops than maxAttempts
+      val prod = new KafkaWire.RetryingProducer("localhost", srv.port, "t",
+        maxAttempts = 3)
+      try intercept[java.io.IOException] {
+        prod.send(0, Seq(("k".getBytes(u8), "v".getBytes(u8))), 1L)
+      } finally prod.close()
+      assert(srv.stored("t", 0).isEmpty)
+    } finally srv.stop()
+  }
+
+  test("torn fetch frame: loud I/O failure, no rows from a torn frame, no hang") {
+    val srv = new MiniKafkaServer(numPartitions = 1)
+    try {
+      val c = new KafkaWire.Conn("localhost", srv.port)
+      try {
+        KafkaWire.produce(c, "t", 0, Seq(("k".getBytes(u8), "v".getBytes(u8))), 1L)
+        srv.truncateNextFetch.set(1)
+        val t0 = System.nanoTime()
+        intercept[java.io.IOException] { KafkaWire.fetch(c, "t", 0, 0L) }
+        assert((System.nanoTime() - t0) < 10e9, "EOF must surface promptly")
+      } finally c.close()
+      // a fresh connection reads the record intact
+      val c2 = new KafkaWire.Conn("localhost", srv.port)
+      try {
+        val (rs, _) = KafkaWire.fetch(c2, "t", 0, 0L)
+        assert(rs.length == 1 && new String(rs.head.value, u8) == "v")
+      } finally c2.close()
+    } finally srv.stop()
+  }
+
+  test("correlation-id mismatch ABORTS the producer — no blind resend") {
+    val srv = new MiniKafkaServer(numPartitions = 1)
+    try {
+      val prod = new KafkaWire.RetryingProducer("localhost", srv.port, "t")
+      try {
+        prod.send(0, Seq(("k0".getBytes(u8), "v0".getBytes(u8))), 1L)
+        srv.corruptNextCorrelation.set(1)
+        intercept[IllegalArgumentException] {
+          prod.send(0, Seq(("k1".getBytes(u8), "v1".getBytes(u8))), 2L)
+        }
+      } finally prod.close()
+    } finally srv.stop()
+  }
+}

@@ -9,14 +9,82 @@ import graft.sources.KafkaWire.{Reader, Record, Writer}
   * of the public protocol (ApiVersions v0, Metadata v0, Produce v2,
   * Fetch v2, message format v1), with an in-memory per-partition log.
   * Everything KafkaWire sends travels through actual sockets and
-  * actual protocol bytes; only durability is simulated. Test-only. */
-final class MiniKafkaServer(numPartitions: Int = 2) {
+  * actual protocol bytes; only durability is simulated. Test-only.
+  *
+  * Broker-faithful serving (the parts a naive double gets wrong, and
+  * that the r12 advice flagged as untestable until now):
+  *  - the log is stored at BATCH granularity, exactly as produced. A
+  *    gzipped produce stays one wrapper batch; a fetch at offset k is
+  *    served from the START of the batch containing k, so the client
+  *    sees below-cursor records it must drop (the real v1 broker's
+  *    whole-wrapper behavior);
+  *  - max_bytes is enforced on the WIRE BYTES of the encoded message
+  *    set and the response is sliced mid-message when the first batch
+  *    alone exceeds it — the consumer sees a partial trailing message
+  *    and zero complete records, and must grow-and-retry rather than
+  *    skip (the broker does NOT apply the at-least-one-message rule
+  *    of later protocol versions here; v2 fetch truncates).
+  *
+  * Fault injection (all one-shot counters, decremented as consumed):
+  *  - [[dropNextProduce]]: read the Produce request fully, append
+  *    NOTHING, close the socket before replying — the client cannot
+  *    know whether the write landed (the classic at-least-once
+  *    ambiguity; here the append is lost so a retry is REQUIRED);
+  *  - [[dropNextProduceAfterAppend]]: append, then close before the
+  *    ack — a retry now DUPLICATES the batch (the other half of
+  *    at-least-once, absorbed downstream by the J1 upsert);
+  *  - [[truncateNextFetch]]: write only half of the framed Fetch
+  *    response bytes, then close — the client's framed read must fail
+  *    loudly (EOF), never yield rows from a torn frame;
+  *  - [[corruptNextCorrelation]]: reply with correlation id + 1 — the
+  *    client must abort (protocol violation), not mis-route the
+  *    response.
+  */
+object MiniKafkaServer {
+  /** Thrown by a handler to close the connection without replying. */
+  private final class DropConnection extends Exception
+}
 
-  private val logs = scala.collection.concurrent.TrieMap
-    .empty[(String, Int), scala.collection.mutable.ArrayBuffer[Record]]
+final class MiniKafkaServer(numPartitions: Int = 2) {
+  import MiniKafkaServer.DropConnection
+
+  /** One produced batch, stored verbatim: `gzipped` batches re-encode
+    * as ONE wrapper message on fetch (offset = last inner absolute,
+    * the v1 convention). */
+  private final case class Batch(base: Long, records: Seq[Record],
+      gzipped: Boolean) {
+    def end: Long = base + records.length // exclusive
+  }
+
+  private final class Log {
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Batch]
+    var next: Long = 0L
+  }
+
+  private val logs =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Log]
   private def logOf(topic: String, p: Int) =
-    logs.getOrElseUpdate((topic, p),
-      scala.collection.mutable.ArrayBuffer.empty[Record])
+    logs.getOrElseUpdate((topic, p), new Log)
+
+  // ── fault injection (one-shot counters) ─────────────────────────────
+  val dropNextProduce = new java.util.concurrent.atomic.AtomicInteger(0)
+  val dropNextProduceAfterAppend =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+  val truncateNextFetch = new java.util.concurrent.atomic.AtomicInteger(0)
+  val corruptNextCorrelation =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Count of Produce requests whose records were appended to the log
+    * (acked or not) — the duplicates-on-retry oracle. */
+  val producesAppended = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def consume(c: java.util.concurrent.atomic.AtomicInteger): Boolean = {
+    while (true) {
+      val v = c.get()
+      if (v <= 0) return false
+      if (c.compareAndSet(v, v - 1)) return true
+    }
+    false
+  }
 
   private val server = new java.net.ServerSocket(0)
   def port: Int = server.getLocalPort
@@ -38,7 +106,10 @@ final class MiniKafkaServer(numPartitions: Int = 2) {
 
   /** Records currently stored for (topic, partition) — test oracle. */
   def stored(topic: String, p: Int): Seq[Record] =
-    logs.get((topic, p)).map(_.toSeq).getOrElse(Seq.empty)
+    logs.get((topic, p)).map(l => l.synchronized {
+      l.batches.flatMap(_.records).toSeq
+    }).getOrElse(Seq.empty)
+
 
   private def serve(sock: java.net.Socket): Unit = {
     val in = new java.io.DataInputStream(
@@ -61,10 +132,21 @@ final class MiniKafkaServer(numPartitions: Int = 2) {
           case (2, 1) => listOffsetsV1(r)
           case other => sys.error(s"unsupported api $other")
         }
-        val framed = new Writer().int32(corr).raw(body).result()
+        val sentCorr =
+          if (consume(corruptNextCorrelation)) corr + 1 else corr
+        val framed = new Writer().int32(sentCorr).raw(body).result()
+        if (apiKey == 1 && consume(truncateNextFetch)) {
+          // torn frame: full length prefix, half the bytes, then close
+          out.writeInt(framed.length)
+          out.write(framed, 0, framed.length / 2); out.flush()
+          throw new DropConnection
+        }
         out.writeInt(framed.length); out.write(framed); out.flush()
       }
-    } catch { case _: java.io.EOFException | _: java.net.SocketException => }
+    } catch {
+      case _: java.io.EOFException | _: java.net.SocketException |
+          _: DropConnection =>
+    }
     finally sock.close()
   }
 
@@ -93,6 +175,7 @@ final class MiniKafkaServer(numPartitions: Int = 2) {
   }
 
   private def produceV2(r: Reader): Array[Byte] = {
+    if (consume(dropNextProduce)) throw new DropConnection
     r.int16(); r.int32() // acks, timeout
     val nTopics = r.int32()
     val acks = (0 until nTopics).flatMap { _ =>
@@ -101,18 +184,25 @@ final class MiniKafkaServer(numPartitions: Int = 2) {
       (0 until nParts).map { _ =>
         val p = r.int32()
         val set = r.bytes()
+        // a produced set is one batch; remember whether it arrived
+        // gzipped so fetch can serve it back as the same wrapper shape
+        val gz = (set.length >= 18) && set(16) == 1 &&
+          ((set(17) & 0x07) == 1) // [offset 8][size 4][crc 4][magic@16][attrs@17]
         val recs = KafkaWire.decodeMessageSet(set)
         val log = logOf(topic, p)
         val base = log.synchronized {
-          val b = log.length.toLong
-          recs.zipWithIndex.foreach { case (rec, i) =>
-            log += Record(b + i, rec.timestamp, rec.key, rec.value)
-          }
+          val b = log.next
+          log.batches += Batch(b,
+            recs.zipWithIndex.map { case (rec, i) =>
+              Record(b + i, rec.timestamp, rec.key, rec.value) }.toSeq, gz)
+          log.next = b + recs.length
           b
         }
+        producesAppended.incrementAndGet()
         (topic, p, base)
       }
     }
+    if (consume(dropNextProduceAfterAppend)) throw new DropConnection
     val w = new Writer().int32(nTopics)
     acks.groupBy(_._1).foreach { case (topic, parts) =>
       w.str(topic).int32(parts.length)
@@ -133,7 +223,7 @@ final class MiniKafkaServer(numPartitions: Int = 2) {
       val parts = (0 until nParts).map { _ =>
         val p = r.int32(); val ts = r.int64()
         val log = logOf(topic, p)
-        val off = if (ts == -2L) 0L else log.synchronized(log.length.toLong)
+        val off = if (ts == -2L) 0L else log.synchronized(log.next)
         (p, off)
       }
       (topic, parts)
@@ -148,6 +238,23 @@ final class MiniKafkaServer(numPartitions: Int = 2) {
     w.result()
   }
 
+  /** Encode one stored batch the way a v1 broker serves it: plain
+    * batches as per-record messages with their absolute offsets, gzip
+    * batches as ONE wrapper whose offset is the last inner absolute. */
+  private def encodeBatch(b: Batch): Array[Byte] =
+    if (!b.gzipped) KafkaWire.encodeMessageSetAt(b.records)
+    else {
+      val set = KafkaWire.encodeMessageSetGzip(
+        b.records.map(r => (r.key, r.value)), b.records.head.timestamp)
+      // encodeMessageSetGzip frames the wrapper at relative offset 0;
+      // patch the first 8 bytes to the broker-assigned absolute of the
+      // LAST inner message (the v1 wrapper convention)
+      val abs = b.end - 1
+      var i = 0
+      while (i < 8) { set(i) = (abs >> (56 - 8 * i)).toByte; i += 1 }
+      set
+    }
+
   private def fetchV2(r: Reader): Array[Byte] = {
     r.int32(); r.int32(); r.int32() // replica_id, max_wait, min_bytes
     val nTopics = r.int32()
@@ -157,20 +264,32 @@ final class MiniKafkaServer(numPartitions: Int = 2) {
       val parts = (0 until nParts).map { _ =>
         val p = r.int32(); val off = r.int64(); val maxBytes = r.int32()
         val log = logOf(topic, p)
-        val (slice, hw) = log.synchronized {
-          (log.drop(off.toInt).toSeq, log.length.toLong)
+        val (from, hw) = log.synchronized {
+          // a PLAIN message set is addressable per message — the broker
+          // serves from the exact offset; a GZIP wrapper is ONE message,
+          // so the whole batch ships even when `off` is inside it (the
+          // below-cursor records the client must drop)
+          val fromBatch = log.batches.toSeq.dropWhile(_.end <= off)
+          val sliced = fromBatch match {
+            case head +: rest if !head.gzipped && head.base < off =>
+              head.copy(records = head.records.filter(_.offset >= off)) +: rest
+            case other => other
+          }
+          (sliced, log.next)
         }
-        // whole messages up to maxBytes (at least one so a reader
-        // always makes progress, the broker's own rule)
-        var total = 0
-        val capped = slice.takeWhile { rec =>
-          // offset 8 + size 4 + crc 4 + magic 1 + attr 1 + ts 8 +
-          // key len 4 + value len 4 = 34 bytes of framing per message
-          val sz = 34 + Option(rec.key).map(_.length).getOrElse(0) +
-            Option(rec.value).map(_.length).getOrElse(0)
-          total += sz; total <= maxBytes || total == sz
+        val bytes = {
+          val bos = new java.io.ByteArrayOutputStream()
+          val it = from.iterator
+          while (it.hasNext && bos.size < maxBytes)
+            bos.write(encodeBatch(it.next()))
+          val all = bos.toByteArray
+          // v2 fetch slices the message set AT max_bytes — a partial
+          // trailing message is the client's problem (it drops it and
+          // must retry with a larger max_bytes)
+          if (all.length > maxBytes) java.util.Arrays.copyOf(all, maxBytes)
+          else all
         }
-        (p, hw, KafkaWire.encodeMessageSetAt(capped))
+        (p, hw, bytes)
       }
       (topic, parts)
     }

@@ -54,22 +54,37 @@ class PostingsIndexSpec extends SparkSuite {
       s"read $filesRead files for ${PostingsIndex.Terms.length} terms ($allDirs dirs)")
   }
 
-  test("streaming append equals a fresh batch build (search + merged stats)") {
+  test("streaming increments through the ONE LSM mechanism equal a fresh batch build") {
+    // r12 directive #6: the append-only partial-stats increment is
+    // retired; the maintained BM25 index rides IncPostings' commit
+    // protocol exclusively. The ingest shape stays the same — micro
+    // -batches through foreachBatch — but each increment is a
+    // commitDelta, and merge-on-read must reproduce the full build.
+    import graft.operators.IncPostings
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val tmpA = Files.createTempDirectory("pidx-inc").toString + "/idx"
-    val tmpB = Files.createTempDirectory("pidx-full").toString + "/idx"
+    val root = Files.createTempDirectory("pidx-lsm").toFile
+    val tmpFull = Files.createTempDirectory("pidx-full").toString + "/idx"
     val docs = Tables(spark, sf001, "documents")
+    val noTombs = Seq.empty[Long].toDF("doc_id")
 
-    PostingsIndex.build(spark, docs.where(col("doc_id") % 3 === 0), tmpA)
+    IncPostings.commitBase(root,
+      IncPostings.bm25RowsOf(docs.where(col("doc_id") % 3 === 0)))
+    val dlRoot = Files.createTempDirectory("pidx-lsm-dl").toFile
+    IncPostings.commitBase(dlRoot,
+      IncPostings.doclenRowsOf(docs.where(col("doc_id") % 3 === 0)))
 
     // Two micro-batches of late documents through the ingest shape.
     val ids = MemoryStream[Long]
     val q = ids.toDS().toDF("id").writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        PostingsIndex.append(spark, tmpA,
-          batch.join(docs, batch("id") === docs("doc_id"))
-            .select(docs("doc_id"), docs("text")))
+        val arrivals = batch.join(docs, batch("id") === docs("doc_id"))
+          .select(docs("doc_id"), docs("text"))
+        IncPostings.commitDelta(root,
+          IncPostings.bm25RowsOf(arrivals), noTombs)
+        IncPostings.commitDelta(dlRoot,
+          IncPostings.doclenRowsOf(arrivals), noTombs)
+        ()
       }
       .start()
     try {
@@ -81,19 +96,16 @@ class PostingsIndexSpec extends SparkSuite {
       q.processAllAvailable()
     } finally q.stop()
 
-    PostingsIndex.build(spark, docs, tmpB)
+    PostingsIndex.build(spark, docs, tmpFull)
 
-    def top(path: String) =
-      PostingsIndex.bm25Search(spark, path, PostingsIndex.Terms, 10).collect()
-        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq
-    assert(top(tmpA) == top(tmpB))
-
-    // Merge-on-read over the partial stat batches == full rebuild —
-    // the persisted inc_postings_merge identity.
-    def stats(path: String) =
-      PostingsIndex.termStats(spark, path).collect()
-        .map(r => (r.getAs[String]("token"), r.getAs[Long]("df"),
-          r.getAs[Long]("tf_total"))).toSet
-    assert(stats(tmpA) == stats(tmpB))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))
+    val merged = IncPostings.bm25Probe(
+      IncPostings.readCurrent(spark, root),
+      IncPostings.readCurrent(spark, dlRoot),
+      PostingsIndex.Terms, 10).collect().map(key).toSeq
+    val full = PostingsIndex.bm25Search(spark, tmpFull,
+      PostingsIndex.Terms, 10).collect().map(key).toSeq
+    assert(merged == full)
   }
 }
