@@ -112,10 +112,11 @@ final class MiniKafkaServer(numPartitions: Int = 2) {
 
 
   private def serve(sock: java.net.Socket): Unit = {
+    sock.setTcpNoDelay(true) // response latency, not throughput batching
     val in = new java.io.DataInputStream(
-      new java.io.BufferedInputStream(sock.getInputStream))
+      new java.io.BufferedInputStream(sock.getInputStream, 1 << 16))
     val out = new java.io.DataOutputStream(
-      new java.io.BufferedOutputStream(sock.getOutputStream))
+      new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16))
     try {
       while (true) {
         val len = in.readInt()

@@ -46,7 +46,7 @@ object StreamBench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val which = sys.env.getOrElse("SPARK_GRAFT_STREAMS", "cdc,lsh,ingest")
+    val which = sys.env.getOrElse("SPARK_GRAFT_STREAMS", "cdc,lsh,ingest,wire")
       .split(",").map(_.trim).toSet
     val embedDim = sys.env.getOrElse("SPARK_GRAFT_EMBED_DIM", "768").toInt
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_BATCHES", "10").toInt
@@ -68,6 +68,7 @@ object StreamBench {
     if (which("lsh")) out += "lsh" -> lshBench(spark, sfDir, s"$base/lsh")
     if (which("ingest"))
       out += "ingest" -> ingestBench(spark, sfDir, s"$base/ingest", embedDim, nBatches)
+    if (which("wire")) out += "wire" -> wireBench(spark)
 
     val ps = out.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"stream","sf":"$sfDir","pipelines":$ps}""")
@@ -173,5 +174,60 @@ object StreamBench {
     s"""{"rows":${data.length},"secs":${r3(secs)},"rows_per_sec":${r3(data.length / secs)},""" +
       s""""state_bytes_per_key":${r3(stateBytes.toDouble / data.length)},""" +
       s""""lake_bytes_per_row":${r3(lakeBytes.toDouble / data.length)}}"""
+  }
+
+  /** Wire-transport throughput: produce + consume rows/s through the
+    * in-JVM broker double over loopback TCP, at 1× and 10× volume and
+    * at 1 vs 4 topic partitions. Loopback removes the network from the
+    * measurement on purpose — what remains IS the engine's cost: the
+    * protocol codec (message v1 framing + CRC32 per record), murmur2
+    * routing, the 500-record produce batching, and the per-partition
+    * executor-side fetch loops. The reference's cadence is one article
+    * per 10 s (collect/producer.py's sleep loop, ~0.1 row/s); the
+    * numbers here bound how far the transport itself is from being the
+    * bottleneck. Values are ~300-byte JSON articles (the reference's
+    * wire shape, Korean text included). */
+  private def wireBench(spark: SparkSession): String = {
+    import graft.sources.KafkaWire
+    import org.apache.spark.storage.StorageLevel
+    val pad = "기사 본문 내용이 여기에 이어진다. " * 8 // ~250 bytes of UTF-8 payload
+    def articles(n: Int) = spark.range(n).select(
+      concat(lit("http://news/article/"), col("id")).as("key"),
+      concat(lit("{\"title\":\"제목 "), col("id"),
+        lit("\",\"summary\":\"" + pad + "\"}")).as("value"))
+      .repartition(8) // fixed client parallelism; broker partitions vary
+
+    def once(n: Int, nParts: Int): (Double, Double) = {
+      val srv = new MiniKafkaServer(numPartitions = nParts)
+      try {
+        // materialize the input first: the bench measures the
+        // TRANSPORT (codec + routing + sockets), not range/shuffle
+        val df = articles(n).persist(StorageLevel.MEMORY_ONLY)
+        df.count()
+        val t0 = System.nanoTime()
+        KafkaWire.produceDataFrame(df, "localhost", srv.port, "bench-topic",
+          System.currentTimeMillis())
+        val produceSecs = secsSince(t0)
+        df.unpersist(blocking = true)
+        val t1 = System.nanoTime()
+        val consumed =
+          KafkaWire.pollOnce(spark, "localhost", srv.port, "bench-topic").count()
+        val consumeSecs = secsSince(t1)
+        require(consumed == n, s"wire bench lost rows: $consumed != $n")
+        (produceSecs, consumeSecs)
+      } finally srv.stop()
+    }
+
+    once(5000, 4) // JIT/codegen warmup, unmeasured
+    val results = for (scale <- Seq(1, 10); nParts <- Seq(1, 4)) yield {
+      val n = 50000 * scale
+      val (produceSecs, consumeSecs) = once(n, nParts)
+      s""""x${scale}_p$nParts":{"rows":$n,""" +
+        s""""produce_secs":${r3(produceSecs)},""" +
+        s""""produce_rps":${r3(n / produceSecs)},""" +
+        s""""consume_secs":${r3(consumeSecs)},""" +
+        s""""consume_rps":${r3(n / consumeSecs)}}"""
+    }
+    results.mkString("{", ",", "}")
   }
 }

@@ -241,10 +241,15 @@ object KafkaWire {
       timeoutMs: Int = 30000) {
     private val sock = new java.net.Socket(host, port)
     sock.setSoTimeout(timeoutMs)
+    // Request-response over one connection: Nagle + delayed ACK would
+    // add ~40 ms to every sub-MSS request (measured in wireBench —
+    // 26 k vs 1.2 M rows/s produce). The stock client sets TCP_NODELAY
+    // for exactly this reason.
+    sock.setTcpNoDelay(true)
     private val out = new java.io.DataOutputStream(
-      new java.io.BufferedOutputStream(sock.getOutputStream))
+      new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16))
     private val in = new java.io.DataInputStream(
-      new java.io.BufferedInputStream(sock.getInputStream))
+      new java.io.BufferedInputStream(sock.getInputStream, 1 << 16))
     private var corr = 0
 
     def call(apiKey: Int, apiVersion: Int, body: Array[Byte]): Reader = {

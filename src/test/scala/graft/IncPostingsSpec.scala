@@ -494,6 +494,73 @@ abstract class IncPostingsBattery extends SparkSuite
       s"cold $kindTag build must not sweep the $kindTag-lifecycle root")
     assert(!stale.exists(), "stale bare-fingerprint sibling must be swept")
   }
+
+  // ── the reader-horizon contract at the retention boundary (r12
+  // directive #7): a reader that resolved generation G keeps a
+  // complete immutable view while G stays within keepGens (or its
+  // files within the grace window); past the horizon it must fail
+  // LOUDLY — never return silent partial rows. ────────────────────────
+
+  test("reader within the retention horizon completes with its resolved view") {
+    val root = freshRoot()
+    IncPostings.commitBase(root,
+      operators.TextOps.trigramRowsOf(docsDf(1L -> "abcd")))
+    // slow reader: resolves gen-1 (manifest + file listing), then stalls
+    val view = IncPostings.readAt(spark, root, 1)
+    // a commit and a keepGens=2 retention land mid-scan
+    IncPostings.commitDelta(root,
+      operators.TextOps.trigramRowsOf(docsDf(2L -> "wxyz")), idsDf())
+    IncPostings.retain(spark, root, keepGens = 2, graceMs = 0L)
+    // the reader finishes: EXACTLY its generation's rows, no v2 bleed
+    assert(view.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === expectedPostings(Seq(1L -> "abcd")))
+  }
+
+  test("grace window lets a reader outlive even its expired manifest") {
+    val root = freshRoot()
+    IncPostings.commitBase(root,
+      operators.TextOps.trigramRowsOf(docsDf(1L -> "abcd")))
+    val view = IncPostings.readAt(spark, root, 1)
+    // compaction REPLACES gen-1's segments; retention expires gen-1's
+    // manifest — but the replaced data dirs are younger than graceMs,
+    // so the pinned reader still completes (the bounded completion
+    // window the grace default exists for)
+    IncPostings.compact(spark, root)
+    val swept = IncPostings.retain(spark, root, keepGens = 1,
+      graceMs = 60 * 60 * 1000L)
+    assert(swept.isEmpty, "everything unreferenced is inside the grace window")
+    assert(view.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === expectedPostings(Seq(1L -> "abcd")))
+  }
+
+  test("reader past the horizon fails loudly — never silent partial rows") {
+    val root = freshRoot()
+    IncPostings.commitBase(root,
+      operators.TextOps.trigramRowsOf(docsDf(1L -> "abcd", 2L -> "wxyz")))
+    val view = IncPostings.readAt(spark, root, 1)
+    // compact (gen-2's fold replaces the base segment), then retention
+    // with zero grace reclaims gen-1's manifest AND its now-
+    // unreferenced segment files — the reader's horizon is gone
+    IncPostings.compact(spark, root)
+    val swept = IncPostings.retain(spark, root, keepGens = 1, graceMs = 0L)
+    assert(swept.nonEmpty, "the replaced base segment must be reclaimed")
+    // the pinned reader must THROW (missing files surface as an error
+    // with ignoreMissingFiles=false, the engine's required default) —
+    // a silent subset would be data loss invisible to the caller
+    assert(spark.conf.get("spark.sql.files.ignoreMissingFiles") == "false",
+      "the loud-failure contract requires ignoreMissingFiles=false")
+    val e = intercept[Exception] { view.collect() }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(t =>
+      t.isInstanceOf[java.io.FileNotFoundException] ||
+        Option(t.getMessage).exists(_.toLowerCase.contains("file"))),
+      s"expected a missing-file failure, got: $e")
+    // and the LIVE view is intact after the reader's failure
+    assert(IncPostings.readCurrent(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === expectedPostings(Seq(1L -> "abcd", 2L -> "wxyz")))
+  }
 }
 
 /** The battery under the single-host primitive: POSIX hard link. */
