@@ -101,6 +101,26 @@ object PostingsIndex {
     postings.repartition(col("tbucket"))
       .sortWithinPartitions(col("token"), col("doc_id"))
 
+  /** Publish the SERVING layout from already-aggregated postings rows
+    * — `(doc_id, token, tf, dl)`, the bm25 LSM kind's layout — plus
+    * `(doc_id, dl)` doclens: the production split between the two
+    * index shapes this engine keeps. The [[IncPostings]] LSM timeline
+    * absorbs increments at delta cost; this fold republishes the
+    * bucket-partitioned, token-sorted layout searches want
+    * (tbucket dir pruning + row-group pruning = corpus-size-
+    * independent search I/O). At 100 TB the fold is one corpus-sized
+    * shuffle — a batch build's cost — but it runs OFF the ingest path
+    * on whatever cadence serving freshness needs, while the LSM keeps
+    * absorbing deltas. Merge-on-read probes and served searches are
+    * interchangeable under the same oracle (idx_bm25_lsm_served). */
+  def publishServing(postings: DataFrame, doclens: DataFrame,
+      path: String): Unit = {
+    val bucketed = layout(postings
+      .select(col("token"), col("doc_id"), col("dl"), col("tf"))
+      .withColumn("tbucket", tbucket(col("token"))))
+    writeFrom(doclens, bucketed, path, SaveMode.Overwrite)
+  }
+
   /** The three table writes, given already-materialized doclens
     * (`(doc_id, dl)`, one row per document INCLUDING zero-token docs —
     * they count into n_docs) and postings. `postings` must already be
@@ -266,8 +286,19 @@ object PostingsIndex {
           .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f.toString), true))
         if (root.exists()) // partial build from a killed run: wipe
           fs.delete(new org.apache.hadoop.fs.Path(root.toString), true)
-        val (doclens, post) = cachedCorpus(s, dir)
-        writeFrom(doclens, post, base, SaveMode.Overwrite)
+        variant match {
+          case "lsmserve" =>
+            // fold the LSM timeline's live view into the serving layout
+            publishServing(
+              IncPostings.readCurrent(s, IncPostings.v1SplitRoot(
+                s, dir, "bm25v1inc", IncPostings.bm25RowsOf)),
+              IncPostings.readCurrent(s, IncPostings.v1SplitRoot(
+                s, dir, "bm25dlv1inc", IncPostings.doclenRowsOf)),
+              base)
+          case _ =>
+            val (doclens, post) = cachedCorpus(s, dir)
+            writeFrom(doclens, post, base, SaveMode.Overwrite)
+        }
         marker.createNewFile()
       }
       (s, base)
@@ -292,12 +323,22 @@ object PostingsIndex {
           IncPostings.v1SplitRoot(s, dir, "bm25v1inc", IncPostings.bm25RowsOf)),
         IncPostings.readCurrent(s,
           IncPostings.v1SplitRoot(s, dir, "bm25dlv1inc", IncPostings.doclenRowsOf)),
-        Terms, 10))
+        Terms, 10)),
+
+    // ── the serving fold: the LSM timeline's live view republished as
+    // the bucket-partitioned layout, searched through the SAME pruned
+    // path as idx_bm25_persisted. LSM-for-increments +
+    // serving-layout-for-searches is the production split; this query
+    // hash-gates the fold (merge-on-read ≡ served ≡ inline, one
+    // oracle). ────────────────────────────────────────────────────────
+    "idx_bm25_lsm_served" -> ((s, dir) =>
+      bm25Search(s, indexPath(s, dir, "lsmserve"), Terms, 10))
   )
 
   val oracles: Map[String, String] = Map(
-    // Both variants must reproduce the inline BM25 ranking exactly.
+    // All three variants must reproduce the inline BM25 ranking exactly.
     "idx_bm25_persisted" -> TextOps.sqlBm25TopK,
-    "idx_bm25_inc_search" -> TextOps.sqlBm25TopK
+    "idx_bm25_inc_search" -> TextOps.sqlBm25TopK,
+    "idx_bm25_lsm_served" -> TextOps.sqlBm25TopK
   )
 }

@@ -35,6 +35,19 @@ object JdbcUpsert {
     * the key columns in the ON clause first, then the insert row). */
   trait UpsertDialect extends Serializable {
     def insertIgnore(table: String, cols: Seq[String], keys: Seq[String]): (String, Seq[String])
+    /** True when the engine is an EMBEDDED store whose DML is not safe
+      * under concurrent same-JVM writers, so partition writes must be
+      * serialized within the JVM. Found the hard way (r13, 9/50 loop
+      * failures): Derby 10.16's MERGE under two concurrent local-mode
+      * tasks either corrupts engine state loudly
+      * (`BaseContainerHandle.deleteObserver … "this.owner" is null`,
+      * surfaced as a BatchUpdateException) or — worse — loses one or
+      * both committed-looking transactions SILENTLY; the statement log
+      * shows both MERGEs executing and no error. A client-side
+      * protocol cannot defend against an engine that mis-commits, so
+      * the embedded dialect declares itself serialize-only; a server
+      * engine (Postgres) keeps full partition parallelism. */
+    def serializeInJvm: Boolean = false
   }
 
   /** The reference's exact statement shape (collect/consumer.py:81). */
@@ -48,7 +61,9 @@ object JdbcUpsert {
   }
 
   /** Derby ≥10.11 has MERGE but no ON CONFLICT; WHEN NOT MATCHED
-    * expresses the same insert-if-absent. */
+    * expresses the same insert-if-absent. Serialized in-JVM: see
+    * [[UpsertDialect.serializeInJvm]] — embedded Derby's MERGE loses
+    * transactions under concurrent same-JVM writers. */
   object DerbyUpsertDialect extends UpsertDialect {
     def insertIgnore(table: String, cols: Seq[String], keys: Seq[String]): (String, Seq[String]) = {
       val on = keys.map(k => s"t.$k = ?").mkString(" AND ")
@@ -57,7 +72,13 @@ object JdbcUpsert {
         s"VALUES (${cols.map(_ => "?").mkString(", ")})"
       (sql, keys ++ cols)
     }
+    override def serializeInJvm: Boolean = true
   }
+
+  /** JVM-wide write gate for [[UpsertDialect.serializeInJvm]] dialects
+    * (embedded engines share one in-process store, so this IS the
+    * engine-level arbiter the server engines have built in). */
+  private object JvmWriteGate
 
   private def sqlType(dt: DataType): Int = dt match {
     case StringType => Types.VARCHAR
@@ -156,9 +177,13 @@ object JdbcUpsert {
     val schema = df.schema
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
-        val conn = DriverManager.getConnection(url)
-        try { writeRows(conn, rows, schema, table, keys, dialect, batchSize); () }
-        finally conn.close()
+        def write(): Unit = {
+          val conn = DriverManager.getConnection(url)
+          try { writeRows(conn, rows, schema, table, keys, dialect, batchSize); () }
+          finally conn.close()
+        }
+        if (dialect.serializeInJvm) JvmWriteGate.synchronized(write())
+        else write()
       }
     }
   }

@@ -107,5 +107,56 @@ class PostingsIndexSpec extends SparkSuite {
     val full = PostingsIndex.bm25Search(spark, tmpFull,
       PostingsIndex.Terms, 10).collect().map(key).toSeq
     assert(merged == full)
+
+    // …and the serving fold: the LSM view republished as the
+    // bucket-partitioned layout must search identically through the
+    // pruned bm25Search path — LSM for increments, serving layout for
+    // searches, one result.
+    val served = Files.createTempDirectory("pidx-served").toString + "/idx"
+    PostingsIndex.publishServing(
+      IncPostings.readCurrent(spark, root),
+      IncPostings.readCurrent(spark, dlRoot), served)
+    val foldTop = PostingsIndex.bm25Search(spark, served,
+      PostingsIndex.Terms, 10).collect().map(key).toSeq
+    assert(foldTop == full)
+  }
+
+  test("serving fold carries tombstone semantics: edits and deletes survive the republish") {
+    import graft.operators.IncPostings
+    import spark.implicits._
+    val root = Files.createTempDirectory("pidx-tomb").toFile
+    val dlRoot = Files.createTempDirectory("pidx-tomb-dl").toFile
+    def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    // v1: three docs; delta: doc 1 edited, doc 2 deleted, doc 9 added
+    val v1 = docs(1L -> "spark window query", 2L -> "window gone soon",
+      3L -> "spark stays put")
+    IncPostings.commitBase(root, IncPostings.bm25RowsOf(v1))
+    IncPostings.commitBase(dlRoot, IncPostings.doclenRowsOf(v1))
+    val delta = docs(1L -> "query only now", 9L -> "spark query window")
+    val tombs = Seq(1L, 2L).toDF("doc_id")
+    IncPostings.commitDelta(root, IncPostings.bm25RowsOf(delta), tombs)
+    IncPostings.commitDelta(dlRoot, IncPostings.doclenRowsOf(delta), tombs)
+
+    val served = Files.createTempDirectory("pidx-tomb-srv").toString + "/idx"
+    PostingsIndex.publishServing(
+      IncPostings.readCurrent(spark, root),
+      IncPostings.readCurrent(spark, dlRoot), served)
+    // the served index equals a fresh build over the FINAL corpus
+    val tmpFull = Files.createTempDirectory("pidx-tomb-full").toString + "/idx"
+    PostingsIndex.build(spark,
+      docs(1L -> "query only now", 3L -> "spark stays put",
+        9L -> "spark query window"), tmpFull)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Double]("score"), r.getAs[Long]("n_terms"))
+    val got = PostingsIndex.bm25Search(spark, served,
+      PostingsIndex.Terms, 10).collect().map(key).toSeq
+    val want = PostingsIndex.bm25Search(spark, tmpFull,
+      PostingsIndex.Terms, 10).collect().map(key).toSeq
+    assert(got == want && got.nonEmpty)
+    // deleted doc 2 is gone; edited doc 1's old tokens are gone
+    assert(!got.exists(_._1 == 2L))
+    val p = spark.read.parquet(s"$served/postings")
+    assert(p.where(col("doc_id") === 1L && col("token") === "spark").count() == 0)
+    assert(p.where(col("doc_id") === 2L).count() == 0)
   }
 }
