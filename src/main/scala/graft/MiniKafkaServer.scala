@@ -48,11 +48,11 @@ object MiniKafkaServer {
 final class MiniKafkaServer(numPartitions: Int = 2) {
   import MiniKafkaServer.DropConnection
 
-  /** One produced batch, stored verbatim: `gzipped` batches re-encode
-    * as ONE wrapper message on fetch (offset = last inner absolute,
-    * the v1 convention). */
+  /** One produced batch, stored verbatim: compressed batches
+    * (`codec` != 0) re-encode as ONE wrapper message on fetch (offset
+    * = last inner absolute, the v1 convention). */
   private final case class Batch(base: Long, records: Seq[Record],
-      gzipped: Boolean) {
+      codec: Int) {
     def end: Long = base + records.length // exclusive
   }
 
@@ -185,17 +185,17 @@ final class MiniKafkaServer(numPartitions: Int = 2) {
       (0 until nParts).map { _ =>
         val p = r.int32()
         val set = r.bytes()
-        // a produced set is one batch; remember whether it arrived
-        // gzipped so fetch can serve it back as the same wrapper shape
-        val gz = (set.length >= 18) && set(16) == 1 &&
-          ((set(17) & 0x07) == 1) // [offset 8][size 4][crc 4][magic@16][attrs@17]
+        // a produced set is one batch; remember the codec it arrived
+        // with so fetch can serve it back as the same wrapper shape
+        val codec = if (set.length >= 18 && set(16) == 1)
+          set(17) & 0x07 else 0 // [offset 8][size 4][crc 4][magic@16][attrs@17]
         val recs = KafkaWire.decodeMessageSet(set)
         val log = logOf(topic, p)
         val base = log.synchronized {
           val b = log.next
           log.batches += Batch(b,
             recs.zipWithIndex.map { case (rec, i) =>
-              Record(b + i, rec.timestamp, rec.key, rec.value) }.toSeq, gz)
+              Record(b + i, rec.timestamp, rec.key, rec.value) }.toSeq, codec)
           log.next = b + recs.length
           b
         }
@@ -240,13 +240,15 @@ final class MiniKafkaServer(numPartitions: Int = 2) {
   }
 
   /** Encode one stored batch the way a v1 broker serves it: plain
-    * batches as per-record messages with their absolute offsets, gzip
-    * batches as ONE wrapper whose offset is the last inner absolute. */
+    * batches as per-record messages with their absolute offsets,
+    * compressed batches as ONE wrapper (same codec) whose offset is
+    * the last inner absolute. */
   private def encodeBatch(b: Batch): Array[Byte] =
-    if (!b.gzipped) KafkaWire.encodeMessageSetAt(b.records)
+    if (b.codec == 0) KafkaWire.encodeMessageSetAt(b.records)
     else {
-      val set = KafkaWire.encodeMessageSetGzip(
-        b.records.map(r => (r.key, r.value)), b.records.head.timestamp)
+      val set = KafkaWire.encodeMessageSetCompressed(
+        b.records.map(r => (r.key, r.value)), b.records.head.timestamp,
+        b.codec)
       // encodeMessageSetGzip frames the wrapper at relative offset 0;
       // patch the first 8 bytes to the broker-assigned absolute of the
       // LAST inner message (the v1 wrapper convention)
@@ -272,7 +274,7 @@ final class MiniKafkaServer(numPartitions: Int = 2) {
           // below-cursor records the client must drop)
           val fromBatch = log.batches.toSeq.dropWhile(_.end <= off)
           val sliced = fromBatch match {
-            case head +: rest if !head.gzipped && head.base < off =>
+            case head +: rest if head.codec == 0 && head.base < off =>
               head.copy(records = head.records.filter(_.offset >= off)) +: rest
             case other => other
           }

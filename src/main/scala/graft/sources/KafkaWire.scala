@@ -137,32 +137,58 @@ object KafkaWire {
     new Writer().int32(crc.getValue.toInt).raw(body).result()
   }
 
-  private def gzip(data: Array[Byte]): Array[Byte] = {
+  /** Message-format v1 compression codecs (attribute bits 0-2), the
+    * published constants: 0 none, 1 gzip, 2 snappy, 3 lz4. Snappy is
+    * the xerial STREAM framing (SnappyOutputStream — what the stock
+    * Java client wraps snappy batches in), lz4 the standard LZ4 FRAME
+    * format (magic 0x184D2204 — v1 fixed the v0 descriptor-checksum
+    * quirk, so the standard frame IS the wire format). */
+  object Codec {
+    val None = 0; val Gzip = 1; val Snappy = 2; val Lz4 = 3
+  }
+
+  private def compress(codec: Int, data: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    val out = new java.util.zip.GZIPOutputStream(bos)
+    val out: java.io.OutputStream = codec match {
+      case Codec.Gzip => new java.util.zip.GZIPOutputStream(bos)
+      case Codec.Snappy => new org.xerial.snappy.SnappyOutputStream(bos)
+      case Codec.Lz4 => new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+      case c => throw new java.io.IOException(s"unsupported codec $c")
+    }
     try out.write(data) finally out.close()
     bos.toByteArray
   }
 
-  private def gunzip(data: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(data))
+  private def decompress(codec: Int, data: Array[Byte]): Array[Byte] = {
+    val bis = new java.io.ByteArrayInputStream(data)
+    val in: java.io.InputStream = codec match {
+      case Codec.Gzip => new java.util.zip.GZIPInputStream(bis)
+      case Codec.Snappy => new org.xerial.snappy.SnappyInputStream(bis)
+      case Codec.Lz4 => new net.jpountz.lz4.LZ4FrameInputStream(bis)
+      case c => throw new java.io.IOException(s"unsupported codec $c")
+    }
     try in.readAllBytes() finally in.close()
   }
 
-  /** MessageSet v1 with GZIP: the records are encoded as an INNER
-    * message set with RELATIVE offsets 0..n-1, gzipped, and wrapped in
-    * ONE outer message whose attributes carry codec=1 and whose
-    * timestamp is the max inner timestamp (the v1 wrapper convention;
-    * the broker assigns the wrapper's offset to the LAST inner
-    * message, and a consumer reconstructs the rest — see
+  /** MessageSet v1 with compression: the records are encoded as an
+    * INNER message set with RELATIVE offsets 0..n-1, compressed, and
+    * wrapped in ONE outer message whose attributes carry the codec id
+    * and whose timestamp is the max inner timestamp (the v1 wrapper
+    * convention; the broker assigns the wrapper's offset to the LAST
+    * inner message, and a consumer reconstructs the rest — see
     * [[decodeMessageSet]]). */
-  def encodeMessageSetGzip(records: Seq[(Array[Byte], Array[Byte])],
-      timestamp: Long): Array[Byte] = {
+  def encodeMessageSetCompressed(records: Seq[(Array[Byte], Array[Byte])],
+      timestamp: Long, codec: Int): Array[Byte] = {
     val inner = encodeMessageSet(records, timestamp)
-    val wrapper = encodeMessage(timestamp, null, gzip(inner), attributes = 1)
+    val wrapper =
+      encodeMessage(timestamp, null, compress(codec, inner), attributes = codec)
     new Writer().int64(0L).int32(wrapper.length).raw(wrapper).result()
   }
+
+  /** GZIP shorthand, kept for the original S2 call sites. */
+  def encodeMessageSetGzip(records: Seq[(Array[Byte], Array[Byte])],
+      timestamp: Long): Array[Byte] =
+    encodeMessageSetCompressed(records, timestamp, Codec.Gzip)
 
   /** MessageSet v1: [offset INT64, size INT32, message]*. The producer
     * writes relative offsets 0..n-1 (the broker assigns absolutes);
@@ -214,13 +240,13 @@ object KafkaWire {
       val key = mr.bytes(); val value = mr.bytes()
       (attrs & 0x07) match {
         case 0 => out += Record(offset, ts, key, value)
-        case 1 =>
-          // GZIP wrapper: the value is an inner message set with
-          // RELATIVE offsets 0..n-1, and the wrapper's offset is the
-          // absolute offset of the LAST inner message (the v1
-          // convention) — reconstruct absolutes as
+        case codec @ (1 | 2 | 3) =>
+          // compressed wrapper (gzip/snappy/lz4): the value is an
+          // inner message set with RELATIVE offsets 0..n-1, and the
+          // wrapper's offset is the absolute offset of the LAST inner
+          // message (the v1 convention) — reconstruct absolutes as
           // wrapperOffset - (n-1) + innerOffset.
-          val inner = decodeMessageSet(gunzip(value))
+          val inner = decodeMessageSet(decompress(codec, value))
           val base = offset - (inner.length - 1)
           inner.foreach(r =>
             out += Record(base + r.offset, r.timestamp, r.key, r.value))
@@ -298,14 +324,16 @@ object KafkaWire {
   }
 
   /** Produce v2 (acks=-1): one partition's records; returns the
-    * broker-assigned base offset. `gzipped` sends the batch as one
-    * GZIP wrapper message (codec bit 1) — the broker double, like a
-    * real broker validating recompressed batches, decompresses
-    * through the same [[decodeMessageSet]]. */
+    * broker-assigned base offset. A non-None `codec` sends the batch
+    * as ONE compressed wrapper message (gzip/snappy/lz4, the v1
+    * attribute bits) — the broker double, like a real broker
+    * validating recompressed batches, decompresses through the same
+    * [[decodeMessageSet]]. */
   def produce(c: Conn, topic: String, partition: Int,
       records: Seq[(Array[Byte], Array[Byte])], timestamp: Long,
-      gzipped: Boolean = false): Long = {
-    val set = if (gzipped) encodeMessageSetGzip(records, timestamp)
+      codec: Int = Codec.None): Long = {
+    val set = if (codec != Codec.None)
+      encodeMessageSetCompressed(records, timestamp, codec)
       else encodeMessageSet(records, timestamp)
     val body = new Writer()
       .int16(-1).int32(30000) // acks=all, timeout

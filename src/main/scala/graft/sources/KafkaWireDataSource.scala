@@ -45,7 +45,10 @@ class KafkaWireDataSource extends TableProvider with DataSourceRegister {
     val topic = properties.get("topic")
     require(host != null && port != null && topic != null,
       "options host, port, topic are required")
-    new KafkaWireTable(host, Integer.parseInt(port), topic)
+    val starting = Option(properties.get("startingOffsets")).getOrElse("earliest")
+    require(starting == "earliest" || starting == "latest",
+      s"startingOffsets must be earliest or latest, got '$starting'")
+    new KafkaWireTable(host, Integer.parseInt(port), topic, starting)
   }
 }
 
@@ -58,7 +61,8 @@ object KafkaWireDataSource {
     StructField("value", StringType, nullable = true)))
 }
 
-private[sources] class KafkaWireTable(host: String, port: Int, topic: String)
+private[sources] class KafkaWireTable(host: String, port: Int, topic: String,
+    startingOffsets: String = "earliest")
     extends Table with SupportsRead with SupportsWrite {
   require(host != null && topic != null, "options host, port, topic are required")
   override def name(): String = s"graft-kafka($topic@$host:$port)"
@@ -69,7 +73,8 @@ private[sources] class KafkaWireTable(host: String, port: Int, topic: String)
       TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new KafkaWireScan(host, port, topic)
+      override def build(): Scan =
+        new KafkaWireScan(host, port, topic, startingOffsets)
     }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -166,7 +171,8 @@ private[sources] class KafkaProduceWriter(host: String, port: Int,
   override def close(): Unit = prod.close()
 }
 
-private[sources] class KafkaWireScan(host: String, port: Int, topic: String)
+private[sources] class KafkaWireScan(host: String, port: Int, topic: String,
+    startingOffsets: String = "earliest")
     extends Scan with Batch {
   override def readSchema(): StructType = KafkaWireDataSource.schema
 
@@ -188,7 +194,7 @@ private[sources] class KafkaWireScan(host: String, port: Int, topic: String)
     new KafkaRangeReaderFactory
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new KafkaWireMicroBatchStream(host, port, topic)
+    new KafkaWireMicroBatchStream(host, port, topic, startingOffsets)
 }
 
 /** Next-offset-to-read per partition — the checkpointed position. */
@@ -209,7 +215,8 @@ private[sources] object KafkaWireOffset {
 }
 
 private[sources] class KafkaWireMicroBatchStream(host: String, port: Int,
-    topic: String) extends MicroBatchStream {
+    topic: String, startingOffsets: String = "earliest")
+    extends MicroBatchStream {
 
   private def endOffsets(): Map[Int, Long] = {
     val c = new KafkaWire.Conn(host, port)
@@ -219,13 +226,16 @@ private[sources] class KafkaWireMicroBatchStream(host: String, port: Int,
     } finally c.close()
   }
 
-  // earliest, the reference's auto_offset_reset (collect/consumer.py:154)
+  // startingOffsets: earliest (the reference's auto_offset_reset,
+  // collect/consumer.py:154) or latest (ListOffsets -1) — only
+  // consulted on a FRESH checkpoint, the stock connector's contract.
   override def initialOffset(): Offset = {
+    val ts = if (startingOffsets == "latest") -1L else -2L
     val c = new KafkaWire.Conn(host, port)
     try {
       val n = KafkaWire.partitionCount(c, topic)
       KafkaWireOffset((0 until n).map(p =>
-        p -> KafkaWire.listOffset(c, topic, p, -2L)).toMap)
+        p -> KafkaWire.listOffset(c, topic, p, ts)).toMap)
     } finally c.close()
   }
 

@@ -142,7 +142,7 @@ class KafkaProtocolSpec extends SparkSuite {
     try {
       val c = new KafkaWire.Conn("localhost", srv.port)
       try {
-        KafkaWire.produce(c, "t", 0, recs, 42L, gzipped = true)
+        KafkaWire.produce(c, "t", 0, recs, 42L, codec = KafkaWire.Codec.Gzip)
         val (back, hw) = KafkaWire.fetch(c, "t", 0, 0L)
         assert(hw == 3L && back.length == 3)
         assert(back.map(r => new String(r.key, u8)) == Seq("k1", "k2", "k3"))

@@ -114,7 +114,7 @@ class KafkaSinkFaultSpec extends SparkSuite {
       val c = new KafkaWire.Conn("localhost", srv.port)
       try {
         val recs = (0 to 4).map(i => (s"k$i".getBytes(u8), s"v$i".getBytes(u8)))
-        KafkaWire.produce(c, "t", 0, recs, 9L, gzipped = true)
+        KafkaWire.produce(c, "t", 0, recs, 9L, codec = KafkaWire.Codec.Gzip)
         // the raw wire serves the WHOLE wrapper from offset 2 — proof
         // the below-cursor records really travel
         val (raw, _) = KafkaWire.fetch(c, "t", 0, 2L)
@@ -135,7 +135,7 @@ class KafkaSinkFaultSpec extends SparkSuite {
       try {
         KafkaWire.produce(c, "t", 0,
           (0 to 2).map(i => (s"a$i".getBytes(u8), s"v$i".getBytes(u8))), 1L,
-          gzipped = true)
+          codec = KafkaWire.Codec.Gzip)
         val ckpt = java.nio.file.Files.createTempDirectory("gz-ckpt").toString
         val outDir = java.nio.file.Files.createTempDirectory("gz-out").toString
         def runOnce(): Unit = {
@@ -150,7 +150,7 @@ class KafkaSinkFaultSpec extends SparkSuite {
         runOnce()
         KafkaWire.produce(c, "t", 0,
           (3 to 5).map(i => (s"a$i".getBytes(u8), s"v$i".getBytes(u8))), 2L,
-          gzipped = true)
+          codec = KafkaWire.Codec.Gzip)
         runOnce()
         val all = spark.read.parquet(outDir).collect()
         assert(all.length == 6, "wrapper resume must neither lose nor duplicate")
@@ -279,5 +279,75 @@ class KafkaSinkFaultSpec extends SparkSuite {
         }
       } finally prod.close()
     } finally srv.stop()
+  }
+
+  // ── the full v1 codec battery: gzip, snappy (xerial stream framing),
+  // lz4 (standard frame) — each wrapper round-trips the wire with
+  // absolute-offset reconstruction and CRC-verified inner records. ───
+  for ((name, codec) <- Seq("gzip" -> KafkaWire.Codec.Gzip,
+      "snappy" -> KafkaWire.Codec.Snappy, "lz4" -> KafkaWire.Codec.Lz4)) {
+    test(s"$name wrapper round-trips the wire with Korean payloads intact") {
+      val srv = new MiniKafkaServer(numPartitions = 1)
+      try {
+        val c = new KafkaWire.Conn("localhost", srv.port)
+        try {
+          val recs = (1 to 4).map(i =>
+            (s"k$i".getBytes(u8), s"기사 본문 $i".getBytes(u8)))
+          KafkaWire.produce(c, "t", 0, Seq((null, "plain".getBytes(u8))), 1L)
+          KafkaWire.produce(c, "t", 0, recs, 2L, codec = codec)
+          val (back, hw) = KafkaWire.fetch(c, "t", 0, 0L)
+          assert(hw == 5L && back.length == 5)
+          assert(back.map(_.offset) == (0L to 4L))
+          assert(new String(back(0).value, u8) == "plain")
+          assert(back.drop(1).map(r => new String(r.value, u8)) ==
+            (1 to 4).map(i => s"기사 본문 $i"))
+          // mid-wrapper resume drops below-cursor records for every codec
+          val consumed = KafkaWire.pollOnce(spark, "localhost", srv.port,
+            "t", fromOffset = 3L).collect()
+          assert(consumed.map(_.getAs[Long]("offset")).sorted.toSeq ==
+            Seq(3L, 4L))
+        } finally c.close()
+      } finally srv.stop()
+    }
+  }
+
+  test("startingOffsets=latest: a fresh stream sees only post-start records") {
+    import org.apache.spark.sql.streaming.Trigger
+    val srv = new MiniKafkaServer(numPartitions = 1)
+    try {
+      val c = new KafkaWire.Conn("localhost", srv.port)
+      try {
+        KafkaWire.produce(c, "t", 0, Seq(("old".getBytes(u8), "old".getBytes(u8))), 1L)
+        val ckpt = java.nio.file.Files.createTempDirectory("lo-ckpt").toString
+        val outDir = java.nio.file.Files.createTempDirectory("lo-out").toString
+        def runOnce(): Unit = {
+          val q = spark.readStream.format("graft-kafka")
+            .option("host", "localhost").option("port", srv.port.toString)
+            .option("topic", "t").option("startingOffsets", "latest").load()
+            .writeStream.format("parquet").option("path", outDir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.processAllAvailable(); q.stop()
+        }
+        runOnce() // initial offset = latest: nothing to read
+        KafkaWire.produce(c, "t", 0, Seq(("new".getBytes(u8), "new".getBytes(u8))), 2L)
+        runOnce() // resumes from the checkpoint, picks up only the new row
+        val rows = spark.read.parquet(outDir).collect()
+        assert(rows.map(_.getAs[String]("key")).toSeq == Seq("new"),
+          "latest start must skip pre-existing records and resume exactly-once")
+      } finally c.close()
+    } finally srv.stop()
+  }
+
+  test("unknown startingOffsets value fails loudly") {
+    val err = intercept[Exception] {
+      spark.read.format("graft-kafka")
+        .option("host", "localhost").option("port", "1").option("topic", "t")
+        .option("startingOffsets", "sometime").load()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("startingOffsets must be")))
   }
 }
