@@ -110,6 +110,13 @@ final class MiniKafkaServer(numPartitions: Int = 2) {
       l.batches.flatMap(_.records).toSeq
     }).getOrElse(Seq.empty)
 
+  /** The codec each stored batch arrived with — the did-it-actually-
+    * compress oracle for the sink's `codec` option. */
+  def storedBatchCodecs(topic: String, p: Int): Seq[Int] =
+    logs.get((topic, p)).map(l => l.synchronized {
+      l.batches.map(_.codec).toSeq
+    }).getOrElse(Seq.empty)
+
 
   private def serve(sock: java.net.Socket): Unit = {
     sock.setTcpNoDelay(true) // response latency, not throughput batching

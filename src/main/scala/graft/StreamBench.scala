@@ -228,6 +228,44 @@ object StreamBench {
         s""""consume_secs":${r3(consumeSecs)},""" +
         s""""consume_rps":${r3(n / consumeSecs)}}"""
     }
-    results.mkString("{", ",", "}")
+
+    // codec dimension — the network-efficiency lever at 100 TB, where
+    // the wire is real: produce through the DSv2 sink with each v1
+    // codec (200 k rows, 4 partitions), consume back through the
+    // wrapper decode; `bytes_ratio` is the encoded-message-set size of
+    // a 500-record sample batch relative to uncompressed.
+    val sample = (1 to 500).map { i =>
+      (s"http://news/article/$i".getBytes("UTF-8"),
+        ("{\"title\":\"제목 " + i + "\",\"summary\":\"" + pad + "\"}").getBytes("UTF-8"))
+    }
+    val plainBytes = KafkaWire.encodeMessageSet(sample, 0L).length.toDouble
+    val codecResults = Seq("none", "gzip", "snappy", "lz4").map { name =>
+      val codec = KafkaWire.Codec.forName(name)
+      val ratio = if (codec == KafkaWire.Codec.None) 1.0
+        else KafkaWire.encodeMessageSetCompressed(sample, 0L, codec).length /
+          plainBytes
+      val srv = new MiniKafkaServer(numPartitions = 4)
+      try {
+        val n = 200000
+        val df = articles(n).persist(StorageLevel.MEMORY_ONLY)
+        df.count()
+        val t0 = System.nanoTime()
+        df.write.format("graft-kafka")
+          .option("host", "localhost").option("port", srv.port.toString)
+          .option("topic", "bench-topic").option("codec", name)
+          .mode("append").save()
+        val produceSecs = secsSince(t0)
+        df.unpersist(blocking = true)
+        val t1 = System.nanoTime()
+        val consumed = KafkaWire.pollOnce(spark, "localhost", srv.port,
+          "bench-topic").count()
+        val consumeSecs = secsSince(t1)
+        require(consumed == n, s"codec $name lost rows: $consumed != $n")
+        s""""codec_$name":{"rows":$n,"bytes_ratio":${r3(ratio)},""" +
+          s""""produce_rps":${r3(n / produceSecs)},""" +
+          s""""consume_rps":${r3(n / consumeSecs)}}"""
+      } finally srv.stop()
+    }
+    (results ++ codecResults).mkString("{", ",", "}")
   }
 }

@@ -48,7 +48,9 @@ class KafkaWireDataSource extends TableProvider with DataSourceRegister {
     val starting = Option(properties.get("startingOffsets")).getOrElse("earliest")
     require(starting == "earliest" || starting == "latest",
       s"startingOffsets must be earliest or latest, got '$starting'")
-    new KafkaWireTable(host, Integer.parseInt(port), topic, starting)
+    val codec = KafkaWire.Codec.forName(
+      Option(properties.get("codec")).getOrElse("none"))
+    new KafkaWireTable(host, Integer.parseInt(port), topic, starting, codec)
   }
 }
 
@@ -62,7 +64,7 @@ object KafkaWireDataSource {
 }
 
 private[sources] class KafkaWireTable(host: String, port: Int, topic: String,
-    startingOffsets: String = "earliest")
+    startingOffsets: String = "earliest", codec: Int = KafkaWire.Codec.None)
     extends Table with SupportsRead with SupportsWrite {
   require(host != null && topic != null, "options host, port, topic are required")
   override def name(): String = s"graft-kafka($topic@$host:$port)"
@@ -79,7 +81,7 @@ private[sources] class KafkaWireTable(host: String, port: Int, topic: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write =
-        new KafkaWireWrite(host, port, topic, info.schema())
+        new KafkaWireWrite(host, port, topic, info.schema(), codec)
     }
 }
 
@@ -95,12 +97,12 @@ private[sources] class KafkaWireTable(host: String, port: Int, topic: String,
   * string); extra columns are ignored, so a `graft-kafka` source can
   * round-trip straight back into the sink. */
 private[sources] class KafkaWireWrite(host: String, port: Int, topic: String,
-    schema: StructType) extends Write {
+    schema: StructType, codec: Int = KafkaWire.Codec.None) extends Write {
   require(schema.fieldNames.contains("key") && schema.fieldNames.contains("value"),
     s"graft-kafka sink needs key and value columns; got ${schema.simpleString}")
   private def factory = KafkaWriterFactory(host, port, topic,
     schema.fieldIndex("key"), schema.fieldIndex("value"),
-    System.currentTimeMillis())
+    System.currentTimeMillis(), codec)
 
   override def toBatch: BatchWrite = new BatchWrite {
     private val f = factory
@@ -123,13 +125,14 @@ private[sources] class KafkaWireWrite(host: String, port: Int, topic: String,
 private[sources] case class KafkaWriteCommit(rows: Long) extends WriterCommitMessage
 
 private[sources] case class KafkaWriterFactory(host: String, port: Int,
-    topic: String, keyIdx: Int, valueIdx: Int, timestamp: Long)
+    topic: String, keyIdx: Int, valueIdx: Int, timestamp: Long,
+    codec: Int = KafkaWire.Codec.None)
     extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new KafkaProduceWriter(host, port, topic, keyIdx, valueIdx, timestamp)
+    new KafkaProduceWriter(host, port, topic, keyIdx, valueIdx, timestamp, codec)
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new KafkaProduceWriter(host, port, topic, keyIdx, valueIdx, timestamp)
+    new KafkaProduceWriter(host, port, topic, keyIdx, valueIdx, timestamp, codec)
 }
 
 /** One task's producer: buffers rows, routes them to topic partitions
@@ -138,7 +141,8 @@ private[sources] case class KafkaWriterFactory(host: String, port: Int,
   * flushed chunks — that is the at-least-once contract, absorbed by
   * the J1 upsert downstream. */
 private[sources] class KafkaProduceWriter(host: String, port: Int,
-    topic: String, keyIdx: Int, valueIdx: Int, timestamp: Long)
+    topic: String, keyIdx: Int, valueIdx: Int, timestamp: Long,
+    codec: Int = KafkaWire.Codec.None)
     extends DataWriter[InternalRow] {
   private val prod = new KafkaWire.RetryingProducer(host, port, topic)
   private val buf =
@@ -158,7 +162,7 @@ private[sources] class KafkaProduceWriter(host: String, port: Int,
   private def flush(): Unit = if (buf.nonEmpty) {
     val nParts = prod.partitions
     buf.groupBy(r => KafkaWire.partitionFor(r._1, nParts)).foreach {
-      case (p, recs) => prod.send(p, recs.toSeq, timestamp)
+      case (p, recs) => prod.send(p, recs.toSeq, timestamp, codec)
     }
     buf.clear()
   }

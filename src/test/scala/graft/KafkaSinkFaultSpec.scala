@@ -350,4 +350,41 @@ class KafkaSinkFaultSpec extends SparkSuite {
       else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(err).exists(_.contains("startingOffsets must be")))
   }
+
+  test("sink codec option: batches travel compressed and land intact") {
+    val srv = new MiniKafkaServer(numPartitions = 1)
+    try {
+      import spark.implicits._
+      (1 to 30).map(i => (s"k$i", s"기사 내용 $i")).toDF("key", "value")
+        .coalesce(1)
+        .write.format("graft-kafka")
+        .option("host", "localhost").option("port", srv.port.toString)
+        .option("topic", "t").option("codec", "snappy")
+        .mode("append").save()
+      // the broker received ONE snappy wrapper batch, records intact
+      assert(srv.storedBatchCodecs("t", 0) == Seq(KafkaWire.Codec.Snappy))
+      val vals = srv.stored("t", 0).map(r => new String(r.value, u8))
+      assert(vals == (1 to 30).map(i => s"기사 내용 $i"))
+      // and the source reads it back through the wrapper decode
+      val back = spark.read.format("graft-kafka")
+        .option("host", "localhost").option("port", srv.port.toString)
+        .option("topic", "t").load()
+      assert(back.count() == 30L)
+    } finally srv.stop()
+  }
+
+  test("unknown codec option fails loudly") {
+    import spark.implicits._
+    val err = intercept[Exception] {
+      Seq(("a", "b")).toDF("key", "value")
+        .write.format("graft-kafka")
+        .option("host", "localhost").option("port", "1")
+        .option("topic", "t").option("codec", "zstd")
+        .mode("append").save()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("codec must be")))
+  }
 }
