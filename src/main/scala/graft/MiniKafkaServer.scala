@@ -9,7 +9,9 @@ import graft.sources.KafkaWire.{Reader, Record, Writer}
   * of the public protocol (ApiVersions v0, Metadata v0, Produce v2,
   * Fetch v2, message format v1), with an in-memory per-partition log.
   * Everything KafkaWire sends travels through actual sockets and
-  * actual protocol bytes; only durability is simulated. Test-only.
+  * actual protocol bytes; only durability is simulated. A TEST/BENCH
+  * DOUBLE — it lives in main only so StreamBench's wire table can
+  * drive it; no production code path constructs it.
   *
   * Broker-faithful serving (the parts a naive double gets wrong, and
   * that the r12 advice flagged as untestable until now):

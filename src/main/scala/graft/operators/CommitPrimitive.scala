@@ -57,8 +57,12 @@ private[graft] object CommitPrimitive {
       * Scoped to `file:`-scheme filesystems only. */
     private val localArbiter = new Object
 
+    // one Configuration for the primitive's lifetime: construction
+    // parses the default XML resources, and a contended commit loop
+    // calls claim() per retry
+    private lazy val conf = new org.apache.hadoop.conf.Configuration()
+
     override def claim(tmp: java.io.File, target: java.io.File): Unit = {
-      val conf = new org.apache.hadoop.conf.Configuration()
       val dst = new org.apache.hadoop.fs.Path(target.getAbsolutePath)
       val src = new org.apache.hadoop.fs.Path(tmp.getAbsolutePath)
       val fs = dst.getFileSystem(conf)

@@ -250,12 +250,15 @@ object IncPostings {
           contentionRetries.incrementAndGet()
         case e: Throwable =>
           // non-retryable: I/O errors AND conflicts thrown by `build`
-          // (MetaConflict, ReplaceConflict, CompactConflict) — clean the
-          // tmp before rethrowing so an aborted commit leaks neither a
-          // MANIFEST-*.tmp nor a bare gen dir (delete() on the dir is a
-          // no-op unless empty, so a won gen is never touched)
+          // (MetaConflict, ReplaceConflict, CompactConflict) — delete
+          // the tmp before rethrowing. The bare gen dir is deliberately
+          // LEFT: it may be shared with a concurrent committer that is
+          // between mkdirs() and its own createTempFile, and deleting
+          // it would fail that writer's tmp create with a plain
+          // IOException (not the NoSuchFileException retry arm). A
+          // manifest-less gen dir is a documented abandoned claim —
+          // retention sweeps it below the cutoff.
           if (tmp != null) tmp.delete()
-          dir.delete()
           throw e
       }
     }
@@ -701,7 +704,7 @@ object IncPostings {
     * (they count into n_docs/avgdl but have no postings rows). Kept as
     * its OWN tiny LSM kind so BM25's corpus stats are exact under
     * deletes without scanning the postings: additive corpusstats
-    * partials (the PostingsIndex append path) cannot subtract a
+    * partials (the retired pre-r13 append path) cannot subtract a
     * tombstoned doc's dl, and merge-on-read over a doc-count-sized
     * two-column table is the scale-correct alternative. */
   private[graft] def doclenRowsOf(docs: DataFrame): DataFrame =

@@ -24,17 +24,18 @@ import org.apache.spark.sql.functions._
   * search engines), so scoring never joins a doclen table: the only
   * join in a search is postings ⋈ broadcast(|terms|-row idf stats).
   *
-  * Incremental maintenance is MERGE-ON-READ (the LSM shape):
-  * [[append]] writes a new batch of postings plus PARTIAL termstats /
-  * corpusstats rows — both stats are additive over disjoint doc sets
-  * (the `inc_postings_merge` invariant, Maintenance.scala) — and
-  * [[termStats]] / search sum the partials at read time. Nothing is
-  * ever rewritten in place, so appends are safe under concurrent
-  * readers; a compaction that folds partials into one batch is the
-  * same writeBatch over the summed frames. At 100 TB: build is one
-  * explode + one aggregation per batch (shuffle keyed on token);
-  * search reads |terms| postings lists + |terms| stat partials —
-  * corpus-size-independent I/O for a fixed result size.
+  * Incremental maintenance lives on the [[IncPostings]] LSM timeline
+  * (since r13 the family's ONLY increment mechanism); this module is
+  * the SERVING side — [[build]] for one-shot batch indexes and
+  * [[publishServing]] to fold an LSM timeline's live view into this
+  * layout. The stats tables still sum PARTIAL batches at read
+  * ([[termStats]] / corpusStats) — additive over disjoint doc sets
+  * (the `inc_postings_merge` invariant, Maintenance.scala) — which is
+  * what lets a fold write beside existing batches without rewriting
+  * them. At 100 TB: build is one explode + one aggregation per batch
+  * (shuffle keyed on token); search reads |terms| postings lists +
+  * |terms| stat partials — corpus-size-independent I/O for a fixed
+  * result size.
   */
 object PostingsIndex {
 
@@ -275,17 +276,26 @@ object PostingsIndex {
         s"${dir.replaceAll("[^A-Za-z0-9._-]", "_")}-$fp-$variant")
       val marker = new java.io.File(root, "_GRAFT_DONE")
       val base = new java.io.File(root, "idx").toString
+      val prefix = s"${dir.replaceAll("[^A-Za-z0-9._-]", "_")}-"
+      val fsLocal = org.apache.hadoop.fs.FileSystem.getLocal(
+        s.sparkContext.hadoopConfiguration)
+      // Sweep the retired pre-r13 '-inc' variant UNCONDITIONALLY (once
+      // per JVM via this memo): its directories carry a CURRENT
+      // fingerprint, so the stale-generation eviction below — which
+      // only runs on cold builds — would never reclaim them.
+      Option(root.getParentFile.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith(prefix) && f.getName.endsWith("-inc"))
+        .foreach(f => fsLocal.delete(
+          new org.apache.hadoop.fs.Path(f.toString), true))
       if (!marker.exists()) {
-        val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-          s.sparkContext.hadoopConfiguration)
         // Evict indexes of older corpus generations (stale fingerprint)
         // so regenerated testdata doesn't leak abandoned directories.
-        val prefix = s"${dir.replaceAll("[^A-Za-z0-9._-]", "_")}-"
         Option(root.getParentFile.listFiles()).getOrElse(Array.empty)
           .filter(f => f.getName.startsWith(prefix) && !f.getName.contains(fp))
-          .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f.toString), true))
+          .foreach(f => fsLocal.delete(
+            new org.apache.hadoop.fs.Path(f.toString), true))
         if (root.exists()) // partial build from a killed run: wipe
-          fs.delete(new org.apache.hadoop.fs.Path(root.toString), true)
+          fsLocal.delete(new org.apache.hadoop.fs.Path(root.toString), true)
         variant match {
           case "lsmserve" =>
             // fold the LSM timeline's live view into the serving layout

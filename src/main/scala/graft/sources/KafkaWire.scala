@@ -414,6 +414,34 @@ object KafkaWire {
     (if (set == null) Seq.empty else decodeMessageSet(set), hw)
   }
 
+  /** ONE grow-on-truncation fetch cursor, shared by both consume paths
+    * (the DSv2 range reader and [[pollOnce]]'s loop) so the recovery
+    * algorithm cannot diverge between them. `fetchAt(pos)` returns
+    * (records with offset >= pos, highWatermark): a compressed wrapper
+    * batch containing `pos` decompresses to below-cursor records —
+    * dropped here, they belong to an earlier range — and a fetch that
+    * yields ZERO complete records while pos < hw means a single
+    * message exceeded maxBytes (the broker slices at max_bytes), so
+    * the window doubles and retries; past [[MaxFetchBytes]] it fails
+    * LOUDLY (the stock consumer's RecordTooLargeException) instead of
+    * silently skipping a committed range. */
+  final class GrowingFetcher(c: Conn, topic: String, partition: Int) {
+    private var maxBytes = 1 << 20
+    def fetchAt(pos: Long): (Seq[Record], Long) = {
+      while (true) {
+        val (recs, hw) = fetch(c, topic, partition, pos, maxBytes)
+        val kept = recs.filter(_.offset >= pos)
+        if (kept.nonEmpty || pos >= hw) return (kept, hw)
+        if (maxBytes >= MaxFetchBytes)
+          throw new java.io.IOException(
+            s"message at offset $pos of $topic-$partition exceeds " +
+              s"fetch cap $MaxFetchBytes")
+        maxBytes = math.min(maxBytes.toLong * 2, MaxFetchBytes.toLong).toInt
+      }
+      sys.error("unreachable")
+    }
+  }
+
   /** Produce with reconnect-and-retry — the client half of the
     * at-least-once contract. A connection that dies BEFORE the ack
     * leaves the client unable to know whether the batch landed (the
@@ -514,35 +542,20 @@ object KafkaWire {
         try {
           val out = scala.collection.mutable.ArrayBuffer.empty[
             (Int, Long, Long, String, String)]
+          val fetcher = new GrowingFetcher(c, topic, p)
           var off = fromOffset
-          var maxBytes = 1 << 20
           var done = false
           while (!done) {
-            val (recs, hw) = fetch(c, topic, p, off, maxBytes)
-            if (off >= hw) done = true
+            val (kept, hw) = fetcher.fetchAt(off)
+            if (kept.isEmpty) done = true // off >= hw: caught up
             else {
-              // drop below-cursor records (a gzip wrapper batch serves
-              // the whole batch containing `off`, including earlier
-              // offsets already emitted)
-              val kept = recs.filter(_.offset >= off)
-              if (kept.nonEmpty) {
-                kept.foreach { r =>
-                  out += ((p, r.offset, r.timestamp,
-                    if (r.key == null) null else new String(r.key, u8),
-                    if (r.value == null) null else new String(r.value, u8)))
-                }
-                off = kept.last.offset + 1
-                done = off >= hw
-              } else if (maxBytes >= MaxFetchBytes) {
-                // a single message above the cap — never jump to hw
-                // (that silently drops the rest of the log); fail loudly
-                throw new java.io.IOException(
-                  s"message at offset $off of $topic-$p exceeds fetch " +
-                    s"cap $MaxFetchBytes")
-              } else {
-                maxBytes =
-                  math.min(maxBytes.toLong * 2, MaxFetchBytes.toLong).toInt
+              kept.foreach { r =>
+                out += ((p, r.offset, r.timestamp,
+                  if (r.key == null) null else new String(r.key, u8),
+                  if (r.value == null) null else new String(r.value, u8)))
               }
+              off = kept.last.offset + 1
+              done = off >= hw
             }
           }
           out.toSeq

@@ -93,16 +93,31 @@ private[sources] class KafkaWireTable(host: String, port: Int, topic: String,
   * the stock connector's: a task retry or epoch replay re-produces its
   * rows (the wire protocol has no transactions in the pre-flexible
   * subset), and the canonical downstream absorber is the J1 anti-join
-  * upsert. The input needs `key`/`value` columns (anything castable to
-  * string); extra columns are ignored, so a `graft-kafka` source can
-  * round-trip straight back into the sink. */
+  * upsert. The input needs `key`/`value` columns of STRING or BINARY
+  * type (the stock connector's contract — ACCEPT_ANY_SCHEMA skips the
+  * engine's schema check, so the type gate lives here and fails at
+  * PLAN time, never by reinterpreting row bytes); extra columns are
+  * ignored, so a `graft-kafka` source can round-trip straight back
+  * into the sink. Records are CreateTime-stamped per flush (the stock
+  * producer stamps per send), not per query start. */
 private[sources] class KafkaWireWrite(host: String, port: Int, topic: String,
     schema: StructType, codec: Int = KafkaWire.Codec.None) extends Write {
   require(schema.fieldNames.contains("key") && schema.fieldNames.contains("value"),
     s"graft-kafka sink needs key and value columns; got ${schema.simpleString}")
+  private def binaryness(field: String): Boolean =
+    schema(field).dataType match {
+      case StringType => false
+      case BinaryType => true
+      case other => throw new IllegalArgumentException(
+        s"graft-kafka sink: column '$field' must be STRING or BINARY, " +
+          s"got ${other.simpleString} — cast it explicitly")
+    }
+  // evaluated at Write construction = plan time, before any task runs
+  private val keyBinary = binaryness("key")
+  private val valueBinary = binaryness("value")
   private def factory = KafkaWriterFactory(host, port, topic,
     schema.fieldIndex("key"), schema.fieldIndex("value"),
-    System.currentTimeMillis(), codec)
+    keyBinary, valueBinary, codec)
 
   override def toBatch: BatchWrite = new BatchWrite {
     private val f = factory
@@ -125,14 +140,17 @@ private[sources] class KafkaWireWrite(host: String, port: Int, topic: String,
 private[sources] case class KafkaWriteCommit(rows: Long) extends WriterCommitMessage
 
 private[sources] case class KafkaWriterFactory(host: String, port: Int,
-    topic: String, keyIdx: Int, valueIdx: Int, timestamp: Long,
+    topic: String, keyIdx: Int, valueIdx: Int,
+    keyBinary: Boolean, valueBinary: Boolean,
     codec: Int = KafkaWire.Codec.None)
     extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new KafkaProduceWriter(host, port, topic, keyIdx, valueIdx, timestamp, codec)
+    new KafkaProduceWriter(host, port, topic, keyIdx, valueIdx,
+      keyBinary, valueBinary, codec)
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new KafkaProduceWriter(host, port, topic, keyIdx, valueIdx, timestamp, codec)
+    new KafkaProduceWriter(host, port, topic, keyIdx, valueIdx,
+      keyBinary, valueBinary, codec)
 }
 
 /** One task's producer: buffers rows, routes them to topic partitions
@@ -141,7 +159,8 @@ private[sources] case class KafkaWriterFactory(host: String, port: Int,
   * flushed chunks — that is the at-least-once contract, absorbed by
   * the J1 upsert downstream. */
 private[sources] class KafkaProduceWriter(host: String, port: Int,
-    topic: String, keyIdx: Int, valueIdx: Int, timestamp: Long,
+    topic: String, keyIdx: Int, valueIdx: Int,
+    keyBinary: Boolean, valueBinary: Boolean,
     codec: Int = KafkaWire.Codec.None)
     extends DataWriter[InternalRow] {
   private val prod = new KafkaWire.RetryingProducer(host, port, topic)
@@ -149,20 +168,25 @@ private[sources] class KafkaProduceWriter(host: String, port: Int,
     scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Array[Byte])]
   private var written = 0L
 
+  private def bytesAt(row: InternalRow, idx: Int, binary: Boolean): Array[Byte] =
+    if (row.isNullAt(idx)) null
+    else if (binary) row.getBinary(idx)
+    else row.getUTF8String(idx).getBytes
+
   override def write(row: InternalRow): Unit = {
-    val k = if (row.isNullAt(keyIdx)) null
-      else row.getUTF8String(keyIdx).getBytes
-    val v = if (row.isNullAt(valueIdx)) null
-      else row.getUTF8String(valueIdx).getBytes
-    buf += ((k, v))
+    buf += ((bytesAt(row, keyIdx, keyBinary),
+      bytesAt(row, valueIdx, valueBinary)))
     written += 1
     if (buf.length >= 500) flush()
   }
 
   private def flush(): Unit = if (buf.nonEmpty) {
     val nParts = prod.partitions
+    // CreateTime per flush — a long-running streaming query must stamp
+    // records near their actual produce time, not the query start
+    val ts = System.currentTimeMillis()
     buf.groupBy(r => KafkaWire.partitionFor(r._1, nParts)).foreach {
-      case (p, recs) => prod.send(p, recs.toSeq, timestamp, codec)
+      case (p, recs) => prod.send(p, recs.toSeq, ts, codec)
     }
     buf.clear()
   }
@@ -275,36 +299,27 @@ private[sources] class KafkaRangeReaderFactory extends PartitionReaderFactory {
 private[sources] class KafkaRangeReader(p: KafkaRangePartition)
     extends PartitionReader[InternalRow] {
   private val conn = new KafkaWire.Conn(p.host, p.port)
+  private val fetcher = new KafkaWire.GrowingFetcher(conn, p.topic, p.partition)
   private var buf: Seq[KafkaWire.Record] = Seq.empty
   private var i = -1
   private var pos = p.from
-  private var maxBytes = 1 << 20
 
   override def next(): Boolean = {
     i += 1
     if (i < buf.length) return true
     while (pos < p.until) {
-      val (recs, _) = KafkaWire.fetch(conn, p.topic, p.partition, pos, maxBytes)
-      // A real broker serves the whole batch containing `pos` — a gzip
-      // wrapper decompresses to records BELOW the cursor, which must not
-      // be re-emitted (they belong to the previous micro-batch). Both
-      // bounds matter: >= pos for exactly-once, < until for range end.
-      val kept = recs.filter(r => r.offset >= pos && r.offset < p.until)
-      if (kept.nonEmpty) {
-        buf = kept; i = 0; pos = kept.last.offset + 1
+      // GrowingFetcher owns the recovery algorithm (below-cursor drop
+      // for wrapper batches, grow-on-truncation, loud too-large
+      // failure); the range end is this reader's only extra bound.
+      val (kept, _) = fetcher.fetchAt(pos)
+      val inRange = kept.filter(_.offset < p.until)
+      if (inRange.nonEmpty) {
+        buf = inRange; i = 0; pos = inRange.last.offset + 1
         return true
       }
-      if (recs.nonEmpty && recs.last.offset >= p.until) return false
-      // Zero complete records in [pos, until): a single message larger
-      // than maxBytes (decodeMessageSet drops the truncated tail).
-      // Ending here would silently skip the rest of a committed range
-      // while the checkpoint advances — grow and retry, and past the
-      // cap fail LOUDLY (the stock consumer's RecordTooLargeException).
-      if (maxBytes >= KafkaWire.MaxFetchBytes)
-        throw new java.io.IOException(
-          s"message at offset $pos of ${p.topic}-${p.partition} exceeds " +
-            s"fetch cap ${KafkaWire.MaxFetchBytes}")
-      maxBytes = math.min(maxBytes.toLong * 2, KafkaWire.MaxFetchBytes.toLong).toInt
+      // kept is either empty (caught up to a regressed hw — defensive)
+      // or entirely past the exclusive range end: the range is done
+      return false
     }
     false
   }

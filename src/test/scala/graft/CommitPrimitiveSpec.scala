@@ -88,11 +88,15 @@ class CommitPrimitiveSpec extends SparkSuite {
       IncPostings.commitManifest(root)((_, _) => throw boom)
     }
     assert(thrown eq boom)
-    // gen-1 intact, gen-2's claim fully cleaned
+    // gen-1 intact; gen-2's claim leaves NO tmp and NO manifest (the
+    // bare dir itself is left for retention — deleting it could race a
+    // concurrent committer sharing the same claim dir)
     val gens = new java.io.File(root, "gens")
-    assert(gens.list().toSet === Set("gen-00001"))
-    val tmps = Option(new java.io.File(gens, "gen-00001").list())
-      .getOrElse(Array.empty).filter(_.endsWith(".tmp"))
+    assert(new java.io.File(gens, "gen-00001/MANIFEST.json").exists())
+    assert(!new java.io.File(gens, "gen-00002/MANIFEST.json").exists())
+    val tmps = Option(gens.listFiles()).getOrElse(Array.empty)
+      .flatMap(d => Option(d.list()).getOrElse(Array.empty))
+      .filter(_.endsWith(".tmp"))
     assert(tmps.isEmpty)
     // and the root still accepts the next commit at gen-2
     val gen = IncPostings.commitDelta(root,
