@@ -235,12 +235,14 @@ object KafkaWire {
     * (the broker may truncate at max_bytes) is dropped, a CRC mismatch
     * throws — corruption must never surface as data. */
   def decodeMessageSet(bytes: Array[Byte]): Seq[Record] = {
+    // toIndexedSeq, NOT toSeq: 2.13's toSeq builds a List, making the
+    // consumers' .length/.last O(n) on every fetch
     val out = scala.collection.mutable.ArrayBuffer.empty[Record]
     val r = new Reader(bytes)
     while (r.remaining >= 12) {
       val offset = r.int64()
       val size = r.int32()
-      if (r.remaining < size) return out.toSeq // truncated tail
+      if (r.remaining < size) return out.toIndexedSeq // truncated tail
       val msg = r.raw(size)
       val mr = new Reader(msg)
       val crc = mr.int32()
@@ -270,7 +272,7 @@ object KafkaWire {
           throw new java.io.IOException(s"unsupported compression codec $c")
       }
     }
-    out.toSeq
+    out.toIndexedSeq
   }
 
   // ── framed request/response over TCP ────────────────────────────────
