@@ -123,7 +123,20 @@ object IncPostingsBench {
         IncPostings.readCurrent(spark, dlRoot),
         graft.operators.PostingsIndex.Terms, 10).count()
     }
-    println(s"""{"metric":"incbm25","dir":"$dir","n_docs":$nDocs,"n_delta_docs":$nDelta,"base_build_s":${r3(bmBaseS)},"delta_commit_s":${r3(bmDeltaS)},"full_rebuild_s":${r3(bmRebuildS)},"probe_s":${r3(bmProbeS)},"probe_rows":$bmRows}""")
+    // The SERVING FOLD (idx_bm25_lsm_served): republish the live view
+    // into the bucket-partitioned layout, then search the pruned path.
+    // The fold costs ~a build but runs OFF the ingest path; the served
+    // search reads only the terms' bucket dirs.
+    val servedDir = new java.io.File(bmRoot, "served").toString + "/idx"
+    val bmFoldS = timed(graft.operators.PostingsIndex.publishServing(
+      IncPostings.readCurrent(spark, bmRoot),
+      IncPostings.readCurrent(spark, dlRoot), servedDir))
+    var servedRows = 0L
+    val bmServedS = timed {
+      servedRows = graft.operators.PostingsIndex.bm25Search(spark, servedDir,
+        graft.operators.PostingsIndex.Terms, 10).count()
+    }
+    println(s"""{"metric":"incbm25","dir":"$dir","n_docs":$nDocs,"n_delta_docs":$nDelta,"base_build_s":${r3(bmBaseS)},"delta_commit_s":${r3(bmDeltaS)},"full_rebuild_s":${r3(bmRebuildS)},"probe_s":${r3(bmProbeS)},"probe_rows":$bmRows,"serve_fold_s":${r3(bmFoldS)},"served_probe_s":${r3(bmServedS)},"served_rows":$servedRows}""")
     }
 
     // ── the same curve for the LSH BAND timeline (dedup_lsh_inc):
