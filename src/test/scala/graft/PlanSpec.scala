@@ -452,4 +452,26 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("LSM bm25 probe pushes the token filter into every segment scan (r13 re-base)") {
+    val df = SparkEntry.queries("idx_bm25_inc_search")(spark, sf001)
+    val plan = formatted(df)
+    // the merged view is base + delta segments: the terms filter must
+    // reach BOTH parquet scans (In(token,...)), and the stats side is
+    // broadcast — the postings never shuffle to meet |terms| rows
+    assert(plan.split("In\\(token").length - 1 >= 2, plan.take(4000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(plan.contains("BroadcastExchange"), plan.take(2000))
+  }
+
+  test("served fold searches through bucket-dir pruning (idx_bm25_lsm_served)") {
+    val df = SparkEntry.queries("idx_bm25_lsm_served")(spark, sf001)
+    val plan = formatted(df)
+    // the serving layout's whole point: the scan carries tbucket
+    // PartitionFilters (directory pruning to the query terms' buckets)
+    // plus the pushed token filter within the bucket
+    assert(plan.contains("PartitionFilters: [tbucket"), plan.take(4000))
+    assert(plan.contains("In(token"), plan.take(4000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
 }
