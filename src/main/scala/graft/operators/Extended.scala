@@ -12,6 +12,58 @@ import org.apache.spark.sql.functions._
   */
 object Extended {
 
+  /** Exact interpolated quantiles per group WITHOUT the value-buffering
+    * aggregate. Spark's `percentile()`/`median()` collect EVERY value
+    * of a group into the aggregation buffer — at 100 TB a hot group
+    * OOMs its executor. This shape ranks values with a per-group
+    * sorted window instead (the window sort is an ExternalSorter: it
+    * SPILLS, it never buffers in an agg), keeps only the two boundary
+    * rows per requested quantile, and interpolates — the exact
+    * `quantile_cont` recurrence (r = q·(n−1) over the 0-indexed sorted
+    * values), so the DuckDB oracle is unchanged. Parallelism is one
+    * sorted partition per group (the inherent cost of EXACT quantiles
+    * on low-cardinality keys); the mergeable-sketch twin
+    * (sk_quantile_hist) remains the constant-memory approximate path. */
+  private def exactQuantiles(df: DataFrame, grp: String,
+      specs: Seq[(String, String, Double)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // stack all requested value columns into ONE (grp, which, v) frame
+    // so a single exchange + sort ranks everything; the per-partition
+    // count rides the same partitioning as a second window function —
+    // no count join, no second pipeline
+    val stacked = specs.map(_._1).distinct.map { vc =>
+      df.where(col(vc).isNotNull)
+        .select(col(grp), lit(vc).as("wh"), col(vc).cast("double").as("v"))
+    }.reduce(_ unionByName _)
+    val ranked = stacked
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy(col(grp), col("wh")).orderBy(col("v")))
+        .cast("long") - 1)
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy(col(grp), col("wh"))))
+    def rank(q: Double) = (col("n") - lit(1)).cast("double") * lit(q)
+    val boundary = specs.map { case (vc, _, q) =>
+      col("wh") === vc && (col("rn") === floor(rank(q)).cast("long") ||
+        col("rn") === ceil(rank(q)).cast("long"))
+    }.reduce(_ || _)
+    val aggExprs = specs.flatMap { case (vc, name, q) =>
+      val isCol = col("wh") === vc
+      Seq(
+        max(when(isCol && col("rn") === floor(rank(q)).cast("long"), col("v")))
+          .as(s"${name}_lo"),
+        max(when(isCol && col("rn") === ceil(rank(q)).cast("long"), col("v")))
+          .as(s"${name}_hi"),
+        max(when(isCol, rank(q) - floor(rank(q)))).as(s"${name}_frac"))
+    }
+    val agged = ranked.where(boundary)
+      .groupBy(col(grp)).agg(aggExprs.head, aggExprs.tail: _*)
+    val withQs = specs.foldLeft(agged) { case (d, (_, name, _)) =>
+      d.withColumn(name, col(s"${name}_lo") +
+        col(s"${name}_frac") * (col(s"${name}_hi") - col(s"${name}_lo")))
+    }
+    withQs.select(col(grp) +: specs.map { case (_, name, _) => col(name) }: _*)
+  }
+
   val queries: Map[String, Relational.Q] = Map(
 
     // ── pivot: event-type counts per user as columns ──────────────────
@@ -35,14 +87,18 @@ object Extended {
           Num.roundp(covar_samp(col("l_quantity"), col("l_extendedprice")), 0).as("cov_qe"),
           Num.roundp(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qe"))),
 
-    // ── exact percentiles / median ────────────────────────────────────
+    // ── exact percentiles / median — rank-selection form (r13): the
+    // same quantile_cont numbers WITHOUT percentile()'s buffer-every-
+    // value aggregation (see exactQuantiles) ──────────────────────────
     "a_percentiles" -> ((s, dir) =>
-      Tables(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          Num.roundp(median(col("l_quantity")), 2).as("med_qty"),
-          Num.roundp(percentile(col("l_extendedprice"), lit(0.25)), 2).as("p25_price"),
-          Num.roundp(percentile(col("l_extendedprice"), lit(0.95)), 2).as("p95_price"))),
+      exactQuantiles(Tables(s, dir, "lineitem"), "l_returnflag", Seq(
+        ("l_quantity", "med_raw", 0.5),
+        ("l_extendedprice", "p25_raw", 0.25),
+        ("l_extendedprice", "p95_raw", 0.95)))
+        .select(col("l_returnflag"),
+          Num.roundp(col("med_raw"), 2).as("med_qty"),
+          Num.roundp(col("p25_raw"), 2).as("p25_price"),
+          Num.roundp(col("p95_raw"), 2).as("p95_price"))),
 
     // ── cube (full grouping-sets lattice) ─────────────────────────────
     "a9_cube" -> ((s, dir) =>
