@@ -339,8 +339,21 @@ object Graph {
     val e = coPurchaseEdges(s, dir)
     val adj = e.select(col("u").as("node"), col("v").as("nb"))
       .union(e.select(col("v").as("node"), col("u").as("nb")))
-    val nbrs = adj.groupBy("node")
-      .agg(slice(sort_array(collect_set(col("nb"))), 1, Q).as("ns"))
+    // Pre-cap BEFORE collecting (r13): slice(collect_set)) capped the
+    // wedge fan-out but still buffered a hot hub's ENTIRE adjacency in
+    // the aggregation buffer — the same OOM class as percentile().
+    // The rank window sorts through the external sorter (spills), the
+    // filter keeps ≤ Q rows per node, and only then does a now-bounded
+    // collect build the neighbor list. Edges are distinct by
+    // construction (coPurchaseEdges ends in .distinct()), so "Q
+    // smallest distinct neighbors" is preserved exactly.
+    val nbrs = adj
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("node")).orderBy(col("nb"))))
+      .where(col("rn") <= Q)
+      .groupBy("node")
+      .agg(sort_array(collect_list(col("nb"))).as("ns"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = nbrs.select(col("node"), size(col("ns")).cast("long").as("deg"))
     val wedges = nbrs.select(explode(sortedPairs(col("ns"), "a", "b")).as("p"))
