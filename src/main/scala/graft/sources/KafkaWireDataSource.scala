@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -50,7 +50,12 @@ class KafkaWireDataSource extends TableProvider with DataSourceRegister {
       s"startingOffsets must be earliest or latest, got '$starting'")
     val codec = KafkaWire.Codec.forName(
       Option(properties.get("codec")).getOrElse("none"))
-    new KafkaWireTable(host, Integer.parseInt(port), topic, starting, codec)
+    val maxOffsets = Option(properties.get("maxOffsetsPerTrigger"))
+      .map(java.lang.Long.parseLong(_): Long)
+    maxOffsets.foreach(m => require(m > 0,
+      s"maxOffsetsPerTrigger must be positive, got $m"))
+    new KafkaWireTable(host, Integer.parseInt(port), topic, starting, codec,
+      maxOffsets)
   }
 }
 
@@ -64,7 +69,8 @@ object KafkaWireDataSource {
 }
 
 private[sources] class KafkaWireTable(host: String, port: Int, topic: String,
-    startingOffsets: String = "earliest", codec: Int = KafkaWire.Codec.None)
+    startingOffsets: String = "earliest", codec: Int = KafkaWire.Codec.None,
+    maxOffsetsPerTrigger: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite {
   require(host != null && topic != null, "options host, port, topic are required")
   override def name(): String = s"graft-kafka($topic@$host:$port)"
@@ -76,7 +82,8 @@ private[sources] class KafkaWireTable(host: String, port: Int, topic: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan =
-        new KafkaWireScan(host, port, topic, startingOffsets)
+        new KafkaWireScan(host, port, topic, startingOffsets,
+          maxOffsetsPerTrigger)
     }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -200,7 +207,8 @@ private[sources] class KafkaProduceWriter(host: String, port: Int,
 }
 
 private[sources] class KafkaWireScan(host: String, port: Int, topic: String,
-    startingOffsets: String = "earliest")
+    startingOffsets: String = "earliest",
+    maxOffsetsPerTrigger: Option[Long] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = KafkaWireDataSource.schema
 
@@ -222,7 +230,8 @@ private[sources] class KafkaWireScan(host: String, port: Int, topic: String,
     new KafkaRangeReaderFactory
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new KafkaWireMicroBatchStream(host, port, topic, startingOffsets)
+    new KafkaWireMicroBatchStream(host, port, topic, startingOffsets,
+      maxOffsetsPerTrigger)
 }
 
 /** Next-offset-to-read per partition — the checkpointed position. */
@@ -243,8 +252,9 @@ private[sources] object KafkaWireOffset {
 }
 
 private[sources] class KafkaWireMicroBatchStream(host: String, port: Int,
-    topic: String, startingOffsets: String = "earliest")
-    extends MicroBatchStream {
+    topic: String, startingOffsets: String = "earliest",
+    maxOffsetsPerTrigger: Option[Long] = None)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def endOffsets(): Map[Int, Long] = {
     val c = new KafkaWire.Conn(host, port)
@@ -267,7 +277,56 @@ private[sources] class KafkaWireMicroBatchStream(host: String, port: Int,
     } finally c.close()
   }
 
-  override def latestOffset(): Offset = KafkaWireOffset(endOffsets())
+  // ── admission control (the stock connector's backpressure contract):
+  // maxOffsetsPerTrigger caps each micro-batch's total record count,
+  // allocated across partitions proportionally to their lag; under
+  // Trigger.AvailableNow the end offsets are CAPTURED once at query
+  // start, so the run drains exactly to that point across however
+  // many rate-limited batches it takes. ──────────────────────────────
+  @volatile private var availableNowEnd: Option[Map[Int, Long]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(endOffsets())
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxOffsetsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  /** Proportional-to-lag allocation of a ReadMaxRows cap (the stock
+    * source's rate-limit shape), remainders to the laggiest partitions. */
+  private def capByRows(start: Map[Int, Long], end: Map[Int, Long],
+      max: Long): Map[Int, Long] = {
+    val lags = end.map { case (p, e) =>
+      p -> math.max(0L, e - start.getOrElse(p, 0L)) }
+    val total = lags.values.sum
+    if (total <= max) end
+    else {
+      val base = lags.map { case (p, lag) => p -> max * lag / total }
+      var rem = max - base.values.sum
+      val extra = lags.toSeq.sortBy(-_._2).map { case (p, _) =>
+        val add = if (rem > 0) { rem -= 1; 1L } else 0L
+        p -> add
+      }.toMap
+      end.map { case (p, e) =>
+        p -> math.min(e, start.getOrElse(p, 0L) + base(p) + extra(p)) }
+    }
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[KafkaWireOffset].next
+    val target = availableNowEnd.getOrElse(endOffsets())
+    KafkaWireOffset(limit match {
+      case m: ReadMaxRows => capByRows(s, target, m.maxRows())
+      case _ => target
+    })
+  }
+
+  override def reportLatestOffset(): Offset = KafkaWireOffset(endOffsets())
+
+  // the engine calls the limit-aware form above once a source declares
+  // SupportsAdmissionControl; reaching this would silently bypass the
+  // rate limit, so fail loudly (the stock source does the same)
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "latestOffset(Offset, ReadLimit) should be called instead of this method")
   override def deserializeOffset(json: String): Offset =
     KafkaWireOffset.fromJson(json)
   override def commit(end: Offset): Unit = () // positions live in the checkpoint

@@ -387,4 +387,55 @@ class KafkaSinkFaultSpec extends SparkSuite {
       else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(err).exists(_.contains("codec must be")))
   }
+
+  test("maxOffsetsPerTrigger: AvailableNow drains in rate-limited batches, exactly once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val srv = new MiniKafkaServer(numPartitions = 2)
+    try {
+      val c = new KafkaWire.Conn("localhost", srv.port)
+      try {
+        (0 until 10).foreach { i =>
+          val k = s"k$i".getBytes(u8)
+          KafkaWire.produce(c, "t", 0,
+            Seq((k, s"v$i".getBytes(u8))), 1L)
+        }
+        // spread a few records onto partition 1 so the proportional
+        // allocation has two lags to split
+        (10 until 14).foreach { i =>
+          KafkaWire.produce(c, "t", 1,
+            Seq((s"k$i".getBytes(u8), s"v$i".getBytes(u8))), 1L)
+        }
+        val outDir = java.nio.file.Files.createTempDirectory("mo-out").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("mo-ckpt").toString
+        val q = spark.readStream.format("graft-kafka")
+          .option("host", "localhost").option("port", srv.port.toString)
+          .option("topic", "t").option("maxOffsetsPerTrigger", "4").load()
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.stop()
+        val rows = spark.read.parquet(outDir).collect()
+        assert(rows.length == 14, "the drain must reach the captured end")
+        assert(rows.map(_.getAs[String]("key")).toSet ==
+          (0 until 14).map(i => s"k$i").toSet)
+        // the commit log records one entry per micro-batch: 14 records
+        // at <= 4 per trigger needs at least 4 batches
+        val commits = Option(new java.io.File(ckpt, "commits").list())
+          .getOrElse(Array.empty).count(!_.startsWith("."))
+        assert(commits >= 4, s"expected >= 4 rate-limited batches, got $commits")
+      } finally c.close()
+    } finally srv.stop()
+  }
+
+  test("maxOffsetsPerTrigger rejects non-positive values") {
+    val err = intercept[Exception] {
+      spark.read.format("graft-kafka")
+        .option("host", "localhost").option("port", "1").option("topic", "t")
+        .option("maxOffsetsPerTrigger", "0").load()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("maxOffsetsPerTrigger must be positive")))
+  }
 }
