@@ -40,18 +40,27 @@ class KafkaWireDataSource extends TableProvider with DataSourceRegister {
     KafkaWireDataSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val host = properties.get("host")
-    val port = properties.get("port")
-    val topic = properties.get("topic")
+    // option names are case-insensitive, the stock connector's contract
+    // — a mis-cased maxOffsetsPerTrigger silently ignored would mean an
+    // unbounded first batch, the exact scenario the option prevents
+    val opts = new CaseInsensitiveStringMap(properties)
+    val host = opts.get("host")
+    val port = opts.get("port")
+    val topic = opts.get("topic")
     require(host != null && port != null && topic != null,
       "options host, port, topic are required")
-    val starting = Option(properties.get("startingOffsets")).getOrElse("earliest")
+    val starting = Option(opts.get("startingOffsets")).getOrElse("earliest")
     require(starting == "earliest" || starting == "latest",
       s"startingOffsets must be earliest or latest, got '$starting'")
     val codec = KafkaWire.Codec.forName(
-      Option(properties.get("codec")).getOrElse("none"))
-    val maxOffsets = Option(properties.get("maxOffsetsPerTrigger"))
-      .map(java.lang.Long.parseLong(_): Long)
+      Option(opts.get("codec")).getOrElse("none"))
+    val maxOffsets = Option(opts.get("maxOffsetsPerTrigger")).map { v =>
+      try java.lang.Long.parseLong(v): Long
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"maxOffsetsPerTrigger must be a positive long, got '$v'")
+      }
+    }
     maxOffsets.foreach(m => require(m > 0,
       s"maxOffsetsPerTrigger must be positive, got $m"))
     new KafkaWireTable(host, Integer.parseInt(port), topic, starting, codec,
@@ -256,12 +265,16 @@ private[sources] class KafkaWireMicroBatchStream(host: String, port: Int,
     maxOffsetsPerTrigger: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
+  @volatile private var lastKnownEnd: Option[Map[Int, Long]] = None
+
   private def endOffsets(): Map[Int, Long] = {
     val c = new KafkaWire.Conn(host, port)
-    try {
+    val snap = try {
       val n = KafkaWire.partitionCount(c, topic)
       (0 until n).map(p => p -> KafkaWire.listOffset(c, topic, p, -1L)).toMap
     } finally c.close()
+    lastKnownEnd = Some(snap)
+    snap
   }
 
   // startingOffsets: earliest (the reference's auto_offset_reset,
@@ -300,7 +313,11 @@ private[sources] class KafkaWireMicroBatchStream(host: String, port: Int,
     val total = lags.values.sum
     if (total <= max) end
     else {
-      val base = lags.map { case (p, lag) => p -> max * lag / total }
+      // prorate in DOUBLE (the stock source does the same): Long
+      // max*lag overflows for large caps x large lags, and a negative
+      // per-partition cap would walk the offset log backwards
+      val base = lags.map { case (p, lag) =>
+        p -> math.max(0L, (max.toDouble * lag / total).toLong) }
       var rem = max - base.values.sum
       val extra = lags.toSeq.sortBy(-_._2).map { case (p, _) =>
         val add = if (rem > 0) { rem -= 1; 1L } else 0L
@@ -320,7 +337,11 @@ private[sources] class KafkaWireMicroBatchStream(host: String, port: Int,
     })
   }
 
-  override def reportLatestOffset(): Offset = KafkaWireOffset(endOffsets())
+  // progress reporting reuses the trigger's own ListOffsets sweep —
+  // latestOffset (or the AvailableNow capture) just refreshed it; a
+  // second broker round-trip per batch would be pure overhead
+  override def reportLatestOffset(): Offset =
+    KafkaWireOffset(availableNowEnd.orElse(lastKnownEnd).getOrElse(endOffsets()))
 
   // the engine calls the limit-aware form above once a source declares
   // SupportsAdmissionControl; reaching this would silently bypass the
