@@ -23,7 +23,14 @@ object Extended {
     * values), so the DuckDB oracle is unchanged. Parallelism is one
     * sorted partition per group (the inherent cost of EXACT quantiles
     * on low-cardinality keys); the mergeable-sketch twin
-    * (sk_quantile_hist) remains the constant-memory approximate path. */
+    * (sk_quantile_hist) remains the constant-memory approximate path.
+    *
+    * CONTRACT: a group whose values are NULL in every spec column is
+    * DROPPED (it contributes no stacked rows), where the buffering
+    * aggregates would return it with NULL quantiles — callers on
+    * nullable columns that need those groups must outer-join them
+    * back. Current callers (lineitem NOT NULL columns) cannot hit
+    * this. */
   private def exactQuantiles(df: DataFrame, grp: String,
       specs: Seq[(String, String, Double)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
