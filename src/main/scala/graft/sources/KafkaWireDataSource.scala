@@ -306,7 +306,7 @@ private[sources] class KafkaWireMicroBatchStream(host: String, port: Int,
 
   /** Proportional-to-lag allocation of a ReadMaxRows cap (the stock
     * source's rate-limit shape), remainders to the laggiest partitions. */
-  private def capByRows(start: Map[Int, Long], end: Map[Int, Long],
+  private[sources] def capByRows(start: Map[Int, Long], end: Map[Int, Long],
       max: Long): Map[Int, Long] = {
     val lags = end.map { case (p, e) =>
       p -> math.max(0L, e - start.getOrElse(p, 0L)) }
