@@ -47,14 +47,24 @@ object MiniKafkaServer {
   private final class DropConnection extends Exception
 }
 
-final class MiniKafkaServer(numPartitions: Int = 2) {
+/** @param serveFormat highest record format this broker speaks: 2
+  *   (default) advertises Produce v3 / Fetch v4 / InitProducerId and
+  *   stores/serves magic-2 batches; 1 emulates a pre-0.11 broker —
+  *   ApiVersions caps at Produce v2 / Fetch v2, so a format-
+  *   negotiating client must downgrade to message-format v1 (the
+  *   both-formats test matrix drives the SAME client against both). */
+final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
   import MiniKafkaServer.DropConnection
 
   /** One produced batch, stored verbatim: compressed batches
     * (`codec` != 0) re-encode as ONE wrapper message on fetch (offset
-    * = last inner absolute, the v1 convention). */
+    * = last inner absolute, the v1 convention). `magic` records the
+    * format it ARRIVED in — fetch serves v2-stored batches back as v2
+    * to a v4 fetcher and DOWN-CONVERTS them (headers dropped) for a
+    * v2 fetcher, the real broker's split. */
   private final case class Batch(base: Long, records: Seq[Record],
-      codec: Int) {
+      codec: Int, magic: Int = 1, pid: Long = -1L, pEpoch: Int = -1,
+      baseSeq: Int = -1) {
     // a VAL: records may be a List (Scala 2.13 `.toSeq` builds one), so
     // a def would be O(n) — and fetchV2's dropWhile calls end on every
     // batch below the cursor, turning each fetch into an O(log-size)
@@ -62,15 +72,36 @@ final class MiniKafkaServer(numPartitions: Int = 2) {
     val end: Long = base + records.length // exclusive
   }
 
+  /** Per-(topic, partition, pid) idempotence state: the next expected
+    * baseSequence plus the last few appended batches' sequence ranges
+    * — the real broker's ProducerStateManager window (5 in-flight
+    * batches) that lets a retried-but-already-appended batch be
+    * acked with its ORIGINAL offset instead of appended twice. */
+  private final class PidState {
+    var nextSeq: Int = 0
+    val recent = scala.collection.mutable.ArrayDeque.empty[(Int, Int, Long)]
+  }
+
   private final class Log {
     val batches = scala.collection.mutable.ArrayBuffer.empty[Batch]
     var next: Long = 0L
+    val pidStates = scala.collection.mutable.Map.empty[Long, PidState]
   }
 
   private val logs =
     scala.collection.concurrent.TrieMap.empty[(String, Int), Log]
   private def logOf(topic: String, p: Int) =
     logs.getOrElseUpdate((topic, p), new Log)
+
+  // ── producer-id registry (InitProducerId) ───────────────────────────
+  private val nextPid = new java.util.concurrent.atomic.AtomicLong(1000L)
+  /** Current epoch per pid — a produce with an OLDER epoch is fenced. */
+  private val pidEpochs =
+    scala.collection.concurrent.TrieMap.empty[Long, Int]
+  /** transactional_id → stable pid; each re-init bumps the epoch (the
+    * zombie-fencing mechanism). */
+  private val tidPids =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
 
   // ── fault injection (one-shot counters) ─────────────────────────────
   val dropNextProduce = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -123,6 +154,13 @@ final class MiniKafkaServer(numPartitions: Int = 2) {
       l.batches.map(_.codec).toSeq
     }).getOrElse(Seq.empty)
 
+  /** The record format each stored batch arrived in (1 or 2) — the
+    * did-it-actually-negotiate oracle for the format handshake. */
+  def storedBatchMagics(topic: String, p: Int): Seq[Int] =
+    logs.get((topic, p)).map(l => l.synchronized {
+      l.batches.map(_.magic).toSeq
+    }).getOrElse(Seq.empty)
+
 
   private def serve(sock: java.net.Socket): Unit = {
     sock.setTcpNoDelay(true) // response latency, not throughput batching
@@ -142,8 +180,11 @@ final class MiniKafkaServer(numPartitions: Int = 2) {
           case (18, 0) => apiVersionsV0()
           case (3, 0) => metadataV0(r)
           case (0, 2) => produceV2(r)
+          case (0, 3) if serveFormat >= 2 => produceV3(r)
           case (1, 2) => fetchV2(r)
+          case (1, 4) if serveFormat >= 2 => fetchV4(r)
           case (2, 1) => listOffsetsV1(r)
+          case (22, 0) if serveFormat >= 2 => initProducerIdV0(r)
           case other => sys.error(s"unsupported api $other")
         }
         val sentCorr =
@@ -165,7 +206,14 @@ final class MiniKafkaServer(numPartitions: Int = 2) {
   }
 
   private def apiVersionsV0(): Array[Byte] = {
-    val apis = Seq((0, 2, 2), (1, 2, 2), (3, 0, 0), (18, 0, 0))
+    // a serveFormat=1 broker advertises only the pre-v2-format
+    // versions — a negotiating client MUST downgrade to message
+    // format v1 (and the dispatch above enforces it: v3/v4 requests
+    // against this broker fail, exactly like a real old broker)
+    val apis =
+      if (serveFormat >= 2)
+        Seq((0, 2, 3), (1, 2, 4), (2, 1, 1), (3, 0, 0), (18, 0, 0), (22, 0, 0))
+      else Seq((0, 2, 2), (1, 2, 2), (2, 1, 1), (3, 0, 0), (18, 0, 0))
     val w = new Writer().int16(0).int32(apis.length)
     apis.foreach { case (k, lo, hi) => w.int16(k).int16(lo).int16(hi) }
     w.result()
@@ -228,6 +276,109 @@ final class MiniKafkaServer(numPartitions: Int = 2) {
     w.result()
   }
 
+  /** Append one v2 batch under the idempotence rules; returns
+    * (errorCode, baseOffset). Must run under log.synchronized. */
+  private def appendV2(log: Log, b: KafkaWire.RecordBatch): (Int, Long) = {
+    def doAppend(): Long = {
+      val base = log.next
+      log.batches += Batch(base,
+        b.records.zipWithIndex.map { case (rec, i) =>
+          rec.copy(offset = base + i) },
+        b.codec, magic = 2, pid = b.producerId, pEpoch = b.producerEpoch,
+        baseSeq = b.baseSequence)
+      log.next = base + b.records.length
+      producesAppended.incrementAndGet()
+      base
+    }
+    if (b.producerId < 0L) (0, doAppend())
+    else {
+      val cur = pidEpochs.getOrElse(b.producerId, b.producerEpoch)
+      if (b.producerEpoch < cur)
+        (KafkaWire.Errors.InvalidProducerEpoch, -1L) // fenced zombie
+      else {
+        pidEpochs.put(b.producerId, math.max(cur, b.producerEpoch))
+        val st = log.pidStates.getOrElseUpdate(b.producerId, new PidState)
+        val first = b.baseSequence
+        val last = first + b.records.length - 1
+        st.recent.find(e => e._1 == first && e._2 == last) match {
+          // a RETRIED batch the broker already appended: ack with the
+          // ORIGINAL offset, append nothing — the broker-side dedup
+          // that upgrades the produce path to exactly-once
+          case Some((_, _, off)) => (0, off)
+          case None =>
+            if (first != st.nextSeq)
+              (KafkaWire.Errors.OutOfOrderSequence, -1L)
+            else {
+              val base = doAppend()
+              st.nextSeq = last + 1
+              st.recent.append((first, last, base))
+              if (st.recent.length > 5) st.recent.removeHead()
+              (0, base)
+            }
+        }
+      }
+    }
+  }
+
+  private def produceV3(r: Reader): Array[Byte] = {
+    if (consume(dropNextProduce)) throw new DropConnection
+    r.str() // transactional_id
+    r.int16(); r.int32() // acks, timeout
+    val nTopics = r.int32()
+    val acks = (0 until nTopics).flatMap { _ =>
+      val topic = r.str()
+      val nParts = r.int32()
+      (0 until nParts).map { _ =>
+        val p = r.int32()
+        val set = r.bytes()
+        val batches = KafkaWire.decodeRecordBatches(set)
+        val log = logOf(topic, p)
+        val (err, base) = log.synchronized {
+          batches.foldLeft((0, -1L)) { case ((e, b0), batch) =>
+            if (e != 0) (e, b0)
+            else {
+              val (e2, b2) = appendV2(log, batch)
+              (e2, if (b0 < 0) b2 else b0)
+            }
+          }
+        }
+        (topic, p, err, base)
+      }
+    }
+    if (consume(dropNextProduceAfterAppend)) throw new DropConnection
+    val w = new Writer().int32(nTopics)
+    acks.groupBy(_._1).foreach { case (topic, parts) =>
+      w.str(topic).int32(parts.length)
+      parts.foreach { case (_, p, err, base) =>
+        w.int32(p).int16(err).int64(base).int64(-1L)
+      }
+    }
+    w.int32(0) // throttle_time_ms
+    w.result()
+  }
+
+  private def initProducerIdV0(r: Reader): Array[Byte] = {
+    val tid = r.str()
+    r.int32() // transaction_timeout_ms
+    val (pid, epoch) =
+      if (tid == null) {
+        // idempotent-only: fresh pid, epoch 0
+        val p = nextPid.getAndIncrement()
+        pidEpochs.put(p, 0)
+        (p, 0)
+      } else {
+        // transactional id: STABLE pid, epoch bumped per init — the
+        // re-initialized producer fences its zombie predecessor
+        val p = tidPids.getOrElseUpdate(tid, nextPid.getAndIncrement())
+        val e = pidEpochs.updateWith(p) {
+          case Some(cur) => Some(cur + 1)
+          case None => Some(0)
+        }.get
+        (p, e)
+      }
+    new Writer().int32(0).int16(0).int64(pid).int16(epoch).result()
+  }
+
   private def listOffsetsV1(r: Reader): Array[Byte] = {
     r.int32() // replica_id
     val nTopics = r.int32()
@@ -255,13 +406,17 @@ final class MiniKafkaServer(numPartitions: Int = 2) {
   /** Encode one stored batch the way a v1 broker serves it: plain
     * batches as per-record messages with their absolute offsets,
     * compressed batches as ONE wrapper (same codec) whose offset is
-    * the last inner absolute. */
+    * the last inner absolute. A magic-2 stored batch served here is
+    * the real broker's DOWN-CONVERSION: headers drop, per-record
+    * timestamps survive (plain) or flatten to the wrapper max
+    * (compressed). */
   private def encodeBatch(b: Batch): Array[Byte] =
     if (b.codec == 0) KafkaWire.encodeMessageSetAt(b.records)
     else {
+      // the v1 wrapper convention stamps the MAX inner timestamp
       val set = KafkaWire.encodeMessageSetCompressed(
-        b.records.map(r => (r.key, r.value)), b.records.head.timestamp,
-        b.codec)
+        b.records.map(r => (r.key, r.value)),
+        b.records.iterator.map(_.timestamp).max, b.codec)
       // encodeMessageSetGzip frames the wrapper at relative offset 0;
       // patch the first 8 bytes to the broker-assigned absolute of the
       // LAST inner message (the v1 wrapper convention)
@@ -271,6 +426,51 @@ final class MiniKafkaServer(numPartitions: Int = 2) {
       set
     }
 
+  /** Encode one stored batch for a v4 fetcher: magic-2 batches
+    * re-encode as v2 (idempotence fields and headers intact), magic-1
+    * batches serve AS STORED — a real broker never up-converts old
+    * segments; the modern consumer decodes both (the entry-offset-16
+    * magic dispatch). */
+  private def encodeBatchV4(b: Batch): Array[Byte] =
+    if (b.magic >= 2)
+      KafkaWire.encodeRecordBatch(b.base, b.records, b.codec, b.pid,
+        b.pEpoch, b.baseSeq)
+    else encodeBatch(b)
+
+  /** Serve one partition's record set from `off` under `maxBytes`,
+    * encoding each stored batch with `enc`: (highWatermark, bytes). */
+  private def servePartition(topic: String, p: Int, off: Long,
+      maxBytes: Int, enc: Batch => Array[Byte]): (Long, Array[Byte]) = {
+    val log = logOf(topic, p)
+    val (from, hw) = log.synchronized {
+      // a PLAIN v1 message set is addressable per message — the broker
+      // serves from the exact offset; a compressed wrapper and a v2
+      // record batch are ATOMIC, so the whole batch ships even when
+      // `off` is inside it (the below-cursor records the client drops)
+      val fromBatch = log.batches.toSeq.dropWhile(_.end <= off)
+      val sliced = fromBatch match {
+        case head +: rest
+            if head.magic == 1 && head.codec == 0 && head.base < off =>
+          head.copy(records = head.records.filter(_.offset >= off)) +: rest
+        case other => other
+      }
+      (sliced, log.next)
+    }
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val it = from.iterator
+      while (it.hasNext && bos.size < maxBytes)
+        bos.write(enc(it.next()))
+      val all = bos.toByteArray
+      // the fetch response slices the record set AT max_bytes — a
+      // partial trailing entry is the client's problem (it drops it
+      // and must retry with a larger max_bytes)
+      if (all.length > maxBytes) java.util.Arrays.copyOf(all, maxBytes)
+      else all
+    }
+    (hw, bytes)
+  }
+
   private def fetchV2(r: Reader): Array[Byte] = {
     r.int32(); r.int32(); r.int32() // replica_id, max_wait, min_bytes
     val nTopics = r.int32()
@@ -279,32 +479,7 @@ final class MiniKafkaServer(numPartitions: Int = 2) {
       val nParts = r.int32()
       val parts = (0 until nParts).map { _ =>
         val p = r.int32(); val off = r.int64(); val maxBytes = r.int32()
-        val log = logOf(topic, p)
-        val (from, hw) = log.synchronized {
-          // a PLAIN message set is addressable per message — the broker
-          // serves from the exact offset; a GZIP wrapper is ONE message,
-          // so the whole batch ships even when `off` is inside it (the
-          // below-cursor records the client must drop)
-          val fromBatch = log.batches.toSeq.dropWhile(_.end <= off)
-          val sliced = fromBatch match {
-            case head +: rest if head.codec == 0 && head.base < off =>
-              head.copy(records = head.records.filter(_.offset >= off)) +: rest
-            case other => other
-          }
-          (sliced, log.next)
-        }
-        val bytes = {
-          val bos = new java.io.ByteArrayOutputStream()
-          val it = from.iterator
-          while (it.hasNext && bos.size < maxBytes)
-            bos.write(encodeBatch(it.next()))
-          val all = bos.toByteArray
-          // v2 fetch slices the message set AT max_bytes — a partial
-          // trailing message is the client's problem (it drops it and
-          // must retry with a larger max_bytes)
-          if (all.length > maxBytes) java.util.Arrays.copyOf(all, maxBytes)
-          else all
-        }
+        val (hw, bytes) = servePartition(topic, p, off, maxBytes, encodeBatch)
         (p, hw, bytes)
       }
       (topic, parts)
@@ -315,6 +490,34 @@ final class MiniKafkaServer(numPartitions: Int = 2) {
       w.str(topic).int32(parts.length)
       parts.foreach { case (p, hw, set) =>
         w.int32(p).int16(0).int64(hw).int32(set.length).raw(set)
+      }
+    }
+    w.result()
+  }
+
+  private def fetchV4(r: Reader): Array[Byte] = {
+    r.int32(); r.int32(); r.int32() // replica_id, max_wait, min_bytes
+    r.int32(); r.int8()             // response max_bytes, isolation_level
+    val nTopics = r.int32()
+    val resp = (0 until nTopics).map { _ =>
+      val topic = r.str()
+      val nParts = r.int32()
+      val parts = (0 until nParts).map { _ =>
+        val p = r.int32(); val off = r.int64(); val maxBytes = r.int32()
+        val (hw, bytes) = servePartition(topic, p, off, maxBytes, encodeBatchV4)
+        (p, hw, bytes)
+      }
+      (topic, parts)
+    }
+    val w = new Writer().int32(0) // throttle_time_ms
+    w.int32(resp.length)
+    resp.foreach { case (topic, parts) =>
+      w.str(topic).int32(parts.length)
+      parts.foreach { case (p, hw, set) =>
+        w.int32(p).int16(0).int64(hw)
+          .int64(hw)   // last_stable_offset (no open transactions)
+          .int32(0)    // aborted_transactions: empty
+          .int32(set.length).raw(set)
       }
     }
     w.result()

@@ -197,8 +197,9 @@ object StreamBench {
         lit("\",\"summary\":\"" + pad + "\"}")).as("value"))
       .repartition(8) // fixed client parallelism; broker partitions vary
 
-    def once(n: Int, nParts: Int): (Double, Double) = {
-      val srv = new MiniKafkaServer(numPartitions = nParts)
+    def once(n: Int, nParts: Int, serveFormat: Int = 2): (Double, Double) = {
+      val srv = new MiniKafkaServer(numPartitions = nParts,
+        serveFormat = serveFormat)
       try {
         // materialize the input first: the bench measures the
         // TRANSPORT (codec + routing + sockets), not range/shuffle
@@ -219,10 +220,16 @@ object StreamBench {
     }
 
     once(5000, 4) // JIT/codegen warmup, unmeasured
-    val results = for (scale <- Seq(1, 10); nParts <- Seq(1, 4)) yield {
+    // fmt dimension: the SAME client against a modern broker
+    // (negotiates record-batch v2: varint records, CRC32C, Produce
+    // v3/Fetch v4) and a pre-0.11 one (downgrades to message v1) —
+    // the r13 directive's "throughput table re-run on v2"
+    val results = for (fmt <- Seq(2, 1); scale <- Seq(1, 10);
+        nParts <- Seq(1, 4)) yield {
       val n = 50000 * scale
-      val (produceSecs, consumeSecs) = once(n, nParts)
-      s""""x${scale}_p$nParts":{"rows":$n,""" +
+      val (produceSecs, consumeSecs) = once(n, nParts, serveFormat = fmt)
+      val tag = if (fmt == 2) "" else "v1_"
+      s""""$tag${"x"}${scale}_p$nParts":{"rows":$n,""" +
         s""""produce_secs":${r3(produceSecs)},""" +
         s""""produce_rps":${r3(n / produceSecs)},""" +
         s""""consume_secs":${r3(consumeSecs)},""" +
@@ -266,6 +273,27 @@ object StreamBench {
           s""""consume_rps":${r3(n / consumeSecs)}}"""
       } finally srv.stop()
     }
-    (results ++ codecResults).mkString("{", ",", "}")
+    // idempotent-produce overhead: the v2 sequence bookkeeping is a
+    // few header fields per batch — this row proves it's ~free
+    val idem = {
+      val srv = new MiniKafkaServer(numPartitions = 4)
+      try {
+        val n = 200000
+        val df = articles(n).persist(StorageLevel.MEMORY_ONLY)
+        df.count()
+        val t0 = System.nanoTime()
+        df.write.format("graft-kafka")
+          .option("host", "localhost").option("port", srv.port.toString)
+          .option("topic", "bench-topic").option("idempotent", "true")
+          .mode("append").save()
+        val produceSecs = secsSince(t0)
+        df.unpersist(blocking = true)
+        val consumed = KafkaWire.pollOnce(spark, "localhost", srv.port,
+          "bench-topic").count()
+        require(consumed == n, s"idempotent bench lost rows: $consumed != $n")
+        s""""idempotent_v2":{"rows":$n,"produce_rps":${r3(n / produceSecs)}}"""
+      } finally srv.stop()
+    }
+    (results ++ codecResults :+ idem).mkString("{", ",", "}")
   }
 }

@@ -61,6 +61,17 @@ object KafkaWire {
     /** BYTES: INT32 length (-1 = null) + bytes. */
     def bytes(b: Array[Byte]): Writer =
       if (b == null) int32(-1) else { int32(b.length); raw(b) }
+    /** Zigzag VARINT — the record-batch-v2 (magic 2) integer encoding:
+      * protobuf's wire form, signed via zigzag so -1 (null length)
+      * costs one byte. */
+    def varint(v: Int): Writer = uvarlong(((v << 1) ^ (v >> 31)).toLong & 0xffffffffL)
+    def varlong(v: Long): Writer = uvarlong((v << 1) ^ (v >> 63))
+    private def uvarlong(v0: Long): Writer = {
+      var v = v0
+      while ((v & ~0x7fL) != 0L) { int8(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      int8(v.toInt)
+    }
+    def size: Int = n
     def result(): Array[Byte] = java.util.Arrays.copyOf(buf, n)
   }
 
@@ -80,6 +91,22 @@ object KafkaWire {
       if (k < 0) null
       else new String(raw(k), java.nio.charset.StandardCharsets.UTF_8) }
     def bytes(): Array[Byte] = { val k = int32(); if (k < 0) null else raw(k) }
+    def varint(): Int = { val v = uvarlong(); (((v >>> 1) ^ -(v & 1)).toInt) }
+    def varlong(): Long = { val v = uvarlong(); (v >>> 1) ^ -(v & 1) }
+    private def uvarlong(): Long = {
+      var v = 0L; var shift = 0
+      var b = 0x80
+      while ((b & 0x80) != 0) {
+        b = int8() & 0xff
+        v |= (b & 0x7fL) << shift
+        shift += 7
+        if (shift > 70) throw new java.io.IOException("malformed varint")
+      }
+      v
+    }
+    /** Byte at absolute position `i` without moving the cursor. */
+    def peek(i: Int): Int = buf(i) & 0xff
+    def position: Int = p
     def remaining: Int = buf.length - p
   }
 
@@ -120,9 +147,13 @@ object KafkaWire {
 
   // ── message format v1 (magic 1, CRC32 over magic..end) ─────────────
 
-  /** One consumed record with its broker-assigned absolute offset. */
+  /** One consumed record with its broker-assigned absolute offset.
+    * `headers` exist only in record-batch v2 (magic 2) — the v1
+    * codec ignores them on encode (a real broker's down-conversion
+    * drops headers the same way). */
   final case class Record(offset: Long, timestamp: Long,
-      key: Array[Byte], value: Array[Byte])
+      key: Array[Byte], value: Array[Byte],
+      headers: Seq[(String, Array[Byte])] = Nil)
 
   private def encodeMessage(timestamp: Long, key: Array[Byte],
       value: Array[Byte], attributes: Int = 0): Array[Byte] = {
@@ -275,6 +306,224 @@ object KafkaWire {
     out.toIndexedSeq
   }
 
+  // ── record batch v2 (magic 2, varint records, CRC32C) ──────────────
+  //
+  // The modern on-wire/on-disk format (Kafka >= 0.11 / message.format
+  // 2, the only one brokers >= 2.1 prefer): one batch header carrying
+  // producerId/epoch/baseSequence (the idempotence fields) + CRC32C
+  // over attributes..end, followed by varint-framed records with
+  // RELATIVE offsets/timestamps and per-record headers. The records
+  // section (count excluded) is what compression applies to — not a
+  // wrapper-message like v1.
+  //
+  // Layout (kafka.apache.org/documentation #recordbatch):
+  //   baseOffset int64 | batchLength int32 | partitionLeaderEpoch int32
+  //   magic int8 (=2) | crc uint32 (CRC32C, attributes..end)
+  //   attributes int16 (bits 0-2 codec, 3 timestampType, 4 transactional,
+  //   5 control) | lastOffsetDelta int32 | baseTimestamp int64
+  //   maxTimestamp int64 | producerId int64 | producerEpoch int16
+  //   baseSequence int32 | recordsCount int32 | records (compressed)
+  //
+  // Record: length varint | attributes int8 | timestampDelta varlong |
+  //   offsetDelta varint | keyLen varint (-1 null) | key | valueLen
+  //   varint | value | headerCount varint | [keyLen|key|valLen|val]*
+  //
+  // Both formats put the MAGIC byte at entry offset 16 (v1: after
+  // offset+size+crc; v2: after baseOffset+batchLength+leaderEpoch) —
+  // the deliberate design overlap that lets one consumer decode a log
+  // whose segments mix formats. [[decodeRecordSet]] dispatches on it.
+
+  /** Batch-header size after the batchLength field, records excluded. */
+  private val V2HeaderAfterLength = 49 // epoch 4 + magic 1 + crc 4 + attrs 2 +
+    // lastOffsetDelta 4 + baseTs 8 + maxTs 8 + pid 8 + pEpoch 2 + baseSeq 4 + count 4
+
+  /** One decoded v2 batch WITH its idempotence metadata — the broker
+    * side of the codec (a client flattens to records via
+    * [[decodeRecordSet]]). */
+  final case class RecordBatch(baseOffset: Long, producerId: Long,
+      producerEpoch: Int, baseSequence: Int, codec: Int,
+      records: IndexedSeq[Record])
+
+  def crc32c(data: Array[Byte], off: Int, len: Int): Long = {
+    val c = new java.util.zip.CRC32C()
+    c.update(data, off, len)
+    c.getValue
+  }
+
+  private def encodeRecordV2(offsetDelta: Int, timestampDelta: Long,
+      key: Array[Byte], value: Array[Byte],
+      headers: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val body = new Writer()
+      .int8(0) // record attributes: unused, must be 0
+      .varlong(timestampDelta)
+      .varint(offsetDelta)
+    if (key == null) body.varint(-1) else { body.varint(key.length); body.raw(key) }
+    if (value == null) body.varint(-1) else { body.varint(value.length); body.raw(value) }
+    body.varint(headers.length)
+    headers.foreach { case (hk, hv) =>
+      val kb = hk.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      body.varint(kb.length); body.raw(kb)
+      if (hv == null) body.varint(-1) else { body.varint(hv.length); body.raw(hv) }
+    }
+    val b = body.result()
+    new Writer().varint(b.length).raw(b).result()
+  }
+
+  /** Encode ONE v2 record batch. `records` carry ABSOLUTE offsets
+    * (deltas are computed against `baseOffset` — a producer passes
+    * baseOffset 0 and offsets 0..n-1, a broker re-serves with its
+    * assigned base) and real per-record timestamps (v2 keeps them;
+    * v1 flattened to the wrapper max). producerId/epoch/baseSequence
+    * are the idempotence fields (-1/-1/-1 = not idempotent). */
+  def encodeRecordBatch(baseOffset: Long, records: Seq[Record],
+      codec: Int = Codec.None, producerId: Long = -1L,
+      producerEpoch: Int = -1, baseSequence: Int = -1): Array[Byte] = {
+    require(records.nonEmpty, "a record batch needs at least one record")
+    val baseTs = records.head.timestamp
+    val maxTs = records.iterator.map(_.timestamp).max
+    val recs = new Writer()
+    records.foreach { r =>
+      recs.raw(encodeRecordV2((r.offset - baseOffset).toInt,
+        r.timestamp - baseTs, r.key, r.value, r.headers))
+    }
+    val payload =
+      if (codec == Codec.None) recs.result() else compress(codec, recs.result())
+    // attributes..end — the CRC32C coverage
+    val tail = new Writer()
+      .int16(codec & 0x07)                        // attributes: CreateTime
+      .int32((records.last.offset - baseOffset).toInt) // lastOffsetDelta
+      .int64(baseTs).int64(maxTs)
+      .int64(producerId).int16(producerEpoch).int32(baseSequence)
+      .int32(records.length)
+      .raw(payload)
+      .result()
+    val crc = crc32c(tail, 0, tail.length)
+    val afterLength = new Writer()
+      .int32(-1)            // partitionLeaderEpoch
+      .int8(2)              // magic
+      .int32(crc.toInt)     // CRC32C (unsigned on the wire)
+      .raw(tail)
+      .result()
+    new Writer().int64(baseOffset).int32(afterLength.length)
+      .raw(afterLength).result()
+  }
+
+  /** Decode the v2 records payload (already decompressed) into
+    * absolute-offset records. */
+  private def decodeRecordsV2(payload: Array[Byte], count: Int,
+      baseOffset: Long, baseTs: Long): IndexedSeq[Record] = {
+    val r = new Reader(payload)
+    val out = new scala.collection.mutable.ArrayBuffer[Record](count)
+    var i = 0
+    while (i < count) {
+      val len = r.varint()
+      val end = r.position + len
+      r.int8() // record attributes
+      val tsDelta = r.varlong()
+      val offDelta = r.varint()
+      val kLen = r.varint()
+      val key = if (kLen < 0) null else r.raw(kLen)
+      val vLen = r.varint()
+      val value = if (vLen < 0) null else r.raw(vLen)
+      val nHeaders = r.varint()
+      val headers = (0 until nHeaders).map { _ =>
+        val hkLen = r.varint()
+        val hk = new String(r.raw(hkLen), java.nio.charset.StandardCharsets.UTF_8)
+        val hvLen = r.varint()
+        val hv = if (hvLen < 0) null else r.raw(hvLen)
+        hk -> hv
+      }
+      require(r.position == end, s"record $i: decoded ${r.position - (end - len)} of $len bytes")
+      out += Record(baseOffset + offDelta, baseTs + tsDelta, key, value, headers)
+      i += 1
+    }
+    out.toIndexedSeq
+  }
+
+  /** Decode ONE v2 batch starting at `r`'s cursor (the 8-byte
+    * baseOffset). CRC32C is VERIFIED over attributes..end — a
+    * corrupted batch throws, never yields rows. Returns None when the
+    * batch is truncated (the broker sliced at max_bytes). */
+  private def decodeOneBatchV2(r: Reader): Option[RecordBatch] = {
+    val baseOffset = r.int64()
+    val batchLength = r.int32()
+    if (r.remaining < batchLength) return None // truncated tail
+    val body = r.raw(batchLength)
+    val br = new Reader(body)
+    br.int32() // partitionLeaderEpoch
+    val magic = br.int8()
+    require(magic == 2, s"decodeOneBatchV2 on magic $magic")
+    val crc = br.int32()
+    val crcGot = crc32c(body, 9, body.length - 9)
+    if (crcGot.toInt != crc)
+      throw new java.io.IOException(
+        s"CRC32C mismatch in record batch at offset $baseOffset")
+    val attrs = br.int16()
+    val codec = attrs & 0x07
+    br.int32() // lastOffsetDelta
+    val baseTs = br.int64()
+    br.int64() // maxTimestamp
+    val pid = br.int64()
+    val pEpoch = br.int16()
+    val baseSeq = br.int32()
+    val count = br.int32()
+    val payload = br.raw(body.length - V2HeaderAfterLength)
+    val plain = if (codec == Codec.None) payload else decompress(codec, payload)
+    Some(RecordBatch(baseOffset, pid, pEpoch, baseSeq, codec,
+      decodeRecordsV2(plain, count, baseOffset, baseTs)))
+  }
+
+  /** Broker-side decode of a produced v2 record set: the batches with
+    * their idempotence metadata intact. */
+  def decodeRecordBatches(bytes: Array[Byte]): Seq[RecordBatch] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[RecordBatch]
+    val r = new Reader(bytes)
+    var done = false
+    while (!done && r.remaining >= 12) {
+      decodeOneBatchV2(r) match {
+        case Some(b) => out += b
+        case None => done = true
+      }
+    }
+    out.toIndexedSeq
+  }
+
+  /** Client-side decode of a fetched record set of EITHER format —
+    * v1 [offset|size|message] entries and v2 record batches may
+    * coexist in one response (a log written across a format upgrade,
+    * or a broker serving old segments to a new fetcher). Dispatches
+    * on the magic byte, which both formats place at entry offset 16.
+    * CRC-verified per entry (CRC32 for v1, CRC32C for v2); a partial
+    * trailing entry is dropped (grow-and-retry recovers it). */
+  def decodeRecordSet(bytes: Array[Byte]): Seq[Record] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Record]
+    val r = new Reader(bytes)
+    var done = false
+    while (!done && r.remaining >= 17) {
+      val magic = r.peek(r.position + 16)
+      if (magic >= 2) {
+        decodeOneBatchV2(r) match {
+          case Some(b) => out ++= b.records
+          case None => done = true
+        }
+      } else {
+        // one v1/v0 entry: [offset int64 | size int32 | message]; lean
+        // on the existing v1 decoder for the message-level logic
+        // (CRC32 check, wrapper decompression, relative offsets)
+        val start = r.position
+        r.int64()
+        val size = r.int32()
+        if (r.remaining < size) done = true
+        else {
+          r.raw(size)
+          out ++= decodeMessageSet(
+            java.util.Arrays.copyOfRange(bytes, start, start + 12 + size))
+        }
+      }
+    }
+    out.toIndexedSeq
+  }
+
   // ── framed request/response over TCP ────────────────────────────────
 
   /** One broker connection: INT32-framed request out, INT32-framed
@@ -371,6 +620,119 @@ object KafkaWire {
     baseOffset
   }
 
+  // ── the modern (v2-format) protocol calls ──────────────────────────
+
+  /** Error codes the idempotent-produce path can see (public
+    * protocol constants). */
+  object Errors {
+    val OutOfOrderSequence = 45
+    val DuplicateSequence = 46
+    val InvalidProducerEpoch = 47
+  }
+
+  /** Produce v3 (the first version carrying v2 record batches; adds
+    * transactional_id before acks): sends one pre-encoded record
+    * batch for one partition, returns the broker-assigned base
+    * offset. Idempotence errors surface as [[ProducerFencedException]]
+    * / [[OutOfOrderSequenceException]] so the retry loop can tell
+    * retriable I/O faults from fatal protocol state. */
+  def produceV3(c: Conn, topic: String, partition: Int,
+      batch: Array[Byte]): Long = {
+    val body = new Writer()
+      .str(null)             // transactional_id (idempotent-only: null)
+      .int16(-1).int32(30000) // acks=all, timeout
+      .int32(1).str(topic)
+      .int32(1).int32(partition)
+      .int32(batch.length).raw(batch)
+      .result()
+    val r = c.call(0, 3, body)
+    val nTopics = r.int32(); require(nTopics == 1)
+    r.str()
+    val nParts = r.int32(); require(nParts == 1)
+    r.int32() // partition
+    val err = r.int16()
+    err match {
+      case 0 =>
+      case Errors.InvalidProducerEpoch =>
+        throw new ProducerFencedException(topic, partition)
+      case Errors.OutOfOrderSequence | Errors.DuplicateSequence =>
+        throw new OutOfOrderSequenceException(topic, partition, err)
+      case other => sys.error(s"produce error $other")
+    }
+    val baseOffset = r.int64()
+    r.int64() // log_append_time
+    r.int32() // throttle_time_ms
+    baseOffset
+  }
+
+  /** A newer producer instance with the same id bumped our epoch —
+    * this producer must STOP, not retry (the zombie-fencing
+    * contract). */
+  final class ProducerFencedException(topic: String, partition: Int)
+    extends RuntimeException(
+      s"producer fenced: a newer epoch exists for $topic-$partition")
+
+  /** The broker saw a sequence gap — previous produce state was lost
+    * or a resend raced; fatal for this producer session (the stock
+    * client's OutOfOrderSequenceException). */
+  final class OutOfOrderSequenceException(topic: String, partition: Int,
+      code: Int) extends RuntimeException(
+    s"sequence error $code on $topic-$partition")
+
+  /** Fetch v4 (the first version serving v2 record batches; adds
+    * response max_bytes + isolation_level): (records, highWatermark).
+    * The response may carry EITHER format — old segments are served
+    * as-stored — so decoding goes through [[decodeRecordSet]]. */
+  def fetchV4(c: Conn, topic: String, partition: Int, offset: Long,
+      maxBytes: Int = 1 << 20): (Seq[Record], Long) = {
+    val body = new Writer()
+      .int32(-1).int32(100).int32(0) // replica=-1, max_wait, min_bytes
+      .int32(maxBytes)               // response max_bytes (v3+)
+      .int8(0)                       // isolation_level: READ_UNCOMMITTED
+      .int32(1).str(topic)
+      .int32(1).int32(partition).int64(offset).int32(maxBytes)
+      .result()
+    val r = c.call(1, 4, body)
+    r.int32() // throttle_time_ms
+    val nTopics = r.int32(); require(nTopics == 1)
+    r.str()
+    val nParts = r.int32(); require(nParts == 1)
+    r.int32() // partition
+    val err = r.int16(); require(err == 0, s"fetch error $err")
+    val hw = r.int64()
+    r.int64() // last_stable_offset (v4+)
+    val nAborted = r.int32() // aborted_transactions (v4+)
+    (0 until math.max(0, nAborted)).foreach { _ => r.int64(); r.int64() }
+    val set = r.bytes()
+    (if (set == null) Seq.empty else decodeRecordSet(set), hw)
+  }
+
+  /** InitProducerId v0: allocate (producerId, producerEpoch). A null
+    * `transactionalId` gets a fresh id at epoch 0 (the idempotent
+    * producer's handshake); a non-null id maps to a STABLE producerId
+    * whose epoch bumps on each re-init — how a restarted producer
+    * fences its zombie predecessor. */
+  def initProducerId(c: Conn,
+      transactionalId: String = null): (Long, Int) = {
+    val body = new Writer().str(transactionalId).int32(60000).result()
+    val r = c.call(22, 0, body)
+    r.int32() // throttle_time_ms
+    val err = r.int16(); require(err == 0, s"initProducerId error $err")
+    (r.int64(), r.int16())
+  }
+
+  /** Highest mutually-supported record format: 2 when the broker
+    * advertises Produce >= 3 AND Fetch >= 4 (the versions that carry
+    * v2 batches), else 1 — the stock client's
+    * ApiVersions-then-downgrade handshake, collapsed to the one axis
+    * this client varies. */
+  def negotiateFormat(c: Conn): Int = {
+    val (err, apis) = apiVersions(c)
+    if (err == 0 && apis.get(0).exists(_._2 >= 3) &&
+      apis.get(1).exists(_._2 >= 4)) 2
+    else 1
+  }
+
   /** ListOffsets v1: the log-end (timestamp = -1, "latest") or
     * log-start (-2, "earliest") offset of one partition — how a
     * consumer resolves its admission window without fetching data. */
@@ -429,9 +791,15 @@ object KafkaWire {
     * silently skipping a committed range. */
   final class GrowingFetcher(c: Conn, topic: String, partition: Int) {
     private var maxBytes = 1 << 20
+    // one ApiVersions round-trip per task connection (the stock
+    // client's handshake): Fetch v4 when the broker serves v2
+    // batches, v2 otherwise — decode handles either format per entry
+    private val format = negotiateFormat(c)
     def fetchAt(pos: Long): (Seq[Record], Long) = {
       while (true) {
-        val (recs, hw) = fetch(c, topic, partition, pos, maxBytes)
+        val (recs, hw) =
+          if (format >= 2) fetchV4(c, topic, partition, pos, maxBytes)
+          else fetch(c, topic, partition, pos, maxBytes)
         val kept = recs.filter(_.offset >= pos)
         if (kept.nonEmpty || pos >= hw) return (kept, hw)
         if (maxBytes >= MaxFetchBytes)
@@ -454,25 +822,84 @@ object KafkaWire {
     * mismatch) are NOT retried — a broker that mis-routes responses
     * must abort the task, not be trusted with a resend. */
   final class RetryingProducer(host: String, port: Int, topic: String,
-      maxAttempts: Int = 3) {
+      maxAttempts: Int = 3, format: String = "auto",
+      idempotent: Boolean = false, transactionalId: String = null) {
+    require(format == "auto" || format == "v1" || format == "v2",
+      s"format must be auto|v1|v2, got '$format'")
+    require(!(idempotent && format == "v1"),
+      "idempotent produce needs record-batch v2 (format=v1 given)")
     private var conn: Conn = null
     private var nParts = -1
+    private var magic = -1
+    // producer identity is CLUSTER state, not connection state: the
+    // pid/epoch survive reconnects so a retried batch re-sends with
+    // the SAME baseSequence and the broker can dedup it
+    private var pid = -1L
+    private var pEpoch = -1
+    private val seqs = scala.collection.mutable.Map.empty[Int, Int]
     private def ensure(): Unit = if (conn == null) {
       conn = new Conn(host, port)
       nParts = partitionCount(conn, topic)
+      val negotiated = negotiateFormat(conn)
+      magic = format match {
+        case "v1" => 1
+        case "v2" =>
+          require(negotiated >= 2, "broker does not support record-batch v2")
+          2
+        case _ =>
+          if (idempotent) require(negotiated >= 2,
+            "idempotent produce needs a record-batch-v2 broker")
+          negotiated
+      }
+      if (idempotent && pid < 0L) {
+        val (p, e) = initProducerId(conn, transactionalId)
+        pid = p; pEpoch = e
+      }
     }
     private def reset(): Unit = {
       if (conn != null) { try conn.close() catch { case _: Exception => } }
       conn = null
     }
     def partitions: Int = { ensure(); nParts }
+    /** The negotiated record format (1 or 2) — observable for tests. */
+    def recordFormat: Int = { ensure(); magic }
+    def producerIdentity: (Long, Int) = { ensure(); (pid, pEpoch) }
     def send(partition: Int, records: Seq[(Array[Byte], Array[Byte])],
-        timestamp: Long, codec: Int = Codec.None): Long = {
+        timestamp: Long, codec: Int = Codec.None): Long =
+      sendRecords(partition, records.zipWithIndex.map { case ((k, v), i) =>
+        Record(i.toLong, timestamp, k, v) }, codec)
+    /** Full-fidelity send: per-record timestamps and (v2-only)
+      * headers. Record offsets are ignored — positions in the batch
+      * define the relative offsets. I/O failures reconnect and
+      * re-send with the SAME baseSequence (idempotent mode), so the
+      * broker drops the duplicate; fencing/sequence errors are
+      * RuntimeExceptions and NOT retried. */
+    def sendRecords(partition: Int, records: Seq[Record],
+        codec: Int = Codec.None): Long = {
       var attempt = 1
       while (true) {
         try {
           ensure()
-          return produce(conn, topic, partition, records, timestamp, codec)
+          return if (magic >= 2) {
+            val based = records.zipWithIndex.map { case (r, i) =>
+              r.copy(offset = i.toLong) }
+            val baseSeq = if (idempotent) seqs.getOrElse(partition, 0) else -1
+            val batch = encodeRecordBatch(0L, based, codec, pid,
+              if (idempotent) pEpoch else -1, baseSeq)
+            val off = produceV3(conn, topic, partition, batch)
+            if (idempotent) seqs(partition) = baseSeq + records.length
+            off
+          } else {
+            if (records.exists(_.headers.nonEmpty))
+              throw new IllegalArgumentException(
+                "record headers need record-batch v2; the broker/format " +
+                  "negotiated v1")
+            // v1 has no per-record timestamps: stamp the wrapper max,
+            // the same loss a real broker's down-conversion accepts
+            val ts = records.iterator.map(_.timestamp).max
+            produce(conn, topic, partition,
+              records.map(r => (r.key, r.value)), ts, codec)
+          }
         }
         catch {
           case e: java.io.IOException =>

@@ -54,6 +54,17 @@ class KafkaWireDataSource extends TableProvider with DataSourceRegister {
       s"startingOffsets must be earliest or latest, got '$starting'")
     val codec = KafkaWire.Codec.forName(
       Option(opts.get("codec")).getOrElse("none"))
+    val format = Option(opts.get("format")).getOrElse("auto")
+    require(format == "auto" || format == "v1" || format == "v2",
+      s"format must be auto|v1|v2, got '$format'")
+    val idempotent = Option(opts.get("idempotent")).exists { v =>
+      require(v == "true" || v == "false",
+        s"idempotent must be true or false, got '$v'")
+      v == "true"
+    }
+    require(!(idempotent && format == "v1"),
+      "idempotent=true needs record-batch v2; format=v1 cannot carry " +
+        "producer sequences")
     val maxOffsets = Option(opts.get("maxOffsetsPerTrigger")).map { v =>
       try java.lang.Long.parseLong(v): Long
       catch { case _: NumberFormatException =>
@@ -64,7 +75,7 @@ class KafkaWireDataSource extends TableProvider with DataSourceRegister {
     maxOffsets.foreach(m => require(m > 0,
       s"maxOffsetsPerTrigger must be positive, got $m"))
     new KafkaWireTable(host, Integer.parseInt(port), topic, starting, codec,
-      maxOffsets)
+      maxOffsets, format, idempotent)
   }
 }
 
@@ -79,7 +90,8 @@ object KafkaWireDataSource {
 
 private[sources] class KafkaWireTable(host: String, port: Int, topic: String,
     startingOffsets: String = "earliest", codec: Int = KafkaWire.Codec.None,
-    maxOffsetsPerTrigger: Option[Long] = None)
+    maxOffsetsPerTrigger: Option[Long] = None, format: String = "auto",
+    idempotent: Boolean = false)
     extends Table with SupportsRead with SupportsWrite {
   require(host != null && topic != null, "options host, port, topic are required")
   override def name(): String = s"graft-kafka($topic@$host:$port)"
@@ -97,7 +109,8 @@ private[sources] class KafkaWireTable(host: String, port: Int, topic: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write =
-        new KafkaWireWrite(host, port, topic, info.schema(), codec)
+        new KafkaWireWrite(host, port, topic, info.schema(), codec, format,
+          idempotent)
     }
 }
 
@@ -117,7 +130,8 @@ private[sources] class KafkaWireTable(host: String, port: Int, topic: String,
   * into the sink. Records are CreateTime-stamped per flush (the stock
   * producer stamps per send), not per query start. */
 private[sources] class KafkaWireWrite(host: String, port: Int, topic: String,
-    schema: StructType, codec: Int = KafkaWire.Codec.None) extends Write {
+    schema: StructType, codec: Int = KafkaWire.Codec.None,
+    format: String = "auto", idempotent: Boolean = false) extends Write {
   require(schema.fieldNames.contains("key") && schema.fieldNames.contains("value"),
     s"graft-kafka sink needs key and value columns; got ${schema.simpleString}")
   private def binaryness(field: String): Boolean =
@@ -133,7 +147,7 @@ private[sources] class KafkaWireWrite(host: String, port: Int, topic: String,
   private val valueBinary = binaryness("value")
   private def factory = KafkaWriterFactory(host, port, topic,
     schema.fieldIndex("key"), schema.fieldIndex("value"),
-    keyBinary, valueBinary, codec)
+    keyBinary, valueBinary, codec, format, idempotent)
 
   override def toBatch: BatchWrite = new BatchWrite {
     private val f = factory
@@ -158,15 +172,16 @@ private[sources] case class KafkaWriteCommit(rows: Long) extends WriterCommitMes
 private[sources] case class KafkaWriterFactory(host: String, port: Int,
     topic: String, keyIdx: Int, valueIdx: Int,
     keyBinary: Boolean, valueBinary: Boolean,
-    codec: Int = KafkaWire.Codec.None)
+    codec: Int = KafkaWire.Codec.None, format: String = "auto",
+    idempotent: Boolean = false)
     extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new KafkaProduceWriter(host, port, topic, keyIdx, valueIdx,
-      keyBinary, valueBinary, codec)
+      keyBinary, valueBinary, codec, format, idempotent)
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new KafkaProduceWriter(host, port, topic, keyIdx, valueIdx,
-      keyBinary, valueBinary, codec)
+      keyBinary, valueBinary, codec, format, idempotent)
 }
 
 /** One task's producer: buffers rows, routes them to topic partitions
@@ -177,9 +192,16 @@ private[sources] case class KafkaWriterFactory(host: String, port: Int,
 private[sources] class KafkaProduceWriter(host: String, port: Int,
     topic: String, keyIdx: Int, valueIdx: Int,
     keyBinary: Boolean, valueBinary: Boolean,
-    codec: Int = KafkaWire.Codec.None)
+    codec: Int = KafkaWire.Codec.None, format: String = "auto",
+    idempotent: Boolean = false)
     extends DataWriter[InternalRow] {
-  private val prod = new KafkaWire.RetryingProducer(host, port, topic)
+  // idempotent=true: this TASK's producer gets a fresh PID and
+  // per-partition sequences, so the client's own I/O retries dedup
+  // broker-side (exactly-once across connection faults). A whole-task
+  // retry is a NEW writer = new PID — that replay is still absorbed
+  // downstream (the stock connector's non-transactional contract).
+  private val prod = new KafkaWire.RetryingProducer(host, port, topic,
+    format = format, idempotent = idempotent)
   private val buf =
     scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Array[Byte])]
   private var written = 0L

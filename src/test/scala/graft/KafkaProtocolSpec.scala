@@ -151,9 +151,10 @@ class KafkaProtocolSpec extends SparkSuite {
     } finally srv.stop()
   }
 
-  test("graft-kafka readStream: earliest start, checkpointed resume, exactly once") {
+  for (bfmt <- Seq(1, 2))
+  test(s"graft-kafka readStream: earliest start, checkpointed resume, exactly once (broker v$bfmt)") {
     import org.apache.spark.sql.streaming.Trigger
-    val srv = new MiniKafkaServer(numPartitions = 2)
+    val srv = new MiniKafkaServer(numPartitions = 2, serveFormat = bfmt)
     try {
       val c = new KafkaWire.Conn("localhost", srv.port)
       def send(vals: String*): Unit =
@@ -256,8 +257,9 @@ class KafkaProtocolSpec extends SparkSuite {
     } finally srv.stop()
   }
 
-  test("S2→S3 end to end: RSS → produceDataFrame → broker → pollOnce → enrich") {
-    val srv = new MiniKafkaServer(numPartitions = 2)
+  for (bfmt <- Seq(1, 2))
+  test(s"S2→S3 end to end: RSS → produceDataFrame → broker → pollOnce → enrich (broker v$bfmt)") {
+    val srv = new MiniKafkaServer(numPartitions = 2, serveFormat = bfmt)
     try {
       val fake = new Rss.FeedFetcher {
         def fetch(url: String): Seq[Rss.FeedEntry] = Seq(

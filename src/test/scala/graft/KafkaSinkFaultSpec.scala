@@ -22,8 +22,15 @@ class KafkaSinkFaultSpec extends SparkSuite {
 
   private val u8 = java.nio.charset.StandardCharsets.UTF_8
 
-  test("df.write.format(graft-kafka): batch DSv2 write lands murmur2-routed records") {
-    val srv = new MiniKafkaServer(numPartitions = 2)
+  /** The whole fault/sink/stream matrix runs against BOTH broker
+    * generations: serveFormat=1 emulates a pre-0.11 broker (the
+    * client negotiates down to message-format v1), serveFormat=2 a
+    * modern one (record-batch v2 on Produce v3 / Fetch v4). Same
+    * client code, both wire formats — the r13 directive. */
+  private val brokerFormats = Seq(1, 2)
+
+  for (bfmt <- brokerFormats) test(s"df.write.format(graft-kafka): batch DSv2 write lands murmur2-routed records (broker v$bfmt)") {
+    val srv = new MiniKafkaServer(numPartitions = 2, serveFormat = bfmt)
     try {
       import spark.implicits._
       (1 to 40).map(i => (s"key-$i", s"val-$i")).toDF("key", "value")
@@ -42,8 +49,8 @@ class KafkaSinkFaultSpec extends SparkSuite {
     } finally srv.stop()
   }
 
-  test("writeStream.format(graft-kafka): epoch-keyed sink with checkpointed resume") {
-    val srv = new MiniKafkaServer(numPartitions = 2)
+  for (bfmt <- brokerFormats) test(s"writeStream.format(graft-kafka): epoch-keyed sink with checkpointed resume (broker v$bfmt)") {
+    val srv = new MiniKafkaServer(numPartitions = 2, serveFormat = bfmt)
     try {
       import spark.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -108,8 +115,8 @@ class KafkaSinkFaultSpec extends SparkSuite {
   // ── r12 advice #1: a gzip wrapper batch serves below-cursor records
   // the consumer must drop. The broker double now stores batches and
   // serves whole wrappers, so this is testable for real. ─────────────
-  test("resume inside a gzip wrapper: below-cursor records are dropped, not re-emitted") {
-    val srv = new MiniKafkaServer(numPartitions = 1)
+  for (bfmt <- brokerFormats) test(s"resume inside a gzip wrapper: below-cursor records are dropped, not re-emitted (broker v$bfmt)") {
+    val srv = new MiniKafkaServer(numPartitions = 1, serveFormat = bfmt)
     try {
       val c = new KafkaWire.Conn("localhost", srv.port)
       try {
@@ -128,8 +135,8 @@ class KafkaSinkFaultSpec extends SparkSuite {
     } finally srv.stop()
   }
 
-  test("gzip wrapper spanning a micro-batch boundary: streaming stays exactly-once") {
-    val srv = new MiniKafkaServer(numPartitions = 1)
+  for (bfmt <- brokerFormats) test(s"gzip wrapper spanning a micro-batch boundary: streaming stays exactly-once (broker v$bfmt)") {
+    val srv = new MiniKafkaServer(numPartitions = 1, serveFormat = bfmt)
     try {
       val c = new KafkaWire.Conn("localhost", srv.port)
       try {
@@ -161,8 +168,8 @@ class KafkaSinkFaultSpec extends SparkSuite {
 
   // ── r12 advice #2: a message larger than max_bytes yields ZERO
   // complete records; the reader must grow-and-retry, never skip. ────
-  test("oversized message: the reader grows max_bytes instead of silently skipping") {
-    val srv = new MiniKafkaServer(numPartitions = 1)
+  for (bfmt <- brokerFormats) test(s"oversized message: the reader grows max_bytes instead of silently skipping (broker v$bfmt)") {
+    val srv = new MiniKafkaServer(numPartitions = 1, serveFormat = bfmt)
     try {
       val c = new KafkaWire.Conn("localhost", srv.port)
       try {
@@ -191,8 +198,8 @@ class KafkaSinkFaultSpec extends SparkSuite {
 
   // ── fault injection: the retry/abort contract ──────────────────────
 
-  test("produce retry after a pre-append connection drop: no loss, no duplicate") {
-    val srv = new MiniKafkaServer(numPartitions = 1)
+  for (bfmt <- brokerFormats) test(s"produce retry after a pre-append connection drop: no loss, no duplicate (broker v$bfmt)") {
+    val srv = new MiniKafkaServer(numPartitions = 1, serveFormat = bfmt)
     try {
       srv.dropNextProduce.set(1)
       val prod = new KafkaWire.RetryingProducer("localhost", srv.port, "t")
@@ -205,8 +212,8 @@ class KafkaSinkFaultSpec extends SparkSuite {
     } finally srv.stop()
   }
 
-  test("produce retry after a post-append drop DUPLICATES; the J1 upsert absorbs it") {
-    val srv = new MiniKafkaServer(numPartitions = 1)
+  for (bfmt <- brokerFormats) test(s"produce retry after a post-append drop DUPLICATES; the J1 upsert absorbs it (broker v$bfmt)") {
+    val srv = new MiniKafkaServer(numPartitions = 1, serveFormat = bfmt)
     try {
       srv.dropNextProduceAfterAppend.set(1)
       val prod = new KafkaWire.RetryingProducer("localhost", srv.port, "t")
@@ -234,8 +241,8 @@ class KafkaSinkFaultSpec extends SparkSuite {
     } finally srv.stop()
   }
 
-  test("exhausted produce retries surface the I/O failure") {
-    val srv = new MiniKafkaServer(numPartitions = 1)
+  for (bfmt <- brokerFormats) test(s"exhausted produce retries surface the I/O failure (broker v$bfmt)") {
+    val srv = new MiniKafkaServer(numPartitions = 1, serveFormat = bfmt)
     try {
       srv.dropNextProduce.set(10) // more drops than maxAttempts
       val prod = new KafkaWire.RetryingProducer("localhost", srv.port, "t",
@@ -247,8 +254,8 @@ class KafkaSinkFaultSpec extends SparkSuite {
     } finally srv.stop()
   }
 
-  test("torn fetch frame: loud I/O failure, no rows from a torn frame, no hang") {
-    val srv = new MiniKafkaServer(numPartitions = 1)
+  for (bfmt <- brokerFormats) test(s"torn fetch frame: loud I/O failure, no rows from a torn frame, no hang (broker v$bfmt)") {
+    val srv = new MiniKafkaServer(numPartitions = 1, serveFormat = bfmt)
     try {
       val c = new KafkaWire.Conn("localhost", srv.port)
       try {
@@ -267,8 +274,8 @@ class KafkaSinkFaultSpec extends SparkSuite {
     } finally srv.stop()
   }
 
-  test("correlation-id mismatch ABORTS the producer — no blind resend") {
-    val srv = new MiniKafkaServer(numPartitions = 1)
+  for (bfmt <- brokerFormats) test(s"correlation-id mismatch ABORTS the producer — no blind resend (broker v$bfmt)") {
+    val srv = new MiniKafkaServer(numPartitions = 1, serveFormat = bfmt)
     try {
       val prod = new KafkaWire.RetryingProducer("localhost", srv.port, "t")
       try {
@@ -285,9 +292,10 @@ class KafkaSinkFaultSpec extends SparkSuite {
   // lz4 (standard frame) — each wrapper round-trips the wire with
   // absolute-offset reconstruction and CRC-verified inner records. ───
   for ((name, codec) <- Seq("gzip" -> KafkaWire.Codec.Gzip,
-      "snappy" -> KafkaWire.Codec.Snappy, "lz4" -> KafkaWire.Codec.Lz4)) {
-    test(s"$name wrapper round-trips the wire with Korean payloads intact") {
-      val srv = new MiniKafkaServer(numPartitions = 1)
+      "snappy" -> KafkaWire.Codec.Snappy, "lz4" -> KafkaWire.Codec.Lz4);
+      bfmt <- brokerFormats) {
+    test(s"$name wrapper round-trips the wire with Korean payloads intact (broker v$bfmt)") {
+      val srv = new MiniKafkaServer(numPartitions = 1, serveFormat = bfmt)
       try {
         val c = new KafkaWire.Conn("localhost", srv.port)
         try {
@@ -311,9 +319,9 @@ class KafkaSinkFaultSpec extends SparkSuite {
     }
   }
 
-  test("startingOffsets=latest: a fresh stream sees only post-start records") {
+  for (bfmt <- brokerFormats) test(s"startingOffsets=latest: a fresh stream sees only post-start records (broker v$bfmt)") {
     import org.apache.spark.sql.streaming.Trigger
-    val srv = new MiniKafkaServer(numPartitions = 1)
+    val srv = new MiniKafkaServer(numPartitions = 1, serveFormat = bfmt)
     try {
       val c = new KafkaWire.Conn("localhost", srv.port)
       try {
@@ -351,8 +359,8 @@ class KafkaSinkFaultSpec extends SparkSuite {
     assert(messages(err).exists(_.contains("startingOffsets must be")))
   }
 
-  test("sink codec option: batches travel compressed and land intact") {
-    val srv = new MiniKafkaServer(numPartitions = 1)
+  for (bfmt <- brokerFormats) test(s"sink codec option: batches travel compressed and land intact (broker v$bfmt)") {
+    val srv = new MiniKafkaServer(numPartitions = 1, serveFormat = bfmt)
     try {
       import spark.implicits._
       (1 to 30).map(i => (s"k$i", s"기사 내용 $i")).toDF("key", "value")
@@ -388,9 +396,9 @@ class KafkaSinkFaultSpec extends SparkSuite {
     assert(messages(err).exists(_.contains("codec must be")))
   }
 
-  test("maxOffsetsPerTrigger: AvailableNow drains in rate-limited batches, exactly once") {
+  for (bfmt <- brokerFormats) test(s"maxOffsetsPerTrigger: AvailableNow drains in rate-limited batches, exactly once (broker v$bfmt)") {
     import org.apache.spark.sql.streaming.Trigger
-    val srv = new MiniKafkaServer(numPartitions = 2)
+    val srv = new MiniKafkaServer(numPartitions = 2, serveFormat = bfmt)
     try {
       val c = new KafkaWire.Conn("localhost", srv.port)
       try {

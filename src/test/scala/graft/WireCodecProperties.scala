@@ -88,4 +88,100 @@ object WireCodecProperties extends Properties("graft.wirecodec") {
         }
       }
     }
+
+  // ── record batch v2 (magic 2) ───────────────────────────────────────
+
+  private val headerGen: Gen[(String, Array[Byte])] = for {
+    k <- Gen.alphaNumStr.map(_.take(12))
+    v <- bytesGen
+  } yield (k, v)
+
+  /** v2 records: per-record timestamps and headers — the fidelity v1
+    * cannot carry. */
+  private val v2RecordsGen: Gen[List[KafkaWire.Record]] = for {
+    n <- Gen.chooseNum(1, 20)
+    baseTs <- Gen.chooseNum(0L, 1L << 41)
+    recs <- Gen.listOfN(n, for {
+      k <- bytesGen; v <- bytesGen
+      dts <- Gen.chooseNum(-1000L, 100000L)
+      hs <- Gen.chooseNum(0, 3).flatMap(Gen.listOfN(_, headerGen))
+    } yield (k, v, baseTs + dts, hs))
+  } yield recs.zipWithIndex.map { case ((k, v, ts, hs), i) =>
+    KafkaWire.Record(i.toLong, ts, k, v, hs)
+  }
+
+  private val allCodecs = KafkaWire.Codec.None +: codecs
+
+  /** CRC32C pinned to the published check value (RFC 3720 §B.4 /
+    * the iSCSI polynomial): crc32c("123456789") = 0xE3069283. The v2
+    * batch CRC rides this exact implementation. */
+  property("crc32c matches the published RFC 3720 test vector") = Prop {
+    val v = "123456789".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    KafkaWire.crc32c(v, 0, v.length) == 0xE3069283L
+  }
+
+  property("v2 batch roundtrip: content, headers, per-record timestamps, offsets") =
+    Prop.forAll(v2RecordsGen, Gen.chooseNum(0L, Long.MaxValue / 4),
+        Gen.oneOf(allCodecs)) { (recs, base, codec) =>
+      // encode at the broker-assigned base (relative deltas inside)
+      val rebased = recs.map(r => r.copy(offset = base + r.offset))
+      val batch = KafkaWire.encodeRecordBatch(base, rebased, codec,
+        producerId = 77L, producerEpoch = 3, baseSequence = 41)
+      val out = KafkaWire.decodeRecordSet(batch)
+      val meta = KafkaWire.decodeRecordBatches(batch)
+      out.length == recs.length &&
+        meta.length == 1 && meta.head.producerId == 77L &&
+        meta.head.producerEpoch == 3 && meta.head.baseSequence == 41 &&
+        out.zip(rebased).forall { case (a, b) =>
+          a.offset == b.offset && a.timestamp == b.timestamp &&
+            sameBytes(a.key, b.key) && sameBytes(a.value, b.value) &&
+            a.headers.length == b.headers.length &&
+            a.headers.zip(b.headers).forall { case ((ak, av), (bk, bv)) =>
+              ak == bk && sameBytes(av, bv) }
+        }
+    }
+
+  property("v2 truncation at any byte yields a clean batch prefix, never garbage") =
+    Prop.forAll(v2RecordsGen, v2RecordsGen, Gen.oneOf(allCodecs)) {
+      (recsA, recsB, codec) =>
+        // two concatenated batches, the broker's multi-batch serve shape
+        val a = KafkaWire.encodeRecordBatch(0L, recsA, codec)
+        val b = KafkaWire.encodeRecordBatch(recsA.length.toLong,
+          recsB.map(r => r.copy(offset = recsA.length + r.offset)), codec)
+        val set = a ++ b
+        val full = KafkaWire.decodeRecordSet(set)
+        Prop.forAll(Gen.chooseNum(0, set.length)) { cut =>
+          val out = KafkaWire.decodeRecordSet(java.util.Arrays.copyOf(set, cut))
+          // batches are atomic: a cut decodes to 0, |A| or |A|+|B| records
+          (out.length == 0 || out.length == recsA.length ||
+            out.length == full.length) &&
+            out.zip(full).forall { case (x, y) =>
+              x.offset == y.offset && sameBytes(x.value, y.value) }
+        }
+    }
+
+  property("v2 corruption anywhere past the length field fails CRC32C, never yields rows") =
+    Prop.forAll(v2RecordsGen, Gen.oneOf(allCodecs)) { (recs, codec) =>
+      val batch = KafkaWire.encodeRecordBatch(0L, recs, codec)
+      // flip one byte in the CRC-covered region (attributes..end)
+      Prop.forAll(Gen.chooseNum(21, batch.length - 1)) { at =>
+        val bad = batch.clone()
+        bad(at) = (bad(at) ^ 0x40).toByte
+        Prop.throws(classOf[java.io.IOException]) {
+          KafkaWire.decodeRecordSet(bad)
+        }
+      }
+    }
+
+  property("mixed-format set: v1 entries and v2 batches decode in one pass") =
+    Prop.forAll(recordsGen, v2RecordsGen) { (v1recs, v2recs) =>
+      val v1 = KafkaWire.encodeMessageSetAt(
+        v1recs.zipWithIndex.map { case ((k, v), i) =>
+          KafkaWire.Record(i.toLong, 5L, k, v) })
+      val v2 = KafkaWire.encodeRecordBatch(v1recs.length.toLong,
+        v2recs.map(r => r.copy(offset = v1recs.length + r.offset)))
+      val out = KafkaWire.decodeRecordSet(v1 ++ v2)
+      out.length == v1recs.length + v2recs.length &&
+        out.map(_.offset) == (0L until out.length.toLong)
+    }
 }
