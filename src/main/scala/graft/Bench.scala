@@ -147,7 +147,8 @@ object Bench {
       q -> arts.mkString("[\"", "\",\"", "\"]")
     })
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total_full","value":${ms(total)},"unit":"sec","queries":$qs,"loads":$loads,"cold":$coldJson,"n_cold_builds":${coldBuilds.size},"sf":"$sfDir","load_avg_start":$loadStart,"load_avg_end":$loadEnd}""")
+    val fams = jmap(famSecs.toSeq.map { case (k, v) => k -> ms(v) })
+    println(s"""{"metric":"total_full","value":${ms(total)},"unit":"sec","queries":$qs,"loads":$loads,"families":$fams,"cold":$coldJson,"n_cold_builds":${coldBuilds.size},"sf":"$sfDir","load_avg_start":$loadStart,"load_avg_end":$loadEnd}""")
 
     // Durable full copy (best-effort; the stdout tail truncates line 1).
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
@@ -157,7 +158,7 @@ object Bench {
       Option(f.getParentFile).foreach(_.mkdirs())
       val w = new java.io.OutputStreamWriter(new java.io.FileOutputStream(f),
         java.nio.charset.StandardCharsets.UTF_8)
-      try w.write(s"""{"metric":"total_full","value":${ms(total)},"unit":"sec","sf":"$sfDir","queries":$qs,"loads":$loads,"cold":$coldJson,"n_cold_builds":${coldBuilds.size},"load_avg_start":$loadStart,"load_avg_end":$loadEnd}\n""")
+      try w.write(s"""{"metric":"total_full","value":${ms(total)},"unit":"sec","sf":"$sfDir","queries":$qs,"loads":$loads,"families":$fams,"cold":$coldJson,"n_cold_builds":${coldBuilds.size},"load_avg_start":$loadStart,"load_avg_end":$loadEnd}\n""")
       finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
@@ -176,12 +177,48 @@ object Bench {
     // Load samples FOR the worst-10 (the queries whose moves need
     // attribution) — full per-query loads are in line 1 + the file.
     val worstLoads = jmap(worst.map { case (k, _, l) => k -> l2(l) })
-    val fams = jmap(famSecs.toSeq.map { case (k, v) => k -> ms(v) })
+    // Self-adjudicating worst-10 (r13 verdict #7): the driver totals of
+    // the last two rounds were dominated by ambient load and needed
+    // builder re-runs to interpret. Re-run each worst-10 query twice
+    // more and report the MEDIAN of its three samples plus the spread
+    // (max-min): a structural regression shows a high median with a
+    // tight spread; an ambient spike shows a low median with a wide
+    // spread. Runs keep the main pass's family-boundary cache hygiene
+    // and walk in the original (alphabetical) order so family memos
+    // behave as they did in the measured pass.
+    val byName = selected.toMap
+    val worstSet = worst.map(_._1).toSet
+    val med3Samples = scala.collection.mutable.LinkedHashMap
+      .empty[String, Seq[Double]]
+    worst.map(_._1).foreach(n => med3Samples(n) =
+      Seq(results.find(_._1 == n).get._2))
+    for (pass <- 1 to 2) {
+      var prev = ""
+      selected.filter(p => worstSet(p._1)).foreach { case (name, fn) =>
+        val fam = family(name)
+        if (prev.nonEmpty && fam != prev) spark.catalog.clearCache()
+        prev = fam
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name re-run $pass failed: ${e.getMessage}")
+        }
+        med3Samples(name) = med3Samples(name) :+ (System.nanoTime() - t0) / 1e9
+      }
+    }
+    val worstMed3 = jmap(worst.map { case (k, _, _) =>
+      k -> ms(med3Samples(k).sorted.apply(med3Samples(k).size / 2)) })
+    val worstSpread = jmap(worst.map { case (k, _, _) =>
+      val s = med3Samples(k); k -> ms(s.max - s.min) })
     // cold per query as COUNTS here (names are in line 1 + the file):
-    // keeps this line safely inside the ~2 KB durable tail.
+    // keeps this line safely inside the ~2 KB durable tail. The
+    // families map moved to line 1 + the file for the same reason —
+    // r13's final line OVERFLOWED the consumer's 2000-char tail
+    // (BENCH_r13 parsed:null), which defeated the whole
+    // self-adjudication purpose; this line must parse WHOLE.
     val coldCounts = jmap(coldBuilds.toSeq.take(12)
       .map { case (q, arts) => q -> arts.size.toString })
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"median":${ms(median)},"worst10":$worst10,"worst10_loads":$worstLoads,"families":$fams,"cold":$coldCounts,"n_cold_builds":${coldBuilds.size},"queries_file":"$outFile","sf":"$sfDir","load_avg_start":$loadStart,"load_avg_end":$loadEnd}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"median":${ms(median)},"worst10":$worst10,"worst10_median3":$worstMed3,"worst10_spread":$worstSpread,"worst10_loads":$worstLoads,"cold":$coldCounts,"n_cold_builds":${coldBuilds.size},"queries_file":"$outFile","sf":"$sfDir","load_avg_start":$loadStart,"load_avg_end":$loadEnd}""")
     spark.stop()
   }
 }

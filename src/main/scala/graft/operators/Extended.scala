@@ -13,26 +13,34 @@ import org.apache.spark.sql.functions._
 object Extended {
 
   /** Exact interpolated quantiles per group WITHOUT the value-buffering
-    * aggregate. Spark's `percentile()`/`median()` collect EVERY value
-    * of a group into the aggregation buffer — at 100 TB a hot group
-    * OOMs its executor. This shape ranks values with a per-group
-    * sorted window instead (the window sort is an ExternalSorter: it
-    * SPILLS, it never buffers in an agg), keeps only the two boundary
-    * rows per requested quantile, and interpolates — the exact
-    * `quantile_cont` recurrence (r = q·(n−1) over the 0-indexed sorted
-    * values), so the DuckDB oracle is unchanged. Parallelism is one
-    * sorted partition per group (the inherent cost of EXACT quantiles
-    * on low-cardinality keys); the mergeable-sketch twin
+    * aggregate — a public operator (promoted r14). Spark's
+    * `percentile()`/`median()` collect EVERY value of a group into the
+    * aggregation buffer — at 100 TB a hot group OOMs its executor.
+    * This shape ranks values with a per-group sorted window instead
+    * (the window sort is an ExternalSorter: it SPILLS, it never
+    * buffers in an agg), keeps only the two boundary rows per
+    * requested quantile, and interpolates — the exact `quantile_cont`
+    * recurrence (r = q·(n−1) over the 0-indexed sorted values), so the
+    * DuckDB oracle is unchanged. Parallelism is one sorted partition
+    * per group (the inherent cost of EXACT quantiles on
+    * low-cardinality keys); the mergeable-sketch twin
     * (sk_quantile_hist) remains the constant-memory approximate path.
     *
-    * CONTRACT: a group whose values are NULL in every spec column is
-    * DROPPED (it contributes no stacked rows), where the buffering
-    * aggregates would return it with NULL quantiles — callers on
-    * nullable columns that need those groups must outer-join them
-    * back. Current callers (lineitem NOT NULL columns) cannot hit
-    * this. */
-  private def exactQuantiles(df: DataFrame, grp: String,
-      specs: Seq[(String, String, Double)]): DataFrame = {
+    * NULL semantics match the buffering aggregates exactly when
+    * `keepAllNullGroups = true`: per-column NULLs are ignored, a group
+    * whose values are all-NULL in one spec column gets NULL for that
+    * column's quantiles, and a group that is all-NULL in EVERY spec
+    * column comes back with all-NULL quantiles (it is outer-joined
+    * from the distinct group keys). With the default `false`, such
+    * fully-absent groups are dropped — one fewer pass over the input
+    * when the caller's columns are NOT NULL anyway.
+    * QuantileProperties pins equality with `percentile()` on generated
+    * data including all-NULL and single-row groups.
+    *
+    * @param specs (valueColumn, outputName, q) triples, q in [0, 1] */
+  def exactQuantiles(df: DataFrame, grp: String,
+      specs: Seq[(String, String, Double)],
+      keepAllNullGroups: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // stack all requested value columns into ONE (grp, which, v) frame
     // so a single exchange + sort ranks everything; the per-partition
@@ -68,7 +76,21 @@ object Extended {
       d.withColumn(name, col(s"${name}_lo") +
         col(s"${name}_frac") * (col(s"${name}_hi") - col(s"${name}_lo")))
     }
-    withQs.select(col(grp) +: specs.map { case (_, name, _) => col(name) }: _*)
+    val out = withQs
+      .select(col(grp) +: specs.map { case (_, name, _) => col(name) }: _*)
+    if (!keepAllNullGroups) out
+    else {
+      // groups all-NULL in every spec column contributed no stacked
+      // rows; union them back with NULL quantiles — percentile()'s
+      // shape. `except` (not a join): set ops are null-safe, so a NULL
+      // group KEY that has real values is correctly seen as present.
+      // Both sides are group-cardinality-sized (small by construction
+      // for a groupBy key).
+      val missing = df.select(col(grp)).distinct()
+        .except(out.select(col(grp)))
+      out.unionByName(specs.foldLeft(missing) { case (d, (_, name, _)) =>
+        d.withColumn(name, lit(null).cast("double")) })
+    }
   }
 
   val queries: Map[String, Relational.Q] = Map(
@@ -106,6 +128,21 @@ object Extended {
           Num.roundp(col("med_raw"), 2).as("med_qty"),
           Num.roundp(col("p25_raw"), 2).as("p25_price"),
           Num.roundp(col("p95_raw"), 2).as("p95_price"))),
+
+    // ── the keepAllNullGroups surface (r14): a group all-NULL in the
+    // value column must come back WITH NULL quantiles, exactly as the
+    // buffering percentile()/median() would return it — nullability
+    // synthesized deterministically (the testdata has none) ───────────
+    "a_percentiles_nullgroups" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events").withColumn("v",
+        when(col("event_type") =!= "error", col("value")))
+      exactQuantiles(ev, "event_type", Seq(
+        ("v", "p50_raw", 0.5), ("v", "p90_raw", 0.9)),
+        keepAllNullGroups = true)
+        .select(col("event_type"),
+          Num.roundp(col("p50_raw"), 3).as("p50_value"),
+          Num.roundp(col("p90_raw"), 3).as("p90_value"))
+    }),
 
     // ── cube (full grouping-sets lattice) ─────────────────────────────
     "a9_cube" -> ((s, dir) =>
@@ -265,6 +302,12 @@ object Extended {
         |  floor((quantile_cont(l_extendedprice, 0.25)) * 100 + 0.5) / 100 AS p25_price,
         |  floor((quantile_cont(l_extendedprice, 0.95)) * 100 + 0.5) / 100 AS p95_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "a_percentiles_nullgroups" ->
+      """SELECT event_type,
+        |  floor((quantile_cont(CASE WHEN event_type <> 'error' THEN value END, 0.5)) * 1000 + 0.5) / 1000 AS p50_value,
+        |  floor((quantile_cont(CASE WHEN event_type <> 'error' THEN value END, 0.9)) * 1000 + 0.5) / 1000 AS p90_value
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "a9_cube" ->
       """SELECT o_orderstatus, CAST(year(o_orderdate) AS BIGINT) AS order_year,
