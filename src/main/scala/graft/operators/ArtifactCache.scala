@@ -17,17 +17,24 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * build (parquet round-trips long/double/string exactly); only row
   * order differs, and every consumer aggregates or joins.
   *
-  * Publication protocol (the same immutability contract as the
-  * versioned IvfIndex): the build runs in a private temp dir that
-  * already contains the `_GRAFT_DONE` completion marker, then a single
-  * atomic rename publishes it — "directory exists with marker" and
-  * "directory is complete" are therefore the SAME event, so no
-  * interleaving of builders and readers can observe a half-built
-  * table, and a killed build leaves only an ignorable temp dir (no
-  * unmarked torso at the published path). A losing racer discards its
-  * own build; published directories are never written again. In-JVM,
-  * a per-artifact lock additionally serializes builders so the build
-  * runs at most once per session.
+  * Publication protocol (r14 — unified onto the LSM's
+  * [[CommitPrimitive]] seam, the r13 verdict's directive #3): the
+  * build runs in a UNIQUELY-NAMED directory (never contended, with the
+  * `_GRAFT_DONE` marker inside), and the commit point is claiming the
+  * `<name>.ptr` pointer FILE — whose content is the winning directory
+  * name — through `CommitPrimitive.active` (POSIX hard link locally,
+  * Hadoop rename-without-overwrite on a lake filesystem). "Pointer
+  * exists" and "a complete directory is published" are the SAME event:
+  * the pointer is only claimed after the directory is fully written,
+  * so no interleaving of builders and readers can observe a half-built
+  * table. A losing racer deletes its own directory and follows the
+  * winner's pointer; a killed build leaves only an unreferenced
+  * directory (ignorable garbage, evicted with its corpus generation).
+  * This retires the old directory-rename protocol, whose local-FS
+  * fallback could nest a losing temp dir INSIDE the published artifact
+  * (the lost-race repair it needed is structurally impossible now).
+  * In-JVM, a per-artifact lock additionally serializes builders so the
+  * build runs at most once per session.
   */
 private[graft] object ArtifactCache {
 
@@ -72,13 +79,24 @@ private[graft] object ArtifactCache {
     s.read.parquet(path)
   }
 
-  private def isPublished(out: java.io.File): Boolean =
-    new java.io.File(out, Done).exists()
+  private def ptrFile(root: java.io.File, name: String): java.io.File =
+    new java.io.File(root, s"$name.ptr")
+
+  /** The published directory for `name`, resolved through its claimed
+    * pointer — None until some process's claim has landed. */
+  private def resolve(root: java.io.File, name: String): Option[String] = {
+    val p = ptrFile(root, name)
+    if (!p.exists()) None
+    else Some(new java.io.File(root,
+      java.nio.file.Files.readString(p.toPath).trim).toString)
+  }
 
   private def publish(s: SparkSession, root: java.io.File, prefix: String,
       name: String, build: => DataFrame): String = {
-    val out = new java.io.File(root, name)
-    if (isPublished(out)) return out.toString
+    resolve(root, name) match {
+      case Some(dir) => return dir
+      case None =>
+    }
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       s.sparkContext.hadoopConfiguration)
     def del(f: java.io.File): Unit =
@@ -88,33 +106,30 @@ private[graft] object ArtifactCache {
     Option(root.getParentFile.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith(prefix) && f.getName != root.getName)
       .foreach(del)
-    val tmp = new java.io.File(root,
-      s".build-$name-${java.util.UUID.randomUUID().toString.take(8)}")
-    build.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    new java.io.File(tmp, Done).createNewFile()
-    // Publish. Never rename onto an existing directory (the local-FS
-    // fallback would nest tmp INSIDE it): re-check, clear only an
-    // UNMARKED dst, and treat "marked dst appeared" as losing the race.
-    var attempts = 0
-    var published = isPublished(out)
-    while (!published && attempts < 3) {
-      attempts += 1
-      if (out.exists() && !isPublished(out)) del(out)
-      published = fs.rename(new org.apache.hadoop.fs.Path(tmp.toString),
-        new org.apache.hadoop.fs.Path(out.toString)) || isPublished(out)
+    // Build into a UNIQUE directory: no other builder can be writing
+    // here, so the old protocol's rename races (and its nested-tmp
+    // repair) cannot exist. The marker still travels inside the dir —
+    // it is what bench cold-build detection walks for.
+    val dirName = s"$name-${java.util.UUID.randomUUID().toString.take(8)}"
+    val dir = new java.io.File(root, dirName)
+    build.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+    new java.io.File(dir, Done).createNewFile()
+    // COMMIT: claim the pointer through the active primitive (hard
+    // link locally, Hadoop rename-without-overwrite on a lake FS).
+    val tmpPtr = new java.io.File(root, s".ptr-$dirName")
+    java.nio.file.Files.write(tmpPtr.toPath,
+      dirName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      CommitPrimitive.active.claim(tmpPtr, ptrFile(root, name))
+      dir.toString
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        // lost the cross-process race: another builder's pointer landed
+        // first — discard our build, serve the winner's directory
+        tmpPtr.delete()
+        del(dir)
+        resolve(root, name).getOrElse(throw new IllegalStateException(
+          s"artifact pointer claimed but unreadable: ${ptrFile(root, name)}"))
     }
-    if (tmp.exists()) del(tmp)
-    // Lost-race repair: if another PROCESS published `out` between our
-    // unmarked-dst check and the rename, the local-FS rename fallback
-    // moved tmp INSIDE the published dir instead of failing — the old
-    // tmp path is gone (so the cleanup above was a no-op) and a
-    // .build-* orphan with its own marker sits inside the "immutable"
-    // artifact. Readers stay correct (Spark ignores dot-prefixed
-    // paths), but the dir must still match what the winner published.
-    val nested = new java.io.File(out, tmp.getName)
-    if (nested.exists()) del(nested)
-    if (!isPublished(out))
-      throw new IllegalStateException(s"artifact publish failed: $out")
-    out.toString
   }
 }

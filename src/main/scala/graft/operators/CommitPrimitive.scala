@@ -54,7 +54,10 @@ private[graft] object CommitPrimitive {
 
     /** Stand-in for the namenode's atomic arbitration when the
       * FileSystem is a local emulation whose rename(2) overwrites.
-      * Scoped to `file:`-scheme filesystems only. */
+      * Scoped to `file:`-scheme filesystems only. Serializes THREADS;
+      * the OS file lock below serializes PROCESSES (r14 — previously
+      * two processes sharing a local root could both win the
+      * exists+rename window, a documented-but-unenforced gap). */
     private val localArbiter = new Object
 
     // one Configuration for the primitive's lifetime: construction
@@ -85,7 +88,24 @@ private[graft] object CommitPrimitive {
         }
       }
 
-      if (isLocalEmulation) localArbiter.synchronized(attempt())
+      if (isLocalEmulation) localArbiter.synchronized {
+        // OS-level arbitration across PROCESSES: rename(2) overwrites,
+        // so without this two JVMs on one local root can both pass the
+        // exists check and both "win" the generation. A root-scoped
+        // advisory flock closes the window; the JVM monitor above
+        // prevents the same-process OverlappingFileLockException. HDFS
+        // never takes this branch — its namenode is the arbiter.
+        val lockFile = new java.io.File(target.getParentFile,
+          ".graft-commit-lock")
+        Option(lockFile.getParentFile).foreach(_.mkdirs())
+        val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val l = ch.lock()
+          try attempt() finally l.release()
+        } finally ch.close()
+      }
       else attempt()
     }
   }

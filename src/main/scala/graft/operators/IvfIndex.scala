@@ -156,16 +156,69 @@ object IvfIndex {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** The live generation number, if the index exists. */
+  /** The live generation number, if the index exists. CURRENT is an
+    * advisory HINT (r14): the commit point is the `gen-N` claim file
+    * (see [[claimGeneration]]), so a missing hint — a fresh index, or
+    * the HDFS hint-swap window where delete+rename leaves no CURRENT
+    * for a moment — recovers by scanning the claims for the newest
+    * generation whose tables are on disk (Iceberg's version-hint
+    * recovery shape). */
   def currentVersion(spark: SparkSession, path: String): Option[Int] = {
     val f = hfs(spark, path)
     val cur = new org.apache.hadoop.fs.Path(s"$path/CURRENT")
-    if (!f.exists(cur)) None
-    else {
+    if (f.exists(cur)) {
       val in = f.open(cur)
       try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
       finally in.close()
+    } else {
+      val root = new java.io.File(path)
+      Option(root.listFiles()).getOrElse(Array.empty).toSeq
+        .map(_.getName)
+        .collect { case GenClaim(n) => n.toInt }
+        // claimed AND complete: assignments' _SUCCESS is written by the
+        // committing parquet job AFTER centroids, so its presence means
+        // the whole generation landed (a crash mid-build leaves a
+        // claimed number with no _SUCCESS — skipped here)
+        .filter(n => new java.io.File(root,
+          s"v$n/assignments/_SUCCESS").exists())
+        .maxOption
     }
+  }
+
+  private val GenClaim = "gen-([0-9]+)".r
+
+  /** Claim generation `n` as THE commit point — the same
+    * [[CommitPrimitive]] seam the LSM manifests commit through
+    * (unified r14; previously this index's only mutation guard was the
+    * advisory pointer swap). Exactly one writer can own a generation
+    * number: a racer or a crashed predecessor holding `gen-N` makes
+    * this return false and the builder moves to the next number, so
+    * two concurrent retrains can never interleave writes inside one
+    * `vN` directory. Claim files are never pruned — monotonicity of
+    * "max claimed = newest" is what hint recovery leans on. */
+  private def claimGeneration(path: String, n: Int): Boolean = {
+    val root = new java.io.File(path)
+    root.mkdirs()
+    val tmp = new java.io.File(root,
+      s".gen-$n-${java.util.UUID.randomUUID().toString.take(8)}")
+    java.nio.file.Files.write(tmp.toPath, Array.emptyByteArray)
+    try {
+      CommitPrimitive.active.claim(tmp, new java.io.File(root, s"gen-$n"))
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        tmp.delete(); false
+    }
+  }
+
+  /** Claim the next free generation at or above `from`. */
+  private def claimNextGeneration(path: String, from: Int): Int = {
+    var n = from
+    while (!claimGeneration(path, n)) {
+      n += 1
+      require(n - from < 10000, s"claim runaway at $path (from $from)")
+    }
+    n
   }
 
   /** Directory of the live generation. Resolve ONCE per operation and
@@ -175,9 +228,11 @@ object IvfIndex {
     currentVersion(spark, path).map(n => s"$path/v$n").getOrElse(path)
 
   /** Point CURRENT at generation `n`: write to a temp name, then
-    * delete+rename into place. On HDFS/local-FS rename is atomic; an
-    * object-store deployment would use a conditional put — the swap is
-    * the single mutation point either way. */
+    * delete+rename into place. Since r14 this is the advisory HINT,
+    * not the commit point — [[claimGeneration]] owns the generation;
+    * the hint is rewritten only after the claimed generation's tables
+    * are complete, and a reader that catches the HDFS delete→rename
+    * window recovers through the claim scan in [[currentVersion]]. */
   private def writePointer(spark: SparkSession, path: String, n: Int): Unit = {
     val f = hfs(spark, path)
     val tmp = new org.apache.hadoop.fs.Path(s"$path/.CURRENT.tmp")
@@ -208,7 +263,11 @@ object IvfIndex {
   def build(spark: SparkSession, corpus: DataFrame, path: String,
       codebook: Option[Seq[(Long, Array[Double])]] = None): Unit = {
     val cents = codebook.getOrElse(trainCodebook(corpus))
-    val next = currentVersion(spark, path).getOrElse(0) + 1
+    // claim BEFORE the heavy writes: the claim reserves the generation
+    // number, so a racing build/retrain lands in its own vN and the
+    // LAST hint swap wins — never two writers inside one directory
+    val next = claimNextGeneration(path,
+      currentVersion(spark, path).getOrElse(0) + 1)
     val dir = s"$path/v$next"
     writeCodebook(spark, cents, dir)
     assignAndWrite(corpus, cents, dir, SaveMode.Overwrite)

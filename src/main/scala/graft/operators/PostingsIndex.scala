@@ -122,6 +122,62 @@ object PostingsIndex {
     writeFrom(doclens, bucketed, path, SaveMode.Overwrite)
   }
 
+  // ── auto serving-fold (r14 verdict #4) ──────────────────────────────
+
+  /** Generation marker of the last serving fold, stored WITH the
+    * serving layout (the fold owns its cadence state; the LSM root
+    * stays pure timeline). */
+  private def foldMarker(servingPath: String): java.io.File =
+    new java.io.File(servingPath, "_FOLDED_AT_GEN")
+
+  /** The postings-timeline generation the serving layout was last
+    * folded at (0 = never folded). */
+  private[graft] def lastFoldGen(servingPath: String): Int = {
+    val f = foldMarker(servingPath)
+    if (!f.exists()) 0
+    else new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+  }
+
+  /** Auto serving-fold as a streaming-maintainer policy — the
+    * [[graft.streaming.IndexDeltaStream]] `postCommit` seam, the same
+    * pattern as the ivfvec skew-gauge recluster (r13 left the fold
+    * runnable only inside the gate query's build closure; this hook
+    * makes the production split self-maintaining). Gauge: the live
+    * manifest's segments committed AFTER the last fold — delta churn,
+    * not absolute segment count, so the policy re-arms after each fold
+    * instead of firing forever once crossed. When `foldAtDeltas` or
+    * more fresh segments exist, [[publishServing]] refolds the live
+    * view into `servingPath` and the marker records the folded
+    * generation. The fold is idempotent (Overwrite) and the marker is
+    * written after it completes — a crash mid-fold refolds on the next
+    * batch, never serves a half-written layout AS committed. Cadence
+    * is single-maintainer (postCommit runs on the maintainer's
+    * thread); production serving reads would resolve a published
+    * generation of this layout exactly like the artifact pointers.
+    *
+    * A compaction segment counts as fresh churn (it carries the
+    * compaction's generation) — acceptable: a compaction that large
+    * changes read shape enough that refreshing the fold is reasonable. */
+  def servingFoldPolicy(doclensRoot: java.io.File, servingPath: String,
+      foldAtDeltas: Int): (SparkSession, java.io.File) => Unit =
+    (s, root) => {
+      val gen = IncPostings.committedGen(root)
+      val since = lastFoldGen(servingPath)
+      val fresh = IncPostings.manifestOf(root, gen).segments
+        .count(_.seq > since)
+      if (fresh >= foldAtDeltas) {
+        publishServing(
+          IncPostings.readCurrent(s, root),
+          IncPostings.readCurrent(s, doclensRoot),
+          servingPath)
+        val m = foldMarker(servingPath)
+        Option(m.getParentFile).foreach(_.mkdirs())
+        java.nio.file.Files.write(m.toPath, gen.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }
+
   /** The three table writes, given already-materialized doclens
     * (`(doc_id, dl)`, one row per document INCLUDING zero-token docs —
     * they count into n_docs) and postings. `postings` must already be

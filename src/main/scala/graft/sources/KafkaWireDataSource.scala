@@ -336,17 +336,32 @@ private[sources] class KafkaWireMicroBatchStream(host: String, port: Int,
     if (total <= max) end
     else {
       // prorate in DOUBLE (the stock source does the same): Long
-      // max*lag overflows for large caps x large lags, and a negative
-      // per-partition cap would walk the offset log backwards
-      val base = lags.map { case (p, lag) =>
-        p -> math.max(0L, (max.toDouble * lag / total).toLong) }
-      var rem = max - base.values.sum
-      val extra = lags.toSeq.sortBy(-_._2).map { case (p, _) =>
-        val add = if (rem > 0) { rem -= 1; 1L } else 0L
-        p -> add
-      }.toMap
+      // max*lag overflows for large caps x large lags. Each share is
+      // then granted against a RUNNING remaining budget — double
+      // rounding past 2^53 can round a share ABOVE its exact value, so
+      // summing unclamped shares could exceed max; with the running
+      // budget the invariant "admitted <= max" holds by construction.
+      var remaining = max
+      val ordered = lags.toSeq.sortBy { case (p, lag) => (-lag, p) }
+      val give = scala.collection.mutable.Map.empty[Int, Long]
+      ordered.foreach { case (p, lag) =>
+        val share = math.min(lag,
+          math.max(0L, (max.toDouble * lag / total).toLong))
+        val g = math.min(share, remaining)
+        give(p) = g
+        remaining -= g
+      }
+      // hand the rounding remainder to the laggiest partitions, never
+      // past a partition's own lag and never past the budget
+      ordered.foreach { case (p, lag) =>
+        if (remaining > 0) {
+          val add = math.min(lag - give(p), remaining)
+          give(p) += add
+          remaining -= add
+        }
+      }
       end.map { case (p, e) =>
-        p -> math.min(e, start.getOrElse(p, 0L) + base(p) + extra(p)) }
+        p -> math.min(e, start.getOrElse(p, 0L) + give(p)) }
     }
   }
 

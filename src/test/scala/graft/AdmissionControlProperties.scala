@@ -38,6 +38,11 @@ object AdmissionControlProperties
       val admitted = out.map { case (p, o) => o - start(p) }.sum
       val total = end.map { case (p, e) => e - start(p) }.sum
       val passThrough = total > max || out == end
-      bounds && admitted <= math.max(max, 0L) && passThrough
+      // r14 (running-budget allocation): a binding cap is used EXACTLY
+      // — never overshot (the 2^53 double-rounding hazard) and never
+      // left partially unfilled while lag remains
+      val exact =
+        if (total > max) admitted == max else admitted == total
+      bounds && admitted <= math.max(max, 0L) && passThrough && exact
     }
 }

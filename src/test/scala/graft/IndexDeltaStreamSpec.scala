@@ -395,4 +395,69 @@ class IndexDeltaStreamSpec extends SparkSuite {
     assert(readSet(root) === freshSet(Seq(1L -> "base text",
       2L -> "added text", 3L -> "later text")))
   }
+
+  test("auto serving-fold fires exactly at the delta threshold; served == merge-on-read before and after") {
+    import spark.implicits._
+    import graft.operators.PostingsIndex
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val pRoot = Files.createTempDirectory("fold-bm25").toFile
+    val dRoot = Files.createTempDirectory("fold-dl").toFile
+    val serving = Files.createTempDirectory("fold-serve").toString + "/idx"
+    val terms = Seq("alpha", "beta")
+    def doc(i: Long) = (i, s"alpha common text beta word$i alpha")
+    val base = (1L to 6L).map(doc(_))
+    IncPostings.commitBase(pRoot, IncPostings.bm25RowsOf(docsDf(base)))
+    IncPostings.commitBase(dRoot, IncPostings.doclenRowsOf(docsDf(base)))
+
+    def served() = PostingsIndex.bm25Search(spark, serving, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    def merged() = IncPostings.bm25Probe(
+      IncPostings.readCurrent(spark, pRoot),
+      IncPostings.readCurrent(spark, dRoot), terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+
+    // deploy-time initial fold (threshold 1: the base segment is fresh)
+    PostingsIndex.servingFoldPolicy(dRoot, serving, 1)(spark, pRoot)
+    assert(PostingsIndex.lastFoldGen(serving) === 1)
+    assert(served() === merged(), "initial fold must serve the base view")
+    val servedAtBase = served()
+
+    // streaming maintainer with the fold policy at threshold 2: the
+    // fold must fire on every SECOND fresh delta segment, exactly
+    val policy = PostingsIndex.servingFoldPolicy(dRoot, serving,
+      foldAtDeltas = 2)
+    val changes = MemoryStream[(Long, String, String)]
+    val q = IndexDeltaStream.start(
+      changes.toDS().toDF("doc_id", "text", "op"), pRoot,
+      Files.createTempDirectory("fold-ckpt").toString,
+      rowsOf = IncPostings.bm25RowsOf, postCommit = policy)
+    try {
+      // the doclens twin root is maintained alongside (the production
+      // maintainer commits both kinds per change batch)
+      def feed(docs: Seq[(Long, String)]): Unit = {
+        IncPostings.commitDelta(dRoot, IncPostings.doclenRowsOf(docsDf(docs)),
+          docsDf(docs).select(col("doc_id")))
+        changes.addData(docs.map { case (id, t) => (id, t, "upsert") }: _*)
+        q.processAllAvailable()
+      }
+
+      feed(Seq(doc(7L))) // delta 1 of the cadence: below threshold
+      assert(PostingsIndex.lastFoldGen(serving) === 1,
+        "one fresh segment must NOT trip a threshold of 2")
+      assert(served() === servedAtBase, "serving layout stays the old fold")
+
+      feed(Seq(doc(8L))) // delta 2: the gauge trips, the fold fires
+      assert(PostingsIndex.lastFoldGen(serving) === 3,
+        "the fold must fire exactly at the second fresh segment")
+      assert(served() === merged(),
+        "after the fold, served == merge-on-read over ALL batches")
+
+      feed(Seq(doc(9L))) // cadence re-armed: one fresh segment again
+      assert(PostingsIndex.lastFoldGen(serving) === 3)
+
+      feed(Seq(doc(10L))) // and fires again at the second
+      assert(PostingsIndex.lastFoldGen(serving) === 5)
+      assert(served() === merged())
+    } finally q.stop()
+  }
 }
