@@ -64,7 +64,7 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
     * v2 fetcher, the real broker's split. */
   private final case class Batch(base: Long, records: Seq[Record],
       codec: Int, magic: Int = 1, pid: Long = -1L, pEpoch: Int = -1,
-      baseSeq: Int = -1) {
+      baseSeq: Int = -1, raw: Array[Byte] = null) {
     // a VAL: records may be a List (Scala 2.13 `.toSeq` builds one), so
     // a def would be O(n) — and fetchV2's dropWhile calls end on every
     // batch below the cursor, turning each fetch into an O(log-size)
@@ -281,11 +281,17 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
   private def appendV2(log: Log, b: KafkaWire.RecordBatch): (Int, Long) = {
     def doAppend(): Long = {
       val base = log.next
+      // store the producer's VERBATIM batch bytes with the assigned
+      // base patched in (baseOffset lives outside the CRC32C coverage
+      // for exactly this) — fetch v4 re-serves them zero-re-encode,
+      // the real broker's append->fetch path; decoded records are kept
+      // for the test oracles and v1 down-conversion
       log.batches += Batch(base,
         b.records.zipWithIndex.map { case (rec, i) =>
           rec.copy(offset = base + i) },
         b.codec, magic = 2, pid = b.producerId, pEpoch = b.producerEpoch,
-        baseSeq = b.baseSequence)
+        baseSeq = b.baseSequence,
+        raw = if (b.raw == null) null else b.rawAt(base))
       log.next = base + b.records.length
       producesAppended.incrementAndGet()
       base
@@ -432,9 +438,11 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
     * segments; the modern consumer decodes both (the entry-offset-16
     * magic dispatch). */
   private def encodeBatchV4(b: Batch): Array[Byte] =
-    if (b.magic >= 2)
-      KafkaWire.encodeRecordBatch(b.base, b.records, b.codec, b.pid,
+    if (b.magic >= 2) {
+      if (b.raw != null) b.raw // verbatim producer bytes, CRC intact
+      else KafkaWire.encodeRecordBatch(b.base, b.records, b.codec, b.pid,
         b.pEpoch, b.baseSeq)
+    }
     else encodeBatch(b)
 
   /** Serve one partition's record set from `off` under `maxBytes`,

@@ -273,6 +273,31 @@ object StreamBench {
           s""""consume_rps":${r3(n / consumeSecs)}}"""
       } finally srv.stop()
     }
+    // minPartitions: the r13 wire table's single-partition consume tail
+    // (73 k rows/s — one fetch task) re-measured with the offset range
+    // split into 8 DSv2 scan tasks; the directive's target is within
+    // ~2x of the 4-partition consume
+    val minp = {
+      val srv = new MiniKafkaServer(numPartitions = 1)
+      try {
+        val n = 500000
+        val df = articles(n).persist(StorageLevel.MEMORY_ONLY)
+        df.count()
+        KafkaWire.produceDataFrame(df, "localhost", srv.port, "bench-topic",
+          System.currentTimeMillis())
+        df.unpersist(blocking = true)
+        val t1 = System.nanoTime()
+        val consumed = spark.read.format("graft-kafka")
+          .option("host", "localhost").option("port", srv.port.toString)
+          .option("topic", "bench-topic").option("minPartitions", "8")
+          .load().count()
+        val consumeSecs = secsSince(t1)
+        require(consumed == n, s"minPartitions bench lost rows: $consumed != $n")
+        s""""x10_p1_min8":{"rows":$n,"consume_secs":${r3(consumeSecs)},""" +
+          s""""consume_rps":${r3(n / consumeSecs)}}"""
+      } finally srv.stop()
+    }
+
     // idempotent-produce overhead: the v2 sequence bookkeeping is a
     // few header fields per batch — this row proves it's ~free
     val idem = {
@@ -294,6 +319,6 @@ object StreamBench {
         s""""idempotent_v2":{"rows":$n,"produce_rps":${r3(n / produceSecs)}}"""
       } finally srv.stop()
     }
-    (results ++ codecResults :+ idem).mkString("{", ",", "}")
+    (results ++ codecResults :+ minp :+ idem).mkString("{", ",", "}")
   }
 }

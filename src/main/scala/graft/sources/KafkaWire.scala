@@ -339,10 +339,23 @@ object KafkaWire {
 
   /** One decoded v2 batch WITH its idempotence metadata — the broker
     * side of the codec (a client flattens to records via
-    * [[decodeRecordSet]]). */
+    * [[decodeRecordSet]]). `raw` carries the verbatim wire bytes of
+    * the batch: the v2 CRC32C deliberately covers attributes..end and
+    * NOT baseOffset, so a broker can assign the base by patching the
+    * first 8 bytes and re-serve the producer's exact bytes without
+    * re-encoding (the real broker's zero-copy append→fetch path). */
   final case class RecordBatch(baseOffset: Long, producerId: Long,
       producerEpoch: Int, baseSequence: Int, codec: Int,
-      records: IndexedSeq[Record])
+      records: IndexedSeq[Record], raw: Array[Byte] = null) {
+    /** The wire bytes with `base` patched as the broker-assigned
+      * baseOffset — CRC-valid by construction (see above). */
+    def rawAt(base: Long): Array[Byte] = {
+      val out = raw.clone()
+      var i = 0
+      while (i < 8) { out(i) = (base >> (56 - 8 * i)).toByte; i += 1 }
+      out
+    }
+  }
 
   def crc32c(data: Array[Byte], off: Int, len: Int): Long = {
     val c = new java.util.zip.CRC32C()
@@ -449,6 +462,8 @@ object KafkaWire {
     val batchLength = r.int32()
     if (r.remaining < batchLength) return None // truncated tail
     val body = r.raw(batchLength)
+    val rawEntry = new Writer().int64(baseOffset).int32(batchLength)
+      .raw(body).result()
     val br = new Reader(body)
     br.int32() // partitionLeaderEpoch
     val magic = br.int8()
@@ -470,7 +485,7 @@ object KafkaWire {
     val payload = br.raw(body.length - V2HeaderAfterLength)
     val plain = if (codec == Codec.None) payload else decompress(codec, payload)
     Some(RecordBatch(baseOffset, pid, pEpoch, baseSeq, codec,
-      decodeRecordsV2(plain, count, baseOffset, baseTs)))
+      decodeRecordsV2(plain, count, baseOffset, baseTs), rawEntry))
   }
 
   /** Broker-side decode of a produced v2 record set: the batches with

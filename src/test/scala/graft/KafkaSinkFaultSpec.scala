@@ -435,6 +435,74 @@ class KafkaSinkFaultSpec extends SparkSuite {
     } finally srv.stop()
   }
 
+  for (bfmt <- brokerFormats)
+  test(s"minPartitions: one topic partition splits into N exactly-once scan tasks (broker v$bfmt)") {
+    val srv = new MiniKafkaServer(numPartitions = 1, serveFormat = bfmt)
+    try {
+      val c = new KafkaWire.Conn("localhost", srv.port)
+      try {
+        (0 until 10).foreach { i =>
+          KafkaWire.produce(c, "t", 0,
+            Seq((s"k$i".getBytes(u8), s"v$i".getBytes(u8))), 1L)
+        }
+        // one compressed wrapper SPANNING the slice boundary: atomic on
+        // the wire, so two adjacent slices both receive it and must
+        // keep only their own offsets
+        KafkaWire.produce(c, "t", 0,
+          (10 until 15).map(i => (s"k$i".getBytes(u8), s"v$i".getBytes(u8))),
+          2L, codec = KafkaWire.Codec.Gzip)
+      } finally c.close()
+      val df = spark.read.format("graft-kafka")
+        .option("host", "localhost").option("port", srv.port.toString)
+        .option("topic", "t").option("minPartitions", "4").load()
+      assert(df.rdd.getNumPartitions === 4,
+        "one topic partition must split into 4 scan tasks")
+      val rows = df.select(
+        org.apache.spark.sql.functions.spark_partition_id().as("pid"),
+        org.apache.spark.sql.functions.col("offset"),
+        org.apache.spark.sql.functions.col("key")).collect()
+      assert(rows.length === 15, "no loss, no duplicate across slices")
+      assert(rows.map(_.getAs[Long]("offset")).sorted.toSeq === (0L until 15L))
+      // per-slice ordering: offsets ascend within every scan task and
+      // the tasks cover contiguous, disjoint ranges
+      val slices = rows.groupBy(_.getInt(0)).values.map { rs =>
+        val offs = rs.map(_.getAs[Long]("offset")).toSeq
+        assert(offs === offs.sorted, "in-slice order must be offset order")
+        (offs.min, offs.max)
+      }.toSeq.sortBy(_._1)
+      assert(slices.length === 4)
+      slices.sliding(2).foreach { case Seq((_, hi), (lo2, _)) =>
+        assert(lo2 === hi + 1, s"slices must tile the range: $slices")
+      case _ => }
+      // the streaming path splits the same way and stays exactly-once
+      val outDir = java.nio.file.Files.createTempDirectory("mp-out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("mp-ckpt").toString
+      val q = spark.readStream.format("graft-kafka")
+        .option("host", "localhost").option("port", srv.port.toString)
+        .option("topic", "t").option("minPartitions", "4").load()
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      val streamed = spark.read.parquet(outDir).collect()
+      assert(streamed.length === 15)
+      assert(streamed.map(_.getAs[Long]("offset")).sorted.toSeq === (0L until 15L))
+    } finally srv.stop()
+  }
+
+  test("minPartitions rejects non-positive values") {
+    val err = intercept[Exception] {
+      spark.read.format("graft-kafka")
+        .option("host", "localhost").option("port", "1").option("topic", "t")
+        .option("minPartitions", "0").load()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("minPartitions must be positive")))
+  }
+
   test("maxOffsetsPerTrigger rejects non-positive values") {
     val err = intercept[Exception] {
       spark.read.format("graft-kafka")
