@@ -35,15 +35,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * earliest|latest; maxOffsetsPerTrigger (admission control);
   * minPartitions (split per-topic-partition offset ranges into at
   * least this many scan tasks — a 1-partition topic otherwise caps
-  * consume at one task); sink-side: codec none|gzip|snappy|lz4,
-  * format auto|v1|v2 (record-batch negotiation), idempotent
-  * true|false (v2 producer sequences, broker-side retry dedup).
+  * consume at one task); includeHeaders true|false (append the
+  * `headers ARRAY<STRUCT<key,value>>` column, v1-stored records read
+  * as empty arrays); sink-side: codec none|gzip|snappy|lz4, format
+  * auto|v1|v2 (record-batch negotiation), idempotent true|false (v2
+  * producer sequences, broker-side retry dedup); an input `headers`
+  * column of the same struct shape is written as v2 record headers.
   * Batch reads (spark.read) scan earliest..latest.
   */
 class KafkaWireDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-kafka"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    KafkaWireDataSource.schema
+    KafkaWireDataSource.schemaWith(
+      Option(options.get("includeHeaders")).contains("true"))
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     // option names are case-insensitive, the stock connector's contract
@@ -71,6 +75,11 @@ class KafkaWireDataSource extends TableProvider with DataSourceRegister {
     require(!(idempotent && format == "v1"),
       "idempotent=true needs record-batch v2; format=v1 cannot carry " +
         "producer sequences")
+    val includeHeaders = Option(opts.get("includeHeaders")).exists { v =>
+      require(v == "true" || v == "false",
+        s"includeHeaders must be true or false, got '$v'")
+      v == "true"
+    }
     val minPartitions = Option(opts.get("minPartitions")).map { v =>
       val n = try Integer.parseInt(v)
       catch { case _: NumberFormatException =>
@@ -90,7 +99,7 @@ class KafkaWireDataSource extends TableProvider with DataSourceRegister {
     maxOffsets.foreach(m => require(m > 0,
       s"maxOffsetsPerTrigger must be positive, got $m"))
     new KafkaWireTable(host, Integer.parseInt(port), topic, starting, codec,
-      maxOffsets, format, idempotent, minPartitions)
+      maxOffsets, format, idempotent, minPartitions, includeHeaders)
   }
 }
 
@@ -101,16 +110,32 @@ object KafkaWireDataSource {
     StructField("timestamp", LongType, nullable = false),
     StructField("key", StringType, nullable = true),
     StructField("value", StringType, nullable = true)))
+
+  /** The headers column type — the stock connector's shape:
+    * ARRAY<STRUCT<key STRING, value BINARY>>. */
+  val headersType: ArrayType = ArrayType(StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("value", BinaryType, nullable = true))))
+
+  /** Read schema, with the headers column appended when
+    * includeHeaders=true (the stock connector's opt-in — a schema
+    * change behind an option, never a surprise column). */
+  def schemaWith(includeHeaders: Boolean): StructType =
+    if (!includeHeaders) schema
+    else StructType(schema.fields :+
+      StructField("headers", headersType, nullable = true))
 }
 
 private[sources] class KafkaWireTable(host: String, port: Int, topic: String,
     startingOffsets: String = "earliest", codec: Int = KafkaWire.Codec.None,
     maxOffsetsPerTrigger: Option[Long] = None, format: String = "auto",
-    idempotent: Boolean = false, minPartitions: Option[Int] = None)
+    idempotent: Boolean = false, minPartitions: Option[Int] = None,
+    includeHeaders: Boolean = false)
     extends Table with SupportsRead with SupportsWrite {
   require(host != null && topic != null, "options host, port, topic are required")
   override def name(): String = s"graft-kafka($topic@$host:$port)"
-  override def schema(): StructType = KafkaWireDataSource.schema
+  override def schema(): StructType =
+    KafkaWireDataSource.schemaWith(includeHeaders)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
@@ -119,7 +144,7 @@ private[sources] class KafkaWireTable(host: String, port: Int, topic: String,
     new ScanBuilder {
       override def build(): Scan =
         new KafkaWireScan(host, port, topic, startingOffsets,
-          maxOffsetsPerTrigger, minPartitions)
+          maxOffsetsPerTrigger, minPartitions, includeHeaders)
     }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -160,9 +185,30 @@ private[sources] class KafkaWireWrite(host: String, port: Int, topic: String,
   // evaluated at Write construction = plan time, before any task runs
   private val keyBinary = binaryness("key")
   private val valueBinary = binaryness("value")
+  // optional headers column (the stock connector's write contract):
+  // validated at PLAN time against the canonical array<struct<key
+  // string, value binary>> shape; carried only by record-batch v2, so
+  // format=v1 with a headers column is rejected here, never dropped
+  // silently on the wire
+  private val headersIdx: Int =
+    if (!schema.fieldNames.contains("headers")) -1
+    else {
+      val ok = schema("headers").dataType match {
+        case ArrayType(StructType(fields), _) if fields.length == 2 =>
+          fields(0).name == "key" && fields(0).dataType == StringType &&
+            fields(1).name == "value" && fields(1).dataType == BinaryType
+        case _ => false
+      }
+      require(ok, s"graft-kafka sink: column 'headers' must be " +
+        s"${KafkaWireDataSource.headersType.simpleString}, " +
+        s"got ${schema("headers").dataType.simpleString}")
+      require(format != "v1",
+        "a headers column needs record-batch v2; format=v1 cannot carry headers")
+      schema.fieldIndex("headers")
+    }
   private def factory = KafkaWriterFactory(host, port, topic,
     schema.fieldIndex("key"), schema.fieldIndex("value"),
-    keyBinary, valueBinary, codec, format, idempotent)
+    keyBinary, valueBinary, codec, format, idempotent, headersIdx)
 
   override def toBatch: BatchWrite = new BatchWrite {
     private val f = factory
@@ -188,15 +234,15 @@ private[sources] case class KafkaWriterFactory(host: String, port: Int,
     topic: String, keyIdx: Int, valueIdx: Int,
     keyBinary: Boolean, valueBinary: Boolean,
     codec: Int = KafkaWire.Codec.None, format: String = "auto",
-    idempotent: Boolean = false)
+    idempotent: Boolean = false, headersIdx: Int = -1)
     extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new KafkaProduceWriter(host, port, topic, keyIdx, valueIdx,
-      keyBinary, valueBinary, codec, format, idempotent)
+      keyBinary, valueBinary, codec, format, idempotent, headersIdx)
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new KafkaProduceWriter(host, port, topic, keyIdx, valueIdx,
-      keyBinary, valueBinary, codec, format, idempotent)
+      keyBinary, valueBinary, codec, format, idempotent, headersIdx)
 }
 
 /** One task's producer: buffers rows, routes them to topic partitions
@@ -208,7 +254,7 @@ private[sources] class KafkaProduceWriter(host: String, port: Int,
     topic: String, keyIdx: Int, valueIdx: Int,
     keyBinary: Boolean, valueBinary: Boolean,
     codec: Int = KafkaWire.Codec.None, format: String = "auto",
-    idempotent: Boolean = false)
+    idempotent: Boolean = false, headersIdx: Int = -1)
     extends DataWriter[InternalRow] {
   // idempotent=true: this TASK's producer gets a fresh PID and
   // per-partition sequences, so the client's own I/O retries dedup
@@ -218,7 +264,7 @@ private[sources] class KafkaProduceWriter(host: String, port: Int,
   private val prod = new KafkaWire.RetryingProducer(host, port, topic,
     format = format, idempotent = idempotent)
   private val buf =
-    scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Array[Byte])]
+    scala.collection.mutable.ArrayBuffer.empty[KafkaWire.Record]
   private var written = 0L
 
   private def bytesAt(row: InternalRow, idx: Int, binary: Boolean): Array[Byte] =
@@ -226,9 +272,21 @@ private[sources] class KafkaProduceWriter(host: String, port: Int,
     else if (binary) row.getBinary(idx)
     else row.getUTF8String(idx).getBytes
 
+  private def headersAt(row: InternalRow): Seq[(String, Array[Byte])] =
+    if (headersIdx < 0 || row.isNullAt(headersIdx)) Nil
+    else {
+      val arr = row.getArray(headersIdx)
+      (0 until arr.numElements()).map { i =>
+        val h = arr.getStruct(i, 2)
+        h.getUTF8String(0).toString -> (if (h.isNullAt(1)) null else h.getBinary(1))
+      }
+    }
+
   override def write(row: InternalRow): Unit = {
-    buf += ((bytesAt(row, keyIdx, keyBinary),
-      bytesAt(row, valueIdx, valueBinary)))
+    buf += KafkaWire.Record(0L, 0L,
+      bytesAt(row, keyIdx, keyBinary),
+      bytesAt(row, valueIdx, valueBinary),
+      headersAt(row))
     written += 1
     if (buf.length >= 500) flush()
   }
@@ -238,8 +296,9 @@ private[sources] class KafkaProduceWriter(host: String, port: Int,
     // CreateTime per flush — a long-running streaming query must stamp
     // records near their actual produce time, not the query start
     val ts = System.currentTimeMillis()
-    buf.groupBy(r => KafkaWire.partitionFor(r._1, nParts)).foreach {
-      case (p, recs) => prod.send(p, recs.toSeq, ts, codec)
+    buf.groupBy(r => KafkaWire.partitionFor(r.key, nParts)).foreach {
+      case (p, recs) =>
+        prod.sendRecords(p, recs.toSeq.map(_.copy(timestamp = ts)), codec)
     }
     buf.clear()
   }
@@ -255,9 +314,11 @@ private[sources] class KafkaProduceWriter(host: String, port: Int,
 private[sources] class KafkaWireScan(host: String, port: Int, topic: String,
     startingOffsets: String = "earliest",
     maxOffsetsPerTrigger: Option[Long] = None,
-    minPartitions: Option[Int] = None)
+    minPartitions: Option[Int] = None,
+    includeHeaders: Boolean = false)
     extends Scan with Batch {
-  override def readSchema(): StructType = KafkaWireDataSource.schema
+  override def readSchema(): StructType =
+    KafkaWireDataSource.schemaWith(includeHeaders)
 
   private def offsets(timestamp: Long): Map[Int, Long] = {
     val c = new KafkaWire.Conn(host, port)
@@ -273,7 +334,8 @@ private[sources] class KafkaWireScan(host: String, port: Int, topic: String,
     val ranges = from.keys.toSeq.sorted.map(p => (p, from(p), until(p)))
     KafkaWireScan.splitRanges(ranges, minPartitions.getOrElse(0))
       .map { case (p, lo, hi) =>
-        KafkaRangePartition(host, port, topic, p, lo, hi): InputPartition }
+        KafkaRangePartition(host, port, topic, p, lo, hi,
+          includeHeaders): InputPartition }
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -281,7 +343,7 @@ private[sources] class KafkaWireScan(host: String, port: Int, topic: String,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new KafkaWireMicroBatchStream(host, port, topic, startingOffsets,
-      maxOffsetsPerTrigger, minPartitions)
+      maxOffsetsPerTrigger, minPartitions, includeHeaders)
 }
 
 private[sources] object KafkaWireScan {
@@ -332,7 +394,8 @@ private[sources] object KafkaWireOffset {
 private[sources] class KafkaWireMicroBatchStream(host: String, port: Int,
     topic: String, startingOffsets: String = "earliest",
     maxOffsetsPerTrigger: Option[Long] = None,
-    minPartitions: Option[Int] = None)
+    minPartitions: Option[Int] = None,
+    includeHeaders: Boolean = false)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   @volatile private var lastKnownEnd: Option[Map[Int, Long]] = None
@@ -446,7 +509,8 @@ private[sources] class KafkaWireMicroBatchStream(host: String, port: Int,
     }
     KafkaWireScan.splitRanges(ranges, minPartitions.getOrElse(0))
       .map { case (p, lo, hi) =>
-        KafkaRangePartition(host, port, topic, p, lo, hi): InputPartition }
+        KafkaRangePartition(host, port, topic, p, lo, hi,
+          includeHeaders): InputPartition }
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -456,7 +520,8 @@ private[sources] class KafkaWireMicroBatchStream(host: String, port: Int,
 
 /** One topic partition's [from, until) range — fetched by the task. */
 private[sources] case class KafkaRangePartition(host: String, port: Int,
-    topic: String, partition: Int, from: Long, until: Long) extends InputPartition
+    topic: String, partition: Int, from: Long, until: Long,
+    includeHeaders: Boolean = false) extends InputPartition
 
 private[sources] class KafkaRangeReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -493,9 +558,18 @@ private[sources] class KafkaRangeReader(p: KafkaRangePartition)
 
   override def get(): InternalRow = {
     val r = buf(i)
-    InternalRow(p.partition, r.offset, r.timestamp,
+    val core = Seq[Any](p.partition, r.offset, r.timestamp,
       if (r.key == null) null else UTF8String.fromBytes(r.key),
       if (r.value == null) null else UTF8String.fromBytes(r.value))
+    if (!p.includeHeaders) InternalRow(core: _*)
+    else {
+      // v2 per-record headers; a v1-format record reads as an empty
+      // array (v1 cannot carry headers), never null
+      val hs = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        r.headers.map { case (k, v) =>
+          InternalRow(UTF8String.fromString(k), v) }.toArray[Any])
+      InternalRow((core :+ (hs: Any)): _*)
+    }
   }
 
   override def close(): Unit = conn.close()

@@ -87,7 +87,10 @@ abstract class ArtifactCacheBattery extends SparkSuite
     val counts = futures.map(f => Await.result(f, 120.seconds))
     assert(counts === Seq(20L, 20L))
     val root = artifactRoot(dir)
-    val entries = root.listFiles().map(_.getName).toSeq.sorted
+    // .graft-commit-lock is the HadoopRename primitive's cross-process
+    // flock file — infrastructure, not artifact state
+    val entries = root.listFiles().map(_.getName)
+      .filterNot(_ == ".graft-commit-lock").toSeq.sorted
     // Exactly ONE pointer + ONE uniquely-named directory, nothing else:
     // no claim-tmp leftovers, no second build dir.
     assert(entries.count(_ == "race.ptr") === 1, entries.toString)

@@ -301,6 +301,76 @@ class KafkaV2Spec extends SparkSuite {
     assert(messages(err).exists(_.contains("idempotent=true needs record-batch v2")))
   }
 
+  test("headers round-trip the DSv2 halves: sink headers column -> broker -> includeHeaders read") {
+    val srv = new MiniKafkaServer(numPartitions = 1)
+    try {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("key", StringType), StructField("value", StringType),
+        StructField("headers", graft.sources.KafkaWireDataSource.headersType)))
+      val rows = Seq(
+        Row("k1", "v1", Seq(Row("trace", "abc".getBytes(u8)), Row("nil", null))),
+        Row("k2", "v2", null))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+        .write.format("graft-kafka")
+        .option("host", "localhost").option("port", srv.port.toString)
+        .option("topic", "t").mode("append").save()
+      val back = spark.read.format("graft-kafka")
+        .option("host", "localhost").option("port", srv.port.toString)
+        .option("topic", "t").option("includeHeaders", "true").load()
+        .orderBy("offset").collect()
+      assert(back.length === 2)
+      assert(back.head.schema.fieldNames.contains("headers"))
+      val h1 = back(0).getAs[scala.collection.Seq[Row]]("headers")
+        .map(r => r.getString(0) ->
+          Option(r.getAs[Array[Byte]](1)).map(new String(_, u8)))
+      assert(h1.toSeq === Seq("trace" -> Some("abc"), "nil" -> None))
+      assert(back(1).getAs[scala.collection.Seq[Row]]("headers").isEmpty,
+        "a record produced without headers reads as an empty array")
+      // without the option the schema stays header-free (opt-in)
+      val plain = spark.read.format("graft-kafka")
+        .option("host", "localhost").option("port", srv.port.toString)
+        .option("topic", "t").load()
+      assert(!plain.schema.fieldNames.contains("headers"))
+    } finally srv.stop()
+  }
+
+  test("includeHeaders over a v1-format log reads empty header arrays, never nulls or failures") {
+    val srv = new MiniKafkaServer(numPartitions = 1, serveFormat = 1)
+    try {
+      val c = new KafkaWire.Conn("localhost", srv.port)
+      try KafkaWire.produce(c, "t", 0,
+        Seq(("k".getBytes(u8), "v".getBytes(u8))), 5L)
+      finally c.close()
+      val back = spark.read.format("graft-kafka")
+        .option("host", "localhost").option("port", srv.port.toString)
+        .option("topic", "t").option("includeHeaders", "true").load().collect()
+      assert(back.length === 1)
+      assert(back.head.getAs[scala.collection.Seq[Any]]("headers").isEmpty)
+    } finally srv.stop()
+  }
+
+  test("sink rejects a headers column with format=v1 at plan time") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("key", StringType), StructField("value", StringType),
+      StructField("headers", graft.sources.KafkaWireDataSource.headersType)))
+    val err = intercept[Exception] {
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        Seq(Row("k", "v", null)), 1), schema)
+        .write.format("graft-kafka")
+        .option("host", "localhost").option("port", "1")
+        .option("topic", "t").option("format", "v1").mode("append").save()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("headers column needs record-batch v2")))
+  }
+
   test("v2 compressed sink batch: codec option produces ONE magic-2 batch, read back whole") {
     val srv = new MiniKafkaServer(numPartitions = 1)
     try {
