@@ -64,7 +64,8 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
     * v2 fetcher, the real broker's split. */
   private final case class Batch(base: Long, records: Seq[Record],
       codec: Int, magic: Int = 1, pid: Long = -1L, pEpoch: Int = -1,
-      baseSeq: Int = -1, raw: Array[Byte] = null) {
+      baseSeq: Int = -1, raw: Array[Byte] = null,
+      transactional: Boolean = false, control: Boolean = false) {
     // a VAL: records may be a List (Scala 2.13 `.toSeq` builds one), so
     // a def would be O(n) — and fetchV2's dropWhile calls end on every
     // batch below the cursor, turning each fetch into an O(log-size)
@@ -79,6 +80,7 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
     * acked with its ORIGINAL offset instead of appended twice. */
   private final class PidState {
     var nextSeq: Int = 0
+    var epoch: Int = -1
     val recent = scala.collection.mutable.ArrayDeque.empty[(Int, Int, Long)]
   }
 
@@ -86,6 +88,16 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
     val batches = scala.collection.mutable.ArrayBuffer.empty[Batch]
     var next: Long = 0L
     val pidStates = scala.collection.mutable.Map.empty[Long, PidState]
+    /** Open transactions: pid -> first offset written in this log by
+      * the current transaction. The LAST STABLE OFFSET is the minimum
+      * of these (nothing at/after an open transaction's first record
+      * is stable), or the high watermark when none are open. */
+    val ongoing = scala.collection.mutable.Map.empty[Long, Long]
+    /** Resolved aborted ranges: (pid, firstOffset, abortMarkerOffset)
+      * — the fetch response's aborted_transactions index. */
+    val aborted =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    def lso: Long = if (ongoing.isEmpty) next else ongoing.values.min
   }
 
   private val logs =
@@ -102,6 +114,11 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
     * zombie-fencing mechanism). */
   private val tidPids =
     scala.collection.concurrent.TrieMap.empty[String, Long]
+  /** pid → partitions registered to its OPEN transaction
+    * (AddPartitionsToTxn / first transactional produce) — where EndTxn
+    * fans the control markers out to. */
+  private val openTxns = scala.collection.concurrent.TrieMap
+    .empty[Long, scala.collection.mutable.Set[(String, Int)]]
 
   // ── fault injection (one-shot counters) ─────────────────────────────
   val dropNextProduce = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -141,11 +158,18 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
 
   def stop(): Unit = { running = false; server.close() }
 
-  /** Records currently stored for (topic, partition) — test oracle. */
+  /** DATA records currently stored for (topic, partition) — test
+    * oracle; transaction control markers occupy offsets but are not
+    * data. */
   def stored(topic: String, p: Int): Seq[Record] =
     logs.get((topic, p)).map(l => l.synchronized {
-      l.batches.flatMap(_.records).toSeq
+      l.batches.filter(!_.control).flatMap(_.records).toSeq
     }).getOrElse(Seq.empty)
+
+  /** The last stable offset of (topic, partition) — test oracle for
+    * the open-transaction blocking contract. */
+  def lastStable(topic: String, p: Int): Long =
+    logs.get((topic, p)).map(l => l.synchronized(l.lso)).getOrElse(0L)
 
   /** The codec each stored batch arrived with — the did-it-actually-
     * compress oracle for the sink's `codec` option. */
@@ -184,7 +208,10 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
           case (1, 2) => fetchV2(r)
           case (1, 4) if serveFormat >= 2 => fetchV4(r)
           case (2, 1) => listOffsetsV1(r)
+          case (2, 2) if serveFormat >= 2 => listOffsetsV2(r)
           case (22, 0) if serveFormat >= 2 => initProducerIdV0(r)
+          case (24, 0) if serveFormat >= 2 => addPartitionsToTxnV0(r)
+          case (26, 0) if serveFormat >= 2 => endTxnV0(r)
           case other => sys.error(s"unsupported api $other")
         }
         val sentCorr =
@@ -212,7 +239,8 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
     // against this broker fail, exactly like a real old broker)
     val apis =
       if (serveFormat >= 2)
-        Seq((0, 2, 3), (1, 2, 4), (2, 1, 1), (3, 0, 0), (18, 0, 0), (22, 0, 0))
+        Seq((0, 2, 3), (1, 2, 4), (2, 1, 2), (3, 0, 0), (18, 0, 0),
+          (22, 0, 0), (24, 0, 0), (26, 0, 0))
       else Seq((0, 2, 2), (1, 2, 2), (2, 1, 1), (3, 0, 0), (18, 0, 0))
     val w = new Writer().int16(0).int32(apis.length)
     apis.foreach { case (k, lo, hi) => w.int16(k).int16(lo).int16(hi) }
@@ -291,7 +319,12 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
           rec.copy(offset = base + i) },
         b.codec, magic = 2, pid = b.producerId, pEpoch = b.producerEpoch,
         baseSeq = b.baseSequence,
-        raw = if (b.raw == null) null else b.rawAt(base))
+        raw = if (b.raw == null) null else b.rawAt(base),
+        transactional = b.transactional)
+      // an open transaction pins this log's last stable offset at its
+      // FIRST record until EndTxn resolves it
+      if (b.transactional && b.producerId >= 0L)
+        log.ongoing.getOrElseUpdate(b.producerId, base)
       log.next = base + b.records.length
       producesAppended.incrementAndGet()
       base
@@ -304,6 +337,15 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
       else {
         pidEpochs.put(b.producerId, math.max(cur, b.producerEpoch))
         val st = log.pidStates.getOrElseUpdate(b.producerId, new PidState)
+        // a bumped epoch RESTARTS the sequence space (the published
+        // contract: sequences are per (pid, epoch)) — without this a
+        // fenced-and-reinitialized producer's first batch at seq 0
+        // would be mistaken for its predecessor's duplicate
+        if (b.producerEpoch > st.epoch) {
+          st.epoch = b.producerEpoch
+          st.nextSeq = 0
+          st.recent.clear()
+        }
         val first = b.baseSequence
         val last = first + b.records.length - 1
         st.recent.find(e => e._1 == first && e._2 == last) match {
@@ -338,6 +380,14 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
         val p = r.int32()
         val set = r.bytes()
         val batches = KafkaWire.decodeRecordBatches(set)
+        // transactional batches register their partition with the
+        // pid's open transaction even without an explicit
+        // AddPartitionsToTxn (defensive; the client sends one)
+        batches.filter(b => b.transactional && b.producerId >= 0L)
+          .foreach { b =>
+            openTxns.getOrElseUpdate(b.producerId,
+              scala.collection.mutable.Set.empty) += ((topic, p))
+          }
         val log = logOf(topic, p)
         val (err, base) = log.synchronized {
           batches.foldLeft((0, -1L)) { case ((e, b0), batch) =>
@@ -374,15 +424,85 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
         (p, 0)
       } else {
         // transactional id: STABLE pid, epoch bumped per init — the
-        // re-initialized producer fences its zombie predecessor
+        // re-initialized producer fences its zombie predecessor, and
+        // any transaction the predecessor left OPEN is aborted here
+        // (the real coordinator's recovery: a crashed producer's
+        // half-written transaction must never block the LSO forever
+        // or become visible)
         val p = tidPids.getOrElseUpdate(tid, nextPid.getAndIncrement())
         val e = pidEpochs.updateWith(p) {
           case Some(cur) => Some(cur + 1)
           case None => Some(0)
         }.get
+        resolveTxn(p, e, commit = false)
         (p, e)
       }
     new Writer().int32(0).int16(0).int64(pid).int16(epoch).result()
+  }
+
+  /** Write commit/abort control markers into every partition the
+    * pid's open transaction touched, resolving its LSO pins and (on
+    * abort) recording the aborted ranges. */
+  private def resolveTxn(pid: Long, epoch: Int, commit: Boolean): Unit =
+    openTxns.remove(pid).foreach { parts =>
+      parts.foreach { case (topic, p) =>
+        val log = logOf(topic, p)
+        log.synchronized {
+          log.ongoing.remove(pid).foreach { first =>
+            val off = log.next
+            val raw = KafkaWire.encodeControlBatch(off, pid, epoch,
+              commit, System.currentTimeMillis())
+            val recs = KafkaWire.decodeRecordBatches(raw).head.records
+            log.batches += Batch(off, recs, 0, magic = 2, pid = pid,
+              pEpoch = epoch, baseSeq = -1, raw = raw,
+              transactional = true, control = true)
+            log.next = off + 1
+            if (!commit) log.aborted += ((pid, first, off))
+          }
+        }
+      }
+    }
+
+  private def addPartitionsToTxnV0(r: Reader): Array[Byte] = {
+    r.str() // transactional_id (pid carries identity here)
+    val pid = r.int64()
+    val epoch = r.int16()
+    val nTopics = r.int32()
+    val resp = (0 until nTopics).map { _ =>
+      val topic = r.str()
+      val nParts = r.int32()
+      val parts = (0 until nParts).map { _ =>
+        val p = r.int32()
+        val err =
+          if (epoch < pidEpochs.getOrElse(pid, epoch))
+            KafkaWire.Errors.InvalidProducerEpoch
+          else {
+            openTxns.getOrElseUpdate(pid,
+              scala.collection.mutable.Set.empty) += ((topic, p))
+            0
+          }
+        (p, err)
+      }
+      (topic, parts)
+    }
+    val w = new Writer().int32(0).int32(resp.length)
+    resp.foreach { case (topic, parts) =>
+      w.str(topic).int32(parts.length)
+      parts.foreach { case (p, err) => w.int32(p).int16(err) }
+    }
+    w.result()
+  }
+
+  private def endTxnV0(r: Reader): Array[Byte] = {
+    r.str() // transactional_id
+    val pid = r.int64()
+    val epoch = r.int16()
+    val commit = r.int8() != 0
+    val err =
+      if (epoch < pidEpochs.getOrElse(pid, epoch))
+        KafkaWire.Errors.InvalidProducerEpoch
+      else { resolveTxn(pid, epoch, commit); 0 }
+    new Writer().int32(0).int16(err).result()
   }
 
   private def listOffsetsV1(r: Reader): Array[Byte] = {
@@ -417,7 +537,10 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
     * timestamps survive (plain) or flatten to the wrapper max
     * (compressed). */
   private def encodeBatch(b: Batch): Array[Byte] =
-    if (b.codec == 0) KafkaWire.encodeMessageSetAt(b.records)
+    if (b.control) Array.emptyByteArray // markers have no v1 form:
+      // an old consumer sees an offset gap, exactly like a compacted
+      // topic's removed records
+    else if (b.codec == 0) KafkaWire.encodeMessageSetAt(b.records)
     else {
       // the v1 wrapper convention stamps the MAX inner timestamp
       val set = KafkaWire.encodeMessageSetCompressed(
@@ -447,22 +570,32 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
 
   /** Serve one partition's record set from `off` under `maxBytes`,
     * encoding each stored batch with `enc`: (highWatermark, bytes). */
+  /** @param stableOnly serve only batches wholly below the last
+    *   stable offset — the read_committed contract; open-transaction
+    *   data never reaches a committed reader. */
   private def servePartition(topic: String, p: Int, off: Long,
-      maxBytes: Int, enc: Batch => Array[Byte]): (Long, Array[Byte]) = {
+      maxBytes: Int, enc: Batch => Array[Byte],
+      stableOnly: Boolean = false): (Long, Long, Seq[(Long, Long)], Array[Byte]) = {
     val log = logOf(topic, p)
-    val (from, hw) = log.synchronized {
+    val (from, hw, lso, aborted) = log.synchronized {
       // a PLAIN v1 message set is addressable per message — the broker
       // serves from the exact offset; a compressed wrapper and a v2
       // record batch are ATOMIC, so the whole batch ships even when
       // `off` is inside it (the below-cursor records the client drops)
-      val fromBatch = log.batches.toSeq.dropWhile(_.end <= off)
+      val bound = if (stableOnly) log.lso else Long.MaxValue
+      val fromBatch = log.batches.toSeq
+        .dropWhile(_.end <= off).takeWhile(_.end <= bound)
       val sliced = fromBatch match {
         case head +: rest
             if head.magic == 1 && head.codec == 0 && head.base < off =>
           head.copy(records = head.records.filter(_.offset >= off)) +: rest
         case other => other
       }
-      (sliced, log.next)
+      // aborted ranges whose marker is at/after the fetch position —
+      // anything earlier cannot have data in this response
+      val ab = log.aborted.toSeq.filter(_._3 >= off)
+        .map { case (pid, first, _) => (pid, first) }
+      (sliced, log.next, log.lso, ab)
     }
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
@@ -476,7 +609,7 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
       if (all.length > maxBytes) java.util.Arrays.copyOf(all, maxBytes)
       else all
     }
-    (hw, bytes)
+    (hw, lso, aborted, bytes)
   }
 
   private def fetchV2(r: Reader): Array[Byte] = {
@@ -487,7 +620,8 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
       val nParts = r.int32()
       val parts = (0 until nParts).map { _ =>
         val p = r.int32(); val off = r.int64(); val maxBytes = r.int32()
-        val (hw, bytes) = servePartition(topic, p, off, maxBytes, encodeBatch)
+        val (hw, _, _, bytes) =
+          servePartition(topic, p, off, maxBytes, encodeBatch)
         (p, hw, bytes)
       }
       (topic, parts)
@@ -505,15 +639,18 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
 
   private def fetchV4(r: Reader): Array[Byte] = {
     r.int32(); r.int32(); r.int32() // replica_id, max_wait, min_bytes
-    r.int32(); r.int8()             // response max_bytes, isolation_level
+    r.int32()                       // response max_bytes
+    val isolation = r.int8()
+    val committed = isolation == 1
     val nTopics = r.int32()
     val resp = (0 until nTopics).map { _ =>
       val topic = r.str()
       val nParts = r.int32()
       val parts = (0 until nParts).map { _ =>
         val p = r.int32(); val off = r.int64(); val maxBytes = r.int32()
-        val (hw, bytes) = servePartition(topic, p, off, maxBytes, encodeBatchV4)
-        (p, hw, bytes)
+        val (hw, lso, aborted, bytes) = servePartition(topic, p, off,
+          maxBytes, encodeBatchV4, stableOnly = committed)
+        (p, hw, lso, if (committed) aborted else Nil, bytes)
       }
       (topic, parts)
     }
@@ -521,11 +658,41 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
     w.int32(resp.length)
     resp.foreach { case (topic, parts) =>
       w.str(topic).int32(parts.length)
-      parts.foreach { case (p, hw, set) =>
+      parts.foreach { case (p, hw, lso, aborted, set) =>
         w.int32(p).int16(0).int64(hw)
-          .int64(hw)   // last_stable_offset (no open transactions)
-          .int32(0)    // aborted_transactions: empty
-          .int32(set.length).raw(set)
+          .int64(lso)
+          .int32(aborted.length)
+        aborted.foreach { case (pid, first) => w.int64(pid).int64(first) }
+        w.int32(set.length).raw(set)
+      }
+    }
+    w.result()
+  }
+
+  private def listOffsetsV2(r: Reader): Array[Byte] = {
+    r.int32() // replica_id
+    val isolation = r.int8()
+    val nTopics = r.int32()
+    val resp = (0 until nTopics).map { _ =>
+      val topic = r.str()
+      val nParts = r.int32()
+      val parts = (0 until nParts).map { _ =>
+        val p = r.int32(); val ts = r.int64()
+        val log = logOf(topic, p)
+        val off = log.synchronized {
+          if (ts == -2L) 0L
+          else if (isolation == 1) log.lso // committed "latest" = LSO
+          else log.next
+        }
+        (p, off)
+      }
+      (topic, parts)
+    }
+    val w = new Writer().int32(0).int32(resp.length)
+    resp.foreach { case (topic, parts) =>
+      w.str(topic).int32(parts.length)
+      parts.foreach { case (p, off) =>
+        w.int32(p).int16(0).int64(-1L).int64(off)
       }
     }
     w.result()

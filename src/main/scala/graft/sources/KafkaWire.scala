@@ -346,7 +346,15 @@ object KafkaWire {
     * re-encoding (the real broker's zero-copy append→fetch path). */
   final case class RecordBatch(baseOffset: Long, producerId: Long,
       producerEpoch: Int, baseSequence: Int, codec: Int,
-      records: IndexedSeq[Record], raw: Array[Byte] = null) {
+      records: IndexedSeq[Record], raw: Array[Byte] = null,
+      transactional: Boolean = false, control: Boolean = false,
+      lastOffsetDelta: Int = -1) {
+    /** Exclusive end offset of the batch's OFFSET SPAN — control
+      * records consume offset slots like data, so a reader advances
+      * by this, never by record count. */
+    def endOffset: Long =
+      baseOffset + (if (lastOffsetDelta >= 0) lastOffsetDelta + 1
+        else records.length)
     /** The wire bytes with `base` patched as the broker-assigned
       * baseOffset — CRC-valid by construction (see above). */
     def rawAt(base: Long): Array[Byte] = {
@@ -390,7 +398,8 @@ object KafkaWire {
     * are the idempotence fields (-1/-1/-1 = not idempotent). */
   def encodeRecordBatch(baseOffset: Long, records: Seq[Record],
       codec: Int = Codec.None, producerId: Long = -1L,
-      producerEpoch: Int = -1, baseSequence: Int = -1): Array[Byte] = {
+      producerEpoch: Int = -1, baseSequence: Int = -1,
+      transactional: Boolean = false, control: Boolean = false): Array[Byte] = {
     require(records.nonEmpty, "a record batch needs at least one record")
     val baseTs = records.head.timestamp
     val maxTs = records.iterator.map(_.timestamp).max
@@ -401,9 +410,13 @@ object KafkaWire {
     }
     val payload =
       if (codec == Codec.None) recs.result() else compress(codec, recs.result())
+    // attributes: bits 0-2 codec, 3 CreateTime(0), 4 isTransactional,
+    // 5 isControlBatch
+    val attrs = (codec & 0x07) |
+      (if (transactional) 0x10 else 0) | (if (control) 0x20 else 0)
     // attributes..end — the CRC32C coverage
     val tail = new Writer()
-      .int16(codec & 0x07)                        // attributes: CreateTime
+      .int16(attrs)
       .int32((records.last.offset - baseOffset).toInt) // lastOffsetDelta
       .int64(baseTs).int64(maxTs)
       .int64(producerId).int16(producerEpoch).int32(baseSequence)
@@ -475,7 +488,7 @@ object KafkaWire {
         s"CRC32C mismatch in record batch at offset $baseOffset")
     val attrs = br.int16()
     val codec = attrs & 0x07
-    br.int32() // lastOffsetDelta
+    val lastDelta = br.int32()
     val baseTs = br.int64()
     br.int64() // maxTimestamp
     val pid = br.int64()
@@ -485,7 +498,22 @@ object KafkaWire {
     val payload = br.raw(body.length - V2HeaderAfterLength)
     val plain = if (codec == Codec.None) payload else decompress(codec, payload)
     Some(RecordBatch(baseOffset, pid, pEpoch, baseSeq, codec,
-      decodeRecordsV2(plain, count, baseOffset, baseTs), rawEntry))
+      decodeRecordsV2(plain, count, baseOffset, baseTs), rawEntry,
+      transactional = (attrs & 0x10) != 0, control = (attrs & 0x20) != 0,
+      lastOffsetDelta = lastDelta))
+  }
+
+  /** A transaction CONTROL batch (commit/abort marker): one control
+    * record whose key is [version INT16 | type INT16] (type 0 = abort,
+    * 1 = commit) — the published control-record schema. The marker
+    * consumes exactly one offset slot. */
+  def encodeControlBatch(offset: Long, producerId: Long,
+      producerEpoch: Int, commit: Boolean, timestamp: Long): Array[Byte] = {
+    val key = new Writer().int16(0).int16(if (commit) 1 else 0).result()
+    val value = new Writer().int16(0).int32(0).result() // version, coordinator epoch
+    encodeRecordBatch(offset, Seq(Record(offset, timestamp, key, value)),
+      producerId = producerId, producerEpoch = producerEpoch,
+      baseSequence = -1, transactional = true, control = true)
   }
 
   /** Broker-side decode of a produced v2 record set: the batches with
@@ -509,16 +537,49 @@ object KafkaWire {
     * or a broker serving old segments to a new fetcher). Dispatches
     * on the magic byte, which both formats place at entry offset 16.
     * CRC-verified per entry (CRC32 for v1, CRC32C for v2); a partial
-    * trailing entry is dropped (grow-and-retry recovers it). */
-  def decodeRecordSet(bytes: Array[Byte]): Seq[Record] = {
+    * trailing entry is dropped (grow-and-retry recovers it).
+    *
+    * Transaction semantics (the consumer side of the published
+    * contract): CONTROL batches (commit/abort markers) are never
+    * surfaced as data — at either isolation level — but their offset
+    * slots still advance the returned cursor. Under read_committed
+    * (`aborted` = the fetch response's aborted_transactions list) a
+    * transactional data batch whose producer has an aborted range
+    * starting at or before it is dropped until that producer's abort
+    * marker passes — the stock consumer's streaming filter.
+    *
+    * Returns (records, nextPos): nextPos is the offset AFTER the last
+    * COMPLETE entry — the cursor a reader must advance to even when
+    * every record in the response was a marker or aborted (else a
+    * markers-only range would read as "nothing served" and grow
+    * forever). -1 when no complete entry decoded. */
+  def decodeRecordSetDetailed(bytes: Array[Byte],
+      aborted: Seq[(Long, Long)] = Nil): (Seq[Record], Long) = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Record]
+    val pendingAborts = scala.collection.mutable.PriorityQueue.empty[(Long, Long)](
+      Ordering.by[(Long, Long), Long](_._2).reverse) // by firstOffset, min first
+    aborted.foreach { case (pid, first) => pendingAborts.enqueue((pid, first)) }
+    val abortedPids = scala.collection.mutable.Set.empty[Long]
+    var nextPos = -1L
     val r = new Reader(bytes)
     var done = false
     while (!done && r.remaining >= 17) {
       val magic = r.peek(r.position + 16)
       if (magic >= 2) {
         decodeOneBatchV2(r) match {
-          case Some(b) => out ++= b.records
+          case Some(b) =>
+            while (pendingAborts.nonEmpty &&
+                pendingAborts.head._2 <= b.baseOffset) {
+              abortedPids += pendingAborts.dequeue()._1
+            }
+            if (b.control) {
+              // marker: type 1 = commit, 0 = abort — either way the
+              // producer's current transaction is resolved
+              abortedPids -= b.producerId
+            } else if (!(b.transactional && abortedPids(b.producerId))) {
+              out ++= b.records
+            }
+            nextPos = b.endOffset
           case None => done = true
         }
       } else {
@@ -531,13 +592,18 @@ object KafkaWire {
         if (r.remaining < size) done = true
         else {
           r.raw(size)
-          out ++= decodeMessageSet(
+          val recs = decodeMessageSet(
             java.util.Arrays.copyOfRange(bytes, start, start + 12 + size))
+          out ++= recs
+          if (recs.nonEmpty) nextPos = recs.last.offset + 1
         }
       }
     }
-    out.toIndexedSeq
+    (out.toIndexedSeq, nextPos)
   }
+
+  def decodeRecordSet(bytes: Array[Byte]): Seq[Record] =
+    decodeRecordSetDetailed(bytes)._1
 
   // ── framed request/response over TCP ────────────────────────────────
 
@@ -652,9 +718,9 @@ object KafkaWire {
     * / [[OutOfOrderSequenceException]] so the retry loop can tell
     * retriable I/O faults from fatal protocol state. */
   def produceV3(c: Conn, topic: String, partition: Int,
-      batch: Array[Byte]): Long = {
+      batch: Array[Byte], transactionalId: String = null): Long = {
     val body = new Writer()
-      .str(null)             // transactional_id (idempotent-only: null)
+      .str(transactionalId)   // null = idempotent-only
       .int16(-1).int32(30000) // acks=all, timeout
       .int32(1).str(topic)
       .int32(1).int32(partition)
@@ -694,16 +760,36 @@ object KafkaWire {
       code: Int) extends RuntimeException(
     s"sequence error $code on $topic-$partition")
 
-  /** Fetch v4 (the first version serving v2 record batches; adds
-    * response max_bytes + isolation_level): (records, highWatermark).
-    * The response may carry EITHER format — old segments are served
-    * as-stored — so decoding goes through [[decodeRecordSet]]. */
-  def fetchV4(c: Conn, topic: String, partition: Int, offset: Long,
-      maxBytes: Int = 1 << 20): (Seq[Record], Long) = {
+  /** Isolation levels (public constants): 0 = read_uncommitted (the
+    * default; everything below the high watermark), 1 = read_committed
+    * (only below the last stable offset, aborted producers' records
+    * filtered via the response's aborted_transactions index). */
+  object Isolation {
+    val ReadUncommitted = 0
+    val ReadCommitted = 1
+    def forName(n: String): Int = n match {
+      case "read_uncommitted" => ReadUncommitted
+      case "read_committed" => ReadCommitted
+      case other => throw new IllegalArgumentException(
+        s"isolationLevel must be read_uncommitted or read_committed, got '$other'")
+    }
+  }
+
+  /** Fetch v4 with the full transactional read contract:
+    * (records, watermark, nextPos). The watermark is the high
+    * watermark under read_uncommitted and the LAST STABLE OFFSET under
+    * read_committed (the published consumer contract — an open
+    * transaction blocks committed readers). nextPos is the cursor
+    * after the last complete entry (control markers and aborted
+    * batches advance it without yielding records). The response may
+    * carry EITHER record format — old segments are served as-stored. */
+  def fetchV4Detailed(c: Conn, topic: String, partition: Int, offset: Long,
+      maxBytes: Int = 1 << 20,
+      isolation: Int = Isolation.ReadUncommitted): (Seq[Record], Long, Long) = {
     val body = new Writer()
       .int32(-1).int32(100).int32(0) // replica=-1, max_wait, min_bytes
       .int32(maxBytes)               // response max_bytes (v3+)
-      .int8(0)                       // isolation_level: READ_UNCOMMITTED
+      .int8(isolation)
       .int32(1).str(topic)
       .int32(1).int32(partition).int64(offset).int32(maxBytes)
       .result()
@@ -715,11 +801,67 @@ object KafkaWire {
     r.int32() // partition
     val err = r.int16(); require(err == 0, s"fetch error $err")
     val hw = r.int64()
-    r.int64() // last_stable_offset (v4+)
+    val lso = r.int64() // last_stable_offset (v4+)
     val nAborted = r.int32() // aborted_transactions (v4+)
-    (0 until math.max(0, nAborted)).foreach { _ => r.int64(); r.int64() }
+    val aborted = (0 until math.max(0, nAborted)).map { _ =>
+      (r.int64(), r.int64()) // (producer_id, first_offset)
+    }
     val set = r.bytes()
-    (if (set == null) Seq.empty else decodeRecordSet(set), hw)
+    val watermark = if (isolation == Isolation.ReadCommitted) lso else hw
+    if (set == null) (Seq.empty, watermark, -1L)
+    else {
+      val (recs, nextPos) = decodeRecordSetDetailed(set,
+        if (isolation == Isolation.ReadCommitted) aborted else Nil)
+      (recs, watermark, nextPos)
+    }
+  }
+
+  /** Compatibility shape: (records, highWatermark). */
+  def fetchV4(c: Conn, topic: String, partition: Int, offset: Long,
+      maxBytes: Int = 1 << 20): (Seq[Record], Long) = {
+    val (recs, hw, _) = fetchV4Detailed(c, topic, partition, offset, maxBytes)
+    (recs, hw)
+  }
+
+  /** AddPartitionsToTxn v0: declare the partitions the current
+    * transaction will write — the coordinator needs them to fan the
+    * commit/abort markers out at EndTxn. */
+  def addPartitionsToTxn(c: Conn, transactionalId: String, producerId: Long,
+      producerEpoch: Int, topic: String, partitions: Seq[Int]): Unit = {
+    val w = new Writer()
+      .str(transactionalId).int64(producerId).int16(producerEpoch)
+      .int32(1).str(topic).int32(partitions.length)
+    partitions.foreach(w.int32)
+    val r = c.call(24, 0, w.result())
+    r.int32() // throttle_time_ms
+    val nTopics = r.int32(); require(nTopics == 1)
+    r.str()
+    val nParts = r.int32()
+    (0 until nParts).foreach { _ =>
+      r.int32()
+      val err = r.int16()
+      if (err == Errors.InvalidProducerEpoch)
+        throw new ProducerFencedException(topic, -1)
+      require(err == 0, s"addPartitionsToTxn error $err")
+    }
+  }
+
+  /** EndTxn v0: commit (true) or abort (false) the open transaction —
+    * the broker writes a control marker into every partition the
+    * transaction touched, which is what flips its records visible (or
+    * permanently invisible) to read_committed consumers. */
+  def endTxn(c: Conn, transactionalId: String, producerId: Long,
+      producerEpoch: Int, commit: Boolean): Unit = {
+    val body = new Writer()
+      .str(transactionalId).int64(producerId).int16(producerEpoch)
+      .int8(if (commit) 1 else 0)
+      .result()
+    val r = c.call(26, 0, body)
+    r.int32() // throttle_time_ms
+    val err = r.int16()
+    if (err == Errors.InvalidProducerEpoch)
+      throw new ProducerFencedException(transactionalId, -1)
+    require(err == 0, s"endTxn error $err")
   }
 
   /** InitProducerId v0: allocate (producerId, producerEpoch). A null
@@ -750,15 +892,21 @@ object KafkaWire {
 
   /** ListOffsets v1: the log-end (timestamp = -1, "latest") or
     * log-start (-2, "earliest") offset of one partition — how a
-    * consumer resolves its admission window without fetching data. */
+    * consumer resolves its admission window without fetching data.
+    * With `isolation` = read_committed the call upgrades to
+    * ListOffsets v2 (the version that added isolation_level) and
+    * "latest" resolves to the LAST STABLE OFFSET — a committed
+    * reader's admission window must stop before open transactions. */
   def listOffset(c: Conn, topic: String, partition: Int,
-      timestamp: Long = -1L): Long = {
-    val body = new Writer()
-      .int32(-1) // replica_id
-      .int32(1).str(topic)
+      timestamp: Long = -1L,
+      isolation: Int = Isolation.ReadUncommitted): Long = {
+    val committed = isolation == Isolation.ReadCommitted
+    val w = new Writer().int32(-1) // replica_id
+    if (committed) w.int8(isolation)
+    w.int32(1).str(topic)
       .int32(1).int32(partition).int64(timestamp)
-      .result()
-    val r = c.call(2, 1, body)
+    val r = c.call(2, if (committed) 2 else 1, w.result())
+    if (committed) r.int32() // throttle_time_ms (v2+)
     val nTopics = r.int32(); require(nTopics == 1)
     r.str()
     val nParts = r.int32(); require(nParts == 1)
@@ -804,24 +952,39 @@ object KafkaWire {
     * the window doubles and retries; past [[MaxFetchBytes]] it fails
     * LOUDLY (the stock consumer's RecordTooLargeException) instead of
     * silently skipping a committed range. */
-  final class GrowingFetcher(c: Conn, topic: String, partition: Int) {
+  final class GrowingFetcher(c: Conn, topic: String, partition: Int,
+      isolation: Int = Isolation.ReadUncommitted) {
     private var maxBytes = 1 << 20
     // one ApiVersions round-trip per task connection (the stock
     // client's handshake): Fetch v4 when the broker serves v2
     // batches, v2 otherwise — decode handles either format per entry
     private val format = negotiateFormat(c)
+    require(isolation == Isolation.ReadUncommitted || format >= 2,
+      "read_committed needs a record-batch-v2 broker (Fetch v4 carries " +
+        "the last-stable-offset/aborted-transactions contract)")
     def fetchAt(pos: Long): (Seq[Record], Long) = {
+      // the internal cursor may run AHEAD of pos: control markers and
+      // aborted transactions occupy offset slots but yield no records,
+      // so a markers-only span must advance the fetch position — not
+      // be mistaken for an over-max_bytes truncation
+      var p = pos
       while (true) {
-        val (recs, hw) =
-          if (format >= 2) fetchV4(c, topic, partition, pos, maxBytes)
-          else fetch(c, topic, partition, pos, maxBytes)
+        val (recs, wm, nextPos) =
+          if (format >= 2)
+            fetchV4Detailed(c, topic, partition, p, maxBytes, isolation)
+          else {
+            val (rs, hw) = fetch(c, topic, partition, p, maxBytes)
+            (rs, hw, if (rs.nonEmpty) rs.last.offset + 1 else -1L)
+          }
         val kept = recs.filter(_.offset >= pos)
-        if (kept.nonEmpty || pos >= hw) return (kept, hw)
-        if (maxBytes >= MaxFetchBytes)
+        if (kept.nonEmpty || p >= wm) return (kept, wm)
+        if (nextPos > p) p = nextPos // skipped markers/aborted: advance
+        else if (maxBytes >= MaxFetchBytes)
           throw new java.io.IOException(
-            s"message at offset $pos of $topic-$partition exceeds " +
+            s"message at offset $p of $topic-$partition exceeds " +
               s"fetch cap $MaxFetchBytes")
-        maxBytes = math.min(maxBytes.toLong * 2, MaxFetchBytes.toLong).toInt
+        else maxBytes =
+          math.min(maxBytes.toLong * 2, MaxFetchBytes.toLong).toInt
       }
       sys.error("unreachable")
     }
@@ -852,6 +1015,10 @@ object KafkaWire {
     private var pid = -1L
     private var pEpoch = -1
     private val seqs = scala.collection.mutable.Map.empty[Int, Int]
+    // transactions: partitions added to the OPEN transaction (AddPartitionsToTxn
+    // sent once per partition per transaction), and whether one is open
+    private val txnParts = scala.collection.mutable.Set.empty[Int]
+    private var inTxn = false
     private def ensure(): Unit = if (conn == null) {
       conn = new Conn(host, port)
       nParts = partitionCount(conn, topic)
@@ -879,6 +1046,41 @@ object KafkaWire {
     /** The negotiated record format (1 or 2) — observable for tests. */
     def recordFormat: Int = { ensure(); magic }
     def producerIdentity: (Long, Int) = { ensure(); (pid, pEpoch) }
+
+    // ── transactions (exactly-once produce) ──────────────────────────
+    // Requires transactionalId + idempotent: the transaction rides the
+    // same pid/epoch/sequence identity; InitProducerId on the stable
+    // id bumps the epoch AND aborts any transaction a crashed
+    // predecessor left open (the coordinator's recovery), so a
+    // restarted writer starts clean and the zombie is fenced.
+
+    /** Open a transaction: subsequent sends are transactional (LSO-
+      * pinning, invisible to read_committed until commit). */
+    def beginTransaction(): Unit = {
+      require(transactionalId != null && idempotent,
+        "transactions need transactionalId + idempotent=true")
+      ensure()
+      require(magic >= 2, "transactions need a record-batch-v2 broker")
+      inTxn = true
+      txnParts.clear()
+    }
+
+    /** Commit the open transaction: control markers land in every
+      * partition it wrote; its records become stable atomically. */
+    def commitTransaction(): Unit = finishTxn(commit = true)
+
+    /** Abort it: the records stay in the log but are permanently
+      * invisible to read_committed consumers. */
+    def abortTransaction(): Unit = finishTxn(commit = false)
+
+    private def finishTxn(commit: Boolean): Unit = {
+      if (inTxn && txnParts.nonEmpty) {
+        ensure()
+        endTxn(conn, transactionalId, pid, pEpoch, commit)
+      }
+      inTxn = false
+      txnParts.clear()
+    }
     def send(partition: Int, records: Seq[(Array[Byte], Array[Byte])],
         timestamp: Long, codec: Int = Codec.None): Long =
       sendRecords(partition, records.zipWithIndex.map { case ((k, v), i) =>
@@ -896,12 +1098,19 @@ object KafkaWire {
         try {
           ensure()
           return if (magic >= 2) {
+            if (inTxn && !txnParts.contains(partition)) {
+              addPartitionsToTxn(conn, transactionalId, pid, pEpoch,
+                topic, Seq(partition))
+              txnParts += partition
+            }
             val based = records.zipWithIndex.map { case (r, i) =>
               r.copy(offset = i.toLong) }
             val baseSeq = if (idempotent) seqs.getOrElse(partition, 0) else -1
             val batch = encodeRecordBatch(0L, based, codec, pid,
-              if (idempotent) pEpoch else -1, baseSeq)
-            val off = produceV3(conn, topic, partition, batch)
+              if (idempotent) pEpoch else -1, baseSeq,
+              transactional = inTxn)
+            val off = produceV3(conn, topic, partition, batch,
+              if (inTxn) transactionalId else null)
             if (idempotent) seqs(partition) = baseSeq + records.length
             off
           } else {

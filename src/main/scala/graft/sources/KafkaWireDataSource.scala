@@ -37,11 +37,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * least this many scan tasks — a 1-partition topic otherwise caps
   * consume at one task); includeHeaders true|false (append the
   * `headers ARRAY<STRUCT<key,value>>` column, v1-stored records read
-  * as empty arrays); sink-side: codec none|gzip|snappy|lz4, format
-  * auto|v1|v2 (record-batch negotiation), idempotent true|false (v2
-  * producer sequences, broker-side retry dedup); an input `headers`
-  * column of the same struct shape is written as v2 record headers.
-  * Batch reads (spark.read) scan earliest..latest.
+  * as empty arrays); isolationLevel read_uncommitted|read_committed
+  * (committed reads stop at the last stable offset, filter aborted
+  * transactions, and never surface control markers); sink-side:
+  * codec none|gzip|snappy|lz4, format auto|v1|v2 (record-batch
+  * negotiation), idempotent true|false (v2 producer sequences,
+  * broker-side retry dedup), transactionalIdPrefix (EXACTLY-ONCE: one
+  * transaction per task, committed in commit(), aborted on task
+  * failure — a read_committed consumer never sees a failed attempt's
+  * rows); an input `headers` column of the canonical struct shape is
+  * written as v2 record headers. Batch reads (spark.read) scan
+  * earliest..latest.
   */
 class KafkaWireDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-kafka"
@@ -75,6 +81,14 @@ class KafkaWireDataSource extends TableProvider with DataSourceRegister {
     require(!(idempotent && format == "v1"),
       "idempotent=true needs record-batch v2; format=v1 cannot carry " +
         "producer sequences")
+    val isolation = KafkaWire.Isolation.forName(
+      Option(opts.get("isolationLevel")).getOrElse("read_uncommitted"))
+    val txnPrefix = Option(opts.get("transactionalIdPrefix"))
+    txnPrefix.foreach(pfx => require(pfx.nonEmpty,
+      "transactionalIdPrefix must be non-empty"))
+    require(!(txnPrefix.isDefined && format == "v1"),
+      "transactionalIdPrefix needs record-batch v2; format=v1 cannot " +
+        "carry transactions")
     val includeHeaders = Option(opts.get("includeHeaders")).exists { v =>
       require(v == "true" || v == "false",
         s"includeHeaders must be true or false, got '$v'")
@@ -99,7 +113,8 @@ class KafkaWireDataSource extends TableProvider with DataSourceRegister {
     maxOffsets.foreach(m => require(m > 0,
       s"maxOffsetsPerTrigger must be positive, got $m"))
     new KafkaWireTable(host, Integer.parseInt(port), topic, starting, codec,
-      maxOffsets, format, idempotent, minPartitions, includeHeaders)
+      maxOffsets, format, idempotent, minPartitions, includeHeaders,
+      isolation, txnPrefix)
   }
 }
 
@@ -130,7 +145,9 @@ private[sources] class KafkaWireTable(host: String, port: Int, topic: String,
     startingOffsets: String = "earliest", codec: Int = KafkaWire.Codec.None,
     maxOffsetsPerTrigger: Option[Long] = None, format: String = "auto",
     idempotent: Boolean = false, minPartitions: Option[Int] = None,
-    includeHeaders: Boolean = false)
+    includeHeaders: Boolean = false,
+    isolation: Int = KafkaWire.Isolation.ReadUncommitted,
+    txnPrefix: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite {
   require(host != null && topic != null, "options host, port, topic are required")
   override def name(): String = s"graft-kafka($topic@$host:$port)"
@@ -144,13 +161,13 @@ private[sources] class KafkaWireTable(host: String, port: Int, topic: String,
     new ScanBuilder {
       override def build(): Scan =
         new KafkaWireScan(host, port, topic, startingOffsets,
-          maxOffsetsPerTrigger, minPartitions, includeHeaders)
+          maxOffsetsPerTrigger, minPartitions, includeHeaders, isolation)
     }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write =
         new KafkaWireWrite(host, port, topic, info.schema(), codec, format,
-          idempotent)
+          idempotent, txnPrefix)
     }
 }
 
@@ -171,7 +188,8 @@ private[sources] class KafkaWireTable(host: String, port: Int, topic: String,
   * producer stamps per send), not per query start. */
 private[sources] class KafkaWireWrite(host: String, port: Int, topic: String,
     schema: StructType, codec: Int = KafkaWire.Codec.None,
-    format: String = "auto", idempotent: Boolean = false) extends Write {
+    format: String = "auto", idempotent: Boolean = false,
+    txnPrefix: Option[String] = None) extends Write {
   require(schema.fieldNames.contains("key") && schema.fieldNames.contains("value"),
     s"graft-kafka sink needs key and value columns; got ${schema.simpleString}")
   private def binaryness(field: String): Boolean =
@@ -208,7 +226,8 @@ private[sources] class KafkaWireWrite(host: String, port: Int, topic: String,
     }
   private def factory = KafkaWriterFactory(host, port, topic,
     schema.fieldIndex("key"), schema.fieldIndex("value"),
-    keyBinary, valueBinary, codec, format, idempotent, headersIdx)
+    keyBinary, valueBinary, codec, format, idempotent, headersIdx,
+    txnPrefix)
 
   override def toBatch: BatchWrite = new BatchWrite {
     private val f = factory
@@ -234,15 +253,25 @@ private[sources] case class KafkaWriterFactory(host: String, port: Int,
     topic: String, keyIdx: Int, valueIdx: Int,
     keyBinary: Boolean, valueBinary: Boolean,
     codec: Int = KafkaWire.Codec.None, format: String = "auto",
-    idempotent: Boolean = false, headersIdx: Int = -1)
+    idempotent: Boolean = false, headersIdx: Int = -1,
+    txnPrefix: Option[String] = None)
     extends DataWriterFactory with StreamingDataWriterFactory {
+  // the transactional id is STABLE per (prefix, topic, input
+  // partition): a retried task re-inits the same id, which bumps the
+  // epoch — fencing the zombie attempt AND aborting anything it left
+  // open. Streaming epochs reuse the id sequentially (one transaction
+  // per epoch per partition).
+  private def tid(partitionId: Int): Option[String] =
+    txnPrefix.map(pfx => s"$pfx-$topic-$partitionId")
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new KafkaProduceWriter(host, port, topic, keyIdx, valueIdx,
-      keyBinary, valueBinary, codec, format, idempotent, headersIdx)
+      keyBinary, valueBinary, codec, format, idempotent, headersIdx,
+      tid(partitionId))
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new KafkaProduceWriter(host, port, topic, keyIdx, valueIdx,
-      keyBinary, valueBinary, codec, format, idempotent, headersIdx)
+      keyBinary, valueBinary, codec, format, idempotent, headersIdx,
+      tid(partitionId))
 }
 
 /** One task's producer: buffers rows, routes them to topic partitions
@@ -254,15 +283,24 @@ private[sources] class KafkaProduceWriter(host: String, port: Int,
     topic: String, keyIdx: Int, valueIdx: Int,
     keyBinary: Boolean, valueBinary: Boolean,
     codec: Int = KafkaWire.Codec.None, format: String = "auto",
-    idempotent: Boolean = false, headersIdx: Int = -1)
+    idempotent: Boolean = false, headersIdx: Int = -1,
+    transactionalId: Option[String] = None)
     extends DataWriter[InternalRow] {
   // idempotent=true: this TASK's producer gets a fresh PID and
   // per-partition sequences, so the client's own I/O retries dedup
   // broker-side (exactly-once across connection faults). A whole-task
   // retry is a NEW writer = new PID — that replay is still absorbed
   // downstream (the stock connector's non-transactional contract).
+  //
+  // transactionalId set (transactionalIdPrefix option): the task's
+  // rows ride ONE transaction — commit() flushes then commits it,
+  // abort() aborts it, and a read_committed consumer sees a failed
+  // task's rows NEVER (not even transiently). This is the
+  // exactly-once sink; transactions imply idempotence.
   private val prod = new KafkaWire.RetryingProducer(host, port, topic,
-    format = format, idempotent = idempotent)
+    format = format, idempotent = idempotent || transactionalId.isDefined,
+    transactionalId = transactionalId.orNull)
+  if (transactionalId.isDefined) prod.beginTransaction()
   private val buf =
     scala.collection.mutable.ArrayBuffer.empty[KafkaWire.Record]
   private var written = 0L
@@ -305,9 +343,16 @@ private[sources] class KafkaProduceWriter(host: String, port: Int,
 
   override def commit(): WriterCommitMessage = {
     flush()
+    if (transactionalId.isDefined) prod.commitTransaction()
     KafkaWriteCommit(written)
   }
-  override def abort(): Unit = ()
+  override def abort(): Unit =
+    if (transactionalId.isDefined) {
+      // flushed rows become PERMANENTLY invisible to read_committed;
+      // unflushed rows are simply dropped with the buffer
+      buf.clear()
+      prod.abortTransaction()
+    }
   override def close(): Unit = prod.close()
 }
 
@@ -315,7 +360,8 @@ private[sources] class KafkaWireScan(host: String, port: Int, topic: String,
     startingOffsets: String = "earliest",
     maxOffsetsPerTrigger: Option[Long] = None,
     minPartitions: Option[Int] = None,
-    includeHeaders: Boolean = false)
+    includeHeaders: Boolean = false,
+    isolation: Int = KafkaWire.Isolation.ReadUncommitted)
     extends Scan with Batch {
   override def readSchema(): StructType =
     KafkaWireDataSource.schemaWith(includeHeaders)
@@ -324,7 +370,10 @@ private[sources] class KafkaWireScan(host: String, port: Int, topic: String,
     val c = new KafkaWire.Conn(host, port)
     try {
       val n = KafkaWire.partitionCount(c, topic)
-      (0 until n).map(p => p -> KafkaWire.listOffset(c, topic, p, timestamp)).toMap
+      // read_committed resolves "latest" to the LAST STABLE offset —
+      // a batch read must not plan a range into an open transaction
+      (0 until n).map(p =>
+        p -> KafkaWire.listOffset(c, topic, p, timestamp, isolation)).toMap
     } finally c.close()
   }
 
@@ -335,7 +384,7 @@ private[sources] class KafkaWireScan(host: String, port: Int, topic: String,
     KafkaWireScan.splitRanges(ranges, minPartitions.getOrElse(0))
       .map { case (p, lo, hi) =>
         KafkaRangePartition(host, port, topic, p, lo, hi,
-          includeHeaders): InputPartition }
+          includeHeaders, isolation): InputPartition }
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -343,7 +392,7 @@ private[sources] class KafkaWireScan(host: String, port: Int, topic: String,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new KafkaWireMicroBatchStream(host, port, topic, startingOffsets,
-      maxOffsetsPerTrigger, minPartitions, includeHeaders)
+      maxOffsetsPerTrigger, minPartitions, includeHeaders, isolation)
 }
 
 private[sources] object KafkaWireScan {
@@ -395,7 +444,8 @@ private[sources] class KafkaWireMicroBatchStream(host: String, port: Int,
     topic: String, startingOffsets: String = "earliest",
     maxOffsetsPerTrigger: Option[Long] = None,
     minPartitions: Option[Int] = None,
-    includeHeaders: Boolean = false)
+    includeHeaders: Boolean = false,
+    isolation: Int = KafkaWire.Isolation.ReadUncommitted)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   @volatile private var lastKnownEnd: Option[Map[Int, Long]] = None
@@ -404,7 +454,9 @@ private[sources] class KafkaWireMicroBatchStream(host: String, port: Int,
     val c = new KafkaWire.Conn(host, port)
     val snap = try {
       val n = KafkaWire.partitionCount(c, topic)
-      (0 until n).map(p => p -> KafkaWire.listOffset(c, topic, p, -1L)).toMap
+      // read_committed batches end at the LAST STABLE offset
+      (0 until n).map(p =>
+        p -> KafkaWire.listOffset(c, topic, p, -1L, isolation)).toMap
     } finally c.close()
     lastKnownEnd = Some(snap)
     snap
@@ -419,7 +471,7 @@ private[sources] class KafkaWireMicroBatchStream(host: String, port: Int,
     try {
       val n = KafkaWire.partitionCount(c, topic)
       KafkaWireOffset((0 until n).map(p =>
-        p -> KafkaWire.listOffset(c, topic, p, ts)).toMap)
+        p -> KafkaWire.listOffset(c, topic, p, ts, isolation)).toMap)
     } finally c.close()
   }
 
@@ -510,7 +562,7 @@ private[sources] class KafkaWireMicroBatchStream(host: String, port: Int,
     KafkaWireScan.splitRanges(ranges, minPartitions.getOrElse(0))
       .map { case (p, lo, hi) =>
         KafkaRangePartition(host, port, topic, p, lo, hi,
-          includeHeaders): InputPartition }
+          includeHeaders, isolation): InputPartition }
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -521,7 +573,9 @@ private[sources] class KafkaWireMicroBatchStream(host: String, port: Int,
 /** One topic partition's [from, until) range — fetched by the task. */
 private[sources] case class KafkaRangePartition(host: String, port: Int,
     topic: String, partition: Int, from: Long, until: Long,
-    includeHeaders: Boolean = false) extends InputPartition
+    includeHeaders: Boolean = false,
+    isolation: Int = KafkaWire.Isolation.ReadUncommitted)
+    extends InputPartition
 
 private[sources] class KafkaRangeReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -531,7 +585,8 @@ private[sources] class KafkaRangeReaderFactory extends PartitionReaderFactory {
 private[sources] class KafkaRangeReader(p: KafkaRangePartition)
     extends PartitionReader[InternalRow] {
   private val conn = new KafkaWire.Conn(p.host, p.port)
-  private val fetcher = new KafkaWire.GrowingFetcher(conn, p.topic, p.partition)
+  private val fetcher =
+    new KafkaWire.GrowingFetcher(conn, p.topic, p.partition, p.isolation)
   private var buf: Seq[KafkaWire.Record] = Seq.empty
   private var i = -1
   private var pos = p.from
