@@ -298,9 +298,10 @@ object StreamBench {
       } finally srv.stop()
     }
 
-    // idempotent-produce overhead: the v2 sequence bookkeeping is a
-    // few header fields per batch — this row proves it's ~free
-    val idem = {
+    // idempotent- and transactional-produce overhead: sequences are a
+    // few header fields per batch, a transaction adds AddPartitionsToTxn
+    // + one EndTxn marker per task — these rows prove both are ~free
+    def sinkRow(tag: String, extra: (String, String)): String = {
       val srv = new MiniKafkaServer(numPartitions = 4)
       try {
         val n = 200000
@@ -309,16 +310,20 @@ object StreamBench {
         val t0 = System.nanoTime()
         df.write.format("graft-kafka")
           .option("host", "localhost").option("port", srv.port.toString)
-          .option("topic", "bench-topic").option("idempotent", "true")
+          .option("topic", "bench-topic").option(extra._1, extra._2)
           .mode("append").save()
         val produceSecs = secsSince(t0)
         df.unpersist(blocking = true)
-        val consumed = KafkaWire.pollOnce(spark, "localhost", srv.port,
-          "bench-topic").count()
-        require(consumed == n, s"idempotent bench lost rows: $consumed != $n")
-        s""""idempotent_v2":{"rows":$n,"produce_rps":${r3(n / produceSecs)}}"""
+        val consumed = spark.read.format("graft-kafka")
+          .option("host", "localhost").option("port", srv.port.toString)
+          .option("topic", "bench-topic")
+          .option("isolationLevel", "read_committed").load().count()
+        require(consumed == n, s"$tag bench lost rows: $consumed != $n")
+        s""""$tag":{"rows":$n,"produce_rps":${r3(n / produceSecs)}}"""
       } finally srv.stop()
     }
-    (results ++ codecResults :+ minp :+ idem).mkString("{", ",", "}")
+    val idem = sinkRow("idempotent_v2", "idempotent" -> "true")
+    val txn = sinkRow("transactional_v2", "transactionalIdPrefix" -> "bench")
+    (results ++ codecResults :+ minp :+ idem :+ txn).mkString("{", ",", "}")
   }
 }

@@ -173,6 +173,29 @@ object WireCodecProperties extends Properties("graft.wirecodec") {
       }
     }
 
+  property("zigzag varint/varlong roundtrip over the full Int/Long range") =
+    Prop.forAll { (i: Int, l: Long) =>
+      val w = new KafkaWire.Writer()
+      w.varint(i); w.varlong(l); w.varint(-1); w.varlong(Long.MinValue)
+      val r = new KafkaWire.Reader(w.result())
+      r.varint() == i && r.varlong() == l && r.varint() == -1 &&
+        r.varlong() == Long.MinValue
+    }
+
+  property("control batch roundtrip: marker type, pid/epoch, transactional+control bits") =
+    Prop.forAll(Gen.chooseNum(0L, Long.MaxValue / 2), Gen.chooseNum(0L, 9999L),
+        Gen.chooseNum(0, 100), Gen.oneOf(true, false)) {
+      (off, pid, epoch, commit) =>
+        val b = KafkaWire.decodeRecordBatches(
+          KafkaWire.encodeControlBatch(off, pid, epoch, commit, 7L)).head
+        val key = new KafkaWire.Reader(b.records.head.key)
+        key.int16() // version
+        b.control && b.transactional && b.producerId == pid &&
+          b.producerEpoch == epoch && b.baseOffset == off &&
+          b.endOffset == off + 1 &&
+          key.int16() == (if (commit) 1 else 0)
+    }
+
   property("mixed-format set: v1 entries and v2 batches decode in one pass") =
     Prop.forAll(recordsGen, v2RecordsGen) { (v1recs, v2recs) =>
       val v1 = KafkaWire.encodeMessageSetAt(
