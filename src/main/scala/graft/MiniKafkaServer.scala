@@ -505,6 +505,20 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
     new Writer().int32(0).int16(err).result()
   }
 
+  /** Offset resolution for one (partition, timestamp) under the
+    * ListOffsets contract: -2 = earliest, -1 = latest (LSO under
+    * read_committed), any real timestamp = the EARLIEST offset whose
+    * record timestamp is >= it (the time-index lookup), falling to
+    * the log end when nothing is that new — the stock consumer then
+    * starts at latest. Control markers are not data and never match. */
+  private def offsetFor(log: Log, ts: Long, isolation: Int): Long =
+    log.synchronized {
+      if (ts == -2L) 0L
+      else if (ts == -1L) { if (isolation == 1) log.lso else log.next }
+      else log.batches.iterator.filter(!_.control).flatMap(_.records)
+        .find(_.timestamp >= ts).map(_.offset).getOrElse(log.next)
+    }
+
   private def listOffsetsV1(r: Reader): Array[Byte] = {
     r.int32() // replica_id
     val nTopics = r.int32()
@@ -513,8 +527,7 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
       val nParts = r.int32()
       val parts = (0 until nParts).map { _ =>
         val p = r.int32(); val ts = r.int64()
-        val log = logOf(topic, p)
-        val off = if (ts == -2L) 0L else log.synchronized(log.next)
+        val off = offsetFor(logOf(topic, p), ts, isolation = 0)
         (p, off)
       }
       (topic, parts)
@@ -678,12 +691,7 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
       val nParts = r.int32()
       val parts = (0 until nParts).map { _ =>
         val p = r.int32(); val ts = r.int64()
-        val log = logOf(topic, p)
-        val off = log.synchronized {
-          if (ts == -2L) 0L
-          else if (isolation == 1) log.lso // committed "latest" = LSO
-          else log.next
-        }
+        val off = offsetFor(logOf(topic, p), ts, isolation)
         (p, off)
       }
       (topic, parts)

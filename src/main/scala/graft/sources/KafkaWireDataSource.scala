@@ -68,6 +68,17 @@ class KafkaWireDataSource extends TableProvider with DataSourceRegister {
     val starting = Option(opts.get("startingOffsets")).getOrElse("earliest")
     require(starting == "earliest" || starting == "latest",
       s"startingOffsets must be earliest or latest, got '$starting'")
+    val startingTs = Option(opts.get("startingTimestamp")).map { v =>
+      val t = try java.lang.Long.parseLong(v)
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"startingTimestamp must be a non-negative epoch-ms long, got '$v'")
+      }
+      require(t >= 0, s"startingTimestamp must be non-negative, got $t")
+      t
+    }
+    require(!(startingTs.isDefined && opts.containsKey("startingOffsets")),
+      "startingTimestamp and startingOffsets are mutually exclusive")
     val codec = KafkaWire.Codec.forName(
       Option(opts.get("codec")).getOrElse("none"))
     val format = Option(opts.get("format")).getOrElse("auto")
@@ -114,7 +125,7 @@ class KafkaWireDataSource extends TableProvider with DataSourceRegister {
       s"maxOffsetsPerTrigger must be positive, got $m"))
     new KafkaWireTable(host, Integer.parseInt(port), topic, starting, codec,
       maxOffsets, format, idempotent, minPartitions, includeHeaders,
-      isolation, txnPrefix)
+      isolation, txnPrefix, startingTs)
   }
 }
 
@@ -147,7 +158,8 @@ private[sources] class KafkaWireTable(host: String, port: Int, topic: String,
     idempotent: Boolean = false, minPartitions: Option[Int] = None,
     includeHeaders: Boolean = false,
     isolation: Int = KafkaWire.Isolation.ReadUncommitted,
-    txnPrefix: Option[String] = None)
+    txnPrefix: Option[String] = None,
+    startingTimestamp: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite {
   require(host != null && topic != null, "options host, port, topic are required")
   override def name(): String = s"graft-kafka($topic@$host:$port)"
@@ -161,7 +173,8 @@ private[sources] class KafkaWireTable(host: String, port: Int, topic: String,
     new ScanBuilder {
       override def build(): Scan =
         new KafkaWireScan(host, port, topic, startingOffsets,
-          maxOffsetsPerTrigger, minPartitions, includeHeaders, isolation)
+          maxOffsetsPerTrigger, minPartitions, includeHeaders, isolation,
+          startingTimestamp)
     }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -361,7 +374,8 @@ private[sources] class KafkaWireScan(host: String, port: Int, topic: String,
     maxOffsetsPerTrigger: Option[Long] = None,
     minPartitions: Option[Int] = None,
     includeHeaders: Boolean = false,
-    isolation: Int = KafkaWire.Isolation.ReadUncommitted)
+    isolation: Int = KafkaWire.Isolation.ReadUncommitted,
+    startingTimestamp: Option[Long] = None)
     extends Scan with Batch {
   override def readSchema(): StructType =
     KafkaWireDataSource.schemaWith(includeHeaders)
@@ -379,7 +393,10 @@ private[sources] class KafkaWireScan(host: String, port: Int, topic: String,
 
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
-    val from = offsets(-2L); val until = offsets(-1L)
+    // a timestamp start resolves per partition to the earliest offset
+    // at/after it (the ListOffsets time lookup); otherwise earliest
+    val from = offsets(startingTimestamp.getOrElse(-2L))
+    val until = offsets(-1L)
     val ranges = from.keys.toSeq.sorted.map(p => (p, from(p), until(p)))
     KafkaWireScan.splitRanges(ranges, minPartitions.getOrElse(0))
       .map { case (p, lo, hi) =>
@@ -392,7 +409,8 @@ private[sources] class KafkaWireScan(host: String, port: Int, topic: String,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new KafkaWireMicroBatchStream(host, port, topic, startingOffsets,
-      maxOffsetsPerTrigger, minPartitions, includeHeaders, isolation)
+      maxOffsetsPerTrigger, minPartitions, includeHeaders, isolation,
+      startingTimestamp)
 }
 
 private[sources] object KafkaWireScan {
@@ -445,7 +463,8 @@ private[sources] class KafkaWireMicroBatchStream(host: String, port: Int,
     maxOffsetsPerTrigger: Option[Long] = None,
     minPartitions: Option[Int] = None,
     includeHeaders: Boolean = false,
-    isolation: Int = KafkaWire.Isolation.ReadUncommitted)
+    isolation: Int = KafkaWire.Isolation.ReadUncommitted,
+    startingTimestamp: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   @volatile private var lastKnownEnd: Option[Map[Int, Long]] = None
@@ -466,7 +485,10 @@ private[sources] class KafkaWireMicroBatchStream(host: String, port: Int,
   // collect/consumer.py:154) or latest (ListOffsets -1) — only
   // consulted on a FRESH checkpoint, the stock connector's contract.
   override def initialOffset(): Offset = {
-    val ts = if (startingOffsets == "latest") -1L else -2L
+    // startingTimestamp wins (validated mutually exclusive upstream):
+    // the per-partition time lookup; else earliest/latest
+    val ts = startingTimestamp
+      .getOrElse(if (startingOffsets == "latest") -1L else -2L)
     val c = new KafkaWire.Conn(host, port)
     try {
       val n = KafkaWire.partitionCount(c, topic)

@@ -371,6 +371,57 @@ class KafkaV2Spec extends SparkSuite {
     assert(messages(err).exists(_.contains("headers column needs record-batch v2")))
   }
 
+  test("startingTimestamp: the per-partition time lookup starts the read mid-log") {
+    import org.apache.spark.sql.streaming.Trigger
+    val srv = new MiniKafkaServer(numPartitions = 1)
+    try {
+      val prod = new KafkaWire.RetryingProducer("localhost", srv.port, "t")
+      try {
+        // v2 keeps PER-RECORD timestamps — the time index is real
+        prod.sendRecords(0, Seq(
+          KafkaWire.Record(0L, 1000L, "old1".getBytes(u8), "v".getBytes(u8)),
+          KafkaWire.Record(0L, 2000L, "old2".getBytes(u8), "v".getBytes(u8)),
+          KafkaWire.Record(0L, 3000L, "new1".getBytes(u8), "v".getBytes(u8)),
+          KafkaWire.Record(0L, 4000L, "new2".getBytes(u8), "v".getBytes(u8))))
+      } finally prod.close()
+      def readFrom(ts: Long) = spark.read.format("graft-kafka")
+        .option("host", "localhost").option("port", srv.port.toString)
+        .option("topic", "t").option("startingTimestamp", ts.toString)
+        .load().collect().map(_.getAs[String]("key")).toSeq
+      assert(readFrom(2500L) === Seq("new1", "new2"),
+        "the batch read must start at the earliest record at/after ts")
+      assert(readFrom(2000L) === Seq("old2", "new1", "new2"))
+      assert(readFrom(0L) === Seq("old1", "old2", "new1", "new2"))
+      assert(readFrom(99999L) === Seq.empty,
+        "nothing that new: start at latest, the stock fallback")
+      // the streaming initial offset resolves the same way
+      val outDir = java.nio.file.Files.createTempDirectory("ts-out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("ts-ckpt").toString
+      val q = spark.readStream.format("graft-kafka")
+        .option("host", "localhost").option("port", srv.port.toString)
+        .option("topic", "t").option("startingTimestamp", "3000").load()
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      assert(spark.read.parquet(outDir).collect()
+        .map(_.getAs[String]("key")).sorted.toSeq === Seq("new1", "new2"))
+    } finally srv.stop()
+  }
+
+  test("startingTimestamp and startingOffsets are mutually exclusive, loudly") {
+    val err = intercept[Exception] {
+      spark.read.format("graft-kafka")
+        .option("host", "localhost").option("port", "1").option("topic", "t")
+        .option("startingOffsets", "earliest")
+        .option("startingTimestamp", "1000").load()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("mutually exclusive")))
+  }
+
   test("v2 compressed sink batch: codec option produces ONE magic-2 batch, read back whole") {
     val srv = new MiniKafkaServer(numPartitions = 1)
     try {
