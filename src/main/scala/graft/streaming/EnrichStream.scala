@@ -43,10 +43,11 @@ object EnrichStream {
     * checkpointed exactly-once resume. Query shape downstream is
     * identical to [[fromKafka]]. */
   def fromKafkaWire(spark: SparkSession, host: String, port: Int,
-      topic: String): DataFrame =
+      topic: String, isolationLevel: String = "read_uncommitted"): DataFrame =
     spark.readStream.format("graft-kafka")
       .option("host", host).option("port", port.toString)
       .option("topic", topic)
+      .option("isolationLevel", isolationLevel)
       .load()
       .selectExpr("CAST(value AS STRING) AS json")
 

@@ -184,4 +184,95 @@ class FullTopologySpec extends SparkSuite {
       try c.createStatement().execute("DROP TABLE news_wire2") finally c.close()
     }
   }
+
+  test("EXACTLY-ONCE topology: transactional sink + read_committed source survive the same wire fault without the J1 absorber") {
+    // The r14 capstone: the same both-halves topology, but the sink is
+    // TRANSACTIONAL (one transaction per task, idempotent sequences
+    // inside it) and the consumer reads COMMITTED — so the post-append
+    // connection drop that the previous test absorbs downstream never
+    // produces a duplicate at all: the retried batch is deduped
+    // broker-side and the records flip visible atomically at commit.
+    // The terminal table needs no ON CONFLICT to stay correct (the
+    // upsert here is belt-and-braces, not the correctness mechanism —
+    // the assertion on the WIRE proves the duplicate never landed).
+    val srv = new MiniKafkaServer(numPartitions = 2)
+    val url = "jdbc:derby:memory:topodb3;create=true"
+    val conn0 = DriverManager.getConnection(url)
+    try conn0.createStatement().execute(
+      """CREATE TABLE news_wire3 (
+        |  link VARCHAR(300) NOT NULL PRIMARY KEY,
+        |  title VARCHAR(300),
+        |  author VARCHAR(100),
+        |  updated TIMESTAMP)""".stripMargin)
+    finally conn0.close()
+    try {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Rss.FeedEntry]
+      val sinkCkpt = java.nio.file.Files.createTempDirectory("topo3-sink").toString
+      val srcCkpt = java.nio.file.Files.createTempDirectory("topo3-src").toString
+      val jdbcWriter = JdbcUpsert.foreachBatchWriter(
+        url, "news_wire3", Seq("link"), JdbcUpsert.DerbyUpsertDialect)
+
+      def produceOnce(): Unit = {
+        val q = Rss.toKafkaJson(in.toDF())
+          .writeStream.format("graft-kafka")
+          .option("host", "localhost").option("port", srv.port.toString)
+          .option("topic", "article-topic")
+          .option("transactionalIdPrefix", "topo3")
+          .option("checkpointLocation", sinkCkpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.stop()
+      }
+      def consumeOnce(): Unit = {
+        val enriched = EnrichStream.enrichParsed(
+          EnrichStream.fromKafkaWire(spark, "localhost", srv.port,
+            "article-topic", isolationLevel = "read_committed"),
+          embedDim = 8)
+        val q = enriched.writeStream
+          .option("checkpointLocation", srcCkpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            jdbcWriter(batch.select(col("link"), col("title"),
+              col("author"), col("updated_ts").as("updated")), id)
+            ()
+          }
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      def jdbcCount(): Long = {
+        val c = DriverManager.getConnection(url)
+        try {
+          val rs = c.createStatement()
+            .executeQuery("SELECT count(*) FROM news_wire3")
+          rs.next(); rs.getLong(1)
+        } finally c.close()
+      }
+      def entry(i: Int) = Rss.FeedEntry("김기자", s"http://x/$i",
+        s"본문 $i", s"제목 $i", f"2025-05-24 10:$i%02d:00")
+
+      in.addData(entry(1), entry(2), entry(3))
+      produceOnce()
+      consumeOnce()
+      assert(jdbcCount() == 3L)
+
+      // round 2 under the SAME wire fault: the broker appends the batch
+      // then drops the connection before the ack — but the transactional
+      // producer's retry re-sends the same sequence and the broker
+      // DEDUPS it: the wire itself stays exactly-once now
+      srv.dropNextProduceAfterAppend.set(1)
+      in.addData(entry(4), entry(5))
+      produceOnce()
+      val onWire = (0 until 2).map(p => srv.stored("article-topic", p).size).sum
+      assert(onWire == 5,
+        "idempotent sequences must dedup the retried batch ON the broker")
+      consumeOnce()
+      assert(jdbcCount() == 5L)
+    } finally {
+      srv.stop()
+      val c = DriverManager.getConnection(url)
+      try c.createStatement().execute("DROP TABLE news_wire3") finally c.close()
+    }
+  }
 }
