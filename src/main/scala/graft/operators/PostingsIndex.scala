@@ -102,6 +102,58 @@ object PostingsIndex {
     postings.repartition(col("tbucket"))
       .sortWithinPartitions(col("token"), col("doc_id"))
 
+  // ── serving generations (r14): the fold republishes repeatedly over
+  // a live timeline, so unlike the one-shot batch build it needs
+  // reader isolation — each fold writes a NEW vN directory whose
+  // number is claimed through [[CommitPrimitive]] (the same seam as
+  // the LSM manifests, the artifact pointers, and the IVF
+  // generations), then swaps the advisory CURRENT hint. A reader that
+  // resolved vN mid-fold is untouched; a missing hint recovers from
+  // the claim scan. A path with NO generations (the batch build's
+  // layout, at the path root) resolves to itself. ──────────────────────
+
+  private val ServeGenClaim = "gen-([0-9]+)".r
+
+  private def claimedGens(path: String): Seq[Int] =
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .toSeq.map(_.getName).collect { case ServeGenClaim(n) => n.toInt }
+
+  private def claimServingGen(path: String, from: Int): Int = {
+    val root = new java.io.File(path)
+    root.mkdirs()
+    var n = from
+    var won = false
+    while (!won) {
+      val tmp = new java.io.File(root,
+        s".gen-$n-${java.util.UUID.randomUUID().toString.take(8)}")
+      java.nio.file.Files.write(tmp.toPath, Array.emptyByteArray)
+      try { CommitPrimitive.active.claim(tmp, new java.io.File(root, s"gen-$n")); won = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          tmp.delete(); n += 1
+          require(n - from < 10000, s"serving-gen claim runaway at $path")
+      }
+    }
+    n
+  }
+
+  /** The directory a search should read for `path`: the CURRENT
+    * hint's generation, claim-scan recovery when the hint is absent
+    * (max claimed generation whose LAST-written table committed), or
+    * the path itself for a generation-less (batch-built) layout. */
+  def servingDir(path: String): String = {
+    val hint = new java.io.File(path, "CURRENT")
+    val n =
+      if (hint.exists())
+        Some(new String(java.nio.file.Files.readAllBytes(hint.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
+      else claimedGens(path)
+        .filter(n => new java.io.File(path,
+          s"v$n/corpusstats/_SUCCESS").exists())
+        .maxOption
+    n.map(v => s"$path/v$v").getOrElse(path)
+  }
+
   /** Publish the SERVING layout from already-aggregated postings rows
     * — `(doc_id, token, tf, dl)`, the bm25 LSM kind's layout — plus
     * `(doc_id, dl)` doclens: the production split between the two
@@ -113,13 +165,44 @@ object PostingsIndex {
     * shuffle — a batch build's cost — but it runs OFF the ingest path
     * on whatever cadence serving freshness needs, while the LSM keeps
     * absorbing deltas. Merge-on-read probes and served searches are
-    * interchangeable under the same oracle (idx_bm25_lsm_served). */
+    * interchangeable under the same oracle (idx_bm25_lsm_served).
+    *
+    * Each fold is a NEW claimed generation + hint swap (see above):
+    * concurrent readers never observe a half-written layout, and two
+    * racing folds land in distinct directories with the last hint
+    * winning. Generations older than current−1 are pruned (in-flight
+    * readers hold at most one horizon — the IvfIndex rule). */
   def publishServing(postings: DataFrame, doclens: DataFrame,
       path: String): Unit = {
     val bucketed = layout(postings
       .select(col("token"), col("doc_id"), col("dl"), col("tf"))
       .withColumn("tbucket", tbucket(col("token"))))
-    writeFrom(doclens, bucketed, path, SaveMode.Overwrite)
+    val prev = {
+      val d = servingDir(path)
+      if (d == path) 0 else d.substring(d.lastIndexOf("/v") + 2).toInt
+    }
+    val next = claimServingGen(path, prev + 1)
+    writeFrom(doclens, bucketed, s"$path/v$next", SaveMode.Overwrite)
+    // advisory hint, swapped atomically AFTER the tables committed
+    val tmp = new java.io.File(path, s".CURRENT-$next.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(path, "CURRENT").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // prune: current and current-1 stay (claim files are never pruned
+    // — max-claimed monotonicity is what hint recovery leans on)
+    (1 until next - 1).foreach { old =>
+      val dir = new java.io.File(path, s"v$old")
+      if (dir.exists()) {
+        def del(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+          f.delete()
+        }
+        del(dir)
+      }
+    }
   }
 
   // ── auto serving-fold (r14 verdict #4) ──────────────────────────────
@@ -204,7 +287,8 @@ object PostingsIndex {
     * over the persisted tables). */
   def termStats(spark: SparkSession, path: String,
       terms: Option[Seq[String]] = None): DataFrame = {
-    val raw = spark.read.parquet(s"$path/termstats")
+    // idempotent on an already-resolved generation dir (no gens there)
+    val raw = spark.read.parquet(s"${servingDir(path)}/termstats")
       .withColumn("tbucket", col("tbucket").cast("int"))
     val pruned = terms.fold(raw) { ts =>
       val buckets = bucketsOf(spark, ts)
@@ -238,14 +322,17 @@ object PostingsIndex {
     * literal IN below) + their stat partials. */
   def bm25Search(spark: SparkSession, path: String, terms: Seq[String],
       k: Int): DataFrame = {
+    // resolve the generation ONCE and read all three tables from the
+    // resolved dir — a concurrent fold is invisible to this search
+    val dir = servingDir(path)
     val buckets = bucketsOf(spark, terms)
-    val post = spark.read.parquet(s"$path/postings")
+    val post = spark.read.parquet(s"$dir/postings")
       .withColumn("tbucket", col("tbucket").cast("int"))
       .where(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
-    val ts = termStats(spark, path, Some(terms))
+    val ts = termStats(spark, dir, Some(terms))
     val idf = Num.roundp(
       log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)), 6)
-    val stats = ts.crossJoin(corpusStats(spark, path)).withColumn("idf", idf)
+    val stats = ts.crossJoin(corpusStats(spark, dir)).withColumn("idf", idf)
     val denom = col("tf") +
       lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))
     val part = Num.roundp(col("idf") * (col("tf") * lit(2.2)) / denom, 6)

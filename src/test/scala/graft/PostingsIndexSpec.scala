@@ -155,8 +155,65 @@ class PostingsIndexSpec extends SparkSuite {
     assert(got == want && got.nonEmpty)
     // deleted doc 2 is gone; edited doc 1's old tokens are gone
     assert(!got.exists(_._1 == 2L))
-    val p = spark.read.parquet(s"$served/postings")
+    val p = spark.read.parquet(
+      s"${PostingsIndex.servingDir(served)}/postings")
     assert(p.where(col("doc_id") === 1L && col("token") === "spark").count() == 0)
     assert(p.where(col("doc_id") === 2L).count() == 0)
+  }
+
+  test("repeated folds publish isolated generations; readers and recovery follow the claims") {
+    import graft.operators.{IncPostings, PostingsIndex}
+    def docs(rows: (Long, String)*) = {
+      import spark.implicits._
+      rows.toDF("doc_id", "text")
+    }
+    val serving = java.nio.file.Files
+      .createTempDirectory("fold-gens").toString + "/idx"
+    val terms = Seq("alpha")
+    def fold(rows: (Long, String)*): Unit =
+      PostingsIndex.publishServing(
+        IncPostings.bm25RowsOf(docs(rows: _*)),
+        IncPostings.doclenRowsOf(docs(rows: _*)), serving)
+    def topDoc(dir: String): Long =
+      PostingsIndex.bm25Search(spark, dir, terms, 1)
+        .collect().head.getLong(0)
+
+    // exactly ONE doc per fold contains the probe term, so the top
+    // document identifies the generation unambiguously
+    fold(1L -> "alpha alpha beta", 2L -> "beta gamma")
+    val v1 = PostingsIndex.servingDir(serving)
+    assert(v1.endsWith("/v1"), s"first fold must publish v1, got $v1")
+    assert(topDoc(serving) === 1L)
+
+    // a reader that resolved v1 BEFORE the refold reads it unchanged
+    fold(3L -> "alpha alpha alpha", 4L -> "gamma")
+    assert(PostingsIndex.servingDir(serving).endsWith("/v2"))
+    assert(topDoc(serving) === 3L, "the hint now serves the new fold")
+    assert(topDoc(v1) === 1L,
+      "the superseded generation is bit-stable for in-flight readers")
+
+    // third fold prunes v1 (current and current-1 stay)
+    fold(5L -> "delta", 6L -> "alpha alpha alpha alpha")
+    assert(!new java.io.File(v1).exists(), "v1 must be pruned")
+    assert(new java.io.File(serving, "v2").exists())
+    assert(topDoc(serving) === 6L)
+
+    // hint loss recovers from the claim scan (claims are never pruned)
+    assert(new java.io.File(serving, "CURRENT").delete())
+    assert(PostingsIndex.servingDir(serving).endsWith("/v3"))
+    assert(topDoc(serving) === 6L)
+
+    // a crashed fold: claim gen-4 with no tables — recovery and the
+    // next fold both skip it
+    val t = new java.io.File(serving, ".pre4")
+    java.nio.file.Files.write(t.toPath, Array.emptyByteArray)
+    graft.operators.CommitPrimitive.active.claim(t,
+      new java.io.File(serving, "gen-4"))
+    assert(PostingsIndex.servingDir(serving).endsWith("/v3"),
+      "a claimed-but-empty generation must not be resolved")
+    fold(7L -> "alpha alpha alpha alpha alpha")
+    assert(PostingsIndex.servingDir(serving).endsWith("/v5"),
+      "the next fold must claim past the dead number")
+    assert(topDoc(serving) === 7L)
   }
 }
