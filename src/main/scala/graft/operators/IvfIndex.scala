@@ -172,9 +172,7 @@ object IvfIndex {
       finally in.close()
     } else {
       val root = new java.io.File(path)
-      Option(root.listFiles()).getOrElse(Array.empty).toSeq
-        .map(_.getName)
-        .collect { case GenClaim(n) => n.toInt }
+      Generations.claimed(path)
         // claimed AND complete: assignments' _SUCCESS is written by the
         // committing parquet job AFTER centroids, so its presence means
         // the whole generation landed (a crash mid-build leaves a
@@ -185,41 +183,12 @@ object IvfIndex {
     }
   }
 
-  private val GenClaim = "gen-([0-9]+)".r
-
-  /** Claim generation `n` as THE commit point — the same
-    * [[CommitPrimitive]] seam the LSM manifests commit through
-    * (unified r14; previously this index's only mutation guard was the
-    * advisory pointer swap). Exactly one writer can own a generation
-    * number: a racer or a crashed predecessor holding `gen-N` makes
-    * this return false and the builder moves to the next number, so
-    * two concurrent retrains can never interleave writes inside one
-    * `vN` directory. Claim files are never pruned — monotonicity of
-    * "max claimed = newest" is what hint recovery leans on. */
-  private def claimGeneration(path: String, n: Int): Boolean = {
-    val root = new java.io.File(path)
-    root.mkdirs()
-    val tmp = new java.io.File(root,
-      s".gen-$n-${java.util.UUID.randomUUID().toString.take(8)}")
-    java.nio.file.Files.write(tmp.toPath, Array.emptyByteArray)
-    try {
-      CommitPrimitive.active.claim(tmp, new java.io.File(root, s"gen-$n"))
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        tmp.delete(); false
-    }
-  }
-
-  /** Claim the next free generation at or above `from`. */
-  private def claimNextGeneration(path: String, from: Int): Int = {
-    var n = from
-    while (!claimGeneration(path, n)) {
-      n += 1
-      require(n - from < 10000, s"claim runaway at $path (from $from)")
-    }
-    n
-  }
+  // generation claims route through the shared [[Generations]] helper
+  // — the same commit mechanic as the BM25 serving folds (unified
+  // r14; previously this index's only mutation guard was the advisory
+  // pointer swap). Exactly one writer owns each number, so two
+  // concurrent retrains can never interleave writes inside one vN
+  // directory.
 
   /** Directory of the live generation. Resolve ONCE per operation and
     * read both tables from the resolved dir — that is what makes a
@@ -235,14 +204,25 @@ object IvfIndex {
     * window recovers through the claim scan in [[currentVersion]]. */
   private def writePointer(spark: SparkSession, path: String, n: Int): Unit = {
     val f = hfs(spark, path)
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/.CURRENT.tmp")
+    // WRITER-UNIQUE temp name: two racing builds each swap their own
+    // hint (a fixed name let one racer's rename consume the other's
+    // temp file — caught by IvfGenerationSpec's racing-builds test).
+    // Last hint wins; both point at complete claimed generations.
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$path/.CURRENT-$n-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val cur = new org.apache.hadoop.fs.Path(s"$path/CURRENT")
     val out = f.create(tmp, true)
     try out.write(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     f.delete(cur, false)
-    if (!f.rename(tmp, cur))
-      throw new java.io.IOException(s"pointer swap failed for $path -> v$n")
+    if (!f.rename(tmp, cur)) {
+      // a racer re-created CURRENT between our delete and rename: its
+      // hint is equally valid (claim-complete generation) — the swap
+      // is advisory, so losing it is not an error. Clean our temp.
+      f.delete(tmp, false)
+      if (!f.exists(cur))
+        throw new java.io.IOException(s"pointer swap failed for $path -> v$n")
+    }
   }
 
   /** Drop generations older than the previous one (current and
@@ -266,7 +246,7 @@ object IvfIndex {
     // claim BEFORE the heavy writes: the claim reserves the generation
     // number, so a racing build/retrain lands in its own vN and the
     // LAST hint swap wins — never two writers inside one directory
-    val next = claimNextGeneration(path,
+    val next = Generations.claimNext(path,
       currentVersion(spark, path).getOrElse(0) + 1)
     val dir = s"$path/v$next"
     writeCodebook(spark, cents, dir)

@@ -112,31 +112,6 @@ object PostingsIndex {
   // the claim scan. A path with NO generations (the batch build's
   // layout, at the path root) resolves to itself. ──────────────────────
 
-  private val ServeGenClaim = "gen-([0-9]+)".r
-
-  private def claimedGens(path: String): Seq[Int] =
-    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .toSeq.map(_.getName).collect { case ServeGenClaim(n) => n.toInt }
-
-  private def claimServingGen(path: String, from: Int): Int = {
-    val root = new java.io.File(path)
-    root.mkdirs()
-    var n = from
-    var won = false
-    while (!won) {
-      val tmp = new java.io.File(root,
-        s".gen-$n-${java.util.UUID.randomUUID().toString.take(8)}")
-      java.nio.file.Files.write(tmp.toPath, Array.emptyByteArray)
-      try { CommitPrimitive.active.claim(tmp, new java.io.File(root, s"gen-$n")); won = true }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          tmp.delete(); n += 1
-          require(n - from < 10000, s"serving-gen claim runaway at $path")
-      }
-    }
-    n
-  }
-
   /** The directory a search should read for `path`: the CURRENT
     * hint's generation, claim-scan recovery when the hint is absent
     * (max claimed generation whose LAST-written table committed), or
@@ -147,7 +122,7 @@ object PostingsIndex {
       if (hint.exists())
         Some(new String(java.nio.file.Files.readAllBytes(hint.toPath),
           java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
-      else claimedGens(path)
+      else Generations.claimed(path)
         .filter(n => new java.io.File(path,
           s"v$n/corpusstats/_SUCCESS").exists())
         .maxOption
@@ -181,7 +156,7 @@ object PostingsIndex {
       val d = servingDir(path)
       if (d == path) 0 else d.substring(d.lastIndexOf("/v") + 2).toInt
     }
-    val next = claimServingGen(path, prev + 1)
+    val next = Generations.claimNext(path, prev + 1)
     writeFrom(doclens, bucketed, s"$path/v$next", SaveMode.Overwrite)
     // advisory hint, swapped atomically AFTER the tables committed
     val tmp = new java.io.File(path, s".CURRENT-$next.tmp")
