@@ -309,7 +309,18 @@ private[sources] class KafkaProduceWriter(host: String, port: Int,
   // rows ride ONE transaction — commit() flushes then commits it,
   // abort() aborts it, and a read_committed consumer sees a failed
   // task's rows NEVER (not even transiently). This is the
-  // exactly-once sink; transactions imply idempotence.
+  // exactly-once sink; transactions imply idempotence. Granularity is
+  // the TASK (each task commits its own transaction; a job-level abort
+  // after some tasks committed cannot recall those — Spark's commit
+  // coordinator prevents double-committing a partition). Two
+  // boundaries, both inherent to one-phase transactional sinks:
+  // the prefix must be UNIQUE PER QUERY over a topic (two live queries
+  // sharing one would fence each other), and a connection failure
+  // DURING the EndTxn(commit) ack leaves the classic commit ambiguity
+  // — the broker may have committed while the task reports failure, so
+  // a task retry re-produces committed rows. Closing that needs an
+  // engine-side 2PC ledger (the Flink TwoPhaseCommitSink shape), which
+  // Spark's DSv2 does not offer a recoverable hook for.
   private val prod = new KafkaWire.RetryingProducer(host, port, topic,
     format = format, idempotent = idempotent || transactionalId.isDefined,
     transactionalId = transactionalId.orNull)
