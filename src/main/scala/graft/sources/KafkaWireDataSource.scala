@@ -79,6 +79,20 @@ class KafkaWireDataSource extends TableProvider with DataSourceRegister {
     }
     require(!(startingTs.isDefined && opts.containsKey("startingOffsets")),
       "startingTimestamp and startingOffsets are mutually exclusive")
+    val endingTs = Option(opts.get("endingTimestamp")).map { v =>
+      val t = try java.lang.Long.parseLong(v)
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"endingTimestamp must be a non-negative epoch-ms long, got '$v'")
+      }
+      require(t >= 0, s"endingTimestamp must be non-negative, got $t")
+      t
+    }
+    (startingTs, endingTs) match {
+      case (Some(a), Some(b)) => require(a <= b,
+        s"startingTimestamp $a must be <= endingTimestamp $b")
+      case _ =>
+    }
     val codec = KafkaWire.Codec.forName(
       Option(opts.get("codec")).getOrElse("none"))
     val format = Option(opts.get("format")).getOrElse("auto")
@@ -125,7 +139,7 @@ class KafkaWireDataSource extends TableProvider with DataSourceRegister {
       s"maxOffsetsPerTrigger must be positive, got $m"))
     new KafkaWireTable(host, Integer.parseInt(port), topic, starting, codec,
       maxOffsets, format, idempotent, minPartitions, includeHeaders,
-      isolation, txnPrefix, startingTs)
+      isolation, txnPrefix, startingTs, endingTs)
   }
 }
 
@@ -159,7 +173,8 @@ private[sources] class KafkaWireTable(host: String, port: Int, topic: String,
     includeHeaders: Boolean = false,
     isolation: Int = KafkaWire.Isolation.ReadUncommitted,
     txnPrefix: Option[String] = None,
-    startingTimestamp: Option[Long] = None)
+    startingTimestamp: Option[Long] = None,
+    endingTimestamp: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite {
   require(host != null && topic != null, "options host, port, topic are required")
   override def name(): String = s"graft-kafka($topic@$host:$port)"
@@ -174,7 +189,7 @@ private[sources] class KafkaWireTable(host: String, port: Int, topic: String,
       override def build(): Scan =
         new KafkaWireScan(host, port, topic, startingOffsets,
           maxOffsetsPerTrigger, minPartitions, includeHeaders, isolation,
-          startingTimestamp)
+          startingTimestamp, endingTimestamp)
     }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -386,7 +401,8 @@ private[sources] class KafkaWireScan(host: String, port: Int, topic: String,
     minPartitions: Option[Int] = None,
     includeHeaders: Boolean = false,
     isolation: Int = KafkaWire.Isolation.ReadUncommitted,
-    startingTimestamp: Option[Long] = None)
+    startingTimestamp: Option[Long] = None,
+    endingTimestamp: Option[Long] = None)
     extends Scan with Batch {
   override def readSchema(): StructType =
     KafkaWireDataSource.schemaWith(includeHeaders)
@@ -404,10 +420,12 @@ private[sources] class KafkaWireScan(host: String, port: Int, topic: String,
 
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
-    // a timestamp start resolves per partition to the earliest offset
-    // at/after it (the ListOffsets time lookup); otherwise earliest
+    // timestamp bounds resolve per partition through the ListOffsets
+    // time lookup: start = earliest offset at/after startingTimestamp
+    // (else earliest); end = earliest offset at/after endingTimestamp,
+    // EXCLUSIVE (else latest) - the stock connector's batch window
     val from = offsets(startingTimestamp.getOrElse(-2L))
-    val until = offsets(-1L)
+    val until = offsets(endingTimestamp.getOrElse(-1L))
     val ranges = from.keys.toSeq.sorted.map(p => (p, from(p), until(p)))
     KafkaWireScan.splitRanges(ranges, minPartitions.getOrElse(0))
       .map { case (p, lo, hi) =>
@@ -418,10 +436,14 @@ private[sources] class KafkaWireScan(host: String, port: Int, topic: String,
   override def createReaderFactory(): PartitionReaderFactory =
     new KafkaRangeReaderFactory
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(endingTimestamp.isEmpty,
+      "endingTimestamp bounds a BATCH read; a stream has no end - use " +
+        "Trigger.AvailableNow to drain to the current end instead")
     new KafkaWireMicroBatchStream(host, port, topic, startingOffsets,
       maxOffsetsPerTrigger, minPartitions, includeHeaders, isolation,
       startingTimestamp)
+  }
 }
 
 private[sources] object KafkaWireScan {

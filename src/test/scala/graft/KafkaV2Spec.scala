@@ -409,6 +409,40 @@ class KafkaV2Spec extends SparkSuite {
     } finally srv.stop()
   }
 
+  test("endingTimestamp bounds the batch window; a stream rejects it loudly") {
+    val srv = new MiniKafkaServer(numPartitions = 1)
+    try {
+      val prod = new KafkaWire.RetryingProducer("localhost", srv.port, "t")
+      try prod.sendRecords(0, Seq(
+        KafkaWire.Record(0L, 1000L, "a".getBytes(u8), "v".getBytes(u8)),
+        KafkaWire.Record(0L, 2000L, "b".getBytes(u8), "v".getBytes(u8)),
+        KafkaWire.Record(0L, 3000L, "c".getBytes(u8), "v".getBytes(u8)),
+        KafkaWire.Record(0L, 4000L, "d".getBytes(u8), "v".getBytes(u8))))
+      finally prod.close()
+      val win = spark.read.format("graft-kafka")
+        .option("host", "localhost").option("port", srv.port.toString)
+        .option("topic", "t")
+        .option("startingTimestamp", "2000")
+        .option("endingTimestamp", "3500") // exclusive: first offset >= it
+        .load().collect().map(_.getAs[String]("key")).toSeq
+      assert(win === Seq("b", "c"),
+        "[startingTimestamp, endingTimestamp) must window the batch read")
+      // the rejection fires on the STREAM thread (scan planning), so it
+      // surfaces through the query handle, not start()
+      val q = spark.readStream.format("graft-kafka")
+        .option("host", "localhost").option("port", srv.port.toString)
+        .option("topic", "t").option("endingTimestamp", "3500").load()
+        .writeStream.format("noop").start()
+      val err = intercept[Exception] {
+        try q.processAllAvailable() finally q.stop()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(err).exists(_.contains("bounds a BATCH read")))
+    } finally srv.stop()
+  }
+
   test("startingTimestamp and startingOffsets are mutually exclusive, loudly") {
     val err = intercept[Exception] {
       spark.read.format("graft-kafka")
