@@ -114,6 +114,12 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
     * zombie-fencing mechanism). */
   private val tidPids =
     scala.collection.concurrent.TrieMap.empty[String, Long]
+  /** Consumer-group committed offsets: (group, topic, partition) →
+    * next offset to read — the coordinator storage behind
+    * OffsetCommit/OffsetFetch (standalone consumers, no membership). */
+  private val groupOffsets = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Int), Long]
+
   /** pid → partitions registered to its OPEN transaction
     * (AddPartitionsToTxn / first transactional produce) — where EndTxn
     * fans the control markers out to. */
@@ -208,6 +214,8 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
           case (1, 2) => fetchV2(r)
           case (1, 4) if serveFormat >= 2 => fetchV4(r)
           case (2, 1) => listOffsetsV1(r)
+          case (8, 2) => offsetCommitV2(r)
+          case (9, 1) => offsetFetchV1(r)
           case (2, 2) if serveFormat >= 2 => listOffsetsV2(r)
           case (22, 0) if serveFormat >= 2 => initProducerIdV0(r)
           case (24, 0) if serveFormat >= 2 => addPartitionsToTxnV0(r)
@@ -239,9 +247,10 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
     // against this broker fail, exactly like a real old broker)
     val apis =
       if (serveFormat >= 2)
-        Seq((0, 2, 3), (1, 2, 4), (2, 1, 2), (3, 0, 0), (18, 0, 0),
-          (22, 0, 0), (24, 0, 0), (26, 0, 0))
-      else Seq((0, 2, 2), (1, 2, 2), (2, 1, 1), (3, 0, 0), (18, 0, 0))
+        Seq((0, 2, 3), (1, 2, 4), (2, 1, 2), (3, 0, 0), (8, 2, 2),
+          (9, 1, 1), (18, 0, 0), (22, 0, 0), (24, 0, 0), (26, 0, 0))
+      else Seq((0, 2, 2), (1, 2, 2), (2, 1, 1), (3, 0, 0), (8, 2, 2),
+        (9, 1, 1), (18, 0, 0))
     val w = new Writer().int16(0).int32(apis.length)
     apis.foreach { case (k, lo, hi) => w.int16(k).int16(lo).int16(hi) }
     w.result()
@@ -518,6 +527,52 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
       else log.batches.iterator.filter(!_.control).flatMap(_.records)
         .find(_.timestamp >= ts).map(_.offset).getOrElse(log.next)
     }
+
+  private def offsetCommitV2(r: Reader): Array[Byte] = {
+    val group = r.str()
+    r.int32(); r.str(); r.int64() // generation, member, retention
+    val nTopics = r.int32()
+    val resp = (0 until nTopics).map { _ =>
+      val topic = r.str()
+      val nParts = r.int32()
+      val parts = (0 until nParts).map { _ =>
+        val p = r.int32(); val off = r.int64(); r.str() // metadata
+        groupOffsets.put((group, topic, p), off)
+        p
+      }
+      (topic, parts)
+    }
+    val w = new Writer().int32(resp.length)
+    resp.foreach { case (topic, parts) =>
+      w.str(topic).int32(parts.length)
+      parts.foreach(p => w.int32(p).int16(0))
+    }
+    w.result()
+  }
+
+  private def offsetFetchV1(r: Reader): Array[Byte] = {
+    val group = r.str()
+    val nTopics = r.int32()
+    val resp = (0 until nTopics).map { _ =>
+      val topic = r.str()
+      val nParts = r.int32()
+      val parts = (0 until nParts).map { _ =>
+        val p = r.int32()
+        // -1 = no committed offset for this group (the protocol's
+        // "unknown" sentinel; the consumer falls to auto.offset.reset)
+        (p, groupOffsets.getOrElse((group, topic, p), -1L))
+      }
+      (topic, parts)
+    }
+    val w = new Writer().int32(resp.length)
+    resp.foreach { case (topic, parts) =>
+      w.str(topic).int32(parts.length)
+      parts.foreach { case (p, off) =>
+        w.int32(p).int64(off).str(null).int16(0)
+      }
+    }
+    w.result()
+  }
 
   private def listOffsetsV1(r: Reader): Array[Byte] = {
     r.int32() // replica_id

@@ -878,6 +878,55 @@ object KafkaWire {
     (r.int64(), r.int16())
   }
 
+  /** OffsetCommit v2 (api 8): persist per-partition consumer-group
+    * positions on the broker — the reference consumer's pattern
+    * (kafka-python with a group_id + commit; collect/consumer.py) for
+    * NON-checkpointed consumers. Spark paths keep their checkpointed
+    * offsets (exactly-once needs the position transactional with the
+    * output); this is the simple-consumer parity surface. No group
+    * MEMBERSHIP (Join/Sync/Heartbeat): generation -1 + empty member is
+    * the standalone-consumer convention the protocol defines for
+    * exactly this. */
+  def commitOffsets(c: Conn, groupId: String, topic: String,
+      offsets: Map[Int, Long]): Unit = {
+    val w = new Writer()
+      .str(groupId).int32(-1).str("") // generation -1, member "" = standalone
+      .int64(-1L)                     // retention_time: broker default
+      .int32(1).str(topic).int32(offsets.size)
+    offsets.toSeq.sortBy(_._1).foreach { case (p, off) =>
+      w.int32(p).int64(off).str(null) // metadata
+    }
+    val r = c.call(8, 2, w.result())
+    val nTopics = r.int32(); require(nTopics == 1)
+    r.str()
+    val nParts = r.int32()
+    (0 until nParts).foreach { _ =>
+      r.int32()
+      val err = r.int16(); require(err == 0, s"offsetCommit error $err")
+    }
+  }
+
+  /** OffsetFetch v1 (api 9): the group's committed position per
+    * partition; None where the group never committed (the consumer
+    * then falls to its auto.offset.reset policy). */
+  def fetchOffsets(c: Conn, groupId: String, topic: String,
+      partitions: Seq[Int]): Map[Int, Option[Long]] = {
+    val w = new Writer().str(groupId)
+      .int32(1).str(topic).int32(partitions.length)
+    partitions.foreach(w.int32)
+    val r = c.call(9, 1, w.result())
+    val nTopics = r.int32(); require(nTopics == 1)
+    r.str()
+    val nParts = r.int32()
+    (0 until nParts).map { _ =>
+      val p = r.int32()
+      val off = r.int64()
+      r.str() // metadata
+      val err = r.int16(); require(err == 0, s"offsetFetch error $err")
+      p -> (if (off < 0) None else Some(off))
+    }.toMap
+  }
+
   /** Highest mutually-supported record format: 2 when the broker
     * advertises Produce >= 3 AND Fetch >= 4 (the versions that carry
     * v2 batches), else 1 — the stock client's
@@ -1182,9 +1231,19 @@ object KafkaWire {
     * `fromOffset` (earliest = 0, the reference's
     * `auto_offset_reset="earliest"`) to the current high watermark,
     * one fetch loop per topic partition, parallelized over the
-    * cluster. Returns (partition, offset, timestamp, key, value). */
+    * cluster. Returns (partition, offset, timestamp, key, value).
+    *
+    * With `groupId` set this is the reference consumer's exact shape
+    * (kafka-python group + commit, collect/consumer.py): each
+    * partition starts from the GROUP'S COMMITTED offset (falling to
+    * `fromOffset` — the auto.offset.reset analogue — when the group
+    * never committed) and commits its final position after the drain,
+    * so successive polls of the same group consume each record once.
+    * The commit is per-partition from the task that drained it —
+    * at-least-once on task retry, the kafka-python contract. */
   def pollOnce(spark: SparkSession, host: String, port: Int,
-      topic: String, fromOffset: Long = 0L): DataFrame = {
+      topic: String, fromOffset: Long = 0L,
+      groupId: Option[String] = None): DataFrame = {
     val meta = new Conn(host, port)
     val nParts = try partitionCount(meta, topic) finally meta.close()
     val rows = spark.sparkContext
@@ -1196,7 +1255,9 @@ object KafkaWire {
           val out = scala.collection.mutable.ArrayBuffer.empty[
             (Int, Long, Long, String, String)]
           val fetcher = new GrowingFetcher(c, topic, p)
-          var off = fromOffset
+          var off = groupId
+            .flatMap(g => fetchOffsets(c, g, topic, Seq(p)).getOrElse(p, None))
+            .getOrElse(fromOffset)
           var done = false
           while (!done) {
             val (kept, hw) = fetcher.fetchAt(off)
@@ -1211,6 +1272,7 @@ object KafkaWire {
               done = off >= hw
             }
           }
+          groupId.foreach(g => commitOffsets(c, g, topic, Map(p -> off)))
           out.toSeq
         } finally c.close()
       }

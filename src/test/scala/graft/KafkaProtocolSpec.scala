@@ -232,6 +232,48 @@ class KafkaProtocolSpec extends SparkSuite {
     } finally srv.stop()
   }
 
+  test("consumer-group offsets: commit/fetch roundtrip, and pollOnce(groupId) consumes each record once") {
+    val srv = new MiniKafkaServer(numPartitions = 2)
+    try {
+      val c = new KafkaWire.Conn("localhost", srv.port)
+      try {
+        // protocol roundtrip: unknown group reads None, commit persists
+        assert(KafkaWire.fetchOffsets(c, "g1", "t", Seq(0, 1)) ===
+          Map(0 -> None, 1 -> None))
+        KafkaWire.commitOffsets(c, "g1", "t", Map(0 -> 7L, 1 -> 3L))
+        assert(KafkaWire.fetchOffsets(c, "g1", "t", Seq(0, 1)) ===
+          Map(0 -> Some(7L), 1 -> Some(3L)))
+        // groups are isolated
+        assert(KafkaWire.fetchOffsets(c, "g2", "t", Seq(0)) === Map(0 -> None))
+
+        // the reference consumer's shape: group + commit + resume
+        // (collect/consumer.py: kafka-python group_id,
+        // auto_offset_reset=earliest) — each record consumed ONCE
+        // across successive polls of the same group
+        def send(vals: String*): Unit =
+          vals.groupBy(v => KafkaWire.partitionFor(v.getBytes(u8), 2)).foreach {
+            case (p, vs) => KafkaWire.produce(c, "articles", p,
+              vs.map(v => (v.getBytes(u8), v.getBytes(u8))), 1L)
+          }
+        send("a", "b", "c")
+        val poll1 = KafkaWire.pollOnce(spark, "localhost", srv.port,
+          "articles", groupId = Some("news-group")).collect()
+        assert(poll1.map(_.getAs[String]("key")).toSet === Set("a", "b", "c"))
+        // nothing new: the committed positions make the next poll empty
+        assert(KafkaWire.pollOnce(spark, "localhost", srv.port,
+          "articles", groupId = Some("news-group")).count() === 0L)
+        send("d", "e")
+        val poll3 = KafkaWire.pollOnce(spark, "localhost", srv.port,
+          "articles", groupId = Some("news-group")).collect()
+        assert(poll3.map(_.getAs[String]("key")).toSet === Set("d", "e"),
+          "a group resumes from its committed positions, exactly the tail")
+        // a DIFFERENT group still starts from earliest
+        assert(KafkaWire.pollOnce(spark, "localhost", srv.port,
+          "articles", groupId = Some("fresh-group")).count() === 5L)
+      } finally c.close()
+    } finally srv.stop()
+  }
+
   test("S4: CREATE TABLE ... USING graft-kafka — the declarative source-table shape") {
     // consumer2.py:136-152 declares the Kafka source as a Flink DDL
     // table; the Spark-first form is SQL DDL over the DSv2 provider,
