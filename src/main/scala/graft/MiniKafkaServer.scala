@@ -6,12 +6,16 @@ import graft.sources.KafkaWire.{Reader, Record, Writer}
 /** In-JVM broker DOUBLE for the Kafka wire-protocol client — the
   * S2/S3 analogue of the in-JVM HTTP server that proves the S11
   * crawl: a real TCP listener speaking the same pre-flexible subset
-  * of the public protocol (ApiVersions v0, Metadata v0, Produce v2,
-  * Fetch v2, message format v1), with an in-memory per-partition log.
-  * Everything KafkaWire sends travels through actual sockets and
-  * actual protocol bytes; only durability is simulated. A TEST/BENCH
-  * DOUBLE — it lives in main only so StreamBench's wire table can
-  * drive it; no production code path constructs it.
+  * of the public protocol as [[graft.sources.KafkaWire]] (both record
+  * formats behind ApiVersions negotiation, idempotent-producer
+  * sequence state, the transaction coordinator with control markers /
+  * LSO / aborted-range serving, timestamp offset lookup, and
+  * consumer-group offset storage — see the dispatch table in serve()),
+  * with an in-memory per-partition log. Everything KafkaWire sends
+  * travels through actual sockets and actual protocol bytes; only
+  * durability is simulated. A TEST/BENCH DOUBLE — it lives in main
+  * only so StreamBench's wire table can drive it; no production code
+  * path constructs it.
   *
   * Broker-faithful serving (the parts a naive double gets wrong, and
   * that the r12 advice flagged as untestable until now):

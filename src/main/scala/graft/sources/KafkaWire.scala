@@ -14,13 +14,22 @@ import org.apache.spark.sql.functions._
   * real TCP against an in-JVM broker double — the same pattern that
   * proves the S11 HTTP crawl against an in-JVM HTTP server.
   *
-  * Deliberately minimal, deliberately real:
-  *  - pre-flexible protocol versions only (INT16-length strings,
-  *    INT32-length arrays, no tagged fields): ApiVersions v0 (18),
-  *    Metadata v0 (3), Produce v2 (0), Fetch v2 (1);
-  *  - message format v1 (magic=1): CRC32 over magic..end, CreateTime
-  *    timestamps, no compression — every record's CRC is VERIFIED on
-  *    the consume side (a corrupted batch throws, never yields rows);
+  * Pre-flexible encodings (INT16-length strings, INT32-length arrays,
+  * no tagged fields) across the full modern surface (r14):
+  *  - BOTH record formats, ApiVersions-negotiated: message v1
+  *    (magic 1, CRC32 per record, compressed wrapper messages) and
+  *    record-batch v2 (magic 2, varint/zigzag records, per-record
+  *    timestamps + headers, CRC32C over attributes..end, batch-level
+  *    compression) — one decode pass handles a mixed-format log (both
+  *    put magic at entry offset 16); every CRC is VERIFIED on consume
+  *    (corruption throws, never yields rows);
+  *  - APIs: ApiVersions v0 (18), Metadata v0 (3), Produce v2/v3 (0),
+  *    Fetch v2/v4 (1), ListOffsets v1/v2 (2), OffsetCommit v2 (8),
+  *    OffsetFetch v1 (9), InitProducerId v0 (22), AddPartitionsToTxn
+  *    v0 (24), EndTxn v0 (26);
+  *  - the idempotent producer (pid/epoch/baseSequence, broker-side
+  *    retry dedup) and TRANSACTIONS (control markers, last-stable-
+  *    offset pinning, read_committed filtering, zombie fencing);
   *  - murmur2 key partitioning — Kafka's own default partitioner
   *    hash, so keyed records land on the same partition a stock
   *    client would pick;
