@@ -124,6 +124,210 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
   private val groupOffsets = scala.collection.concurrent.TrieMap
     .empty[(String, String, Int), Long]
 
+  // ── group coordinator (classic membership protocol) ─────────────────
+  //
+  // The r14 offset storage above served STANDALONE consumers
+  // (generation -1, empty member). This is the other half the reference
+  // consumer actually uses (kafka-python with a group_id gets
+  // coordinator-ASSIGNED partitions and rebalances): FindCoordinator /
+  // JoinGroup / SyncGroup / Heartbeat / LeaveGroup v0, the classic
+  // protocol. The coordinator only brokers MEMBERSHIP — partition
+  // assignment is computed client-side by the elected leader (the
+  // published design: the broker never parses the embedded consumer
+  // protocol), so the double stores subscription/assignment metadata
+  // as opaque bytes. JoinGroup PARKS the calling connection thread
+  // until every known member has re-joined or the rebalance deadline
+  // passes (members that never re-join are evicted), exactly the real
+  // coordinator's barrier; one thread per connection makes the park
+  // safe.
+
+  private final class Member(val id: String) {
+    var metadata: Array[Byte] = Array.emptyByteArray
+    var sessionTimeoutMs: Int = 10000
+    var deadline: Long = Long.MaxValue
+    def touch(): Unit =
+      deadline = System.currentTimeMillis() + sessionTimeoutMs
+  }
+
+  private final class Group {
+    var state: String = "Empty" // Empty | Preparing | AwaitingSync | Stable
+    var generation: Int = 0
+    var protocol: String = null
+    var leader: String = null
+    /** Insertion-ordered: leader election picks the first member. */
+    val members = scala.collection.mutable.LinkedHashMap.empty[String, Member]
+    /** Members that re-joined the CURRENT rebalance round. */
+    val rejoined = scala.collection.mutable.Set.empty[String]
+    /** memberId → leader-computed assignment bytes (opaque). */
+    var assignments: Map[String, Array[Byte]] = Map.empty
+  }
+
+  private val groups =
+    scala.collection.concurrent.TrieMap.empty[String, Group]
+  private val nextMemberId = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def groupStateOf(id: String): Group =
+    groups.getOrElseUpdate(id, new Group)
+
+  /** Move the group into a new rebalance round; parked SyncGroup
+    * waiters wake and answer REBALANCE_IN_PROGRESS. Caller holds the
+    * group monitor. */
+  private def prepareRebalance(g: Group): Unit = {
+    g.state = "Preparing"
+    g.rejoined.clear()
+    g.notifyAll()
+  }
+
+  /** Evict members whose session deadline passed (the lazy sweep a
+    * single-threaded double uses instead of a timer wheel); an
+    * eviction from a live group triggers a rebalance. Caller holds
+    * the group monitor. */
+  private def expireMembers(g: Group): Unit = {
+    val now = System.currentTimeMillis()
+    val dead = g.members.valuesIterator.filter(_.deadline < now)
+      .map(_.id).toList
+    if (dead.nonEmpty) {
+      dead.foreach(g.members.remove)
+      if (g.members.isEmpty) {
+        g.state = "Empty"; g.assignments = Map.empty; g.leader = null
+        g.generation += 1 // an evicted zombie's old generation stays stale
+      } else prepareRebalance(g)
+    }
+  }
+
+  private def findCoordinatorV0(r: Reader): Array[Byte] = {
+    r.str() // group id — a one-broker cluster coordinates everything
+    new Writer().int16(0).int32(0).str("localhost").int32(port).result()
+  }
+
+  private def joinGroupV0(r: Reader): Array[Byte] = {
+    val groupId = r.str()
+    val sessionTimeout = r.int32()
+    val memberIdIn = r.str()
+    r.str() // protocol_type ("consumer")
+    val nProtos = r.int32()
+    val protos = (0 until nProtos).map(_ => (r.str(), r.bytes()))
+    val g = groupStateOf(groupId)
+    g.synchronized {
+      expireMembers(g)
+      if (memberIdIn.nonEmpty && !g.members.contains(memberIdIn))
+        // a forgotten/evicted id must NOT silently re-enter with stale
+        // identity — the client resets to "" and re-joins fresh
+        new Writer().int16(KafkaWire.Errors.UnknownMemberId).int32(-1)
+          .str(null).str(null).str(memberIdIn).int32(0).result()
+      else {
+        val id = if (memberIdIn.isEmpty)
+          s"graft-${nextMemberId.incrementAndGet()}" else memberIdIn
+        val m = g.members.getOrElseUpdate(id, new Member(id))
+        m.sessionTimeoutMs = sessionTimeout
+        m.metadata = protos.headOption.map(_._2).getOrElse(Array.emptyByteArray)
+        m.touch()
+        if (g.state != "Preparing") prepareRebalance(g)
+        g.rejoined += id
+        g.notifyAll()
+        // the join barrier: park until every known member re-joined or
+        // the rebalance deadline passes (v0 has no rebalance_timeout —
+        // the session timeout doubles as it, the published v0 contract)
+        val deadline = System.currentTimeMillis() + sessionTimeout
+        while (g.state == "Preparing" &&
+            !g.members.keysIterator.forall(g.rejoined.contains) &&
+            System.currentTimeMillis() < deadline)
+          g.wait(20)
+        if (g.state == "Preparing") {
+          // this thread completes the round: members that never
+          // re-joined are evicted, the generation bumps, the first
+          // surviving member (or the incumbent) leads
+          val gone = g.members.keysIterator.filterNot(g.rejoined.contains).toList
+          gone.foreach(g.members.remove)
+          g.generation += 1
+          g.protocol = protos.headOption.map(_._1).orNull
+          if (g.leader == null || !g.members.contains(g.leader))
+            g.leader = g.members.keysIterator.next()
+          g.assignments = Map.empty
+          g.state = "AwaitingSync"
+          g.notifyAll()
+        }
+        val w = new Writer().int16(0).int32(g.generation).str(g.protocol)
+          .str(g.leader).str(id)
+        // only the LEADER sees the member list (it computes the
+        // assignment client-side from everyone's subscription bytes)
+        val list = if (id == g.leader) g.members.toSeq else Seq.empty
+        w.int32(list.length)
+        list.foreach { case (mid, mm) => w.str(mid).bytes(mm.metadata) }
+        w.result()
+      }
+    }
+  }
+
+  private def syncGroupV0(r: Reader): Array[Byte] = {
+    val groupId = r.str()
+    val gen = r.int32()
+    val member = r.str()
+    val n = r.int32()
+    val assigns = (0 until n).map(_ => (r.str(), r.bytes()))
+    def err(code: Int) = new Writer().int16(code).bytes(null).result()
+    val g = groupStateOf(groupId)
+    g.synchronized {
+      if (!g.members.contains(member)) err(KafkaWire.Errors.UnknownMemberId)
+      else if (gen != g.generation) err(KafkaWire.Errors.IllegalGeneration)
+      else if (g.state == "Preparing") err(KafkaWire.Errors.RebalanceInProgress)
+      else {
+        g.members(member).touch()
+        if (member == g.leader && assigns.nonEmpty) {
+          g.assignments = assigns.toMap
+          g.state = "Stable"
+          g.notifyAll()
+        }
+        // followers park here until the leader delivers the assignment
+        val deadline = System.currentTimeMillis() +
+          g.members(member).sessionTimeoutMs
+        while (g.state == "AwaitingSync" && gen == g.generation &&
+            System.currentTimeMillis() < deadline)
+          g.wait(20)
+        if (g.state == "Stable" && gen == g.generation)
+          new Writer().int16(0)
+            .bytes(g.assignments.getOrElse(member, Array.emptyByteArray))
+            .result()
+        else err(KafkaWire.Errors.RebalanceInProgress)
+      }
+    }
+  }
+
+  private def heartbeatV0(r: Reader): Array[Byte] = {
+    val groupId = r.str()
+    val gen = r.int32()
+    val member = r.str()
+    val g = groupStateOf(groupId)
+    val err = g.synchronized {
+      expireMembers(g)
+      if (!g.members.contains(member)) KafkaWire.Errors.UnknownMemberId
+      else {
+        g.members(member).touch() // alive even when a rebalance is due
+        if (gen != g.generation) KafkaWire.Errors.IllegalGeneration
+        else if (g.state != "Stable") KafkaWire.Errors.RebalanceInProgress
+        else 0
+      }
+    }
+    new Writer().int16(err).result()
+  }
+
+  private def leaveGroupV0(r: Reader): Array[Byte] = {
+    val groupId = r.str()
+    val member = r.str()
+    val g = groupStateOf(groupId)
+    val err = g.synchronized {
+      if (!g.members.contains(member)) KafkaWire.Errors.UnknownMemberId
+      else {
+        g.members.remove(member)
+        if (g.members.isEmpty) {
+          g.state = "Empty"; g.assignments = Map.empty; g.leader = null
+          g.generation += 1 // the departed member's generation is now stale
+        } else prepareRebalance(g)
+        0
+      }
+    }
+    new Writer().int16(err).result()
+  }
+
   /** pid → partitions registered to its OPEN transaction
     * (AddPartitionsToTxn / first transactional produce) — where EndTxn
     * fans the control markers out to. */
@@ -220,6 +424,11 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
           case (2, 1) => listOffsetsV1(r)
           case (8, 2) => offsetCommitV2(r)
           case (9, 1) => offsetFetchV1(r)
+          case (10, 0) => findCoordinatorV0(r)
+          case (11, 0) => joinGroupV0(r)
+          case (12, 0) => heartbeatV0(r)
+          case (13, 0) => leaveGroupV0(r)
+          case (14, 0) => syncGroupV0(r)
           case (2, 2) if serveFormat >= 2 => listOffsetsV2(r)
           case (22, 0) if serveFormat >= 2 => initProducerIdV0(r)
           case (24, 0) if serveFormat >= 2 => addPartitionsToTxnV0(r)
@@ -252,9 +461,13 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
     val apis =
       if (serveFormat >= 2)
         Seq((0, 2, 3), (1, 2, 4), (2, 1, 2), (3, 0, 0), (8, 2, 2),
-          (9, 1, 1), (18, 0, 0), (22, 0, 0), (24, 0, 0), (26, 0, 0))
+          (9, 1, 1), (10, 0, 0), (11, 0, 0), (12, 0, 0), (13, 0, 0),
+          (14, 0, 0), (18, 0, 0), (22, 0, 0), (24, 0, 0), (26, 0, 0))
+      // group coordination predates message-format v2 — an old broker
+      // speaks it too, so both format matrices advertise it
       else Seq((0, 2, 2), (1, 2, 2), (2, 1, 1), (3, 0, 0), (8, 2, 2),
-        (9, 1, 1), (18, 0, 0))
+        (9, 1, 1), (10, 0, 0), (11, 0, 0), (12, 0, 0), (13, 0, 0),
+        (14, 0, 0), (18, 0, 0))
     val w = new Writer().int16(0).int32(apis.length)
     apis.foreach { case (k, lo, hi) => w.int16(k).int16(lo).int16(hi) }
     w.result()
@@ -534,14 +747,30 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
 
   private def offsetCommitV2(r: Reader): Array[Byte] = {
     val group = r.str()
-    r.int32(); r.str(); r.int64() // generation, member, retention
+    val gen = r.int32(); val member = r.str(); r.int64() // retention
+    // generation fencing — the zombie-commit gate: with an ACTIVE
+    // membership, only a current-generation member may move the
+    // group's offsets; a standalone commit (generation -1, empty
+    // member — the r14 convention) stays valid only while the group
+    // has no members. A fenced commit stores NOTHING.
+    val gErr = groups.get(group) match {
+      case Some(g) => g.synchronized {
+        if (gen == -1 && (member == null || member.isEmpty))
+          (if (g.members.nonEmpty) KafkaWire.Errors.IllegalGeneration else 0)
+        else if (!g.members.contains(member)) KafkaWire.Errors.UnknownMemberId
+        else if (gen != g.generation) KafkaWire.Errors.IllegalGeneration
+        else { g.members(member).touch(); 0 }
+      }
+      case None =>
+        if (gen == -1) 0 else KafkaWire.Errors.IllegalGeneration
+    }
     val nTopics = r.int32()
     val resp = (0 until nTopics).map { _ =>
       val topic = r.str()
       val nParts = r.int32()
       val parts = (0 until nParts).map { _ =>
         val p = r.int32(); val off = r.int64(); r.str() // metadata
-        groupOffsets.put((group, topic, p), off)
+        if (gErr == 0) groupOffsets.put((group, topic, p), off)
         p
       }
       (topic, parts)
@@ -549,7 +778,7 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
     val w = new Writer().int32(resp.length)
     resp.foreach { case (topic, parts) =>
       w.str(topic).int32(parts.length)
-      parts.foreach(p => w.int32(p).int16(0))
+      parts.foreach(p => w.int32(p).int16(gErr))
     }
     w.result()
   }

@@ -1,0 +1,303 @@
+package graft.sources
+
+import KafkaWire.{Conn, Reader, Writer, Errors, GrowingFetcher, Record}
+
+/** Consumer-GROUP membership client — the coordination half of the
+  * reference consumer (collect/consumer.py:152-159: kafka-python
+  * subscribes with a `group_id` and receives coordinator-ASSIGNED
+  * partitions that rebalance when members come and go). r14's
+  * `pollOnce(groupId)` covered only standalone offset persistence;
+  * this adds the classic group-membership protocol — FindCoordinator
+  * (10), JoinGroup (11), Heartbeat (12), LeaveGroup (13), SyncGroup
+  * (14), all v0 — against the public spec (kafka.apache.org/protocol),
+  * plus the embedded consumer protocol (Subscription / Assignment v0)
+  * and the RANGE assignor, Kafka's default.
+  *
+  * Division of labor, exactly the published design: the broker
+  * coordinator brokers MEMBERSHIP only (member ids, generations, the
+  * join barrier); partition assignment is computed CLIENT-side by the
+  * elected leader from every member's subscription metadata, shipped
+  * back opaque through SyncGroup. That keeps assignment strategies a
+  * client concern — a new assignor needs no broker change.
+  *
+  * Safety contract (the spec pins all three):
+  *  - members of one generation hold DISJOINT, EXHAUSTIVE partition
+  *    sets (range assignor over sorted members × sorted partitions);
+  *  - a leave or a missed-session-timeout triggers a rebalance; with
+  *    offsets committed through the group, the handover loses and
+  *    duplicates nothing;
+  *  - OffsetCommit carries (generation, memberId) and a STALE
+  *    generation is fenced loudly ([[KafkaWire.CommitFailedException]])
+  *    — a zombie can never move the group's offsets.
+  */
+object KafkaGroup {
+
+  // ── embedded consumer protocol v0 (public schema) ────────────────────
+  // Subscription: version int16 | topics [string] | user_data bytes
+  // Assignment:   version int16 | [topic string, partitions [int32]] |
+  //               user_data bytes
+
+  def encodeSubscription(topics: Seq[String]): Array[Byte] = {
+    val w = new Writer().int16(0).int32(topics.length)
+    topics.foreach(w.str)
+    w.bytes(null)
+    w.result()
+  }
+
+  def decodeSubscription(bytes: Array[Byte]): Seq[String] = {
+    val r = new Reader(bytes)
+    val v = r.int16()
+    require(v >= 0, s"bad subscription version $v")
+    val n = r.int32()
+    (0 until n).map(_ => r.str())
+  }
+
+  def encodeAssignment(parts: Map[String, Seq[Int]]): Array[Byte] = {
+    val w = new Writer().int16(0).int32(parts.size)
+    parts.toSeq.sortBy(_._1).foreach { case (topic, ps) =>
+      w.str(topic).int32(ps.length)
+      ps.foreach(w.int32)
+    }
+    w.bytes(null)
+    w.result()
+  }
+
+  def decodeAssignment(bytes: Array[Byte]): Map[String, Seq[Int]] = {
+    if (bytes == null || bytes.isEmpty) return Map.empty
+    val r = new Reader(bytes)
+    val v = r.int16()
+    require(v >= 0, s"bad assignment version $v")
+    val n = r.int32()
+    (0 until n).map { _ =>
+      val topic = r.str()
+      val k = r.int32()
+      topic -> (0 until k).map(_ => r.int32()).toSeq
+    }.toMap
+  }
+
+  /** Kafka's default RANGE assignor: per topic, sorted members get
+    * contiguous runs of sorted partitions, the first
+    * (partitions % members) members one extra — co-partitioned topics
+    * land on the same member, the property range assignment exists
+    * for. Pure function: (memberId → subscribed topics, topic →
+    * partition count) → memberId → topic → partitions. */
+  def rangeAssign(subscriptions: Seq[(String, Seq[String])],
+      partitionsOf: String => Int): Map[String, Map[String, Seq[Int]]] = {
+    val out = scala.collection.mutable.Map.empty[String,
+      scala.collection.mutable.Map[String, Seq[Int]]]
+    subscriptions.foreach { case (m, _) =>
+      out(m) = scala.collection.mutable.Map.empty
+    }
+    val topics = subscriptions.flatMap(_._2).distinct.sorted
+    topics.foreach { topic =>
+      val members = subscriptions.filter(_._2.contains(topic)).map(_._1).sorted
+      val nParts = partitionsOf(topic)
+      val per = nParts / members.length
+      val extra = nParts % members.length
+      var next = 0
+      members.zipWithIndex.foreach { case (m, i) =>
+        val take = per + (if (i < extra) 1 else 0)
+        if (take > 0) out(m)(topic) = (next until next + take).toSeq
+        next += take
+      }
+    }
+    out.map { case (m, a) => m -> a.toMap }.toMap
+  }
+
+  /** Parsed JoinGroup response. `members` is non-empty only for the
+    * leader (memberId == leaderId): everyone's subscription bytes. */
+  final case class JoinResult(error: Int, generation: Int,
+      protocol: String, leaderId: String, memberId: String,
+      members: Seq[(String, Array[Byte])])
+
+  // ── raw protocol calls ───────────────────────────────────────────────
+
+  /** FindCoordinator v0 (api 10): the broker hosting `groupId`'s
+    * coordinator as (host, port). */
+  def findCoordinator(c: Conn, groupId: String): (String, Int) = {
+    val r = c.call(10, 0, new Writer().str(groupId).result())
+    val err = r.int16(); require(err == 0, s"findCoordinator error $err")
+    r.int32() // node id
+    (r.str(), r.int32())
+  }
+
+  /** JoinGroup v0 (api 11). Pass `memberId` = "" on first contact; the
+    * coordinator assigns one. BLOCKS until the join barrier completes
+    * (all members re-joined or the rebalance deadline passed). */
+  def joinGroup(c: Conn, groupId: String, memberId: String,
+      topics: Seq[String], sessionTimeoutMs: Int): JoinResult = {
+    val body = new Writer()
+      .str(groupId).int32(sessionTimeoutMs).str(memberId)
+      .str("consumer")
+      .int32(1).str("range").bytes(encodeSubscription(topics))
+      .result()
+    val r = c.call(11, 0, body)
+    val err = r.int16()
+    val gen = r.int32()
+    val protocol = r.str()
+    val leader = r.str()
+    val me = r.str()
+    val n = r.int32()
+    val members = (0 until n).map(_ => (r.str(), r.bytes()))
+    JoinResult(err, gen, protocol, leader, me, members)
+  }
+
+  /** SyncGroup v0 (api 14): the leader ships everyone's assignment,
+    * followers send none and PARK until the leader's arrives. Returns
+    * (error, my assignment bytes). */
+  def syncGroup(c: Conn, groupId: String, generation: Int,
+      memberId: String,
+      assignments: Map[String, Array[Byte]]): (Int, Array[Byte]) = {
+    val w = new Writer().str(groupId).int32(generation).str(memberId)
+      .int32(assignments.size)
+    assignments.toSeq.sortBy(_._1).foreach { case (m, a) =>
+      w.str(m).bytes(a)
+    }
+    val r = c.call(14, 0, w.result())
+    (r.int16(), r.bytes())
+  }
+
+  /** Heartbeat v0 (api 12): 0 = still a current member; 22/25/27 = a
+    * rebalance superseded this member — re-join. */
+  def heartbeat(c: Conn, groupId: String, generation: Int,
+      memberId: String): Int = {
+    val body = new Writer().str(groupId).int32(generation).str(memberId)
+      .result()
+    c.call(12, 0, body).int16()
+  }
+
+  /** LeaveGroup v0 (api 13): graceful departure — triggers an
+    * immediate rebalance instead of waiting out the session timeout. */
+  def leaveGroup(c: Conn, groupId: String, memberId: String): Unit = {
+    val err = c.call(13, 0,
+      new Writer().str(groupId).str(memberId).result()).int16()
+    require(err == 0, s"leaveGroup error $err")
+  }
+
+  /** One consumer-group member: join/sync/heartbeat/commit/leave over
+    * a coordinator connection — the kafka-python consumer's lifecycle
+    * (collect/consumer.py), minus the poll loop the caller owns.
+    *
+    * Usage: `ensureActive()` returns the member's current partition
+    * assignment (joining or re-joining as needed); `heartbeat()`
+    * false means a rebalance superseded it — call `ensureActive()`
+    * again. `commit` carries the member's (generation, id) so a
+    * zombie's commit is fenced by the coordinator, never applied. */
+  final class GroupMember(host: String, port: Int, groupId: String,
+      topics: Seq[String], sessionTimeoutMs: Int = 10000) {
+    private val bootstrap = new Conn(host, port)
+    private val coord: Conn = {
+      val (h, p) = findCoordinator(bootstrap, groupId)
+      // the double is one broker, but honor the redirect — against a
+      // real cluster the coordinator is usually NOT the bootstrap node
+      if (h == host && p == port) bootstrap else new Conn(h, p)
+    }
+    @volatile var memberId: String = ""
+    @volatile var generation: Int = -1
+    @volatile private var assignment: Map[String, Seq[Int]] = Map.empty
+
+    /** The partitions this member currently owns (last sync). */
+    def assigned: Map[String, Seq[Int]] = assignment
+
+    /** Join (or re-join) until the group is stable; returns this
+      * member's assignment. Retries bounded — a group that cannot
+      * stabilize is a bug, not a wait. */
+    def ensureActive(): Map[String, Seq[Int]] = {
+      var attempts = 0
+      while (attempts < 16) {
+        attempts += 1
+        val j = joinGroup(coord, groupId, memberId, topics, sessionTimeoutMs)
+        j.error match {
+          case 0 =>
+            memberId = j.memberId
+            generation = j.generation
+            val toSync =
+              if (j.memberId == j.leaderId) {
+                // leader: decode every member's subscription, run the
+                // range assignor, ship each member's slice
+                val subs = j.members.map { case (id, md) =>
+                  id -> decodeSubscription(md).toSeq }
+                val counts = subs.flatMap(_._2).distinct
+                  .map(t => t -> KafkaWire.partitionCount(coord, t)).toMap
+                rangeAssign(subs, counts).map { case (id, a) =>
+                  id -> encodeAssignment(a) }
+              } else Map.empty[String, Array[Byte]]
+            val (serr, mine) =
+              syncGroup(coord, groupId, j.generation, j.memberId, toSync)
+            serr match {
+              case 0 =>
+                assignment = decodeAssignment(mine)
+                return assignment
+              case Errors.RebalanceInProgress => // next round
+              case Errors.UnknownMemberId => memberId = ""
+              case Errors.IllegalGeneration => // re-join at current gen
+              case e => sys.error(s"syncGroup error $e")
+            }
+          case Errors.UnknownMemberId => memberId = "" // evicted: fresh id
+          case Errors.RebalanceInProgress => // barrier raced: retry
+          case e => sys.error(s"joinGroup error $e")
+        }
+      }
+      sys.error(s"group '$groupId' did not stabilize in $attempts rounds")
+    }
+
+    /** True = still a current member; false = superseded (rebalance in
+      * progress, stale generation, or evicted) — re-join via
+      * [[ensureActive]]. */
+    def heartbeatOnce(): Boolean =
+      heartbeat(coord, groupId, generation, memberId) match {
+        case 0 => true
+        case Errors.RebalanceInProgress | Errors.IllegalGeneration => false
+        case Errors.UnknownMemberId => memberId = ""; false
+        case e => sys.error(s"heartbeat error $e")
+      }
+
+    /** Commit under THIS member's (generation, id) — fenced loudly
+      * (CommitFailedException) when a rebalance superseded it. */
+    def commit(topic: String, offsets: Map[Int, Long]): Unit =
+      KafkaWire.commitOffsets(coord, groupId, topic, offsets,
+        generation, memberId)
+
+    /** The group's committed position per partition (None = never
+      * committed — fall to the reset policy). */
+    def committed(topic: String, partitions: Seq[Int]): Map[Int, Option[Long]] =
+      KafkaWire.fetchOffsets(coord, groupId, topic, partitions)
+
+    /** Drain this member's ASSIGNED partitions of `topic` from the
+      * group's committed position (or `resetTo`) to the current end,
+      * then commit — one poll of the reference consumer's
+      * consume-then-commit loop. Returns (partition, record). */
+    def pollAssigned(topic: String,
+        resetTo: Long = 0L): Seq[(Int, Record)] = {
+      val parts = assignment.getOrElse(topic, Seq.empty)
+      if (parts.isEmpty) return Seq.empty
+      val starts = committed(topic, parts)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Record)]
+      val ends = scala.collection.mutable.Map.empty[Int, Long]
+      parts.foreach { p =>
+        val fetcher = new GrowingFetcher(coord, topic, p)
+        var off = starts.getOrElse(p, None).getOrElse(resetTo)
+        var done = false
+        while (!done) {
+          val (kept, hw) = fetcher.fetchAt(off)
+          if (kept.isEmpty) done = true
+          else {
+            kept.foreach(r => out += ((p, r)))
+            off = kept.last.offset + 1
+            done = off >= hw
+          }
+        }
+        ends(p) = off
+      }
+      commit(topic, ends.toMap) // fenced => CommitFailedException, no state moved
+      out.toSeq
+    }
+
+    def leave(): Unit = leaveGroup(coord, groupId, memberId)
+
+    def close(): Unit = {
+      if (coord ne bootstrap) { try coord.close() catch { case _: Exception => } }
+      try bootstrap.close() catch { case _: Exception => }
+    }
+  }
+}

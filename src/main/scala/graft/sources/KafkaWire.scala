@@ -718,6 +718,10 @@ object KafkaWire {
     val OutOfOrderSequence = 45
     val DuplicateSequence = 46
     val InvalidProducerEpoch = 47
+    // group-coordination codes (public protocol constants)
+    val IllegalGeneration = 22
+    val UnknownMemberId = 25
+    val RebalanceInProgress = 27
   }
 
   /** Produce v3 (the first version carrying v2 record batches; adds
@@ -897,9 +901,10 @@ object KafkaWire {
     * the standalone-consumer convention the protocol defines for
     * exactly this. */
   def commitOffsets(c: Conn, groupId: String, topic: String,
-      offsets: Map[Int, Long]): Unit = {
+      offsets: Map[Int, Long], generation: Int = -1,
+      memberId: String = ""): Unit = {
     val w = new Writer()
-      .str(groupId).int32(-1).str("") // generation -1, member "" = standalone
+      .str(groupId).int32(generation).str(memberId) // -1/"" = standalone
       .int64(-1L)                     // retention_time: broker default
       .int32(1).str(topic).int32(offsets.size)
     offsets.toSeq.sortBy(_._1).foreach { case (p, off) =>
@@ -911,9 +916,32 @@ object KafkaWire {
     val nParts = r.int32()
     (0 until nParts).foreach { _ =>
       r.int32()
-      val err = r.int16(); require(err == 0, s"offsetCommit error $err")
+      r.int16() match {
+        case 0 =>
+        case e @ (Errors.IllegalGeneration | Errors.UnknownMemberId |
+            Errors.RebalanceInProgress) =>
+          // a fenced commit must FAIL the caller, never silently
+          // no-op — a zombie that believes its commit landed would
+          // re-consume or skip records after the real member resumes
+          throw new CommitFailedException(groupId, e)
+        case err => sys.error(s"offsetCommit error $err")
+      }
     }
   }
+
+  /** The coordinator rejected an offset commit: the member's
+    * generation is stale (a rebalance completed without it) or its id
+    * was evicted — the committing consumer is a ZOMBIE and must
+    * re-join, not trust its position. */
+  final class CommitFailedException(groupId: String, val code: Int)
+    extends RuntimeException(
+      s"offset commit to group '$groupId' fenced (error $code: " +
+        (code match {
+          case Errors.IllegalGeneration => "ILLEGAL_GENERATION"
+          case Errors.UnknownMemberId => "UNKNOWN_MEMBER_ID"
+          case Errors.RebalanceInProgress => "REBALANCE_IN_PROGRESS"
+          case _ => "?"
+        }) + ") — the member was superseded by a rebalance")
 
   /** OffsetFetch v1 (api 9): the group's committed position per
     * partition; None where the group never committed (the consumer

@@ -1,0 +1,229 @@
+package graft
+
+import graft.sources.{KafkaGroup, KafkaWire}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Consumer-GROUP coordination over real TCP: FindCoordinator +
+  * JoinGroup/SyncGroup/Heartbeat/LeaveGroup v0 against the broker
+  * double — the reference consumer's actual shape
+  * (collect/consumer.py:152-159 subscribes with a group_id and gets
+  * coordinator-assigned, rebalancing partitions; r14's
+  * pollOnce(groupId) covered only standalone offset persistence).
+  * Pins the three safety properties: disjoint+exhaustive assignment,
+  * loss/duplicate-free handover across a rebalance (graceful leave
+  * AND session-timeout eviction), and loud generation fencing of a
+  * zombie's OffsetCommit. */
+class KafkaGroupSpec extends AnyFunSuite {
+
+  private val u8 = java.nio.charset.StandardCharsets.UTF_8
+
+  private def produceTo(srv: MiniKafkaServer, topic: String, p: Int,
+      values: Seq[String]): Unit = {
+    val c = new KafkaWire.Conn("localhost", srv.port)
+    try KafkaWire.produce(c, topic, p,
+      values.map(v => (s"k-$v".getBytes(u8), v.getBytes(u8))),
+      1716500000000L)
+    finally c.close()
+  }
+
+  /** Poll `m`'s heartbeat until the coordinator reports it superseded
+    * (a rebalance is due) — the liveness loop a real consumer runs on
+    * its heartbeat thread. */
+  private def awaitRebalanceSignal(m: KafkaGroup.GroupMember): Unit = {
+    val deadline = System.currentTimeMillis() + 10000
+    while (m.heartbeatOnce()) {
+      assert(System.currentTimeMillis() < deadline,
+        "coordinator never signalled the rebalance")
+      Thread.sleep(20)
+    }
+  }
+
+  /** Bring a second member into `first`'s stable single-member group:
+    * second joins (parking at the coordinator's barrier), first
+    * discovers via heartbeat and re-joins. Returns the two
+    * assignments of the new generation. */
+  private def stabilizePair(first: KafkaGroup.GroupMember,
+      second: KafkaGroup.GroupMember):
+      (Map[String, Seq[Int]], Map[String, Seq[Int]]) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val secondJoin = Future(second.ensureActive())
+    awaitRebalanceSignal(first)
+    val a = first.ensureActive()
+    val b = Await.result(secondJoin, 15.seconds)
+    (a, b)
+  }
+
+  test("two members of one group split a 4-partition topic disjointly and exhaustively") {
+    val srv = new MiniKafkaServer(numPartitions = 4)
+    try {
+      val a = new KafkaGroup.GroupMember("localhost", srv.port, "g1", Seq("t"))
+      val b = new KafkaGroup.GroupMember("localhost", srv.port, "g1", Seq("t"))
+      try {
+        // alone, the first member owns everything
+        val solo = a.ensureActive()
+        assert(solo("t") == Seq(0, 1, 2, 3))
+        assert(a.heartbeatOnce())
+        val gen1 = a.generation
+
+        val (aa, ba) = stabilizePair(a, b)
+        val aParts = aa("t").toSet
+        val bParts = ba("t").toSet
+        assert(aParts.intersect(bParts).isEmpty, "assignments overlap")
+        assert(aParts.union(bParts) == Set(0, 1, 2, 3), "partitions dropped")
+        assert(aParts.size == 2 && bParts.size == 2) // range: 2 + 2
+        // one shared generation, strictly after the solo one
+        assert(a.generation == b.generation && a.generation > gen1)
+        // both are live members of the stable group
+        assert(a.heartbeatOnce() && b.heartbeatOnce())
+      } finally { a.close(); b.close(); }
+    } finally srv.stop()
+  }
+
+  test("graceful leave rebalances; committed offsets hand over with no loss or duplication") {
+    val srv = new MiniKafkaServer(numPartitions = 4)
+    try {
+      (0 until 4).foreach { p =>
+        produceTo(srv, "t", p, (0 until 10).map(i => s"r1-$p-$i"))
+      }
+      val a = new KafkaGroup.GroupMember("localhost", srv.port, "g2", Seq("t"))
+      val b = new KafkaGroup.GroupMember("localhost", srv.port, "g2", Seq("t"))
+      try {
+        a.ensureActive()
+        val _ = stabilizePair(a, b)
+        // each member drains ITS partitions and commits through the group
+        val round1 = a.pollAssigned("t") ++ b.pollAssigned("t")
+        assert(round1.length == 40)
+        assert(round1.map(r => new String(r._2.value, u8)).toSet ==
+          (for (p <- 0 until 4; i <- 0 until 10) yield s"r1-$p-$i").toSet)
+
+        // b departs gracefully; a inherits everything
+        b.leave()
+        awaitRebalanceSignal(a)
+        val after = a.ensureActive()
+        assert(after("t") == Seq(0, 1, 2, 3))
+
+        (0 until 4).foreach { p =>
+          produceTo(srv, "t", p, (0 until 5).map(i => s"r2-$p-$i"))
+        }
+        // the handover resumes from the group's committed positions:
+        // exactly the new records — nothing b consumed replays,
+        // nothing is skipped
+        val round2 = a.pollAssigned("t")
+        assert(round2.map(r => new String(r._2.value, u8)).toSet ==
+          (for (p <- 0 until 4; i <- 0 until 5) yield s"r2-$p-$i").toSet)
+      } finally { a.close(); b.close(); }
+    } finally srv.stop()
+  }
+
+  test("a silently-dead member is evicted at its session timeout and the group rebalances") {
+    val srv = new MiniKafkaServer(numPartitions = 4)
+    try {
+      val a = new KafkaGroup.GroupMember("localhost", srv.port, "g3",
+        Seq("t"), sessionTimeoutMs = 10000)
+      val b = new KafkaGroup.GroupMember("localhost", srv.port, "g3",
+        Seq("t"), sessionTimeoutMs = 500)
+      try {
+        a.ensureActive()
+        val _ = stabilizePair(a, b)
+        val genBoth = a.generation
+        // b dies silently: no LeaveGroup, no heartbeats
+        Thread.sleep(800)
+        // a's next heartbeat sweeps the corpse and signals the rebalance
+        awaitRebalanceSignal(a)
+        val after = a.ensureActive()
+        assert(after("t") == Seq(0, 1, 2, 3), "survivor must own all partitions")
+        assert(a.generation > genBoth)
+      } finally { a.close(); b.close(); }
+    } finally srv.stop()
+  }
+
+  test("a zombie's OffsetCommit at a stale generation is fenced loudly and stores nothing") {
+    val srv = new MiniKafkaServer(numPartitions = 4)
+    try {
+      val a = new KafkaGroup.GroupMember("localhost", srv.port, "g4", Seq("t"))
+      val b = new KafkaGroup.GroupMember("localhost", srv.port, "g4", Seq("t"))
+      val c = new KafkaWire.Conn("localhost", srv.port)
+      try {
+        a.ensureActive()
+        val staleGen = a.generation
+        val _ = stabilizePair(a, b) // generation moves past staleGen
+        assert(a.generation > staleGen)
+
+        // the zombie: a VALID member id carrying the superseded
+        // generation — ILLEGAL_GENERATION, loudly
+        val ex = intercept[KafkaWire.CommitFailedException] {
+          KafkaWire.commitOffsets(c, "g4", "t", Map(0 -> 7L),
+            staleGen, a.memberId)
+        }
+        assert(ex.code == KafkaWire.Errors.IllegalGeneration)
+        // and an id the coordinator never issued — UNKNOWN_MEMBER_ID
+        val ex2 = intercept[KafkaWire.CommitFailedException] {
+          KafkaWire.commitOffsets(c, "g4", "t", Map(0 -> 7L),
+            a.generation, "ghost-member")
+        }
+        assert(ex2.code == KafkaWire.Errors.UnknownMemberId)
+        // neither fenced commit moved the group's position
+        assert(KafkaWire.fetchOffsets(c, "g4", "t", Seq(0))(0).isEmpty)
+
+        // the real member at the current generation commits fine
+        a.commit("t", Map(0 -> 7L))
+        assert(KafkaWire.fetchOffsets(c, "g4", "t", Seq(0))(0).contains(7L))
+      } finally { a.close(); b.close(); c.close(); }
+    } finally srv.stop()
+  }
+
+  test("standalone commits (generation -1) are fenced once the group has live membership") {
+    val srv = new MiniKafkaServer(numPartitions = 2)
+    try {
+      val c = new KafkaWire.Conn("localhost", srv.port)
+      val a = new KafkaGroup.GroupMember("localhost", srv.port, "g5", Seq("t"))
+      try {
+        // no membership: the r14 standalone convention still works
+        KafkaWire.commitOffsets(c, "g5", "t", Map(0 -> 3L))
+        assert(KafkaWire.fetchOffsets(c, "g5", "t", Seq(0))(0).contains(3L))
+
+        a.ensureActive()
+        // same group, now coordinated: a standalone commit would
+        // bypass the generation fence — rejected
+        val ex = intercept[KafkaWire.CommitFailedException] {
+          KafkaWire.commitOffsets(c, "g5", "t", Map(0 -> 9L))
+        }
+        assert(ex.code == KafkaWire.Errors.IllegalGeneration)
+        assert(KafkaWire.fetchOffsets(c, "g5", "t", Seq(0))(0).contains(3L))
+        // other groups are unaffected
+        KafkaWire.commitOffsets(c, "g5-other", "t", Map(0 -> 5L))
+      } finally { a.close(); c.close(); }
+    } finally srv.stop()
+  }
+
+  test("range assignor: contiguous ranges, uneven splits, and subset subscriptions") {
+    // 5 partitions over 2 members: sorted-first member takes the extra
+    val even = KafkaGroup.rangeAssign(
+      Seq("m2" -> Seq("t"), "m1" -> Seq("t")), _ => 5)
+    assert(even("m1")("t") == Seq(0, 1, 2))
+    assert(even("m2")("t") == Seq(3, 4))
+    // co-partitioned topics land on the same member (the property the
+    // range assignor exists for)
+    val co = KafkaGroup.rangeAssign(
+      Seq("m1" -> Seq("x", "y"), "m2" -> Seq("x", "y")), _ => 4)
+    assert(co("m1")("x") == co("m1")("y"))
+    // a member subscribed to a subset only shares what it asked for
+    val subset = KafkaGroup.rangeAssign(
+      Seq("m1" -> Seq("x", "y"), "m2" -> Seq("y")), t => if (t == "x") 2 else 2)
+    assert(subset("m1")("x") == Seq(0, 1))
+    assert(subset("m1")("y") == Seq(0) && subset("m2")("y") == Seq(1))
+    // more members than partitions: the tail gets nothing, nothing is
+    // assigned twice
+    val thin = KafkaGroup.rangeAssign(
+      Seq("m1" -> Seq("t"), "m2" -> Seq("t"), "m3" -> Seq("t")), _ => 2)
+    assert(thin("m1")("t") == Seq(0) && thin("m2")("t") == Seq(1))
+    assert(!thin("m3").contains("t"))
+    // subscription/assignment codecs round-trip
+    val sub = KafkaGroup.encodeSubscription(Seq("a", "b"))
+    assert(KafkaGroup.decodeSubscription(sub) == Seq("a", "b"))
+    val asg = KafkaGroup.encodeAssignment(Map("t" -> Seq(1, 3)))
+    assert(KafkaGroup.decodeAssignment(asg) == Map("t" -> Seq(1, 3)))
+  }
+}
