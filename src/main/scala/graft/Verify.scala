@@ -49,7 +49,12 @@ object Verify {
     // rather than FAIL — so regressions were silent (round-6 postmortem).
     // Record every failure in _errors.json and exit nonzero at the end.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Dev aid: SPARK_GRAFT_TRACE=1 marks each query on stderr so a
+    // mid-run WARN (cache double-entry, skew, partition collapse) is
+    // attributable to the query that logged it. Driver never sets it.
+    val trace = sys.env.get("SPARK_GRAFT_TRACE").contains("1")
     selected.foreach { case (name, fn) =>
+      if (trace) System.err.println(s"[verify] running $name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -27,9 +27,9 @@ object MLOps {
     * Spark's cache manager dedups by analyzed plan, so M1 and M2 (and
     * repeated calls) share one materialization per session. */
   private def features(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "embeddings")
-      .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
-      .cache()
+    Caching.owned(Tables(s, dir, "embeddings")
+      .select(col("vec_id"), array_to_vector(col("embedding")).as("features")),
+      eager = false)
 
   val queries: Map[String, Relational.Q] = Map(
 
@@ -92,9 +92,9 @@ object MLOps {
     * every iteration's job). Float→double widening is exact, so both
     * engines start from bit-identical values. */
   private def embDouble(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .cache()
+    Caching.owned(Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      eager = false)
 
   private def quantize(x: Double): Double = math.floor(x * Quant + 0.5) / Quant
   private def quantizeM(x: Double): Double = math.floor(x * QuantM + 0.5) / QuantM
@@ -184,8 +184,10 @@ object MLOps {
     val muRow = e.agg(muExprs.head, muExprs.tail: _*).head()
     val mu = Array.tabulate(Dim)(j => quantize(muRow.getDouble(j)))
     val n = muRow.getLong(Dim)
-    val ec = e.select(col("vec_id"),
-      zip_with(col("v"), lit(mu), (x, m) => x - m).as("v")).cache()
+    // mu is quantized from data, so re-entries build the IDENTICAL
+    // centered plan — owned() keeps the second entry from re-caching it
+    val ec = Caching.owned(e.select(col("vec_id"),
+      zip_with(col("v"), lit(mu), (x, m) => x - m).as("v")), eager = false)
 
     // Upper-triangle covariance in one pass through the typed Gramian
     // aggregator (a single array buffer, map-side combined — 2 081
@@ -320,7 +322,7 @@ object MLOps {
     * aggregate per round; weights are driver literals, scoring is a
     * map. */
   def logregQuality(s: SparkSession, dir: String): DataFrame = {
-    val f = lrFeatures(s, dir).cache()
+    val f = Caching.owned(lrFeatures(s, dir), eager = false)
     def zOf(w: Array[Double]) =
       lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
         lit(w(3)) * col("x3")
