@@ -69,12 +69,17 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
   private final case class Batch(base: Long, records: Seq[Record],
       codec: Int, magic: Int = 1, pid: Long = -1L, pEpoch: Int = -1,
       baseSeq: Int = -1, raw: Array[Byte] = null,
-      transactional: Boolean = false, control: Boolean = false) {
+      transactional: Boolean = false, control: Boolean = false,
+      spanEnd: Long = -1L) {
     // a VAL: records may be a List (Scala 2.13 `.toSeq` builds one), so
     // a def would be O(n) — and fetchV2's dropWhile calls end on every
     // batch below the cursor, turning each fetch into an O(log-size)
-    // walk (measured 35 ms per EMPTY fetch at 500 k stored records)
-    val end: Long = base + records.length // exclusive
+    // walk (measured 35 ms per EMPTY fetch at 500 k stored records).
+    // `spanEnd` (set by compaction) preserves the batch's ORIGINAL
+    // offset span after records inside it were compacted away — the
+    // real broker keeps baseOffset/lastOffsetDelta through compaction
+    // for exactly this (consumers advance past the gaps).
+    val end: Long = if (spanEnd >= 0) spanEnd else base + records.length
   }
 
   /** Per-(topic, partition, pid) idempotence state: the next expected
@@ -91,6 +96,10 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
   private final class Log {
     val batches = scala.collection.mutable.ArrayBuffer.empty[Batch]
     var next: Long = 0L
+    /** Log-START offset: retention/compaction advance it past 0; a
+      * fetch below it is OFFSET_OUT_OF_RANGE (the contract consumers
+      * with stale checkpoints hit on real brokers). */
+    var start: Long = 0L
     val pidStates = scala.collection.mutable.Map.empty[Long, PidState]
     /** Open transactions: pid -> first offset written in this log by
       * the current transaction. The LAST STABLE OFFSET is the minimum
@@ -384,6 +393,73 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
     * the open-transaction blocking contract. */
   def lastStable(topic: String, p: Int): Long =
     logs.get((topic, p)).map(l => l.synchronized(l.lso)).getOrElse(0L)
+
+  /** LOG COMPACTION: keep only the LATEST record per key (the
+    * `cleanup.policy=compact` topics CDC pipelines replay), preserving
+    * every surviving record's ORIGINAL offset — earlier writes of a
+    * key become OFFSET GAPS, exactly what a real compacted log hands a
+    * consumer. Null-KEYED records never compact (no identity); a
+    * null-VALUED record is the key's tombstone — it stays visible as
+    * the latest unless `purgeTombstones` (the cleaner's later
+    * delete-retention pass) removes the key entirely. Batch headers
+    * keep their original offset span (`spanEnd`), the real broker's
+    * behavior, so cursors advance past gaps; a fully-compacted batch
+    * is retained as an EMPTY v2 batch (records=0, span intact) — also
+    * the real broker's shape. Control markers are not data and are
+    * kept. v1 compressed wrappers re-materialize as plain
+    * absolute-offset entries (the cleaner rewrites segments). */
+  def compact(topic: String, p: Int, purgeTombstones: Boolean = false): Unit = {
+    val log = logOf(topic, p)
+    log.synchronized {
+      def keyOf(k: Array[Byte]): String =
+        java.util.Base64.getEncoder.encodeToString(k)
+      val latest = scala.collection.mutable.Map.empty[String, Long]
+      for (b <- log.batches if !b.control; r <- b.records if r.key != null)
+        latest(keyOf(r.key)) = r.offset // in-order walk: last write wins
+      val rebuilt = log.batches.map { b =>
+        if (b.control) b
+        else {
+          val kept = b.records.filter { r =>
+            if (r.key == null) true
+            else latest(keyOf(r.key)) == r.offset &&
+              !(purgeTombstones && r.value == null)
+          }
+          if (kept.length == b.records.length) b
+          else {
+            val span = b.end
+            // re-encode as v2 with the ORIGINAL lastOffsetDelta: the
+            // count shrinks, the span does not (empty batches allowed)
+            val raw = KafkaWire.encodeRecordBatch(b.base, kept,
+              KafkaWire.Codec.None, b.pid, b.pEpoch, b.baseSeq,
+              transactional = b.transactional,
+              lastOffsetDeltaOverride = (span - b.base - 1).toInt)
+            b.copy(records = kept, codec = 0, magic = 2, raw = raw,
+              spanEnd = span)
+          }
+        }
+      }
+      log.batches.clear()
+      log.batches ++= rebuilt
+    }
+  }
+
+  /** RETENTION: advance (topic, partition)'s log-start offset to
+    * `offset`, dropping every batch wholly below it — what time/size
+    * retention does to a real log's head. Offsets already consumed by
+    * a checkpoint may now be below the log start; the consumer's
+    * failOnDataLoss contract decides what happens then. A batch
+    * STRADDLING `offset` survives whole (real retention deletes whole
+    * segments), so a post-truncation earliest fetch may still serve a
+    * few below-start records — the client's below-cursor drop path. */
+  def truncateBefore(topic: String, p: Int, offset: Long): Unit = {
+    val log = logOf(topic, p)
+    log.synchronized {
+      val keep = log.batches.filter(_.end > offset)
+      log.batches.clear()
+      log.batches ++= keep
+      log.start = math.max(log.start, math.min(offset, log.next))
+    }
+  }
 
   /** The codec each stored batch arrived with — the did-it-actually-
     * compress oracle for the sink's `codec` option. */
@@ -734,15 +810,17 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
   /** Offset resolution for one (partition, timestamp) under the
     * ListOffsets contract: -2 = earliest, -1 = latest (LSO under
     * read_committed), any real timestamp = the EARLIEST offset whose
-    * record timestamp is >= it (the time-index lookup), falling to
-    * the log end when nothing is that new — the stock consumer then
-    * starts at latest. Control markers are not data and never match. */
+    * record timestamp is >= it (the time-index lookup). NOTHING that
+    * new → -1, the protocol's "no such offset" — the REAL broker does
+    * not guess; the consumer's startingOffsetsByTimestampStrategy
+    * decides whether that is an error (the stock default) or a
+    * start-at-latest. Control markers are not data and never match. */
   private def offsetFor(log: Log, ts: Long, isolation: Int): Long =
     log.synchronized {
-      if (ts == -2L) 0L
+      if (ts == -2L) log.start // earliest = log-START, not 0: retention moves it
       else if (ts == -1L) { if (isolation == 1) log.lso else log.next }
       else log.batches.iterator.filter(!_.control).flatMap(_.records)
-        .find(_.timestamp >= ts).map(_.offset).getOrElse(log.next)
+        .find(_.timestamp >= ts).map(_.offset).getOrElse(-1L)
     }
 
   private def offsetCommitV2(r: Reader): Array[Byte] = {
@@ -876,8 +954,16 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
     *   data never reaches a committed reader. */
   private def servePartition(topic: String, p: Int, off: Long,
       maxBytes: Int, enc: Batch => Array[Byte],
-      stableOnly: Boolean = false): (Long, Long, Seq[(Long, Long)], Array[Byte]) = {
+      stableOnly: Boolean = false): (Int, Long, Long, Seq[(Long, Long)], Array[Byte]) = {
     val log = logOf(topic, p)
+    // a fetch below the log start reads data retention already deleted
+    // — OFFSET_OUT_OF_RANGE (error 1), the real broker's answer to a
+    // checkpoint that outlived the log head
+    val below = log.synchronized(off < log.start)
+    if (below)
+      return (KafkaWire.Errors.OffsetOutOfRange,
+        log.synchronized(log.next), log.synchronized(log.lso), Nil,
+        Array.emptyByteArray)
     val (from, hw, lso, aborted) = log.synchronized {
       // a PLAIN v1 message set is addressable per message — the broker
       // serves from the exact offset; a compressed wrapper and a v2
@@ -910,7 +996,7 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
       if (all.length > maxBytes) java.util.Arrays.copyOf(all, maxBytes)
       else all
     }
-    (hw, lso, aborted, bytes)
+    (0, hw, lso, aborted, bytes)
   }
 
   private def fetchV2(r: Reader): Array[Byte] = {
@@ -921,9 +1007,9 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
       val nParts = r.int32()
       val parts = (0 until nParts).map { _ =>
         val p = r.int32(); val off = r.int64(); val maxBytes = r.int32()
-        val (hw, _, _, bytes) =
+        val (err, hw, _, _, bytes) =
           servePartition(topic, p, off, maxBytes, encodeBatch)
-        (p, hw, bytes)
+        (p, err, hw, bytes)
       }
       (topic, parts)
     }
@@ -931,8 +1017,8 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
     w.int32(resp.length)
     resp.foreach { case (topic, parts) =>
       w.str(topic).int32(parts.length)
-      parts.foreach { case (p, hw, set) =>
-        w.int32(p).int16(0).int64(hw).int32(set.length).raw(set)
+      parts.foreach { case (p, err, hw, set) =>
+        w.int32(p).int16(err).int64(hw).int32(set.length).raw(set)
       }
     }
     w.result()
@@ -949,9 +1035,9 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
       val nParts = r.int32()
       val parts = (0 until nParts).map { _ =>
         val p = r.int32(); val off = r.int64(); val maxBytes = r.int32()
-        val (hw, lso, aborted, bytes) = servePartition(topic, p, off,
+        val (err, hw, lso, aborted, bytes) = servePartition(topic, p, off,
           maxBytes, encodeBatchV4, stableOnly = committed)
-        (p, hw, lso, if (committed) aborted else Nil, bytes)
+        (p, err, hw, lso, if (committed) aborted else Nil, bytes)
       }
       (topic, parts)
     }
@@ -959,8 +1045,8 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
     w.int32(resp.length)
     resp.foreach { case (topic, parts) =>
       w.str(topic).int32(parts.length)
-      parts.foreach { case (p, hw, lso, aborted, set) =>
-        w.int32(p).int16(0).int64(hw)
+      parts.foreach { case (p, err, hw, lso, aborted, set) =>
+        w.int32(p).int16(err).int64(hw)
           .int64(lso)
           .int32(aborted.length)
         aborted.foreach { case (pid, first) => w.int64(pid).int64(first) }

@@ -408,10 +408,17 @@ object KafkaWire {
   def encodeRecordBatch(baseOffset: Long, records: Seq[Record],
       codec: Int = Codec.None, producerId: Long = -1L,
       producerEpoch: Int = -1, baseSequence: Int = -1,
-      transactional: Boolean = false, control: Boolean = false): Array[Byte] = {
-    require(records.nonEmpty, "a record batch needs at least one record")
-    val baseTs = records.head.timestamp
-    val maxTs = records.iterator.map(_.timestamp).max
+      transactional: Boolean = false, control: Boolean = false,
+      lastOffsetDeltaOverride: Int = -1): Array[Byte] = {
+    // EMPTY batches are legal on a compacted log: the cleaner removed
+    // every record but keeps the batch header (original offset span
+    // intact) so producer state and consumer cursors survive — then
+    // lastOffsetDeltaOverride is REQUIRED to carry that span
+    require(records.nonEmpty || lastOffsetDeltaOverride >= 0,
+      "an empty record batch needs lastOffsetDeltaOverride (its offset span)")
+    val baseTs = records.headOption.map(_.timestamp).getOrElse(0L)
+    val maxTs =
+      if (records.isEmpty) 0L else records.iterator.map(_.timestamp).max
     val recs = new Writer()
     records.foreach { r =>
       recs.raw(encodeRecordV2((r.offset - baseOffset).toInt,
@@ -423,10 +430,16 @@ object KafkaWire {
     // 5 isControlBatch
     val attrs = (codec & 0x07) |
       (if (transactional) 0x10 else 0) | (if (control) 0x20 else 0)
+    // lastOffsetDelta: the batch's OFFSET SPAN end — equals the last
+    // record's delta on a write path, but stays the ORIGINAL span on a
+    // compacted batch whose inner records were removed
+    val lastDelta =
+      if (lastOffsetDeltaOverride >= 0) lastOffsetDeltaOverride
+      else (records.last.offset - baseOffset).toInt
     // attributes..end — the CRC32C coverage
     val tail = new Writer()
       .int16(attrs)
-      .int32((records.last.offset - baseOffset).toInt) // lastOffsetDelta
+      .int32(lastDelta)
       .int64(baseTs).int64(maxTs)
       .int64(producerId).int16(producerEpoch).int32(baseSequence)
       .int32(records.length)
@@ -722,7 +735,19 @@ object KafkaWire {
     val IllegalGeneration = 22
     val UnknownMemberId = 25
     val RebalanceInProgress = 27
+    /** Fetch below the log-start offset (retention deleted the data). */
+    val OffsetOutOfRange = 1
   }
+
+  /** The broker no longer has the requested offset — retention
+    * advanced the log start past it. The data between the caller's
+    * position and the new log start is GONE; only the caller knows
+    * whether that is fatal (failOnDataLoss) or skippable. */
+  final class OffsetOutOfRangeException(val topic: String,
+      val partition: Int, val offset: Long)
+    extends RuntimeException(
+      s"offset $offset of $topic-$partition is below the log start " +
+        "(retention deleted it)")
 
   /** Produce v3 (the first version carrying v2 record batches; adds
     * transactional_id before acks): sends one pre-encoded record
@@ -812,7 +837,10 @@ object KafkaWire {
     r.str()
     val nParts = r.int32(); require(nParts == 1)
     r.int32() // partition
-    val err = r.int16(); require(err == 0, s"fetch error $err")
+    val err = r.int16()
+    if (err == Errors.OffsetOutOfRange)
+      throw new OffsetOutOfRangeException(topic, partition, offset)
+    require(err == 0, s"fetch error $err")
     val hw = r.int64()
     val lso = r.int64() // last_stable_offset (v4+)
     val nAborted = r.int32() // aborted_transactions (v4+)
@@ -982,7 +1010,10 @@ object KafkaWire {
     * With `isolation` = read_committed the call upgrades to
     * ListOffsets v2 (the version that added isolation_level) and
     * "latest" resolves to the LAST STABLE OFFSET — a committed
-    * reader's admission window must stop before open transactions. */
+    * reader's admission window must stop before open transactions.
+    * A REAL timestamp with no record at/after it returns -1 (the
+    * protocol's "no such offset") — the CALLER's
+    * startingOffsetsByTimestampStrategy decides what that means. */
   def listOffset(c: Conn, topic: String, partition: Int,
       timestamp: Long = -1L,
       isolation: Int = Isolation.ReadUncommitted): Long = {
@@ -1010,6 +1041,18 @@ object KafkaWire {
   /** Fetch v2 from `offset`: (records, highWatermark). */
   def fetch(c: Conn, topic: String, partition: Int, offset: Long,
       maxBytes: Int = 1 << 20): (Seq[Record], Long) = {
+    val (recs, hw, _) = fetchV2WithSize(c, topic, partition, offset, maxBytes)
+    (recs, hw)
+  }
+
+  /** Fetch v2 plus the WIRE SIZE of the served record set — the signal
+    * that disambiguates "zero records decoded": 0 bytes below the high
+    * watermark means the span had no v1 representation at all
+    * (down-converted control markers leave an offset GAP — the old-
+    * consumer contract), where a NON-empty undecodable set is a
+    * message sliced at max_bytes (grow and retry). */
+  private def fetchV2WithSize(c: Conn, topic: String, partition: Int,
+      offset: Long, maxBytes: Int): (Seq[Record], Long, Int) = {
     val body = new Writer()
       .int32(-1).int32(100).int32(0) // replica=-1, max_wait, min_bytes
       .int32(1).str(topic)
@@ -1021,10 +1064,14 @@ object KafkaWire {
     r.str()
     val nParts = r.int32(); require(nParts == 1)
     r.int32() // partition
-    val err = r.int16(); require(err == 0, s"fetch error $err")
+    val err = r.int16()
+    if (err == Errors.OffsetOutOfRange)
+      throw new OffsetOutOfRangeException(topic, partition, offset)
+    require(err == 0, s"fetch error $err")
     val hw = r.int64()
     val set = r.bytes()
-    (if (set == null) Seq.empty else decodeMessageSet(set), hw)
+    (if (set == null) Seq.empty else decodeMessageSet(set), hw,
+      if (set == null) 0 else set.length)
   }
 
   /** ONE grow-on-truncation fetch cursor, shared by both consume paths
@@ -1059,8 +1106,20 @@ object KafkaWire {
           if (format >= 2)
             fetchV4Detailed(c, topic, partition, p, maxBytes, isolation)
           else {
-            val (rs, hw) = fetch(c, topic, partition, p, maxBytes)
-            (rs, hw, if (rs.nonEmpty) rs.last.offset + 1 else -1L)
+            val (rs, hw, setLen) =
+              fetchV2WithSize(c, topic, partition, p, maxBytes)
+            // zero records + ZERO served bytes below the watermark: the
+            // span has no v1 form (a down-converted control marker's
+            // offset gap) — advance one slot, the marker's exact width;
+            // zero records + nonempty bytes stays -1 (a sliced message:
+            // grow). Keeps the cursor invariant format-independent even
+            // though today's v1-negotiated brokers cannot host
+            // transactions.
+            val np =
+              if (rs.nonEmpty) rs.last.offset + 1
+              else if (setLen == 0 && p < hw) p + 1
+              else -1L
+            (rs, hw, np)
           }
         val kept = recs.filter(_.offset >= pos)
         if (kept.nonEmpty || p >= wm) return (kept, wm)

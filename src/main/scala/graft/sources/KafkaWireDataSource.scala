@@ -39,13 +39,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `headers ARRAY<STRUCT<key,value>>` column, v1-stored records read
   * as empty arrays); isolationLevel read_uncommitted|read_committed
   * (committed reads stop at the last stable offset, filter aborted
-  * transactions, and never surface control markers); sink-side:
+  * transactions, and never surface control markers); failOnDataLoss
+  * true|false (what to do when retention deleted offsets a checkpoint
+  * still points at: true — the default, the stock connector's — fails
+  * the query loudly; false skips to the surviving log head with a
+  * WARN); sink-side:
   * codec none|gzip|snappy|lz4, format auto|v1|v2 (record-batch
   * negotiation), idempotent true|false (v2 producer sequences,
   * broker-side retry dedup), transactionalIdPrefix (EXACTLY-ONCE: one
   * transaction per task, committed in commit(), aborted on task
   * failure — a read_committed consumer never sees a failed attempt's
-  * rows); an input `headers` column of the canonical struct shape is
+  * rows); transactionalCommit task|job (job = tasks leave their
+  * transactions open and the DRIVER commits them all only after every
+  * task succeeded — a job failing at task 3 of 4 publishes ZERO rows;
+  * see KafkaWireWrite.endAll for the honest atomicity/availability
+  * trade); an input `headers` column of the canonical struct shape is
   * written as v2 record headers. Batch reads (spark.read) scan
   * earliest..latest.
   */
@@ -93,6 +101,14 @@ class KafkaWireDataSource extends TableProvider with DataSourceRegister {
         s"startingTimestamp $a must be <= endingTimestamp $b")
       case _ =>
     }
+    val tsStrategy = Option(opts.get("startingOffsetsByTimestampStrategy"))
+      .getOrElse("error")
+    require(tsStrategy == "error" || tsStrategy == "latest",
+      "startingOffsetsByTimestampStrategy must be error or latest, " +
+        s"got '$tsStrategy'")
+    require(!(opts.containsKey("startingOffsetsByTimestampStrategy") &&
+        startingTs.isEmpty),
+      "startingOffsetsByTimestampStrategy needs startingTimestamp")
     val codec = KafkaWire.Codec.forName(
       Option(opts.get("codec")).getOrElse("none"))
     val format = Option(opts.get("format")).getOrElse("auto")
@@ -114,11 +130,23 @@ class KafkaWireDataSource extends TableProvider with DataSourceRegister {
     require(!(txnPrefix.isDefined && format == "v1"),
       "transactionalIdPrefix needs record-batch v2; format=v1 cannot " +
         "carry transactions")
+    val txnJobCommit = Option(opts.get("transactionalCommit")).map { v =>
+      require(v == "task" || v == "job",
+        s"transactionalCommit must be task or job, got '$v'")
+      v == "job"
+    }.getOrElse(false)
+    require(!(txnJobCommit && txnPrefix.isEmpty),
+      "transactionalCommit=job needs transactionalIdPrefix")
     val includeHeaders = Option(opts.get("includeHeaders")).exists { v =>
       require(v == "true" || v == "false",
         s"includeHeaders must be true or false, got '$v'")
       v == "true"
     }
+    val failOnDataLoss = Option(opts.get("failOnDataLoss")).map { v =>
+      require(v == "true" || v == "false",
+        s"failOnDataLoss must be true or false, got '$v'")
+      v == "true"
+    }.getOrElse(true)
     val minPartitions = Option(opts.get("minPartitions")).map { v =>
       val n = try Integer.parseInt(v)
       catch { case _: NumberFormatException =>
@@ -139,7 +167,8 @@ class KafkaWireDataSource extends TableProvider with DataSourceRegister {
       s"maxOffsetsPerTrigger must be positive, got $m"))
     new KafkaWireTable(host, Integer.parseInt(port), topic, starting, codec,
       maxOffsets, format, idempotent, minPartitions, includeHeaders,
-      isolation, txnPrefix, startingTs, endingTs)
+      isolation, txnPrefix, startingTs, endingTs, txnJobCommit,
+      failOnDataLoss, tsStrategy)
   }
 }
 
@@ -174,7 +203,10 @@ private[sources] class KafkaWireTable(host: String, port: Int, topic: String,
     isolation: Int = KafkaWire.Isolation.ReadUncommitted,
     txnPrefix: Option[String] = None,
     startingTimestamp: Option[Long] = None,
-    endingTimestamp: Option[Long] = None)
+    endingTimestamp: Option[Long] = None,
+    txnJobCommit: Boolean = false,
+    failOnDataLoss: Boolean = true,
+    tsStrategy: String = "error")
     extends Table with SupportsRead with SupportsWrite {
   require(host != null && topic != null, "options host, port, topic are required")
   override def name(): String = s"graft-kafka($topic@$host:$port)"
@@ -189,13 +221,13 @@ private[sources] class KafkaWireTable(host: String, port: Int, topic: String,
       override def build(): Scan =
         new KafkaWireScan(host, port, topic, startingOffsets,
           maxOffsetsPerTrigger, minPartitions, includeHeaders, isolation,
-          startingTimestamp, endingTimestamp)
+          startingTimestamp, endingTimestamp, failOnDataLoss, tsStrategy)
     }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write =
         new KafkaWireWrite(host, port, topic, info.schema(), codec, format,
-          idempotent, txnPrefix)
+          idempotent, txnPrefix, txnJobCommit)
     }
 }
 
@@ -217,7 +249,8 @@ private[sources] class KafkaWireTable(host: String, port: Int, topic: String,
 private[sources] class KafkaWireWrite(host: String, port: Int, topic: String,
     schema: StructType, codec: Int = KafkaWire.Codec.None,
     format: String = "auto", idempotent: Boolean = false,
-    txnPrefix: Option[String] = None) extends Write {
+    txnPrefix: Option[String] = None,
+    txnJobCommit: Boolean = false) extends Write {
   require(schema.fieldNames.contains("key") && schema.fieldNames.contains("value"),
     s"graft-kafka sink needs key and value columns; got ${schema.simpleString}")
   private def binaryness(field: String): Boolean =
@@ -255,34 +288,92 @@ private[sources] class KafkaWireWrite(host: String, port: Int, topic: String,
   private def factory = KafkaWriterFactory(host, port, topic,
     schema.fieldIndex("key"), schema.fieldIndex("value"),
     keyBinary, valueBinary, codec, format, idempotent, headersIdx,
-    txnPrefix)
+    txnPrefix, txnJobCommit)
+
+  // ── transactionalCommit=job: driver-coordinated EndTxn fan-out ──────
+  //
+  // Task-level transactions (the default, the stock connector's shape)
+  // leave a hole: a 4-task job that dies AFTER tasks 1-2 committed
+  // their transactions has already published those tasks' rows — the
+  // job "failed" but half its output is visible. In job mode each task
+  // flushes its transactional batches and returns with its transaction
+  // still OPEN (invisible to read_committed, LSO-pinned), reporting
+  // (transactionalId, pid, epoch) in its commit message; the DRIVER
+  // commits every task's transaction only once ALL tasks succeeded,
+  // and aborts them all on job failure — the failing-at-task-3 job
+  // publishes ZERO rows.
+  //
+  // The honest trade: (a) ATOMICITY residue — the commit fan-out
+  // itself is not atomic; a driver crash partway through the EndTxn
+  // loop leaves earlier transactions committed and later ones aborted-
+  // on-retry (the retry's InitProducerId epoch bump aborts leftovers),
+  // so the vulnerability window shrinks from "any task failure after
+  // the first task commit" to "driver death inside the fan-out loop" —
+  // eliminating it entirely needs a recoverable 2PC ledger (Flink's
+  // TwoPhaseCommitSink persists pre-committed txns in its checkpoint;
+  // Spark DSv2 exposes no recoverable pre-commit hook). (b)
+  // AVAILABILITY — every task's transaction stays open (pinning its
+  // partitions' LSO, blocking read_committed consumers past it) until
+  // the SLOWEST task finishes, where task mode releases each task's
+  // rows as it completes.
+  private def endAll(messages: Array[WriterCommitMessage],
+      commit: Boolean): Unit = {
+    val pending = messages.collect { case m: KafkaTxnPending => m }
+    if (pending.nonEmpty) {
+      val c = new KafkaWire.Conn(host, port)
+      try pending.foreach { m =>
+        try KafkaWire.endTxn(c, m.transactionalId, m.producerId,
+          m.producerEpoch, commit)
+        catch {
+          // on ABORT a fenced EndTxn is fine — a newer attempt's
+          // InitProducerId already bumped the epoch, which aborted this
+          // transaction; on COMMIT fencing must stay LOUD (a concurrent
+          // writer superseded this job — its rows are gone)
+          case e: KafkaWire.ProducerFencedException if !commit =>
+            val _ = e
+        }
+      } finally c.close()
+    }
+  }
 
   override def toBatch: BatchWrite = new BatchWrite {
     private val f = factory
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = f
-    override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-    override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+    override def commit(messages: Array[WriterCommitMessage]): Unit =
+      if (txnJobCommit) endAll(messages, commit = true)
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      if (txnJobCommit) endAll(messages, commit = false)
   }
 
   override def toStreaming: StreamingWrite = new StreamingWrite {
     private val f = factory
     override def createStreamingWriterFactory(
         info: PhysicalWriteInfo): StreamingDataWriterFactory = f
-    // at-least-once: records are on the broker when the task's
-    // commit() returns; the epoch-level commit is bookkeeping only
-    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
-    override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+    // task mode: records are on the broker (and task transactions
+    // committed) when each task's commit() returns; the epoch-level
+    // call is bookkeeping. Job mode: the epoch's task transactions
+    // commit HERE, atomically-ish (see endAll's honest-trade note).
+    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+      if (txnJobCommit) endAll(messages, commit = true)
+    override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+      if (txnJobCommit) endAll(messages, commit = false)
   }
 }
 
 private[sources] case class KafkaWriteCommit(rows: Long) extends WriterCommitMessage
+
+/** A job-commit task's receipt: its transaction is flushed but still
+  * OPEN on the broker — the driver EndTxns it at job commit/abort. */
+private[sources] case class KafkaTxnPending(transactionalId: String,
+    producerId: Long, producerEpoch: Int, rows: Long)
+  extends WriterCommitMessage
 
 private[sources] case class KafkaWriterFactory(host: String, port: Int,
     topic: String, keyIdx: Int, valueIdx: Int,
     keyBinary: Boolean, valueBinary: Boolean,
     codec: Int = KafkaWire.Codec.None, format: String = "auto",
     idempotent: Boolean = false, headersIdx: Int = -1,
-    txnPrefix: Option[String] = None)
+    txnPrefix: Option[String] = None, txnJobCommit: Boolean = false)
     extends DataWriterFactory with StreamingDataWriterFactory {
   // the transactional id is STABLE per (prefix, topic, input
   // partition): a retried task re-inits the same id, which bumps the
@@ -294,12 +385,12 @@ private[sources] case class KafkaWriterFactory(host: String, port: Int,
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new KafkaProduceWriter(host, port, topic, keyIdx, valueIdx,
       keyBinary, valueBinary, codec, format, idempotent, headersIdx,
-      tid(partitionId))
+      tid(partitionId), txnJobCommit)
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new KafkaProduceWriter(host, port, topic, keyIdx, valueIdx,
       keyBinary, valueBinary, codec, format, idempotent, headersIdx,
-      tid(partitionId))
+      tid(partitionId), txnJobCommit)
 }
 
 /** One task's producer: buffers rows, routes them to topic partitions
@@ -312,7 +403,8 @@ private[sources] class KafkaProduceWriter(host: String, port: Int,
     keyBinary: Boolean, valueBinary: Boolean,
     codec: Int = KafkaWire.Codec.None, format: String = "auto",
     idempotent: Boolean = false, headersIdx: Int = -1,
-    transactionalId: Option[String] = None)
+    transactionalId: Option[String] = None,
+    txnJobCommit: Boolean = false)
     extends DataWriter[InternalRow] {
   // idempotent=true: this TASK's producer gets a fresh PID and
   // per-partition sequences, so the client's own I/O retries dedup
@@ -382,8 +474,17 @@ private[sources] class KafkaProduceWriter(host: String, port: Int,
 
   override def commit(): WriterCommitMessage = {
     flush()
-    if (transactionalId.isDefined) prod.commitTransaction()
-    KafkaWriteCommit(written)
+    if (transactionalId.isDefined && txnJobCommit) {
+      // job-commit mode: leave the transaction OPEN (its rows stay
+      // invisible to read_committed) and hand the (tid, pid, epoch)
+      // receipt to the driver, which EndTxns every task's transaction
+      // only once the whole job succeeded
+      val (pid, epoch) = prod.producerIdentity
+      KafkaTxnPending(transactionalId.get, pid, epoch, written)
+    } else {
+      if (transactionalId.isDefined) prod.commitTransaction()
+      KafkaWriteCommit(written)
+    }
   }
   override def abort(): Unit =
     if (transactionalId.isDefined) {
@@ -402,7 +503,9 @@ private[sources] class KafkaWireScan(host: String, port: Int, topic: String,
     includeHeaders: Boolean = false,
     isolation: Int = KafkaWire.Isolation.ReadUncommitted,
     startingTimestamp: Option[Long] = None,
-    endingTimestamp: Option[Long] = None)
+    endingTimestamp: Option[Long] = None,
+    failOnDataLoss: Boolean = true,
+    tsStrategy: String = "error")
     extends Scan with Batch {
   override def readSchema(): StructType =
     KafkaWireDataSource.schemaWith(includeHeaders)
@@ -423,14 +526,33 @@ private[sources] class KafkaWireScan(host: String, port: Int, topic: String,
     // timestamp bounds resolve per partition through the ListOffsets
     // time lookup: start = earliest offset at/after startingTimestamp
     // (else earliest); end = earliest offset at/after endingTimestamp,
-    // EXCLUSIVE (else latest) - the stock connector's batch window
-    val from = offsets(startingTimestamp.getOrElse(-2L))
-    val until = offsets(endingTimestamp.getOrElse(-1L))
+    // EXCLUSIVE (else latest) - the stock connector's batch window.
+    // A lookup the broker answers -1 ("nothing that new") resolves per
+    // the published contract: a START falls to
+    // startingOffsetsByTimestampStrategy — error (default: a mistyped
+    // timestamp must not silently read zero rows) or latest; an END
+    // past all data simply reads to the log end.
+    val fromRaw = offsets(startingTimestamp.getOrElse(-2L))
+    val untilRaw = offsets(endingTimestamp.getOrElse(-1L))
+    val latest: Map[Int, Long] =
+      if (fromRaw.values.exists(_ < 0) || untilRaw.values.exists(_ < 0))
+        offsets(-1L)
+      else Map.empty
+    val from = fromRaw.map { case (p, o) =>
+      if (o >= 0) p -> o
+      else if (tsStrategy == "latest") p -> latest(p)
+      else throw new IllegalStateException(
+        s"no offset at/after startingTimestamp ${startingTimestamp.get} " +
+          s"in $topic-$p; set startingOffsetsByTimestampStrategy=latest " +
+          "to start at the log end instead of failing")
+    }
+    val until = untilRaw.map { case (p, o) =>
+      p -> (if (o >= 0) o else latest(p)) }
     val ranges = from.keys.toSeq.sorted.map(p => (p, from(p), until(p)))
     KafkaWireScan.splitRanges(ranges, minPartitions.getOrElse(0))
       .map { case (p, lo, hi) =>
         KafkaRangePartition(host, port, topic, p, lo, hi,
-          includeHeaders, isolation): InputPartition }
+          includeHeaders, isolation, failOnDataLoss): InputPartition }
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -442,7 +564,7 @@ private[sources] class KafkaWireScan(host: String, port: Int, topic: String,
         "Trigger.AvailableNow to drain to the current end instead")
     new KafkaWireMicroBatchStream(host, port, topic, startingOffsets,
       maxOffsetsPerTrigger, minPartitions, includeHeaders, isolation,
-      startingTimestamp)
+      startingTimestamp, failOnDataLoss, tsStrategy)
   }
 }
 
@@ -497,7 +619,9 @@ private[sources] class KafkaWireMicroBatchStream(host: String, port: Int,
     minPartitions: Option[Int] = None,
     includeHeaders: Boolean = false,
     isolation: Int = KafkaWire.Isolation.ReadUncommitted,
-    startingTimestamp: Option[Long] = None)
+    startingTimestamp: Option[Long] = None,
+    failOnDataLoss: Boolean = true,
+    tsStrategy: String = "error")
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   @volatile private var lastKnownEnd: Option[Map[Int, Long]] = None
@@ -519,14 +643,24 @@ private[sources] class KafkaWireMicroBatchStream(host: String, port: Int,
   // consulted on a FRESH checkpoint, the stock connector's contract.
   override def initialOffset(): Offset = {
     // startingTimestamp wins (validated mutually exclusive upstream):
-    // the per-partition time lookup; else earliest/latest
+    // the per-partition time lookup; else earliest/latest. A time
+    // lookup the broker answers -1 ("nothing that new") follows
+    // startingOffsetsByTimestampStrategy: error (default) or latest.
     val ts = startingTimestamp
       .getOrElse(if (startingOffsets == "latest") -1L else -2L)
     val c = new KafkaWire.Conn(host, port)
     try {
       val n = KafkaWire.partitionCount(c, topic)
-      KafkaWireOffset((0 until n).map(p =>
-        p -> KafkaWire.listOffset(c, topic, p, ts, isolation)).toMap)
+      KafkaWireOffset((0 until n).map { p =>
+        val o = KafkaWire.listOffset(c, topic, p, ts, isolation)
+        p -> (if (o >= 0) o
+          else if (tsStrategy == "latest")
+            KafkaWire.listOffset(c, topic, p, -1L, isolation)
+          else throw new IllegalStateException(
+            s"no offset at/after startingTimestamp ${startingTimestamp.get} " +
+              s"in $topic-$p; set startingOffsetsByTimestampStrategy=latest " +
+              "to start at the log end instead of failing"))
+      }.toMap)
     } finally c.close()
   }
 
@@ -617,7 +751,7 @@ private[sources] class KafkaWireMicroBatchStream(host: String, port: Int,
     KafkaWireScan.splitRanges(ranges, minPartitions.getOrElse(0))
       .map { case (p, lo, hi) =>
         KafkaRangePartition(host, port, topic, p, lo, hi,
-          includeHeaders, isolation): InputPartition }
+          includeHeaders, isolation, failOnDataLoss): InputPartition }
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -629,7 +763,8 @@ private[sources] class KafkaWireMicroBatchStream(host: String, port: Int,
 private[sources] case class KafkaRangePartition(host: String, port: Int,
     topic: String, partition: Int, from: Long, until: Long,
     includeHeaders: Boolean = false,
-    isolation: Int = KafkaWire.Isolation.ReadUncommitted)
+    isolation: Int = KafkaWire.Isolation.ReadUncommitted,
+    failOnDataLoss: Boolean = true)
     extends InputPartition
 
 private[sources] class KafkaRangeReaderFactory extends PartitionReaderFactory {
@@ -653,15 +788,43 @@ private[sources] class KafkaRangeReader(p: KafkaRangePartition)
       // GrowingFetcher owns the recovery algorithm (below-cursor drop
       // for wrapper batches, grow-on-truncation, loud too-large
       // failure); the range end is this reader's only extra bound.
-      val (kept, _) = fetcher.fetchAt(pos)
-      val inRange = kept.filter(_.offset < p.until)
-      if (inRange.nonEmpty) {
-        buf = inRange; i = 0; pos = inRange.last.offset + 1
-        return true
+      val fetched =
+        try Some(fetcher.fetchAt(pos))
+        catch {
+          case e: KafkaWire.OffsetOutOfRangeException =>
+            // retention advanced the log start past this range's
+            // position (a checkpoint that outlived the log head). The
+            // stock connector's contract, verbatim: failOnDataLoss=true
+            // (default) fails the query loudly; =false warns, skips to
+            // the new log start, and continues — records in between
+            // are GONE either way, the option only chooses honesty mode
+            if (p.failOnDataLoss)
+              throw new IllegalStateException(
+                s"some data may have been lost: offsets [${e.offset}, ...) " +
+                  s"of ${p.topic}-${p.partition} were deleted by retention " +
+                  "before this query read them. Set failOnDataLoss=false " +
+                  "to skip lost ranges instead of failing.", e)
+            val earliest =
+              KafkaWire.listOffset(conn, p.topic, p.partition, -2L, p.isolation)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"data loss on ${p.topic}-${p.partition}: skipping offsets " +
+                s"[$pos, $earliest) deleted by retention (failOnDataLoss=false)")
+            if (earliest <= pos) return false // defensive: no progress
+            pos = earliest // loop re-fetches from the surviving head
+            None
+        }
+      fetched match {
+        case None => // loss skip advanced pos: retry the fetch
+        case Some((kept, _)) =>
+          val inRange = kept.filter(_.offset < p.until)
+          if (inRange.nonEmpty) {
+            buf = inRange; i = 0; pos = inRange.last.offset + 1
+            return true
+          }
+          // kept is either empty (caught up to a regressed hw —
+          // defensive) or entirely past the exclusive range end: done
+          return false
       }
-      // kept is either empty (caught up to a regressed hw — defensive)
-      // or entirely past the exclusive range end: the range is done
-      return false
     }
     false
   }

@@ -200,6 +200,63 @@ class KafkaTxnSpec extends SparkSuite {
     } finally srv.stop()
   }
 
+  test("transactionalCommit=job: a 4-task job failing at task 3 publishes ZERO rows; the retry lands exactly once") {
+    val srv = new MiniKafkaServer(numPartitions = 1)
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{concat, lit}
+      def write(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("graft-kafka")
+          .option("host", "localhost").option("port", srv.port.toString)
+          .option("topic", "t")
+          .option("transactionalIdPrefix", "job-eos")
+          .option("transactionalCommit", "job")
+          .mode("append").save()
+      def committed() = spark.read.format("graft-kafka")
+        .option("host", "localhost").option("port", srv.port.toString)
+        .option("topic", "t").option("isolationLevel", "read_committed")
+        .load()
+      // 4 input partitions of 500 rows each; the LAST row of partition
+      // 3 is poisoned, so tasks 0-2 run to completion (each flushes its
+      // full 500-row transactional batch and reports its open txn to
+      // the driver) while task 3 dies — under TASK-level commit, tasks
+      // 0-2's rows would already be published
+      val poison = org.apache.spark.sql.functions.udf { (k: String) =>
+        if (k == "boom1999") throw new RuntimeException("poisoned row")
+        k
+      }
+      // spark.range, not a local Seq: ConvertToLocalRelation would run
+      // the poison udf on the driver at plan time
+      val bad = spark.range(0, 2000, 1, 4)
+        .select(concat(lit("boom"), $"id").as("key"), lit("x").as("value"))
+        .withColumn("key", poison($"key"))
+      intercept[Exception] { write(bad) }
+      // the completed tasks' rows are physically in the log...
+      val flushed = spark.read.format("graft-kafka")
+        .option("host", "localhost").option("port", srv.port.toString)
+        .option("topic", "t").load().count()
+      assert(flushed >= 500L,
+        "completed tasks flushed their transactional batches")
+      // ...but the driver aborted EVERY task's transaction: the failed
+      // job published NOTHING (task-level commit would show 1500 here)
+      assert(committed().count() === 0L,
+        "a job-committed write must be all-or-nothing")
+      // the retried job (same ids — the epoch bump fences leftovers)
+      // lands each row exactly once
+      val good = spark.range(0, 2000, 1, 4)
+        .select(concat(lit("r"), $"id").as("key"), lit("x").as("value"))
+      write(good)
+      val keys = committed().select("key").as[String].collect()
+      assert(keys.length === 2000)
+      assert(keys.toSet === (0 until 2000).map(i => s"r$i").toSet)
+      // zero-row tasks hold (empty) transactions too — the fan-out
+      // EndTxn on a partition-free transaction is a safe no-op
+      write(spark.range(0, 3, 1, 1).repartition(6)
+        .select(concat(lit("z"), $"id").as("key"), lit("x").as("value")))
+      assert(committed().count() === 2003L)
+    } finally srv.stop()
+  }
+
   test("read_committed streaming source: the drain stops at the LSO and resumes past the commit") {
     import org.apache.spark.sql.streaming.Trigger
     val srv = new MiniKafkaServer(numPartitions = 1)

@@ -392,8 +392,21 @@ class KafkaV2Spec extends SparkSuite {
         "the batch read must start at the earliest record at/after ts")
       assert(readFrom(2000L) === Seq("old2", "new1", "new2"))
       assert(readFrom(0L) === Seq("old1", "old2", "new1", "new2"))
-      assert(readFrom(99999L) === Seq.empty,
-        "nothing that new: start at latest, the stock fallback")
+      // nothing that new: the DEFAULT is the stock connector's 'error'
+      // strategy — a mistyped timestamp must not silently read zero
+      // rows; opting into 'latest' starts (emptily) at the log end
+      val noneThatNew = intercept[Exception] { readFrom(99999L) }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(noneThatNew)
+        .exists(_.contains("no offset at/after startingTimestamp")))
+      val optedIn = spark.read.format("graft-kafka")
+        .option("host", "localhost").option("port", srv.port.toString)
+        .option("topic", "t").option("startingTimestamp", "99999")
+        .option("startingOffsetsByTimestampStrategy", "latest")
+        .load().collect()
+      assert(optedIn.isEmpty)
       // the streaming initial offset resolves the same way
       val outDir = java.nio.file.Files.createTempDirectory("ts-out").toString
       val ckpt = java.nio.file.Files.createTempDirectory("ts-ckpt").toString
