@@ -202,15 +202,32 @@ object IvfIndex {
     * the hint is rewritten only after the claimed generation's tables
     * are complete, and a reader that catches the HDFS delete→rename
     * window recovers through the claim scan in [[currentVersion]]. */
-  private def writePointer(spark: SparkSession, path: String, n: Int): Unit = {
+  private[operators] def writePointer(spark: SparkSession, path: String,
+      n: Int): Unit = {
     val f = hfs(spark, path)
     // WRITER-UNIQUE temp name: two racing builds each swap their own
     // hint (a fixed name let one racer's rename consume the other's
     // temp file — caught by IvfGenerationSpec's racing-builds test).
-    // Last hint wins; both point at complete claimed generations.
     val tmp = new org.apache.hadoop.fs.Path(
       s"$path/.CURRENT-$n-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val cur = new org.apache.hadoop.fs.Path(s"$path/CURRENT")
+    // MONOTONIC hint (r14 advice): plain last-writer-wins let a build
+    // that finished OUT of claim order regress CURRENT to an older
+    // (complete, but stale) generation until the next build. Re-read
+    // the hint and swap only UPWARD: an out-of-order finisher is now a
+    // no-op. Two writers can still interleave read→rename (filesystem
+    // renames offer no true CAS), shrinking but not closing the
+    // window — acceptable because the hint is ADVISORY: readers that
+    // find a stale or missing hint recover through the claim scan, and
+    // the next upward writer restores it.
+    val hintNow: Option[Int] =
+      if (!f.exists(cur)) None
+      else try {
+        val in = f.open(cur)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+        finally in.close()
+      } catch { case _: Exception => None } // torn hint: recovery scan owns it
+    if (hintNow.exists(_ >= n)) return
     val out = f.create(tmp, true)
     try out.write(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()

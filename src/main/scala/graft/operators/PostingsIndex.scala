@@ -117,6 +117,7 @@ object PostingsIndex {
     * (max claimed generation whose LAST-written table committed), or
     * the path itself for a generation-less (batch-built) layout. */
   def servingDir(path: String): String = {
+    Generations.requireLocalRoot(path) // java.io hint read + claim scan
     val hint = new java.io.File(path, "CURRENT")
     val n =
       if (hint.exists())
