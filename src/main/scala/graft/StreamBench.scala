@@ -324,6 +324,61 @@ object StreamBench {
     }
     val idem = sinkRow("idempotent_v2", "idempotent" -> "true")
     val txn = sinkRow("transactional_v2", "transactionalIdPrefix" -> "bench")
-    (results ++ codecResults :+ minp :+ idem :+ txn).mkString("{", ",", "}")
+
+    // read_committed ISOLATION-FILTER scale curve (r14 verdict #7): a
+    // log interleaving committed and aborted transactions, consumed at
+    // both isolation levels, at 1x and 10x. The aborted-range filter
+    // is an INDEX the fetch response carries (pid -> firstOffset), not
+    // a scan, so the per-record cost must stay flat as the log grows —
+    // `scanned_rps` (all data records the filter walked / sec) is the
+    // number to compare across scales and against read_uncommitted.
+    def committedCurve(scale: Int): String = {
+      val srv = new MiniKafkaServer(numPartitions = 4)
+      try {
+        val nTxn = 25 * scale
+        val per = 500
+        val recs = (1 to per).map { i =>
+          (s"http://news/article/$i".getBytes("UTF-8"),
+            ("{\"title\":\"제목 " + i + "\",\"summary\":\"" + pad + "\"}")
+              .getBytes("UTF-8"))
+        }
+        val commit = new KafkaWire.RetryingProducer("localhost", srv.port,
+          "bench-topic", idempotent = true, transactionalId = "curve-commit")
+        val abort = new KafkaWire.RetryingProducer("localhost", srv.port,
+          "bench-topic", idempotent = true, transactionalId = "curve-abort")
+        try {
+          (1 to nTxn).foreach { t =>
+            commit.beginTransaction()
+            (0 until 4).foreach(p => commit.send(p, recs, t.toLong))
+            commit.commitTransaction()
+            abort.beginTransaction()
+            (0 until 4).foreach(p => abort.send(p, recs, t.toLong))
+            abort.abortTransaction()
+          }
+        } finally { commit.close(); abort.close() }
+        val total = nTxn.toLong * per * 4 * 2
+        val committed = total / 2
+        def consume(iso: String): (Long, Double) = {
+          val t0 = System.nanoTime()
+          val n = spark.read.format("graft-kafka")
+            .option("host", "localhost").option("port", srv.port.toString)
+            .option("topic", "bench-topic").option("isolationLevel", iso)
+            .load().count()
+          (n, secsSince(t0))
+        }
+        val (nu, su) = consume("read_uncommitted")
+        val (nc, sc) = consume("read_committed")
+        require(nu == total, s"uncommitted curve lost rows: $nu != $total")
+        require(nc == committed, s"committed curve wrong: $nc != $committed")
+        s""""rc_x$scale":{"rows_total":$total,"rows_committed":$committed,""" +
+          s""""uncommitted_rps":${r3(total / su)},""" +
+          s""""committed_rps":${r3(committed / sc)},""" +
+          s""""committed_scanned_rps":${r3(total / sc)}}"""
+      } finally srv.stop()
+    }
+    val rc = Seq(1, 10).map(committedCurve)
+
+    (results ++ codecResults ++ rc :+ minp :+ idem :+ txn)
+      .mkString("{", ",", "}")
   }
 }
