@@ -186,8 +186,11 @@ object KafkaGroup {
   final class GroupMember(host: String, port: Int, groupId: String,
       topics: Seq[String], sessionTimeoutMs: Int = 10000) {
     private val bootstrap = new Conn(host, port)
+    /** The coordinator's address — heartbeats open their own channel
+      * to it (see startHeartbeats). */
+    private val coordAddr: (String, Int) = findCoordinator(bootstrap, groupId)
     private val coord: Conn = {
-      val (h, p) = findCoordinator(bootstrap, groupId)
+      val (h, p) = coordAddr
       // the double is one broker, but honor the redirect — against a
       // real cluster the coordinator is usually NOT the bootstrap node
       if (h == host && p == port) bootstrap else new Conn(h, p)
@@ -227,6 +230,8 @@ object KafkaGroup {
             serr match {
               case 0 =>
                 assignment = decodeAssignment(mine)
+                rebalanceDue = false // stable again: heartbeats may restart
+                if (beatThread != null && !beatThread.isAlive) beatThread = null
                 return assignment
               case Errors.RebalanceInProgress => // next round
               case Errors.UnknownMemberId => memberId = ""
@@ -295,9 +300,127 @@ object KafkaGroup {
 
     def leave(): Unit = leaveGroup(coord, groupId, memberId)
 
+    // ── background heartbeat (the kafka-python daemon thread) ────────
+    // The loop runs over its OWN coordinator connection — sharing the
+    // poll connection would either interleave protocol bytes or, under
+    // a lock, let a long fetch starve the heartbeat past the session
+    // timeout (the exact eviction the loop exists to prevent; the
+    // stock client separates the coordinator channel for this reason).
+    // When the coordinator signals supersession the loop STOPS and
+    // raises [[rebalanceDue]] — the owner's next ensureActive()
+    // re-joins and may restart the loop.
+    @volatile private var beatThread: Thread = null
+    @volatile private var beatStop = false
+    /** Set when the background loop saw a rebalance signal; cleared by
+      * the owner's next [[ensureActive]]. */
+    @volatile var rebalanceDue: Boolean = false
+
+    /** Keep this member alive from a daemon thread — without it, a
+      * poll loop slower than the session timeout gets evicted (the
+      * exact reason the stock client heartbeats in the background).
+      * Interval defaults to a third of the session timeout, the stock
+      * heartbeat.interval.ms guidance. */
+    def startHeartbeats(intervalMs: Int = 0): Unit = {
+      require(beatThread == null, "heartbeat loop already running")
+      val interval = if (intervalMs > 0) intervalMs else sessionTimeoutMs / 3
+      beatStop = false
+      val t = new Thread(() => {
+        val c = new Conn(coordAddr._1, coordAddr._2)
+        try {
+          while (!beatStop && !rebalanceDue) {
+            val alive =
+              try heartbeat(c, groupId, generation, memberId) == 0
+              catch { case _: Exception => false } // fault: owner re-joins
+            if (!alive) rebalanceDue = true
+            else Thread.sleep(interval.toLong)
+          }
+        } catch { case _: InterruptedException => /* stopHeartbeats */ }
+        finally c.close()
+      }, s"graft-heartbeat-$groupId")
+      t.setDaemon(true)
+      beatThread = t
+      t.start()
+    }
+
+    def stopHeartbeats(): Unit = {
+      beatStop = true
+      Option(beatThread).foreach { t => t.interrupt(); t.join(2000) }
+      beatThread = null
+    }
+
     def close(): Unit = {
+      stopHeartbeats()
       if (coord ne bootstrap) { try coord.close() catch { case _: Exception => } }
       try bootstrap.close() catch { case _: Exception => }
+    }
+  }
+
+  /** One COORDINATED poll as a Spark job — the reference consumer's
+    * full lifecycle (collect/consumer.py: join the group, get assigned
+    * partitions, drain, commit, leave) with the drain distributed:
+    * membership lives on the DRIVER (one logical consumer), the
+    * assigned partitions fan out to executor fetch tasks, and each
+    * task commits its partition under the member's (generation, id) —
+    * so if a rebalance supersedes this consumer mid-poll, the commit
+    * is FENCED loudly instead of silently clobbering the new owner's
+    * position (the zombie-poll guarantee r14's standalone
+    * pollOnce(groupId) could not give). Complements — not replaces —
+    * the checkpointed DSv2 source: streaming queries keep exactly-once
+    * through their checkpoint; this is the simple-consumer parity
+    * surface. */
+  def pollGroup(spark: org.apache.spark.sql.SparkSession, host: String,
+      port: Int, topic: String, groupId: String,
+      resetTo: Long = 0L): org.apache.spark.sql.DataFrame = {
+    val member = new GroupMember(host, port, groupId, Seq(topic))
+    try {
+      val assigned = member.ensureActive().getOrElse(topic, Seq.empty)
+      member.startHeartbeats() // executors may fetch longer than the session timeout
+      val gen = member.generation
+      val mid = member.memberId
+      val rows = spark.sparkContext
+        .parallelize(assigned, math.max(1, assigned.length))
+        .flatMap { p =>
+          val u8 = java.nio.charset.StandardCharsets.UTF_8
+          val c = new KafkaWire.Conn(host, port)
+          try {
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Int, Long, Long, String, String)]
+            val fetcher = new GrowingFetcher(c, topic, p)
+            var off = KafkaWire.fetchOffsets(c, groupId, topic, Seq(p))
+              .getOrElse(p, None).getOrElse(resetTo)
+            var done = false
+            while (!done) {
+              val (kept, hw) = fetcher.fetchAt(off)
+              if (kept.isEmpty) done = true
+              else {
+                kept.foreach { r =>
+                  out += ((p, r.offset, r.timestamp,
+                    if (r.key == null) null else new String(r.key, u8),
+                    if (r.value == null) null else new String(r.value, u8)))
+                }
+                off = kept.last.offset + 1
+                done = off >= hw
+              }
+            }
+            // the member's identity rides to the executor: a stale
+            // generation here throws CommitFailedException and FAILS
+            // the task — a superseded poll must never move offsets
+            KafkaWire.commitOffsets(c, groupId, topic, Map(p -> off), gen, mid)
+            out.toSeq
+          } finally c.close()
+        }
+      val df = spark.createDataFrame(rows)
+        .toDF("partition", "offset", "timestamp", "key", "value")
+      // localCheckpoint, NOT cache: the fetch lineage is CONSUMING —
+      // offsets advance as tasks commit, so a cache-evicted re-run
+      // would silently replay against moved offsets and return empty;
+      // checkpointing truncates the lineage (a lost block is a loud
+      // error, never a recompute), and it also materializes before
+      // leave() tears the membership down
+      df.localCheckpoint(true)
+    } finally {
+      try member.leave() catch { case _: Exception => }
+      member.close()
     }
   }
 }

@@ -1,7 +1,6 @@
 package graft
 
 import graft.sources.{KafkaGroup, KafkaWire}
-import org.scalatest.funsuite.AnyFunSuite
 
 /** Consumer-GROUP coordination over real TCP: FindCoordinator +
   * JoinGroup/SyncGroup/Heartbeat/LeaveGroup v0 against the broker
@@ -13,7 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * loss/duplicate-free handover across a rebalance (graceful leave
   * AND session-timeout eviction), and loud generation fencing of a
   * zombie's OffsetCommit. */
-class KafkaGroupSpec extends AnyFunSuite {
+class KafkaGroupSpec extends SparkSuite {
 
   private val u8 = java.nio.charset.StandardCharsets.UTF_8
 
@@ -195,6 +194,70 @@ class KafkaGroupSpec extends AnyFunSuite {
         // other groups are unaffected
         KafkaWire.commitOffsets(c, "g5-other", "t", Map(0 -> 5L))
       } finally { a.close(); c.close(); }
+    } finally srv.stop()
+  }
+
+  test("the background heartbeat keeps a slow consumer alive and flags supersession") {
+    val srv = new MiniKafkaServer(numPartitions = 4)
+    try {
+      val a = new KafkaGroup.GroupMember("localhost", srv.port, "g6",
+        Seq("t"), sessionTimeoutMs = 600)
+      val b = new KafkaGroup.GroupMember("localhost", srv.port, "g6", Seq("t"))
+      try {
+        a.ensureActive()
+        a.startHeartbeats() // interval = sessionTimeout / 3
+        // the owner goes quiet for 3x its session timeout — only the
+        // daemon heartbeats keep it from eviction (without the loop,
+        // the silent-death test above proves this window evicts)
+        Thread.sleep(1800)
+        assert(!a.rebalanceDue, "no rebalance yet")
+        assert(a.heartbeatOnce(), "still a live member after 3x the timeout")
+        // a second member joins: the LOOP notices the supersession and
+        // raises the flag instead of the owner having to poll
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val bJoin = Future(b.ensureActive())
+        val deadline = System.currentTimeMillis() + 10000
+        while (!a.rebalanceDue && System.currentTimeMillis() < deadline)
+          Thread.sleep(20)
+        assert(a.rebalanceDue, "the heartbeat loop must flag the rebalance")
+        val aa = a.ensureActive() // clears the flag, re-joins
+        val ba = Await.result(bJoin, 15.seconds)
+        assert(!a.rebalanceDue)
+        assert(aa("t").toSet.union(ba("t").toSet) == Set(0, 1, 2, 3))
+        // the loop can be re-armed for the new generation
+        a.startHeartbeats()
+        Thread.sleep(900)
+        assert(a.heartbeatOnce())
+      } finally { a.close(); b.close(); }
+    } finally srv.stop()
+  }
+
+  test("pollGroup: the coordinated distributed poll consumes exactly once across calls") {
+    val srv = new MiniKafkaServer(numPartitions = 4)
+    try {
+      (0 until 4).foreach { p =>
+        produceTo(srv, "t", p, (0 until 10).map(i => s"r1-$p-$i"))
+      }
+      def poll() = KafkaGroup.pollGroup(spark, "localhost", srv.port, "t", "gp")
+      val r1 = poll().select("value").collect().map(_.getString(0)).toSet
+      assert(r1 === (for (p <- 0 until 4; i <- 0 until 10)
+        yield s"r1-$p-$i").toSet)
+      (0 until 4).foreach { p =>
+        produceTo(srv, "t", p, (0 until 5).map(i => s"r2-$p-$i"))
+      }
+      // the second poll resumes from the group's committed positions
+      val r2 = poll().select("value").collect().map(_.getString(0)).toSet
+      assert(r2 === (for (p <- 0 until 4; i <- 0 until 5)
+        yield s"r2-$p-$i").toSet)
+      // drained: a third poll reads nothing and the membership is gone
+      assert(poll().count() === 0L)
+      val c = new KafkaWire.Conn("localhost", srv.port)
+      try {
+        // with the one-shot member gone, standalone inspection works
+        assert(KafkaWire.fetchOffsets(c, "gp", "t", Seq(0))(0).contains(15L))
+      } finally c.close()
     } finally srv.stop()
   }
 
