@@ -407,20 +407,40 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
     * is retained as an EMPTY v2 batch (records=0, span intact) — also
     * the real broker's shape. Control markers are not data and are
     * kept. v1 compressed wrappers re-materialize as plain
-    * absolute-offset entries (the cleaner rewrites segments). */
+    * absolute-offset entries (the cleaner rewrites segments). The
+    * cleaner is transaction-aware: ABORTED records are removed (never
+    * a key's survivor) and nothing at/after the last stable offset is
+    * touched. */
   def compact(topic: String, p: Int, purgeTombstones: Boolean = false): Unit = {
     val log = logOf(topic, p)
     log.synchronized {
       def keyOf(k: Array[Byte]): String =
         java.util.Base64.getEncoder.encodeToString(k)
+      // The cleaner is TRANSACTION-aware, like the real one:
+      //  - records of ABORTED transactions are physically removed and
+      //    can never be a key's survivor (a naive latest-by-offset
+      //    would let an aborted write shadow its committed predecessor
+      //    OUT of the log — data loss for read_committed replays);
+      //  - nothing at/after the LSO is touched (open transactions are
+      //    unstable; the real cleaner stops at the stable horizon).
+      val lso = log.lso
+      def isAborted(b: Batch, r: Record): Boolean =
+        b.transactional && b.pid >= 0L && log.aborted.exists {
+          case (pid, first, marker) =>
+            pid == b.pid && first <= r.offset && r.offset < marker
+        }
       val latest = scala.collection.mutable.Map.empty[String, Long]
-      for (b <- log.batches if !b.control; r <- b.records if r.key != null)
+      for (b <- log.batches if !b.control;
+           r <- b.records
+           if r.key != null && r.offset < lso && !isAborted(b, r))
         latest(keyOf(r.key)) = r.offset // in-order walk: last write wins
       val rebuilt = log.batches.map { b =>
         if (b.control) b
         else {
           val kept = b.records.filter { r =>
-            if (r.key == null) true
+            if (r.offset >= lso) true // unstable tail: never cleaned
+            else if (isAborted(b, r)) false // cleaner removes aborted data
+            else if (r.key == null) true
             else latest(keyOf(r.key)) == r.offset &&
               !(purgeTombstones && r.value == null)
           }

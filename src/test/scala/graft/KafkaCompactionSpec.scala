@@ -119,6 +119,47 @@ class KafkaCompactionSpec extends SparkSuite {
     } finally srv.stop()
   }
 
+  test("the cleaner is transaction-aware: an aborted write never shadows its committed predecessor") {
+    val srv = new MiniKafkaServer(numPartitions = 1)
+    try {
+      // committed k=v1
+      val plain = new KafkaWire.RetryingProducer("localhost", srv.port, "t")
+      try send(plain, "k" -> "v1", "other" -> "x") finally plain.close() // 0,1
+      // an ABORTED transaction writes k=v2 (later offset)
+      val txn = new KafkaWire.RetryingProducer("localhost", srv.port, "t",
+        idempotent = true, transactionalId = "clean-abort")
+      try {
+        txn.beginTransaction()
+        send(txn, "k" -> "v2") // offset 2, aborted below
+        txn.abortTransaction() // marker at 3
+      } finally txn.close()
+      // an OPEN transaction above the LSO — the cleaner must not touch it
+      val open = new KafkaWire.RetryingProducer("localhost", srv.port, "t",
+        idempotent = true, transactionalId = "clean-open")
+      open.beginTransaction()
+      send(open, "other" -> "y") // offset 4, open: above the LSO
+      try {
+        srv.compact("t", 0)
+        // naive latest-by-offset would keep aborted v2 and delete v1 —
+        // k would vanish from a read_committed replay entirely
+        val c = new KafkaWire.Conn("localhost", srv.port)
+        try {
+          val f = new KafkaWire.GrowingFetcher(c, "t", 0,
+            KafkaWire.Isolation.ReadCommitted)
+          val (recs, _) = f.fetchAt(0L)
+          val byKey = recs.map(r =>
+            new String(r.key, u8) -> new String(r.value, u8)).toMap
+          assert(byKey("k") === "v1",
+            "the committed write must survive the aborted shadow")
+          assert(byKey("other") === "x")
+        } finally c.close()
+        // the uncleaned tail (open txn at offset 4) is physically intact
+        assert(srv.stored("t", 0).exists(r =>
+          new String(r.value, u8) == "y"), "the unstable tail is never cleaned")
+      } finally { open.abortTransaction(); open.close() }
+    } finally srv.stop()
+  }
+
   test("broker compaction and the engine's CDC apply-latest agree on the table state") {
     import org.apache.spark.sql.functions.{col, max_by, struct}
     val srv = new MiniKafkaServer(numPartitions = 1)
