@@ -203,6 +203,32 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
     }
   }
 
+  /** DeleteRecords v0 (api 21): the PROTOCOL surface over
+    * [[truncateBefore]] — retention driven by a client call, the way
+    * kafka-delete-records.sh does it. Responds the new low watermark
+    * per partition. */
+  private def deleteRecordsV0(r: Reader): Array[Byte] = {
+    val nTopics = r.int32()
+    val resp = (0 until nTopics).map { _ =>
+      val topic = r.str()
+      val nParts = r.int32()
+      val parts = (0 until nParts).map { _ =>
+        val p = r.int32(); val before = r.int64()
+        truncateBefore(topic, p, before)
+        val log = logOf(topic, p)
+        (p, log.synchronized(log.start))
+      }
+      (topic, parts)
+    }
+    r.int32() // timeout_ms
+    val w = new Writer().int32(0).int32(resp.length)
+    resp.foreach { case (topic, parts) =>
+      w.str(topic).int32(parts.length)
+      parts.foreach { case (p, low) => w.int32(p).int64(low).int16(0) }
+    }
+    w.result()
+  }
+
   private def findCoordinatorV0(r: Reader): Array[Byte] = {
     r.str() // group id — a one-broker cluster coordinates everything
     new Writer().int16(0).int32(0).str("localhost").int32(port).result()
@@ -521,6 +547,7 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
           case (8, 2) => offsetCommitV2(r)
           case (9, 1) => offsetFetchV1(r)
           case (10, 0) => findCoordinatorV0(r)
+          case (21, 0) => deleteRecordsV0(r)
           case (11, 0) => joinGroupV0(r)
           case (12, 0) => heartbeatV0(r)
           case (13, 0) => leaveGroupV0(r)
@@ -558,12 +585,13 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
       if (serveFormat >= 2)
         Seq((0, 2, 3), (1, 2, 4), (2, 1, 2), (3, 0, 0), (8, 2, 2),
           (9, 1, 1), (10, 0, 0), (11, 0, 0), (12, 0, 0), (13, 0, 0),
-          (14, 0, 0), (18, 0, 0), (22, 0, 0), (24, 0, 0), (26, 0, 0))
+          (14, 0, 0), (18, 0, 0), (21, 0, 0), (22, 0, 0), (24, 0, 0),
+          (26, 0, 0))
       // group coordination predates message-format v2 — an old broker
       // speaks it too, so both format matrices advertise it
       else Seq((0, 2, 2), (1, 2, 2), (2, 1, 1), (3, 0, 0), (8, 2, 2),
         (9, 1, 1), (10, 0, 0), (11, 0, 0), (12, 0, 0), (13, 0, 0),
-        (14, 0, 0), (18, 0, 0))
+        (14, 0, 0), (18, 0, 0), (21, 0, 0))
     val w = new Writer().int16(0).int32(apis.length)
     apis.foreach { case (k, lo, hi) => w.int16(k).int16(lo).int16(hi) }
     w.result()

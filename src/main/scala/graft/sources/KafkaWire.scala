@@ -992,6 +992,44 @@ object KafkaWire {
     }.toMap
   }
 
+  /** DeleteRecords v0 (api 21): advance the partition's log-start
+    * offset to `before` — retention as a first-class API call (what
+    * `kafka-delete-records.sh` sends), not an out-of-band test hook.
+    * Returns the new low watermark. Offsets below it are gone; a
+    * consumer holding them hits OFFSET_OUT_OF_RANGE and its
+    * failOnDataLoss policy. */
+  def deleteRecords(c: Conn, topic: String, partition: Int,
+      before: Long): Long = {
+    val body = new Writer()
+      .int32(1).str(topic)
+      .int32(1).int32(partition).int64(before)
+      .int32(30000) // timeout_ms
+      .result()
+    val r = c.call(21, 0, body)
+    r.int32() // throttle_time_ms
+    val nTopics = r.int32(); require(nTopics == 1)
+    r.str()
+    val nParts = r.int32(); require(nParts == 1)
+    r.int32() // partition
+    val low = r.int64()
+    val err = r.int16(); require(err == 0, s"deleteRecords error $err")
+    low
+  }
+
+  /** Consumer-group LAG per partition: log-end minus the group's
+    * committed position (None committed counts the whole log) — the
+    * ops number every pipeline watches to know whether consumers keep
+    * up with producers. */
+  def groupLag(c: Conn, groupId: String, topic: String,
+      partitions: Seq[Int]): Map[Int, Long] = {
+    val committed = fetchOffsets(c, groupId, topic, partitions)
+    partitions.map { p =>
+      val end = listOffset(c, topic, p, -1L)
+      val start = listOffset(c, topic, p, -2L)
+      p -> math.max(0L, end - committed.getOrElse(p, None).getOrElse(start))
+    }.toMap
+  }
+
   /** Highest mutually-supported record format: 2 when the broker
     * advertises Produce >= 3 AND Fetch >= 4 (the versions that carry
     * v2 batches), else 1 — the stock client's

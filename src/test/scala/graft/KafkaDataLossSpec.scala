@@ -117,6 +117,29 @@ class KafkaDataLossSpec extends SparkSuite {
     } finally srv.stop()
   }
 
+  test("DeleteRecords drives retention over the wire and groupLag reads through it") {
+    val srv = new MiniKafkaServer(numPartitions = 1)
+    try {
+      produceN(srv, "t", 20)
+      val c = new KafkaWire.Conn("localhost", srv.port)
+      try {
+        // lag before any commit: the whole log
+        assert(KafkaWire.groupLag(c, "gl", "t", Seq(0)) === Map(0 -> 20L))
+        KafkaWire.commitOffsets(c, "gl", "t", Map(0 -> 15L))
+        assert(KafkaWire.groupLag(c, "gl", "t", Seq(0)) === Map(0 -> 5L))
+        // retention through the PROTOCOL (kafka-delete-records.sh's
+        // call), not the test hook: low watermark comes back
+        assert(KafkaWire.deleteRecords(c, "t", 0, 10L) === 10L)
+        assert(KafkaWire.listOffset(c, "t", 0, -2L) === 10L)
+        intercept[KafkaWire.OffsetOutOfRangeException] {
+          KafkaWire.fetch(c, "t", 0, 0L)
+        }
+        // a never-committed group's lag counts from the SURVIVING head
+        assert(KafkaWire.groupLag(c, "gl2", "t", Seq(0)) === Map(0 -> 10L))
+      } finally c.close()
+    } finally srv.stop()
+  }
+
   test("a batch read over a truncated topic reads earliest-to-latest of what survives") {
     val srv = new MiniKafkaServer(numPartitions = 1)
     try {
