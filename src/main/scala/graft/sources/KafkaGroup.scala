@@ -174,6 +174,38 @@ object KafkaGroup {
     require(err == 0, s"leaveGroup error $err")
   }
 
+  /** One group's coordinator-side description
+    * (`kafka-consumer-groups.sh --describe`): state, protocol, and
+    * each member's subscription topics + decoded assignment. */
+  final case class GroupDescription(state: String, protocolType: String,
+      protocol: String,
+      members: Seq[(String, Seq[String], Map[String, Seq[Int]])])
+
+  /** DescribeGroups v0 (api 15) for one group. An unknown group comes
+    * back as state "Dead" with no members — the protocol convention,
+    * not an error. */
+  def describeGroup(c: Conn, groupId: String): GroupDescription = {
+    val r = c.call(15, 0, new Writer().int32(1).str(groupId).result())
+    val n = r.int32(); require(n == 1, s"expected 1 group, got $n")
+    val err = r.int16(); require(err == 0, s"describeGroups error $err")
+    r.str() // group id
+    val state = r.str()
+    val protocolType = r.str()
+    val protocol = r.str()
+    val nMembers = r.int32()
+    val members = (0 until nMembers).map { _ =>
+      val mid = r.str()
+      r.str(); r.str() // client id, client host
+      val md = r.bytes()
+      val asg = r.bytes()
+      (mid,
+        if (md == null || md.isEmpty) Seq.empty[String]
+        else decodeSubscription(md).toSeq,
+        decodeAssignment(asg))
+    }
+    GroupDescription(state, protocolType, protocol, members)
+  }
+
   /** One consumer-group member: join/sync/heartbeat/commit/leave over
     * a coordinator connection — the kafka-python consumer's lifecycle
     * (collect/consumer.py), minus the poll loop the caller owns.

@@ -261,6 +261,38 @@ class KafkaGroupSpec extends SparkSuite {
     } finally srv.stop()
   }
 
+  test("DescribeGroups reads the coordinator's view: state, protocol, members, assignments") {
+    val srv = new MiniKafkaServer(numPartitions = 4)
+    try {
+      val c = new KafkaWire.Conn("localhost", srv.port)
+      val a = new KafkaGroup.GroupMember("localhost", srv.port, "gd", Seq("t"))
+      val b = new KafkaGroup.GroupMember("localhost", srv.port, "gd", Seq("t"))
+      try {
+        // never-seen group: Dead, memberless — the protocol convention
+        assert(KafkaGroup.describeGroup(c, "nope").state === "Dead")
+        a.ensureActive()
+        val _ = stabilizePair(a, b)
+        val d = KafkaGroup.describeGroup(c, "gd")
+        assert(d.state === "Stable")
+        assert(d.protocolType === "consumer" && d.protocol === "range")
+        assert(d.members.map(_._1).toSet === Set(a.memberId, b.memberId))
+        // the described assignments ARE the live split: disjoint,
+        // exhaustive, matching what each member holds
+        val byId = d.members.map(m => m._1 -> m._3.getOrElse("t", Seq.empty)).toMap
+        assert(byId(a.memberId).toSet === a.assigned("t").toSet)
+        assert(byId(b.memberId).toSet === b.assigned("t").toSet)
+        assert(byId.values.flatten.toSet === Set(0, 1, 2, 3))
+        assert(d.members.forall(_._2 === Seq("t")), "subscription travels")
+        // after everyone leaves, the group is Empty (offsets retained)
+        a.commit("t", Map(0 -> 1L))
+        a.leave(); b.leave()
+        val after = KafkaGroup.describeGroup(c, "gd")
+        assert(after.state === "Empty" && after.members.isEmpty)
+        assert(KafkaWire.fetchOffsets(c, "gd", "t", Seq(0))(0).contains(1L))
+      } finally { a.close(); b.close(); c.close(); }
+    } finally srv.stop()
+  }
+
   test("range assignor: contiguous ranges, uneven splits, and subset subscriptions") {
     // 5 partitions over 2 members: sorted-first member takes the extra
     val even = KafkaGroup.rangeAssign(
