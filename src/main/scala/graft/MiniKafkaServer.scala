@@ -229,6 +229,41 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
     w.result()
   }
 
+  /** DescribeGroups v0 (api 15): the coordinator's view of each group
+    * — state, protocol, members with their subscription and assignment
+    * bytes (what `kafka-consumer-groups.sh --describe` reads). State
+    * names are the canonical coordinator states. */
+  private def describeGroupsV0(r: Reader): Array[Byte] = {
+    val n = r.int32()
+    val ids = (0 until n).map(_ => r.str())
+    val w = new Writer().int32(ids.length)
+    ids.foreach { id =>
+      groups.get(id) match {
+        case None =>
+          // an unknown group is DEAD with no members, not an error —
+          // the protocol's convention
+          w.int16(0).str(id).str("Dead").str("").str("").int32(0)
+        case Some(g) => g.synchronized {
+          val state = g.state match {
+            case "Preparing" => "PreparingRebalance"
+            case "AwaitingSync" => "CompletingRebalance"
+            case s => s // Empty | Stable
+          }
+          w.int16(0).str(id).str(state)
+            .str(if (g.members.isEmpty) "" else "consumer")
+            .str(Option(g.protocol).getOrElse(""))
+          w.int32(g.members.size)
+          g.members.foreach { case (mid, m) =>
+            w.str(mid).str("graft").str("/127.0.0.1")
+              .bytes(m.metadata)
+              .bytes(g.assignments.getOrElse(mid, Array.emptyByteArray))
+          }
+        }
+      }
+    }
+    w.result()
+  }
+
   private def findCoordinatorV0(r: Reader): Array[Byte] = {
     r.str() // group id — a one-broker cluster coordinates everything
     new Writer().int16(0).int32(0).str("localhost").int32(port).result()
@@ -368,6 +403,14 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
     * fans the control markers out to. */
   private val openTxns = scala.collection.concurrent.TrieMap
     .empty[Long, scala.collection.mutable.Set[(String, Int)]]
+
+  /** pid → consumer-group offsets STAGED inside its open transaction
+    * (TxnOffsetCommit) — applied to [[groupOffsets]] only when EndTxn
+    * commits, discarded on abort: the atomic half of the exactly-once
+    * consume-transform-produce loop (offsets move IFF the produced
+    * records become visible). */
+  private val pendingTxnOffsets = scala.collection.concurrent.TrieMap
+    .empty[Long, scala.collection.mutable.Map[(String, String, Int), Long]]
 
   // ── fault injection (one-shot counters) ─────────────────────────────
   val dropNextProduce = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -547,6 +590,7 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
           case (8, 2) => offsetCommitV2(r)
           case (9, 1) => offsetFetchV1(r)
           case (10, 0) => findCoordinatorV0(r)
+          case (15, 0) => describeGroupsV0(r)
           case (21, 0) => deleteRecordsV0(r)
           case (11, 0) => joinGroupV0(r)
           case (12, 0) => heartbeatV0(r)
@@ -555,7 +599,9 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
           case (2, 2) if serveFormat >= 2 => listOffsetsV2(r)
           case (22, 0) if serveFormat >= 2 => initProducerIdV0(r)
           case (24, 0) if serveFormat >= 2 => addPartitionsToTxnV0(r)
+          case (25, 0) if serveFormat >= 2 => addOffsetsToTxnV0(r)
           case (26, 0) if serveFormat >= 2 => endTxnV0(r)
+          case (28, 0) if serveFormat >= 2 => txnOffsetCommitV0(r)
           case other => sys.error(s"unsupported api $other")
         }
         val sentCorr =
@@ -585,13 +631,13 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
       if (serveFormat >= 2)
         Seq((0, 2, 3), (1, 2, 4), (2, 1, 2), (3, 0, 0), (8, 2, 2),
           (9, 1, 1), (10, 0, 0), (11, 0, 0), (12, 0, 0), (13, 0, 0),
-          (14, 0, 0), (18, 0, 0), (21, 0, 0), (22, 0, 0), (24, 0, 0),
-          (26, 0, 0))
+          (14, 0, 0), (15, 0, 0), (18, 0, 0), (21, 0, 0), (22, 0, 0),
+          (24, 0, 0), (25, 0, 0), (26, 0, 0), (28, 0, 0))
       // group coordination predates message-format v2 — an old broker
       // speaks it too, so both format matrices advertise it
       else Seq((0, 2, 2), (1, 2, 2), (2, 1, 1), (3, 0, 0), (8, 2, 2),
         (9, 1, 1), (10, 0, 0), (11, 0, 0), (12, 0, 0), (13, 0, 0),
-        (14, 0, 0), (18, 0, 0), (21, 0, 0))
+        (14, 0, 0), (15, 0, 0), (18, 0, 0), (21, 0, 0))
     val w = new Writer().int16(0).int32(apis.length)
     apis.foreach { case (k, lo, hi) => w.int16(k).int16(lo).int16(hi) }
     w.result()
@@ -793,7 +839,7 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
   /** Write commit/abort control markers into every partition the
     * pid's open transaction touched, resolving its LSO pins and (on
     * abort) recording the aborted ranges. */
-  private def resolveTxn(pid: Long, epoch: Int, commit: Boolean): Unit =
+  private def resolveTxn(pid: Long, epoch: Int, commit: Boolean): Unit = {
     openTxns.remove(pid).foreach { parts =>
       parts.foreach { case (topic, p) =>
         val log = logOf(topic, p)
@@ -812,6 +858,65 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
         }
       }
     }
+    // offsets staged via TxnOffsetCommit resolve WITH the transaction:
+    // applied on commit, discarded on abort — never partially
+    pendingTxnOffsets.remove(pid).foreach { staged =>
+      if (commit) staged.foreach { case (k, off) => groupOffsets.put(k, off) }
+    }
+  }
+
+  /** AddOffsetsToTxn v0 (api 25): declare that this transaction will
+    * also commit consumer-group offsets — the coordinator registers
+    * the group so EndTxn resolves the staged offsets with the data. */
+  private def addOffsetsToTxnV0(r: Reader): Array[Byte] = {
+    r.str() // transactional_id
+    val pid = r.int64()
+    val epoch = r.int16()
+    r.str() // group_id (staging is keyed per pid; the group rides TxnOffsetCommit)
+    val err =
+      if (epoch < pidEpochs.getOrElse(pid, epoch))
+        KafkaWire.Errors.InvalidProducerEpoch
+      else {
+        pendingTxnOffsets.getOrElseUpdate(pid,
+          scala.collection.mutable.Map.empty)
+        0
+      }
+    new Writer().int32(0).int16(err).result()
+  }
+
+  /** TxnOffsetCommit v0 (api 28): STAGE consumer-group offsets inside
+    * the open transaction — invisible to OffsetFetch until the
+    * transaction commits, gone if it aborts. (v0 carries no consumer
+    * generation — the KIP-447 zombie window closed by v3's generation
+    * check; the double mirrors v0, and the producer-epoch fence still
+    * rejects a superseded PRODUCER.) */
+  private def txnOffsetCommitV0(r: Reader): Array[Byte] = {
+    r.str() // transactional_id
+    val group = r.str()
+    val pid = r.int64()
+    val epoch = r.int16()
+    val fenced = epoch < pidEpochs.getOrElse(pid, epoch)
+    val staged = pendingTxnOffsets.getOrElseUpdate(pid,
+      scala.collection.mutable.Map.empty)
+    val nTopics = r.int32()
+    val resp = (0 until nTopics).map { _ =>
+      val topic = r.str()
+      val nParts = r.int32()
+      val parts = (0 until nParts).map { _ =>
+        val p = r.int32(); val off = r.int64(); r.str() // metadata
+        if (!fenced) staged.put((group, topic, p), off)
+        p
+      }
+      (topic, parts)
+    }
+    val code = if (fenced) KafkaWire.Errors.InvalidProducerEpoch else 0
+    val w = new Writer().int32(0).int32(resp.length)
+    resp.foreach { case (topic, parts) =>
+      w.str(topic).int32(parts.length)
+      parts.foreach(p => w.int32(p).int16(code))
+    }
+    w.result()
+  }
 
   private def addPartitionsToTxnV0(r: Reader): Array[Byte] = {
     r.str() // transactional_id (pid carries identity here)

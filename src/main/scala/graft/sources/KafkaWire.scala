@@ -887,6 +887,52 @@ object KafkaWire {
     }
   }
 
+  /** AddOffsetsToTxn v0 (api 25): declare the transaction will also
+    * commit `groupId`'s offsets — the EXACTLY-ONCE consume-transform-
+    * produce handshake's first half. */
+  def addOffsetsToTxn(c: Conn, transactionalId: String, producerId: Long,
+      producerEpoch: Int, groupId: String): Unit = {
+    val body = new Writer()
+      .str(transactionalId).int64(producerId).int16(producerEpoch)
+      .str(groupId).result()
+    val r = c.call(25, 0, body)
+    r.int32() // throttle_time_ms
+    val err = r.int16()
+    if (err == Errors.InvalidProducerEpoch)
+      throw new ProducerFencedException(transactionalId, -1)
+    require(err == 0, s"addOffsetsToTxn error $err")
+  }
+
+  /** TxnOffsetCommit v0 (api 28): stage `groupId`'s offsets INSIDE the
+    * open transaction — they land in the group store only when EndTxn
+    * commits, and vanish on abort. With the produced records riding
+    * the same transaction, "records out" and "position moved" become
+    * one atomic event: the consume-transform-produce loop can crash
+    * anywhere and the retry reads exactly the unprocessed records. */
+  def txnOffsetCommit(c: Conn, transactionalId: String, groupId: String,
+      producerId: Long, producerEpoch: Int, topic: String,
+      offsets: Map[Int, Long]): Unit = {
+    val w = new Writer()
+      .str(transactionalId).str(groupId)
+      .int64(producerId).int16(producerEpoch)
+      .int32(1).str(topic).int32(offsets.size)
+    offsets.toSeq.sortBy(_._1).foreach { case (p, off) =>
+      w.int32(p).int64(off).str(null)
+    }
+    val r = c.call(28, 0, w.result())
+    r.int32() // throttle_time_ms
+    val nTopics = r.int32(); require(nTopics == 1)
+    r.str()
+    val nParts = r.int32()
+    (0 until nParts).foreach { _ =>
+      r.int32()
+      val err = r.int16()
+      if (err == Errors.InvalidProducerEpoch)
+        throw new ProducerFencedException(transactionalId, -1)
+      require(err == 0, s"txnOffsetCommit error $err")
+    }
+  }
+
   /** EndTxn v0: commit (true) or abort (false) the open transaction —
     * the broker writes a control marker into every partition the
     * transaction touched, which is what flips its records visible (or
@@ -1202,6 +1248,10 @@ object KafkaWire {
     // sent once per partition per transaction), and whether one is open
     private val txnParts = scala.collection.mutable.Set.empty[Int]
     private var inTxn = false
+    /** True once the open transaction has anything to resolve beyond
+      * produced partitions — an offsets-only transaction
+      * (sendOffsetsToTransaction with no sends) still needs EndTxn. */
+    private var txnHasWork = false
     private def ensure(): Unit = if (conn == null) {
       conn = new Conn(host, port)
       nParts = partitionCount(conn, topic)
@@ -1246,6 +1296,7 @@ object KafkaWire {
       require(magic >= 2, "transactions need a record-batch-v2 broker")
       inTxn = true
       txnParts.clear()
+      txnHasWork = false
     }
 
     /** Commit the open transaction: control markers land in every
@@ -1256,13 +1307,29 @@ object KafkaWire {
       * invisible to read_committed consumers. */
     def abortTransaction(): Unit = finishTxn(commit = false)
 
+    /** Commit `groupId`'s consumed offsets INSIDE the open transaction
+      * (the stock producer's sendOffsetsToTransaction): they move only
+      * if the transaction commits — with the produced records — and
+      * never if it aborts. The exactly-once consume-transform-produce
+      * primitive. */
+    def sendOffsetsToTransaction(groupId: String, srcTopic: String,
+        offsets: Map[Int, Long]): Unit = {
+      require(inTxn, "sendOffsetsToTransaction needs an open transaction")
+      ensure()
+      addOffsetsToTxn(conn, transactionalId, pid, pEpoch, groupId)
+      txnOffsetCommit(conn, transactionalId, groupId, pid, pEpoch,
+        srcTopic, offsets)
+      txnHasWork = true
+    }
+
     private def finishTxn(commit: Boolean): Unit = {
-      if (inTxn && txnParts.nonEmpty) {
+      if (inTxn && (txnParts.nonEmpty || txnHasWork)) {
         ensure()
         endTxn(conn, transactionalId, pid, pEpoch, commit)
       }
       inTxn = false
       txnParts.clear()
+      txnHasWork = false
     }
     def send(partition: Int, records: Seq[(Array[Byte], Array[Byte])],
         timestamp: Long, codec: Int = Codec.None): Long =

@@ -200,6 +200,75 @@ class KafkaTxnSpec extends SparkSuite {
     } finally srv.stop()
   }
 
+  test("exactly-once consume-transform-produce: offsets move atomically with the produced records") {
+    val srv = new MiniKafkaServer(numPartitions = 1)
+    try {
+      // source data
+      val src = new KafkaWire.RetryingProducer("localhost", srv.port, "src")
+      try src.send(0, (0 until 10).map(i =>
+        (s"k$i".getBytes(u8), s"v$i".getBytes(u8))), 1L)
+      finally src.close()
+      val c = new KafkaWire.Conn("localhost", srv.port)
+      try {
+        def committedOffset(): Option[Long] =
+          KafkaWire.fetchOffsets(c, "etl", "src", Seq(0))(0)
+        def readSrcFrom(off: Long): Seq[KafkaWire.Record] =
+          KafkaWire.fetchV4(c, "src", 0, off)._1
+        def transformAndStage(p: KafkaWire.RetryingProducer): Unit = {
+          val from = committedOffset().getOrElse(0L)
+          val recs = readSrcFrom(from)
+          p.send(0, recs.map(r =>
+            (r.key, (new String(r.value, u8) + "-out").getBytes(u8))), 2L)
+          p.sendOffsetsToTransaction("etl", "src",
+            Map(0 -> (recs.last.offset + 1)))
+        }
+        // attempt 1 does ALL the work, then CRASHES before commit
+        val attempt1 = new KafkaWire.RetryingProducer("localhost", srv.port,
+          "dst", idempotent = true, transactionalId = "etl-txn")
+        attempt1.beginTransaction()
+        transformAndStage(attempt1)
+        // crash: no EndTxn. Nothing moved — staged offsets invisible,
+        // produced rows invisible to read_committed
+        assert(committedOffset().isEmpty,
+          "staged offsets must not leak before commit")
+        assert(committedKeys(srv, "dst").isEmpty)
+
+        // the restarted loop: same transactional id — init fences the
+        // zombie and aborts its half-done transaction, then the retry
+        // re-reads from the UNMOVED position and lands exactly once
+        val attempt2 = new KafkaWire.RetryingProducer("localhost", srv.port,
+          "dst", idempotent = true, transactionalId = "etl-txn")
+        try {
+          attempt2.beginTransaction()
+          assert(committedOffset().isEmpty, "aborted staging stays gone")
+          transformAndStage(attempt2)
+          attempt2.commitTransaction()
+        } finally attempt2.close()
+        // atomically: offsets moved AND exactly the 10 transformed rows
+        assert(committedOffset().contains(10L))
+        assert(committedKeys(srv, "dst") === (0 until 10).map(i => s"k$i"))
+        // the fenced zombie can neither stage offsets nor commit
+        intercept[KafkaWire.ProducerFencedException] {
+          attempt1.sendOffsetsToTransaction("etl", "src", Map(0 -> 99L))
+        }
+        attempt1.close()
+        // next loop iteration: position at 10, nothing left to read
+        assert(readSrcFrom(committedOffset().get).isEmpty)
+
+        // explicit-abort path: staged offsets are discarded with it
+        val aborter = new KafkaWire.RetryingProducer("localhost", srv.port,
+          "dst", idempotent = true, transactionalId = "etl-abort")
+        try {
+          aborter.beginTransaction()
+          aborter.sendOffsetsToTransaction("etl", "src", Map(0 -> 3L))
+          aborter.abortTransaction()
+        } finally aborter.close()
+        assert(committedOffset().contains(10L),
+          "an aborted transaction's staged offsets must not apply")
+      } finally c.close()
+    } finally srv.stop()
+  }
+
   test("transactionalCommit=job: a 4-task job failing at task 3 publishes ZERO rows; the retry lands exactly once") {
     val srv = new MiniKafkaServer(numPartitions = 1)
     try {
@@ -254,6 +323,46 @@ class KafkaTxnSpec extends SparkSuite {
       write(spark.range(0, 3, 1, 1).repartition(6)
         .select(concat(lit("z"), $"id").as("key"), lit("x").as("value")))
       assert(committed().count() === 2003L)
+    } finally srv.stop()
+  }
+
+  test("transactionalCommit=job on a STREAM: each epoch's task transactions commit at the epoch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val srv = new MiniKafkaServer(numPartitions = 1)
+    try {
+      import spark.implicits._
+      val srcDir = java.nio.file.Files.createTempDirectory("jobtxn-src")
+      val ckpt = java.nio.file.Files.createTempDirectory("jobtxn-ckpt").toString
+      def writeBatchFile(n: Int, tag: String): Unit =
+        (1 to n).map(i => (s"$tag$i", "v")).toDF("key", "value")
+          .coalesce(1).write.mode("append").parquet(srcDir.toString)
+      def drainEpoch(): Unit = {
+        val q = spark.readStream
+          .schema("key STRING, value STRING").parquet(srcDir.toString)
+          .repartition(3) // several tasks per epoch, all driver-committed
+          .writeStream.format("graft-kafka")
+          .option("host", "localhost").option("port", srv.port.toString)
+          .option("topic", "t")
+          .option("transactionalIdPrefix", "stream-eos")
+          .option("transactionalCommit", "job")
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.stop()
+      }
+      def committed() = spark.read.format("graft-kafka")
+        .option("host", "localhost").option("port", srv.port.toString)
+        .option("topic", "t").option("isolationLevel", "read_committed")
+        .load().select($"key").as[String].collect().toSet
+      writeBatchFile(7, "a")
+      drainEpoch()
+      assert(committed() === (1 to 7).map(i => s"a$i").toSet,
+        "the epoch's transactions commit via the driver fan-out")
+      // a second epoch on the SAME checkpoint reuses the stable
+      // transactional ids (epoch bump) and lands exactly once more
+      writeBatchFile(4, "b")
+      drainEpoch()
+      assert(committed() === ((1 to 7).map(i => s"a$i") ++
+        (1 to 4).map(i => s"b$i")).toSet)
     } finally srv.stop()
   }
 
