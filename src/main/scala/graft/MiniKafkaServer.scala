@@ -151,11 +151,18 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
   // safe.
 
   private final class Member(val id: String) {
-    var metadata: Array[Byte] = Array.emptyByteArray
+    /** The member's advertised protocols IN PREFERENCE ORDER, each
+      * with its subscription metadata — the coordinator selects one
+      * protocol all members support and hands the leader that
+      * protocol's metadata. */
+    var protocols: Seq[(String, Array[Byte])] = Seq.empty
     var sessionTimeoutMs: Int = 10000
     var deadline: Long = Long.MaxValue
     def touch(): Unit =
       deadline = System.currentTimeMillis() + sessionTimeoutMs
+    def metadataFor(protocol: String): Array[Byte] =
+      protocols.collectFirst { case (n, md) if n == protocol => md }
+        .getOrElse(Array.emptyByteArray)
   }
 
   private final class Group {
@@ -255,7 +262,7 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
           w.int32(g.members.size)
           g.members.foreach { case (mid, m) =>
             w.str(mid).str("graft").str("/127.0.0.1")
-              .bytes(m.metadata)
+              .bytes(m.metadataFor(Option(g.protocol).getOrElse("")))
               .bytes(g.assignments.getOrElse(mid, Array.emptyByteArray))
           }
         }
@@ -279,17 +286,28 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
     val g = groupStateOf(groupId)
     g.synchronized {
       expireMembers(g)
+      def joinError(code: Int): Array[Byte] =
+        new Writer().int16(code).int32(-1)
+          .str(null).str(null).str(memberIdIn).int32(0).result()
+      // INCONSISTENT_GROUP_PROTOCOL at the DOOR (the real
+      // coordinator's doJoinGroup check): a member sharing no
+      // assignment protocol with the existing membership can never
+      // form a group — reject it now, before the barrier
+      val othersCommon = g.members.collect {
+        case (mid, mm) if mid != memberIdIn => mm.protocols.map(_._1).toSet
+      }.reduceOption(_ intersect _)
       if (memberIdIn.nonEmpty && !g.members.contains(memberIdIn))
         // a forgotten/evicted id must NOT silently re-enter with stale
         // identity — the client resets to "" and re-joins fresh
-        new Writer().int16(KafkaWire.Errors.UnknownMemberId).int32(-1)
-          .str(null).str(null).str(memberIdIn).int32(0).result()
+        joinError(KafkaWire.Errors.UnknownMemberId)
+      else if (othersCommon.exists(_.intersect(protos.map(_._1).toSet).isEmpty))
+        joinError(KafkaWire.Errors.InconsistentGroupProtocol)
       else {
         val id = if (memberIdIn.isEmpty)
           s"graft-${nextMemberId.incrementAndGet()}" else memberIdIn
         val m = g.members.getOrElseUpdate(id, new Member(id))
         m.sessionTimeoutMs = sessionTimeout
-        m.metadata = protos.headOption.map(_._2).getOrElse(Array.emptyByteArray)
+        m.protocols = protos
         m.touch()
         if (g.state != "Preparing") prepareRebalance(g)
         g.rejoined += id
@@ -309,7 +327,19 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
           val gone = g.members.keysIterator.filterNot(g.rejoined.contains).toList
           gone.foreach(g.members.remove)
           g.generation += 1
-          g.protocol = protos.headOption.map(_._1).orNull
+          // protocol SELECTION, the real coordinator's rule: among the
+          // protocols EVERY member supports, each member votes for its
+          // most-preferred candidate; plurality wins (ties by name, for
+          // determinism). A group with no common protocol cannot form.
+          val members = g.members.values.toSeq
+          val candidates = members.map(_.protocols.map(_._1).toSet)
+            .reduceOption(_ intersect _).getOrElse(Set.empty)
+          require(candidates.nonEmpty,
+            s"group '$groupId' has no assignment protocol all members support")
+          val votes = members.flatMap(_.protocols.map(_._1)
+            .find(candidates.contains))
+          g.protocol = votes.groupBy(identity).toSeq
+            .maxBy { case (name, vs) => (vs.length, name) }._1
           if (g.leader == null || !g.members.contains(g.leader))
             g.leader = g.members.keysIterator.next()
           g.assignments = Map.empty
@@ -319,10 +349,12 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
         val w = new Writer().int16(0).int32(g.generation).str(g.protocol)
           .str(g.leader).str(id)
         // only the LEADER sees the member list (it computes the
-        // assignment client-side from everyone's subscription bytes)
+        // assignment client-side from everyone's SELECTED-protocol
+        // subscription bytes)
         val list = if (id == g.leader) g.members.toSeq else Seq.empty
         w.int32(list.length)
-        list.foreach { case (mid, mm) => w.str(mid).bytes(mm.metadata) }
+        list.foreach { case (mid, mm) =>
+          w.str(mid).bytes(mm.metadataFor(g.protocol)) }
         w.result()
       }
     }

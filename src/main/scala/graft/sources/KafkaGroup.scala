@@ -9,9 +9,11 @@ import KafkaWire.{Conn, Reader, Writer, Errors, GrowingFetcher, Record}
   * `pollOnce(groupId)` covered only standalone offset persistence;
   * this adds the classic group-membership protocol — FindCoordinator
   * (10), JoinGroup (11), Heartbeat (12), LeaveGroup (13), SyncGroup
-  * (14), all v0 — against the public spec (kafka.apache.org/protocol),
-  * plus the embedded consumer protocol (Subscription / Assignment v0)
-  * and the RANGE assignor, Kafka's default.
+  * (14), DescribeGroups (15), all v0 — against the public spec
+  * (kafka.apache.org/protocol), plus the embedded consumer protocol
+  * (Subscription / Assignment v0) and two client-side assignors:
+  * RANGE (Kafka's default) and ROUNDROBIN, selected by the
+  * coordinator's all-members-support vote.
   *
   * Division of labor, exactly the published design: the broker
   * coordinator brokers MEMBERSHIP only (member ids, generations, the
@@ -104,6 +106,45 @@ object KafkaGroup {
     out.map { case (m, a) => m -> a.toMap }.toMap
   }
 
+  /** Kafka's ROUNDROBIN assignor: every subscribed (topic, partition)
+    * sorted lexicographically, dealt to sorted members in circular
+    * order, skipping members not subscribed to that topic — balances
+    * total load across TOPICS where range balances per topic. */
+  def roundRobinAssign(subscriptions: Seq[(String, Seq[String])],
+      partitionsOf: String => Int): Map[String, Map[String, Seq[Int]]] = {
+    val members = subscriptions.map(_._1).sorted
+    val subsOf = subscriptions.toMap
+    val tps = subscriptions.flatMap(_._2).distinct.sorted.flatMap { t =>
+      (0 until partitionsOf(t)).map(p => (t, p))
+    }
+    val out = scala.collection.mutable.Map.empty[String,
+      scala.collection.mutable.Map[String, Vector[Int]]]
+    members.foreach(m => out(m) = scala.collection.mutable.Map.empty)
+    var i = 0
+    tps.foreach { case (t, p) =>
+      // advance the circular cursor to the next member subscribed to t
+      var hops = 0
+      while (!subsOf(members(i % members.length)).contains(t) &&
+          hops < members.length) { i += 1; hops += 1 }
+      if (subsOf(members(i % members.length)).contains(t)) {
+        val m = members(i % members.length)
+        out(m)(t) = out(m).getOrElse(t, Vector.empty) :+ p
+        i += 1
+      }
+    }
+    out.map { case (m, a) =>
+      m -> a.map { case (t, ps) => t -> (ps: Seq[Int]) }.toMap }.toMap
+  }
+
+  /** The leader-side assignor for a coordinator-SELECTED protocol. */
+  def assignFor(protocol: String, subscriptions: Seq[(String, Seq[String])],
+      partitionsOf: String => Int): Map[String, Map[String, Seq[Int]]] =
+    protocol match {
+      case "range" => rangeAssign(subscriptions, partitionsOf)
+      case "roundrobin" => roundRobinAssign(subscriptions, partitionsOf)
+      case other => sys.error(s"unknown assignment protocol '$other'")
+    }
+
   /** Parsed JoinGroup response. `members` is non-empty only for the
     * leader (memberId == leaderId): everyone's subscription bytes. */
   final case class JoinResult(error: Int, generation: Int,
@@ -122,15 +163,19 @@ object KafkaGroup {
   }
 
   /** JoinGroup v0 (api 11). Pass `memberId` = "" on first contact; the
-    * coordinator assigns one. BLOCKS until the join barrier completes
-    * (all members re-joined or the rebalance deadline passed). */
+    * coordinator assigns one. Advertises `assignors` in preference
+    * order (the coordinator selects one ALL members support, by member
+    * vote). BLOCKS until the join barrier completes (all members
+    * re-joined or the rebalance deadline passed). */
   def joinGroup(c: Conn, groupId: String, memberId: String,
-      topics: Seq[String], sessionTimeoutMs: Int): JoinResult = {
-    val body = new Writer()
+      topics: Seq[String], sessionTimeoutMs: Int,
+      assignors: Seq[String] = Seq("range")): JoinResult = {
+    val w = new Writer()
       .str(groupId).int32(sessionTimeoutMs).str(memberId)
       .str("consumer")
-      .int32(1).str("range").bytes(encodeSubscription(topics))
-      .result()
+      .int32(assignors.length)
+    assignors.foreach(a => w.str(a).bytes(encodeSubscription(topics)))
+    val body = w.result()
     val r = c.call(11, 0, body)
     val err = r.int16()
     val gen = r.int32()
@@ -216,7 +261,8 @@ object KafkaGroup {
     * again. `commit` carries the member's (generation, id) so a
     * zombie's commit is fenced by the coordinator, never applied. */
   final class GroupMember(host: String, port: Int, groupId: String,
-      topics: Seq[String], sessionTimeoutMs: Int = 10000) {
+      topics: Seq[String], sessionTimeoutMs: Int = 10000,
+      assignors: Seq[String] = Seq("range")) {
     private val bootstrap = new Conn(host, port)
     /** The coordinator's address — heartbeats open their own channel
       * to it (see startHeartbeats). */
@@ -241,7 +287,8 @@ object KafkaGroup {
       var attempts = 0
       while (attempts < 16) {
         attempts += 1
-        val j = joinGroup(coord, groupId, memberId, topics, sessionTimeoutMs)
+        val j = joinGroup(coord, groupId, memberId, topics,
+          sessionTimeoutMs, assignors)
         j.error match {
           case 0 =>
             memberId = j.memberId
@@ -249,12 +296,12 @@ object KafkaGroup {
             val toSync =
               if (j.memberId == j.leaderId) {
                 // leader: decode every member's subscription, run the
-                // range assignor, ship each member's slice
+                // coordinator-SELECTED assignor, ship each member's slice
                 val subs = j.members.map { case (id, md) =>
                   id -> decodeSubscription(md).toSeq }
                 val counts = subs.flatMap(_._2).distinct
                   .map(t => t -> KafkaWire.partitionCount(coord, t)).toMap
-                rangeAssign(subs, counts).map { case (id, a) =>
+                assignFor(j.protocol, subs, counts).map { case (id, a) =>
                   id -> encodeAssignment(a) }
               } else Map.empty[String, Array[Byte]]
             val (serr, mine) =
@@ -272,6 +319,9 @@ object KafkaGroup {
             }
           case Errors.UnknownMemberId => memberId = "" // evicted: fresh id
           case Errors.RebalanceInProgress => // barrier raced: retry
+          case Errors.InconsistentGroupProtocol => sys.error(
+            s"group '$groupId' rejected this member: no common assignment " +
+              s"protocol (offered ${assignors.mkString(",")})")
           case e => sys.error(s"joinGroup error $e")
         }
       }

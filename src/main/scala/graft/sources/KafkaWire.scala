@@ -737,6 +737,8 @@ object KafkaWire {
     val RebalanceInProgress = 27
     /** Fetch below the log-start offset (retention deleted the data). */
     val OffsetOutOfRange = 1
+    /** The joiner shares no assignment protocol with the group. */
+    val InconsistentGroupProtocol = 23
   }
 
   /** The broker no longer has the requested offset — retention

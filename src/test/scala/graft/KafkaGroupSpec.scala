@@ -293,6 +293,58 @@ class KafkaGroupSpec extends SparkSuite {
     } finally srv.stop()
   }
 
+  test("protocol selection: the coordinator picks an assignor ALL members support, or rejects the joiner") {
+    val srv = new MiniKafkaServer(numPartitions = 4)
+    try {
+      // both members prefer roundrobin (range as fallback): selected
+      // protocol is roundrobin, and the LEADER assigns with it —
+      // interleaved partitions, not contiguous ranges
+      val a = new KafkaGroup.GroupMember("localhost", srv.port, "gp1",
+        Seq("t"), assignors = Seq("roundrobin", "range"))
+      val b = new KafkaGroup.GroupMember("localhost", srv.port, "gp1",
+        Seq("t"), assignors = Seq("roundrobin", "range"))
+      val c = new KafkaWire.Conn("localhost", srv.port)
+      try {
+        a.ensureActive()
+        val (aa, ba) = stabilizePair(a, b)
+        assert(KafkaGroup.describeGroup(c, "gp1").protocol === "roundrobin")
+        val (first, second) =
+          if (aa("t").contains(0)) (aa("t"), ba("t")) else (ba("t"), aa("t"))
+        assert(first === Seq(0, 2) && second === Seq(1, 3),
+          "roundrobin deals partitions alternately")
+        // a member offering NO common protocol is rejected at the door
+        val odd = new KafkaGroup.GroupMember("localhost", srv.port, "gp1",
+          Seq("t"), assignors = Seq("sticky"))
+        try {
+          val e = intercept[RuntimeException] { odd.ensureActive() }
+          assert(e.getMessage.contains("no common assignment protocol"))
+        } finally odd.close()
+        // the incompatible joiner disturbed nothing
+        assert(a.heartbeatOnce() && b.heartbeatOnce())
+      } finally { a.close(); b.close(); c.close(); }
+    } finally srv.stop()
+  }
+
+  test("roundrobin assignor: interleaves across topics and skips non-subscribers") {
+    // two topics x 3 partitions, both members subscribed: 6 tps dealt
+    // alternately — 3 each, never 4/2 (range would give 4/2 on odd
+    // per-topic splits)
+    val rr = KafkaGroup.roundRobinAssign(
+      Seq("m1" -> Seq("x", "y"), "m2" -> Seq("x", "y")), _ => 3)
+    val m1 = rr("m1").values.flatten.size
+    val m2 = rr("m2").values.flatten.size
+    assert(m1 == 3 && m2 == 3)
+    assert(rr("m1")("x") == Seq(0, 2) && rr("m2")("x") == Seq(1))
+    assert(rr("m1")("y") == Seq(1) && rr("m2")("y") == Seq(0, 2))
+    // a member not subscribed to a topic is skipped for it
+    val skip = KafkaGroup.roundRobinAssign(
+      Seq("m1" -> Seq("x"), "m2" -> Seq("x", "y")), _ => 2)
+    assert(skip("m2")("y") == Seq(0, 1))
+    assert(!skip("m1").contains("y"))
+    assert((skip("m1").getOrElse("x", Seq.empty) ++
+      skip("m2").getOrElse("x", Seq.empty)).sorted == Seq(0, 1))
+  }
+
   test("range assignor: contiguous ranges, uneven splits, and subset subscriptions") {
     // 5 partitions over 2 members: sorted-first member takes the extra
     val even = KafkaGroup.rangeAssign(
