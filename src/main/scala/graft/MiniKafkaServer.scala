@@ -51,22 +51,27 @@ object MiniKafkaServer {
   private final class DropConnection extends Exception
 }
 
-/** @param serveFormat highest record format this broker speaks: 2
-  *   (default) advertises Produce v3 / Fetch v4 / InitProducerId and
-  *   stores/serves magic-2 batches; 1 emulates a pre-0.11 broker —
-  *   ApiVersions caps at Produce v2 / Fetch v2, so a format-
-  *   negotiating client must downgrade to message-format v1 (the
-  *   both-formats test matrix drives the SAME client against both). */
-final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
-  import MiniKafkaServer.DropConnection
 
+/** SHARED state of one logical Kafka cluster — the log store, the
+  * producer-id / transaction registries, and the group coordinator's
+  * bookkeeping — plus the LEADERSHIP map that decides which broker may
+  * serve each partition's data path. One instance backs one OR MANY
+  * [[MiniKafkaServer]]s: with several brokers, state sharing is the
+  * double's "replication is instantaneous and perfect" simplification
+  * (a real cluster replicates logs and persists coordinator state in
+  * internal topics), while LEADERSHIP is enforced for real on the data
+  * path — Produce/Fetch/DeleteRecords on a non-led partition answer
+  * NOT_LEADER_FOR_PARTITION, which is exactly the contract a routing
+  * client must honor. Control-plane APIs (ListOffsets, coordinator
+  * calls) are served by any broker; FindCoordinator names broker 0. */
+private[graft] final class KafkaClusterState {
   /** One produced batch, stored verbatim: compressed batches
     * (`codec` != 0) re-encode as ONE wrapper message on fetch (offset
     * = last inner absolute, the v1 convention). `magic` records the
     * format it ARRIVED in — fetch serves v2-stored batches back as v2
     * to a v4 fetcher and DOWN-CONVERTS them (headers dropped) for a
     * v2 fetcher, the real broker's split. */
-  private final case class Batch(base: Long, records: Seq[Record],
+  final case class Batch(base: Long, records: Seq[Record],
       codec: Int, magic: Int = 1, pid: Long = -1L, pEpoch: Int = -1,
       baseSeq: Int = -1, raw: Array[Byte] = null,
       transactional: Boolean = false, control: Boolean = false,
@@ -87,13 +92,13 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
     * — the real broker's ProducerStateManager window (5 in-flight
     * batches) that lets a retried-but-already-appended batch be
     * acked with its ORIGINAL offset instead of appended twice. */
-  private final class PidState {
+  final class PidState {
     var nextSeq: Int = 0
     var epoch: Int = -1
     val recent = scala.collection.mutable.ArrayDeque.empty[(Int, Int, Long)]
   }
 
-  private final class Log {
+  final class Log {
     val batches = scala.collection.mutable.ArrayBuffer.empty[Batch]
     var next: Long = 0L
     /** Log-START offset: retention/compaction advance it past 0; a
@@ -113,25 +118,105 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
     def lso: Long = if (ongoing.isEmpty) next else ongoing.values.min
   }
 
-  private val logs =
+  val logs =
     scala.collection.concurrent.TrieMap.empty[(String, Int), Log]
-  private def logOf(topic: String, p: Int) =
+  def logOf(topic: String, p: Int) =
     logs.getOrElseUpdate((topic, p), new Log)
 
   // ── producer-id registry (InitProducerId) ───────────────────────────
-  private val nextPid = new java.util.concurrent.atomic.AtomicLong(1000L)
+  val nextPid = new java.util.concurrent.atomic.AtomicLong(1000L)
   /** Current epoch per pid — a produce with an OLDER epoch is fenced. */
-  private val pidEpochs =
+  val pidEpochs =
     scala.collection.concurrent.TrieMap.empty[Long, Int]
   /** transactional_id → stable pid; each re-init bumps the epoch (the
     * zombie-fencing mechanism). */
-  private val tidPids =
+  val tidPids =
     scala.collection.concurrent.TrieMap.empty[String, Long]
   /** Consumer-group committed offsets: (group, topic, partition) →
     * next offset to read — the coordinator storage behind
     * OffsetCommit/OffsetFetch (standalone consumers, no membership). */
-  private val groupOffsets = scala.collection.concurrent.TrieMap
+  val groupOffsets = scala.collection.concurrent.TrieMap
     .empty[(String, String, Int), Long]
+
+
+  final class Member(val id: String) {
+    /** The member's advertised protocols IN PREFERENCE ORDER, each
+      * with its subscription metadata — the coordinator selects one
+      * protocol all members support and hands the leader that
+      * protocol's metadata. */
+    var protocols: Seq[(String, Array[Byte])] = Seq.empty
+    var sessionTimeoutMs: Int = 10000
+    var deadline: Long = Long.MaxValue
+    def touch(): Unit =
+      deadline = System.currentTimeMillis() + sessionTimeoutMs
+    def metadataFor(protocol: String): Array[Byte] =
+      protocols.collectFirst { case (n, md) if n == protocol => md }
+        .getOrElse(Array.emptyByteArray)
+  }
+
+  final class Group {
+    var state: String = "Empty" // Empty | Preparing | AwaitingSync | Stable
+    var generation: Int = 0
+    var protocol: String = null
+    var leader: String = null
+    /** Insertion-ordered: leader election picks the first member. */
+    val members = scala.collection.mutable.LinkedHashMap.empty[String, Member]
+    /** Members that re-joined the CURRENT rebalance round. */
+    val rejoined = scala.collection.mutable.Set.empty[String]
+    /** memberId → leader-computed assignment bytes (opaque). */
+    var assignments: Map[String, Array[Byte]] = Map.empty
+  }
+
+  val groups =
+    scala.collection.concurrent.TrieMap.empty[String, Group]
+  val nextMemberId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+
+  /** pid → partitions registered to its OPEN transaction
+    * (AddPartitionsToTxn / first transactional produce) — where EndTxn
+    * fans the control markers out to. */
+  val openTxns = scala.collection.concurrent.TrieMap
+    .empty[Long, scala.collection.mutable.Set[(String, Int)]]
+
+  /** pid → consumer-group offsets STAGED inside its open transaction
+    * (TxnOffsetCommit) — applied to [[groupOffsets]] only when EndTxn
+    * commits, discarded on abort: the atomic half of the exactly-once
+    * consume-transform-produce loop (offsets move IFF the produced
+    * records become visible). */
+  val pendingTxnOffsets = scala.collection.concurrent.TrieMap
+    .empty[Long, scala.collection.mutable.Map[(String, String, Int), Long]]
+
+
+  // ── leadership (the data-path routing contract) ─────────────────────
+  /** brokerId → advertised (host, port); brokers register at start. */
+  val brokers = scala.collection.concurrent.TrieMap.empty[Int, (String, Int)]
+  private val leaders =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Int]
+  /** The partition's leader, assigned round-robin over the registered
+    * brokers at first touch — call after every broker has started. */
+  def leaderOf(topic: String, p: Int): Int =
+    leaders.getOrElseUpdate((topic, p), p % math.max(1, brokers.size))
+  /** Re-elect `p`'s leader (the controller's job in a real cluster) —
+    * clients discover via NOT_LEADER + metadata refresh. */
+  def moveLeader(topic: String, p: Int, brokerId: Int): Unit = {
+    require(brokers.contains(brokerId), s"unknown broker $$brokerId")
+    leaders.put((topic, p), brokerId)
+  }
+}
+
+/** @param serveFormat highest record format this broker speaks: 2
+  *   (default) advertises Produce v3 / Fetch v4 / InitProducerId and
+  *   stores/serves magic-2 batches; 1 emulates a pre-0.11 broker —
+  *   ApiVersions caps at Produce v2 / Fetch v2, so a format-
+  *   negotiating client must downgrade to message-format v1 (the
+  *   both-formats test matrix drives the SAME client against both). */
+final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
+    state: KafkaClusterState = new KafkaClusterState, brokerId: Int = 0) {
+  import MiniKafkaServer.DropConnection
+  import state._
+
+  private def groupStateOf(id: String): Group =
+    groups.getOrElseUpdate(id, new Group)
 
   // ── group coordinator (classic membership protocol) ─────────────────
   //
@@ -149,40 +234,6 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
   // passes (members that never re-join are evicted), exactly the real
   // coordinator's barrier; one thread per connection makes the park
   // safe.
-
-  private final class Member(val id: String) {
-    /** The member's advertised protocols IN PREFERENCE ORDER, each
-      * with its subscription metadata — the coordinator selects one
-      * protocol all members support and hands the leader that
-      * protocol's metadata. */
-    var protocols: Seq[(String, Array[Byte])] = Seq.empty
-    var sessionTimeoutMs: Int = 10000
-    var deadline: Long = Long.MaxValue
-    def touch(): Unit =
-      deadline = System.currentTimeMillis() + sessionTimeoutMs
-    def metadataFor(protocol: String): Array[Byte] =
-      protocols.collectFirst { case (n, md) if n == protocol => md }
-        .getOrElse(Array.emptyByteArray)
-  }
-
-  private final class Group {
-    var state: String = "Empty" // Empty | Preparing | AwaitingSync | Stable
-    var generation: Int = 0
-    var protocol: String = null
-    var leader: String = null
-    /** Insertion-ordered: leader election picks the first member. */
-    val members = scala.collection.mutable.LinkedHashMap.empty[String, Member]
-    /** Members that re-joined the CURRENT rebalance round. */
-    val rejoined = scala.collection.mutable.Set.empty[String]
-    /** memberId → leader-computed assignment bytes (opaque). */
-    var assignments: Map[String, Array[Byte]] = Map.empty
-  }
-
-  private val groups =
-    scala.collection.concurrent.TrieMap.empty[String, Group]
-  private val nextMemberId = new java.util.concurrent.atomic.AtomicInteger(0)
-  private def groupStateOf(id: String): Group =
-    groups.getOrElseUpdate(id, new Group)
 
   /** Move the group into a new rebalance round; parked SyncGroup
     * waiters wake and answer REBALANCE_IN_PROGRESS. Caller holds the
@@ -221,9 +272,13 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
       val nParts = r.int32()
       val parts = (0 until nParts).map { _ =>
         val p = r.int32(); val before = r.int64()
-        truncateBefore(topic, p, before)
-        val log = logOf(topic, p)
-        (p, log.synchronized(log.start))
+        if (leaderOf(topic, p) != brokerId)
+          (p, -1L, KafkaWire.Errors.NotLeaderForPartition)
+        else {
+          truncateBefore(topic, p, before)
+          val log = logOf(topic, p)
+          (p, log.synchronized(log.start), 0)
+        }
       }
       (topic, parts)
     }
@@ -231,7 +286,7 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
     val w = new Writer().int32(0).int32(resp.length)
     resp.foreach { case (topic, parts) =>
       w.str(topic).int32(parts.length)
-      parts.foreach { case (p, low) => w.int32(p).int64(low).int16(0) }
+      parts.foreach { case (p, low, err) => w.int32(p).int64(low).int16(err) }
     }
     w.result()
   }
@@ -272,8 +327,9 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
   }
 
   private def findCoordinatorV0(r: Reader): Array[Byte] = {
-    r.str() // group id — a one-broker cluster coordinates everything
-    new Writer().int16(0).int32(0).str("localhost").int32(port).result()
+    r.str() // group id — broker 0 coordinates every group (convention)
+    val (h, pt) = state.brokers.getOrElse(0, ("localhost", port))
+    new Writer().int16(0).int32(0).str(h).int32(pt).result()
   }
 
   private def joinGroupV0(r: Reader): Array[Byte] = {
@@ -430,20 +486,6 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
     new Writer().int16(err).result()
   }
 
-  /** pid → partitions registered to its OPEN transaction
-    * (AddPartitionsToTxn / first transactional produce) — where EndTxn
-    * fans the control markers out to. */
-  private val openTxns = scala.collection.concurrent.TrieMap
-    .empty[Long, scala.collection.mutable.Set[(String, Int)]]
-
-  /** pid → consumer-group offsets STAGED inside its open transaction
-    * (TxnOffsetCommit) — applied to [[groupOffsets]] only when EndTxn
-    * commits, discarded on abort: the atomic half of the exactly-once
-    * consume-transform-produce loop (offsets move IFF the produced
-    * records become visible). */
-  private val pendingTxnOffsets = scala.collection.concurrent.TrieMap
-    .empty[Long, scala.collection.mutable.Map[(String, String, Int), Long]]
-
   // ── fault injection (one-shot counters) ─────────────────────────────
   val dropNextProduce = new java.util.concurrent.atomic.AtomicInteger(0)
   val dropNextProduceAfterAppend =
@@ -466,6 +508,8 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
 
   private val server = new java.net.ServerSocket(0)
   def port: Int = server.getLocalPort
+  // this broker's cluster identity: leadership routing keys on it
+  state.brokers.put(brokerId, ("localhost", port))
   @volatile private var running = true
 
   private val acceptor = new Thread(() => {
@@ -679,14 +723,19 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
     val n = r.int32()
     val topics = (0 until n).map(_ => r.str())
     val w = new Writer()
-    w.int32(1).int32(0).str("localhost").int32(port) // one broker, id 0
+    // the FULL cluster view: every registered broker, and each
+    // partition's true leader — what a routing client steers by
+    val bs = state.brokers.toSeq.sortBy(_._1)
+    w.int32(bs.length)
+    bs.foreach { case (id, (h, pt)) => w.int32(id).str(h).int32(pt) }
     w.int32(topics.length)
     topics.foreach { t =>
       w.int16(0).str(t).int32(numPartitions)
       (0 until numPartitions).foreach { p =>
-        w.int16(0).int32(p).int32(0)      // error, partition, leader
-        w.int32(1).int32(0)               // replicas [0]
-        w.int32(1).int32(0)               // isr [0]
+        val leader = leaderOf(t, p)
+        w.int16(0).int32(p).int32(leader) // error, partition, leader
+        w.int32(1).int32(leader)          // replicas [leader]
+        w.int32(1).int32(leader)          // isr [leader]
       }
     }
     w.result()
@@ -702,30 +751,34 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
       (0 until nParts).map { _ =>
         val p = r.int32()
         val set = r.bytes()
-        // a produced set is one batch; remember the codec it arrived
-        // with so fetch can serve it back as the same wrapper shape
-        val codec = if (set.length >= 18 && set(16) == 1)
-          set(17) & 0x07 else 0 // [offset 8][size 4][crc 4][magic@16][attrs@17]
-        val recs = KafkaWire.decodeMessageSet(set)
-        val log = logOf(topic, p)
-        val base = log.synchronized {
-          val b = log.next
-          log.batches += Batch(b,
-            recs.zipWithIndex.map { case (rec, i) =>
-              Record(b + i, rec.timestamp, rec.key, rec.value) }.toSeq, codec)
-          log.next = b + recs.length
-          b
+        if (leaderOf(topic, p) != brokerId)
+          (topic, p, KafkaWire.Errors.NotLeaderForPartition, -1L)
+        else {
+          // a produced set is one batch; remember the codec it arrived
+          // with so fetch can serve it back as the same wrapper shape
+          val codec = if (set.length >= 18 && set(16) == 1)
+            set(17) & 0x07 else 0 // [offset 8][size 4][crc 4][magic@16][attrs@17]
+          val recs = KafkaWire.decodeMessageSet(set)
+          val log = logOf(topic, p)
+          val base = log.synchronized {
+            val b = log.next
+            log.batches += Batch(b,
+              recs.zipWithIndex.map { case (rec, i) =>
+                Record(b + i, rec.timestamp, rec.key, rec.value) }.toSeq, codec)
+            log.next = b + recs.length
+            b
+          }
+          producesAppended.incrementAndGet()
+          (topic, p, 0, base)
         }
-        producesAppended.incrementAndGet()
-        (topic, p, base)
       }
     }
     if (consume(dropNextProduceAfterAppend)) throw new DropConnection
     val w = new Writer().int32(nTopics)
     acks.groupBy(_._1).foreach { case (topic, parts) =>
       w.str(topic).int32(parts.length)
-      parts.foreach { case (_, p, base) =>
-        w.int32(p).int16(0).int64(base).int64(-1L)
+      parts.foreach { case (_, p, err, base) =>
+        w.int32(p).int16(err).int64(base).int64(-1L)
       }
     }
     w.int32(0) // throttle_time_ms
@@ -807,6 +860,9 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
       (0 until nParts).map { _ =>
         val p = r.int32()
         val set = r.bytes()
+        if (leaderOf(topic, p) != brokerId) {
+          (topic, p, KafkaWire.Errors.NotLeaderForPartition, -1L)
+        } else {
         val batches = KafkaWire.decodeRecordBatches(set)
         // transactional batches register their partition with the
         // pid's open transaction even without an explicit
@@ -827,6 +883,7 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
           }
         }
         (topic, p, err, base)
+        }
       }
     }
     if (consume(dropNextProduceAfterAppend)) throw new DropConnection
@@ -1140,6 +1197,11 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
   private def servePartition(topic: String, p: Int, off: Long,
       maxBytes: Int, enc: Batch => Array[Byte],
       stableOnly: Boolean = false): (Int, Long, Long, Seq[(Long, Long)], Array[Byte]) = {
+    // only the LEADER serves the data path — a routing client that
+    // lands here followed stale metadata and must refresh
+    if (leaderOf(topic, p) != brokerId)
+      return (KafkaWire.Errors.NotLeaderForPartition, -1L, -1L, Nil,
+        Array.emptyByteArray)
     val log = logOf(topic, p)
     // a fetch below the log start reads data retention already deleted
     // — OFFSET_OUT_OF_RANGE (error 1), the real broker's answer to a
@@ -1264,4 +1326,31 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2) {
     }
     w.result()
   }
+}
+
+/** A MULTI-BROKER cluster double: N [[MiniKafkaServer]]s over one
+  * [[KafkaClusterState]]. Partition leadership spreads round-robin
+  * over the brokers; each broker REFUSES the data path for partitions
+  * it does not lead (NOT_LEADER_FOR_PARTITION), so a client reaching
+  * all data must do what real clients do — fetch cluster metadata and
+  * route per partition, refreshing on re-election. [[moveLeader]]
+  * plays the controller. */
+final class MiniKafkaCluster(numBrokers: Int, numPartitions: Int = 2,
+    serveFormat: Int = 2) {
+  require(numBrokers >= 1)
+  val state = new KafkaClusterState
+  val servers: Seq[MiniKafkaServer] =
+    (0 until numBrokers).map(i =>
+      new MiniKafkaServer(numPartitions, serveFormat, state, i))
+  /** The bootstrap address a client is given — broker 0 only; every
+    * other broker must be DISCOVERED through metadata. */
+  def bootstrapPort: Int = servers.head.port
+  def port(brokerId: Int): Int = servers(brokerId).port
+  def leaderOf(topic: String, p: Int): Int = state.leaderOf(topic, p)
+  def moveLeader(topic: String, p: Int, brokerId: Int): Unit =
+    state.moveLeader(topic, p, brokerId)
+  /** Data oracle — state is shared, any server answers. */
+  def stored(topic: String, p: Int): Seq[Record] =
+    servers.head.stored(topic, p)
+  def stop(): Unit = servers.foreach(_.stop())
 }

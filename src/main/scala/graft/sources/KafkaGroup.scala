@@ -362,7 +362,11 @@ object KafkaGroup {
       val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Record)]
       val ends = scala.collection.mutable.Map.empty[Int, Long]
       parts.foreach { p =>
-        val fetcher = new GrowingFetcher(coord, topic, p)
+        // the DATA path goes to the partition's leader; the shared
+        // coordinator connection keeps serving the offset traffic
+        val dataConn = KafkaWire.leaderConn(host, port, topic, p)
+        try {
+        val fetcher = new GrowingFetcher(dataConn, topic, p)
         var off = starts.getOrElse(p, None).getOrElse(resetTo)
         var done = false
         while (!done) {
@@ -375,6 +379,7 @@ object KafkaGroup {
           }
         }
         ends(p) = off
+        } finally dataConn.close()
       }
       commit(topic, ends.toMap) // fenced => CommitFailedException, no state moved
       out.toSeq
@@ -463,7 +468,9 @@ object KafkaGroup {
         .parallelize(assigned, math.max(1, assigned.length))
         .flatMap { p =>
           val u8 = java.nio.charset.StandardCharsets.UTF_8
-          val c = new KafkaWire.Conn(host, port)
+          // leader-routed data path; offset traffic on the same conn
+          // (any broker serves it; the coordinator owns the registry)
+          val c = KafkaWire.leaderConn(host, port, topic, p)
           try {
             val out = scala.collection.mutable.ArrayBuffer
               .empty[(Int, Long, Long, String, String)]

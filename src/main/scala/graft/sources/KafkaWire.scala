@@ -673,24 +673,55 @@ object KafkaWire {
     (err, (0 until n).map(_ => r.int16() -> (r.int16(), r.int16())).toMap)
   }
 
-  /** Metadata v0 for one topic: number of partitions (leader checks
-    * omitted — the test double is a single broker). */
-  def partitionCount(c: Conn, topic: String): Int = {
+  /** One topic's cluster view (Metadata v0): every broker's address
+    * and each partition's LEADER — what a client routes the data path
+    * by on a multi-broker cluster. */
+  final case class ClusterView(brokers: Map[Int, (String, Int)],
+      leaders: Map[Int, Int]) {
+    def partitions: Int = leaders.size
+    def leaderAddr(partition: Int): (String, Int) =
+      brokers(leaders(partition))
+  }
+
+  def clusterMetadata(c: Conn, topic: String): ClusterView = {
     val body = new Writer().int32(1).str(topic).result()
     val r = c.call(3, 0, body)
     val nBrokers = r.int32()
-    (0 until nBrokers).foreach { _ => r.int32(); r.str(); r.int32() }
+    val brokers = (0 until nBrokers).map { _ =>
+      val id = r.int32(); val host = r.str(); val port = r.int32()
+      id -> (host, port)
+    }.toMap
     val nTopics = r.int32()
     require(nTopics == 1, s"expected 1 topic, got $nTopics")
     val err = r.int16(); require(err == 0, s"metadata error $err")
     val name = r.str(); require(name == topic)
     val nParts = r.int32()
-    (0 until nParts).foreach { _ =>
-      r.int16(); r.int32(); r.int32()
+    val leaders = (0 until nParts).map { _ =>
+      r.int16() // partition error
+      val p = r.int32(); val leader = r.int32()
       val nr = r.int32(); (0 until nr).foreach(_ => r.int32())
       val ni = r.int32(); (0 until ni).foreach(_ => r.int32())
-    }
-    nParts
+      p -> leader
+    }.toMap
+    ClusterView(brokers, leaders)
+  }
+
+  /** Metadata v0 for one topic: number of partitions. */
+  def partitionCount(c: Conn, topic: String): Int =
+    clusterMetadata(c, topic).partitions
+
+  /** A connection to `partition`'s LEADER, discovered through the
+    * bootstrap broker's metadata — what every data-path consumer on a
+    * multi-broker cluster must do before fetching. Returns the
+    * bootstrap itself when it happens to lead. */
+  def leaderConn(bootstrapHost: String, bootstrapPort: Int,
+      topic: String, partition: Int): Conn = {
+    val boot = new Conn(bootstrapHost, bootstrapPort)
+    val (h, p) =
+      try clusterMetadata(boot, topic).leaderAddr(partition)
+      catch { case e: Throwable => boot.close(); throw e }
+    if (h == bootstrapHost && p == bootstrapPort) boot
+    else { boot.close(); new Conn(h, p) }
   }
 
   /** Produce v2 (acks=-1): one partition's records; returns the
@@ -716,7 +747,10 @@ object KafkaWire {
     r.str()
     val nParts = r.int32(); require(nParts == 1)
     r.int32() // partition
-    val err = r.int16(); require(err == 0, s"produce error $err")
+    val err = r.int16()
+    if (err == Errors.NotLeaderForPartition)
+      throw new NotLeaderException(topic, partition)
+    require(err == 0, s"produce error $err")
     val baseOffset = r.int64()
     r.int64() // log_append_time
     r.int32() // throttle_time_ms
@@ -739,7 +773,17 @@ object KafkaWire {
     val OffsetOutOfRange = 1
     /** The joiner shares no assignment protocol with the group. */
     val InconsistentGroupProtocol = 23
+    /** The addressed broker does not lead this partition — refresh
+      * metadata and re-route (the multi-broker data-path contract). */
+    val NotLeaderForPartition = 6
   }
+
+  /** The broker answered NOT_LEADER_FOR_PARTITION: metadata is stale
+    * (a re-election, or a bootstrap-only client on a multi-broker
+    * cluster). Refresh and re-route — never retry the same broker. */
+  final class NotLeaderException(val topic: String, val partition: Int)
+    extends RuntimeException(
+      s"this broker does not lead $topic-$partition — refresh metadata")
 
   /** The broker no longer has the requested offset — retention
     * advanced the log start past it. The data between the caller's
@@ -778,6 +822,8 @@ object KafkaWire {
         throw new ProducerFencedException(topic, partition)
       case Errors.OutOfOrderSequence | Errors.DuplicateSequence =>
         throw new OutOfOrderSequenceException(topic, partition, err)
+      case Errors.NotLeaderForPartition =>
+        throw new NotLeaderException(topic, partition)
       case other => sys.error(s"produce error $other")
     }
     val baseOffset = r.int64()
@@ -842,6 +888,8 @@ object KafkaWire {
     val err = r.int16()
     if (err == Errors.OffsetOutOfRange)
       throw new OffsetOutOfRangeException(topic, partition, offset)
+    if (err == Errors.NotLeaderForPartition)
+      throw new NotLeaderException(topic, partition)
     require(err == 0, s"fetch error $err")
     val hw = r.int64()
     val lso = r.int64() // last_stable_offset (v4+)
@@ -1060,7 +1108,10 @@ object KafkaWire {
     val nParts = r.int32(); require(nParts == 1)
     r.int32() // partition
     val low = r.int64()
-    val err = r.int16(); require(err == 0, s"deleteRecords error $err")
+    val err = r.int16()
+    if (err == Errors.NotLeaderForPartition)
+      throw new NotLeaderException(topic, partition)
+    require(err == 0, s"deleteRecords error $err")
     low
   }
 
@@ -1153,6 +1204,8 @@ object KafkaWire {
     val err = r.int16()
     if (err == Errors.OffsetOutOfRange)
       throw new OffsetOutOfRangeException(topic, partition, offset)
+    if (err == Errors.NotLeaderForPartition)
+      throw new NotLeaderException(topic, partition)
     require(err == 0, s"fetch error $err")
     val hw = r.int64()
     val set = r.bytes()
@@ -1240,6 +1293,25 @@ object KafkaWire {
     private var conn: Conn = null
     private var nParts = -1
     private var magic = -1
+    // ── multi-broker routing: the data path goes to each partition's
+    // LEADER (discovered via metadata); control calls (InitProducerId,
+    // AddPartitionsToTxn, EndTxn, metadata itself) ride the bootstrap
+    // connection. A NOT_LEADER answer refreshes the view and re-routes.
+    private var view: ClusterView = null
+    private val dataConns = scala.collection.mutable.Map.empty[Int, Conn]
+    private def connFor(partition: Int): Conn = {
+      if (view == null) { ensure(); view = clusterMetadata(conn, topic) }
+      val leader = view.leaders(partition)
+      dataConns.getOrElseUpdate(leader, {
+        val (h, pt) = view.brokers(leader)
+        new Conn(h, pt)
+      })
+    }
+    private def dropView(): Unit = {
+      view = null
+      dataConns.values.foreach(c => try c.close() catch { case _: Exception => })
+      dataConns.clear()
+    }
     // producer identity is CLUSTER state, not connection state: the
     // pid/epoch survive reconnects so a retried batch re-sends with
     // the SAME baseSequence and the broker can dedup it
@@ -1276,6 +1348,7 @@ object KafkaWire {
     private def reset(): Unit = {
       if (conn != null) { try conn.close() catch { case _: Exception => } }
       conn = null
+      dropView()
     }
     def partitions: Int = { ensure(); nParts }
     /** The negotiated record format (1 or 2) — observable for tests. */
@@ -1361,7 +1434,7 @@ object KafkaWire {
             val batch = encodeRecordBatch(0L, based, codec, pid,
               if (idempotent) pEpoch else -1, baseSeq,
               transactional = inTxn)
-            val off = produceV3(conn, topic, partition, batch,
+            val off = produceV3(connFor(partition), topic, partition, batch,
               if (inTxn) transactionalId else null)
             if (idempotent) seqs(partition) = baseSeq + records.length
             off
@@ -1373,11 +1446,18 @@ object KafkaWire {
             // v1 has no per-record timestamps: stamp the wrapper max,
             // the same loss a real broker's down-conversion accepts
             val ts = records.iterator.map(_.timestamp).max
-            produce(conn, topic, partition,
+            produce(connFor(partition), topic, partition,
               records.map(r => (r.key, r.value)), ts, codec)
           }
         }
         catch {
+          case e: NotLeaderException =>
+            // a re-election moved the partition: refresh the view and
+            // re-route — the broker-side sequence state is CLUSTER
+            // state here, so the idempotent retry still dedups
+            dropView()
+            if (attempt >= maxAttempts) throw e
+            attempt += 1
           case e: java.io.IOException =>
             reset()
             if (attempt >= maxAttempts) throw e
@@ -1453,7 +1533,10 @@ object KafkaWire {
       .parallelize(0 until nParts, nParts)
       .flatMap { p =>
         val u8 = java.nio.charset.StandardCharsets.UTF_8
-        val c = new Conn(host, port)
+        // fetch from the partition's LEADER (= the bootstrap on a
+        // one-broker cluster); coordinator calls (offset fetch/commit)
+        // are served by any broker
+        val c = leaderConn(host, port, topic, p)
         try {
           val out = scala.collection.mutable.ArrayBuffer.empty[
             (Int, Long, Long, String, String)]

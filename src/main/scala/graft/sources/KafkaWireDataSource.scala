@@ -774,9 +774,14 @@ private[sources] class KafkaRangeReaderFactory extends PartitionReaderFactory {
 
 private[sources] class KafkaRangeReader(p: KafkaRangePartition)
     extends PartitionReader[InternalRow] {
-  private val conn = new KafkaWire.Conn(p.host, p.port)
-  private val fetcher =
+  // the DATA path goes to the partition's LEADER, discovered through
+  // the bootstrap broker's metadata (on a one-broker cluster this IS
+  // the bootstrap); a mid-read re-election surfaces as NOT_LEADER and
+  // re-resolves below
+  private var conn = KafkaWire.leaderConn(p.host, p.port, p.topic, p.partition)
+  private var fetcher =
     new KafkaWire.GrowingFetcher(conn, p.topic, p.partition, p.isolation)
+  private var reroutes = 0
   private var buf: Seq[KafkaWire.Record] = Seq.empty
   private var i = -1
   private var pos = p.from
@@ -791,6 +796,18 @@ private[sources] class KafkaRangeReader(p: KafkaRangePartition)
       val fetched =
         try Some(fetcher.fetchAt(pos))
         catch {
+          case e: KafkaWire.NotLeaderException =>
+            // leadership moved mid-read: re-resolve through metadata
+            // and continue from the SAME position — the range's
+            // exactly-once contract is position-based, not connection-
+            // based. Bounded: a flapping controller must fail loudly.
+            reroutes += 1
+            if (reroutes > 5) throw e
+            try conn.close() catch { case _: Exception => }
+            conn = KafkaWire.leaderConn(p.host, p.port, p.topic, p.partition)
+            fetcher =
+              new KafkaWire.GrowingFetcher(conn, p.topic, p.partition, p.isolation)
+            None
           case e: KafkaWire.OffsetOutOfRangeException =>
             // retention advanced the log start past this range's
             // position (a checkpoint that outlived the log head). The
