@@ -378,7 +378,39 @@ object StreamBench {
     }
     val rc = Seq(1, 10).map(committedCurve)
 
-    (results ++ codecResults ++ rc :+ minp :+ idem :+ txn)
+    // multi-broker routing cost/benefit (r15): the same 500 k-row
+    // produce+consume against 1 broker vs a 2-broker cluster with
+    // leadership split over them — routing adds a metadata round-trip
+    // and per-leader connections; the split gives two independent
+    // accept loops. Run through the DSv2 sink/source (bootstrap
+    // address only, discovery does the rest).
+    def clusterRow(nBrokers: Int): String = {
+      val cl = new MiniKafkaCluster(nBrokers, numPartitions = 4)
+      try {
+        val n = 500000
+        val df = articles(n).persist(StorageLevel.MEMORY_ONLY)
+        df.count()
+        val t0 = System.nanoTime()
+        df.write.format("graft-kafka")
+          .option("host", "localhost").option("port", cl.bootstrapPort.toString)
+          .option("topic", "bench-topic")
+          .mode("append").save()
+        val produceSecs = secsSince(t0)
+        df.unpersist(blocking = true)
+        val t1 = System.nanoTime()
+        val consumed = spark.read.format("graft-kafka")
+          .option("host", "localhost").option("port", cl.bootstrapPort.toString)
+          .option("topic", "bench-topic").load().count()
+        val consumeSecs = secsSince(t1)
+        require(consumed == n, s"cluster bench lost rows: $consumed != $n")
+        s""""cluster_b${nBrokers}_p4":{"rows":$n,""" +
+          s""""produce_rps":${r3(n / produceSecs)},""" +
+          s""""consume_rps":${r3(n / consumeSecs)}}"""
+      } finally cl.stop()
+    }
+    val clusterRows = Seq(1, 2).map(clusterRow)
+
+    (results ++ codecResults ++ rc ++ clusterRows :+ minp :+ idem :+ txn)
       .mkString("{", ",", "}")
   }
 }
