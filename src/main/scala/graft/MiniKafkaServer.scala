@@ -326,6 +326,18 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
     w.result()
   }
 
+  /** ListGroups v0 (api 16): every group this coordinator knows —
+    * the `kafka-consumer-groups.sh --list` surface. */
+  private def listGroupsV0(r: Reader): Array[Byte] = {
+    val ids = groups.keys.toSeq.sorted
+    val w = new Writer().int16(0).int32(ids.length)
+    ids.foreach { id =>
+      val live = groups.get(id).exists(g => g.synchronized(g.members.nonEmpty))
+      w.str(id).str(if (live) "consumer" else "")
+    }
+    w.result()
+  }
+
   private def findCoordinatorV0(r: Reader): Array[Byte] = {
     r.str() // group id — broker 0 coordinates every group (convention)
     val (h, pt) = state.brokers.getOrElse(0, ("localhost", port))
@@ -667,6 +679,7 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
           case (9, 1) => offsetFetchV1(r)
           case (10, 0) => findCoordinatorV0(r)
           case (15, 0) => describeGroupsV0(r)
+          case (16, 0) => listGroupsV0(r)
           case (21, 0) => deleteRecordsV0(r)
           case (11, 0) => joinGroupV0(r)
           case (12, 0) => heartbeatV0(r)
@@ -707,13 +720,13 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
       if (serveFormat >= 2)
         Seq((0, 2, 3), (1, 2, 4), (2, 1, 2), (3, 0, 0), (8, 2, 2),
           (9, 1, 1), (10, 0, 0), (11, 0, 0), (12, 0, 0), (13, 0, 0),
-          (14, 0, 0), (15, 0, 0), (18, 0, 0), (21, 0, 0), (22, 0, 0),
-          (24, 0, 0), (25, 0, 0), (26, 0, 0), (28, 0, 0))
+          (14, 0, 0), (15, 0, 0), (16, 0, 0), (18, 0, 0), (21, 0, 0),
+          (22, 0, 0), (24, 0, 0), (25, 0, 0), (26, 0, 0), (28, 0, 0))
       // group coordination predates message-format v2 — an old broker
       // speaks it too, so both format matrices advertise it
       else Seq((0, 2, 2), (1, 2, 2), (2, 1, 1), (3, 0, 0), (8, 2, 2),
         (9, 1, 1), (10, 0, 0), (11, 0, 0), (12, 0, 0), (13, 0, 0),
-        (14, 0, 0), (15, 0, 0), (18, 0, 0), (21, 0, 0))
+        (14, 0, 0), (15, 0, 0), (16, 0, 0), (18, 0, 0), (21, 0, 0))
     val w = new Writer().int16(0).int32(apis.length)
     apis.foreach { case (k, lo, hi) => w.int16(k).int16(lo).int16(hi) }
     w.result()

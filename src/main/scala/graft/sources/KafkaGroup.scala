@@ -219,6 +219,16 @@ object KafkaGroup {
     require(err == 0, s"leaveGroup error $err")
   }
 
+  /** ListGroups v0 (api 16): (groupId, protocolType) for every group
+    * the coordinator knows — "" protocolType marks an Empty group
+    * (offsets retained, no live members). */
+  def listGroups(c: Conn): Seq[(String, String)] = {
+    val r = c.call(16, 0, Array.emptyByteArray)
+    val err = r.int16(); require(err == 0, s"listGroups error $err")
+    val n = r.int32()
+    (0 until n).map(_ => (r.str(), r.str()))
+  }
+
   /** One group's coordinator-side description
     * (`kafka-consumer-groups.sh --describe`): state, protocol, and
     * each member's subscription topics + decoded assignment. */

@@ -283,12 +283,16 @@ class KafkaGroupSpec extends SparkSuite {
         assert(byId(b.memberId).toSet === b.assigned("t").toSet)
         assert(byId.values.flatten.toSet === Set(0, 1, 2, 3))
         assert(d.members.forall(_._2 === Seq("t")), "subscription travels")
+        // ...and ListGroups names it among the living
+        assert(KafkaGroup.listGroups(c).contains(("gd", "consumer")))
         // after everyone leaves, the group is Empty (offsets retained)
         a.commit("t", Map(0 -> 1L))
         a.leave(); b.leave()
         val after = KafkaGroup.describeGroup(c, "gd")
         assert(after.state === "Empty" && after.members.isEmpty)
         assert(KafkaWire.fetchOffsets(c, "gd", "t", Seq(0))(0).contains(1L))
+        assert(KafkaGroup.listGroups(c).contains(("gd", "")),
+          "an Empty group still lists (its offsets are retained)")
       } finally { a.close(); b.close(); c.close(); }
     } finally srv.stop()
   }

@@ -64,6 +64,27 @@ object GroupAssignProperties extends Properties("graft.groupassign") {
       }
     }
 
+  property("roundrobin: disjoint, exhaustive, global balance on uniform subscriptions") =
+    Prop.forAll(topicsGen, Gen.chooseNum(1, 6)) { (topics, m) =>
+      // uniform subscriptions (every member subscribes to everything):
+      // roundrobin's contract is balance over the TOTAL load
+      val subs = (0 until m).map(i => s"member-$i" -> topics.keys.toSeq.sorted)
+      val out = KafkaGroup.roundRobinAssign(subs, topics)
+      val again = KafkaGroup.roundRobinAssign(
+        scala.util.Random.shuffle(subs), topics)
+      val perTopicOk = topics.forall { case (t, nParts) =>
+        val all = subs.map(_._1).flatMap(mm =>
+          out.getOrElse(mm, Map.empty).getOrElse(t, Seq.empty))
+        all.sorted == (0 until nParts).toList &&
+          all.distinct.length == all.length
+      }
+      val loads = subs.map(_._1).map(mm =>
+        out.getOrElse(mm, Map.empty).values.map(_.length).sum)
+      val balanced = loads.isEmpty || loads.max - loads.min <= 1
+      val deterministic = out == again
+      perTopicOk && balanced && deterministic
+    }
+
   property("Subscription and Assignment codecs round-trip") =
     Prop.forAll(Gen.listOf(Gen.alphaNumStr.suchThat(_.nonEmpty))) { topics =>
       KafkaGroup.decodeSubscription(
