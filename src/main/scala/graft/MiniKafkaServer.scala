@@ -62,8 +62,9 @@ object MiniKafkaServer {
   * internal topics), while LEADERSHIP is enforced for real on the data
   * path — Produce/Fetch/DeleteRecords on a non-led partition answer
   * NOT_LEADER_FOR_PARTITION, which is exactly the contract a routing
-  * client must honor. Control-plane APIs (ListOffsets, coordinator
-  * calls) are served by any broker; FindCoordinator names broker 0. */
+  * client must honor — and so do ListOffsets lookups (the offset index
+  * lives with the log). Coordinator calls (groups, transactions,
+  * metadata) are served by any broker; FindCoordinator names broker 0. */
 private[graft] final class KafkaClusterState {
   /** One produced batch, stored verbatim: compressed batches
     * (`codec` != 0) re-encode as ONE wrapper message on fetch (offset
@@ -1148,16 +1149,19 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
       val nParts = r.int32()
       val parts = (0 until nParts).map { _ =>
         val p = r.int32(); val ts = r.int64()
-        val off = offsetFor(logOf(topic, p), ts, isolation = 0)
-        (p, off)
+        // the real broker's contract: offset lookups are LEADER-only
+        // (the offset index lives with the log) — clients route them
+        if (leaderOf(topic, p) != brokerId)
+          (p, KafkaWire.Errors.NotLeaderForPartition, -1L)
+        else (p, 0, offsetFor(logOf(topic, p), ts, isolation = 0))
       }
       (topic, parts)
     }
     val w = new Writer().int32(resp.length)
     resp.foreach { case (topic, parts) =>
       w.str(topic).int32(parts.length)
-      parts.foreach { case (p, off) =>
-        w.int32(p).int16(0).int64(-1L).int64(off)
+      parts.foreach { case (p, err, off) =>
+        w.int32(p).int16(err).int64(-1L).int64(off)
       }
     }
     w.result()
@@ -1325,16 +1329,17 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
       val nParts = r.int32()
       val parts = (0 until nParts).map { _ =>
         val p = r.int32(); val ts = r.int64()
-        val off = offsetFor(logOf(topic, p), ts, isolation)
-        (p, off)
+        if (leaderOf(topic, p) != brokerId)
+          (p, KafkaWire.Errors.NotLeaderForPartition, -1L)
+        else (p, 0, offsetFor(logOf(topic, p), ts, isolation))
       }
       (topic, parts)
     }
     val w = new Writer().int32(0).int32(resp.length)
     resp.foreach { case (topic, parts) =>
       w.str(topic).int32(parts.length)
-      parts.foreach { case (p, off) =>
-        w.int32(p).int16(0).int64(-1L).int64(off)
+      parts.foreach { case (p, err, off) =>
+        w.int32(p).int16(err).int64(-1L).int64(off)
       }
     }
     w.result()

@@ -633,8 +633,8 @@ object KafkaWire {
     * response in, correlation ids checked. Single-threaded by design
     * (one task, one Conn); the read timeout bounds how long a hung
     * broker can block an executor task (request.timeout.ms's job). */
-  final class Conn(host: String, port: Int, clientId: String = "graft",
-      timeoutMs: Int = 30000) {
+  final class Conn(val host: String, val port: Int,
+      clientId: String = "graft", timeoutMs: Int = 30000) {
     private val sock = new java.net.Socket(host, port)
     sock.setSoTimeout(timeoutMs)
     // Request-response over one connection: Nagle + delayed ACK would
@@ -1122,10 +1122,13 @@ object KafkaWire {
   def groupLag(c: Conn, groupId: String, topic: String,
       partitions: Seq[Int]): Map[Int, Long] = {
     val committed = fetchOffsets(c, groupId, topic, partitions)
+    // offset lookups are LEADER-routed (c may be the coordinator,
+    // which need not lead any of the partitions)
+    val ends = listOffsetsAll(c, topic, -1L)
+    val starts = listOffsetsAll(c, topic, -2L)
     partitions.map { p =>
-      val end = listOffset(c, topic, p, -1L)
-      val start = listOffset(c, topic, p, -2L)
-      p -> math.max(0L, end - committed.getOrElse(p, None).getOrElse(start))
+      p -> math.max(0L,
+        ends(p) - committed.getOrElse(p, None).getOrElse(starts(p)))
     }.toMap
   }
 
@@ -1165,9 +1168,29 @@ object KafkaWire {
     r.str()
     val nParts = r.int32(); require(nParts == 1)
     r.int32() // partition
-    val err = r.int16(); require(err == 0, s"listOffsets error $err")
+    val err = r.int16()
+    if (err == Errors.NotLeaderForPartition)
+      throw new NotLeaderException(topic, partition)
+    require(err == 0, s"listOffsets error $err")
     r.int64() // timestamp
     r.int64() // offset
+  }
+
+  /** ListOffsets for EVERY partition of `topic`, each lookup routed to
+    * its LEADER (the real contract: the offset index lives with the
+    * log; a one-broker cluster degenerates to the bootstrap). One
+    * temporary connection per non-bootstrap leader. */
+  def listOffsetsAll(bootstrap: Conn, topic: String, timestamp: Long = -1L,
+      isolation: Int = Isolation.ReadUncommitted): Map[Int, Long] = {
+    val view = clusterMetadata(bootstrap, topic)
+    view.leaders.groupBy(_._2).flatMap { case (broker, parts) =>
+      val (h, pt) = view.brokers(broker)
+      val reuse = h == bootstrap.host && pt == bootstrap.port
+      val c = if (reuse) bootstrap else new Conn(h, pt)
+      try parts.keys.toSeq.map(p =>
+        p -> listOffset(c, topic, p, timestamp, isolation))
+      finally if (!reuse) c.close()
+    }
   }
 
   /** Hard ceiling for the grow-on-truncation fetch retry (64 MiB) —

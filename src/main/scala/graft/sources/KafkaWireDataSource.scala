@@ -512,13 +512,12 @@ private[sources] class KafkaWireScan(host: String, port: Int, topic: String,
 
   private def offsets(timestamp: Long): Map[Int, Long] = {
     val c = new KafkaWire.Conn(host, port)
-    try {
-      val n = KafkaWire.partitionCount(c, topic)
-      // read_committed resolves "latest" to the LAST STABLE offset —
-      // a batch read must not plan a range into an open transaction
-      (0 until n).map(p =>
-        p -> KafkaWire.listOffset(c, topic, p, timestamp, isolation)).toMap
-    } finally c.close()
+    // read_committed resolves "latest" to the LAST STABLE offset — a
+    // batch read must not plan a range into an open transaction; each
+    // partition's lookup is routed to its LEADER (offset indexes live
+    // with the log on a multi-broker cluster)
+    try KafkaWire.listOffsetsAll(c, topic, timestamp, isolation)
+    finally c.close()
   }
 
   override def toBatch: Batch = this
@@ -628,12 +627,10 @@ private[sources] class KafkaWireMicroBatchStream(host: String, port: Int,
 
   private def endOffsets(): Map[Int, Long] = {
     val c = new KafkaWire.Conn(host, port)
-    val snap = try {
-      val n = KafkaWire.partitionCount(c, topic)
-      // read_committed batches end at the LAST STABLE offset
-      (0 until n).map(p =>
-        p -> KafkaWire.listOffset(c, topic, p, -1L, isolation)).toMap
-    } finally c.close()
+    // read_committed batches end at the LAST STABLE offset;
+    // leader-routed per partition
+    val snap = try KafkaWire.listOffsetsAll(c, topic, -1L, isolation)
+      finally c.close()
     lastKnownEnd = Some(snap)
     snap
   }
@@ -650,17 +647,19 @@ private[sources] class KafkaWireMicroBatchStream(host: String, port: Int,
       .getOrElse(if (startingOffsets == "latest") -1L else -2L)
     val c = new KafkaWire.Conn(host, port)
     try {
-      val n = KafkaWire.partitionCount(c, topic)
-      KafkaWireOffset((0 until n).map { p =>
-        val o = KafkaWire.listOffset(c, topic, p, ts, isolation)
+      val raw = KafkaWire.listOffsetsAll(c, topic, ts, isolation)
+      val latest: Map[Int, Long] =
+        if (raw.values.exists(_ < 0) && tsStrategy == "latest")
+          KafkaWire.listOffsetsAll(c, topic, -1L, isolation)
+        else Map.empty
+      KafkaWireOffset(raw.map { case (p, o) =>
         p -> (if (o >= 0) o
-          else if (tsStrategy == "latest")
-            KafkaWire.listOffset(c, topic, p, -1L, isolation)
+          else if (tsStrategy == "latest") latest(p)
           else throw new IllegalStateException(
             s"no offset at/after startingTimestamp ${startingTimestamp.get} " +
               s"in $topic-$p; set startingOffsetsByTimestampStrategy=latest " +
               "to start at the log end instead of failing"))
-      }.toMap)
+      })
     } finally c.close()
   }
 

@@ -39,6 +39,13 @@ class MiniKafkaClusterSpec extends SparkSuite {
         intercept[KafkaWire.NotLeaderException] {
           KafkaWire.deleteRecords(boot, "t", 1, 0L)
         }
+        // offset lookups are leader-only too (the offset index lives
+        // with the log); listOffsetsAll routes them per partition
+        intercept[KafkaWire.NotLeaderException] {
+          KafkaWire.listOffset(boot, "t", 1, -1L)
+        }
+        assert(KafkaWire.listOffsetsAll(boot, "t", -2L) ===
+          Map(0 -> 0L, 1 -> 0L, 2 -> 0L, 3 -> 0L))
         // the leader itself serves p1
         val c1 = KafkaWire.leaderConn("localhost", cl.bootstrapPort, "t", 1)
         try {
