@@ -9,6 +9,10 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Suppress sbt's trailing "[success] Total time: …" line: graft.Bench's
+// protocol puts its summary JSON as the LAST stdout line, and a
+// last-line consumer must see the JSON, not sbt's epilogue.
+Global / showSuccess := false
 Test / fork := true
 Test / parallelExecution := false // suites share one SparkSession JVM
 run / fork := true

@@ -235,6 +235,19 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
+    // SUMMARY-only side file (fixed path next to queries_file): exactly
+    // the bytes of the final stdout line, so any consumer that misses
+    // the stdout tail can parse the identical object from disk.
+    try {
+      val sf = new java.io.File(
+        Option(new java.io.File(outFile).getParentFile)
+          .getOrElse(new java.io.File(".")), "SUMMARY.json")
+      val w = new java.io.OutputStreamWriter(new java.io.FileOutputStream(sf),
+        java.nio.charset.StandardCharsets.UTF_8)
+      try w.write(s"{$summaryBody}\n") finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write SUMMARY.json: ${e.getMessage}")
+    }
 
     // Stop Spark BEFORE the stdout protocol lines: executor/shutdown
     // WARNs printing after the summary were the likeliest reason the

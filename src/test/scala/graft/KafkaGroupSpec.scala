@@ -377,4 +377,106 @@ class KafkaGroupSpec extends SparkSuite {
     val asg = KafkaGroup.encodeAssignment(Map("t" -> Seq(1, 3)))
     assert(KafkaGroup.decodeAssignment(asg) == Map("t" -> Seq(1, 3)))
   }
+
+  test("read_committed group poll: aborted/open transactional data never reaches a group consumer, position commits at the LSO") {
+    val srv = new MiniKafkaServer(numPartitions = 1)
+    try {
+      def txnProducer(tid: String) = new KafkaWire.RetryingProducer(
+        "localhost", srv.port, "t", idempotent = true, transactionalId = tid)
+      // committed transaction: rows 0..2, marker at 3
+      val pa = txnProducer("txA")
+      try {
+        pa.beginTransaction()
+        pa.send(0, (0 until 3).map(i => (s"a$i".getBytes(u8), s"a$i".getBytes(u8))), 1L)
+        pa.commitTransaction()
+      } finally pa.close()
+      // aborted transaction: rows 4..5, abort marker at 6
+      val pb = txnProducer("txB")
+      try {
+        pb.beginTransaction()
+        pb.send(0, (0 until 2).map(i => (s"b$i".getBytes(u8), s"b$i".getBytes(u8))), 2L)
+        pb.abortTransaction()
+      } finally pb.close()
+      // OPEN transaction: rows 7..8, never resolved — pins the LSO at 7
+      val pc = txnProducer("txC")
+      pc.beginTransaction()
+      pc.send(0, (0 until 2).map(i => (s"c$i".getBytes(u8), s"c$i".getBytes(u8))), 3L)
+      try {
+        assert(srv.lastStable("t", 0) === 7L)
+
+        // member path: only txA's rows surface; the commit is LSO-bounded
+        val m = new KafkaGroup.GroupMember("localhost", srv.port, "grc", Seq("t"))
+        try {
+          m.ensureActive()
+          val got = m.pollAssigned("t",
+            isolation = KafkaWire.Isolation.ReadCommitted)
+          assert(got.map(r => new String(r._2.value, u8)) === Seq("a0", "a1", "a2"))
+          assert(m.committed("t", Seq(0))(0).contains(7L),
+            "the committed position must stop at the LSO, past the aborted range")
+          // a second committed poll re-reads nothing
+          assert(m.pollAssigned("t",
+            isolation = KafkaWire.Isolation.ReadCommitted).isEmpty)
+          m.leave()
+        } finally m.close()
+
+        // distributed path: same contract through pollGroup
+        val df = KafkaGroup.pollGroup(spark, "localhost", srv.port, "t",
+          "grc2", isolationLevel = "read_committed")
+        assert(df.select("value").collect().map(_.getString(0)).toSeq ===
+          Seq("a0", "a1", "a2"))
+        val c = new KafkaWire.Conn("localhost", srv.port)
+        try assert(KafkaWire.fetchOffsets(c, "grc2", "t", Seq(0))(0).contains(7L))
+        finally c.close()
+
+        // resolving the open transaction releases the held rows to a
+        // FRESH poll of each group — from the LSO-bounded position,
+        // nothing replayed, nothing skipped
+        pc.commitTransaction()
+      } finally pc.close()
+      val df2 = KafkaGroup.pollGroup(spark, "localhost", srv.port, "t",
+        "grc2", isolationLevel = "read_committed")
+      assert(df2.select("value").collect().map(_.getString(0)).toSeq ===
+        Seq("c0", "c1"))
+    } finally srv.stop()
+  }
+
+  test("JoinGroup v1: a short rebalance deadline cuts a non-rejoining member without shortening sessions") {
+    val srv = new MiniKafkaServer(numPartitions = 4)
+    try {
+      // both members keep LONG sessions (survive slow polls) but ask
+      // for a SHORT rebalance deadline — v0 cannot express this (its
+      // barrier deadline IS the session timeout, so this join would
+      // stall 60 s); v1 carries rebalance_timeout separately
+      val a = new KafkaGroup.GroupMember("localhost", srv.port, "gv1",
+        Seq("t"), sessionTimeoutMs = 60000, rebalanceTimeoutMs = 1500)
+      val b = new KafkaGroup.GroupMember("localhost", srv.port, "gv1",
+        Seq("t"), sessionTimeoutMs = 60000, rebalanceTimeoutMs = 1500)
+      try {
+        a.ensureActive()
+        val aId = a.memberId
+        // b joins; a NEVER re-joins (a stalled, not-yet-dead consumer:
+        // its 60 s session is intact, only the barrier cuts it)
+        val t0 = System.currentTimeMillis()
+        val bAssigned = b.ensureActive()
+        val elapsed = System.currentTimeMillis() - t0
+        assert(elapsed < 10000,
+          s"barrier must close at the 1.5 s rebalance deadline, took ${elapsed} ms")
+        assert(bAssigned("t") === Seq(0, 1, 2, 3),
+          "the non-rejoining member is evicted; the joiner owns everything")
+        // the cut member is GONE (eviction, not suspension): its next
+        // heartbeat is UNKNOWN_MEMBER_ID, so heartbeatOnce resets it
+        assert(!a.heartbeatOnce())
+        assert(a.memberId === "",
+          "UNKNOWN_MEMBER_ID must reset the member to a fresh join")
+        assert(b.heartbeatOnce(), "the survivor is a live current member")
+        val c = new KafkaWire.Conn("localhost", srv.port)
+        try {
+          val d = KafkaGroup.describeGroup(c, "gv1")
+          assert(d.state === "Stable")
+          assert(d.members.map(_._1) === Seq(b.memberId))
+          assert(!d.members.exists(_._1 == aId))
+        } finally c.close()
+      } finally { a.close(); b.close(); }
+    } finally srv.stop()
+  }
 }

@@ -487,4 +487,31 @@ class KafkaV2Spec extends SparkSuite {
       assert(back.count() == 30L)
     } finally srv.stop()
   }
+
+  test("a complete-but-empty v1 entry advances the decode cursor (never re-fetched or grown past)") {
+    // Hand-built: a v1 compressed wrapper whose inner set decoded to
+    // ZERO messages. No current broker path produces one (v1 brokers
+    // cannot host the control markers that make empty entries), but
+    // the cursor invariant must be FORMAT-INDEPENDENT: a complete
+    // entry always advances nextPos — the v1 wrapper's outer offset is
+    // the LAST consumed slot (the v1 convention), so the cursor lands
+    // one past it, exactly like the v2 branch's endOffset.
+    val empty = KafkaWire.encodeMessageSetCompressed(Seq.empty, 1L,
+      KafkaWire.Codec.Gzip)
+    // patch the outer offset (first 8 bytes) to a broker-assigned 41
+    (0 until 8).foreach(i => empty(i) = (41L >> (56 - 8 * i)).toByte)
+    val (recs, nextPos) = KafkaWire.decodeRecordSetDetailed(empty)
+    assert(recs.isEmpty)
+    assert(nextPos === 42L, "the empty entry's slot must be consumed")
+
+    // mixed: a plain entry BEFORE the empty wrapper — records decode
+    // and the cursor still ends after the empty entry's slot
+    val u8 = java.nio.charset.StandardCharsets.UTF_8
+    val plain = KafkaWire.encodeMessageSetAt(Seq(
+      KafkaWire.Record(40L, 1L, "k".getBytes(u8), "v".getBytes(u8))))
+    val both = plain ++ empty
+    val (recs2, nextPos2) = KafkaWire.decodeRecordSetDetailed(both)
+    assert(recs2.map(_.offset) === Seq(40L))
+    assert(nextPos2 === 42L)
+  }
 }
