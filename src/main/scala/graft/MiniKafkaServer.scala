@@ -56,16 +56,27 @@ object MiniKafkaServer {
   * producer-id / transaction registries, and the group coordinator's
   * bookkeeping — plus the LEADERSHIP map that decides which broker may
   * serve each partition's data path. One instance backs one OR MANY
-  * [[MiniKafkaServer]]s: with several brokers, state sharing is the
-  * double's "replication is instantaneous and perfect" simplification
-  * (a real cluster replicates logs and persists coordinator state in
-  * internal topics), while LEADERSHIP is enforced for real on the data
+  * [[MiniKafkaServer]]s. LEADERSHIP is enforced for real on the data
   * path — Produce/Fetch/DeleteRecords on a non-led partition answer
   * NOT_LEADER_FOR_PARTITION, which is exactly the contract a routing
   * client must honor — and so do ListOffsets lookups (the offset index
   * lives with the log). Coordinator calls (groups, transactions,
-  * metadata) are served by any broker; FindCoordinator names broker 0. */
-private[graft] final class KafkaClusterState {
+  * metadata) are served by any broker; FindCoordinator names broker 0.
+  *
+  * `replicationFactor` = 1 (default) keeps ONE shared log per
+  * partition — the r15 "replication is instantaneous and perfect"
+  * simplification, unchanged for every single-broker test. With
+  * `replicationFactor` > 1 each assigned broker holds its OWN copy of
+  * the log (independent disks), the leader replicates appends to the
+  * in-sync followers, the HIGH WATERMARK is the minimum log-end over
+  * the ISR (consumers read only below it), and the acks=all produce
+  * path refuses writes that `minInsyncReplicas` in-sync copies cannot
+  * take — the durability contract real producers rely on when a
+  * broker dies holding unreplicated data. Coordinator state (pids,
+  * transactions, groups) stays shared, as a real cluster's does
+  * through its internal topics. */
+private[graft] final class KafkaClusterState(
+    val replicationFactor: Int = 1, val minInsyncReplicas: Int = 1) {
   /** One produced batch, stored verbatim: compressed batches
     * (`codec` != 0) re-encode as ONE wrapper message on fetch (offset
     * = last inner absolute, the v1 convention). `magic` records the
@@ -191,18 +202,178 @@ private[graft] final class KafkaClusterState {
   // ── leadership (the data-path routing contract) ─────────────────────
   /** brokerId → advertised (host, port); brokers register at start. */
   val brokers = scala.collection.concurrent.TrieMap.empty[Int, (String, Int)]
+  /** Brokers that FAILED ([[markDead]]): no longer advertised, out of
+    * every ISR, never a replication target. */
+  val deadBrokers = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  /** Followers whose replication fetch is STALLED — the lag fault
+    * knob. A paused follower silently misses acks<=1 appends (the
+    * loss window stays open while it remains in the ISR); an acks=all
+    * produce shrinks it out of the ISR first (the double collapses
+    * replica.lag.time.max.ms to zero so specs are deterministic). */
+  val pausedReplicas = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
   private val leaders =
     scala.collection.concurrent.TrieMap.empty[(String, Int), Int]
-  /** The partition's leader, assigned round-robin over the registered
-    * brokers at first touch — call after every broker has started. */
+  /** The partition's leader, assigned round-robin over the LIVE
+    * registered brokers at first touch — call after every broker has
+    * started. */
   def leaderOf(topic: String, p: Int): Int =
-    leaders.getOrElseUpdate((topic, p), p % math.max(1, brokers.size))
+    leaders.getOrElseUpdate((topic, p), {
+      val ids = brokers.keys.toSeq.sorted
+      if (ids.isEmpty) 0 else ids(p % ids.size)
+    })
   /** Re-elect `p`'s leader (the controller's job in a real cluster) —
-    * clients discover via NOT_LEADER + metadata refresh. */
-  def moveLeader(topic: String, p: Int, brokerId: Int): Unit = {
-    require(brokers.contains(brokerId), s"unknown broker $$brokerId")
+    * clients discover via NOT_LEADER + metadata refresh. With
+    * replication, a CLEAN election only promotes an in-sync replica
+    * (anything else can lose acked data); promoting an out-of-sync one
+    * must be explicit — `allowUnclean` documents the loss the way
+    * unclean.leader.election.enable does. */
+  def moveLeader(topic: String, p: Int, brokerId: Int,
+      allowUnclean: Boolean = false): Unit = {
+    require(brokers.contains(brokerId), s"unknown broker $brokerId")
+    if (replicationFactor > 1 && !isrOf(topic, p).contains(brokerId)) {
+      require(allowUnclean,
+        s"broker $brokerId is not in $topic-$p's ISR — a clean election " +
+          "cannot promote it (acked data would be lost); pass " +
+          "allowUnclean = true to document the loss")
+      // unclean promotion: the new leader's log IS the truth now, and
+      // nothing else is in sync with it — the ISR collapses to the
+      // leader alone (so the HW is ITS log end, never a deposed
+      // replica's longer log); deposed replicas re-enter through
+      // catchUp, truncating their divergent suffixes
+      isrMap.put((topic, p), Set(brokerId))
+    }
     leaders.put((topic, p), brokerId)
   }
+
+  // ── replication (RF > 1: per-broker replica logs, ISR, HW) ──────────
+  /** Per-(broker, topic, partition) replica logs — independent copies,
+    * so a lagging or dead follower genuinely misses data. Unused at
+    * RF = 1 (the shared [[logs]] store serves every broker). */
+  private val replicaLogs = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, Int), Log]
+
+  /** `brokerId`'s log for (topic, p): its own replica under RF > 1,
+    * the shared log otherwise. */
+  def logAt(brokerId: Int, topic: String, p: Int): Log =
+    if (replicationFactor <= 1) logOf(topic, p)
+    else replicaLogs.getOrElseUpdate((brokerId, topic, p), new Log)
+
+  /** Replica assignment (leader first), fixed at first touch: RF
+    * brokers counting up round-robin from the leader — the classic
+    * rack-unaware assignment shape. */
+  private val replicaSets = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), Seq[Int]]
+  def assignmentOf(topic: String, p: Int): Seq[Int] =
+    if (replicationFactor <= 1) Seq(leaderOf(topic, p))
+    else replicaSets.getOrElseUpdate((topic, p), {
+      val ids = brokers.keys.toSeq.sorted
+      val li = math.max(0, ids.indexOf(leaderOf(topic, p)))
+      (0 until math.min(replicationFactor, ids.size))
+        .map(i => ids((li + i) % ids.size))
+    })
+
+  /** IN-SYNC replicas (leader included). Starts at the full live
+    * assignment; shrinks when a follower dies or lags under an
+    * acks=all produce; regrows only through [[catchUp]]. */
+  private val isrMap = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), Set[Int]]
+  def isrOf(topic: String, p: Int): Set[Int] =
+    isrMap.getOrElseUpdate((topic, p),
+      assignmentOf(topic, p).filterNot(deadBrokers.contains).toSet)
+  def shrinkIsr(topic: String, p: Int, broker: Int): Unit =
+    isrMap.put((topic, p), isrOf(topic, p) - broker)
+
+  /** HIGH WATERMARK: the minimum log-end over the ISR. A consumer may
+    * only read BELOW it — data above it exists only on the leader (or
+    * a strict ISR subset) and dies with it, which is exactly the
+    * acks<=1 loss window; bounding consumers at the HW is what makes
+    * that loss invisible rather than a non-repeatable read. RF = 1:
+    * the log's own end. */
+  def highWatermark(topic: String, p: Int): Long =
+    if (replicationFactor <= 1) {
+      val l = logOf(topic, p); l.synchronized(l.next)
+    } else {
+      val isr = isrOf(topic, p)
+      val ends = (if (isr.isEmpty) Set(leaderOf(topic, p)) else isr)
+        .map { b => val l = logAt(b, topic, p); l.synchronized(l.next) }
+      ends.min
+    }
+
+  /** Broker `id` FAILED: stop advertising it, drop it from every ISR,
+    * and run a CLEAN election for each partition it led — the first
+    * surviving in-sync replica takes over; with none, the partition
+    * goes offline (the real controller's refusal without unclean
+    * election). The TCP listener is the server's to close
+    * ([[MiniKafkaCluster.failBroker]] does both). */
+  def markDead(id: Int): Unit = {
+    deadBrokers.add(id)
+    brokers.remove(id)
+    isrMap.keys.foreach(k => isrMap.put(k, isrMap(k) - id))
+    leaders.snapshot().foreach { case ((t, p), l) =>
+      if (l == id) {
+        val live = isrOf(t, p).toSeq.sorted
+        live.headOption.foreach(nl => leaders.put((t, p), nl))
+      }
+    }
+  }
+
+  /** Make `brokerId`'s replicas consistent with their current leaders
+    * and re-admit it to the ISR — the follower-fetch recovery a
+    * resumed/revived broker runs. The follower's log becomes a MIRROR
+    * of the leader's: any divergent suffix it held (a revived old
+    * leader's acked-under-acks=1 tail the new leader never saw) is
+    * TRUNCATED away — that data is lost, permanently and explicitly,
+    * the documented acks=1 window. Transactional metadata (ongoing
+    * pins, aborted ranges, producer sequence state) is REBUILT from
+    * the copied batch walk, so a caught-up follower can later serve
+    * as leader with correct LSO and idempotence behavior. */
+  def catchUp(brokerId: Int): Unit = {
+    if (replicationFactor <= 1) return
+    replicaSets.snapshot().foreach { case ((topic, p), assigned) =>
+      val leader = leaderOf(topic, p)
+      if (assigned.contains(brokerId) && leader != brokerId) {
+        val ll = logAt(leader, topic, p)
+        val fl = logAt(brokerId, topic, p)
+        // lock order leader-then-follower, same as live replication
+        ll.synchronized { fl.synchronized {
+          fl.batches.clear()
+          fl.ongoing.clear(); fl.aborted.clear(); fl.pidStates.clear()
+          ll.batches.foreach { b =>
+            fl.batches += b
+            if (b.control) {
+              fl.ongoing.remove(b.pid).foreach { first =>
+                if (!isCommitMarker(b)) fl.aborted += ((b.pid, first, b.base))
+              }
+            } else {
+              if (b.transactional && b.pid >= 0L)
+                fl.ongoing.getOrElseUpdate(b.pid, b.base)
+              if (b.pid >= 0L && b.baseSeq >= 0) {
+                val st = fl.pidStates.getOrElseUpdate(b.pid, new PidState)
+                if (b.pEpoch > st.epoch) {
+                  st.epoch = b.pEpoch; st.nextSeq = 0; st.recent.clear()
+                }
+                st.nextSeq = b.baseSeq + b.records.length
+                st.recent.append(
+                  (b.baseSeq, b.baseSeq + b.records.length - 1, b.base))
+                if (st.recent.length > 5) st.recent.removeHead()
+              }
+            }
+          }
+          fl.next = ll.next
+          fl.start = ll.start
+        } }
+        isrMap.put((topic, p), isrOf(topic, p) + brokerId)
+      }
+    }
+  }
+
+  /** A control batch's verdict: key = [version int16 | type int16],
+    * type 1 = commit (the published control-record schema). */
+  def isCommitMarker(b: Batch): Boolean =
+    b.records.headOption.exists { r =>
+      r.key != null && r.key.length >= 4 &&
+        (((r.key(2) & 0xff) << 8) | (r.key(3) & 0xff)) == 1
+    }
 }
 
 /** @param serveFormat highest record format this broker speaks: 2
@@ -218,6 +389,44 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
 
   private def groupStateOf(id: String): Group =
     groups.getOrElseUpdate(id, new Group)
+
+  /** THIS broker's log for (topic, p): its own replica under RF > 1,
+    * the shared log otherwise. Every data-path handler reads/writes
+    * through this — a follower's copy is genuinely separate storage. */
+  private def log(topic: String, p: Int): Log =
+    state.logAt(brokerId, topic, p)
+
+  /** The followers `leader` replicates an append to RIGHT NOW:
+    * assigned, alive, in-sync, not paused. A paused follower in the
+    * ISR is the open loss window (acks<=1 proceeds without it); a
+    * paused follower under acks=all is shrunk out by [[acksAllGate]]
+    * before this is consulted. */
+  private def replicationTargets(topic: String, p: Int,
+      leader: Int): Seq[Int] =
+    if (state.replicationFactor <= 1) Seq.empty
+    else state.assignmentOf(topic, p).filter { b =>
+      b != leader && state.isrOf(topic, p).contains(b) &&
+        !state.deadBrokers.contains(b) && !state.pausedReplicas.contains(b)
+    }
+
+  /** The acks=all admission gate: first collapse lag detection (a
+    * paused/dead follower leaves the ISR immediately — the double's
+    * replica.lag.time.max.ms is zero so specs are deterministic), then
+    * require `minInsyncReplicas` in-sync copies. On refusal NOTHING is
+    * appended and the producer hears NOT_ENOUGH_REPLICAS — durability
+    * is refused loudly, never silently downgraded (the real broker's
+    * pre-append check). */
+  private def acksAllGate(topic: String, p: Int): Int = {
+    if (state.replicationFactor > 1) {
+      state.assignmentOf(topic, p)
+        .filter(b => b != brokerId &&
+          (state.pausedReplicas.contains(b) || state.deadBrokers.contains(b)))
+        .foreach(b => state.shrinkIsr(topic, p, b))
+      if (state.isrOf(topic, p).size < state.minInsyncReplicas)
+        return KafkaWire.Errors.NotEnoughReplicas
+    }
+    0
+  }
 
   // ── group coordinator (classic membership protocol) ─────────────────
   //
@@ -277,7 +486,14 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
           (p, -1L, KafkaWire.Errors.NotLeaderForPartition)
         else {
           truncateBefore(topic, p, before)
-          val log = logOf(topic, p)
+          // retention is cluster-wide: live replicas advance their
+          // log-start too (followers replicate the leader's start in a
+          // real cluster); a paused follower catches up via catchUp
+          if (state.replicationFactor > 1)
+            replicationTargets(topic, p, brokerId).foreach { f =>
+              truncateOn(state.logAt(f, topic, p), before)
+            }
+          val log = this.log(topic, p)
           (p, log.synchronized(log.start), 0)
         }
       }
@@ -548,18 +764,21 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
 
   def stop(): Unit = { running = false; server.close() }
 
-  /** DATA records currently stored for (topic, partition) — test
-    * oracle; transaction control markers occupy offsets but are not
-    * data. */
-  def stored(topic: String, p: Int): Seq[Record] =
-    logs.get((topic, p)).map(l => l.synchronized {
-      l.batches.filter(!_.control).flatMap(_.records).toSeq
-    }).getOrElse(Seq.empty)
+  /** DATA records currently stored in THIS broker's replica of
+    * (topic, partition) — test oracle; transaction control markers
+    * occupy offsets but are not data. */
+  def stored(topic: String, p: Int): Seq[Record] = {
+    val l = log(topic, p)
+    l.synchronized { l.batches.filter(!_.control).flatMap(_.records).toSeq }
+  }
 
-  /** The last stable offset of (topic, partition) — test oracle for
-    * the open-transaction blocking contract. */
-  def lastStable(topic: String, p: Int): Long =
-    logs.get((topic, p)).map(l => l.synchronized(l.lso)).getOrElse(0L)
+  /** The last stable offset of THIS broker's replica of (topic,
+    * partition) — test oracle for the open-transaction blocking
+    * contract. */
+  def lastStable(topic: String, p: Int): Long = {
+    val l = log(topic, p)
+    l.synchronized(l.lso)
+  }
 
   /** LOG COMPACTION: keep only the LATEST record per key (the
     * `cleanup.policy=compact` topics CDC pipelines replay), preserving
@@ -579,7 +798,8 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
     * a key's survivor) and nothing at/after the last stable offset is
     * touched. */
   def compact(topic: String, p: Int, purgeTombstones: Boolean = false): Unit = {
-    val log = logOf(topic, p)
+    // each broker cleans its OWN replica (real cleaners run per broker)
+    val log = this.log(topic, p)
     log.synchronized {
       def keyOf(k: Array[Byte]): String =
         java.util.Base64.getEncoder.encodeToString(k)
@@ -638,29 +858,30 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
     * STRADDLING `offset` survives whole (real retention deletes whole
     * segments), so a post-truncation earliest fetch may still serve a
     * few below-start records — the client's below-cursor drop path. */
-  def truncateBefore(topic: String, p: Int, offset: Long): Unit = {
-    val log = logOf(topic, p)
+  def truncateBefore(topic: String, p: Int, offset: Long): Unit =
+    truncateOn(log(topic, p), offset)
+
+  private def truncateOn(log: Log, offset: Long): Unit =
     log.synchronized {
       val keep = log.batches.filter(_.end > offset)
       log.batches.clear()
       log.batches ++= keep
       log.start = math.max(log.start, math.min(offset, log.next))
     }
-  }
 
   /** The codec each stored batch arrived with — the did-it-actually-
     * compress oracle for the sink's `codec` option. */
-  def storedBatchCodecs(topic: String, p: Int): Seq[Int] =
-    logs.get((topic, p)).map(l => l.synchronized {
-      l.batches.map(_.codec).toSeq
-    }).getOrElse(Seq.empty)
+  def storedBatchCodecs(topic: String, p: Int): Seq[Int] = {
+    val l = log(topic, p)
+    l.synchronized(l.batches.map(_.codec).toSeq)
+  }
 
   /** The record format each stored batch arrived in (1 or 2) — the
     * did-it-actually-negotiate oracle for the format handshake. */
-  def storedBatchMagics(topic: String, p: Int): Seq[Int] =
-    logs.get((topic, p)).map(l => l.synchronized {
-      l.batches.map(_.magic).toSeq
-    }).getOrElse(Seq.empty)
+  def storedBatchMagics(topic: String, p: Int): Seq[Int] = {
+    val l = log(topic, p)
+    l.synchronized(l.batches.map(_.magic).toSeq)
+  }
 
 
   private def serve(sock: java.net.Socket): Unit = {
@@ -756,9 +977,11 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
       w.int16(0).str(t).int32(numPartitions)
       (0 until numPartitions).foreach { p =>
         val leader = leaderOf(t, p)
+        val replicas = state.assignmentOf(t, p)
+        val isr = state.isrOf(t, p).toSeq.sorted
         w.int16(0).int32(p).int32(leader) // error, partition, leader
-        w.int32(1).int32(leader)          // replicas [leader]
-        w.int32(1).int32(leader)          // isr [leader]
+        w.int32(replicas.length); replicas.foreach(w.int32)
+        w.int32(isr.length); isr.foreach(w.int32)
       }
     }
     w.result()
@@ -766,7 +989,7 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
 
   private def produceV2(r: Reader): Array[Byte] = {
     if (consume(dropNextProduce)) throw new DropConnection
-    r.int16(); r.int32() // acks, timeout
+    val reqAcks = r.int16(); r.int32() // acks, timeout
     val nTopics = r.int32()
     val acks = (0 until nTopics).flatMap { _ =>
       val topic = r.str()
@@ -777,22 +1000,42 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
         if (leaderOf(topic, p) != brokerId)
           (topic, p, KafkaWire.Errors.NotLeaderForPartition, -1L)
         else {
-          // a produced set is one batch; remember the codec it arrived
-          // with so fetch can serve it back as the same wrapper shape
-          val codec = if (set.length >= 18 && set(16) == 1)
-            set(17) & 0x07 else 0 // [offset 8][size 4][crc 4][magic@16][attrs@17]
-          val recs = KafkaWire.decodeMessageSet(set)
-          val log = logOf(topic, p)
-          val base = log.synchronized {
-            val b = log.next
-            log.batches += Batch(b,
-              recs.zipWithIndex.map { case (rec, i) =>
-                Record(b + i, rec.timestamp, rec.key, rec.value) }.toSeq, codec)
-            log.next = b + recs.length
-            b
+          val gate = if (reqAcks == -1) acksAllGate(topic, p) else 0
+          if (gate != 0) (topic, p, gate, -1L)
+          else {
+            // a produced set is one batch; remember the codec it arrived
+            // with so fetch can serve it back as the same wrapper shape
+            val codec = if (set.length >= 18 && set(16) == 1)
+              set(17) & 0x07 else 0 // [offset 8][size 4][crc 4][magic@16][attrs@17]
+            val recs = KafkaWire.decodeMessageSet(set)
+            val l = log(topic, p)
+            val targets = replicationTargets(topic, p, brokerId)
+            val base = l.synchronized {
+              val b = l.next
+              val batch = Batch(b,
+                recs.zipWithIndex.map { case (rec, i) =>
+                  Record(b + i, rec.timestamp, rec.key, rec.value) }.toSeq,
+                codec)
+              l.batches += batch
+              l.next = batch.end
+              // replicate INSIDE the leader lock: append order is
+              // replication order, so in-sync copies stay identical
+              // (lock order is always leader-then-follower, per
+              // partition — no cycle)
+              targets.foreach { f =>
+                val fl = state.logAt(f, topic, p)
+                fl.synchronized {
+                  require(fl.next == b,
+                    s"in-sync replica $f of $topic-$p diverged " +
+                      s"(${fl.next} != $b)")
+                  fl.batches += batch; fl.next = batch.end
+                }
+              }
+              b
+            }
+            producesAppended.incrementAndGet()
+            (topic, p, 0, base)
           }
-          producesAppended.incrementAndGet()
-          (topic, p, 0, base)
         }
       }
     }
@@ -875,7 +1118,7 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
   private def produceV3(r: Reader): Array[Byte] = {
     if (consume(dropNextProduce)) throw new DropConnection
     r.str() // transactional_id
-    r.int16(); r.int32() // acks, timeout
+    val reqAcks = r.int16(); r.int32() // acks, timeout
     val nTopics = r.int32()
     val acks = (0 until nTopics).flatMap { _ =>
       val topic = r.str()
@@ -885,6 +1128,8 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
         val set = r.bytes()
         if (leaderOf(topic, p) != brokerId) {
           (topic, p, KafkaWire.Errors.NotLeaderForPartition, -1L)
+        } else if (reqAcks == -1 && acksAllGate(topic, p) != 0) {
+          (topic, p, KafkaWire.Errors.NotEnoughReplicas, -1L)
         } else {
         val batches = KafkaWire.decodeRecordBatches(set)
         // transactional batches register their partition with the
@@ -895,12 +1140,30 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
             openTxns.getOrElseUpdate(b.producerId,
               scala.collection.mutable.Set.empty) += ((topic, p))
           }
-        val log = logOf(topic, p)
-        val (err, base) = log.synchronized {
+        val l = log(topic, p)
+        val targets = replicationTargets(topic, p, brokerId)
+        val (err, base) = l.synchronized {
           batches.foldLeft((0, -1L)) { case ((e, b0), batch) =>
             if (e != 0) (e, b0)
             else {
-              val (e2, b2) = appendV2(log, batch)
+              val pre = l.next
+              val (e2, b2) = appendV2(l, batch)
+              // replicate only batches the leader ACTUALLY appended —
+              // a broker-deduped retry (e2 == 0, b2 < pre) was already
+              // replicated the first time. Inside the leader lock:
+              // append order is replication order.
+              if (e2 == 0 && b2 == pre) targets.foreach { f =>
+                val fl = state.logAt(f, topic, p)
+                fl.synchronized {
+                  require(fl.next == pre,
+                    s"in-sync replica $f of $topic-$p diverged " +
+                      s"(${fl.next} != $pre)")
+                  val (fe, fb) = appendV2(fl, batch)
+                  require(fe == 0 && fb == pre,
+                    s"replica $f of $topic-$p refused a replicated " +
+                      s"batch: error $fe")
+                }
+              }
               (e2, if (b0 < 0) b2 else b0)
             }
           }
@@ -954,18 +1217,37 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
   private def resolveTxn(pid: Long, epoch: Int, commit: Boolean): Unit = {
     openTxns.remove(pid).foreach { parts =>
       parts.foreach { case (topic, p) =>
-        val log = logOf(topic, p)
+        // markers are written by the coordinator into each partition's
+        // LEADER log (WriteTxnMarkers in a real cluster — EndTxn may be
+        // served by any broker) and replicate like any other append
+        val leader = state.leaderOf(topic, p)
+        val log = state.logAt(leader, topic, p)
+        val targets = replicationTargets(topic, p, leader)
         log.synchronized {
           log.ongoing.remove(pid).foreach { first =>
             val off = log.next
             val raw = KafkaWire.encodeControlBatch(off, pid, epoch,
               commit, System.currentTimeMillis())
             val recs = KafkaWire.decodeRecordBatches(raw).head.records
-            log.batches += Batch(off, recs, 0, magic = 2, pid = pid,
+            val marker = Batch(off, recs, 0, magic = 2, pid = pid,
               pEpoch = epoch, baseSeq = -1, raw = raw,
               transactional = true, control = true)
+            log.batches += marker
             log.next = off + 1
             if (!commit) log.aborted += ((pid, first, off))
+            targets.foreach { f =>
+              val fl = state.logAt(f, topic, p)
+              fl.synchronized {
+                require(fl.next == off,
+                  s"in-sync replica $f of $topic-$p diverged " +
+                    s"(${fl.next} != $off)")
+                fl.ongoing.remove(pid).foreach { ffirst =>
+                  if (!commit) fl.aborted += ((pid, ffirst, off))
+                }
+                fl.batches += marker
+                fl.next = off + 1
+              }
+            }
           }
         }
       }
@@ -1080,11 +1362,17 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
     * not guess; the consumer's startingOffsetsByTimestampStrategy
     * decides whether that is an error (the stock default) or a
     * start-at-latest. Control markers are not data and never match. */
-  private def offsetFor(log: Log, ts: Long, isolation: Int): Long =
+  private def offsetFor(log: Log, ts: Long, isolation: Int,
+      hw: Long): Long =
     log.synchronized {
       if (ts == -2L) log.start // earliest = log-START, not 0: retention moves it
-      else if (ts == -1L) { if (isolation == 1) log.lso else log.next }
+      // "latest" is the HIGH WATERMARK (LSO under read_committed, and
+      // the LSO can never exceed the HW) — never the leader's raw log
+      // end: offsets above the HW are not yet replicated and a
+      // consumer admitted to them could read data a failover unwrites
+      else if (ts == -1L) { if (isolation == 1) math.min(log.lso, hw) else hw }
       else log.batches.iterator.filter(!_.control).flatMap(_.records)
+        .filter(_.offset < hw)
         .find(_.timestamp >= ts).map(_.offset).getOrElse(-1L)
     }
 
@@ -1162,7 +1450,8 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
         // (the offset index lives with the log) — clients route them
         if (leaderOf(topic, p) != brokerId)
           (p, KafkaWire.Errors.NotLeaderForPartition, -1L)
-        else (p, 0, offsetFor(logOf(topic, p), ts, isolation = 0))
+        else (p, 0, offsetFor(log(topic, p), ts, isolation = 0,
+          state.highWatermark(topic, p)))
       }
       (topic, parts)
     }
@@ -1228,21 +1517,26 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
     if (leaderOf(topic, p) != brokerId)
       return (KafkaWire.Errors.NotLeaderForPartition, -1L, -1L, Nil,
         Array.emptyByteArray)
-    val log = logOf(topic, p)
+    val log = this.log(topic, p)
+    // the HIGH WATERMARK bounds every consumer read: data above it is
+    // not yet on all in-sync replicas and would vanish with the leader
+    // (the acks<=1 window) — serving it would be a non-repeatable read.
+    // RF = 1: the log's own end, exactly the r15 behavior.
+    val hwm = state.highWatermark(topic, p)
     // a fetch below the log start reads data retention already deleted
     // — OFFSET_OUT_OF_RANGE (error 1), the real broker's answer to a
     // checkpoint that outlived the log head
     val below = log.synchronized(off < log.start)
     if (below)
       return (KafkaWire.Errors.OffsetOutOfRange,
-        log.synchronized(log.next), log.synchronized(log.lso), Nil,
+        hwm, log.synchronized(math.min(log.lso, hwm)), Nil,
         Array.emptyByteArray)
     val (from, hw, lso, aborted) = log.synchronized {
       // a PLAIN v1 message set is addressable per message — the broker
       // serves from the exact offset; a compressed wrapper and a v2
       // record batch are ATOMIC, so the whole batch ships even when
       // `off` is inside it (the below-cursor records the client drops)
-      val bound = if (stableOnly) log.lso else Long.MaxValue
+      val bound = math.min(hwm, if (stableOnly) log.lso else Long.MaxValue)
       val fromBatch = log.batches.toSeq
         .dropWhile(_.end <= off).takeWhile(_.end <= bound)
       val sliced = fromBatch match {
@@ -1255,7 +1549,7 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
       // anything earlier cannot have data in this response
       val ab = log.aborted.toSeq.filter(_._3 >= off)
         .map { case (pid, first, _) => (pid, first) }
-      (sliced, log.next, log.lso, ab)
+      (sliced, hwm, math.min(log.lso, hwm), ab)
     }
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
@@ -1340,7 +1634,8 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
         val p = r.int32(); val ts = r.int64()
         if (leaderOf(topic, p) != brokerId)
           (p, KafkaWire.Errors.NotLeaderForPartition, -1L)
-        else (p, 0, offsetFor(logOf(topic, p), ts, isolation))
+        else (p, 0, offsetFor(log(topic, p), ts, isolation,
+          state.highWatermark(topic, p)))
       }
       (topic, parts)
     }
@@ -1360,24 +1655,86 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
   * over the brokers; each broker REFUSES the data path for partitions
   * it does not lead (NOT_LEADER_FOR_PARTITION), so a client reaching
   * all data must do what real clients do — fetch cluster metadata and
-  * route per partition, refreshing on re-election. [[moveLeader]]
-  * plays the controller. */
+  * route per partition, refreshing on re-election. [[moveLeader]] /
+  * [[failBroker]] play the controller.
+  *
+  * `replicationFactor` > 1 turns on REAL replication between the
+  * brokers' now-independent logs: acks=all produces block on the ISR,
+  * `minInsyncReplicas` gates durability, the high watermark bounds
+  * consumers, [[pauseReplication]] opens the acks=1 loss window, and
+  * [[failBroker]] runs a clean election — the full durability
+  * contract a real producer/consumer pair depends on when a broker
+  * dies holding unreplicated data. */
 final class MiniKafkaCluster(numBrokers: Int, numPartitions: Int = 2,
-    serveFormat: Int = 2) {
+    serveFormat: Int = 2, replicationFactor: Int = 1,
+    minInsyncReplicas: Int = 1) {
   require(numBrokers >= 1)
-  val state = new KafkaClusterState
-  val servers: Seq[MiniKafkaServer] =
+  require(replicationFactor <= numBrokers,
+    s"replicationFactor $replicationFactor needs at least that many brokers")
+  val state = new KafkaClusterState(replicationFactor, minInsyncReplicas)
+  private val initial: Seq[MiniKafkaServer] =
     (0 until numBrokers).map(i =>
       new MiniKafkaServer(numPartitions, serveFormat, state, i))
+  /** Brokers revived after [[failBroker]] — a fresh listener (new
+    * port, same brokerId) over the broker's surviving replica logs. */
+  private val revived =
+    scala.collection.concurrent.TrieMap.empty[Int, MiniKafkaServer]
+  def servers: Seq[MiniKafkaServer] = initial
+  private def serverOf(id: Int): MiniKafkaServer =
+    revived.getOrElse(id, initial(id))
   /** The bootstrap address a client is given — broker 0 only; every
     * other broker must be DISCOVERED through metadata. */
   def bootstrapPort: Int = servers.head.port
-  def port(brokerId: Int): Int = servers(brokerId).port
+  def port(brokerId: Int): Int = serverOf(brokerId).port
   def leaderOf(topic: String, p: Int): Int = state.leaderOf(topic, p)
-  def moveLeader(topic: String, p: Int, brokerId: Int): Unit =
-    state.moveLeader(topic, p, brokerId)
-  /** Data oracle — state is shared, any server answers. */
+  def isrOf(topic: String, p: Int): Set[Int] = state.isrOf(topic, p)
+  def highWatermark(topic: String, p: Int): Long =
+    state.highWatermark(topic, p)
+  def moveLeader(topic: String, p: Int, brokerId: Int,
+      allowUnclean: Boolean = false): Unit =
+    state.moveLeader(topic, p, brokerId, allowUnclean)
+
+  /** Stall `brokerId`'s replication fetch: it silently misses acks<=1
+    * appends while STAYING in the ISR (the real lag window before
+    * replica.lag.time.max.ms fires); an acks=all produce shrinks it
+    * out first. */
+  def pauseReplication(brokerId: Int): Unit =
+    state.pausedReplicas.add(brokerId)
+  /** Un-stall and CATCH UP `brokerId` (the follower fetch): its
+    * replicas mirror their leaders again and it re-joins the ISR. */
+  def resumeReplication(brokerId: Int): Unit = {
+    state.pausedReplicas.remove(brokerId)
+    state.catchUp(brokerId)
+  }
+  /** Kill `brokerId`: close its listener, drop it from metadata and
+    * every ISR, and cleanly re-elect the partitions it led (first
+    * surviving in-sync replica; none → the partition goes offline).
+    * Data only it held — acked under acks<=1 past the HW — is LOST. */
+  def failBroker(brokerId: Int): Unit = {
+    serverOf(brokerId).stop()
+    state.markDead(brokerId)
+  }
+  /** Restart a failed broker: a fresh listener re-registers the id,
+    * then the broker runs follower recovery ([[KafkaClusterState
+    * .catchUp]]) — any divergent suffix its logs held is truncated to
+    * the current leaders' logs, and it re-enters the ISR. */
+  def reviveBroker(brokerId: Int): Unit = {
+    require(state.deadBrokers.contains(brokerId),
+      s"broker $brokerId is not dead")
+    state.deadBrokers.remove(brokerId)
+    revived.put(brokerId,
+      new MiniKafkaServer(numPartitions, serveFormat, state, brokerId))
+    state.catchUp(brokerId)
+  }
+  /** Data oracle: the CURRENT LEADER's replica of (topic, p) — the
+    * cluster's authoritative copy. */
   def stored(topic: String, p: Int): Seq[Record] =
-    servers.head.stored(topic, p)
-  def stop(): Unit = servers.foreach(_.stop())
+    serverOf(state.leaderOf(topic, p)).stored(topic, p)
+  /** Data oracle for one broker's own replica. */
+  def storedAt(brokerId: Int, topic: String, p: Int): Seq[Record] =
+    serverOf(brokerId).stored(topic, p)
+  def stop(): Unit = {
+    initial.foreach(_.stop())
+    revived.values.foreach(_.stop())
+  }
 }

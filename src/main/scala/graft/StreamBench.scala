@@ -410,7 +410,51 @@ object StreamBench {
     }
     val clusterRows = Seq(1, 2).map(clusterRow)
 
-    (results ++ codecResults ++ rc ++ clusterRows :+ minp :+ idem :+ txn)
+    // acks cost under REAL replication (r16): the same 500 k-row
+    // produce against a 2-broker RF=2 cluster — acks=all is not acked
+    // until the follower's independent copy has the batch; acks=1 acks
+    // on the leader alone (followers replicate in the same call here,
+    // so the delta isolates the ISR-gate bookkeeping; a real cluster's
+    // acks=all additionally pays the follower network round-trip).
+    // acks=all also asserts the durability it paid for: both replicas
+    // hold every row.
+    def acksRow(acks: String): String = {
+      val cl = new MiniKafkaCluster(2, numPartitions = 4,
+        replicationFactor = 2)
+      try {
+        val n = 500000
+        val df = articles(n).persist(StorageLevel.MEMORY_ONLY)
+        df.count()
+        val t0 = System.nanoTime()
+        df.write.format("graft-kafka")
+          .option("host", "localhost").option("port", cl.bootstrapPort.toString)
+          .option("topic", "bench-topic").option("acks", acks)
+          .mode("append").save()
+        val produceSecs = secsSince(t0)
+        df.unpersist(blocking = true)
+        if (acks == "all") (0 until 4).foreach { p =>
+          val leaderRows = cl.storedAt(cl.leaderOf("bench-topic", p),
+            "bench-topic", p).length
+          (0 until 2).foreach { b =>
+            require(cl.storedAt(b, "bench-topic", p).length == leaderRows,
+              s"acks=all left replica $b of p$p behind")
+          }
+        }
+        val t1 = System.nanoTime()
+        val consumed = spark.read.format("graft-kafka")
+          .option("host", "localhost").option("port", cl.bootstrapPort.toString)
+          .option("topic", "bench-topic").load().count()
+        val consumeSecs = secsSince(t1)
+        require(consumed == n, s"acks=$acks bench lost rows: $consumed != $n")
+        s""""rf2_acks_$acks":{"rows":$n,""" +
+          s""""produce_rps":${r3(n / produceSecs)},""" +
+          s""""consume_rps":${r3(n / consumeSecs)}}"""
+      } finally cl.stop()
+    }
+    val acksRows = Seq("all", "1").map(acksRow)
+
+    (results ++ codecResults ++ rc ++ clusterRows ++ acksRows
+      :+ minp :+ idem :+ txn)
       .mkString("{", ",", "}")
   }
 }

@@ -741,12 +741,12 @@ object KafkaWire {
     * [[decodeMessageSet]]. */
   def produce(c: Conn, topic: String, partition: Int,
       records: Seq[(Array[Byte], Array[Byte])], timestamp: Long,
-      codec: Int = Codec.None): Long = {
+      codec: Int = Codec.None, acks: Int = -1): Long = {
     val set = if (codec != Codec.None)
       encodeMessageSetCompressed(records, timestamp, codec)
       else encodeMessageSet(records, timestamp)
     val body = new Writer()
-      .int16(-1).int32(30000) // acks=all, timeout
+      .int16(acks).int32(30000) // acks (-1 = all ISR, 1 = leader only)
       .int32(1).str(topic)
       .int32(1).int32(partition)
       .int32(set.length).raw(set)
@@ -759,6 +759,8 @@ object KafkaWire {
     val err = r.int16()
     if (err == Errors.NotLeaderForPartition)
       throw new NotLeaderException(topic, partition)
+    if (err == Errors.NotEnoughReplicas)
+      throw new NotEnoughReplicasException(topic, partition)
     require(err == 0, s"produce error $err")
     val baseOffset = r.int64()
     r.int64() // log_append_time
@@ -785,7 +787,23 @@ object KafkaWire {
     /** The addressed broker does not lead this partition — refresh
       * metadata and re-route (the multi-broker data-path contract). */
     val NotLeaderForPartition = 6
+    /** acks=all refused: fewer than min.insync.replicas in-sync copies
+      * can take the write — durability is refused loudly, never
+      * silently downgraded to fewer replicas. */
+    val NotEnoughReplicas = 19
   }
+
+  /** The broker refused an acks=all produce: the partition's in-sync
+    * replica set is below min.insync.replicas, so the requested
+    * durability (every acked record on every in-sync copy) cannot be
+    * provided. NOTHING was appended. The stock client retries this
+    * until delivery.timeout.ms and then surfaces the same error; this
+    * client surfaces it immediately — either way the producer LEARNS
+    * the write is not durable instead of silently getting less. */
+  final class NotEnoughReplicasException(val topic: String,
+      val partition: Int) extends RuntimeException(
+    s"not enough in-sync replicas for an acks=all write to " +
+      s"$topic-$partition (min.insync.replicas unmet) — nothing appended")
 
   /** The broker answered NOT_LEADER_FOR_PARTITION: metadata is stale
     * (a re-election, or a bootstrap-only client on a multi-broker
@@ -811,10 +829,11 @@ object KafkaWire {
     * / [[OutOfOrderSequenceException]] so the retry loop can tell
     * retriable I/O faults from fatal protocol state. */
   def produceV3(c: Conn, topic: String, partition: Int,
-      batch: Array[Byte], transactionalId: String = null): Long = {
+      batch: Array[Byte], transactionalId: String = null,
+      acks: Int = -1): Long = {
     val body = new Writer()
       .str(transactionalId)   // null = idempotent-only
-      .int16(-1).int32(30000) // acks=all, timeout
+      .int16(acks).int32(30000) // acks (-1 = all ISR, 1 = leader only)
       .int32(1).str(topic)
       .int32(1).int32(partition)
       .int32(batch.length).raw(batch)
@@ -833,6 +852,8 @@ object KafkaWire {
         throw new OutOfOrderSequenceException(topic, partition, err)
       case Errors.NotLeaderForPartition =>
         throw new NotLeaderException(topic, partition)
+      case Errors.NotEnoughReplicas =>
+        throw new NotEnoughReplicasException(topic, partition)
       case other => sys.error(s"produce error $other")
     }
     val baseOffset = r.int64()
@@ -1317,11 +1338,22 @@ object KafkaWire {
     * must abort the task, not be trusted with a resend. */
   final class RetryingProducer(host: String, port: Int, topic: String,
       maxAttempts: Int = 3, format: String = "auto",
-      idempotent: Boolean = false, transactionalId: String = null) {
+      idempotent: Boolean = false, transactionalId: String = null,
+      acks: String = "all") {
     require(format == "auto" || format == "v1" || format == "v2",
       s"format must be auto|v1|v2, got '$format'")
     require(!(idempotent && format == "v1"),
       "idempotent produce needs record-batch v2 (format=v1 given)")
+    /** acks="all" (-1): the broker acks only once every in-sync
+      * replica persisted the batch — an acked record survives a clean
+      * leader failover. acks="1": leader-only ack — faster, but a
+      * record acked just before the leader dies can be LOST (its
+      * replication never happened); consumers never see such records
+      * (the high watermark bounds reads), so the loss is silent.
+      * The stock client's acks config, same values, same trade. */
+    require(acks == "all" || acks == "1",
+      s"acks must be all|1, got '$acks'")
+    private val acksCode = if (acks == "all") -1 else 1
     private var conn: Conn = null
     private var nParts = -1
     private var magic = -1
@@ -1467,7 +1499,7 @@ object KafkaWire {
               if (idempotent) pEpoch else -1, baseSeq,
               transactional = inTxn)
             val off = produceV3(connFor(partition), topic, partition, batch,
-              if (inTxn) transactionalId else null)
+              if (inTxn) transactionalId else null, acksCode)
             if (idempotent) seqs(partition) = baseSeq + records.length
             off
           } else {
@@ -1479,7 +1511,7 @@ object KafkaWire {
             // the same loss a real broker's down-conversion accepts
             val ts = records.iterator.map(_.timestamp).max
             produce(connFor(partition), topic, partition,
-              records.map(r => (r.key, r.value)), ts, codec)
+              records.map(r => (r.key, r.value)), ts, codec, acksCode)
           }
         }
         catch {

@@ -111,6 +111,16 @@ class KafkaWireDataSource extends TableProvider with DataSourceRegister {
       "startingOffsetsByTimestampStrategy needs startingTimestamp")
     val codec = KafkaWire.Codec.forName(
       Option(opts.get("codec")).getOrElse("none"))
+    // acks: "all"/"-1" (default — acked only when every in-sync replica
+    // persisted; survives clean leader failover) or "1" (leader-only —
+    // a record acked just before the leader dies can be lost). The
+    // stock connector's kafka.acks passthrough, validated at plan time.
+    val acks = Option(opts.get("acks")).getOrElse("all") match {
+      case "all" | "-1" => "all"
+      case "1" => "1"
+      case other => throw new IllegalArgumentException(
+        s"acks must be all|-1|1, got '$other'")
+    }
     val format = Option(opts.get("format")).getOrElse("auto")
     require(format == "auto" || format == "v1" || format == "v2",
       s"format must be auto|v1|v2, got '$format'")
@@ -168,7 +178,7 @@ class KafkaWireDataSource extends TableProvider with DataSourceRegister {
     new KafkaWireTable(host, Integer.parseInt(port), topic, starting, codec,
       maxOffsets, format, idempotent, minPartitions, includeHeaders,
       isolation, txnPrefix, startingTs, endingTs, txnJobCommit,
-      failOnDataLoss, tsStrategy)
+      failOnDataLoss, tsStrategy, acks)
   }
 }
 
@@ -206,7 +216,8 @@ private[sources] class KafkaWireTable(host: String, port: Int, topic: String,
     endingTimestamp: Option[Long] = None,
     txnJobCommit: Boolean = false,
     failOnDataLoss: Boolean = true,
-    tsStrategy: String = "error")
+    tsStrategy: String = "error",
+    acks: String = "all")
     extends Table with SupportsRead with SupportsWrite {
   require(host != null && topic != null, "options host, port, topic are required")
   override def name(): String = s"graft-kafka($topic@$host:$port)"
@@ -227,7 +238,7 @@ private[sources] class KafkaWireTable(host: String, port: Int, topic: String,
     new WriteBuilder {
       override def build(): Write =
         new KafkaWireWrite(host, port, topic, info.schema(), codec, format,
-          idempotent, txnPrefix, txnJobCommit)
+          idempotent, txnPrefix, txnJobCommit, acks)
     }
 }
 
@@ -250,7 +261,8 @@ private[sources] class KafkaWireWrite(host: String, port: Int, topic: String,
     schema: StructType, codec: Int = KafkaWire.Codec.None,
     format: String = "auto", idempotent: Boolean = false,
     txnPrefix: Option[String] = None,
-    txnJobCommit: Boolean = false) extends Write {
+    txnJobCommit: Boolean = false,
+    acks: String = "all") extends Write {
   require(schema.fieldNames.contains("key") && schema.fieldNames.contains("value"),
     s"graft-kafka sink needs key and value columns; got ${schema.simpleString}")
   private def binaryness(field: String): Boolean =
@@ -288,7 +300,7 @@ private[sources] class KafkaWireWrite(host: String, port: Int, topic: String,
   private def factory = KafkaWriterFactory(host, port, topic,
     schema.fieldIndex("key"), schema.fieldIndex("value"),
     keyBinary, valueBinary, codec, format, idempotent, headersIdx,
-    txnPrefix, txnJobCommit)
+    txnPrefix, txnJobCommit, acks)
 
   // ── transactionalCommit=job: driver-coordinated EndTxn fan-out ──────
   //
@@ -373,7 +385,8 @@ private[sources] case class KafkaWriterFactory(host: String, port: Int,
     keyBinary: Boolean, valueBinary: Boolean,
     codec: Int = KafkaWire.Codec.None, format: String = "auto",
     idempotent: Boolean = false, headersIdx: Int = -1,
-    txnPrefix: Option[String] = None, txnJobCommit: Boolean = false)
+    txnPrefix: Option[String] = None, txnJobCommit: Boolean = false,
+    acks: String = "all")
     extends DataWriterFactory with StreamingDataWriterFactory {
   // the transactional id is STABLE per (prefix, topic, input
   // partition): a retried task re-inits the same id, which bumps the
@@ -385,12 +398,12 @@ private[sources] case class KafkaWriterFactory(host: String, port: Int,
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new KafkaProduceWriter(host, port, topic, keyIdx, valueIdx,
       keyBinary, valueBinary, codec, format, idempotent, headersIdx,
-      tid(partitionId), txnJobCommit)
+      tid(partitionId), txnJobCommit, acks)
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new KafkaProduceWriter(host, port, topic, keyIdx, valueIdx,
       keyBinary, valueBinary, codec, format, idempotent, headersIdx,
-      tid(partitionId), txnJobCommit)
+      tid(partitionId), txnJobCommit, acks)
 }
 
 /** One task's producer: buffers rows, routes them to topic partitions
@@ -404,7 +417,8 @@ private[sources] class KafkaProduceWriter(host: String, port: Int,
     codec: Int = KafkaWire.Codec.None, format: String = "auto",
     idempotent: Boolean = false, headersIdx: Int = -1,
     transactionalId: Option[String] = None,
-    txnJobCommit: Boolean = false)
+    txnJobCommit: Boolean = false,
+    acks: String = "all")
     extends DataWriter[InternalRow] {
   // idempotent=true: this TASK's producer gets a fresh PID and
   // per-partition sequences, so the client's own I/O retries dedup
@@ -430,7 +444,7 @@ private[sources] class KafkaProduceWriter(host: String, port: Int,
   // Spark's DSv2 does not offer a recoverable hook for.
   private val prod = new KafkaWire.RetryingProducer(host, port, topic,
     format = format, idempotent = idempotent || transactionalId.isDefined,
-    transactionalId = transactionalId.orNull)
+    transactionalId = transactionalId.orNull, acks = acks)
   if (transactionalId.isDefined) prod.beginTransaction()
   private val buf =
     scala.collection.mutable.ArrayBuffer.empty[KafkaWire.Record]
