@@ -331,7 +331,19 @@ private[graft] final class KafkaClusterState(
     if (replicationFactor <= 1) return
     replicaSets.snapshot().foreach { case ((topic, p), assigned) =>
       val leader = leaderOf(topic, p)
-      if (assigned.contains(brokerId) && leader != brokerId) {
+      if (assigned.contains(brokerId) && leader == brokerId) {
+        // a revived broker that still LEADS this partition: its own
+        // log IS the truth (nothing newer was ever elected), and the
+        // leader is trivially in sync with itself — without this
+        // re-admission an offline partition would refuse acks=all
+        // forever after its leader comes back
+        isrMap.put((topic, p), isrOf(topic, p) + brokerId)
+      } else if (assigned.contains(brokerId) &&
+          deadBrokers.contains(leader)) {
+        // the partition is OFFLINE: there is no live leader to fetch
+        // from — the follower stays behind (and out of the ISR) until
+        // the leader revives
+      } else if (assigned.contains(brokerId) && leader != brokerId) {
         val ll = logAt(leader, topic, p)
         val fl = logAt(brokerId, topic, p)
         // lock order leader-then-follower, same as live replication
