@@ -307,4 +307,86 @@ class KafkaReplicationSpec extends SparkSuite {
       assert(e.getMessage.contains("acks"))
     } finally cl.stop()
   }
+  test("a consumer group rides through a leader failover: committed positions stay valid, nothing lost or replayed") {
+    val cl = new MiniKafkaCluster(numBrokers = 2, numPartitions = 2,
+      replicationFactor = 2)
+    try {
+      val prod = new KafkaWire.RetryingProducer("localhost", cl.port(0),
+        "t", idempotent = true, acks = "all")
+      try {
+        (0 until 2).foreach(p =>
+          prod.send(p, (0 until 10).map(i => kv(s"r1-$p-$i")), 1L))
+        // first coordinated poll: everything, committed through the
+        // group (the coordinator — broker 0 — survives the failover)
+        val r1 = graft.sources.KafkaGroup.pollGroup(spark, "localhost",
+          cl.port(0), "t", "gfail")
+        assert(r1.count() === 20L)
+
+        // partition 1's leader dies; its data was acked under acks=all
+        // so the follower-turned-leader holds every committed-past row
+        cl.failBroker(1)
+        assert(cl.leaderOf("t", 1) === 0)
+        (0 until 2).foreach(p =>
+          prod.send(p, (0 until 5).map(i => kv(s"r2-$p-$i")), 2L))
+
+        // the next poll joins fresh, routes p1's drain to the NEW
+        // leader, and resumes from the group's committed positions —
+        // exactly the new rows, nothing lost, nothing replayed
+        val r2 = graft.sources.KafkaGroup.pollGroup(spark, "localhost",
+          cl.port(0), "t", "gfail")
+        assert(r2.select("value").collect().map(_.getString(0)).toSet ===
+          (for (p <- 0 until 2; i <- 0 until 5) yield s"r2-$p-$i").toSet)
+        assert(graft.sources.KafkaGroup.pollGroup(spark, "localhost",
+          cl.port(0), "t", "gfail").count() === 0L)
+      } finally prod.close()
+    } finally cl.stop()
+  }
+
+  test("the checkpointed streaming source resumes exactly-once across a leader failover") {
+    import org.apache.spark.sql.streaming.Trigger
+    val cl = new MiniKafkaCluster(numBrokers = 2, numPartitions = 2,
+      replicationFactor = 2)
+    try {
+      val prod = new KafkaWire.RetryingProducer("localhost", cl.port(0),
+        "t", idempotent = true, acks = "all")
+      try {
+        val ckpt = java.nio.file.Files.createTempDirectory("gkr-ckpt").toString
+        val outDir = java.nio.file.Files.createTempDirectory("gkr-out").toString
+        def runOnce(): Unit = {
+          val q = spark.readStream.format("graft-kafka")
+            .option("host", "localhost").option("port", cl.port(0).toString)
+            .option("topic", "t").load()
+            .writeStream.format("parquet")
+            .option("path", outDir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.processAllAvailable(); q.stop()
+        }
+        (0 until 2).foreach(p =>
+          prod.send(p, (0 until 10).map(i => kv(s"r1-$p-$i")), 1L))
+        runOnce()
+        assert(spark.read.parquet(outDir).count() === 20L)
+
+        // the broker leading p1 dies BETWEEN micro-batches: the
+        // checkpointed offsets stay valid (acks=all data is byte-
+        // complete on the new leader at the same offsets), and the
+        // next batch's readers re-resolve leadership from metadata
+        cl.failBroker(1)
+        (0 until 2).foreach(p =>
+          prod.send(p, (0 until 5).map(i => kv(s"r2-$p-$i")), 2L))
+        runOnce()
+        val all = spark.read.parquet(outDir).collect()
+        assert(all.length === 30, "exactly once across the failover")
+        assert(all.map(_.getAs[String]("value")).toSet ===
+          ((for (p <- 0 until 2; i <- 0 until 10) yield s"r1-$p-$i") ++
+            (for (p <- 0 until 2; i <- 0 until 5) yield s"r2-$p-$i")).toSet)
+        // broker-real offsets, contiguous per partition — no gap, no
+        // replay, across the leadership change
+        all.groupBy(_.getAs[Int]("partition")).foreach { case (_, rows) =>
+          val offs = rows.map(_.getAs[Long]("offset")).sorted.toSeq
+          assert(offs === (0L until offs.length).toSeq)
+        }
+      } finally prod.close()
+    } finally cl.stop()
+  }
 }
