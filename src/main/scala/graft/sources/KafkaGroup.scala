@@ -385,9 +385,21 @@ object KafkaGroup {
       * the fetch response's aborted-transactions index, and the
       * committed position is LSO-bounded — a group consumer of a
       * transactional topic must never see (or commit past) open or
-      * aborted data. */
+      * aborted data.
+      *
+      * `onDataLoss` decides what happens when the committed position
+      * is BELOW the log start (retention deleted data this group never
+      * consumed): "fail" (default) throws
+      * [[KafkaWire.OffsetOutOfRangeException]] loudly — the DSv2
+      * source's failOnDataLoss=true contract; "earliest" resets the
+      * drain to the current log start and continues — kafka-python's
+      * auto_offset_reset="earliest" (the reference consumer's setting,
+      * collect/consumer.py), which silently accepts the gap. */
     def pollAssigned(topic: String, resetTo: Long = 0L,
-        isolation: Int = KafkaWire.Isolation.ReadUncommitted): Seq[(Int, Record)] = {
+        isolation: Int = KafkaWire.Isolation.ReadUncommitted,
+        onDataLoss: String = "fail"): Seq[(Int, Record)] = {
+      require(onDataLoss == "fail" || onDataLoss == "earliest",
+        s"onDataLoss must be fail or earliest, got '$onDataLoss'")
       val parts = assignment.getOrElse(topic, Seq.empty)
       if (parts.isEmpty) return Seq.empty
       val starts = committed(topic, parts)
@@ -402,7 +414,18 @@ object KafkaGroup {
         var off = starts.getOrElse(p, None).getOrElse(resetTo)
         var done = false
         while (!done) {
-          val (kept, wm) = fetcher.fetchAt(off)
+          val (kept, wm) =
+            try fetcher.fetchAt(off)
+            catch {
+              case _: KafkaWire.OffsetOutOfRangeException
+                  if onDataLoss == "earliest" =>
+                // the gap [off, logStart) is GONE; the reset consumer
+                // skips it by design — resume at the surviving head
+                off = KafkaWire.listOffset(dataConn, topic, p, -2L)
+                fetcher.fetchAt(off)
+              case e: KafkaWire.OffsetOutOfRangeException =>
+                throw e // loud: the caller's checkpointed range is gone
+            }
           if (kept.isEmpty) {
             // caught up — the fetcher's internal cursor reached the
             // watermark (markers and aborted batches consume offset
@@ -498,9 +521,12 @@ object KafkaGroup {
   def pollGroup(spark: org.apache.spark.sql.SparkSession, host: String,
       port: Int, topic: String, groupId: String,
       resetTo: Long = 0L,
-      isolationLevel: String = "read_uncommitted"): org.apache.spark.sql.DataFrame = {
+      isolationLevel: String = "read_uncommitted",
+      onDataLoss: String = "fail"): org.apache.spark.sql.DataFrame = {
     // parsed HERE so a typo fails on the driver, before any job runs
     val isolation = KafkaWire.Isolation.forName(isolationLevel)
+    require(onDataLoss == "fail" || onDataLoss == "earliest",
+      s"onDataLoss must be fail or earliest, got '$onDataLoss'")
     val member = new GroupMember(host, port, groupId, Seq(topic))
     try {
       val assigned = member.ensureActive().getOrElse(topic, Seq.empty)
@@ -525,7 +551,18 @@ object KafkaGroup {
               .getOrElse(p, None).getOrElse(resetTo)
             var done = false
             while (!done) {
-              val (kept, wm) = fetcher.fetchAt(off)
+              val (kept, wm) =
+                try fetcher.fetchAt(off)
+                catch {
+                  // the committed range was retention-deleted:
+                  // auto_offset_reset="earliest" (the reference
+                  // consumer's setting) skips to the surviving head;
+                  // the default stays LOUD (failOnDataLoss contract)
+                  case _: KafkaWire.OffsetOutOfRangeException
+                      if onDataLoss == "earliest" =>
+                    off = KafkaWire.listOffset(c, topic, p, -2L)
+                    fetcher.fetchAt(off)
+                }
               if (kept.isEmpty) {
                 // the fetcher's cursor reached the watermark: commit
                 // the LSO-bounded position (markers/aborted slots are

@@ -479,4 +479,50 @@ class KafkaGroupSpec extends SparkSuite {
       } finally { a.close(); b.close(); }
     } finally srv.stop()
   }
+
+  test("group-path data loss: onDataLoss=earliest resets like kafka-python; the default stays loud") {
+    val srv = new MiniKafkaServer(numPartitions = 1)
+    try {
+      produceTo(srv, "t", 0, (0 until 10).map(i => s"a$i"))
+      val m = new KafkaGroup.GroupMember("localhost", srv.port, "gdl", Seq("t"))
+      try {
+        m.ensureActive()
+        assert(m.pollAssigned("t").length === 10) // commits position 10
+        produceTo(srv, "t", 0, (0 until 6).map(i => s"b$i")) // 10..15
+        // retention deletes PAST the committed position: offsets
+        // [10, 13) this group never consumed are gone
+        srv.truncateBefore("t", 0, 13L)
+
+        // default: LOUD — the group's checkpointed range was deleted
+        intercept[KafkaWire.OffsetOutOfRangeException] {
+          m.pollAssigned("t")
+        }
+        // nothing moved: the committed position is still 10
+        assert(m.committed("t", Seq(0))(0).contains(10L))
+
+        // the reference consumer's auto_offset_reset="earliest": skip
+        // to the surviving head, consume it, commit past the gap
+        val got = m.pollAssigned("t", onDataLoss = "earliest")
+        assert(got.map(r => new String(r._2.value, u8)) ===
+          Seq("b3", "b4", "b5"))
+        assert(m.committed("t", Seq(0))(0).contains(16L))
+        m.leave()
+      } finally m.close()
+
+      // same contract through the distributed poll
+      produceTo(srv, "t", 0, Seq("c0")) // offset 16
+      // a fresh group with a pre-seeded committed position below the
+      // log start (simulates a long-dormant group)
+      val c = new KafkaWire.Conn("localhost", srv.port)
+      try KafkaWire.commitOffsets(c, "gdl2", "t", Map(0 -> 2L))
+      finally c.close()
+      intercept[org.apache.spark.SparkException] {
+        KafkaGroup.pollGroup(spark, "localhost", srv.port, "t", "gdl2").count()
+      }
+      val df = KafkaGroup.pollGroup(spark, "localhost", srv.port, "t",
+        "gdl2", onDataLoss = "earliest")
+      assert(df.select("value").collect().map(_.getString(0)).toSeq ===
+        Seq("b3", "b4", "b5", "c0"))
+    } finally srv.stop()
+  }
 }
