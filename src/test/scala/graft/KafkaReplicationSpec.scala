@@ -389,4 +389,66 @@ class KafkaReplicationSpec extends SparkSuite {
       } finally prod.close()
     } finally cl.stop()
   }
+
+  test("compaction is per-replica: failover to a less-compacted follower serves a superset with identical latest-per-key state") {
+    val cl = new MiniKafkaCluster(numBrokers = 2, numPartitions = 2,
+      replicationFactor = 2)
+    try {
+      val prod = new KafkaWire.RetryingProducer("localhost", cl.port(0),
+        "t", idempotent = true, acks = "all")
+      try {
+        // three keyed rounds: 15 records, the last 5 are each key's
+        // latest — acked on both replicas
+        (1 to 3).foreach { r =>
+          prod.send(1, (0 until 5).map(k =>
+            (s"k$k".getBytes(u8), s"r$r-k$k".getBytes(u8))), r.toLong)
+        }
+      } finally prod.close()
+      def kvDrain(): Seq[(String, String)] = {
+        val c = KafkaWire.leaderConn("localhost", cl.port(0), "t", 1)
+        try {
+          val f = new KafkaWire.GrowingFetcher(c, "t", 1)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+          var off = 0L; var done = false
+          while (!done) {
+            val (recs, hw) = f.fetchAt(off)
+            if (recs.isEmpty) done = true
+            else {
+              out ++= recs.map(r =>
+                (new String(r.key, u8), new String(r.value, u8)))
+              off = recs.last.offset + 1; done = off >= hw
+            }
+          }
+          out.toSeq
+        } finally c.close()
+      }
+      def latest(kvs: Seq[(String, String)]): Map[String, String] =
+        kvs.foldLeft(Map.empty[String, String])(_ + _)
+      val want = (0 until 5).map(k => s"k$k" -> s"r3-k$k").toMap
+
+      // the LEADER cleans its own segments (real cleaners run per
+      // broker, asynchronously): its consumers cross the gaps and see
+      // exactly each key's survivor
+      cl.servers(1).compact("t", 1)
+      val compacted = kvDrain()
+      assert(compacted.length === 5)
+      assert(latest(compacted) === want)
+
+      // failover to the UNCOMPACTED follower: it serves a superset
+      // (the duplicates its cleaner has not removed yet — exactly what
+      // a real mixed-progress failover does), and replaying
+      // latest-per-key lands in the IDENTICAL state
+      cl.failBroker(1)
+      val full = kvDrain()
+      assert(full.length === 15, "the follower's cleaner has not run")
+      assert(latest(full) === want)
+
+      // the new leader cleans independently and converges to the same
+      // 5 survivors
+      cl.servers(0).compact("t", 1)
+      val recompacted = kvDrain()
+      assert(recompacted.length === 5)
+      assert(latest(recompacted) === want)
+    } finally cl.stop()
+  }
 }
