@@ -13,6 +13,9 @@ libraryDependencies ++= Seq(
 // protocol puts its summary JSON as the LAST stdout line, and a
 // last-line consumer must see the JSON, not sbt's epilogue.
 Global / showSuccess := false
+// showSuccess is consumed by sbt's command loop, not by a task — the
+// unused-key lint cannot see that
+Global / excludeLintKeys += showSuccess
 Test / fork := true
 Test / parallelExecution := false // suites share one SparkSession JVM
 run / fork := true

@@ -243,6 +243,22 @@ private[graft] final class KafkaClusterState(
       isrMap.put((topic, p), Set(brokerId))
     }
     leaders.put((topic, p), brokerId)
+    if (replicationFactor > 1 && isrOf(topic, p).contains(brokerId)) {
+      // CLEAN handover: any ISR member whose log runs PAST the new
+      // leader's end — the deposed leader's unreplicated acks<=1 tail
+      // — truncates to the new leader (leader-epoch truncation, done
+      // locally, no fetch needed). Those records were above the high
+      // watermark, so no consumer ever saw them; a shorter (lagging)
+      // member keeps its prefix and catches up later.
+      val ll = logAt(brokerId, topic, p)
+      val lend = ll.synchronized(ll.next)
+      isrOf(topic, p).filter(b => b != brokerId && !deadBrokers.contains(b))
+        .foreach { b =>
+          val bl = logAt(b, topic, p)
+          if (bl.synchronized(bl.next) > lend)
+            mirrorReplica(topic, p, brokerId, b)
+        }
+    }
   }
 
   // ── replication (RF > 1: per-broker replica logs, ISR, HW) ──────────
@@ -344,39 +360,50 @@ private[graft] final class KafkaClusterState(
         // from — the follower stays behind (and out of the ISR) until
         // the leader revives
       } else if (assigned.contains(brokerId) && leader != brokerId) {
-        val ll = logAt(leader, topic, p)
-        val fl = logAt(brokerId, topic, p)
-        // lock order leader-then-follower, same as live replication
-        ll.synchronized { fl.synchronized {
-          fl.batches.clear()
-          fl.ongoing.clear(); fl.aborted.clear(); fl.pidStates.clear()
-          ll.batches.foreach { b =>
-            fl.batches += b
-            if (b.control) {
-              fl.ongoing.remove(b.pid).foreach { first =>
-                if (!isCommitMarker(b)) fl.aborted += ((b.pid, first, b.base))
-              }
-            } else {
-              if (b.transactional && b.pid >= 0L)
-                fl.ongoing.getOrElseUpdate(b.pid, b.base)
-              if (b.pid >= 0L && b.baseSeq >= 0) {
-                val st = fl.pidStates.getOrElseUpdate(b.pid, new PidState)
-                if (b.pEpoch > st.epoch) {
-                  st.epoch = b.pEpoch; st.nextSeq = 0; st.recent.clear()
-                }
-                st.nextSeq = b.baseSeq + b.records.length
-                st.recent.append(
-                  (b.baseSeq, b.baseSeq + b.records.length - 1, b.base))
-                if (st.recent.length > 5) st.recent.removeHead()
-              }
-            }
-          }
-          fl.next = ll.next
-          fl.start = ll.start
-        } }
+        mirrorReplica(topic, p, leader, brokerId)
         isrMap.put((topic, p), isrOf(topic, p) + brokerId)
       }
     }
+  }
+
+  /** Rewrite `brokerId`'s replica of (topic, p) as a MIRROR of
+    * `leader`'s log, rebuilding transactional metadata (ongoing pins,
+    * aborted ranges, producer sequence state) from the copied batch
+    * walk — so the mirrored replica can later serve as leader with
+    * correct LSO and idempotence behavior. Any divergent suffix the
+    * replica held is implicitly truncated away. */
+  private def mirrorReplica(topic: String, p: Int, leader: Int,
+      brokerId: Int): Unit = {
+    val ll = logAt(leader, topic, p)
+    val fl = logAt(brokerId, topic, p)
+    // lock order leader-then-follower, same as live replication
+    ll.synchronized { fl.synchronized {
+      fl.batches.clear()
+      fl.ongoing.clear(); fl.aborted.clear(); fl.pidStates.clear()
+      ll.batches.foreach { b =>
+        fl.batches += b
+        if (b.control) {
+          fl.ongoing.remove(b.pid).foreach { first =>
+            if (!isCommitMarker(b)) fl.aborted += ((b.pid, first, b.base))
+          }
+        } else {
+          if (b.transactional && b.pid >= 0L)
+            fl.ongoing.getOrElseUpdate(b.pid, b.base)
+          if (b.pid >= 0L && b.baseSeq >= 0) {
+            val st = fl.pidStates.getOrElseUpdate(b.pid, new PidState)
+            if (b.pEpoch > st.epoch) {
+              st.epoch = b.pEpoch; st.nextSeq = 0; st.recent.clear()
+            }
+            st.nextSeq = b.baseSeq + b.records.length
+            st.recent.append(
+              (b.baseSeq, b.baseSeq + b.records.length - 1, b.base))
+            if (st.recent.length > 5) st.recent.removeHead()
+          }
+        }
+      }
+      fl.next = ll.next
+      fl.start = ll.start
+    } }
   }
 
   /** A control batch's verdict: key = [version int16 | type int16],

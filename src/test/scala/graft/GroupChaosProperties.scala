@@ -72,9 +72,19 @@ object GroupChaosProperties extends Properties("graft.groupchaos") {
       val id = caseIds.incrementAndGet()
       val topic = s"chaos-$id"
       val group = s"gchaos-$id"
-      def member() = new KafkaGroup.GroupMember("localhost", srv.port,
-        group, Seq(topic), sessionTimeoutMs = 30000,
-        rebalanceTimeoutMs = 5000)
+      // members advertise DIFFERENT assignor preferences (everyone
+      // includes range, so the group can always form): the
+      // coordinator's protocol vote and BOTH assignors run under the
+      // same chaos — the invariants don't care which one won
+      val prefs = Seq(Seq("range"), Seq("roundrobin", "range"))
+      var nth = 0
+      def member() = {
+        nth += 1
+        new KafkaGroup.GroupMember("localhost", srv.port,
+          group, Seq(topic), sessionTimeoutMs = 30000,
+          assignors = prefs(nth % prefs.length),
+          rebalanceTimeoutMs = 5000)
+      }
 
       val live = scala.collection.mutable.ArrayBuffer.empty[KafkaGroup.GroupMember]
       // (generation, memberId) snapshots from earlier generations —
@@ -92,8 +102,23 @@ object GroupChaosProperties extends Properties("graft.groupchaos") {
       /** Invariant 1 — everyone re-joins, then the stable generation's
         * assignments must be disjoint + exhaustive and gen-agreed. */
       def stabilize(): Unit = if (live.nonEmpty && failure.isEmpty) {
-        val fs = live.toSeq.map(m => Future(m.ensureActive()))
-        fs.foreach(Await.result(_, 30.seconds))
+        def joinAll(): Unit = {
+          val fs = live.toSeq.map(m => Future(m.ensureActive()))
+          fs.foreach(Await.result(_, 30.seconds))
+        }
+        joinAll()
+        // convergence loop: a BRAND-NEW member only becomes known to
+        // the coordinator when its first join lands — the incumbents'
+        // barrier may have completed without it, leaving them one
+        // generation stale. A real consumer discovers this through its
+        // heartbeat and re-joins; do the same until everyone is a
+        // current member of one stable generation.
+        var rounds = 0
+        while (rounds < 8 && failure.isEmpty &&
+            live.exists(!_.heartbeatOnce())) {
+          joinAll()
+          rounds += 1
+        }
         val gens = live.map(_.generation).toSet
         check(gens.size == 1, s"generation disagreement: $gens")
         val shares = live.toSeq.map(_.assigned.getOrElse(topic, Seq.empty))

@@ -43,6 +43,7 @@ object ReplicationChaosProperties extends Properties("graft.replchaos") {
   private final case class Resume(b: Int) extends Op
   private case object FailLeader extends Op
   private case object Revive extends Op
+  private case object CleanElect extends Op
 
   private val opGen: Gen[Op] = Gen.frequency(
     4 -> Gen.chooseNum(1, 5).map(PAll(_)),
@@ -50,7 +51,8 @@ object ReplicationChaosProperties extends Properties("graft.replchaos") {
     2 -> Gen.chooseNum(0, 1).map(Pause(_)),
     2 -> Gen.chooseNum(0, 1).map(Resume(_)),
     2 -> Gen.const(FailLeader),
-    2 -> Gen.const(Revive))
+    2 -> Gen.const(Revive),
+    2 -> Gen.const(CleanElect))
 
   private def isSubsequence(needle: Seq[String], hay: Seq[String]): Boolean = {
     var i = 0
@@ -155,6 +157,13 @@ object ReplicationChaosProperties extends Properties("graft.replchaos") {
                 dead.headOption.foreach { b =>
                   cl.reviveBroker(b); dead -= b
                 }
+              case CleanElect =>
+                // a planned leadership move (preferred-leader election /
+                // broker drain): any live ISR member may take over
+                // without loss — the invariants below prove it
+                val l = cl.leaderOf(topic, P)
+                cl.isrOf(topic, P).filter(b => b != l && !dead(b))
+                  .headOption.foreach(nl => cl.moveLeader(topic, P, nl))
             }
             checkInvariants()
           }
