@@ -275,4 +275,89 @@ class FullTopologySpec extends SparkSuite {
       try c.createStatement().execute("DROP TABLE news_wire3") finally c.close()
     }
   }
+
+  test("the whole topology rides a broker failure: RSS → replicated cluster → stream enrich → upsert + lake, exactly once") {
+    // The same end-to-end chain as the first test, but the broker tier
+    // is a 2-broker RF=2 cluster and the broker leading half the
+    // partitions DIES between producer rounds — the acks=all produce
+    // path made round 1 durable on both replicas, the checkpointed
+    // consumer's offsets stay valid against the new leader, and the
+    // terminal stores converge to exactly the published articles.
+    val cl = new MiniKafkaCluster(numBrokers = 2, numPartitions = 2,
+      replicationFactor = 2)
+    val url = "jdbc:derby:memory:topodb3;create=true"
+    val conn0 = DriverManager.getConnection(url)
+    try conn0.createStatement().execute(
+      """CREATE TABLE news_rf2 (
+        |  link VARCHAR(300) NOT NULL PRIMARY KEY,
+        |  title VARCHAR(300),
+        |  author VARCHAR(100),
+        |  updated TIMESTAMP)""".stripMargin)
+    finally conn0.close()
+    try {
+      def feed(n: Int) = new Rss.FeedFetcher {
+        def fetch(url: String): Seq[Rss.FeedEntry] = (1 to n).map(i =>
+          Rss.FeedEntry("김기자", s"$url/$i", s"본문 요약 $i", s"제목 $i",
+            f"2025-05-24 09:$i%02d:00"))
+      }
+      // produceDataFrame's RetryingProducer defaults acks=all: the ack
+      // means both replicas hold the record — the failover below can
+      // lose nothing that was published
+      def produce(n: Int): Unit = KafkaWire.produceDataFrame(
+        Rss.toKafkaJson(Rss.pollOnce(spark, Seq("http://feed"), feed(n))),
+        "localhost", cl.port(0), "article-topic", 1716500000000L)
+
+      val ckpt = java.nio.file.Files.createTempDirectory("topo3-ckpt").toString
+      val lake = java.nio.file.Files.createTempDirectory("topo3-lake").toString
+      val jdbcWriter = JdbcUpsert.foreachBatchWriter(
+        url, "news_rf2", Seq("link"), JdbcUpsert.DerbyUpsertDialect)
+      def runOnce(): Unit = {
+        val enriched = EnrichStream.enrichParsed(
+          EnrichStream.fromKafkaWire(spark, "localhost", cl.port(0),
+            "article-topic"), embedDim = 8)
+        val q = enriched.writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            batch.persist()
+            jdbcWriter(batch.select(col("link"), col("title"),
+              col("author"), col("updated_ts").as("updated")), id)
+            batch.withColumn("day", date_format(col("event_ts"), "yyyyMMdd"))
+              .select("day", "link", "title", "summary")
+              .write.mode("append").partitionBy("day").parquet(lake)
+            batch.unpersist(); ()
+          }
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      def jdbcCount(): Long = {
+        val c = DriverManager.getConnection(url)
+        try {
+          val rs = c.createStatement()
+            .executeQuery("SELECT count(*) FROM news_rf2")
+          rs.next(); rs.getLong(1)
+        } finally c.close()
+      }
+
+      produce(3)
+      runOnce()
+      assert(jdbcCount() === 3L)
+
+      // the broker leading partition 1 dies; the pipeline keeps
+      // running against the survivor — the producer's routing view
+      // refreshes, the consumer's checkpointed offsets stay valid
+      cl.failBroker(1)
+      produce(5) // re-publishes 1-3 (absorbed) + two fresh articles
+      runOnce()
+      assert(jdbcCount() === 5L)
+      val lakeDf = spark.read.parquet(lake)
+      assert(lakeDf.select("link").distinct().count() === 5L)
+      assert(lakeDf.where(col("link") === "http://feed/5")
+        .select("title").head().getString(0) === "제목 5")
+    } finally {
+      cl.stop()
+      val c = DriverManager.getConnection(url)
+      try c.createStatement().execute("DROP TABLE news_rf2") finally c.close()
+    }
+  }
 }
