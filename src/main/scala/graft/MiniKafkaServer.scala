@@ -226,7 +226,14 @@ private[graft] final class KafkaClusterState(
     * replication, a CLEAN election only promotes an in-sync replica
     * (anything else can lose acked data); promoting an out-of-sync one
     * must be explicit — `allowUnclean` documents the loss the way
-    * unclean.leader.election.enable does. */
+    * unclean.leader.election.enable does.
+    *
+    * Known modeling gap: the double carries no leader EPOCH, so an
+    * append in flight on the deposed leader at the exact moment of the
+    * move is not fenced (real brokers stamp partitionLeaderEpoch and
+    * followers reject stale leaders' appends). Callers here re-elect
+    * between requests — the controller-quiesced shape every spec and
+    * chaos walk uses. */
   def moveLeader(topic: String, p: Int, brokerId: Int,
       allowUnclean: Boolean = false): Unit = {
     require(brokers.contains(brokerId), s"unknown broker $brokerId")

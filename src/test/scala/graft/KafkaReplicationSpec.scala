@@ -451,4 +451,37 @@ class KafkaReplicationSpec extends SparkSuite {
       assert(latest(recompacted) === want)
     } finally cl.stop()
   }
+
+  test("ListOffsets never admits a consumer past the high watermark") {
+    val cl = new MiniKafkaCluster(numBrokers = 2, numPartitions = 2,
+      replicationFactor = 2)
+    try {
+      val prod = new KafkaWire.RetryingProducer("localhost", cl.port(0),
+        "t", acks = "1")
+      try {
+        prod.send(1, (0 until 10).map(i => kv(s"a$i")), 100L)
+        cl.pauseReplication(0)
+        prod.send(1, (0 until 5).map(i => kv(s"b$i")), 200L) // above HW
+        val c = KafkaWire.leaderConn("localhost", cl.port(0), "t", 1)
+        try {
+          // "latest" is the HW, not the leader's log end — an admission
+          // window past it could include records a failover unwrites
+          assert(KafkaWire.listOffset(c, "t", 1, -1L) === 10L)
+          // a timestamp lookup matching only above-HW records answers
+          // "no such offset" (-1), same as nothing-that-new
+          assert(KafkaWire.listOffset(c, "t", 1, 200L) === -1L)
+          // at/below the HW the time index answers normally
+          assert(KafkaWire.listOffset(c, "t", 1, 100L) === 0L)
+          assert(KafkaWire.listOffset(c, "t", 1, -2L) === 0L)
+        } finally c.close()
+        // catch-up closes the window: latest advances with the HW
+        cl.resumeReplication(0)
+        val c2 = KafkaWire.leaderConn("localhost", cl.port(0), "t", 1)
+        try {
+          assert(KafkaWire.listOffset(c2, "t", 1, -1L) === 15L)
+          assert(KafkaWire.listOffset(c2, "t", 1, 200L) === 10L)
+        } finally c2.close()
+      } finally prod.close()
+    } finally cl.stop()
+  }
 }
