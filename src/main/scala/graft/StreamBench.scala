@@ -417,8 +417,12 @@ object StreamBench {
     // so the delta isolates the ISR-gate bookkeeping; a real cluster's
     // acks=all additionally pays the follower network round-trip).
     // acks=all also asserts the durability it paid for: both replicas
-    // hold every row.
-    def acksRow(acks: String): String = {
+    // hold every row. These rows run at the TAIL of a ~10-minute
+    // allocation-heavy pipeline, and the first r16 run showed a
+    // single tail sample misreporting acks=1 at 0.06 M rows/s where an
+    // isolated A/B measures 0.7-1.2 M — so each row settles the heap
+    // and reports the MEDIAN of three fresh-cluster samples.
+    def acksSample(acks: String): (Double, Double) = {
       val cl = new MiniKafkaCluster(2, numPartitions = 4,
         replicationFactor = 2)
       try {
@@ -446,12 +450,31 @@ object StreamBench {
           .option("topic", "bench-topic").load().count()
         val consumeSecs = secsSince(t1)
         require(consumed == n, s"acks=$acks bench lost rows: $consumed != $n")
-        s""""rf2_acks_$acks":{"rows":$n,""" +
-          s""""produce_rps":${r3(n / produceSecs)},""" +
-          s""""consume_rps":${r3(n / consumeSecs)}}"""
+        (n / produceSecs, n / consumeSecs)
       } finally cl.stop()
     }
-    val acksRows = Seq("all", "1").map(acksRow)
+    // INTERLEAVED A/B: a block of same-acks samples all lands in one
+    // JVM/ambient state (the r16 first cut measured acks=all 2x slower
+    // than acks=1 — and its acks-INDEPENDENT consume leg 6x slower,
+    // proving the delta was positional, not acks cost). Alternating
+    // all/1 per round puts both sides in the same states; the medians
+    // are then comparable whatever the tail-of-pipeline weather.
+    val acksSamples = (1 to 3).map { _ =>
+      System.gc(); Thread.sleep(200)
+      val a = acksSample("all")
+      System.gc(); Thread.sleep(200)
+      val o = acksSample("1")
+      (a, o)
+    }
+    def med(vs: Seq[Double]): Double = vs.sorted.apply(vs.length / 2)
+    def acksRow(acks: String, ps: Seq[Double], cs: Seq[Double]): String =
+      s""""rf2_acks_$acks":{"rows":500000,"samples":3,"interleaved":true,""" +
+        s""""produce_rps":${r3(med(ps))},""" +
+        s""""produce_rps_min":${r3(ps.min)},""" +
+        s""""consume_rps":${r3(med(cs))}}"""
+    val acksRows = Seq(
+      acksRow("all", acksSamples.map(_._1._1), acksSamples.map(_._1._2)),
+      acksRow("1", acksSamples.map(_._2._1), acksSamples.map(_._2._2)))
 
     (results ++ codecResults ++ rc ++ clusterRows ++ acksRows
       :+ minp :+ idem :+ txn)
