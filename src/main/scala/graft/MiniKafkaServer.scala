@@ -250,22 +250,28 @@ private[graft] final class KafkaClusterState(
       isrMap.put((topic, p), Set(brokerId))
     }
     leaders.put((topic, p), brokerId)
-    if (replicationFactor > 1 && isrOf(topic, p).contains(brokerId)) {
-      // CLEAN handover: any ISR member whose log runs PAST the new
-      // leader's end — the deposed leader's unreplicated acks<=1 tail
-      // — truncates to the new leader (leader-epoch truncation, done
-      // locally, no fetch needed). Those records were above the high
-      // watermark, so no consumer ever saw them; a shorter (lagging)
-      // member keeps its prefix and catches up later.
-      val ll = logAt(brokerId, topic, p)
-      val lend = ll.synchronized(ll.next)
-      isrOf(topic, p).filter(b => b != brokerId && !deadBrokers.contains(b))
-        .foreach { b =>
-          val bl = logAt(b, topic, p)
-          if (bl.synchronized(bl.next) > lend)
-            mirrorReplica(topic, p, brokerId, b)
-        }
-    }
+    if (replicationFactor > 1 && isrOf(topic, p).contains(brokerId))
+      reconcileIsrTo(topic, p, brokerId)
+  }
+
+  /** After a leadership change to `leader`, truncate any ISR member
+    * whose log runs PAST the new leader's end — the deposed leader's
+    * unreplicated acks<=1 tail (leader-epoch truncation, done locally,
+    * no fetch needed). Those records were above the high watermark, so
+    * no consumer ever saw them; a SHORTER (lagging) member keeps its
+    * prefix and catches up later. Runs on every election path — the
+    * controller's clean handover (moveLeader) AND the broker-death
+    * election (markDead): with RF >= 3 the elected survivor may be a
+    * lagging ISR member while another survivor holds a longer log. */
+  private def reconcileIsrTo(topic: String, p: Int, leader: Int): Unit = {
+    val ll = logAt(leader, topic, p)
+    val lend = ll.synchronized(ll.next)
+    isrOf(topic, p).filter(b => b != leader && !deadBrokers.contains(b))
+      .foreach { b =>
+        val bl = logAt(b, topic, p)
+        if (bl.synchronized(bl.next) > lend)
+          mirrorReplica(topic, p, leader, b)
+      }
   }
 
   // ── replication (RF > 1: per-broker replica logs, ISR, HW) ──────────
@@ -335,7 +341,14 @@ private[graft] final class KafkaClusterState(
     leaders.snapshot().foreach { case ((t, p), l) =>
       if (l == id) {
         val live = isrOf(t, p).toSeq.sorted
-        live.headOption.foreach(nl => leaders.put((t, p), nl))
+        live.headOption.foreach { nl =>
+          leaders.put((t, p), nl)
+          // the elected survivor may be the SHORTEST in-sync log
+          // (a lagging ISR member) while another survivor holds the
+          // dead leader's later appends — those truncate to the new
+          // leader, same as any handover
+          if (replicationFactor > 1) reconcileIsrTo(t, p, nl)
+        }
       }
     }
   }
@@ -454,6 +467,22 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
       b != leader && state.isrOf(topic, p).contains(b) &&
         !state.deadBrokers.contains(b) && !state.pausedReplicas.contains(b)
     }
+
+  /** Run `body` on follower `f`'s replica of (topic, p) under its
+    * lock, after asserting the replica is positioned exactly at
+    * `base` — the ONE divergence check every replication site uses
+    * (produce v1/v2 and transaction markers). Always called with the
+    * LEADER's log lock held, so lock order is leader-then-follower
+    * everywhere. */
+  private def replicateTo(f: Int, topic: String, p: Int, base: Long)(
+      body: Log => Unit): Unit = {
+    val fl = state.logAt(f, topic, p)
+    fl.synchronized {
+      require(fl.next == base,
+        s"in-sync replica $f of $topic-$p diverged (${fl.next} != $base)")
+      body(fl)
+    }
+  }
 
   /** The acks=all admission gate: first collapse lag detection (a
     * paused/dead follower leaves the ISR immediately — the double's
@@ -1066,17 +1095,9 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
               l.next = batch.end
               // replicate INSIDE the leader lock: append order is
               // replication order, so in-sync copies stay identical
-              // (lock order is always leader-then-follower, per
-              // partition — no cycle)
-              targets.foreach { f =>
-                val fl = state.logAt(f, topic, p)
-                fl.synchronized {
-                  require(fl.next == b,
-                    s"in-sync replica $f of $topic-$p diverged " +
-                      s"(${fl.next} != $b)")
-                  fl.batches += batch; fl.next = batch.end
-                }
-              }
+              targets.foreach(f => replicateTo(f, topic, p, b) { fl =>
+                fl.batches += batch; fl.next = batch.end
+              })
               b
             }
             producesAppended.incrementAndGet()
@@ -1098,8 +1119,13 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
   }
 
   /** Append one v2 batch under the idempotence rules; returns
-    * (errorCode, baseOffset). Must run under log.synchronized. */
-  private def appendV2(log: Log, b: KafkaWire.RecordBatch): (Int, Long) = {
+    * (errorCode, baseOffset). Must run under log.synchronized.
+    * `countOracle` = false for REPLICATION copies: [[producesAppended]]
+    * counts real produce-path appends (the duplicates-on-retry
+    * oracle), and a follower's copy of one produce is not a second
+    * append. */
+  private def appendV2(log: Log, b: KafkaWire.RecordBatch,
+      countOracle: Boolean = true): (Int, Long) = {
     def doAppend(): Long = {
       val base = log.next
       // store the producer's VERBATIM batch bytes with the assigned
@@ -1119,7 +1145,7 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
       if (b.transactional && b.producerId >= 0L)
         log.ongoing.getOrElseUpdate(b.producerId, base)
       log.next = base + b.records.length
-      producesAppended.incrementAndGet()
+      if (countOracle) producesAppended.incrementAndGet()
       base
     }
     if (b.producerId < 0L) (0, doAppend())
@@ -1198,18 +1224,13 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
               // a broker-deduped retry (e2 == 0, b2 < pre) was already
               // replicated the first time. Inside the leader lock:
               // append order is replication order.
-              if (e2 == 0 && b2 == pre) targets.foreach { f =>
-                val fl = state.logAt(f, topic, p)
-                fl.synchronized {
-                  require(fl.next == pre,
-                    s"in-sync replica $f of $topic-$p diverged " +
-                      s"(${fl.next} != $pre)")
-                  val (fe, fb) = appendV2(fl, batch)
+              if (e2 == 0 && b2 == pre)
+                targets.foreach(f => replicateTo(f, topic, p, pre) { fl =>
+                  val (fe, fb) = appendV2(fl, batch, countOracle = false)
                   require(fe == 0 && fb == pre,
                     s"replica $f of $topic-$p refused a replicated " +
                       s"batch: error $fe")
-                }
-              }
+                })
               (e2, if (b0 < 0) b2 else b0)
             }
           }
@@ -1281,19 +1302,13 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
             log.batches += marker
             log.next = off + 1
             if (!commit) log.aborted += ((pid, first, off))
-            targets.foreach { f =>
-              val fl = state.logAt(f, topic, p)
-              fl.synchronized {
-                require(fl.next == off,
-                  s"in-sync replica $f of $topic-$p diverged " +
-                    s"(${fl.next} != $off)")
-                fl.ongoing.remove(pid).foreach { ffirst =>
-                  if (!commit) fl.aborted += ((pid, ffirst, off))
-                }
-                fl.batches += marker
-                fl.next = off + 1
+            targets.foreach(f => replicateTo(f, topic, p, off) { fl =>
+              fl.ongoing.remove(pid).foreach { ffirst =>
+                if (!commit) fl.aborted += ((pid, ffirst, off))
               }
-            }
+              fl.batches += marker
+              fl.next = off + 1
+            })
           }
         }
       }
@@ -1725,12 +1740,15 @@ final class MiniKafkaCluster(numBrokers: Int, numPartitions: Int = 2,
     * port, same brokerId) over the broker's surviving replica logs. */
   private val revived =
     scala.collection.concurrent.TrieMap.empty[Int, MiniKafkaServer]
-  def servers: Seq[MiniKafkaServer] = initial
   private def serverOf(id: Int): MiniKafkaServer =
     revived.getOrElse(id, initial(id))
+  /** The CURRENT server per broker id — after reviveBroker(i), index i
+    * is the revived listener, not the stopped original. */
+  def servers: Seq[MiniKafkaServer] = (0 until numBrokers).map(serverOf)
   /** The bootstrap address a client is given — broker 0 only; every
-    * other broker must be DISCOVERED through metadata. */
-  def bootstrapPort: Int = servers.head.port
+    * other broker must be DISCOVERED through metadata. Follows a
+    * revived broker 0 to its new listener. */
+  def bootstrapPort: Int = serverOf(0).port
   def port(brokerId: Int): Int = serverOf(brokerId).port
   def leaderOf(topic: String, p: Int): Int = state.leaderOf(topic, p)
   def isrOf(topic: String, p: Int): Set[Int] = state.isrOf(topic, p)
@@ -1768,6 +1786,11 @@ final class MiniKafkaCluster(numBrokers: Int, numPartitions: Int = 2,
     require(state.deadBrokers.contains(brokerId),
       s"broker $brokerId is not dead")
     state.deadBrokers.remove(brokerId)
+    // a RESTARTED broker's replication fetcher is not stalled — a
+    // pre-death pause must not survive the revive, or the broker would
+    // rejoin the ISR yet silently miss every subsequent append,
+    // pinning the high watermark forever
+    state.pausedReplicas.remove(brokerId)
     revived.put(brokerId,
       new MiniKafkaServer(numPartitions, serveFormat, state, brokerId))
     state.catchUp(brokerId)

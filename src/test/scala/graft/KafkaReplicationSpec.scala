@@ -74,6 +74,9 @@ class KafkaReplicationSpec extends SparkSuite {
         // the ack means BOTH replicas persisted it
         assert(cl.storedAt(0, "t", 1).length === 20)
         assert(cl.storedAt(1, "t", 1).length === 20)
+        // ...and the duplicates-on-retry oracle counts ONE produce:
+        // the follower's replication copy is not a second append
+        assert(cl.servers(1).producesAppended.get === 1)
         assert(cl.isrOf("t", 1) === Set(0, 1))
         assert(cl.highWatermark("t", 1) === 20L)
 
@@ -481,6 +484,75 @@ class KafkaReplicationSpec extends SparkSuite {
           assert(KafkaWire.listOffset(c2, "t", 1, -1L) === 15L)
           assert(KafkaWire.listOffset(c2, "t", 1, 200L) === 10L)
         } finally c2.close()
+      } finally prod.close()
+    } finally cl.stop()
+  }
+
+  test("RF=3 broker death: the elected survivor may be the shortest in-sync log — longer survivors truncate to it") {
+    // partition 1's assignment is [1, 2, 0]; broker 0 lags (paused,
+    // still in the ISR) while broker 2 replicates. When leader 1 dies,
+    // the election picks the lowest-id live ISR member — broker 0, the
+    // SHORT log — and broker 2's later appends (acks=1, above the HW,
+    // never consumer-visible) must truncate to the new leader, exactly
+    // like any clean handover.
+    val cl = new MiniKafkaCluster(numBrokers = 3, numPartitions = 3,
+      replicationFactor = 3)
+    try {
+      val prod = new KafkaWire.RetryingProducer("localhost", cl.port(0),
+        "t", acks = "1")
+      try {
+        prod.send(1, (0 until 10).map(i => kv(s"a$i")), 1L)
+        cl.pauseReplication(0)
+        prod.send(1, (0 until 5).map(i => kv(s"b$i")), 2L)
+        assert(cl.storedAt(1, "t", 1).length === 15)
+        assert(cl.storedAt(2, "t", 1).length === 15)
+        assert(cl.storedAt(0, "t", 1).length === 10)
+        assert(cl.isrOf("t", 1) === Set(0, 1, 2))
+        assert(cl.highWatermark("t", 1) === 10L, "the lagging ISR member pins the HW")
+
+        cl.failBroker(1)
+        assert(cl.leaderOf("t", 1) === 0)
+        // broker 2's divergent suffix truncated at election time — the
+        // next produce replicates cleanly instead of crashing on a
+        // divergence check
+        assert(cl.storedAt(2, "t", 1).length === 10)
+        prod.send(1, (0 until 3).map(i => kv(s"c$i")), 3L)
+        val expect = (0 until 10).map(i => s"a$i") ++ (0 until 3).map(i => s"c$i")
+        assert(cl.storedAt(0, "t", 1).map(r => new String(r.value, u8)) === expect)
+        assert(cl.storedAt(2, "t", 1).map(r => new String(r.value, u8)) === expect)
+      } finally prod.close()
+    } finally cl.stop()
+  }
+
+  test("a revived bootstrap broker serves on its new listener, and revival clears a pre-death replication stall") {
+    val cl = new MiniKafkaCluster(numBrokers = 2, numPartitions = 2,
+      replicationFactor = 2)
+    try {
+      val port0 = cl.bootstrapPort
+      val prod0 = new KafkaWire.RetryingProducer("localhost", cl.port(1),
+        "t", acks = "all")
+      try prod0.send(0, (0 until 5).map(i => kv(s"a$i")), 1L)
+      finally prod0.close()
+
+      // broker 0 was ALSO paused before dying: a restarted broker's
+      // fetcher is not stalled, so revival must clear the pause — or
+      // it would rejoin the ISR yet miss every append, pinning the HW
+      cl.pauseReplication(0)
+      cl.failBroker(0)
+      cl.reviveBroker(0)
+      assert(cl.bootstrapPort !== port0,
+        "bootstrapPort must follow the revived broker 0 to its new listener")
+      // bootstrap through the NEW listener works end to end
+      val prod = new KafkaWire.RetryingProducer("localhost", cl.bootstrapPort,
+        "t", acks = "1")
+      try {
+        // p0's leadership moved to broker 1 at the death; the revived
+        // broker follows it — and actually receives the replication
+        prod.send(0, (0 until 5).map(i => kv(s"b$i")), 2L)
+        val expect = (0 until 5).map(i => s"a$i") ++ (0 until 5).map(i => s"b$i")
+        assert(cl.storedAt(0, "t", 0).map(r => new String(r.value, u8)) === expect)
+        assert(cl.storedAt(1, "t", 0).map(r => new String(r.value, u8)) === expect)
+        assert(cl.highWatermark("t", 0) === 10L)
       } finally prod.close()
     } finally cl.stop()
   }
