@@ -273,6 +273,54 @@ object KafkaGroup {
     GroupDescription(state, protocolType, protocol, members)
   }
 
+  /** Drain ONE partition from `start` to the watermark through a
+    * leader-routed fetcher: returns (records, end position). The end
+    * position is the WATERMARK when the tail was markers/aborted-only
+    * (LSO under read_committed — the position a group may commit), and
+    * `onDataLoss` decides what a below-log-start `start` means: "fail"
+    * throws [[KafkaWire.OffsetOutOfRangeException]] loudly, "earliest"
+    * resets to the surviving log head (kafka-python's
+    * auto_offset_reset, the reference consumer's setting). ONE copy,
+    * shared by the member drain ([[GroupMember.pollAssigned]]) and the
+    * distributed [[pollGroup]] task, so the LSO-commit and data-loss
+    * semantics cannot diverge between them. */
+  private[sources] def drainPartition(dataConn: Conn, topic: String,
+      p: Int, start: Long, isolation: Int,
+      onDataLoss: String): (Seq[Record], Long) = {
+    val fetcher = new GrowingFetcher(dataConn, topic, p, isolation)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Record]
+    var off = start
+    var done = false
+    while (!done) {
+      val (kept, wm) =
+        try fetcher.fetchAt(off)
+        catch {
+          case _: KafkaWire.OffsetOutOfRangeException
+              if onDataLoss == "earliest" =>
+            // the gap [off, logStart) is GONE; the reset consumer
+            // skips it by design — resume at the surviving head
+            off = KafkaWire.listOffset(dataConn, topic, p, -2L)
+            fetcher.fetchAt(off)
+          case e: KafkaWire.OffsetOutOfRangeException =>
+            throw e // loud: the caller's checkpointed range is gone
+        }
+      if (kept.isEmpty) {
+        // caught up — the fetcher's internal cursor reached the
+        // watermark (markers and aborted batches consume offset slots
+        // without yielding records), so the consumable position is the
+        // watermark: LSO under read_committed, never past it, never
+        // before skipped slots
+        off = math.max(off, wm)
+        done = true
+      } else {
+        out ++= kept
+        off = kept.last.offset + 1
+        done = off >= wm
+      }
+    }
+    (out.toSeq, off)
+  }
+
   /** One consumer-group member: join/sync/heartbeat/commit/leave over
     * a coordinator connection — the kafka-python consumer's lifecycle
     * (collect/consumer.py), minus the poll loop the caller owns.
@@ -410,38 +458,11 @@ object KafkaGroup {
         // coordinator connection keeps serving the offset traffic
         val dataConn = KafkaWire.leaderConn(host, port, topic, p)
         try {
-        val fetcher = new GrowingFetcher(dataConn, topic, p, isolation)
-        var off = starts.getOrElse(p, None).getOrElse(resetTo)
-        var done = false
-        while (!done) {
-          val (kept, wm) =
-            try fetcher.fetchAt(off)
-            catch {
-              case _: KafkaWire.OffsetOutOfRangeException
-                  if onDataLoss == "earliest" =>
-                // the gap [off, logStart) is GONE; the reset consumer
-                // skips it by design — resume at the surviving head
-                off = KafkaWire.listOffset(dataConn, topic, p, -2L)
-                fetcher.fetchAt(off)
-              case e: KafkaWire.OffsetOutOfRangeException =>
-                throw e // loud: the caller's checkpointed range is gone
-            }
-          if (kept.isEmpty) {
-            // caught up — the fetcher's internal cursor reached the
-            // watermark (markers and aborted batches consume offset
-            // slots without yielding records), so the COMMITTED
-            // position is the watermark: LSO under read_committed,
-            // never past it, never before skipped slots
-            off = math.max(off, wm)
-            done = true
-          }
-          else {
-            kept.foreach(r => out += ((p, r)))
-            off = kept.last.offset + 1
-            done = off >= wm
-          }
-        }
-        ends(p) = off
+          val (recs, end) = drainPartition(dataConn, topic, p,
+            starts.getOrElse(p, None).getOrElse(resetTo), isolation,
+            onDataLoss)
+          recs.foreach(r => out += ((p, r)))
+          ends(p) = end
         } finally dataConn.close()
       }
       commit(topic, ends.toMap) // fenced => CommitFailedException, no state moved
@@ -541,50 +562,24 @@ object KafkaGroup {
           // (any broker serves it; the coordinator owns the registry)
           val c = KafkaWire.leaderConn(host, port, topic, p)
           try {
-            val out = scala.collection.mutable.ArrayBuffer
-              .empty[(Int, Long, Long, String, String)]
-            // read_committed stops the drain at the LSO and filters
-            // aborted producers' records (same contract as the DSv2
-            // source — the r15 group path skipped it, VERDICT #4)
-            val fetcher = new GrowingFetcher(c, topic, p, isolation)
-            var off = KafkaWire.fetchOffsets(c, groupId, topic, Seq(p))
-              .getOrElse(p, None).getOrElse(resetTo)
-            var done = false
-            while (!done) {
-              val (kept, wm) =
-                try fetcher.fetchAt(off)
-                catch {
-                  // the committed range was retention-deleted:
-                  // auto_offset_reset="earliest" (the reference
-                  // consumer's setting) skips to the surviving head;
-                  // the default stays LOUD (failOnDataLoss contract)
-                  case _: KafkaWire.OffsetOutOfRangeException
-                      if onDataLoss == "earliest" =>
-                    off = KafkaWire.listOffset(c, topic, p, -2L)
-                    fetcher.fetchAt(off)
-                }
-              if (kept.isEmpty) {
-                // the fetcher's cursor reached the watermark: commit
-                // the LSO-bounded position (markers/aborted slots are
-                // consumed, open transactions never crossed)
-                off = math.max(off, wm)
-                done = true
-              }
-              else {
-                kept.foreach { r =>
-                  out += ((p, r.offset, r.timestamp,
-                    if (r.key == null) null else new String(r.key, u8),
-                    if (r.value == null) null else new String(r.value, u8)))
-                }
-                off = kept.last.offset + 1
-                done = off >= wm
-              }
-            }
+            // the shared drain: read_committed stops at the LSO and
+            // filters aborted producers' records; onDataLoss decides
+            // the retention-deleted-range behavior — ONE copy with the
+            // member path (drainPartition), so the semantics cannot
+            // diverge between the two group surfaces
+            val (recs, end) = drainPartition(c, topic, p,
+              KafkaWire.fetchOffsets(c, groupId, topic, Seq(p))
+                .getOrElse(p, None).getOrElse(resetTo),
+              isolation, onDataLoss)
             // the member's identity rides to the executor: a stale
             // generation here throws CommitFailedException and FAILS
             // the task — a superseded poll must never move offsets
-            KafkaWire.commitOffsets(c, groupId, topic, Map(p -> off), gen, mid)
-            out.toSeq
+            KafkaWire.commitOffsets(c, groupId, topic, Map(p -> end), gen, mid)
+            recs.map { r =>
+              (p, r.offset, r.timestamp,
+                if (r.key == null) null else new String(r.key, u8),
+                if (r.value == null) null else new String(r.value, u8))
+            }
           } finally c.close()
         }
       val df = spark.createDataFrame(rows)
