@@ -221,21 +221,37 @@ private[graft] final class KafkaClusterState(
       val ids = brokers.keys.toSeq.sorted
       if (ids.isEmpty) 0 else ids(p % ids.size)
     })
+  /** Per-partition ELECTION monitor: every leadership
+    * read-then-act critical section — a leader's append+replicate, an
+    * election's flip+reconcile, a follower's catch-up+ISR-rejoin —
+    * serializes on it, so an append in flight on a deposed leader and
+    * a concurrent re-election cannot interleave. This is the
+    * in-process EQUIVALENT of leader-epoch fencing: real brokers need
+    * the epoch because leaders live in different processes; one JVM
+    * can use a monitor and get the same guarantee (either the append
+    * completes fully under the old regime and replicates to the ISR —
+    * as if produced just before the election — or the flip lands
+    * first and the deposed leader answers NOT_LEADER from the
+    * in-lock re-check). Lock order everywhere: election → leader log
+    * → follower log; nothing takes the election lock after a log
+    * lock. Fetches stay outside it by design — a momentarily-deposed
+    * leader serving a read below its HW returns data the new leader
+    * serves identically. */
+  private val electionMonitors = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), Object]
+  def electionLock[T](topic: String, p: Int)(body: => T): T =
+    electionMonitors.getOrElseUpdate((topic, p), new Object)
+      .synchronized(body)
+
   /** Re-elect `p`'s leader (the controller's job in a real cluster) —
     * clients discover via NOT_LEADER + metadata refresh. With
     * replication, a CLEAN election only promotes an in-sync replica
     * (anything else can lose acked data); promoting an out-of-sync one
     * must be explicit — `allowUnclean` documents the loss the way
-    * unclean.leader.election.enable does.
-    *
-    * Known modeling gap: the double carries no leader EPOCH, so an
-    * append in flight on the deposed leader at the exact moment of the
-    * move is not fenced (real brokers stamp partitionLeaderEpoch and
-    * followers reject stale leaders' appends). Callers here re-elect
-    * between requests — the controller-quiesced shape every spec and
-    * chaos walk uses. */
+    * unclean.leader.election.enable does. Serialized against in-flight
+    * appends by the election monitor (see [[electionLock]]). */
   def moveLeader(topic: String, p: Int, brokerId: Int,
-      allowUnclean: Boolean = false): Unit = {
+      allowUnclean: Boolean = false): Unit = electionLock(topic, p) {
     require(brokers.contains(brokerId), s"unknown broker $brokerId")
     if (replicationFactor > 1 && !isrOf(topic, p).contains(brokerId)) {
       require(allowUnclean,
@@ -337,17 +353,20 @@ private[graft] final class KafkaClusterState(
   def markDead(id: Int): Unit = {
     deadBrokers.add(id)
     brokers.remove(id)
-    isrMap.keys.foreach(k => isrMap.put(k, isrMap(k) - id))
+    isrMap.keys.foreach(k =>
+      electionLock(k._1, k._2)(isrMap.put(k, isrMap(k) - id)))
     leaders.snapshot().foreach { case ((t, p), l) =>
-      if (l == id) {
-        val live = isrOf(t, p).toSeq.sorted
-        live.headOption.foreach { nl =>
-          leaders.put((t, p), nl)
-          // the elected survivor may be the SHORTEST in-sync log
-          // (a lagging ISR member) while another survivor holds the
-          // dead leader's later appends — those truncate to the new
-          // leader, same as any handover
-          if (replicationFactor > 1) reconcileIsrTo(t, p, nl)
+      if (l == id) electionLock(t, p) {
+        if (leaderOf(t, p) == id) { // unchanged under the lock
+          val live = isrOf(t, p).toSeq.sorted
+          live.headOption.foreach { nl =>
+            leaders.put((t, p), nl)
+            // the elected survivor may be the SHORTEST in-sync log
+            // (a lagging ISR member) while another survivor holds the
+            // dead leader's later appends — those truncate to the new
+            // leader, same as any handover
+            if (replicationFactor > 1) reconcileIsrTo(t, p, nl)
+          }
         }
       }
     }
@@ -366,6 +385,7 @@ private[graft] final class KafkaClusterState(
   def catchUp(brokerId: Int): Unit = {
     if (replicationFactor <= 1) return
     replicaSets.snapshot().foreach { case ((topic, p), assigned) =>
+      electionLock(topic, p) {
       val leader = leaderOf(topic, p)
       if (assigned.contains(brokerId) && leader == brokerId) {
         // a revived broker that still LEADS this partition: its own
@@ -382,6 +402,7 @@ private[graft] final class KafkaClusterState(
       } else if (assigned.contains(brokerId) && leader != brokerId) {
         mirrorReplica(topic, p, leader, brokerId)
         isrMap.put((topic, p), isrOf(topic, p) + brokerId)
+      }
       }
     }
   }
@@ -559,7 +580,7 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
         val p = r.int32(); val before = r.int64()
         if (leaderOf(topic, p) != brokerId)
           (p, -1L, KafkaWire.Errors.NotLeaderForPartition)
-        else {
+        else state.electionLock(topic, p) {
           truncateBefore(topic, p, before)
           // retention is cluster-wide: live replicas advance their
           // log-start too (followers replicate the leader's start in a
@@ -1074,7 +1095,13 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
         val set = r.bytes()
         if (leaderOf(topic, p) != brokerId)
           (topic, p, KafkaWire.Errors.NotLeaderForPartition, -1L)
-        else {
+        else state.electionLock(topic, p) {
+          // leadership re-checked INSIDE the election monitor: an
+          // append cannot interleave with a concurrent re-election
+          // (the in-process leader-epoch fence — see electionLock)
+          if (state.leaderOf(topic, p) != brokerId)
+            (topic, p, KafkaWire.Errors.NotLeaderForPartition, -1L)
+          else {
           val gate = if (reqAcks == -1) acksAllGate(topic, p) else 0
           if (gate != 0) (topic, p, gate, -1L)
           else {
@@ -1102,6 +1129,7 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
             }
             producesAppended.incrementAndGet()
             (topic, p, 0, base)
+          }
           }
         }
       }
@@ -1200,6 +1228,10 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
         val set = r.bytes()
         if (leaderOf(topic, p) != brokerId) {
           (topic, p, KafkaWire.Errors.NotLeaderForPartition, -1L)
+        } else state.electionLock(topic, p) {
+        // in-lock re-check: the in-process leader-epoch fence
+        if (state.leaderOf(topic, p) != brokerId) {
+          (topic, p, KafkaWire.Errors.NotLeaderForPartition, -1L)
         } else if (reqAcks == -1 && acksAllGate(topic, p) != 0) {
           (topic, p, KafkaWire.Errors.NotEnoughReplicas, -1L)
         } else {
@@ -1236,6 +1268,7 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
           }
         }
         (topic, p, err, base)
+        }
         }
       }
     }
@@ -1286,7 +1319,9 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
       parts.foreach { case (topic, p) =>
         // markers are written by the coordinator into each partition's
         // LEADER log (WriteTxnMarkers in a real cluster — EndTxn may be
-        // served by any broker) and replicate like any other append
+        // served by any broker) and replicate like any other append —
+        // under the election monitor, like any other append
+        state.electionLock(topic, p) {
         val leader = state.leaderOf(topic, p)
         val log = state.logAt(leader, topic, p)
         val targets = replicationTargets(topic, p, leader)
@@ -1310,6 +1345,7 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
               fl.next = off + 1
             })
           }
+        }
         }
       }
     }

@@ -183,4 +183,174 @@ object ReplicationChaosProperties extends Properties("graft.replchaos") {
         }
       } finally cl.stop()
     }
+
+  /** The CONCURRENT walk: a producer thread hammers the partition
+    * (alternating acks=all / acks=1, retrying through NOT_LEADER and
+    * dead sockets) WHILE the main thread injects pauses, resumes,
+    * leader failures, revivals, and clean elections. This is the walk
+    * the election monitor exists for — without it an append in flight
+    * on a deposed leader could interleave with the flip and diverge
+    * the replicas. Invariants, observed live from the main thread:
+    * drains stay extension-monotonic (no consumer ever un-reads), and
+    * every acks=all value acked BEFORE a drain started is in that
+    * drain, in order. At settle: full recovery, every durable value
+    * served. */
+  property("a producer racing elections, failures, and revivals never loses acked-durable data or breaks monotonic reads") =
+    Prop.forAll(Gen.listOfN(8, Gen.frequency(
+      2 -> Gen.chooseNum(0, 1).map(Pause(_)),
+      2 -> Gen.chooseNum(0, 1).map(Resume(_)),
+      2 -> Gen.const(FailLeader),
+      2 -> Gen.const(Revive),
+      2 -> Gen.const(CleanElect)))) { ops =>
+      val cl = new MiniKafkaCluster(numBrokers = 2, numPartitions = 2,
+        replicationFactor = 2)
+      try {
+        val topic = "t"; val P = 1
+        val dead = scala.collection.mutable.Set.empty[Int]
+        @volatile var bootstrap = cl.port(0)
+        val durable = new java.util.concurrent.CopyOnWriteArrayList[String]()
+        @volatile var stop = false
+        var failure: Option[String] = None
+        def check(cond: Boolean, msg: => String): Unit =
+          if (failure.isEmpty && !cond) failure = Some(msg)
+
+        def tryProduce(acks: Int, vals: Seq[String]): Boolean = {
+          var attempts = 0
+          while (attempts < 200 && !stop) {
+            attempts += 1
+            try {
+              val c = KafkaWire.leaderConn("localhost", bootstrap, topic, P)
+              try {
+                KafkaWire.produce(c, topic, P,
+                  vals.map(v => (v.getBytes(u8), v.getBytes(u8))), 1L,
+                  acks = acks)
+                return true
+              } finally c.close()
+            } catch {
+              // refused cleanly: nothing appended, nothing to track
+              case _: KafkaWire.NotEnoughReplicasException => return false
+              // mid-election / dead socket: refresh and retry — the
+              // broker-side idempotence is not engaged here, so a
+              // post-append ambiguity duplicates (at-least-once), which
+              // the subsequence invariants tolerate by design
+              case _: KafkaWire.NotLeaderException => Thread.sleep(5)
+              case _: java.io.IOException => Thread.sleep(5)
+            }
+          }
+          false
+        }
+
+        val seq = new java.util.concurrent.atomic.AtomicInteger(0)
+        val producer = new Thread(() => {
+          var acksAll = true
+          while (!stop) {
+            val vals = (1 to 2).map(_ => s"v${seq.incrementAndGet()}")
+            val acked = tryProduce(if (acksAll) -1 else 1, vals)
+            // only an ACKED acks=all batch is durable by contract
+            if (acksAll && acked) vals.foreach(durable.add)
+            acksAll = !acksAll
+          }
+        }, "graft-chaos-producer")
+        producer.setDaemon(true)
+
+        var lastVisible = Vector.empty[String]
+        def drainVisible(): Option[Vector[String]] = {
+          var attempts = 0
+          while (attempts < 100) {
+            attempts += 1
+            try {
+              val c = KafkaWire.leaderConn("localhost", bootstrap, topic, P)
+              try {
+                val f = new KafkaWire.GrowingFetcher(c, topic, P)
+                val out = scala.collection.mutable.ArrayBuffer.empty[String]
+                var off = 0L; var done = false
+                while (!done) {
+                  val (recs, hw) = f.fetchAt(off)
+                  if (recs.isEmpty) done = true
+                  else {
+                    out ++= recs.map(r => new String(r.value, u8))
+                    off = recs.last.offset + 1; done = off >= hw
+                  }
+                }
+                return Some(out.toVector)
+              } finally c.close()
+            } catch {
+              case _: KafkaWire.NotLeaderException => Thread.sleep(5)
+              case _: java.io.IOException => Thread.sleep(5)
+            }
+          }
+          None
+        }
+
+        def checkLive(): Unit = if (failure.isEmpty && !dead(cl.leaderOf(topic, P))) {
+          import scala.jdk.CollectionConverters._
+          // snapshot durable BEFORE the drain: everything acked by now
+          // must be in what we read next (later acks may also appear)
+          val snap = durable.iterator().asScala.toVector
+          drainVisible().foreach { vis =>
+            check(vis.take(lastVisible.length) == lastVisible,
+              s"NON-REPEATABLE READ: had ${lastVisible.length} rows, " +
+                s"new drain diverges")
+            check(isSubsequence(snap, vis),
+              s"acks=all values missing from a drain: durable=${snap.length} " +
+                s"visible=${vis.length}")
+            lastVisible = vis
+          }
+        }
+
+        producer.start()
+        Thread.sleep(50) // let some produce traffic land first
+        ops.foreach { op =>
+          if (failure.isEmpty) {
+            op match {
+              case Pause(b) => if (!dead(b)) cl.pauseReplication(b)
+              case Resume(b) => if (!dead(b)) cl.resumeReplication(b)
+              case FailLeader =>
+                val l = cl.leaderOf(topic, P)
+                if (!dead(l) && dead.isEmpty) {
+                  cl.failBroker(l); dead += l
+                  bootstrap = cl.port(1 - l)
+                }
+              case Revive =>
+                dead.headOption.foreach { b =>
+                  cl.reviveBroker(b); dead -= b
+                  bootstrap = cl.port(0)
+                }
+              case CleanElect =>
+                val l = cl.leaderOf(topic, P)
+                cl.isrOf(topic, P).filter(b => b != l && !dead(b))
+                  .headOption.foreach(nl => cl.moveLeader(topic, P, nl))
+              case _ => // produce ops not used in the concurrent walk
+            }
+            Thread.sleep(20) // let the producer race the new state
+            checkLive()
+          }
+        }
+        // settle: stop the producer, recover everything, final audit
+        stop = true
+        producer.join(5000)
+        if (failure.isEmpty) {
+          dead.toSeq.foreach { b => cl.reviveBroker(b); dead -= b }
+          (0 to 1).foreach(cl.resumeReplication)
+          bootstrap = cl.port(0)
+          import scala.jdk.CollectionConverters._
+          val snap = durable.iterator().asScala.toVector
+          drainVisible() match {
+            case Some(vis) =>
+              check(vis.take(lastVisible.length) == lastVisible,
+                "settle drain un-read previously visible rows")
+              check(isSubsequence(snap, vis),
+                s"settled log lost acks=all values: durable=${snap.length} " +
+                  s"visible=${vis.length}")
+            case None => check(cond = false, "settled cluster would not serve a drain")
+          }
+          check(cl.isrOf(topic, P) == Set(0, 1),
+            s"full recovery must restore the ISR, got ${cl.isrOf(topic, P)}")
+        }
+        failure match {
+          case None => Prop.passed
+          case Some(msg) => Prop.falsified :| msg
+        }
+      } finally cl.stop()
+    }
 }
