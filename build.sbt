@@ -19,6 +19,11 @@ Global / excludeLintKeys += showSuccess
 Test / fork := true
 Test / parallelExecution := false // suites share one SparkSession JVM
 run / fork := true
+// Route the forked run JVM's stdout straight through, unprefixed: sbt's
+// default logger wraps every forked-stdout line in "[info] ", which
+// defeats a consumer that parses the LAST line as JSON (graft.Bench's
+// contract). showSuccess=false killed the epilogue; this kills the prefix.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
