@@ -87,7 +87,7 @@ private[graft] final class KafkaClusterState(
       codec: Int, magic: Int = 1, pid: Long = -1L, pEpoch: Int = -1,
       baseSeq: Int = -1, raw: Array[Byte] = null,
       transactional: Boolean = false, control: Boolean = false,
-      spanEnd: Long = -1L) {
+      spanEnd: Long = -1L, epoch: Int = -1) {
     // a VAL: records may be a List (Scala 2.13 `.toSeq` builds one), so
     // a def would be O(n) — and fetchV2's dropWhile calls end on every
     // batch below the cursor, turning each fetch into an O(log-size)
@@ -96,6 +96,11 @@ private[graft] final class KafkaClusterState(
     // offset span after records inside it were compacted away — the
     // real broker keeps baseOffset/lastOffsetDelta through compaction
     // for exactly this (consumers advance past the gaps).
+    // `epoch` is the PARTITION LEADER EPOCH the batch was appended
+    // under (the real broker's partitionLeaderEpoch stamp, kept in the
+    // leader-epoch checkpoint): replication copies it verbatim, so a
+    // replica's epoch→startOffset history is derivable from its
+    // batches — the index OffsetsForLeaderEpoch truncation walks.
     val end: Long = if (spanEnd >= 0) spanEnd else base + records.length
   }
 
@@ -243,6 +248,160 @@ private[graft] final class KafkaClusterState(
     electionMonitors.getOrElseUpdate((topic, p), new Object)
       .synchronized(body)
 
+  /** Per-partition LEADER EPOCH — the protocol's fencing token
+    * (KIP-101/KIP-320): bumped on EVERY leadership change (clean
+    * handover, broker-death election, unclean promotion, revived-
+    * leader re-election), monotonic per partition. Wire-visible in
+    * Metadata v7 (partition leader_epoch), validated by Fetch v9 /
+    * OffsetsForLeaderEpoch (FENCED_LEADER_EPOCH / UNKNOWN_LEADER_
+    * EPOCH), and stamped into every appended batch (`Batch.epoch`),
+    * which is what follower truncation walks. */
+  private val leaderEpochs = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), Int]
+  def leaderEpochOf(topic: String, p: Int): Int =
+    leaderEpochs.getOrElseUpdate((topic, p), 0)
+  /** Caller holds the election lock. */
+  private def bumpEpoch(topic: String, p: Int): Unit =
+    leaderEpochs.put((topic, p), leaderEpochOf(topic, p) + 1)
+
+  /** One consistent read of the paused-replica set, taken ONCE per
+    * produce inside the election lock: the acks=all gate and the
+    * replication-target list must judge the same snapshot, or a pause
+    * landing between them leaves an acked-durable batch unreplicated
+    * while the paused follower stays in the ISR (a later clean
+    * election to it would truncate acked data). With one snapshot a
+    * concurrent pause linearizes before the whole gate+replicate
+    * section (follower shrunk, not a target) or after it (follower
+    * still written — it has the batch, so its ISR membership is
+    * honest). */
+  def pausedSnapshot: Set[Int] = {
+    val b = Set.newBuilder[Int]
+    pausedReplicas.forEach(i => b += i)
+    b.result()
+  }
+
+  // ── pull replication (cross-process mode) ───────────────────────────
+  // With every broker in ONE JVM, the leader can write follower replica
+  // logs directly (push) — the in-process mode above. Across PROCESS
+  // boundaries that is impossible: followers must FETCH from the leader
+  // over the wire (the real protocol's replica fetcher), the leader
+  // must learn follower progress from those fetches, and the epochs —
+  // not a JVM monitor — carry the fencing. `pullMode` switches the
+  // whole data path to that shape; [[MiniKafkaNode]] is the per-process
+  // wrapper that runs the fetchers.
+
+  /** true = followers pull over the wire; the leader never writes
+    * their logs, and the high watermark comes from [[followerLeo]]. */
+  @volatile var pullMode: Boolean = false
+  /** How long an acks=all produce waits for follower fetches before
+    * the laggards are shrunk out (the double's replica.lag.time.max
+    * .ms, pull mode only). */
+  @volatile var ackTimeoutMs: Long = 5000L
+  /** Leader-side view of each follower's log end, learned from the
+    * follower's fetch offsets (a fetch AT offset x proves everything
+    * below x is persisted there — the real protocol's progress
+    * signal). */
+  val followerLeo = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, Int), Long]
+  private val hwMonitors = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), Object]
+  /** Monitor the acks=all purgatory parks on; follower-fetch progress
+    * notifies it. */
+  def hwMonitor(topic: String, p: Int): Object =
+    hwMonitors.getOrElseUpdate((topic, p), new Object)
+
+  /** Invoked after a controller command ([[setPartitionState]])
+    * changes a partition's regime — the node's hook to reconcile its
+    * replica fetchers. */
+  @volatile var onPartitionState: (String, Int) => Unit = null
+
+  /** Apply a CONTROLLER decision (the LeaderAndIsr request a real
+    * controller pushes): leadership, epoch, ISR, and assignment are
+    * FED, not computed — each process holds its own copy of this
+    * state, kept consistent by the controller, exactly the real
+    * design. */
+  def setPartitionState(topic: String, p: Int, leader: Int, epoch: Int,
+      isr: Set[Int], replicas: Seq[Int]): Unit = {
+    leaders.put((topic, p), leader)
+    leaderEpochs.put((topic, p), epoch)
+    isrMap.put((topic, p), isr)
+    replicaSets.put((topic, p), replicas)
+    val cb = onPartitionState
+    if (cb != null) cb(topic, p)
+    hwMonitor(topic, p).synchronized(hwMonitor(topic, p).notifyAll())
+  }
+
+  /** Register a PEER broker's advertised address (from the
+    * controller's live_leaders list) so metadata and the replica
+    * fetchers can route to it. */
+  def registerPeer(id: Int, host: String, port: Int): Unit =
+    brokers.put(id, (host, port))
+
+  /** Epoch history of a log, for the client-side truncation walk. */
+  def epochHistory(log: Log): Vector[(Int, Long)] =
+    log.synchronized(epochEntriesLocked(log))
+
+  /** Truncate `log` to end exactly at `point` (the divergence point a
+    * wire truncation walk computed), rebuilding transactional
+    * metadata from the surviving prefix. */
+  def truncateSuffix(log: Log, point: Long): Unit = log.synchronized {
+    val keep = log.batches.takeWhile(_.end <= point)
+    log.batches.dropRightInPlace(log.batches.length - keep.length)
+    log.next = keep.lastOption.map(_.end).getOrElse(math.min(point, log.start))
+    rebuildTxnMetaLocked(log)
+  }
+
+  /** Append a batch REPLICATED off the wire (the follower fetcher's
+    * path): verbatim bytes, broker-assigned offsets, the leader's
+    * epoch stamp — and the transactional metadata applied so this
+    * replica can later lead with correct LSO/idempotence state. */
+  def appendFetched(log: Log, rb: KafkaWire.RecordBatch): Unit =
+    log.synchronized {
+      require(log.next == rb.baseOffset,
+        s"replica fetch out of order: local end ${log.next}, " +
+          s"batch base ${rb.baseOffset}")
+      val b = Batch(rb.baseOffset, rb.records, rb.codec, magic = 2,
+        pid = rb.producerId, pEpoch = rb.producerEpoch,
+        baseSeq = rb.baseSequence, raw = rb.raw,
+        transactional = rb.transactional, control = rb.control,
+        spanEnd = rb.endOffset, epoch = rb.partitionLeaderEpoch)
+      log.batches += b
+      log.next = b.end
+      applyBatchMetaLocked(log, b)
+    }
+
+  /** Apply one batch's transactional side effects to a replica's
+    * metadata (ongoing pins, aborted ranges, producer sequences) —
+    * shared by the catch-up rebuild and the wire fetcher. Caller
+    * holds the log lock. */
+  private def applyBatchMetaLocked(log: Log, b: Batch): Unit = {
+    if (b.control) {
+      log.ongoing.remove(b.pid).foreach { first =>
+        if (!isCommitMarker(b)) log.aborted += ((b.pid, first, b.base))
+      }
+    } else {
+      if (b.transactional && b.pid >= 0L)
+        log.ongoing.getOrElseUpdate(b.pid, b.base)
+      if (b.pid >= 0L && b.baseSeq >= 0) {
+        val st = log.pidStates.getOrElseUpdate(b.pid, new PidState)
+        if (b.pEpoch > st.epoch) {
+          st.epoch = b.pEpoch; st.nextSeq = 0; st.recent.clear()
+        }
+        st.nextSeq = b.baseSeq + b.records.length
+        st.recent.append(
+          (b.baseSeq, b.baseSeq + b.records.length - 1, b.base))
+        if (st.recent.length > 5) st.recent.removeHead()
+      }
+    }
+  }
+
+  /** Rebuild all transactional metadata from the log's current
+    * batches. Caller holds the log lock. */
+  private def rebuildTxnMetaLocked(log: Log): Unit = {
+    log.ongoing.clear(); log.aborted.clear(); log.pidStates.clear()
+    log.batches.foreach(b => applyBatchMetaLocked(log, b))
+  }
+
   /** Re-elect `p`'s leader (the controller's job in a real cluster) —
     * clients discover via NOT_LEADER + metadata refresh. With
     * replication, a CLEAN election only promotes an in-sync replica
@@ -253,7 +412,9 @@ private[graft] final class KafkaClusterState(
   def moveLeader(topic: String, p: Int, brokerId: Int,
       allowUnclean: Boolean = false): Unit = electionLock(topic, p) {
     require(brokers.contains(brokerId), s"unknown broker $brokerId")
-    if (replicationFactor > 1 && !isrOf(topic, p).contains(brokerId)) {
+    val unclean =
+      replicationFactor > 1 && !isrOf(topic, p).contains(brokerId)
+    if (unclean) {
       require(allowUnclean,
         s"broker $brokerId is not in $topic-$p's ISR — a clean election " +
           "cannot promote it (acked data would be lost); pass " +
@@ -261,24 +422,30 @@ private[graft] final class KafkaClusterState(
       // unclean promotion: the new leader's log IS the truth now, and
       // nothing else is in sync with it — the ISR collapses to the
       // leader alone (so the HW is ITS log end, never a deposed
-      // replica's longer log); deposed replicas re-enter through
-      // catchUp, truncating their divergent suffixes
+      // replica's longer log); deposed replicas re-enter below
       isrMap.put((topic, p), Set(brokerId))
     }
+    if (leaderOf(topic, p) != brokerId) bumpEpoch(topic, p)
     leaders.put((topic, p), brokerId)
-    if (replicationFactor > 1 && isrOf(topic, p).contains(brokerId))
+    if (replicationFactor > 1 && !unclean)
       reconcileIsrTo(topic, p, brokerId)
+    // after an UNCLEAN election the ISR stays collapsed at {leader}
+    // until each deposed replica runs follower recovery — through
+    // [[MiniKafkaCluster.catchUpBroker]] (the explicit entry point),
+    // resumeReplication, or reviveBroker. The recovery truncates the
+    // replica's divergent suffix at the epoch divergence point and
+    // re-admits it, restoring acks=all with minInsyncReplicas > 1.
   }
 
   /** After a leadership change to `leader`, truncate any ISR member
     * whose log runs PAST the new leader's end — the deposed leader's
-    * unreplicated acks<=1 tail (leader-epoch truncation, done locally,
-    * no fetch needed). Those records were above the high watermark, so
-    * no consumer ever saw them; a SHORTER (lagging) member keeps its
-    * prefix and catches up later. Runs on every election path — the
-    * controller's clean handover (moveLeader) AND the broker-death
-    * election (markDead): with RF >= 3 the elected survivor may be a
-    * lagging ISR member while another survivor holds a longer log. */
+    * unreplicated acks<=1 tail (leader-epoch truncation). Those
+    * records were above the high watermark, so no consumer ever saw
+    * them; a SHORTER (lagging) member keeps its prefix and catches up
+    * later. Runs on every election path — the controller's clean
+    * handover (moveLeader) AND the broker-death election (markDead):
+    * with RF >= 3 the elected survivor may be a lagging ISR member
+    * while another survivor holds a longer log. */
   private def reconcileIsrTo(topic: String, p: Int, leader: Int): Unit = {
     val ll = logAt(leader, topic, p)
     val lend = ll.synchronized(ll.next)
@@ -286,7 +453,7 @@ private[graft] final class KafkaClusterState(
       .foreach { b =>
         val bl = logAt(b, topic, p)
         if (bl.synchronized(bl.next) > lend)
-          mirrorReplica(topic, p, leader, b)
+          syncReplicaTo(topic, p, leader, b)
       }
   }
 
@@ -327,6 +494,10 @@ private[graft] final class KafkaClusterState(
       assignmentOf(topic, p).filterNot(deadBrokers.contains).toSet)
   def shrinkIsr(topic: String, p: Int, broker: Int): Unit =
     isrMap.put((topic, p), isrOf(topic, p) - broker)
+  /** Leader-managed ISR write (pull mode: the leader admits a
+    * caught-up fetcher, the purgatory shrinks laggards). */
+  def setIsr(topic: String, p: Int, isr: Set[Int]): Unit =
+    isrMap.put((topic, p), isr)
 
   /** HIGH WATERMARK: the minimum log-end over the ISR. A consumer may
     * only read BELOW it — data above it exists only on the leader (or
@@ -335,13 +506,69 @@ private[graft] final class KafkaClusterState(
     * that loss invisible rather than a non-repeatable read. RF = 1:
     * the log's own end. */
   def highWatermark(topic: String, p: Int): Long =
-    if (replicationFactor <= 1) {
+    if (pullMode) {
+      // the LEADER's computation (only the leader serves reads): its
+      // own end, min'd with every ISR follower's REPORTED position —
+      // a follower's progress is only what its fetches proved, never
+      // a leader-side assumption (the cross-process honesty the
+      // in-JVM push mode cannot model)
+      val lid = leaderOf(topic, p)
+      val lend = { val l = logAt(lid, topic, p); l.synchronized(l.next) }
+      val ends = isrOf(topic, p).map(b =>
+        if (b == lid) lend else followerLeo.getOrElse((b, topic, p), 0L))
+      if (ends.isEmpty) -1L else ends.min
+    } else if (replicationFactor <= 1) {
       val l = logOf(topic, p); l.synchronized(l.next)
     } else {
+      def endAt(b: Int): Long = {
+        val l = logAt(b, topic, p); l.synchronized(l.next)
+      }
       val isr = isrOf(topic, p)
-      val ends = (if (isr.isEmpty) Set(leaderOf(topic, p)) else isr)
-        .map { b => val l = logAt(b, topic, p); l.synchronized(l.next) }
-      ends.min
+      if (isr.nonEmpty) isr.map(endAt).min
+      else {
+        // EMPTY ISR = the partition is offline (the leader died with
+        // no in-sync survivor). The dead leader's stored log end is
+        // NOT a servable watermark — no live replica can serve it, and
+        // reporting it would let a test mistake an offline partition
+        // for a readable one. Report the minimum over LIVE assigned
+        // replicas (the most any future unclean election could make
+        // durable), or the explicit offline sentinel -1 with none.
+        val live = assignmentOf(topic, p).filterNot(deadBrokers.contains)
+        if (live.isEmpty) -1L else live.map(endAt).min
+      }
+    }
+
+  /** Partitions whose pinned high watermark was already warned about
+    * — the acks<=1 paused-ISR hang diagnostic fires once per pin. */
+  private val hwPinWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int)]()
+  /** A follower paused during acks<=1 traffic stays in the ISR (the
+    * real pre-replica.lag.time.max.ms window), pinning the high
+    * watermark at its log end: read_uncommitted consumers see NOTHING
+    * new until a resume or an acks=all produce shrinks it — correct,
+    * but a silent hang if a spec forgets. Warn (once per pin) when a
+    * read-path call observes the HW held below the leader end solely
+    * by paused ISR members, so the stall is diagnosable. */
+  def noteHwPin(topic: String, p: Int): Unit =
+    if (replicationFactor > 1) {
+      val leader = leaderOf(topic, p)
+      val ll = logAt(leader, topic, p)
+      val lend = ll.synchronized(ll.next)
+      val hw = highWatermark(topic, p)
+      val laggards =
+        if (hw >= 0 && hw < lend)
+          isrOf(topic, p).filter { b =>
+            val l = logAt(b, topic, p); l.synchronized(l.next) < lend
+          }
+        else Set.empty[Int]
+      if (laggards.nonEmpty && laggards.forall(pausedReplicas.contains)) {
+        if (hwPinWarned.add((topic, p)))
+          System.err.println(s"[graft-kafka] WARN: high watermark of " +
+            s"$topic-$p pinned at $hw below leader end $lend by PAUSED " +
+            s"ISR member(s) ${laggards.toSeq.sorted.mkString(",")} — " +
+            "consumers stall until resumeReplication(..) or an acks=all " +
+            "produce shrinks them out")
+      } else hwPinWarned.remove((topic, p))
     }
 
   /** Broker `id` FAILED: stop advertising it, drop it from every ISR,
@@ -360,6 +587,7 @@ private[graft] final class KafkaClusterState(
         if (leaderOf(t, p) == id) { // unchanged under the lock
           val live = isrOf(t, p).toSeq.sorted
           live.headOption.foreach { nl =>
+            bumpEpoch(t, p) // every election is a new fencing regime
             leaders.put((t, p), nl)
             // the elected survivor may be the SHORTEST in-sync log
             // (a lagging ISR member) while another survivor holds the
@@ -392,7 +620,11 @@ private[graft] final class KafkaClusterState(
         // log IS the truth (nothing newer was ever elected), and the
         // leader is trivially in sync with itself — without this
         // re-admission an offline partition would refuse acks=all
-        // forever after its leader comes back
+        // forever after its leader comes back. Re-electing the same
+        // broker after an offline window is still an ELECTION: the
+        // epoch bumps (the real controller's behavior on a bounce), so
+        // any fetch pinned to the pre-death epoch is fenced.
+        if (!isrOf(topic, p).contains(brokerId)) bumpEpoch(topic, p)
         isrMap.put((topic, p), isrOf(topic, p) + brokerId)
       } else if (assigned.contains(brokerId) &&
           deadBrokers.contains(leader)) {
@@ -400,50 +632,119 @@ private[graft] final class KafkaClusterState(
         // from — the follower stays behind (and out of the ISR) until
         // the leader revives
       } else if (assigned.contains(brokerId) && leader != brokerId) {
-        mirrorReplica(topic, p, leader, brokerId)
+        syncReplicaTo(topic, p, leader, brokerId)
         isrMap.put((topic, p), isrOf(topic, p) + brokerId)
       }
       }
     }
   }
 
-  /** Rewrite `brokerId`'s replica of (topic, p) as a MIRROR of
-    * `leader`'s log, rebuilding transactional metadata (ongoing pins,
-    * aborted ranges, producer sequence state) from the copied batch
-    * walk — so the mirrored replica can later serve as leader with
-    * correct LSO and idempotence behavior. Any divergent suffix the
-    * replica held is implicitly truncated away. */
-  private def mirrorReplica(topic: String, p: Int, leader: Int,
+  /** The log's leader-epoch history — (epoch, startOffset) per
+    * distinct epoch in append order, the real broker's leader-epoch
+    * checkpoint file derived from the batch stamps. Pre-epoch batches
+    * (epoch -1, e.g. pre-upgrade test logs) contribute no entry: a
+    * log with no entries resolves every divergence to a full resync,
+    * the behavior the old full-mirror had. Caller holds the log lock. */
+  private def epochEntriesLocked(log: Log): Vector[(Int, Long)] = {
+    val out = Vector.newBuilder[(Int, Long)]
+    var last = -1
+    log.batches.foreach { b =>
+      if (b.epoch >= 0 && b.epoch != last) {
+        out += ((b.epoch, b.base)); last = b.epoch
+      }
+    }
+    out.result()
+  }
+
+  /** OffsetsForLeaderEpoch's answer: the largest epoch <= `asked` in
+    * this log's history, with that epoch's EXCLUSIVE end offset (the
+    * next epoch's start, or the log end for the latest). (-1, -1) =
+    * UNKNOWN (no epoch at or below `asked`). */
+  def endOffsetForEpoch(log: Log, asked: Int): (Int, Long) =
+    log.synchronized {
+      val entries = epochEntriesLocked(log)
+      val i = entries.lastIndexWhere(_._1 <= asked)
+      if (i < 0) (-1, -1L)
+      else {
+        val (e, _) = entries(i)
+        val end =
+          if (i + 1 < entries.size) entries(i + 1)._2 else log.next
+        (e, end)
+      }
+    }
+
+  /** The first offset at which follower `fl` may DIVERGE from leader
+    * `ll` — the OffsetsForLeaderEpoch truncation walk (KIP-101):
+    * starting from the follower's latest epoch, ask the leader for
+    * that epoch's end offset; when the leader knows the epoch, the
+    * logs agree below min(leaderEnd, followerEnd); when the leader's
+    * largest epoch at-or-below it is SMALLER, the follower's entries
+    * above that epoch are divergent — drop them and retry one epoch
+    * down. No epoch history (pre-epoch logs) → 0, a full resync.
+    * Caller holds both log locks. */
+  private def divergencePointLocked(ll: Log, fl: Log): Long = {
+    val fe = epochEntriesLocked(fl)
+    var i = fe.size - 1
+    while (i >= 0) {
+      val (e, _) = fe(i)
+      val (le, lend) = {
+        // endOffsetForEpoch inline: the leader lock is already held
+        val entries = epochEntriesLocked(ll)
+        val j = entries.lastIndexWhere(_._1 <= e)
+        if (j < 0) (-1, -1L)
+        else (entries(j)._1,
+          if (j + 1 < entries.size) entries(j + 1)._2 else ll.next)
+      }
+      if (le == e) return math.min(lend, fl.next)
+      else if (le < 0) return 0L // leader predates every follower epoch
+      else i = fe.lastIndexWhere(_._1 <= le, i) // drop divergent epochs
+    }
+    0L
+  }
+
+  /** Test oracle: per-partition record of the last [[syncReplicaTo]]
+    * — (truncation point, batches copied) — pins that catch-up
+    * truncates ONLY the divergent suffix and copies ONLY the missing
+    * one, instead of rewriting the whole replica. */
+  val lastSync = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), (Long, Int)]
+
+  /** Make `brokerId`'s replica of (topic, p) consistent with
+    * `leader`'s log — the follower-fetch recovery, done the way the
+    * protocol does it (KIP-101): find the divergence point via the
+    * leader-epoch histories, truncate the follower's divergent suffix
+    * (acks<=1 data above the high watermark no consumer ever saw),
+    * then copy only the leader's missing suffix. Transactional
+    * metadata (ongoing pins, aborted ranges, producer sequence state)
+    * is REBUILT from the resulting batch walk, so a caught-up replica
+    * can later serve as leader with correct LSO and idempotence
+    * behavior. */
+  private def syncReplicaTo(topic: String, p: Int, leader: Int,
       brokerId: Int): Unit = {
     val ll = logAt(leader, topic, p)
     val fl = logAt(brokerId, topic, p)
     // lock order leader-then-follower, same as live replication
     ll.synchronized { fl.synchronized {
-      fl.batches.clear()
-      fl.ongoing.clear(); fl.aborted.clear(); fl.pidStates.clear()
+      val point = divergencePointLocked(ll, fl)
+      // truncate the follower to the divergence point — batches are
+      // append-atomic and epochs stamp whole batches, so the point
+      // lands on a batch boundary of any log that shares the prefix;
+      // a straddling batch (defensive) truncates too
+      val keep = fl.batches.takeWhile(_.end <= point)
+      fl.batches.dropRightInPlace(fl.batches.length - keep.length)
+      fl.next = keep.lastOption.map(_.end).getOrElse(0L)
+      // copy the leader's missing suffix (retention may have advanced
+      // the leader's start past the follower's position — the copy
+      // walk serves whatever the leader still has from fl.next up)
+      var copied = 0
       ll.batches.foreach { b =>
-        fl.batches += b
-        if (b.control) {
-          fl.ongoing.remove(b.pid).foreach { first =>
-            if (!isCommitMarker(b)) fl.aborted += ((b.pid, first, b.base))
-          }
-        } else {
-          if (b.transactional && b.pid >= 0L)
-            fl.ongoing.getOrElseUpdate(b.pid, b.base)
-          if (b.pid >= 0L && b.baseSeq >= 0) {
-            val st = fl.pidStates.getOrElseUpdate(b.pid, new PidState)
-            if (b.pEpoch > st.epoch) {
-              st.epoch = b.pEpoch; st.nextSeq = 0; st.recent.clear()
-            }
-            st.nextSeq = b.baseSeq + b.records.length
-            st.recent.append(
-              (b.baseSeq, b.baseSeq + b.records.length - 1, b.base))
-            if (st.recent.length > 5) st.recent.removeHead()
-          }
-        }
+        if (b.base >= fl.next) { fl.batches += b; copied += 1 }
       }
       fl.next = ll.next
       fl.start = ll.start
+      lastSync.put((topic, p), (point, copied))
+      // rebuild transactional metadata from the final batch walk
+      rebuildTxnMetaLocked(fl)
     } }
   }
 
@@ -480,13 +781,16 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
     * assigned, alive, in-sync, not paused. A paused follower in the
     * ISR is the open loss window (acks<=1 proceeds without it); a
     * paused follower under acks=all is shrunk out by [[acksAllGate]]
-    * before this is consulted. */
+    * before this is consulted. `paused` is the ONE per-produce
+    * snapshot shared with the gate (see
+    * [[KafkaClusterState.pausedSnapshot]]) so the two decisions
+    * cannot straddle a concurrent pause. */
   private def replicationTargets(topic: String, p: Int,
-      leader: Int): Seq[Int] =
-    if (state.replicationFactor <= 1) Seq.empty
+      leader: Int, paused: Set[Int]): Seq[Int] =
+    if (state.replicationFactor <= 1 || state.pullMode) Seq.empty
     else state.assignmentOf(topic, p).filter { b =>
       b != leader && state.isrOf(topic, p).contains(b) &&
-        !state.deadBrokers.contains(b) && !state.pausedReplicas.contains(b)
+        !state.deadBrokers.contains(b) && !paused.contains(b)
     }
 
   /** Run `body` on follower `f`'s replica of (topic, p) under its
@@ -512,16 +816,47 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
     * appended and the producer hears NOT_ENOUGH_REPLICAS — durability
     * is refused loudly, never silently downgraded (the real broker's
     * pre-append check). */
-  private def acksAllGate(topic: String, p: Int): Int = {
+  private def acksAllGate(topic: String, p: Int, paused: Set[Int]): Int = {
     if (state.replicationFactor > 1) {
       state.assignmentOf(topic, p)
         .filter(b => b != brokerId &&
-          (state.pausedReplicas.contains(b) || state.deadBrokers.contains(b)))
+          (paused.contains(b) || state.deadBrokers.contains(b)))
         .foreach(b => state.shrinkIsr(topic, p, b))
       if (state.isrOf(topic, p).size < state.minInsyncReplicas)
         return KafkaWire.Errors.NotEnoughReplicas
     }
     0
+  }
+
+  /** The PULL-MODE acks=all purgatory: the batch is already in the
+    * leader's log; park until the high watermark covers `end` (every
+    * ISR follower's fetch offsets PROVED the batch landed there), or
+    * — at the deadline, the double's replica.lag.time.max.ms — shrink
+    * the laggards out of the ISR so the HW can advance, and let
+    * min.insync.replicas decide whether the write still got its
+    * durability. A failed wait is NOT_ENOUGH_REPLICAS_AFTER_APPEND
+    * (error 20): unlike the pre-append refusal, the record IS in the
+    * log — a retry would duplicate it, which is exactly what the real
+    * error code warns producers about. */
+  private def awaitAcksAll(topic: String, p: Int, end: Long): Int = {
+    if (!state.pullMode) return 0
+    val mon = state.hwMonitor(topic, p)
+    val deadline = System.currentTimeMillis() + state.ackTimeoutMs
+    mon.synchronized {
+      while (state.highWatermark(topic, p) < end &&
+          System.currentTimeMillis() < deadline)
+        mon.wait(10)
+    }
+    if (state.highWatermark(topic, p) >= end) 0
+    else {
+      state.isrOf(topic, p)
+        .filter(b => b != brokerId &&
+          state.followerLeo.getOrElse((b, topic, p), 0L) < end)
+        .foreach(b => state.shrinkIsr(topic, p, b))
+      if (state.isrOf(topic, p).size < state.minInsyncReplicas)
+        KafkaWire.Errors.NotEnoughReplicasAfterAppend
+      else 0
+    }
   }
 
   // ── group coordinator (classic membership protocol) ─────────────────
@@ -586,9 +921,10 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
           // log-start too (followers replicate the leader's start in a
           // real cluster); a paused follower catches up via catchUp
           if (state.replicationFactor > 1)
-            replicationTargets(topic, p, brokerId).foreach { f =>
-              truncateOn(state.logAt(f, topic, p), before)
-            }
+            replicationTargets(topic, p, brokerId, state.pausedSnapshot)
+              .foreach { f =>
+                truncateOn(state.logAt(f, topic, p), before)
+              }
           val log = this.log(topic, p)
           (p, log.synchronized(log.start), 0)
         }
@@ -997,10 +1333,14 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
         val body: Array[Byte] = (apiKey, apiVersion) match {
           case (18, 0) => apiVersionsV0()
           case (3, 0) => metadataV0(r)
+          case (3, 7) if serveFormat >= 2 => metadataV7(r)
           case (0, 2) => produceV2(r)
           case (0, 3) if serveFormat >= 2 => produceV3(r)
           case (1, 2) => fetchV2(r)
           case (1, 4) if serveFormat >= 2 => fetchV4(r)
+          case (1, 9) if serveFormat >= 2 => fetchV9(r)
+          case (4, 0) => leaderAndIsrV0(r)
+          case (23, 2) if serveFormat >= 2 => offsetsForLeaderEpochV2(r)
           case (2, 1) => listOffsetsV1(r)
           case (8, 2) => offsetCommitV2(r)
           case (9, 1) => offsetFetchV1(r)
@@ -1045,10 +1385,11 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
     // against this broker fail, exactly like a real old broker)
     val apis =
       if (serveFormat >= 2)
-        Seq((0, 2, 3), (1, 2, 4), (2, 1, 2), (3, 0, 0), (8, 2, 2),
+        Seq((0, 2, 3), (1, 2, 9), (2, 1, 2), (3, 0, 7), (8, 2, 2),
           (9, 1, 1), (10, 0, 0), (11, 0, 1), (12, 0, 0), (13, 0, 0),
           (14, 0, 0), (15, 0, 0), (16, 0, 0), (18, 0, 0), (21, 0, 0),
-          (22, 0, 0), (24, 0, 0), (25, 0, 0), (26, 0, 0), (28, 0, 0))
+          (22, 0, 0), (23, 2, 2), (24, 0, 0), (25, 0, 0), (26, 0, 0),
+          (28, 0, 0))
       // group coordination predates message-format v2 — an old broker
       // speaks it too, so both format matrices advertise it
       else Seq((0, 2, 2), (1, 2, 2), (2, 1, 1), (3, 0, 0), (8, 2, 2),
@@ -1083,6 +1424,223 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
     w.result()
   }
 
+  /** LeaderAndIsr v0 (api 4): the CONTROLLER's regime push — each
+    * partition's leader, leader epoch, ISR, and replica assignment,
+    * plus the live leaders' addresses. This is how leadership crosses
+    * process boundaries in a real cluster (no shared memory, no
+    * shared monitor — the epoch in this request is the fencing
+    * token). A partition state carrying an epoch at or below the one
+    * this broker already holds is STALE (a delayed controller
+    * message) and is refused with FENCED_LEADER_EPOCH, never applied
+    * — the real broker's becomeLeaderOrFollower check. */
+  private def leaderAndIsrV0(r: Reader): Array[Byte] = {
+    r.int32() // controller_id
+    r.int32() // controller_epoch
+    val n = r.int32()
+    val states = (0 until n).map { _ =>
+      val topic = r.str(); val p = r.int32()
+      r.int32() // per-partition controller_epoch
+      val leader = r.int32(); val epoch = r.int32()
+      val ni = r.int32(); val isr = (0 until ni).map(_ => r.int32()).toSet
+      r.int32() // zk_version
+      val nr = r.int32(); val replicas = (0 until nr).map(_ => r.int32())
+      (topic, p, leader, epoch, isr, replicas)
+    }
+    val nl = r.int32()
+    (0 until nl).foreach { _ =>
+      val id = r.int32(); val host = r.str(); val port = r.int32()
+      state.registerPeer(id, host, port)
+    }
+    val results = states.map { case (topic, p, leader, epoch, isr, replicas) =>
+      if (epoch <= state.leaderEpochOf(topic, p) &&
+          // epoch 0 at first touch is the unassigned default — a
+          // controller's initial push carries epoch >= 1
+          state.leaderEpochOf(topic, p) > 0)
+        (topic, p, KafkaWire.Errors.FencedLeaderEpoch)
+      else {
+        state.setPartitionState(topic, p, leader, epoch, isr, replicas)
+        (topic, p, 0)
+      }
+    }
+    val w = new Writer().int16(0).int32(results.length)
+    results.foreach { case (topic, p, err) =>
+      w.str(topic).int32(p).int16(err)
+    }
+    w.result()
+  }
+
+  /** Metadata v7 (the first version carrying the partition's
+    * LEADER_EPOCH — KIP-320's client-side fencing token; offline_
+    * replicas arrived in v5, rack/cluster_id/controller_id in v1/v2).
+    * Pre-flexible encoding (flexible starts at v9). A routing client
+    * reads the epoch here and pins its fetches to it: a stale view
+    * after a re-election is FENCED by the leader instead of silently
+    * served. */
+  private def metadataV7(r: Reader): Array[Byte] = {
+    val n = r.int32()
+    require(n >= 0, "metadata v7 with null topics (all-topics) " +
+      "is not served by the double — name the topics")
+    val topics = (0 until n).map(_ => r.str())
+    r.int8() // allow_auto_topic_creation (v4+) — the double auto-creates
+    val w = new Writer().int32(0) // throttle_time_ms
+    val bs = state.brokers.toSeq.sortBy(_._1)
+    w.int32(bs.length)
+    bs.foreach { case (id, (h, pt)) =>
+      w.int32(id).str(h).int32(pt).str(null) } // rack: none
+    w.str("graft-cluster") // cluster_id
+    w.int32(0)             // controller_id (broker 0 convention)
+    w.int32(topics.length)
+    topics.foreach { t =>
+      w.int16(0).str(t).int8(0) // error, name, is_internal = false
+      w.int32(numPartitions)
+      (0 until numPartitions).foreach { p =>
+        val leader = leaderOf(t, p)
+        val replicas = state.assignmentOf(t, p)
+        val isr = state.isrOf(t, p).toSeq.sorted
+        val offline = replicas.filter(state.deadBrokers.contains)
+        w.int16(0).int32(p).int32(leader)
+          .int32(state.leaderEpochOf(t, p)) // leader_epoch (v7+)
+        w.int32(replicas.length); replicas.foreach(w.int32)
+        w.int32(isr.length); isr.foreach(w.int32)
+        w.int32(offline.length); offline.foreach(w.int32) // v5+
+      }
+    }
+    w.result()
+  }
+
+  /** The Fetch v9 / OffsetsForLeaderEpoch epoch gate: a request
+    * pinned to an OLDER epoch than the partition's current one
+    * followed stale metadata across a re-election — FENCED (the
+    * client must refresh); a NEWER epoch than this broker knows means
+    * the CLIENT is ahead (it learned of an election this broker
+    * hasn't) — UNKNOWN. -1 opts out (the pre-KIP-320 client). */
+  private def epochGate(topic: String, p: Int, requested: Int): Int =
+    if (requested < 0) 0
+    else {
+      val cur = state.leaderEpochOf(topic, p)
+      if (requested < cur) KafkaWire.Errors.FencedLeaderEpoch
+      else if (requested > cur) KafkaWire.Errors.UnknownLeaderEpoch
+      else 0
+    }
+
+  /** Fetch v9 (api 1): the first version whose per-partition request
+    * carries CURRENT_LEADER_EPOCH (KIP-320) — the broker fences a
+    * fetch pinned to a superseded epoch instead of serving it, closing
+    * the stale-metadata window an in-process monitor cannot close for
+    * an out-of-process client. Also serves the v5+ log_start_offset
+    * and the v7+ session fields; the double is SESSIONLESS (session_id
+    * 0 on every response — the protocol's full-fetch degenerate case,
+    * which a client requests with session_epoch -1). */
+  private def fetchV9(r: Reader): Array[Byte] = {
+    val replicaId = r.int32()       // >= 0: a FOLLOWER's fetch
+    r.int32(); r.int32()            // max_wait, min_bytes
+    r.int32()                       // response max_bytes
+    val isolation = r.int8()
+    val committed = isolation == 1
+    r.int32() // session_id (sessionless: ignored)
+    r.int32() // session_epoch
+    val nTopics = r.int32()
+    val resp = (0 until nTopics).map { _ =>
+      val topic = r.str()
+      val nParts = r.int32()
+      val parts = (0 until nParts).map { _ =>
+        val p = r.int32()
+        val curEpoch = r.int32() // current_leader_epoch (v9+)
+        val off = r.int64()
+        r.int64() // log_start_offset (follower fetches; -1 for consumers)
+        val maxBytes = r.int32()
+        val gate = epochGate(topic, p, curEpoch)
+        if (gate != 0)
+          (p, gate, -1L, -1L, -1L, Nil, Array.emptyByteArray)
+        else {
+          if (replicaId >= 0 && leaderOf(topic, p) == brokerId) {
+            // the follower's fetch offset IS its progress report: it
+            // has everything below `off` (the real protocol's only
+            // progress signal) — record it, admit a caught-up replica
+            // to the ISR, and wake the acks=all purgatory
+            state.followerLeo.put((replicaId, topic, p), off)
+            val lg = log(topic, p)
+            val leo = lg.synchronized(lg.next)
+            if (off >= leo && state.assignmentOf(topic, p).contains(replicaId)
+                && !state.isrOf(topic, p).contains(replicaId))
+              state.setIsr(topic, p, state.isrOf(topic, p) + replicaId)
+            val mon = state.hwMonitor(topic, p)
+            mon.synchronized(mon.notifyAll())
+          }
+          val (err, hw, lso, aborted, bytes) = servePartition(topic, p,
+            off, maxBytes, encodeBatchV4, stableOnly = committed,
+            asReplica = replicaId >= 0)
+          val lg = log(topic, p)
+          val logStart = lg.synchronized(lg.start)
+          (p, err, hw, lso, logStart,
+            if (committed) aborted else Nil, bytes)
+        }
+      }
+      (topic, parts)
+    }
+    // forgotten_topics_data (v7+): sessionless double — must still
+    // consume the bytes to leave the reader positioned correctly
+    val nForgotten = r.int32()
+    (0 until nForgotten).foreach { _ =>
+      r.str(); val k = r.int32(); (0 until k).foreach(_ => r.int32())
+    }
+    val w = new Writer().int32(0) // throttle_time_ms
+      .int16(0)                   // top-level error (v7+)
+      .int32(0)                   // session_id: sessionless
+    w.int32(resp.length)
+    resp.foreach { case (topic, parts) =>
+      w.str(topic).int32(parts.length)
+      parts.foreach { case (p, err, hw, lso, logStart, aborted, set) =>
+        w.int32(p).int16(err).int64(hw)
+          .int64(lso)
+          .int64(logStart) // v5+
+          .int32(aborted.length)
+        aborted.foreach { case (pid, first) => w.int64(pid).int64(first) }
+        w.int32(set.length).raw(set)
+      }
+    }
+    w.result()
+  }
+
+  /** OffsetsForLeaderEpoch v2 (api 23): the follower-truncation
+    * lookup (KIP-101/KIP-320) — for a requested epoch, the largest
+    * epoch at-or-below it in the leader's log with that epoch's
+    * exclusive end offset. A follower walks this to find the exact
+    * divergence point instead of comparing suffixes; v2 added the
+    * CURRENT_LEADER_EPOCH fencing field. Leader-only, like every
+    * offset lookup. */
+  private def offsetsForLeaderEpochV2(r: Reader): Array[Byte] = {
+    val nTopics = r.int32()
+    val resp = (0 until nTopics).map { _ =>
+      val topic = r.str()
+      val nParts = r.int32()
+      val parts = (0 until nParts).map { _ =>
+        val p = r.int32()
+        val curEpoch = r.int32()   // current_leader_epoch (v2+)
+        val askedEpoch = r.int32() // leader_epoch to look up
+        if (leaderOf(topic, p) != brokerId)
+          (p, KafkaWire.Errors.NotLeaderForPartition, -1, -1L)
+        else {
+          val gate = epochGate(topic, p, curEpoch)
+          if (gate != 0) (p, gate, -1, -1L)
+          else {
+            val (e, end) = state.endOffsetForEpoch(log(topic, p), askedEpoch)
+            (p, 0, e, end)
+          }
+        }
+      }
+      (topic, parts)
+    }
+    val w = new Writer().int32(0).int32(resp.length)
+    resp.foreach { case (topic, parts) =>
+      w.str(topic).int32(parts.length)
+      parts.foreach { case (p, err, epoch, end) =>
+        w.int16(err).int32(p).int32(epoch).int64(end)
+      }
+    }
+    w.result()
+  }
+
   private def produceV2(r: Reader): Array[Byte] = {
     if (consume(dropNextProduce)) throw new DropConnection
     val reqAcks = r.int16(); r.int32() // acks, timeout
@@ -1102,7 +1660,10 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
           if (state.leaderOf(topic, p) != brokerId)
             (topic, p, KafkaWire.Errors.NotLeaderForPartition, -1L)
           else {
-          val gate = if (reqAcks == -1) acksAllGate(topic, p) else 0
+          // ONE paused-set snapshot for the whole gate+replicate
+          // critical section — a pause cannot land between them
+          val paused = state.pausedSnapshot
+          val gate = if (reqAcks == -1) acksAllGate(topic, p, paused) else 0
           if (gate != 0) (topic, p, gate, -1L)
           else {
             // a produced set is one batch; remember the codec it arrived
@@ -1111,13 +1672,13 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
               set(17) & 0x07 else 0 // [offset 8][size 4][crc 4][magic@16][attrs@17]
             val recs = KafkaWire.decodeMessageSet(set)
             val l = log(topic, p)
-            val targets = replicationTargets(topic, p, brokerId)
+            val targets = replicationTargets(topic, p, brokerId, paused)
             val base = l.synchronized {
               val b = l.next
               val batch = Batch(b,
                 recs.zipWithIndex.map { case (rec, i) =>
                   Record(b + i, rec.timestamp, rec.key, rec.value) }.toSeq,
-                codec)
+                codec, epoch = state.leaderEpochOf(topic, p))
               l.batches += batch
               l.next = batch.end
               // replicate INSIDE the leader lock: append order is
@@ -1128,7 +1689,10 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
               b
             }
             producesAppended.incrementAndGet()
-            (topic, p, 0, base)
+            val ackErr =
+              if (reqAcks == -1)
+                awaitAcksAll(topic, p, base + recs.length) else 0
+            (topic, p, ackErr, base)
           }
           }
         }
@@ -1153,7 +1717,7 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
     * oracle), and a follower's copy of one produce is not a second
     * append. */
   private def appendV2(log: Log, b: KafkaWire.RecordBatch,
-      countOracle: Boolean = true): (Int, Long) = {
+      countOracle: Boolean = true, leaderEpoch: Int = -1): (Int, Long) = {
     def doAppend(): Long = {
       val base = log.next
       // store the producer's VERBATIM batch bytes with the assigned
@@ -1167,7 +1731,7 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
         b.codec, magic = 2, pid = b.producerId, pEpoch = b.producerEpoch,
         baseSeq = b.baseSequence,
         raw = if (b.raw == null) null else b.rawAt(base),
-        transactional = b.transactional)
+        transactional = b.transactional, epoch = leaderEpoch)
       // an open transaction pins this log's last stable offset at its
       // FIRST record until EndTxn resolves it
       if (b.transactional && b.producerId >= 0L)
@@ -1230,9 +1794,11 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
           (topic, p, KafkaWire.Errors.NotLeaderForPartition, -1L)
         } else state.electionLock(topic, p) {
         // in-lock re-check: the in-process leader-epoch fence
+        // ONE paused-set snapshot for the whole gate+replicate section
+        val paused = state.pausedSnapshot
         if (state.leaderOf(topic, p) != brokerId) {
           (topic, p, KafkaWire.Errors.NotLeaderForPartition, -1L)
-        } else if (reqAcks == -1 && acksAllGate(topic, p) != 0) {
+        } else if (reqAcks == -1 && acksAllGate(topic, p, paused) != 0) {
           (topic, p, KafkaWire.Errors.NotEnoughReplicas, -1L)
         } else {
         val batches = KafkaWire.decodeRecordBatches(set)
@@ -1245,20 +1811,22 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
               scala.collection.mutable.Set.empty) += ((topic, p))
           }
         val l = log(topic, p)
-        val targets = replicationTargets(topic, p, brokerId)
+        val targets = replicationTargets(topic, p, brokerId, paused)
+        val lEpoch = state.leaderEpochOf(topic, p)
         val (err, base) = l.synchronized {
           batches.foldLeft((0, -1L)) { case ((e, b0), batch) =>
             if (e != 0) (e, b0)
             else {
               val pre = l.next
-              val (e2, b2) = appendV2(l, batch)
+              val (e2, b2) = appendV2(l, batch, leaderEpoch = lEpoch)
               // replicate only batches the leader ACTUALLY appended —
               // a broker-deduped retry (e2 == 0, b2 < pre) was already
               // replicated the first time. Inside the leader lock:
               // append order is replication order.
               if (e2 == 0 && b2 == pre)
                 targets.foreach(f => replicateTo(f, topic, p, pre) { fl =>
-                  val (fe, fb) = appendV2(fl, batch, countOracle = false)
+                  val (fe, fb) = appendV2(fl, batch, countOracle = false,
+                    leaderEpoch = lEpoch)
                   require(fe == 0 && fb == pre,
                     s"replica $f of $topic-$p refused a replicated " +
                       s"batch: error $fe")
@@ -1267,7 +1835,10 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
             }
           }
         }
-        (topic, p, err, base)
+        val ackErr =
+          if (err == 0 && reqAcks == -1)
+            awaitAcksAll(topic, p, l.synchronized(l.next)) else err
+        (topic, p, ackErr, base)
         }
         }
       }
@@ -1324,7 +1895,8 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
         state.electionLock(topic, p) {
         val leader = state.leaderOf(topic, p)
         val log = state.logAt(leader, topic, p)
-        val targets = replicationTargets(topic, p, leader)
+        val targets =
+          replicationTargets(topic, p, leader, state.pausedSnapshot)
         log.synchronized {
           log.ongoing.remove(pid).foreach { first =>
             val off = log.next
@@ -1333,7 +1905,8 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
             val recs = KafkaWire.decodeRecordBatches(raw).head.records
             val marker = Batch(off, recs, 0, magic = 2, pid = pid,
               pEpoch = epoch, baseSeq = -1, raw = raw,
-              transactional = true, control = true)
+              transactional = true, control = true,
+              epoch = state.leaderEpochOf(topic, p))
             log.batches += marker
             log.next = off + 1
             if (!commit) log.aborted += ((pid, first, off))
@@ -1595,9 +2168,15 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
     * magic dispatch). */
   private def encodeBatchV4(b: Batch): Array[Byte] =
     if (b.magic >= 2) {
-      if (b.raw != null) b.raw // verbatim producer bytes, CRC intact
-      else KafkaWire.encodeRecordBatch(b.base, b.records, b.codec, b.pid,
-        b.pEpoch, b.baseSeq)
+      val bytes =
+        if (b.raw != null) b.raw // verbatim producer bytes, CRC intact
+        else KafkaWire.encodeRecordBatch(b.base, b.records, b.codec, b.pid,
+          b.pEpoch, b.baseSeq)
+      // stamp the partitionLeaderEpoch the batch was appended under —
+      // the v2 CRC32C deliberately excludes bytes 12..15 (along with
+      // baseOffset) so the broker can stamp both without re-encoding
+      if (b.epoch >= 0) KafkaWire.stampLeaderEpoch(bytes, b.epoch)
+      else bytes
     }
     else encodeBatch(b)
 
@@ -1608,7 +2187,8 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
     *   data never reaches a committed reader. */
   private def servePartition(topic: String, p: Int, off: Long,
       maxBytes: Int, enc: Batch => Array[Byte],
-      stableOnly: Boolean = false): (Int, Long, Long, Seq[(Long, Long)], Array[Byte]) = {
+      stableOnly: Boolean = false,
+      asReplica: Boolean = false): (Int, Long, Long, Seq[(Long, Long)], Array[Byte]) = {
     // only the LEADER serves the data path — a routing client that
     // lands here followed stale metadata and must refresh
     if (leaderOf(topic, p) != brokerId)
@@ -1620,6 +2200,7 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
     // (the acks<=1 window) — serving it would be a non-repeatable read.
     // RF = 1: the log's own end, exactly the r15 behavior.
     val hwm = state.highWatermark(topic, p)
+    state.noteHwPin(topic, p) // diagnose a paused-ISR pinned watermark
     // a fetch below the log start reads data retention already deleted
     // — OFFSET_OUT_OF_RANGE (error 1), the real broker's answer to a
     // checkpoint that outlived the log head
@@ -1633,7 +2214,12 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
       // serves from the exact offset; a compressed wrapper and a v2
       // record batch are ATOMIC, so the whole batch ships even when
       // `off` is inside it (the below-cursor records the client drops)
-      val bound = math.min(hwm, if (stableOnly) log.lso else Long.MaxValue)
+      // a FOLLOWER fetch is served to the leader's LOG END, not the
+      // high watermark — replication is what ADVANCES the watermark,
+      // so bounding followers by it would deadlock the pipeline
+      val bound =
+        if (asReplica) Long.MaxValue
+        else math.min(hwm, if (stableOnly) log.lso else Long.MaxValue)
       val fromBatch = log.batches.toSeq
         .dropWhile(_.end <= off).takeWhile(_.end <= bound)
       val sliced = fromBatch match {
@@ -1788,8 +2374,17 @@ final class MiniKafkaCluster(numBrokers: Int, numPartitions: Int = 2,
   def port(brokerId: Int): Int = serverOf(brokerId).port
   def leaderOf(topic: String, p: Int): Int = state.leaderOf(topic, p)
   def isrOf(topic: String, p: Int): Set[Int] = state.isrOf(topic, p)
+  def leaderEpochOf(topic: String, p: Int): Int =
+    state.leaderEpochOf(topic, p)
   def highWatermark(topic: String, p: Int): Long =
     state.highWatermark(topic, p)
+  /** Run follower recovery for `brokerId` WITHOUT toggling its pause
+    * state — the explicit catch-up entry point (a deposed-then-living
+    * replica after an unclean election rejoins through this; the
+    * unclean moveLeader also re-admits live un-paused replicas
+    * itself, so this is for replicas paused AT election time, or for
+    * tests driving recovery steps individually). */
+  def catchUpBroker(brokerId: Int): Unit = state.catchUp(brokerId)
   def moveLeader(topic: String, p: Int, brokerId: Int,
       allowUnclean: Boolean = false): Unit =
     state.moveLeader(topic, p, brokerId, allowUnclean)

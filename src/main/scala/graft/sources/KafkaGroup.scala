@@ -298,9 +298,26 @@ object KafkaGroup {
           case _: KafkaWire.OffsetOutOfRangeException
               if onDataLoss == "earliest" =>
             // the gap [off, logStart) is GONE; the reset consumer
-            // skips it by design — resume at the surviving head
-            off = KafkaWire.listOffset(dataConn, topic, p, -2L)
-            fetcher.fetchAt(off)
+            // skips it by design — resume at the surviving head. The
+            // reset LOOPS (kafka-python's auto_offset_reset does):
+            // retention/DeleteRecords can advance the log start again
+            // between the lookup and the retry, and a one-shot reset
+            // would leak the exception the caller asked to absorb.
+            // Bounded — a log start that outruns 8 consecutive
+            // re-resolutions is a broken test, not a wait.
+            var reset: (Seq[Record], Long) = null
+            var attempts = 0
+            while (reset == null) {
+              attempts += 1
+              off = KafkaWire.listOffset(dataConn, topic, p, -2L)
+              try reset = fetcher.fetchAt(off)
+              catch {
+                case e: KafkaWire.OffsetOutOfRangeException
+                    if attempts < 8 => // re-resolve earliest and retry
+                case e: KafkaWire.OffsetOutOfRangeException => throw e
+              }
+            }
+            reset
           case e: KafkaWire.OffsetOutOfRangeException =>
             throw e // loud: the caller's checkpointed range is gone
         }

@@ -357,7 +357,7 @@ object KafkaWire {
       producerEpoch: Int, baseSequence: Int, codec: Int,
       records: IndexedSeq[Record], raw: Array[Byte] = null,
       transactional: Boolean = false, control: Boolean = false,
-      lastOffsetDelta: Int = -1) {
+      lastOffsetDelta: Int = -1, partitionLeaderEpoch: Int = -1) {
     /** Exclusive end offset of the batch's OFFSET SPAN — control
       * records consume offset slots like data, so a reader advances
       * by this, never by record count. */
@@ -500,7 +500,7 @@ object KafkaWire {
     val rawEntry = new Writer().int64(baseOffset).int32(batchLength)
       .raw(body).result()
     val br = new Reader(body)
-    br.int32() // partitionLeaderEpoch
+    val partitionLeaderEpoch = br.int32() // broker-stamped (KIP-101)
     val magic = br.int8()
     require(magic == 2, s"decodeOneBatchV2 on magic $magic")
     val crc = br.int32()
@@ -522,7 +522,8 @@ object KafkaWire {
     Some(RecordBatch(baseOffset, pid, pEpoch, baseSeq, codec,
       decodeRecordsV2(plain, count, baseOffset, baseTs), rawEntry,
       transactional = (attrs & 0x10) != 0, control = (attrs & 0x20) != 0,
-      lastOffsetDelta = lastDelta))
+      lastOffsetDelta = lastDelta,
+      partitionLeaderEpoch = partitionLeaderEpoch))
   }
 
   /** A transaction CONTROL batch (commit/abort marker): one control
@@ -686,10 +687,16 @@ object KafkaWire {
     * and each partition's LEADER — what a client routes the data path
     * by on a multi-broker cluster. */
   final case class ClusterView(brokers: Map[Int, (String, Int)],
-      leaders: Map[Int, Int]) {
+      leaders: Map[Int, Int],
+      epochs: Map[Int, Int] = Map.empty,
+      isr: Map[Int, Seq[Int]] = Map.empty) {
     def partitions: Int = leaders.size
     def leaderAddr(partition: Int): (String, Int) =
       brokers(leaders(partition))
+    /** The partition's leader epoch per this view, or -1 when the
+      * view came from a pre-epoch Metadata version (v0): -1 opts the
+      * fetch out of epoch fencing, the pre-KIP-320 behavior. */
+    def epochOf(partition: Int): Int = epochs.getOrElse(partition, -1)
   }
 
   def clusterMetadata(c: Conn, topic: String): ClusterView = {
@@ -713,6 +720,56 @@ object KafkaWire {
       p -> leader
     }.toMap
     ClusterView(brokers, leaders)
+  }
+
+  /** Metadata v7 — the epoch-carrying cluster view (KIP-320): each
+    * partition's leader AND its leader_epoch, which an epoch-aware
+    * consumer pins its fetches to. Falls back structurally to the v0
+    * shape ([[ClusterView]] with `epochs` filled). */
+  def clusterMetadataV7(c: Conn, topic: String): ClusterView = {
+    val body = new Writer().int32(1).str(topic)
+      .int8(1) // allow_auto_topic_creation
+      .result()
+    val r = c.call(3, 7, body)
+    r.int32() // throttle_time_ms
+    val nBrokers = r.int32()
+    val brokers = (0 until nBrokers).map { _ =>
+      val id = r.int32(); val host = r.str(); val port = r.int32()
+      r.str() // rack
+      id -> (host, port)
+    }.toMap
+    r.str()   // cluster_id
+    r.int32() // controller_id
+    val nTopics = r.int32()
+    require(nTopics == 1, s"expected 1 topic, got $nTopics")
+    val err = r.int16(); require(err == 0, s"metadata error $err")
+    val name = r.str(); require(name == topic)
+    r.int8() // is_internal
+    val nParts = r.int32()
+    val rows = (0 until nParts).map { _ =>
+      r.int16() // partition error
+      val p = r.int32(); val leader = r.int32()
+      val epoch = r.int32() // leader_epoch (v7+)
+      val nr = r.int32(); (0 until nr).foreach(_ => r.int32())
+      val ni = r.int32()
+      val isr = (0 until ni).map(_ => r.int32())
+      val no = r.int32(); (0 until no).foreach(_ => r.int32()) // offline
+      (p, leader, epoch, isr)
+    }
+    ClusterView(brokers,
+      rows.map(t => t._1 -> t._2).toMap,
+      rows.map(t => t._1 -> t._3).toMap,
+      rows.map(t => t._1 -> (t._4: Seq[Int])).toMap)
+  }
+
+  /** The best cluster view the broker serves: the epoch-carrying
+    * Metadata v7 when advertised, else v0 (epochs absent → fetches
+    * un-pinned, the pre-KIP-320 degradation). */
+  def bestClusterMetadata(c: Conn, topic: String): ClusterView = {
+    val (err, apis) = apiVersions(c)
+    if (err == 0 && apis.get(3).exists(_._2 >= 7))
+      clusterMetadataV7(c, topic)
+    else clusterMetadata(c, topic)
   }
 
   /** Metadata v0 for one topic: number of partitions. */
@@ -761,6 +818,8 @@ object KafkaWire {
       throw new NotLeaderException(topic, partition)
     if (err == Errors.NotEnoughReplicas)
       throw new NotEnoughReplicasException(topic, partition)
+    if (err == Errors.NotEnoughReplicasAfterAppend)
+      throw new NotEnoughReplicasAfterAppendException(topic, partition)
     require(err == 0, s"produce error $err")
     val baseOffset = r.int64()
     r.int64() // log_append_time
@@ -791,6 +850,48 @@ object KafkaWire {
       * can take the write — durability is refused loudly, never
       * silently downgraded to fewer replicas. */
     val NotEnoughReplicas = 19
+    /** acks=all waited for replication and the ISR shrank below
+      * min.insync.replicas BEFORE the write was fully replicated: the
+      * record IS in the leader's log (unlike 19's pre-append refusal)
+      * but its durability was not achieved — a retry DUPLICATES. */
+    val NotEnoughReplicasAfterAppend = 20
+    /** The request's current_leader_epoch is OLDER than the
+      * partition's: the caller's metadata predates a re-election —
+      * refresh and re-route (KIP-320's fencing token; the protocol's
+      * out-of-process equivalent of the broker's in-JVM election
+      * monitor). */
+    val FencedLeaderEpoch = 74
+    /** The request's current_leader_epoch is NEWER than this broker
+      * knows: the caller learned of an election this broker hasn't
+      * processed yet — retry after the broker catches up. */
+    val UnknownLeaderEpoch = 75
+  }
+
+  /** A fetch/lookup pinned to a superseded leader epoch was refused:
+    * the client's cluster view predates a re-election. Refresh
+    * metadata (which carries the new epoch) and re-route — same
+    * recovery as [[NotLeaderException]], different detection: the
+    * EPOCH catches a deposed broker that still believes it leads. */
+  final class FencedLeaderEpochException(val topic: String,
+      val partition: Int) extends RuntimeException(
+    s"fetch fenced: the pinned leader epoch of $topic-$partition was " +
+      "superseded by a re-election — refresh metadata")
+
+  /** The broker knows a SMALLER epoch than the request pinned — the
+    * client is ahead of this broker's view; retry after refresh. */
+  final class UnknownLeaderEpochException(val topic: String,
+      val partition: Int) extends RuntimeException(
+    s"the pinned leader epoch of $topic-$partition is newer than the " +
+      "addressed broker's view")
+
+  /** Stamp `epoch` into a v2 record batch's partitionLeaderEpoch field
+    * (bytes 12..15) IN PLACE — like baseOffset, the field sits outside
+    * the CRC32C coverage precisely so the broker can stamp it on
+    * append without re-encoding. Returns the same array. */
+  def stampLeaderEpoch(batch: Array[Byte], epoch: Int): Array[Byte] = {
+    var i = 0
+    while (i < 4) { batch(12 + i) = (epoch >> (24 - 8 * i)).toByte; i += 1 }
+    batch
   }
 
   /** The broker refused an acks=all produce: the partition's in-sync
@@ -804,6 +905,17 @@ object KafkaWire {
       val partition: Int) extends RuntimeException(
     s"not enough in-sync replicas for an acks=all write to " +
       s"$topic-$partition (min.insync.replicas unmet) — nothing appended")
+
+  /** acks=all appended but could not be fully replicated before the
+    * ISR shrank below min.insync.replicas — the AFTER-append variant:
+    * the record is in the log, durability was not achieved, and a
+    * blind retry duplicates it (the stock client surfaces the same
+    * distinction for exactly this reason). */
+  final class NotEnoughReplicasAfterAppendException(val topic: String,
+      val partition: Int) extends RuntimeException(
+    s"acks=all write to $topic-$partition was APPENDED but not fully " +
+      "replicated before the ISR shrank below min.insync.replicas — " +
+      "a retry duplicates")
 
   /** The broker answered NOT_LEADER_FOR_PARTITION: metadata is stale
     * (a re-election, or a bootstrap-only client on a multi-broker
@@ -854,6 +966,8 @@ object KafkaWire {
         throw new NotLeaderException(topic, partition)
       case Errors.NotEnoughReplicas =>
         throw new NotEnoughReplicasException(topic, partition)
+      case Errors.NotEnoughReplicasAfterAppend =>
+        throw new NotEnoughReplicasAfterAppendException(topic, partition)
       case other => sys.error(s"produce error $other")
     }
     val baseOffset = r.int64()
@@ -942,6 +1056,186 @@ object KafkaWire {
       maxBytes: Int = 1 << 20): (Seq[Record], Long) = {
     val (recs, hw, _) = fetchV4Detailed(c, topic, partition, offset, maxBytes)
     (recs, hw)
+  }
+
+  /** Fetch v9 — the epoch-PINNED fetch (KIP-320): the request carries
+    * the leader epoch the client's metadata named, and a broker whose
+    * partition has moved on answers FENCED_LEADER_EPOCH instead of
+    * data — stale metadata is detected by the protocol itself, not by
+    * luck. `currentLeaderEpoch` -1 opts out (pre-KIP-320 behavior).
+    * Sessionless (session_id 0 / epoch -1, the protocol's full-fetch
+    * degenerate case). Same return shape as [[fetchV4Detailed]]. */
+  def fetchV9Detailed(c: Conn, topic: String, partition: Int, offset: Long,
+      maxBytes: Int = 1 << 20,
+      isolation: Int = Isolation.ReadUncommitted,
+      currentLeaderEpoch: Int = -1,
+      replicaId: Int = -1,
+      logStartOffset: Long = -1L): (Seq[Record], Long, Long) = {
+    val body = new Writer()
+      .int32(replicaId).int32(100).int32(0) // replica, max_wait, min_bytes
+      .int32(maxBytes)               // response max_bytes (v3+)
+      .int8(isolation)
+      .int32(0).int32(-1)            // session_id, session_epoch (sessionless)
+      .int32(1).str(topic)
+      .int32(1).int32(partition)
+      .int32(currentLeaderEpoch)     // the fencing pin (v9+)
+      .int64(offset)
+      .int64(logStartOffset)         // follower's log start (v5+)
+      .int32(maxBytes)
+      .int32(0)                      // forgotten_topics_data
+      .result()
+    val r = c.call(1, 9, body)
+    r.int32() // throttle_time_ms
+    val topErr = r.int16(); require(topErr == 0, s"fetch error $topErr")
+    r.int32() // session_id
+    val nTopics = r.int32(); require(nTopics == 1)
+    r.str()
+    val nParts = r.int32(); require(nParts == 1)
+    r.int32() // partition
+    val err = r.int16()
+    err match {
+      case 0 =>
+      case Errors.OffsetOutOfRange =>
+        throw new OffsetOutOfRangeException(topic, partition, offset)
+      case Errors.NotLeaderForPartition =>
+        throw new NotLeaderException(topic, partition)
+      case Errors.FencedLeaderEpoch =>
+        throw new FencedLeaderEpochException(topic, partition)
+      case Errors.UnknownLeaderEpoch =>
+        throw new UnknownLeaderEpochException(topic, partition)
+      case other => sys.error(s"fetch error $other")
+    }
+    val hw = r.int64()
+    val lso = r.int64()       // last_stable_offset (v4+)
+    r.int64()                 // log_start_offset (v5+)
+    val nAborted = r.int32()  // aborted_transactions (v4+)
+    val aborted = (0 until math.max(0, nAborted)).map { _ =>
+      (r.int64(), r.int64())
+    }
+    val set = r.bytes()
+    val watermark = if (isolation == Isolation.ReadCommitted) lso else hw
+    if (set == null) (Seq.empty, watermark, -1L)
+    else {
+      val (recs, nextPos) = decodeRecordSetDetailed(set,
+        if (isolation == Isolation.ReadCommitted) aborted else Nil)
+      (recs, watermark, nextPos)
+    }
+  }
+
+  /** OffsetsForLeaderEpoch v2 (api 23) for one partition: the
+    * leader's (largestEpochAtOrBelow, itsEndOffset) for `askedEpoch`
+    * — the follower-truncation lookup (KIP-101). (-1, -1) = the
+    * leader knows no epoch at or below the asked one (full resync). */
+  def offsetsForLeaderEpoch(c: Conn, topic: String, partition: Int,
+      askedEpoch: Int, currentLeaderEpoch: Int = -1): (Int, Long) = {
+    val body = new Writer()
+      .int32(1).str(topic)
+      .int32(1).int32(partition).int32(currentLeaderEpoch).int32(askedEpoch)
+      .result()
+    val r = c.call(23, 2, body)
+    r.int32() // throttle_time_ms
+    val nTopics = r.int32(); require(nTopics == 1)
+    r.str()
+    val nParts = r.int32(); require(nParts == 1)
+    val err = r.int16()
+    val p = r.int32()
+    require(p == partition, s"partition mismatch: $p != $partition")
+    err match {
+      case 0 =>
+      case Errors.NotLeaderForPartition =>
+        throw new NotLeaderException(topic, partition)
+      case Errors.FencedLeaderEpoch =>
+        throw new FencedLeaderEpochException(topic, partition)
+      case Errors.UnknownLeaderEpoch =>
+        throw new UnknownLeaderEpochException(topic, partition)
+      case other => sys.error(s"offsetsForLeaderEpoch error $other")
+    }
+    (r.int32(), r.int64())
+  }
+
+  /** One partition's regime for a [[leaderAndIsr]] push. */
+  final case class PartitionRegime(topic: String, partition: Int,
+      leader: Int, leaderEpoch: Int, isr: Set[Int], replicas: Seq[Int])
+
+  /** LeaderAndIsr v0 (api 4): push partition regimes to a broker the
+    * way the real controller does — the ONLY way leadership crosses a
+    * process boundary (the epoch in each regime is the fencing
+    * token). Returns per-partition error codes; FENCED_LEADER_EPOCH
+    * marks a stale push the broker refused. */
+  def leaderAndIsr(c: Conn, controllerEpoch: Int,
+      regimes: Seq[PartitionRegime],
+      liveBrokers: Seq[(Int, String, Int)]): Map[(String, Int), Int] = {
+    val w = new Writer()
+      .int32(0)                // controller_id
+      .int32(controllerEpoch)
+      .int32(regimes.length)
+    regimes.foreach { s =>
+      w.str(s.topic).int32(s.partition).int32(controllerEpoch)
+        .int32(s.leader).int32(s.leaderEpoch)
+      w.int32(s.isr.size); s.isr.toSeq.sorted.foreach(w.int32)
+      w.int32(0)               // zk_version
+      w.int32(s.replicas.length); s.replicas.foreach(w.int32)
+    }
+    w.int32(liveBrokers.length)
+    liveBrokers.foreach { case (id, h, pt) => w.int32(id).str(h).int32(pt) }
+    val r = c.call(4, 0, w.result())
+    val err = r.int16(); require(err == 0, s"leaderAndIsr error $err")
+    val n = r.int32()
+    (0 until n).map { _ =>
+      val topic = r.str(); val p = r.int32(); val e = r.int16()
+      (topic, p) -> e
+    }.toMap
+  }
+
+  /** The REPLICA fetcher's fetch (v9, replica_id >= 0): returns the
+    * raw record-set bytes — the follower appends the leader's batches
+    * VERBATIM (broker-assigned offsets, epoch stamps, producer state
+    * intact), never re-encoded. (bytes may be null/empty when caught
+    * up.) */
+  def fetchV9Raw(c: Conn, topic: String, partition: Int, offset: Long,
+      replicaId: Int, currentLeaderEpoch: Int,
+      logStartOffset: Long = 0L,
+      maxBytes: Int = 1 << 20): Array[Byte] = {
+    val body = new Writer()
+      .int32(replicaId).int32(100).int32(0)
+      .int32(maxBytes)
+      .int8(0) // replicas read uncommitted, always
+      .int32(0).int32(-1)
+      .int32(1).str(topic)
+      .int32(1).int32(partition)
+      .int32(currentLeaderEpoch)
+      .int64(offset)
+      .int64(logStartOffset)
+      .int32(maxBytes)
+      .int32(0)
+      .result()
+    val r = c.call(1, 9, body)
+    r.int32() // throttle
+    val topErr = r.int16(); require(topErr == 0, s"fetch error $topErr")
+    r.int32() // session_id
+    val nTopics = r.int32(); require(nTopics == 1)
+    r.str()
+    val nParts = r.int32(); require(nParts == 1)
+    r.int32() // partition
+    val err = r.int16()
+    err match {
+      case 0 =>
+      case Errors.OffsetOutOfRange =>
+        throw new OffsetOutOfRangeException(topic, partition, offset)
+      case Errors.NotLeaderForPartition =>
+        throw new NotLeaderException(topic, partition)
+      case Errors.FencedLeaderEpoch =>
+        throw new FencedLeaderEpochException(topic, partition)
+      case Errors.UnknownLeaderEpoch =>
+        throw new UnknownLeaderEpochException(topic, partition)
+      case other => sys.error(s"fetch error $other")
+    }
+    r.int64() // hw
+    r.int64() // lso
+    r.int64() // log_start_offset
+    val nAborted = r.int32()
+    (0 until math.max(0, nAborted)).foreach { _ => r.int64(); r.int64() }
+    r.bytes()
   }
 
   /** AddPartitionsToTxn v0: declare the partitions the current
@@ -1278,12 +1572,21 @@ object KafkaWire {
     * LOUDLY (the stock consumer's RecordTooLargeException) instead of
     * silently skipping a committed range. */
   final class GrowingFetcher(c: Conn, topic: String, partition: Int,
-      isolation: Int = Isolation.ReadUncommitted) {
+      isolation: Int = Isolation.ReadUncommitted,
+      currentLeaderEpoch: Int = -1) {
     private var maxBytes = 1 << 20
     // one ApiVersions round-trip per task connection (the stock
-    // client's handshake): Fetch v4 when the broker serves v2
-    // batches, v2 otherwise — decode handles either format per entry
-    private val format = negotiateFormat(c)
+    // client's handshake): Fetch v9 when the broker fences by leader
+    // epoch (KIP-320), v4 when it serves v2 batches, v2 otherwise —
+    // decode handles either record format per entry
+    private val (format, fetchEpochAware) = {
+      val (err, apis) = apiVersions(c)
+      val fmt =
+        if (err == 0 && apis.get(0).exists(_._2 >= 3) &&
+          apis.get(1).exists(_._2 >= 4)) 2
+        else 1
+      (fmt, err == 0 && apis.get(1).exists(_._2 >= 9))
+    }
     require(isolation == Isolation.ReadUncommitted || format >= 2,
       "read_committed needs a record-batch-v2 broker (Fetch v4 carries " +
         "the last-stable-offset/aborted-transactions contract)")
@@ -1295,7 +1598,10 @@ object KafkaWire {
       var p = pos
       while (true) {
         val (recs, wm, nextPos) =
-          if (format >= 2)
+          if (fetchEpochAware)
+            fetchV9Detailed(c, topic, partition, p, maxBytes, isolation,
+              currentLeaderEpoch)
+          else if (format >= 2)
             fetchV4Detailed(c, topic, partition, p, maxBytes, isolation)
           else {
             val (rs, hw, setLen) =

@@ -112,6 +112,22 @@ object ReplicationChaosProperties extends Properties("graft.replchaos") {
           } finally c.close()
         }
 
+        // 4. EPOCH MONOTONICITY — the wire-visible fencing token
+        // (KIP-320) never goes backwards, and every leadership change
+        // is a NEW epoch: a client pinned to an old regime can always
+        // be told apart from a current one
+        var lastEpoch = cl.leaderEpochOf(topic, P)
+        var lastLeader = cl.leaderOf(topic, P)
+        def checkEpoch(): Unit = if (failure.isEmpty) {
+          val e = cl.leaderEpochOf(topic, P)
+          val l = cl.leaderOf(topic, P)
+          check(e >= lastEpoch,
+            s"leader epoch went BACKWARDS: $lastEpoch -> $e")
+          check(l == lastLeader || e > lastEpoch,
+            s"leadership moved $lastLeader -> $l without an epoch bump ($e)")
+          lastEpoch = e; lastLeader = l
+        }
+
         def checkInvariants(): Unit =
           if (leaderAlive && failure.isEmpty) {
             val leader = cl.leaderOf(topic, P)
@@ -165,6 +181,7 @@ object ReplicationChaosProperties extends Properties("graft.replchaos") {
                 cl.isrOf(topic, P).filter(b => b != l && !dead(b))
                   .headOption.foreach(nl => cl.moveLeader(topic, P, nl))
             }
+            checkEpoch()
             checkInvariants()
           }
         }
@@ -282,6 +299,19 @@ object ReplicationChaosProperties extends Properties("graft.replchaos") {
           None
         }
 
+        // epoch monotonicity holds under CONCURRENT traffic too
+        var lastEpoch = cl.leaderEpochOf(topic, P)
+        var lastLeader = cl.leaderOf(topic, P)
+        def checkEpoch(): Unit = if (failure.isEmpty) {
+          val e = cl.leaderEpochOf(topic, P)
+          val l = cl.leaderOf(topic, P)
+          check(e >= lastEpoch,
+            s"leader epoch went BACKWARDS: $lastEpoch -> $e")
+          check(l == lastLeader || e > lastEpoch,
+            s"leadership moved $lastLeader -> $l without an epoch bump ($e)")
+          lastEpoch = e; lastLeader = l
+        }
+
         def checkLive(): Unit = if (failure.isEmpty && !dead(cl.leaderOf(topic, P))) {
           import scala.jdk.CollectionConverters._
           // snapshot durable BEFORE the drain: everything acked by now
@@ -323,6 +353,7 @@ object ReplicationChaosProperties extends Properties("graft.replchaos") {
               case _ => // produce ops not used in the concurrent walk
             }
             Thread.sleep(20) // let the producer race the new state
+            checkEpoch()
             checkLive()
           }
         }
