@@ -1332,8 +1332,10 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
         val corr = r.int32(); r.str() // client_id
         val body: Array[Byte] = (apiKey, apiVersion) match {
           case (18, 0) => apiVersionsV0()
+          case (18, 3) if serveFormat >= 2 => apiVersionsV3(r)
           case (3, 0) => metadataV0(r)
           case (3, 7) if serveFormat >= 2 => metadataV7(r)
+          case (3, 9) if serveFormat >= 2 => metadataV9(r)
           case (0, 2) => produceV2(r)
           case (0, 3) if serveFormat >= 2 => produceV3(r)
           case (1, 2) => fetchV2(r)
@@ -1378,25 +1380,100 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
     finally sock.close()
   }
 
+  /** The advertised (api, min, max) table — one source for every
+    * ApiVersions generation. A serveFormat=1 broker advertises only
+    * the pre-v2-format versions — a negotiating client MUST downgrade
+    * to message format v1 (and the dispatch above enforces it: v3/v4
+    * requests against this broker fail, exactly like a real old
+    * broker); it also predates flexible versions, so ApiVersions caps
+    * at v0 and Metadata at v0 there. */
+  private def apiTable: Seq[(Int, Int, Int)] =
+    if (serveFormat >= 2)
+      Seq((0, 2, 3), (1, 2, 9), (2, 1, 2), (3, 0, 9), (4, 0, 0),
+        (8, 2, 2), (9, 1, 1), (10, 0, 0), (11, 0, 1), (12, 0, 0),
+        (13, 0, 0), (14, 0, 0), (15, 0, 0), (16, 0, 0), (18, 0, 3),
+        (21, 0, 0), (22, 0, 0), (23, 2, 2), (24, 0, 0), (25, 0, 0),
+        (26, 0, 0), (28, 0, 0))
+    // group coordination predates message-format v2 — an old broker
+    // speaks it too, so both format matrices advertise it
+    else Seq((0, 2, 2), (1, 2, 2), (2, 1, 1), (3, 0, 0), (8, 2, 2),
+      (9, 1, 1), (10, 0, 0), (11, 0, 1), (12, 0, 0), (13, 0, 0),
+      (14, 0, 0), (15, 0, 0), (16, 0, 0), (18, 0, 0), (21, 0, 0))
+
   private def apiVersionsV0(): Array[Byte] = {
-    // a serveFormat=1 broker advertises only the pre-v2-format
-    // versions — a negotiating client MUST downgrade to message
-    // format v1 (and the dispatch above enforces it: v3/v4 requests
-    // against this broker fail, exactly like a real old broker)
-    val apis =
-      if (serveFormat >= 2)
-        Seq((0, 2, 3), (1, 2, 9), (2, 1, 2), (3, 0, 7), (8, 2, 2),
-          (9, 1, 1), (10, 0, 0), (11, 0, 1), (12, 0, 0), (13, 0, 0),
-          (14, 0, 0), (15, 0, 0), (16, 0, 0), (18, 0, 0), (21, 0, 0),
-          (22, 0, 0), (23, 2, 2), (24, 0, 0), (25, 0, 0), (26, 0, 0),
-          (28, 0, 0))
-      // group coordination predates message-format v2 — an old broker
-      // speaks it too, so both format matrices advertise it
-      else Seq((0, 2, 2), (1, 2, 2), (2, 1, 1), (3, 0, 0), (8, 2, 2),
-        (9, 1, 1), (10, 0, 0), (11, 0, 1), (12, 0, 0), (13, 0, 0),
-        (14, 0, 0), (15, 0, 0), (16, 0, 0), (18, 0, 0), (21, 0, 0))
+    val apis = apiTable
     val w = new Writer().int16(0).int32(apis.length)
     apis.foreach { case (k, lo, hi) => w.int16(k).int16(lo).int16(hi) }
+    w.result()
+  }
+
+  /** ApiVersions v3 — the FLEXIBLE handshake (KIP-482/KIP-511):
+    * request header v2 (tag buffer after client_id, consumed here),
+    * compact client_software_name/version in the body; the response
+    * is compact-encoded with per-entry tag buffers and throttle_time
+    * AFTER the array (the v1+ layout). Response header stays v0, the
+    * protocol's special case. */
+  private def apiVersionsV3(r: Reader): Array[Byte] = {
+    r.skipTags()    // request header v2's tag buffer
+    r.compactStr()  // client_software_name
+    r.compactStr()  // client_software_version
+    r.skipTags()
+    val apis = apiTable
+    val w = new Writer().int16(0).compactArrayLen(apis.length)
+    apis.foreach { case (k, lo, hi) =>
+      w.int16(k).int16(lo).int16(hi).tagsEmpty()
+    }
+    w.int32(0) // throttle_time_ms
+    w.tagsEmpty()
+    w.result()
+  }
+
+  /** Metadata v9 — the FLEXIBLE encoding of the v7 view (KIP-482):
+    * same fields as [[metadataV7]] plus the v8 authorized-operations
+    * ints, compact strings/arrays and tag buffers throughout, request
+    * header v2, response header v1 (the leading tag buffer below). */
+  private def metadataV9(r: Reader): Array[Byte] = {
+    r.skipTags() // request header v2's tag buffer
+    val n = r.compactArrayLen()
+    require(n >= 0, "metadata v9 with null topics (all-topics) " +
+      "is not served by the double — name the topics")
+    val topics = (0 until n).map { _ =>
+      val name = r.compactStr(); r.skipTags(); name
+    }
+    r.int8() // allow_auto_topic_creation
+    r.int8(); r.int8() // include cluster/topic authorized ops (v8+)
+    r.skipTags()
+    val w = new Writer()
+      .tagsEmpty() // response header v1's tag buffer
+      .int32(0)    // throttle_time_ms
+    val bs = state.brokers.toSeq.sortBy(_._1)
+    w.compactArrayLen(bs.length)
+    bs.foreach { case (id, (h, pt)) =>
+      w.int32(id).compactStr(h).int32(pt).compactStr(null).tagsEmpty()
+    }
+    w.compactStr("graft-cluster")
+    w.int32(0) // controller_id
+    w.compactArrayLen(topics.length)
+    topics.foreach { t =>
+      w.int16(0).compactStr(t).int8(0)
+      w.compactArrayLen(numPartitions)
+      (0 until numPartitions).foreach { p =>
+        val leader = leaderOf(t, p)
+        val replicas = state.assignmentOf(t, p)
+        val isr = state.isrOf(t, p).toSeq.sorted
+        val offline = replicas.filter(state.deadBrokers.contains)
+        w.int16(0).int32(p).int32(leader)
+          .int32(state.leaderEpochOf(t, p))
+        w.compactArrayLen(replicas.length); replicas.foreach(w.int32)
+        w.compactArrayLen(isr.length); isr.foreach(w.int32)
+        w.compactArrayLen(offline.length); offline.foreach(w.int32)
+        w.tagsEmpty()
+      }
+      w.int32(Int.MinValue) // topic_authorized_operations: not computed
+      w.tagsEmpty()
+    }
+    w.int32(Int.MinValue) // cluster_authorized_operations
+    w.tagsEmpty()
     w.result()
   }
 

@@ -46,12 +46,47 @@ object KafkaGroup {
     w.result()
   }
 
-  def decodeSubscription(bytes: Array[Byte]): Seq[String] = {
+  def decodeSubscription(bytes: Array[Byte]): Seq[String] =
+    decodeSubscriptionFull(bytes)._1
+
+  /** Subscription v1 (the KIP-429 shape): v0's fields plus the
+    * member's CURRENTLY-OWNED partitions — the claim the cooperative
+    * assignor keeps sticky and revokes incrementally. The broker
+    * never parses this (opaque bytes, the published design); only the
+    * elected leader does. */
+  def encodeSubscriptionV1(topics: Seq[String],
+      owned: Map[String, Seq[Int]]): Array[Byte] = {
+    val w = new Writer().int16(1).int32(topics.length)
+    topics.foreach(w.str)
+    w.bytes(null) // user_data
+    w.int32(owned.size)
+    owned.toSeq.sortBy(_._1).foreach { case (t, ps) =>
+      w.str(t).int32(ps.length)
+      ps.foreach(w.int32)
+    }
+    w.result()
+  }
+
+  /** Decode either subscription version: (topics, ownedPartitions) —
+    * owned is empty for v0 (an eager member claims nothing). */
+  def decodeSubscriptionFull(bytes: Array[Byte])
+      : (Seq[String], Map[String, Seq[Int]]) = {
     val r = new Reader(bytes)
     val v = r.int16()
     require(v >= 0, s"bad subscription version $v")
     val n = r.int32()
-    (0 until n).map(_ => r.str())
+    val topics = (0 until n).map(_ => r.str())
+    val owned =
+      if (v >= 1) {
+        r.bytes() // user_data
+        val k = r.int32()
+        (0 until k).map { _ =>
+          val t = r.str()
+          val np = r.int32()
+          t -> (0 until np).map(_ => r.int32()).toSeq
+        }.toMap
+      } else Map.empty[String, Seq[Int]]
+    (topics, owned)
   }
 
   def encodeAssignment(parts: Map[String, Seq[Int]]): Array[Byte] = {
@@ -136,12 +171,81 @@ object KafkaGroup {
       m -> a.map { case (t, ps) => t -> (ps: Seq[Int]) }.toMap }.toMap
   }
 
-  /** The leader-side assignor for a coordinator-SELECTED protocol. */
+  /** The COOPERATIVE-STICKY assignor (KIP-429): one rebalance round's
+    * output given every member's subscription and currently-OWNED
+    * partitions. Unlike the eager assignors, ownership is the input:
+    *
+    *  1. each member KEEPS its valid claims up to its quota (total
+    *     partitions spread evenly over sorted members) — unchanged
+    *     partitions are never revoked on a member join;
+    *  2. a member's over-quota claims are REVOKED: assigned to NOBODY
+    *     this round (a partition moves owner only through an unowned
+    *     round — two owners must never overlap, and the old owner has
+    *     offsets to commit first);
+    *  3. partitions with NO live claim (never owned, or their owner
+    *     left) are assigned immediately to under-quota members.
+    *
+    * A member that lost partitions re-joins at once (the client side
+    * below), so the next round's claims reflect the revocation and
+    * step 3 hands the freed partitions to their new owners —
+    * convergence in at most one extra round, with every member's
+    * unchanged partitions held throughout. Double-claims (stale
+    * generations racing) resolve to the lexicographically first
+    * claimant, deterministically. */
+  def cooperativeStickyAssign(
+      subscriptions: Seq[(String, Seq[String], Map[String, Seq[Int]])],
+      partitionsOf: String => Int): Map[String, Map[String, Seq[Int]]] = {
+    val members = subscriptions.map(_._1).sorted
+    val subsOf = subscriptions.map(s => s._1 -> s._2.toSet).toMap
+    val allTps: Vector[(String, Int)] = subscriptions.flatMap(_._2)
+      .distinct.sorted.flatMap(t =>
+        (0 until partitionsOf(t)).map(p => (t, p))).toVector
+    val universe = allTps.toSet
+    // valid claims, first-claimant-wins on conflicts
+    val claims = scala.collection.mutable.Map.empty[(String, Int), String]
+    subscriptions.sortBy(_._1).foreach { case (mid, topics, owned) =>
+      owned.foreach { case (t, ps) =>
+        if (topics.contains(t)) ps.foreach { p =>
+          if (universe.contains((t, p))) claims.getOrElseUpdate((t, p), mid)
+        }
+      }
+    }
+    val base = allTps.size / members.size
+    val extra = allTps.size % members.size
+    val quota = members.zipWithIndex.map { case (m, i) =>
+      m -> (base + (if (i < extra) 1 else 0)) }.toMap
+    val kept = scala.collection.mutable.Map.empty[String,
+      Vector[(String, Int)]]
+    members.foreach(m => kept(m) = Vector.empty)
+    claims.toSeq.sortBy(_._1).foreach { case (tp, m) =>
+      if (kept(m).size < quota(m)) kept(m) :+= tp
+      // else: over-quota → revoked this round (assigned to nobody)
+    }
+    // unowned partitions go straight to under-quota subscribers
+    allTps.filterNot(claims.contains).foreach { tp =>
+      members.filter(m => subsOf(m).contains(tp._1) &&
+          kept(m).size < quota(m))
+        .sortBy(m => (kept(m).size, m))
+        .headOption.foreach(m => kept(m) :+= tp)
+    }
+    kept.map { case (m, tps) =>
+      m -> tps.groupBy(_._1).map { case (t, ps) =>
+        t -> (ps.map(_._2).sorted: Seq[Int]) }
+    }.toMap
+  }
+
+  /** The leader-side assignor for a coordinator-SELECTED protocol.
+    * ("cooperative-sticky" takes the owned-partitions overload —
+    * [[cooperativeStickyAssign]] — dispatched by the caller that
+    * holds the full subscriptions.) */
   def assignFor(protocol: String, subscriptions: Seq[(String, Seq[String])],
       partitionsOf: String => Int): Map[String, Map[String, Seq[Int]]] =
     protocol match {
       case "range" => rangeAssign(subscriptions, partitionsOf)
       case "roundrobin" => roundRobinAssign(subscriptions, partitionsOf)
+      case "cooperative-sticky" => cooperativeStickyAssign(
+        subscriptions.map { case (m, ts) => (m, ts, Map.empty[String, Seq[Int]]) },
+        partitionsOf)
       case other => sys.error(s"unknown assignment protocol '$other'")
     }
 
@@ -178,7 +282,8 @@ object KafkaGroup {
   def joinGroup(c: Conn, groupId: String, memberId: String,
       topics: Seq[String], sessionTimeoutMs: Int,
       assignors: Seq[String] = Seq("range"),
-      rebalanceTimeoutMs: Int = -1): JoinResult = {
+      rebalanceTimeoutMs: Int = -1,
+      owned: Map[String, Seq[Int]] = Map.empty): JoinResult = {
     val v1 = rebalanceTimeoutMs >= 0
     val w = new Writer()
       .str(groupId).int32(sessionTimeoutMs)
@@ -186,7 +291,12 @@ object KafkaGroup {
     w.str(memberId)
       .str("consumer")
       .int32(assignors.length)
-    assignors.foreach(a => w.str(a).bytes(encodeSubscription(topics)))
+    // a cooperative assignor's subscription carries the member's
+    // owned-partitions claim (Subscription v1, KIP-429); eager
+    // assignors keep the v0 bytes
+    assignors.foreach(a => w.str(a).bytes(
+      if (a == "cooperative-sticky") encodeSubscriptionV1(topics, owned)
+      else encodeSubscription(topics)))
     val body = w.result()
     val r = c.call(11, if (v1) 1 else 0, body)
     val err = r.int16()
@@ -368,15 +478,43 @@ object KafkaGroup {
     /** The partitions this member currently owns (last sync). */
     def assigned: Map[String, Seq[Int]] = assignment
 
+    /** Per-generation assignment history: (generation, assignment)
+      * appended on every successful sync — the observable that lets
+      * specs pin the cooperative contract (unchanged partitions never
+      * revoked; a moving partition unowned for exactly one round). */
+    val assignmentHistory = scala.collection.mutable
+      .ArrayBuffer.empty[(Int, Map[String, Seq[Int]])]
+
+    /** Set when a cooperative sync REVOKED partitions from this
+      * member: the owner's poll loop must call [[ensureActive]] again
+      * promptly (after committing the revoked partitions' offsets) so
+      * the next round can assign them to their new owners — the
+      * KIP-429 two-phase handover, surfaced to the caller exactly the
+      * way onPartitionsRevoked surfaces it in the stock client
+      * (ensureActive must NOT park internally: the next round's
+      * barrier needs every OTHER member to re-join too, and they
+      * discover the round through their own heartbeat loops). */
+    @volatile var rejoinNeeded: Boolean = false
+
     /** Join (or re-join) until the group is stable; returns this
       * member's assignment. Retries bounded — a group that cannot
-      * stabilize is a bug, not a wait. */
+      * stabilize is a bug, not a wait.
+      *
+      * COOPERATIVE twist (KIP-429, assignor "cooperative-sticky"):
+      * the join carries this member's owned-partitions claim, and a
+      * sync that REVOKES some of them (the assignor moving partitions
+      * to another member) raises [[rejoinNeeded]] — the owner calls
+      * ensureActive again and the freed partitions are assigned in
+      * that next round. Members that only KEPT or GAINED partitions
+      * see no revocation, so a joining member reassigns only the
+      * moved partitions, never the world. */
     def ensureActive(): Map[String, Seq[Int]] = {
       var attempts = 0
       while (attempts < 16) {
         attempts += 1
         val j = joinGroup(coord, groupId, memberId, topics,
-          sessionTimeoutMs, assignors, rebalanceTimeoutMs)
+          sessionTimeoutMs, assignors, rebalanceTimeoutMs,
+          owned = assignment)
         j.error match {
           case 0 =>
             memberId = j.memberId
@@ -385,20 +523,36 @@ object KafkaGroup {
               if (j.memberId == j.leaderId) {
                 // leader: decode every member's subscription, run the
                 // coordinator-SELECTED assignor, ship each member's slice
-                val subs = j.members.map { case (id, md) =>
-                  id -> decodeSubscription(md).toSeq }
-                val counts = subs.flatMap(_._2).distinct
+                val subsFull = j.members.map { case (id, md) =>
+                  val (ts, owned) = decodeSubscriptionFull(md)
+                  (id, ts.toSeq, owned)
+                }
+                val counts = subsFull.flatMap(_._2).distinct
                   .map(t => t -> KafkaWire.partitionCount(coord, t)).toMap
-                assignFor(j.protocol, subs, counts).map { case (id, a) =>
-                  id -> encodeAssignment(a) }
+                val assigned =
+                  if (j.protocol == "cooperative-sticky")
+                    cooperativeStickyAssign(subsFull, counts)
+                  else assignFor(j.protocol,
+                    subsFull.map(s => (s._1, s._2)), counts)
+                assigned.map { case (id, a) => id -> encodeAssignment(a) }
               } else Map.empty[String, Array[Byte]]
             val (serr, mine) =
               syncGroup(coord, groupId, j.generation, j.memberId, toSync)
             serr match {
               case 0 =>
+                val prev = assignment
                 assignment = decodeAssignment(mine)
-                rebalanceDue = false // stable again: heartbeats may restart
-                if (beatThread != null && !beatThread.isAlive) beatThread = null
+                assignmentHistory += ((generation, assignment))
+                // cooperative: partitions taken FROM this member mean
+                // a follow-up round is owed — flag it for the owner
+                rejoinNeeded = j.protocol == "cooperative-sticky" &&
+                  prev.exists { case (t, ps) =>
+                    val now = assignment.getOrElse(t, Seq.empty).toSet
+                    ps.exists(!now.contains(_))
+                  }
+                rebalanceDue = false // synced: heartbeats may restart
+                if (beatThread != null && !beatThread.isAlive)
+                  beatThread = null
                 return assignment
               case Errors.RebalanceInProgress => // next round
               case Errors.UnknownMemberId => memberId = ""

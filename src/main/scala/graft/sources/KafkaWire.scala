@@ -80,6 +80,25 @@ object KafkaWire {
       while ((v & ~0x7fL) != 0L) { int8(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
       int8(v.toInt)
     }
+    // ── KIP-482 flexible encodings (tagged fields / compact types) ──
+    /** UNSIGNED varint — the flexible-version length/tag encoding
+      * (NOT zigzag: lengths are never negative; null is length 0). */
+    def uvarint(v: Int): Writer = uvarlong(v.toLong & 0xffffffffL)
+    /** COMPACT_NULLABLE_STRING: uvarint(len + 1), 0 = null. */
+    def compactStr(s: String): Writer =
+      if (s == null) uvarint(0)
+      else {
+        val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        uvarint(b.length + 1); raw(b)
+      }
+    /** COMPACT_NULLABLE_BYTES: uvarint(len + 1), 0 = null. */
+    def compactBytes(b: Array[Byte]): Writer =
+      if (b == null) uvarint(0) else { uvarint(b.length + 1); raw(b) }
+    /** COMPACT_ARRAY length prefix: uvarint(n + 1), 0 = null array. */
+    def compactArrayLen(n: Int): Writer = uvarint(n + 1)
+    /** An empty TAG_BUFFER (zero tagged fields) — every flexible
+      * struct ends with one; senders with no tags write uvarint(0). */
+    def tagsEmpty(): Writer = uvarint(0)
     def size: Int = n
     def result(): Array[Byte] = java.util.Arrays.copyOf(buf, n)
   }
@@ -112,6 +131,47 @@ object KafkaWire {
         if (shift > 70) throw new java.io.IOException("malformed varint")
       }
       v
+    }
+    // ── KIP-482 flexible decodings ──────────────────────────────────
+    /** UNSIGNED varint (no zigzag) — flexible lengths and tags. */
+    def uvarint(): Int = uvarlongRaw().toInt
+    private def uvarlongRaw(): Long = {
+      var v = 0L; var shift = 0
+      var b = 0x80
+      while ((b & 0x80) != 0) {
+        b = int8() & 0xff
+        v |= (b & 0x7fL) << shift
+        shift += 7
+        if (shift > 70) throw new java.io.IOException("malformed uvarint")
+      }
+      v
+    }
+    /** COMPACT_NULLABLE_STRING: uvarint(len + 1), 0 = null. */
+    def compactStr(): String = {
+      val k = uvarint()
+      if (k == 0) null
+      else new String(raw(k - 1), java.nio.charset.StandardCharsets.UTF_8)
+    }
+    /** COMPACT_NULLABLE_BYTES: uvarint(len + 1), 0 = null. */
+    def compactBytes(): Array[Byte] = {
+      val k = uvarint()
+      if (k == 0) null else raw(k - 1)
+    }
+    /** COMPACT_ARRAY length: uvarint(n + 1); -1 = null array. */
+    def compactArrayLen(): Int = uvarint() - 1
+    /** Walk past a TAG_BUFFER: uvarint count, then per field a
+      * uvarint tag + uvarint size + that many bytes — unknown tags
+      * MUST be skipped, not rejected (the KIP-482 forward-
+      * compatibility contract). */
+    def skipTags(): Unit = {
+      val n = uvarint()
+      var i = 0
+      while (i < n) {
+        uvarint() // tag
+        val size = uvarint()
+        raw(size)
+        i += 1
+      }
     }
     /** Byte at absolute position `i` without moving the cursor. */
     def peek(i: Int): Int = buf(i) & 0xff
@@ -658,10 +718,31 @@ object KafkaWire {
       new java.io.BufferedInputStream(sock.getInputStream, 1 << 16))
     private var corr = 0
 
-    def call(apiKey: Int, apiVersion: Int, body: Array[Byte]): Reader = {
+    def call(apiKey: Int, apiVersion: Int, body: Array[Byte]): Reader =
+      callHeader(apiKey, apiVersion, body, flexible = false)
+
+    /** A FLEXIBLE-version call (KIP-482): request header v2 (v1 plus
+      * a trailing TAG_BUFFER; client_id stays a legacy nullable
+      * string — the published header-v2 shape) and, when
+      * `responseTags`, a response header v1 whose tag buffer is
+      * consumed before the body is handed back. ApiVersions responses
+      * keep header v0 regardless of version (the protocol's one
+      * special case, so pre-flexible clients can still read the error
+      * code) — its caller passes responseTags = false. */
+    def callFlex(apiKey: Int, apiVersion: Int, body: Array[Byte],
+        responseTags: Boolean = true): Reader = {
+      val r = callHeader(apiKey, apiVersion, body, flexible = true)
+      if (responseTags) r.skipTags()
+      r
+    }
+
+    private def callHeader(apiKey: Int, apiVersion: Int,
+        body: Array[Byte], flexible: Boolean): Reader = {
       corr += 1
-      val header = new Writer()
-        .int16(apiKey).int16(apiVersion).int32(corr).str(clientId).result()
+      val hw = new Writer()
+        .int16(apiKey).int16(apiVersion).int32(corr).str(clientId)
+      if (flexible) hw.tagsEmpty()
+      val header = hw.result()
       out.writeInt(header.length + body.length)
       out.write(header); out.write(body); out.flush()
       val len = in.readInt()
@@ -681,6 +762,31 @@ object KafkaWire {
     val err = r.int16()
     val n = r.int32()
     (err, (0 until n).map(_ => r.int16() -> (r.int16(), r.int16())).toMap)
+  }
+
+  /** ApiVersions v3 — the FLEXIBLE handshake (KIP-482, KIP-511): the
+    * request carries client_software_name/version as compact strings
+    * with a tag buffer; the response is compact-encoded (tagged
+    * fields after throttle_time). The RESPONSE header stays v0 — the
+    * protocol's deliberate special case, so a client that guessed too
+    * high a version can still read the error code. Same return shape
+    * as [[apiVersions]]. */
+  def apiVersionsV3(c: Conn): (Int, Map[Int, (Int, Int)]) = {
+    val body = new Writer()
+      .compactStr("graft").compactStr("0")
+      .tagsEmpty()
+      .result()
+    val r = c.callFlex(18, 3, body, responseTags = false)
+    val err = r.int16()
+    val n = r.compactArrayLen()
+    val apis = (0 until math.max(0, n)).map { _ =>
+      val k = r.int16(); val lo = r.int16(); val hi = r.int16()
+      r.skipTags()
+      k -> (lo, hi)
+    }.toMap
+    r.int32() // throttle_time_ms (after the array in v1+)
+    r.skipTags()
+    (err, apis)
   }
 
   /** One topic's cluster view (Metadata v0): every broker's address
@@ -762,12 +868,69 @@ object KafkaWire {
       rows.map(t => t._1 -> (t._4: Seq[Int])).toMap)
   }
 
-  /** The best cluster view the broker serves: the epoch-carrying
-    * Metadata v7 when advertised, else v0 (epochs absent → fetches
-    * un-pinned, the pre-KIP-320 degradation). */
+  /** Metadata v9 — the FLEXIBLE encoding of the v7 view (KIP-482):
+    * compact strings/arrays and tagged fields throughout, request
+    * header v2, response header v1. Field-for-field the same cluster
+    * view as [[clusterMetadataV7]] (plus the v8 authorized-operations
+    * ints), so a negotiating client can take either generation. */
+  def clusterMetadataV9(c: Conn, topic: String): ClusterView = {
+    val body = new Writer()
+      .compactArrayLen(1).compactStr(topic).tagsEmpty() // topics[{name}]
+      .int8(1) // allow_auto_topic_creation
+      .int8(0).int8(0) // include cluster/topic authorized ops (v8+)
+      .tagsEmpty()
+      .result()
+    val r = c.callFlex(3, 9, body)
+    r.int32() // throttle_time_ms
+    val nBrokers = r.compactArrayLen()
+    val brokers = (0 until nBrokers).map { _ =>
+      val id = r.int32(); val host = r.compactStr(); val port = r.int32()
+      r.compactStr() // rack
+      r.skipTags()
+      id -> (host, port)
+    }.toMap
+    r.compactStr() // cluster_id
+    r.int32()      // controller_id
+    val nTopics = r.compactArrayLen()
+    require(nTopics == 1, s"expected 1 topic, got $nTopics")
+    val err = r.int16(); require(err == 0, s"metadata error $err")
+    val name = r.compactStr(); require(name == topic)
+    r.int8() // is_internal
+    val nParts = r.compactArrayLen()
+    val rows = (0 until nParts).map { _ =>
+      r.int16() // partition error
+      val p = r.int32(); val leader = r.int32()
+      val epoch = r.int32()
+      val nr = r.compactArrayLen(); (0 until nr).foreach(_ => r.int32())
+      val ni = r.compactArrayLen()
+      val isr = (0 until ni).map(_ => r.int32())
+      val no = r.compactArrayLen(); (0 until no).foreach(_ => r.int32())
+      r.skipTags()
+      (p, leader, epoch, isr)
+    }
+    r.int32() // topic_authorized_operations (v8+)
+    r.skipTags()
+    r.int32() // cluster_authorized_operations (v8+)
+    r.skipTags()
+    ClusterView(brokers,
+      rows.map(t => t._1 -> t._2).toMap,
+      rows.map(t => t._1 -> t._3).toMap,
+      rows.map(t => t._1 -> (t._4: Seq[Int])).toMap)
+  }
+
+  /** The best cluster view the broker serves: flexible Metadata v9
+    * when advertised, the epoch-carrying v7 below that, else v0
+    * (epochs absent → fetches un-pinned, the pre-KIP-320
+    * degradation). The ApiVersions round itself upgrades to v3 when
+    * the broker offers it — the KIP-482 negotiation path end-to-end. */
   def bestClusterMetadata(c: Conn, topic: String): ClusterView = {
-    val (err, apis) = apiVersions(c)
-    if (err == 0 && apis.get(3).exists(_._2 >= 7))
+    val (err0, apis0) = apiVersions(c)
+    val (err, apis) =
+      if (err0 == 0 && apis0.get(18).exists(_._2 >= 3)) apiVersionsV3(c)
+      else (err0, apis0)
+    if (err == 0 && apis.get(3).exists(_._2 >= 9))
+      clusterMetadataV9(c, topic)
+    else if (err == 0 && apis.get(3).exists(_._2 >= 7))
       clusterMetadataV7(c, topic)
     else clusterMetadata(c, topic)
   }

@@ -215,4 +215,184 @@ object GroupChaosProperties extends Properties("graft.groupchaos") {
         case Some(msg) => Prop.falsified :| msg
       }
     }
+
+  /** The COOPERATIVE walk (KIP-429, r16 directive #7): same op
+    * machine, every member on "cooperative-sticky", and the
+    * assignment TIMELINE (each member's per-generation history)
+    * checked for the incremental-rebalance safety contract:
+    *
+    *  - per synced generation, assignments stay DISJOINT;
+    *  - a partition NEVER changes owner directly between consecutive
+    *    synced generations while the old owner is still a member —
+    *    ownership moves only through an unowned (revoked) round, so
+    *    two owners can never overlap;
+    *  - under STABLE membership (the pure two-phase case), a
+    *    partition is unowned for AT MOST ONE round — the revocation
+    *    round — before its new owner picks it up;
+    *  - and the end-to-end exactly-once invariant holds under the
+    *    cooperative protocol too.
+    *
+    * Members surface revocations via [[KafkaGroup.GroupMember
+    * .rejoinNeeded]]; the stabilize loop pumps ensureActive exactly
+    * the way a real client's poll loop would. */
+  property("cooperative walks: no direct handover, at most one unowned round, exactly-once intact") =
+    Prop.forAll(Gen.listOfN(6, Gen.frequency(
+      3 -> Gen.const(Join),
+      2 -> Gen.chooseNum(0, 3).map(Leave(_)),
+      2 -> Gen.chooseNum(0, 3).map(Timeout(_)),
+      4 -> Gen.chooseNum(0, 3).map(Poll(_)),
+      4 -> Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(1, 4))
+        .map { case (p, n) => Produce(p, n) }))) { ops =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val id = caseIds.incrementAndGet()
+      val topic = s"coop-$id"
+      val group = s"gcoopchaos-$id"
+      def member() = new KafkaGroup.GroupMember("localhost", srv.port,
+        group, Seq(topic), sessionTimeoutMs = 30000,
+        assignors = Seq("cooperative-sticky", "range"),
+        rebalanceTimeoutMs = 5000)
+
+      val live = scala.collection.mutable.ArrayBuffer.empty[KafkaGroup.GroupMember]
+      // EVERY member ever created — departed members' histories still
+      // belong to the timeline
+      val everyone = scala.collection.mutable.ArrayBuffer.empty[KafkaGroup.GroupMember]
+      def spawn(): KafkaGroup.GroupMember = {
+        val m = member(); live += m; everyone += m; m
+      }
+      val produced = scala.collection.mutable.Map.empty[Int, Long]
+        .withDefaultValue(0L)
+      val consumed = scala.collection.mutable.Map
+        .empty[Int, Vector[Long]].withDefaultValue(Vector.empty)
+      var failure: Option[String] = None
+      def check(cond: Boolean, msg: => String): Unit =
+        if (failure.isEmpty && !cond) failure = Some(msg)
+
+      def joinAll(): Unit = {
+        val fs = live.toSeq.map(m => Future(m.ensureActive()))
+        fs.foreach(Await.result(_, 30.seconds))
+      }
+      def stabilize(): Unit = if (live.nonEmpty && failure.isEmpty) {
+        joinAll()
+        // pump until nobody owes a rejoin (cooperative follow-up
+        // rounds) and nobody's heartbeat reports supersession
+        var rounds = 0
+        while (rounds < 12 && failure.isEmpty &&
+            live.exists(m => m.rejoinNeeded || !m.heartbeatOnce())) {
+          joinAll()
+          rounds += 1
+        }
+        val gens = live.map(_.generation).toSet
+        check(gens.size == 1, s"generation disagreement: $gens")
+        val shares = live.toSeq.map(_.assigned.getOrElse(topic, Seq.empty))
+        val all = shares.flatten
+        check(all.distinct.length == all.length,
+          s"overlapping assignment: $shares")
+        check(all.toSet == Set(0, 1, 2, 3), s"partitions dropped: $shares")
+      }
+      def poll(m: KafkaGroup.GroupMember): Unit = {
+        val got = m.pollAssigned(topic)
+        got.foreach { case (p, r) => consumed(p) = consumed(p) :+ r.offset }
+      }
+
+      spawn(); spawn()
+      stabilize()
+      ops.foreach {
+        case _ if failure.isDefined =>
+        case Join =>
+          if (live.size < 4) { spawn(); stabilize() }
+        case Leave(k) =>
+          if (live.nonEmpty) {
+            val m = live.remove(k % live.size)
+            m.leave(); m.close()
+            stabilize()
+          }
+        case Timeout(k) =>
+          if (live.nonEmpty) {
+            val m = live.remove(k % live.size)
+            val mid = m.memberId
+            state.groups.get(group).foreach { g =>
+              g.synchronized(g.members.get(mid).foreach(_.deadline = 0L))
+            }
+            m.close()
+            stabilize()
+          }
+        case Produce(p, n) =>
+          val start = produced(p)
+          produceTo(topic, p, (0 until n).map(i => s"r-$p-${start + i}"))
+          produced(p) = start + n
+        case Poll(k) =>
+          if (live.nonEmpty) poll(live(k % live.size))
+        case ZombieCommit(_) => // not generated in this walk
+      }
+      if (failure.isEmpty) {
+        if (live.isEmpty) spawn()
+        stabilize()
+        if (failure.isEmpty) live.foreach(poll)
+      }
+      live.foreach { m =>
+        try { m.leave(); m.close() } catch { case _: Exception => m.close() }
+      }
+
+      // ── the timeline checks ─────────────────────────────────────────
+      if (failure.isEmpty) {
+        val entries: Seq[(Int, Int, Set[Int])] =
+          everyone.zipWithIndex.toSeq.flatMap { case (m, idx) =>
+            m.assignmentHistory.toSeq.map { case (g, as) =>
+              (g, idx, as.getOrElse(topic, Seq.empty).toSet) }
+          }
+        val byGen: Seq[(Int, Seq[(Int, Int, Set[Int])])] =
+          entries.groupBy(_._1).toSeq.sortBy(_._1)
+        byGen.foreach { case (g, es) =>
+          val all = es.flatMap(_._3.toSeq)
+          check(all.distinct.size == all.size,
+            s"gen $g: overlapping cooperative assignment: $es")
+        }
+        byGen.sliding(2).foreach {
+          case Seq((g1, e1), (g2, e2)) =>
+            val own1 = e1.flatMap(e => e._3.toSeq.map(p => p -> e._2)).toMap
+            val own2 = e2.flatMap(e => e._3.toSeq.map(p => p -> e._2)).toMap
+            val members2 = e2.map(_._2).toSet
+            own1.foreach { case (p, m1) =>
+              own2.get(p).foreach { m2 =>
+                check(m2 == m1 || !members2.contains(m1),
+                  s"partition $p moved DIRECTLY member#$m1 -> member#$m2 " +
+                    s"between gens $g1 -> $g2 (no unowned round)")
+              }
+            }
+          case _ =>
+        }
+        // the unowned bound, asserted where it is meaningful: three
+        // CONSECUTIVE generations (no barrier-retry gaps) over STABLE
+        // membership — pure two-phase revocation traffic
+        byGen.sliding(3).foreach {
+          case Seq((g1, e1), (g2, e2), (g3, e3))
+              if g2 == g1 + 1 && g3 == g2 + 1 &&
+                e1.map(_._2).toSet == e2.map(_._2).toSet &&
+                e2.map(_._2).toSet == e3.map(_._2).toSet =>
+            val o1 = e1.flatMap(_._3).toSet
+            val o2 = e2.flatMap(_._3).toSet
+            val o3 = e3.flatMap(_._3).toSet
+            (0 until 4).foreach { p =>
+              check(!(o1.contains(p) && !o2.contains(p) && !o3.contains(p)),
+                s"partition $p unowned for MORE than one rebalance round " +
+                  s"(gens $g2 and $g3)")
+            }
+          case _ =>
+        }
+      }
+
+      // exactly-once, the end-to-end invariant, under cooperative too
+      if (failure.isEmpty) (0 until 4).foreach { p =>
+        check(consumed(p) == (0L until produced(p)).toVector,
+          s"partition $p: produced ${produced(p)}, consumed ${consumed(p)}" +
+            " — a cooperative handover lost or replayed records")
+      }
+
+      failure match {
+        case None => Prop.passed
+        case Some(msg) => Prop.falsified :| msg
+      }
+    }
 }

@@ -207,4 +207,51 @@ object WireCodecProperties extends Properties("graft.wirecodec") {
       out.length == v1recs.length + v2recs.length &&
         out.map(_.offset) == (0L until out.length.toLong)
     }
+
+  // ── KIP-482 flexible encodings (r16 directive #6) ──────────────────
+
+  private val strGen: Gen[String] = Gen.frequency(
+    1 -> Gen.const(null.asInstanceOf[String]),
+    1 -> Gen.const(""),
+    6 -> Gen.chooseNum(1, 80).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('한', '글',
+        'é', '中', 'ÿ'))).map(_.mkString)))
+
+  property("uvarint roundtrip: any non-negative int, no zigzag") =
+    Prop.forAll(Gen.chooseNum(0, Int.MaxValue)) { v =>
+      val bytes = new KafkaWire.Writer().uvarint(v).result()
+      val r = new KafkaWire.Reader(bytes)
+      r.uvarint() == v && r.remaining == 0
+    }
+
+  property("compact string/bytes roundtrip: null, empty, and unicode survive") =
+    Prop.forAll(strGen, bytesGen) { (s, b) =>
+      val bytes = new KafkaWire.Writer()
+        .compactStr(s).compactBytes(b).result()
+      val r = new KafkaWire.Reader(bytes)
+      val s2 = r.compactStr(); val b2 = r.compactBytes()
+      (if (s == null) s2 == null else s2 == s) &&
+        sameBytes(b, b2) && r.remaining == 0
+    }
+
+  /** The KIP-482 forward-compatibility contract: a reader must WALK
+    * PAST tagged fields it does not understand — any tag set, any
+    * payload sizes — and land exactly on the bytes that follow. */
+  property("tag-buffer walk: unknown tagged fields are skipped, the cursor lands after") =
+    Prop.forAll(
+      Gen.chooseNum(0, 6).flatMap(n => Gen.listOfN(n,
+        Gen.zip(Gen.chooseNum(0, 1000),
+          Gen.chooseNum(0, 50).flatMap(k =>
+            Gen.listOfN(k, Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+              .map(_.toArray))))),
+      Gen.chooseNum(Int.MinValue, Int.MaxValue)) { (tags, sentinel) =>
+      val w = new KafkaWire.Writer().uvarint(tags.length)
+      tags.foreach { case (tag, payload) =>
+        w.uvarint(tag).uvarint(payload.length).raw(payload)
+      }
+      w.int32(sentinel) // the field AFTER the tag buffer
+      val r = new KafkaWire.Reader(w.result())
+      r.skipTags()
+      r.int32() == sentinel && r.remaining == 0
+    }
 }
