@@ -1630,7 +1630,8 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
         if (gate != 0)
           (p, gate, -1L, -1L, -1L, Nil, Array.emptyByteArray)
         else {
-          if (replicaId >= 0 && leaderOf(topic, p) == brokerId) {
+          if (state.pullMode && replicaId >= 0 &&
+              leaderOf(topic, p) == brokerId) {
             // the follower's fetch offset IS its progress report: it
             // has everything below `off` (the real protocol's only
             // progress signal) — record it, admit a caught-up replica
