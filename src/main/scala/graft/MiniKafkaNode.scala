@@ -86,6 +86,12 @@ final class MiniKafkaNode(val brokerId: Int, numPartitions: Int = 2,
     }
   }
 
+  // Log mutations by fetchers are serialized against regime swaps on
+  // THIS node monitor — see Fetcher.mutateIfCurrent: reconcile() and
+  // any in-flight truncate/reset/append are mutually exclusive, so a
+  // stopped fetcher that already holds bytes from the OLD leader can
+  // never land them around the new fetcher's truncation.
+
   /** The replica fetcher for ONE followed partition under ONE regime
     * (leader, epoch): truncate-to-divergence once, then fetch-append
     * until stopped. A regime change stops this instance; the
@@ -101,6 +107,18 @@ final class MiniKafkaNode(val brokerId: Int, numPartitions: Int = 2,
     def start(): Unit = thread.start()
     def stop(): Unit = running = false
 
+    /** Every LOG MUTATION this fetcher performs (truncation, reset,
+      * append) runs under the node monitor with a still-current check
+      * — a superseded fetcher that already has bytes or a connection
+      * in flight can never touch the replica log after its regime was
+      * swapped (see [[appendIfCurrent]]). */
+    private def mutateIfCurrent(body: => Unit): Boolean =
+      MiniKafkaNode.this.synchronized {
+        if (fetchers.get((topic, p)).contains(Fetcher.this)) {
+          body; true
+        } else false
+      }
+
     private def run(): Unit = {
       val log = state.logAt(brokerId, topic, p)
       while (running) {
@@ -108,7 +126,8 @@ final class MiniKafkaNode(val brokerId: Int, numPartitions: Int = 2,
         try {
           val (h, pt) = state.brokers(leaderId)
           conn = new KafkaWire.Conn(h, pt)
-          truncateToLeader(conn, log)
+          if (!mutateIfCurrent(truncateToLeader(conn, log)))
+            running = false
           while (running) {
             val myLeo = log.synchronized(log.next)
             val set =
@@ -120,16 +139,19 @@ final class MiniKafkaNode(val brokerId: Int, numPartitions: Int = 2,
                   // to its surviving head (the follower's
                   // auto.offset.reset has no choice here)
                   val earliest = KafkaWire.listOffset(conn, topic, p, -2L)
-                  log.synchronized {
+                  if (!mutateIfCurrent(log.synchronized {
                     state.truncateSuffix(log, 0L)
                     log.start = earliest
                     log.next = earliest
-                  }
+                  })) running = false
                   null
               }
-            if (set == null || set.isEmpty) Thread.sleep(5)
+            if (!running) ()
+            else if (set == null || set.isEmpty) Thread.sleep(5)
             else KafkaWire.decodeRecordBatches(set).foreach { rb =>
-              if (running) state.appendFetched(log, rb)
+              if (running &&
+                  !mutateIfCurrent(state.appendFetched(log, rb)))
+                running = false // superseded mid-batch: drop the rest
             }
           }
         } catch {

@@ -319,13 +319,23 @@ private[graft] final class KafkaClusterState(
     * controller pushes): leadership, epoch, ISR, and assignment are
     * FED, not computed — each process holds its own copy of this
     * state, kept consistent by the controller, exactly the real
-    * design. */
+    * design. Applied UNDER the election monitor, like every other
+    * leadership flip on this node: an in-flight append that passed
+    * its in-lock leaderOf re-check must complete (and stamp its
+    * batch) fully under the OLD regime before the flip lands — the
+    * same append-vs-election serialization the in-JVM moveLeader has,
+    * now held on the wire path too (an append stamped with the NEW
+    * epoch on a deposed leader would defeat the KIP-101 truncation
+    * walk: the divergent batch would look current-regime to the
+    * epoch histories). */
   def setPartitionState(topic: String, p: Int, leader: Int, epoch: Int,
       isr: Set[Int], replicas: Seq[Int]): Unit = {
-    leaders.put((topic, p), leader)
-    leaderEpochs.put((topic, p), epoch)
-    isrMap.put((topic, p), isr)
-    replicaSets.put((topic, p), replicas)
+    electionLock(topic, p) {
+      leaders.put((topic, p), leader)
+      leaderEpochs.put((topic, p), epoch)
+      isrMap.put((topic, p), isr)
+      replicaSets.put((topic, p), replicas)
+    }
     val cb = onPartitionState
     if (cb != null) cb(topic, p)
     hwMonitor(topic, p).synchronized(hwMonitor(topic, p).notifyAll())
@@ -492,12 +502,23 @@ private[graft] final class KafkaClusterState(
   def isrOf(topic: String, p: Int): Set[Int] =
     isrMap.getOrElseUpdate((topic, p),
       assignmentOf(topic, p).filterNot(deadBrokers.contains).toSet)
+  /** Every ISR read-modify-write is LINEARIZED on the partition's
+    * election monitor: the acks=all gate's shrink, the purgatory's
+    * lag shrink, and the pull-mode follower admission all race on one
+    * map — an unsynchronized read-compute-put could lose a shrink to
+    * a concurrent admission and falsely ack an acks=all write whose
+    * laggard then stayed ISR-eligible (silent loss at the next clean
+    * election). Reentrant from callers already holding the lock. */
   def shrinkIsr(topic: String, p: Int, broker: Int): Unit =
-    isrMap.put((topic, p), isrOf(topic, p) - broker)
-  /** Leader-managed ISR write (pull mode: the leader admits a
-    * caught-up fetcher, the purgatory shrinks laggards). */
-  def setIsr(topic: String, p: Int, isr: Set[Int]): Unit =
-    isrMap.put((topic, p), isr)
+    electionLock(topic, p) {
+      isrMap.put((topic, p), isrOf(topic, p) - broker)
+    }
+  /** Leader-managed ISR admission (pull mode: the leader admits a
+    * caught-up fetcher) — linearized like every ISR write. */
+  def admitIsr(topic: String, p: Int, broker: Int): Unit =
+    electionLock(topic, p) {
+      isrMap.put((topic, p), isrOf(topic, p) + broker)
+    }
 
   /** HIGH WATERMARK: the minimum log-end over the ISR. A consumer may
     * only read BELOW it — data above it exists only on the leader (or
@@ -542,6 +563,10 @@ private[graft] final class KafkaClusterState(
     * — the acks<=1 paused-ISR hang diagnostic fires once per pin. */
   private val hwPinWarned =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int)]()
+  /** A resume/revive ends every pin this broker could have warned
+    * about — re-arm the once-per-pin warnings (the serve-path fast
+    * path skips the per-fetch cleanup when nothing is paused). */
+  def rearmHwPinWarnings(): Unit = hwPinWarned.clear()
   /** A follower paused during acks<=1 traffic stays in the ISR (the
     * real pre-replica.lag.time.max.ms window), pinning the high
     * watermark at its log end: read_uncommitted consumers see NOTHING
@@ -549,12 +574,15 @@ private[graft] final class KafkaClusterState(
     * but a silent hang if a spec forgets. Warn (once per pin) when a
     * read-path call observes the HW held below the leader end solely
     * by paused ISR members, so the stall is diagnosable. */
-  def noteHwPin(topic: String, p: Int): Unit =
-    if (replicationFactor > 1) {
+  def noteHwPin(topic: String, p: Int, hw: Long): Unit =
+    // `hw` is the watermark the caller ALREADY computed for the fetch
+    // — don't recompute it. Fast path: nothing paused, or RF = 1 →
+    // one set lookup and out; the laggard scan runs only when a pin
+    // is actually possible.
+    if (replicationFactor > 1 && !pausedReplicas.isEmpty) {
       val leader = leaderOf(topic, p)
       val ll = logAt(leader, topic, p)
       val lend = ll.synchronized(ll.next)
-      val hw = highWatermark(topic, p)
       val laggards =
         if (hw >= 0 && hw < lend)
           isrOf(topic, p).filter { b =>
@@ -1267,11 +1295,14 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
           else {
             val span = b.end
             // re-encode as v2 with the ORIGINAL lastOffsetDelta: the
-            // count shrinks, the span does not (empty batches allowed)
+            // count shrinks, the span does not (empty batches allowed);
+            // the batch keeps the epoch it was appended under — stamp
+            // the fresh bytes here, not on serve
             val raw = KafkaWire.encodeRecordBatch(b.base, kept,
               KafkaWire.Codec.None, b.pid, b.pEpoch, b.baseSeq,
               transactional = b.transactional,
               lastOffsetDeltaOverride = (span - b.base - 1).toInt)
+            if (b.epoch >= 0) KafkaWire.stampLeaderEpoch(raw, b.epoch)
             b.copy(records = kept, codec = 0, magic = 2, raw = raw,
               spanEnd = span)
           }
@@ -1333,14 +1364,17 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
         val body: Array[Byte] = (apiKey, apiVersion) match {
           case (18, 0) => apiVersionsV0()
           case (18, 3) if serveFormat >= 2 => apiVersionsV3(r)
-          case (3, 0) => metadataV0(r)
-          case (3, 7) if serveFormat >= 2 => metadataV7(r)
+          // every version INSIDE the advertised ranges is served — a
+          // negotiating client may legitimately pick any of them
+          case (3, 0) => metadataV(r, 0)
+          case (3, mv) if mv >= 1 && mv <= 8 && serveFormat >= 2 =>
+            metadataV(r, mv)
           case (3, 9) if serveFormat >= 2 => metadataV9(r)
           case (0, 2) => produceV2(r)
           case (0, 3) if serveFormat >= 2 => produceV3(r)
-          case (1, 2) => fetchV2(r)
-          case (1, 4) if serveFormat >= 2 => fetchV4(r)
-          case (1, 9) if serveFormat >= 2 => fetchV9(r)
+          case (1, 2) => fetchV(r, 2)
+          case (1, fv) if fv >= 3 && fv <= 9 && serveFormat >= 2 =>
+            fetchV(r, fv)
           case (4, 0) => leaderAndIsrV0(r)
           case (23, 2) if serveFormat >= 2 => offsetsForLeaderEpochV2(r)
           case (2, 1) => listOffsetsV1(r)
@@ -1477,27 +1511,56 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
     w.result()
   }
 
-  private def metadataV0(r: Reader): Array[Byte] = {
+  /** Metadata v0 through v8 — ONE handler with per-field version
+    * gates, because ApiVersions advertises a contiguous RANGE and a
+    * real client may legitimately pick ANY version in it (the field
+    * timeline: rack/is_internal/controller_id v1, cluster_id v2,
+    * throttle v3, allow_auto_topic_creation v4, offline_replicas v5,
+    * leader_epoch v7 — KIP-320's client-side fencing token —
+    * authorized_operations v8). v9+ is the flexible encoding
+    * ([[metadataV9]]). A routing client that reads the epoch here
+    * pins its fetches to it: a stale view after a re-election is
+    * FENCED by the leader instead of silently served. */
+  private def metadataV(r: Reader, v: Int): Array[Byte] = {
     val n = r.int32()
-    val topics = (0 until n).map(_ => r.str())
+    require(n >= 0 || v == 0, s"metadata v$v with null topics " +
+      "(all-topics) is not served by the double — name the topics")
+    val topics = (0 until math.max(0, n)).map(_ => r.str())
+    if (v >= 4) r.int8() // allow_auto_topic_creation — the double auto-creates
+    if (v >= 8) { r.int8(); r.int8() } // include cluster/topic authorized ops
     val w = new Writer()
+    if (v >= 3) w.int32(0) // throttle_time_ms
     // the FULL cluster view: every registered broker, and each
     // partition's true leader — what a routing client steers by
     val bs = state.brokers.toSeq.sortBy(_._1)
     w.int32(bs.length)
-    bs.foreach { case (id, (h, pt)) => w.int32(id).str(h).int32(pt) }
+    bs.foreach { case (id, (h, pt)) =>
+      w.int32(id).str(h).int32(pt)
+      if (v >= 1) w.str(null) // rack: none
+    }
+    if (v >= 2) w.str("graft-cluster") // cluster_id
+    if (v >= 1) w.int32(0)             // controller_id (broker 0 convention)
     w.int32(topics.length)
     topics.foreach { t =>
-      w.int16(0).str(t).int32(numPartitions)
+      w.int16(0).str(t)
+      if (v >= 1) w.int8(0) // is_internal = false
+      w.int32(numPartitions)
       (0 until numPartitions).foreach { p =>
         val leader = leaderOf(t, p)
         val replicas = state.assignmentOf(t, p)
         val isr = state.isrOf(t, p).toSeq.sorted
         w.int16(0).int32(p).int32(leader) // error, partition, leader
+        if (v >= 7) w.int32(state.leaderEpochOf(t, p))
         w.int32(replicas.length); replicas.foreach(w.int32)
         w.int32(isr.length); isr.foreach(w.int32)
+        if (v >= 5) {
+          val offline = replicas.filter(state.deadBrokers.contains)
+          w.int32(offline.length); offline.foreach(w.int32)
+        }
       }
+      if (v >= 8) w.int32(Int.MinValue) // topic_authorized_operations
     }
+    if (v >= 8) w.int32(Int.MinValue) // cluster_authorized_operations
     w.result()
   }
 
@@ -1546,45 +1609,6 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
     w.result()
   }
 
-  /** Metadata v7 (the first version carrying the partition's
-    * LEADER_EPOCH — KIP-320's client-side fencing token; offline_
-    * replicas arrived in v5, rack/cluster_id/controller_id in v1/v2).
-    * Pre-flexible encoding (flexible starts at v9). A routing client
-    * reads the epoch here and pins its fetches to it: a stale view
-    * after a re-election is FENCED by the leader instead of silently
-    * served. */
-  private def metadataV7(r: Reader): Array[Byte] = {
-    val n = r.int32()
-    require(n >= 0, "metadata v7 with null topics (all-topics) " +
-      "is not served by the double — name the topics")
-    val topics = (0 until n).map(_ => r.str())
-    r.int8() // allow_auto_topic_creation (v4+) — the double auto-creates
-    val w = new Writer().int32(0) // throttle_time_ms
-    val bs = state.brokers.toSeq.sortBy(_._1)
-    w.int32(bs.length)
-    bs.foreach { case (id, (h, pt)) =>
-      w.int32(id).str(h).int32(pt).str(null) } // rack: none
-    w.str("graft-cluster") // cluster_id
-    w.int32(0)             // controller_id (broker 0 convention)
-    w.int32(topics.length)
-    topics.foreach { t =>
-      w.int16(0).str(t).int8(0) // error, name, is_internal = false
-      w.int32(numPartitions)
-      (0 until numPartitions).foreach { p =>
-        val leader = leaderOf(t, p)
-        val replicas = state.assignmentOf(t, p)
-        val isr = state.isrOf(t, p).toSeq.sorted
-        val offline = replicas.filter(state.deadBrokers.contains)
-        w.int16(0).int32(p).int32(leader)
-          .int32(state.leaderEpochOf(t, p)) // leader_epoch (v7+)
-        w.int32(replicas.length); replicas.foreach(w.int32)
-        w.int32(isr.length); isr.foreach(w.int32)
-        w.int32(offline.length); offline.foreach(w.int32) // v5+
-      }
-    }
-    w.result()
-  }
-
   /** The Fetch v9 / OffsetsForLeaderEpoch epoch gate: a request
     * pinned to an OLDER epoch than the partition's current one
     * followed stale metadata across a re-election — FENCED (the
@@ -1600,31 +1624,37 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
       else 0
     }
 
-  /** Fetch v9 (api 1): the first version whose per-partition request
-    * carries CURRENT_LEADER_EPOCH (KIP-320) — the broker fences a
-    * fetch pinned to a superseded epoch instead of serving it, closing
-    * the stale-metadata window an in-process monitor cannot close for
-    * an out-of-process client. Also serves the v5+ log_start_offset
-    * and the v7+ session fields; the double is SESSIONLESS (session_id
-    * 0 on every response — the protocol's full-fetch degenerate case,
-    * which a client requests with session_epoch -1). */
-  private def fetchV9(r: Reader): Array[Byte] = {
+  /** Fetch v2 through v9 (api 1) — ONE handler with per-field version
+    * gates, because ApiVersions advertises a contiguous RANGE and a
+    * real client may pick ANY version in it. The field timeline:
+    * response max_bytes v3, isolation_level + last_stable_offset +
+    * aborted_transactions v4 (also the first record-batch-v2-carrying
+    * version — below it batches DOWN-CONVERT to message format v1),
+    * log_start_offset v5, session_id/epoch + forgotten_topics +
+    * top-level error v7 (the double is SESSIONLESS: session_id 0 on
+    * every response — the protocol's full-fetch degenerate case), and
+    * CURRENT_LEADER_EPOCH v9 (KIP-320) — the broker fences a fetch
+    * pinned to a superseded epoch instead of serving it, closing the
+    * stale-metadata window an in-process monitor cannot close for an
+    * out-of-process client. */
+  private def fetchV(r: Reader, v: Int): Array[Byte] = {
     val replicaId = r.int32()       // >= 0: a FOLLOWER's fetch
     r.int32(); r.int32()            // max_wait, min_bytes
-    r.int32()                       // response max_bytes
-    val isolation = r.int8()
+    if (v >= 3) r.int32()           // response max_bytes
+    val isolation = if (v >= 4) r.int8() else 0
     val committed = isolation == 1
-    r.int32() // session_id (sessionless: ignored)
-    r.int32() // session_epoch
+    if (v >= 7) { r.int32(); r.int32() } // session_id, session_epoch
+    val enc: Batch => Array[Byte] =
+      if (v >= 4) encodeBatchV4 else encodeBatch
     val nTopics = r.int32()
     val resp = (0 until nTopics).map { _ =>
       val topic = r.str()
       val nParts = r.int32()
       val parts = (0 until nParts).map { _ =>
         val p = r.int32()
-        val curEpoch = r.int32() // current_leader_epoch (v9+)
+        val curEpoch = if (v >= 9) r.int32() else -1
         val off = r.int64()
-        r.int64() // log_start_offset (follower fetches; -1 for consumers)
+        if (v >= 5) r.int64() // follower's log_start_offset
         val maxBytes = r.int32()
         val gate = epochGate(topic, p, curEpoch)
         if (gate != 0)
@@ -1641,12 +1671,12 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
             val leo = lg.synchronized(lg.next)
             if (off >= leo && state.assignmentOf(topic, p).contains(replicaId)
                 && !state.isrOf(topic, p).contains(replicaId))
-              state.setIsr(topic, p, state.isrOf(topic, p) + replicaId)
+              state.admitIsr(topic, p, replicaId)
             val mon = state.hwMonitor(topic, p)
             mon.synchronized(mon.notifyAll())
           }
           val (err, hw, lso, aborted, bytes) = servePartition(topic, p,
-            off, maxBytes, encodeBatchV4, stableOnly = committed,
+            off, maxBytes, enc, stableOnly = committed,
             asReplica = replicaId >= 0)
           val lg = log(topic, p)
           val logStart = lg.synchronized(lg.start)
@@ -1656,24 +1686,27 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
       }
       (topic, parts)
     }
-    // forgotten_topics_data (v7+): sessionless double — must still
-    // consume the bytes to leave the reader positioned correctly
-    val nForgotten = r.int32()
-    (0 until nForgotten).foreach { _ =>
-      r.str(); val k = r.int32(); (0 until k).foreach(_ => r.int32())
+    if (v >= 7) {
+      // forgotten_topics_data: sessionless double — must still consume
+      // the bytes to leave the reader positioned correctly
+      val nForgotten = r.int32()
+      (0 until nForgotten).foreach { _ =>
+        r.str(); val k = r.int32(); (0 until k).foreach(_ => r.int32())
+      }
     }
     val w = new Writer().int32(0) // throttle_time_ms
-      .int16(0)                   // top-level error (v7+)
-      .int32(0)                   // session_id: sessionless
+    if (v >= 7) w.int16(0).int32(0) // top-level error, session_id
     w.int32(resp.length)
     resp.foreach { case (topic, parts) =>
       w.str(topic).int32(parts.length)
       parts.foreach { case (p, err, hw, lso, logStart, aborted, set) =>
         w.int32(p).int16(err).int64(hw)
-          .int64(lso)
-          .int64(logStart) // v5+
-          .int32(aborted.length)
-        aborted.foreach { case (pid, first) => w.int64(pid).int64(first) }
+        if (v >= 4) {
+          w.int64(lso)
+          if (v >= 5) w.int64(logStart)
+          w.int32(aborted.length)
+          aborted.foreach { case (pid, first) => w.int64(pid).int64(first) }
+        }
         w.int32(set.length).raw(set)
       }
     }
@@ -1729,20 +1762,21 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
       (0 until nParts).map { _ =>
         val p = r.int32()
         val set = r.bytes()
+        val appended: (Int, Long, Long) = // (err, base, appendedEnd)
         if (leaderOf(topic, p) != brokerId)
-          (topic, p, KafkaWire.Errors.NotLeaderForPartition, -1L)
+          (KafkaWire.Errors.NotLeaderForPartition, -1L, -1L)
         else state.electionLock(topic, p) {
           // leadership re-checked INSIDE the election monitor: an
           // append cannot interleave with a concurrent re-election
           // (the in-process leader-epoch fence — see electionLock)
           if (state.leaderOf(topic, p) != brokerId)
-            (topic, p, KafkaWire.Errors.NotLeaderForPartition, -1L)
+            (KafkaWire.Errors.NotLeaderForPartition, -1L, -1L)
           else {
           // ONE paused-set snapshot for the whole gate+replicate
           // critical section — a pause cannot land between them
           val paused = state.pausedSnapshot
           val gate = if (reqAcks == -1) acksAllGate(topic, p, paused) else 0
-          if (gate != 0) (topic, p, gate, -1L)
+          if (gate != 0) (gate, -1L, -1L)
           else {
             // a produced set is one batch; remember the codec it arrived
             // with so fetch can serve it back as the same wrapper shape
@@ -1767,13 +1801,19 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
               b
             }
             producesAppended.incrementAndGet()
-            val ackErr =
-              if (reqAcks == -1)
-                awaitAcksAll(topic, p, base + recs.length) else 0
-            (topic, p, ackErr, base)
+            (0, base, base + recs.length)
           }
           }
         }
+        // the pull-mode acks=all wait runs OUTSIDE the election lock:
+        // it can park for the full replication timeout, and holding
+        // the monitor that long would serialize every other produce
+        // and marker write on the partition behind one slow follower
+        val (err0, base, end) = appended
+        val ackErr =
+          if (err0 == 0 && reqAcks == -1 && end >= 0)
+            awaitAcksAll(topic, p, end) else err0
+        (topic, p, ackErr, base)
       }
     }
     if (consume(dropNextProduceAfterAppend)) throw new DropConnection
@@ -1803,12 +1843,24 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
       // for exactly this) — fetch v4 re-serves them zero-re-encode,
       // the real broker's append->fetch path; decoded records are kept
       // for the test oracles and v1 down-conversion
+      // the epoch is stamped into the batch's RAW bytes here, ONCE,
+      // under the log lock (rawAt already clones; bytes 12..15 sit
+      // outside the CRC32C coverage precisely for broker stamping) —
+      // never on the serve path, where a concurrent in-place stamp
+      // could be read torn by another fetch copying the same array
+      val raw =
+        if (b.raw == null) null
+        else {
+          val x = b.rawAt(base)
+          if (leaderEpoch >= 0) KafkaWire.stampLeaderEpoch(x, leaderEpoch)
+          x
+        }
       log.batches += Batch(base,
         b.records.zipWithIndex.map { case (rec, i) =>
           rec.copy(offset = base + i) },
         b.codec, magic = 2, pid = b.producerId, pEpoch = b.producerEpoch,
         baseSeq = b.baseSequence,
-        raw = if (b.raw == null) null else b.rawAt(base),
+        raw = raw,
         transactional = b.transactional, epoch = leaderEpoch)
       // an open transaction pins this log's last stable offset at its
       // FIRST record until EndTxn resolves it
@@ -1868,16 +1920,17 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
       (0 until nParts).map { _ =>
         val p = r.int32()
         val set = r.bytes()
+        val appended: (Int, Long, Long) = // (err, base, appendedEnd)
         if (leaderOf(topic, p) != brokerId) {
-          (topic, p, KafkaWire.Errors.NotLeaderForPartition, -1L)
+          (KafkaWire.Errors.NotLeaderForPartition, -1L, -1L)
         } else state.electionLock(topic, p) {
         // in-lock re-check: the in-process leader-epoch fence
         // ONE paused-set snapshot for the whole gate+replicate section
         val paused = state.pausedSnapshot
         if (state.leaderOf(topic, p) != brokerId) {
-          (topic, p, KafkaWire.Errors.NotLeaderForPartition, -1L)
+          (KafkaWire.Errors.NotLeaderForPartition, -1L, -1L)
         } else if (reqAcks == -1 && acksAllGate(topic, p, paused) != 0) {
-          (topic, p, KafkaWire.Errors.NotEnoughReplicas, -1L)
+          (KafkaWire.Errors.NotEnoughReplicas, -1L, -1L)
         } else {
         val batches = KafkaWire.decodeRecordBatches(set)
         // transactional batches register their partition with the
@@ -1891,8 +1944,8 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
         val l = log(topic, p)
         val targets = replicationTargets(topic, p, brokerId, paused)
         val lEpoch = state.leaderEpochOf(topic, p)
-        val (err, base) = l.synchronized {
-          batches.foldLeft((0, -1L)) { case ((e, b0), batch) =>
+        val (err, base, end) = l.synchronized {
+          val folded = batches.foldLeft((0, -1L)) { case ((e, b0), batch) =>
             if (e != 0) (e, b0)
             else {
               val pre = l.next
@@ -1912,13 +1965,19 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
               (e2, if (b0 < 0) b2 else b0)
             }
           }
+          (folded._1, folded._2, l.next)
         }
+        (err, base, end)
+        }
+        }
+        // pull-mode acks=all wait OUTSIDE the election lock (see
+        // produceV2): parking with the monitor held would serialize
+        // the partition's whole write path behind one slow follower
+        val (err0, base, end) = appended
         val ackErr =
-          if (err == 0 && reqAcks == -1)
-            awaitAcksAll(topic, p, l.synchronized(l.next)) else err
+          if (err0 == 0 && reqAcks == -1 && end >= 0)
+            awaitAcksAll(topic, p, end) else err0
         (topic, p, ackErr, base)
-        }
-        }
       }
     }
     if (consume(dropNextProduceAfterAppend)) throw new DropConnection
@@ -1978,13 +2037,16 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
         log.synchronized {
           log.ongoing.remove(pid).foreach { first =>
             val off = log.next
-            val raw = KafkaWire.encodeControlBatch(off, pid, epoch,
-              commit, System.currentTimeMillis())
+            val lEpoch = state.leaderEpochOf(topic, p)
+            // stamped at creation (fresh array), not on serve
+            val raw = KafkaWire.stampLeaderEpoch(
+              KafkaWire.encodeControlBatch(off, pid, epoch,
+                commit, System.currentTimeMillis()), lEpoch)
             val recs = KafkaWire.decodeRecordBatches(raw).head.records
             val marker = Batch(off, recs, 0, magic = 2, pid = pid,
               pEpoch = epoch, baseSeq = -1, raw = raw,
               transactional = true, control = true,
-              epoch = state.leaderEpochOf(topic, p))
+              epoch = lEpoch)
             log.batches += marker
             log.next = off + 1
             if (!commit) log.aborted += ((pid, first, off))
@@ -2246,15 +2308,19 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
     * magic dispatch). */
   private def encodeBatchV4(b: Batch): Array[Byte] =
     if (b.magic >= 2) {
-      val bytes =
-        if (b.raw != null) b.raw // verbatim producer bytes, CRC intact
-        else KafkaWire.encodeRecordBatch(b.base, b.records, b.codec, b.pid,
-          b.pEpoch, b.baseSeq)
-      // stamp the partitionLeaderEpoch the batch was appended under —
-      // the v2 CRC32C deliberately excludes bytes 12..15 (along with
-      // baseOffset) so the broker can stamp both without re-encoding
-      if (b.epoch >= 0) KafkaWire.stampLeaderEpoch(bytes, b.epoch)
-      else bytes
+      if (b.raw != null) b.raw // verbatim bytes, CRC intact, epoch
+        // already stamped AT APPEND TIME (never here: an in-place
+        // stamp on the shared stored array could be read torn by a
+        // concurrent fetch copying the same bytes)
+      else {
+        // v2-stored batch without raw bytes (a replication copy of a
+        // v2 batch constructed from records): encode fresh and stamp
+        // the fresh array — private to this call, no sharing
+        val bytes = KafkaWire.encodeRecordBatch(b.base, b.records,
+          b.codec, b.pid, b.pEpoch, b.baseSeq)
+        if (b.epoch >= 0) KafkaWire.stampLeaderEpoch(bytes, b.epoch)
+        bytes
+      }
     }
     else encodeBatch(b)
 
@@ -2278,7 +2344,7 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
     // (the acks<=1 window) — serving it would be a non-repeatable read.
     // RF = 1: the log's own end, exactly the r15 behavior.
     val hwm = state.highWatermark(topic, p)
-    state.noteHwPin(topic, p) // diagnose a paused-ISR pinned watermark
+    state.noteHwPin(topic, p, hwm) // diagnose a paused-ISR pinned watermark
     // a fetch below the log start reads data retention already deleted
     // — OFFSET_OUT_OF_RANGE (error 1), the real broker's answer to a
     // checkpoint that outlived the log head
@@ -2325,63 +2391,6 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
       else all
     }
     (0, hw, lso, aborted, bytes)
-  }
-
-  private def fetchV2(r: Reader): Array[Byte] = {
-    r.int32(); r.int32(); r.int32() // replica_id, max_wait, min_bytes
-    val nTopics = r.int32()
-    val resp = (0 until nTopics).map { _ =>
-      val topic = r.str()
-      val nParts = r.int32()
-      val parts = (0 until nParts).map { _ =>
-        val p = r.int32(); val off = r.int64(); val maxBytes = r.int32()
-        val (err, hw, _, _, bytes) =
-          servePartition(topic, p, off, maxBytes, encodeBatch)
-        (p, err, hw, bytes)
-      }
-      (topic, parts)
-    }
-    val w = new Writer().int32(0) // throttle_time_ms
-    w.int32(resp.length)
-    resp.foreach { case (topic, parts) =>
-      w.str(topic).int32(parts.length)
-      parts.foreach { case (p, err, hw, set) =>
-        w.int32(p).int16(err).int64(hw).int32(set.length).raw(set)
-      }
-    }
-    w.result()
-  }
-
-  private def fetchV4(r: Reader): Array[Byte] = {
-    r.int32(); r.int32(); r.int32() // replica_id, max_wait, min_bytes
-    r.int32()                       // response max_bytes
-    val isolation = r.int8()
-    val committed = isolation == 1
-    val nTopics = r.int32()
-    val resp = (0 until nTopics).map { _ =>
-      val topic = r.str()
-      val nParts = r.int32()
-      val parts = (0 until nParts).map { _ =>
-        val p = r.int32(); val off = r.int64(); val maxBytes = r.int32()
-        val (err, hw, lso, aborted, bytes) = servePartition(topic, p, off,
-          maxBytes, encodeBatchV4, stableOnly = committed)
-        (p, err, hw, lso, if (committed) aborted else Nil, bytes)
-      }
-      (topic, parts)
-    }
-    val w = new Writer().int32(0) // throttle_time_ms
-    w.int32(resp.length)
-    resp.foreach { case (topic, parts) =>
-      w.str(topic).int32(parts.length)
-      parts.foreach { case (p, err, hw, lso, aborted, set) =>
-        w.int32(p).int16(err).int64(hw)
-          .int64(lso)
-          .int32(aborted.length)
-        aborted.foreach { case (pid, first) => w.int64(pid).int64(first) }
-        w.int32(set.length).raw(set)
-      }
-    }
-    w.result()
   }
 
   private def listOffsetsV2(r: Reader): Array[Byte] = {
@@ -2477,6 +2486,7 @@ final class MiniKafkaCluster(numBrokers: Int, numPartitions: Int = 2,
     * replicas mirror their leaders again and it re-joins the ISR. */
   def resumeReplication(brokerId: Int): Unit = {
     state.pausedReplicas.remove(brokerId)
+    state.rearmHwPinWarnings()
     state.catchUp(brokerId)
   }
   /** Kill `brokerId`: close its listener, drop it from metadata and

@@ -214,20 +214,56 @@ object KafkaGroup {
     val extra = allTps.size % members.size
     val quota = members.zipWithIndex.map { case (m, i) =>
       m -> (base + (if (i < extra) 1 else 0)) }.toMap
+    // 1. every valid claim is kept INITIALLY (stickiness first)
     val kept = scala.collection.mutable.Map.empty[String,
       Vector[(String, Int)]]
     members.foreach(m => kept(m) = Vector.empty)
-    claims.toSeq.sortBy(_._1).foreach { case (tp, m) =>
-      if (kept(m).size < quota(m)) kept(m) :+= tp
-      // else: over-quota → revoked this round (assigned to nobody)
+    claims.toSeq.sortBy(_._1).foreach { case (tp, m) => kept(m) :+= tp }
+    // destination capacity, shared by the revocation pass and the
+    // unclaimed fill: a slot a revocation reserves (its partition
+    // arrives there NEXT round) must not be double-booked by an
+    // unclaimed partition this round, or the revoked one bounces
+    val slots = scala.collection.mutable.Map.empty[String, Int]
+    members.foreach(o => slots(o) = math.max(0, quota(o) - kept(o).size))
+    // 2. the REVOCATION pass — applies to CLAIMS ONLY (a partition
+    //    nobody owned yet has nothing to revoke): an over-quota
+    //    member's excess is revoked (assigned to nobody this round)
+    //    only while destination capacity remains — a revocation with
+    //    nowhere to go would oscillate forever (revoke → unclaimed →
+    //    handed straight back → revoke) through rejoinNeeded rounds.
+    //    Highest-sorted claims go first, so the kept prefix is
+    //    deterministic.
+    val revoked = scala.collection.mutable.Set.empty[(String, Int)]
+    members.foreach { m =>
+      var mine = kept(m)
+      var candidates = mine.sorted.reverse
+      while (mine.size > quota(m) && candidates.nonEmpty) {
+        val tp = candidates.head
+        candidates = candidates.tail
+        members.find(o => o != m && subsOf(o).contains(tp._1) &&
+            slots(o) > 0).foreach { dest =>
+          mine = mine.filterNot(_ == tp)
+          revoked += tp
+          slots(dest) -= 1 // reserve the landing slot for next round
+        }
+      }
+      kept(m) = mine
     }
-    // unowned partitions go straight to under-quota subscribers
-    allTps.filterNot(claims.contains).foreach { tp =>
-      members.filter(m => subsOf(m).contains(tp._1) &&
-          kept(m).size < quota(m))
-        .sortBy(m => (kept(m).size, m))
-        .headOption.foreach(m => kept(m) :+= tp)
-    }
+    // 3. NEVER-OWNED partitions (no valid claim, not just revoked) are
+    //    assigned NOW — members with reserved capacity first, else the
+    //    least-loaded subscriber even over quota: a partition whose
+    //    only subscribers are over quota must STILL be owned (a global
+    //    quota cannot starve a constrained topic — silent orphaning
+    //    would mean records nobody ever consumes)
+    allTps.filterNot(tp => claims.contains(tp) || revoked.contains(tp))
+      .foreach { tp =>
+        val takers = members.filter(m => subsOf(m).contains(tp._1))
+        takers.sortBy(m => (slots(m) <= 0, kept(m).size, m))
+          .headOption.foreach { m =>
+            kept(m) :+= tp
+            slots(m) = slots(m) - 1
+          }
+      }
     kept.map { case (m, tps) =>
       m -> tps.groupBy(_._1).map { case (t, ps) =>
         t -> (ps.map(_._2).sorted: Seq[Int]) }
@@ -396,8 +432,9 @@ object KafkaGroup {
     * semantics cannot diverge between them. */
   private[sources] def drainPartition(dataConn: Conn, topic: String,
       p: Int, start: Long, isolation: Int,
-      onDataLoss: String): (Seq[Record], Long) = {
-    val fetcher = new GrowingFetcher(dataConn, topic, p, isolation)
+      onDataLoss: String, leaderEpoch: Int = -1): (Seq[Record], Long) = {
+    val fetcher = new GrowingFetcher(dataConn, topic, p, isolation,
+      currentLeaderEpoch = leaderEpoch)
     val out = scala.collection.mutable.ArrayBuffer.empty[Record]
     var off = start
     var done = false
@@ -625,13 +662,15 @@ object KafkaGroup {
       val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Record)]
       val ends = scala.collection.mutable.Map.empty[Int, Long]
       parts.foreach { p =>
-        // the DATA path goes to the partition's leader; the shared
-        // coordinator connection keeps serving the offset traffic
-        val dataConn = KafkaWire.leaderConn(host, port, topic, p)
+        // the DATA path goes to the partition's leader, epoch-PINNED
+        // (KIP-320); the shared coordinator connection keeps serving
+        // the offset traffic
+        val (dataConn, epoch) =
+          KafkaWire.leaderConnWithEpoch(host, port, topic, p)
         try {
           val (recs, end) = drainPartition(dataConn, topic, p,
             starts.getOrElse(p, None).getOrElse(resetTo), isolation,
-            onDataLoss)
+            onDataLoss, leaderEpoch = epoch)
           recs.foreach(r => out += ((p, r)))
           ends(p) = end
         } finally dataConn.close()
@@ -729,9 +768,10 @@ object KafkaGroup {
         .parallelize(assigned, math.max(1, assigned.length))
         .flatMap { p =>
           val u8 = java.nio.charset.StandardCharsets.UTF_8
-          // leader-routed data path; offset traffic on the same conn
-          // (any broker serves it; the coordinator owns the registry)
-          val c = KafkaWire.leaderConn(host, port, topic, p)
+          // leader-routed, epoch-pinned data path; offset traffic on
+          // the same conn (any broker serves it; the coordinator owns
+          // the registry)
+          val (c, epoch) = KafkaWire.leaderConnWithEpoch(host, port, topic, p)
           try {
             // the shared drain: read_committed stops at the LSO and
             // filters aborted producers' records; onDataLoss decides
@@ -741,7 +781,7 @@ object KafkaGroup {
             val (recs, end) = drainPartition(c, topic, p,
               KafkaWire.fetchOffsets(c, groupId, topic, Seq(p))
                 .getOrElse(p, None).getOrElse(resetTo),
-              isolation, onDataLoss)
+              isolation, onDataLoss, leaderEpoch = epoch)
             // the member's identity rides to the executor: a stale
             // generation here throws CommitFailedException and FAILS
             // the task — a superseded poll must never move offsets

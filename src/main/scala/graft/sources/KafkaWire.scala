@@ -921,13 +921,14 @@ object KafkaWire {
   /** The best cluster view the broker serves: flexible Metadata v9
     * when advertised, the epoch-carrying v7 below that, else v0
     * (epochs absent → fetches un-pinned, the pre-KIP-320
-    * degradation). The ApiVersions round itself upgrades to v3 when
-    * the broker offers it — the KIP-482 negotiation path end-to-end. */
+    * degradation). ONE ApiVersions round trip: the v0 response
+    * already carries the whole (api → max version) table this choice
+    * needs — re-handshaking at v3 would buy nothing and double the
+    * negotiation latency on every refresh (and fencing recovery
+    * refreshes on every FENCED_LEADER_EPOCH). The v3 encoding itself
+    * is exercised by [[apiVersionsV3]]'s own callers and specs. */
   def bestClusterMetadata(c: Conn, topic: String): ClusterView = {
-    val (err0, apis0) = apiVersions(c)
-    val (err, apis) =
-      if (err0 == 0 && apis0.get(18).exists(_._2 >= 3)) apiVersionsV3(c)
-      else (err0, apis0)
+    val (err, apis) = apiVersions(c)
     if (err == 0 && apis.get(3).exists(_._2 >= 9))
       clusterMetadataV9(c, topic)
     else if (err == 0 && apis.get(3).exists(_._2 >= 7))
@@ -944,13 +945,25 @@ object KafkaWire {
     * multi-broker cluster must do before fetching. Returns the
     * bootstrap itself when it happens to lead. */
   def leaderConn(bootstrapHost: String, bootstrapPort: Int,
-      topic: String, partition: Int): Conn = {
+      topic: String, partition: Int): Conn =
+    leaderConnWithEpoch(bootstrapHost, bootstrapPort, topic, partition)._1
+
+  /** [[leaderConn]] plus the partition's LEADER EPOCH from the same
+    * metadata round (KIP-320): a consumer pins its fetches to the
+    * epoch it routed by, so a re-election it hasn't seen answers
+    * FENCED_LEADER_EPOCH instead of silently serving from a stale
+    * view. -1 against a pre-epoch broker (the fetch then opts out —
+    * the pre-KIP-320 behavior). */
+  def leaderConnWithEpoch(bootstrapHost: String, bootstrapPort: Int,
+      topic: String, partition: Int): (Conn, Int) = {
     val boot = new Conn(bootstrapHost, bootstrapPort)
-    val (h, p) =
-      try clusterMetadata(boot, topic).leaderAddr(partition)
+    val view =
+      try bestClusterMetadata(boot, topic)
       catch { case e: Throwable => boot.close(); throw e }
-    if (h == bootstrapHost && p == bootstrapPort) boot
-    else { boot.close(); new Conn(h, p) }
+    val (h, p) = view.leaderAddr(partition)
+    val epoch = view.epochOf(partition)
+    if (h == bootstrapHost && p == bootstrapPort) (boot, epoch)
+    else { boot.close(); (new Conn(h, p), epoch) }
   }
 
   /** Produce v2 (acks=-1): one partition's records; returns the
@@ -2067,13 +2080,14 @@ object KafkaWire {
       .flatMap { p =>
         val u8 = java.nio.charset.StandardCharsets.UTF_8
         // fetch from the partition's LEADER (= the bootstrap on a
-        // one-broker cluster); coordinator calls (offset fetch/commit)
-        // are served by any broker
-        val c = leaderConn(host, port, topic, p)
+        // one-broker cluster), epoch-pinned; coordinator calls
+        // (offset fetch/commit) are served by any broker
+        val (c, epoch) = leaderConnWithEpoch(host, port, topic, p)
         try {
           val out = scala.collection.mutable.ArrayBuffer.empty[
             (Int, Long, Long, String, String)]
-          val fetcher = new GrowingFetcher(c, topic, p)
+          val fetcher =
+            new GrowingFetcher(c, topic, p, currentLeaderEpoch = epoch)
           var off = groupId
             .flatMap(g => fetchOffsets(c, g, topic, Seq(p)).getOrElse(p, None))
             .getOrElse(fromOffset)

@@ -789,11 +789,16 @@ private[sources] class KafkaRangeReader(p: KafkaRangePartition)
     extends PartitionReader[InternalRow] {
   // the DATA path goes to the partition's LEADER, discovered through
   // the bootstrap broker's metadata (on a one-broker cluster this IS
-  // the bootstrap); a mid-read re-election surfaces as NOT_LEADER and
-  // re-resolves below
-  private var conn = KafkaWire.leaderConn(p.host, p.port, p.topic, p.partition)
-  private var fetcher =
-    new KafkaWire.GrowingFetcher(conn, p.topic, p.partition, p.isolation)
+  // the bootstrap), and every fetch is PINNED to the leader epoch that
+  // metadata named (KIP-320): a mid-read re-election surfaces as
+  // NOT_LEADER or FENCED_LEADER_EPOCH — the epoch catches the case
+  // the NOT_LEADER answer cannot, a deposed broker that still
+  // believes it leads — and re-resolves below
+  private var connEpoch =
+    KafkaWire.leaderConnWithEpoch(p.host, p.port, p.topic, p.partition)
+  private def conn = connEpoch._1
+  private var fetcher = new KafkaWire.GrowingFetcher(conn, p.topic,
+    p.partition, p.isolation, currentLeaderEpoch = connEpoch._2)
   private var reroutes = 0
   private var buf: Seq[KafkaWire.Record] = Seq.empty
   private var i = -1
@@ -809,17 +814,23 @@ private[sources] class KafkaRangeReader(p: KafkaRangePartition)
       val fetched =
         try Some(fetcher.fetchAt(pos))
         catch {
-          case e: KafkaWire.NotLeaderException =>
-            // leadership moved mid-read: re-resolve through metadata
-            // and continue from the SAME position — the range's
-            // exactly-once contract is position-based, not connection-
-            // based. Bounded: a flapping controller must fail loudly.
+          case e @ (_: KafkaWire.NotLeaderException |
+              _: KafkaWire.FencedLeaderEpochException |
+              _: KafkaWire.UnknownLeaderEpochException) =>
+            // leadership moved mid-read (NOT_LEADER from a follower,
+            // FENCED from a superseded epoch pin, UNKNOWN from a
+            // behind broker): re-resolve through metadata — which
+            // carries the NEW epoch to re-pin on — and continue from
+            // the SAME position; the range's exactly-once contract is
+            // position-based, not connection-based. Bounded: a
+            // flapping controller must fail loudly.
             reroutes += 1
             if (reroutes > 5) throw e
             try conn.close() catch { case _: Exception => }
-            conn = KafkaWire.leaderConn(p.host, p.port, p.topic, p.partition)
-            fetcher =
-              new KafkaWire.GrowingFetcher(conn, p.topic, p.partition, p.isolation)
+            connEpoch = KafkaWire.leaderConnWithEpoch(p.host, p.port,
+              p.topic, p.partition)
+            fetcher = new KafkaWire.GrowingFetcher(conn, p.topic,
+              p.partition, p.isolation, currentLeaderEpoch = connEpoch._2)
             None
           case e: KafkaWire.OffsetOutOfRangeException =>
             // retention advanced the log start past this range's

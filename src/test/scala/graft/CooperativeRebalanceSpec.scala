@@ -137,6 +137,70 @@ class CooperativeRebalanceSpec extends SparkSuite {
     } finally srv.stop()
   }
 
+  test("heterogeneous subscriptions never orphan a partition, and rounds converge to a fixed point") {
+    // m1 subscribes [A] only, m2 subscribes [A, B]; 2 partitions each.
+    // A global quota of 2 per member must not leave B-1 unassignable
+    // once m2 is 'full' — silent orphaning would be records nobody
+    // consumes. Simulate the rebalance rounds the clients would run
+    // (each round's claims = the previous round's output) and check
+    // every round plus the fixed point.
+    val counts = Map("A" -> 2, "B" -> 2)
+    val subs = Map("m1" -> Seq("A"), "m2" -> Seq("A", "B"))
+    var owned: Map[String, Map[String, Seq[Int]]] =
+      Map("m1" -> Map.empty, "m2" -> Map.empty)
+    var rounds = 0
+    var prev: Map[String, Map[String, Seq[Int]]] = null
+    var unownedStreak = Map.empty[(String, Int), Int]
+    while (owned != prev && rounds < 8) {
+      prev = owned
+      rounds += 1
+      owned = KafkaGroup.cooperativeStickyAssign(
+        Seq(("m1", subs("m1"), owned("m1")), ("m2", subs("m2"), owned("m2"))),
+        counts)
+      val flat = owned.toSeq.flatMap { case (_, as) =>
+        as.toSeq.flatMap { case (t, ps) => ps.map(p => (t, p)) } }
+      assert(flat.distinct.size === flat.size, s"overlap at round $rounds")
+      // unowned-at-most-one-round, tracked across the simulation
+      val all = for (t <- Seq("A", "B"); p <- 0 until 2) yield (t, p)
+      val ownedSet = flat.toSet
+      unownedStreak = all.map { tp =>
+        tp -> (if (ownedSet(tp)) 0 else unownedStreak.getOrElse(tp, 0) + 1)
+      }.toMap
+      assert(unownedStreak.values.forall(_ <= 1),
+        s"a partition sat unowned for more than one round: $unownedStreak")
+    }
+    assert(owned == prev, s"no fixed point within $rounds rounds")
+    // the fixed point: everything owned, B entirely on its only
+    // subscriber, and A balanced
+    val flat = owned.toSeq.flatMap { case (_, as) =>
+      as.toSeq.flatMap { case (t, ps) => ps.map(p => (t, p)) } }
+    assert(flat.sorted === Seq(("A", 0), ("A", 1), ("B", 0), ("B", 1)))
+    assert(owned("m2").getOrElse("B", Seq.empty).sorted === Seq(0, 1))
+    assert(owned("m1").getOrElse("A", Seq.empty).nonEmpty,
+      "the A-only member shares topic A at the fixed point")
+  }
+
+  test("revocations are destination-bounded: never more than the under-quota capacity") {
+    // m1 owns all 6 of one topic; m2 joins empty. Quotas 3/3: exactly
+    // 3 partitions revoke (m2's capacity), never more — revoking
+    // beyond capacity would bounce back next round through an extra
+    // rebalance for nothing.
+    val round1 = KafkaGroup.cooperativeStickyAssign(
+      Seq(("m1", Seq("t"), Map("t" -> (0 until 6))),
+        ("m2", Seq("t"), Map.empty)),
+      Map("t" -> 6))
+    assert(round1("m1")("t").sorted === Seq(0, 1, 2),
+      "m1 keeps exactly its quota, sorted-first")
+    assert(round1("m2").getOrElse("t", Seq.empty).isEmpty,
+      "the moved partitions are unowned this round (two-phase)")
+    val round2 = KafkaGroup.cooperativeStickyAssign(
+      Seq(("m1", Seq("t"), round1("m1")), ("m2", Seq("t"), Map.empty)),
+      Map("t" -> 6))
+    assert(round2("m1")("t").sorted === Seq(0, 1, 2))
+    assert(round2("m2")("t").sorted === Seq(3, 4, 5),
+      "the freed partitions land on the joiner one round later")
+  }
+
   test("cooperative and eager groups coexist: the protocol vote picks what all members support") {
     val srv = new MiniKafkaServer(numPartitions = 4)
     try {

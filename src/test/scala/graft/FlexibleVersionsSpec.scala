@@ -56,6 +56,91 @@ class FlexibleVersionsSpec extends SparkSuite {
     } finally cl.stop()
   }
 
+  test("every ADVERTISED version inside the ranges is served — the middle Metadata and Fetch versions included") {
+    val cl = new MiniKafkaCluster(numBrokers = 1, numPartitions = 2)
+    try {
+      val prod = new KafkaWire.RetryingProducer("localhost",
+        cl.bootstrapPort, "t", acks = "all")
+      try prod.send(0, (0 until 3).map(i =>
+        (s"k$i".getBytes, s"v$i".getBytes)), 1L)
+      finally prod.close()
+      val c = new KafkaWire.Conn("localhost", cl.bootstrapPort)
+      try {
+        // Metadata v1..v8: parse each version's exact field layout and
+        // confirm the same leader answer — a real client may pick ANY
+        // advertised version, and an unserved middle would kill the
+        // connection instead (the wire-parity gap the range implies)
+        (1 to 8).foreach { v =>
+          val w = new KafkaWire.Writer().int32(1).str("t")
+          if (v >= 4) w.int8(1)
+          if (v >= 8) { w.int8(0); w.int8(0) }
+          val r = c.call(3, v, w.result())
+          if (v >= 3) r.int32() // throttle
+          val nb = r.int32()
+          (0 until nb).foreach { _ =>
+            r.int32(); r.str(); r.int32(); if (v >= 1) r.str()
+          }
+          if (v >= 2) r.str()   // cluster_id
+          if (v >= 1) r.int32() // controller_id
+          val nt = r.int32(); assert(nt === 1, s"metadata v$v")
+          assert(r.int16() === 0)
+          assert(r.str() === "t")
+          if (v >= 1) r.int8()
+          val np = r.int32(); assert(np === 2, s"metadata v$v partitions")
+          (0 until np).foreach { _ =>
+            assert(r.int16() === 0)
+            r.int32() // partition
+            val leader = r.int32()
+            assert(leader === 0, s"metadata v$v leader")
+            if (v >= 7) assert(r.int32() >= 0, s"metadata v$v epoch")
+            val nr = r.int32(); (0 until nr).foreach(_ => r.int32())
+            val ni = r.int32(); (0 until ni).foreach(_ => r.int32())
+            if (v >= 5) {
+              val no = r.int32(); (0 until no).foreach(_ => r.int32())
+            }
+          }
+          if (v >= 8) r.int32()
+          if (v >= 8) r.int32()
+          assert(r.remaining === 0, s"metadata v$v trailing bytes")
+        }
+        // Fetch v3..v8 (v2/v4/v9 covered elsewhere): each serves the
+        // same 3 records from offset 0 with its version's field walk
+        (3 to 8).foreach { v =>
+          val w = new KafkaWire.Writer()
+            .int32(-1).int32(100).int32(0)
+          if (v >= 3) w.int32(1 << 20)
+          if (v >= 4) w.int8(0)
+          if (v >= 7) { w.int32(0); w.int32(-1) }
+          w.int32(1).str("t").int32(1).int32(0)
+          w.int64(0L)
+          if (v >= 5) w.int64(-1L)
+          w.int32(1 << 20)
+          if (v >= 7) w.int32(0) // forgotten_topics_data
+          val r = c.call(1, v, w.result())
+          r.int32() // throttle
+          if (v >= 7) { assert(r.int16() === 0); r.int32() }
+          assert(r.int32() === 1); r.str()
+          assert(r.int32() === 1)
+          r.int32() // partition
+          assert(r.int16() === 0, s"fetch v$v error")
+          val hw = r.int64()
+          assert(hw === 3L, s"fetch v$v hw")
+          if (v >= 4) {
+            r.int64() // lso
+            if (v >= 5) r.int64() // log_start_offset
+            val na = r.int32(); (0 until na).foreach { _ =>
+              r.int64(); r.int64()
+            }
+          }
+          val set = r.bytes()
+          val recs = KafkaWire.decodeRecordSet(set)
+          assert(recs.length === 3, s"fetch v$v records")
+          assert(r.remaining === 0, s"fetch v$v trailing bytes")
+        }
+      } finally c.close()
+    } finally cl.stop()
+  }
+
   test("the negotiating client takes the flexible path when offered and degrades when not") {
     val modern = new MiniKafkaCluster(numBrokers = 1, numPartitions = 2)
     val old = new MiniKafkaServer(numPartitions = 2, serveFormat = 1)
