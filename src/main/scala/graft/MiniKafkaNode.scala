@@ -126,8 +126,20 @@ final class MiniKafkaNode(val brokerId: Int, numPartitions: Int = 2,
         try {
           val (h, pt) = state.brokers(leaderId)
           conn = new KafkaWire.Conn(h, pt)
-          if (!mutateIfCurrent(truncateToLeader(conn, log)))
-            running = false
+          // the divergence WALK does network round trips — compute it
+          // OUTSIDE the node monitor (a leader that stops responding
+          // without closing its socket would otherwise hold the
+          // monitor for the whole 30 s read timeout, freezing
+          // reconcile and every other partition's appends on this
+          // node); only the truncation MUTATION takes the monitor.
+          // Safe to split: this fetcher is the log's only mutator
+          // while current, and mutateIfCurrent rejects it if a swap
+          // landed between the walk and the apply.
+          val point = divergencePoint(conn, log)
+          if (!mutateIfCurrent {
+            if (point < log.synchronized(log.next))
+              state.truncateSuffix(log, point)
+          }) running = false
           while (running) {
             val myLeo = log.synchronized(log.next)
             val set =
@@ -167,11 +179,13 @@ final class MiniKafkaNode(val brokerId: Int, numPartitions: Int = 2,
 
     /** The KIP-101 truncation walk over the WIRE: starting at this
       * replica's latest epoch, ask the leader where that epoch ends;
-      * agree → truncate to min(leaderEnd, myEnd); leader's largest
+      * agree → divergence at min(leaderEnd, myEnd); leader's largest
       * at-or-below is smaller → drop the divergent epochs and walk
-      * down. No history → full resync from 0. */
-    private def truncateToLeader(conn: KafkaWire.Conn,
-        log: state.Log): Unit = {
+      * down. No history → full resync from 0. READ-only (network
+      * rounds, no lock); the caller applies the truncation under the
+      * node monitor. */
+    private def divergencePoint(conn: KafkaWire.Conn,
+        log: state.Log): Long = {
       val entries = state.epochHistory(log)
       val myLeo = log.synchronized(log.next)
       var i = entries.size - 1
@@ -184,8 +198,7 @@ final class MiniKafkaNode(val brokerId: Int, numPartitions: Int = 2,
         else if (le < 0) point = 0L
         else i = entries.lastIndexWhere(_._1 <= le, i)
       }
-      if (point < 0) point = 0L
-      if (point < myLeo) state.truncateSuffix(log, point)
+      if (point < 0) 0L else point
     }
   }
 

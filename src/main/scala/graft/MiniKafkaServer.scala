@@ -341,6 +341,36 @@ private[graft] final class KafkaClusterState(
     hwMonitor(topic, p).synchronized(hwMonitor(topic, p).notifyAll())
   }
 
+  /** [[setPartitionState]] with the STALE-PUSH fence folded into the
+    * same critical section: the epoch comparison and the apply must
+    * be one atomic step, or two concurrent controller pushes could
+    * both pass the check against the old epoch and land out of order
+    * — a delayed epoch-4 retransmission overwriting a fresh epoch-5
+    * regime would regress leadership AND make the epoch gate fence
+    * CURRENT-epoch requests. Returns 0 or FENCED_LEADER_EPOCH
+    * (epoch 0 at first touch is the unassigned default — an initial
+    * push carries epoch >= 1). */
+  def tryApplyPartitionState(topic: String, p: Int, leader: Int,
+      epoch: Int, isr: Set[Int], replicas: Seq[Int]): Int = {
+    val applied = electionLock(topic, p) {
+      if (epoch <= leaderEpochOf(topic, p) && leaderEpochOf(topic, p) > 0)
+        false
+      else {
+        leaders.put((topic, p), leader)
+        leaderEpochs.put((topic, p), epoch)
+        isrMap.put((topic, p), isr)
+        replicaSets.put((topic, p), replicas)
+        true
+      }
+    }
+    if (applied) {
+      val cb = onPartitionState
+      if (cb != null) cb(topic, p)
+      hwMonitor(topic, p).synchronized(hwMonitor(topic, p).notifyAll())
+      0
+    } else KafkaWire.Errors.FencedLeaderEpoch
+  }
+
   /** Register a PEER broker's advertised address (from the
     * controller's live_leaders list) so metadata and the replica
     * fetchers can route to it. */
@@ -1592,15 +1622,11 @@ final class MiniKafkaServer(numPartitions: Int = 2, serveFormat: Int = 2,
       state.registerPeer(id, host, port)
     }
     val results = states.map { case (topic, p, leader, epoch, isr, replicas) =>
-      if (epoch <= state.leaderEpochOf(topic, p) &&
-          // epoch 0 at first touch is the unassigned default — a
-          // controller's initial push carries epoch >= 1
-          state.leaderEpochOf(topic, p) > 0)
-        (topic, p, KafkaWire.Errors.FencedLeaderEpoch)
-      else {
-        state.setPartitionState(topic, p, leader, epoch, isr, replicas)
-        (topic, p, 0)
-      }
+      // fence check + apply are ONE atomic step under the election
+      // lock (see tryApplyPartitionState) — two concurrent pushes can
+      // never both pass the check and land out of order
+      (topic, p,
+        state.tryApplyPartitionState(topic, p, leader, epoch, isr, replicas))
     }
     val w = new Writer().int16(0).int32(results.length)
     results.foreach { case (topic, p, err) =>
@@ -2508,8 +2534,11 @@ final class MiniKafkaCluster(numBrokers: Int, numPartitions: Int = 2,
     // a RESTARTED broker's replication fetcher is not stalled — a
     // pre-death pause must not survive the revive, or the broker would
     // rejoin the ISR yet silently miss every subsequent append,
-    // pinning the high watermark forever
+    // pinning the high watermark forever. Revival also ends any pin
+    // this broker's pause caused: re-arm the once-per-pin warnings
+    // (the serve-path fast path skips cleanup when nothing is paused).
     state.pausedReplicas.remove(brokerId)
+    state.rearmHwPinWarnings()
     revived.put(brokerId,
       new MiniKafkaServer(numPartitions, serveFormat, state, brokerId))
     state.catchUp(brokerId)

@@ -432,9 +432,10 @@ object KafkaGroup {
     * semantics cannot diverge between them. */
   private[sources] def drainPartition(dataConn: Conn, topic: String,
       p: Int, start: Long, isolation: Int,
-      onDataLoss: String, leaderEpoch: Int = -1): (Seq[Record], Long) = {
+      onDataLoss: String, leaderEpoch: Int = -1,
+      apisHint: Map[Int, (Int, Int)] = null): (Seq[Record], Long) = {
     val fetcher = new GrowingFetcher(dataConn, topic, p, isolation,
-      currentLeaderEpoch = leaderEpoch)
+      currentLeaderEpoch = leaderEpoch, apisHint = apisHint)
     val out = scala.collection.mutable.ArrayBuffer.empty[Record]
     var off = start
     var done = false
@@ -483,6 +484,37 @@ object KafkaGroup {
       }
     }
     (out.toSeq, off)
+  }
+
+  /** [[drainPartition]] behind leader ROUTING with bounded re-resolve:
+    * opens an epoch-pinned leader connection, drains, and on
+    * NOT_LEADER / FENCED_LEADER_EPOCH / UNKNOWN_LEADER_EPOCH (a
+    * mid-drain re-election, or metadata briefly ahead of a leader
+    * that hasn't processed the controller push — a condition that
+    * heals in milliseconds) re-resolves and retries from `start`,
+    * exactly the stock consumer's in-place retry. Records are only
+    * returned from the attempt that completes, so a retry re-reads
+    * rather than duplicates. Bounded: a flapping cluster fails
+    * loudly. */
+  private[sources] def drainWithReroute(host: String, port: Int,
+      topic: String, p: Int, start: Long, isolation: Int,
+      onDataLoss: String): (Seq[Record], Long) = {
+    var attempts = 0
+    while (true) {
+      val route = KafkaWire.leaderRoute(host, port, topic, p)
+      try {
+        return drainPartition(route.conn, topic, p, start, isolation,
+          onDataLoss, leaderEpoch = route.epoch, apisHint = route.apis)
+      } catch {
+        case e @ (_: KafkaWire.NotLeaderException |
+            _: KafkaWire.FencedLeaderEpochException |
+            _: KafkaWire.UnknownLeaderEpochException) =>
+          attempts += 1
+          if (attempts > 5) throw e
+          Thread.sleep(20)
+      } finally route.conn.close()
+    }
+    sys.error("unreachable")
   }
 
   /** One consumer-group member: join/sync/heartbeat/commit/leave over
@@ -663,17 +695,13 @@ object KafkaGroup {
       val ends = scala.collection.mutable.Map.empty[Int, Long]
       parts.foreach { p =>
         // the DATA path goes to the partition's leader, epoch-PINNED
-        // (KIP-320); the shared coordinator connection keeps serving
-        // the offset traffic
-        val (dataConn, epoch) =
-          KafkaWire.leaderConnWithEpoch(host, port, topic, p)
-        try {
-          val (recs, end) = drainPartition(dataConn, topic, p,
-            starts.getOrElse(p, None).getOrElse(resetTo), isolation,
-            onDataLoss, leaderEpoch = epoch)
-          recs.foreach(r => out += ((p, r)))
-          ends(p) = end
-        } finally dataConn.close()
+        // and reroute-recovered (KIP-320); the shared coordinator
+        // connection keeps serving the offset traffic
+        val (recs, end) = drainWithReroute(host, port, topic, p,
+          starts.getOrElse(p, None).getOrElse(resetTo), isolation,
+          onDataLoss)
+        recs.foreach(r => out += ((p, r)))
+        ends(p) = end
       }
       commit(topic, ends.toMap) // fenced => CommitFailedException, no state moved
       out.toSeq
@@ -768,20 +796,20 @@ object KafkaGroup {
         .parallelize(assigned, math.max(1, assigned.length))
         .flatMap { p =>
           val u8 = java.nio.charset.StandardCharsets.UTF_8
-          // leader-routed, epoch-pinned data path; offset traffic on
-          // the same conn (any broker serves it; the coordinator owns
-          // the registry)
-          val (c, epoch) = KafkaWire.leaderConnWithEpoch(host, port, topic, p)
+          // offset traffic rides a bootstrap connection (any broker
+          // serves it; the coordinator owns the registry); the DATA
+          // path is leader-routed, epoch-pinned, reroute-recovered
+          val c = new Conn(host, port)
           try {
             // the shared drain: read_committed stops at the LSO and
             // filters aborted producers' records; onDataLoss decides
             // the retention-deleted-range behavior — ONE copy with the
             // member path (drainPartition), so the semantics cannot
             // diverge between the two group surfaces
-            val (recs, end) = drainPartition(c, topic, p,
+            val (recs, end) = drainWithReroute(host, port, topic, p,
               KafkaWire.fetchOffsets(c, groupId, topic, Seq(p))
                 .getOrElse(p, None).getOrElse(resetTo),
-              isolation, onDataLoss, leaderEpoch = epoch)
+              isolation, onDataLoss)
             // the member's identity rides to the executor: a stale
             // generation here throws CommitFailedException and FAILS
             // the task — a superseded poll must never move offsets

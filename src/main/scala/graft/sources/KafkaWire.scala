@@ -945,25 +945,51 @@ object KafkaWire {
     * multi-broker cluster must do before fetching. Returns the
     * bootstrap itself when it happens to lead. */
   def leaderConn(bootstrapHost: String, bootstrapPort: Int,
-      topic: String, partition: Int): Conn =
-    leaderConnWithEpoch(bootstrapHost, bootstrapPort, topic, partition)._1
-
-  /** [[leaderConn]] plus the partition's LEADER EPOCH from the same
-    * metadata round (KIP-320): a consumer pins its fetches to the
-    * epoch it routed by, so a re-election it hasn't seen answers
-    * FENCED_LEADER_EPOCH instead of silently serving from a stale
-    * view. -1 against a pre-epoch broker (the fetch then opts out —
-    * the pre-KIP-320 behavior). */
-  def leaderConnWithEpoch(bootstrapHost: String, bootstrapPort: Int,
-      topic: String, partition: Int): (Conn, Int) = {
+      topic: String, partition: Int): Conn = {
     val boot = new Conn(bootstrapHost, bootstrapPort)
-    val view =
-      try bestClusterMetadata(boot, topic)
+    val (h, p) =
+      try clusterMetadata(boot, topic).leaderAddr(partition)
       catch { case e: Throwable => boot.close(); throw e }
-    val (h, p) = view.leaderAddr(partition)
-    val epoch = view.epochOf(partition)
-    if (h == bootstrapHost && p == bootstrapPort) (boot, epoch)
-    else { boot.close(); (new Conn(h, p), epoch) }
+    if (h == bootstrapHost && p == bootstrapPort) boot
+    else { boot.close(); new Conn(h, p) }
+  }
+
+  /** A leader-routed data connection PLUS the routing round's other
+    * products: the partition's LEADER EPOCH (KIP-320 — the consumer
+    * pins its fetches to the epoch it routed by, so a re-election it
+    * hasn't seen answers FENCED_LEADER_EPOCH instead of silently
+    * serving from a stale view; -1 against a pre-epoch broker) and
+    * the negotiated api table, which [[GrowingFetcher]] accepts as a
+    * hint so the data path costs the same two round trips the
+    * un-pinned path did (the stock client caches ApiVersions per
+    * node; the double's brokers are version-uniform, so the
+    * bootstrap's table stands in for the leader's). */
+  final case class LeaderRoute(conn: Conn, epoch: Int,
+      apis: Map[Int, (Int, Int)])
+
+  def leaderRoute(bootstrapHost: String, bootstrapPort: Int,
+      topic: String, partition: Int): LeaderRoute = {
+    val boot = new Conn(bootstrapHost, bootstrapPort)
+    // EVERYTHING after the connect is guarded: a partition whose
+    // leader died with no survivor resolves metadata fine but has no
+    // address for its (dead) leader — the lookup must not leak the
+    // bootstrap socket (reroute loops retry this path repeatedly
+    // during an offline window)
+    val (h, p, epoch, apis) =
+      try {
+        val (err, table) = apiVersions(boot)
+        val view =
+          if (err == 0 && table.get(3).exists(_._2 >= 9))
+            clusterMetadataV9(boot, topic)
+          else if (err == 0 && table.get(3).exists(_._2 >= 7))
+            clusterMetadataV7(boot, topic)
+          else clusterMetadata(boot, topic)
+        val (h0, p0) = view.leaderAddr(partition)
+        (h0, p0, view.epochOf(partition), if (err == 0) table else null)
+      } catch { case e: Throwable => boot.close(); throw e }
+    if (h == bootstrapHost && p == bootstrapPort)
+      LeaderRoute(boot, epoch, apis)
+    else { boot.close(); LeaderRoute(new Conn(h, p), epoch, apis) }
   }
 
   /** Produce v2 (acks=-1): one partition's records; returns the
@@ -1749,19 +1775,27 @@ object KafkaWire {
     * silently skipping a committed range. */
   final class GrowingFetcher(c: Conn, topic: String, partition: Int,
       isolation: Int = Isolation.ReadUncommitted,
-      currentLeaderEpoch: Int = -1) {
+      currentLeaderEpoch: Int = -1,
+      apisHint: Map[Int, (Int, Int)] = null) {
     private var maxBytes = 1 << 20
     // one ApiVersions round-trip per task connection (the stock
-    // client's handshake): Fetch v9 when the broker fences by leader
-    // epoch (KIP-320), v4 when it serves v2 batches, v2 otherwise —
-    // decode handles either record format per entry
+    // client's handshake), skipped when the caller already holds the
+    // table from its routing round ([[leaderRoute]]): Fetch v9 when
+    // the broker fences by leader epoch (KIP-320), v4 when it serves
+    // v2 batches, v2 otherwise — decode handles either record format
+    // per entry
     private val (format, fetchEpochAware) = {
-      val (err, apis) = apiVersions(c)
+      val apisOpt =
+        if (apisHint != null) Some(apisHint)
+        else {
+          val (err, apis) = apiVersions(c)
+          if (err == 0) Some(apis) else None
+        }
       val fmt =
-        if (err == 0 && apis.get(0).exists(_._2 >= 3) &&
-          apis.get(1).exists(_._2 >= 4)) 2
+        if (apisOpt.exists(a => a.get(0).exists(_._2 >= 3) &&
+          a.get(1).exists(_._2 >= 4))) 2
         else 1
-      (fmt, err == 0 && apis.get(1).exists(_._2 >= 9))
+      (fmt, apisOpt.exists(_.get(1).exists(_._2 >= 9)))
     }
     require(isolation == Isolation.ReadUncommitted || format >= 2,
       "read_committed needs a record-batch-v2 broker (Fetch v4 carries " +
@@ -2079,35 +2113,54 @@ object KafkaWire {
       .parallelize(0 until nParts, nParts)
       .flatMap { p =>
         val u8 = java.nio.charset.StandardCharsets.UTF_8
+        val out = scala.collection.mutable.ArrayBuffer.empty[
+          (Int, Long, Long, String, String)]
         // fetch from the partition's LEADER (= the bootstrap on a
         // one-broker cluster), epoch-pinned; coordinator calls
-        // (offset fetch/commit) are served by any broker
-        val (c, epoch) = leaderConnWithEpoch(host, port, topic, p)
-        try {
-          val out = scala.collection.mutable.ArrayBuffer.empty[
-            (Int, Long, Long, String, String)]
-          val fetcher =
-            new GrowingFetcher(c, topic, p, currentLeaderEpoch = epoch)
-          var off = groupId
-            .flatMap(g => fetchOffsets(c, g, topic, Seq(p)).getOrElse(p, None))
-            .getOrElse(fromOffset)
-          var done = false
-          while (!done) {
-            val (kept, hw) = fetcher.fetchAt(off)
-            if (kept.isEmpty) done = true // off >= hw: caught up
-            else {
-              kept.foreach { r =>
-                out += ((p, r.offset, r.timestamp,
-                  if (r.key == null) null else new String(r.key, u8),
-                  if (r.value == null) null else new String(r.value, u8)))
+        // (offset fetch/commit) are served by any broker. A
+        // mid-drain re-election (NOT_LEADER from a follower, FENCED/
+        // UNKNOWN from an epoch-skewed broker — metadata can briefly
+        // run ahead of a leader that hasn't processed the controller
+        // push) re-resolves and resumes from the SAME offset, like
+        // the stock consumer; bounded so a flapping cluster fails
+        // loudly.
+        var off = -1L
+        var done = false
+        var reroutes = 0
+        while (!done) {
+          val route = leaderRoute(host, port, topic, p)
+          val c = route.conn
+          try {
+            val fetcher = new GrowingFetcher(c, topic, p,
+              currentLeaderEpoch = route.epoch, apisHint = route.apis)
+            if (off < 0)
+              off = groupId
+                .flatMap(g =>
+                  fetchOffsets(c, g, topic, Seq(p)).getOrElse(p, None))
+                .getOrElse(fromOffset)
+            while (!done) {
+              val (kept, hw) = fetcher.fetchAt(off)
+              if (kept.isEmpty) done = true // off >= hw: caught up
+              else {
+                kept.foreach { r =>
+                  out += ((p, r.offset, r.timestamp,
+                    if (r.key == null) null else new String(r.key, u8),
+                    if (r.value == null) null else new String(r.value, u8)))
+                }
+                off = kept.last.offset + 1
+                done = off >= hw
               }
-              off = kept.last.offset + 1
-              done = off >= hw
             }
-          }
-          groupId.foreach(g => commitOffsets(c, g, topic, Map(p -> off)))
-          out.toSeq
-        } finally c.close()
+            groupId.foreach(g => commitOffsets(c, g, topic, Map(p -> off)))
+          } catch {
+            case e @ (_: NotLeaderException | _: FencedLeaderEpochException |
+                _: UnknownLeaderEpochException) =>
+              reroutes += 1
+              if (reroutes > 5) throw e
+              Thread.sleep(20)
+          } finally c.close()
+        }
+        out.toSeq
       }
     spark.createDataFrame(rows)
       .toDF("partition", "offset", "timestamp", "key", "value")

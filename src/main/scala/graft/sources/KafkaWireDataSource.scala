@@ -794,11 +794,12 @@ private[sources] class KafkaRangeReader(p: KafkaRangePartition)
   // NOT_LEADER or FENCED_LEADER_EPOCH — the epoch catches the case
   // the NOT_LEADER answer cannot, a deposed broker that still
   // believes it leads — and re-resolves below
-  private var connEpoch =
-    KafkaWire.leaderConnWithEpoch(p.host, p.port, p.topic, p.partition)
-  private def conn = connEpoch._1
+  private var route =
+    KafkaWire.leaderRoute(p.host, p.port, p.topic, p.partition)
+  private def conn = route.conn
   private var fetcher = new KafkaWire.GrowingFetcher(conn, p.topic,
-    p.partition, p.isolation, currentLeaderEpoch = connEpoch._2)
+    p.partition, p.isolation, currentLeaderEpoch = route.epoch,
+    apisHint = route.apis)
   private var reroutes = 0
   private var buf: Seq[KafkaWire.Record] = Seq.empty
   private var i = -1
@@ -827,10 +828,11 @@ private[sources] class KafkaRangeReader(p: KafkaRangePartition)
             reroutes += 1
             if (reroutes > 5) throw e
             try conn.close() catch { case _: Exception => }
-            connEpoch = KafkaWire.leaderConnWithEpoch(p.host, p.port,
+            route = KafkaWire.leaderRoute(p.host, p.port,
               p.topic, p.partition)
             fetcher = new KafkaWire.GrowingFetcher(conn, p.topic,
-              p.partition, p.isolation, currentLeaderEpoch = connEpoch._2)
+              p.partition, p.isolation, currentLeaderEpoch = route.epoch,
+              apisHint = route.apis)
             None
           case e: KafkaWire.OffsetOutOfRangeException =>
             // retention advanced the log start past this range's
