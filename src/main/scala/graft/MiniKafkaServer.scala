@@ -310,7 +310,7 @@ private[graft] final class KafkaClusterState(
   def hwMonitor(topic: String, p: Int): Object =
     hwMonitors.getOrElseUpdate((topic, p), new Object)
 
-  /** Invoked after a controller command ([[setPartitionState]])
+  /** Invoked after a controller command ([[tryApplyPartitionState]])
     * changes a partition's regime — the node's hook to reconcile its
     * replica fetchers. */
   @volatile var onPartitionState: (String, Int) => Unit = null
@@ -319,37 +319,19 @@ private[graft] final class KafkaClusterState(
     * controller pushes): leadership, epoch, ISR, and assignment are
     * FED, not computed — each process holds its own copy of this
     * state, kept consistent by the controller, exactly the real
-    * design. Applied UNDER the election monitor, like every other
-    * leadership flip on this node: an in-flight append that passed
-    * its in-lock leaderOf re-check must complete (and stamp its
-    * batch) fully under the OLD regime before the flip lands — the
-    * same append-vs-election serialization the in-JVM moveLeader has,
-    * now held on the wire path too (an append stamped with the NEW
-    * epoch on a deposed leader would defeat the KIP-101 truncation
-    * walk: the divergent batch would look current-regime to the
-    * epoch histories). */
-  def setPartitionState(topic: String, p: Int, leader: Int, epoch: Int,
-      isr: Set[Int], replicas: Seq[Int]): Unit = {
-    electionLock(topic, p) {
-      leaders.put((topic, p), leader)
-      leaderEpochs.put((topic, p), epoch)
-      isrMap.put((topic, p), isr)
-      replicaSets.put((topic, p), replicas)
-    }
-    val cb = onPartitionState
-    if (cb != null) cb(topic, p)
-    hwMonitor(topic, p).synchronized(hwMonitor(topic, p).notifyAll())
-  }
-
-  /** [[setPartitionState]] with the STALE-PUSH fence folded into the
-    * same critical section: the epoch comparison and the apply must
-    * be one atomic step, or two concurrent controller pushes could
-    * both pass the check against the old epoch and land out of order
-    * — a delayed epoch-4 retransmission overwriting a fresh epoch-5
+    * design. The STALE-PUSH fence and the apply are ONE atomic step
+    * under the election monitor — two concurrent controller pushes
+    * must never both pass the epoch check and land out of order (a
+    * delayed epoch-4 retransmission overwriting a fresh epoch-5
     * regime would regress leadership AND make the epoch gate fence
-    * CURRENT-epoch requests. Returns 0 or FENCED_LEADER_EPOCH
-    * (epoch 0 at first touch is the unassigned default — an initial
-    * push carries epoch >= 1). */
+    * CURRENT-epoch requests) — and the same monitor serializes the
+    * flip against in-flight appends, like the in-JVM moveLeader: an
+    * append that passed its in-lock leaderOf re-check completes and
+    * stamps its batch fully under the OLD regime (a NEW-epoch stamp
+    * on a deposed leader's divergent batch would defeat the KIP-101
+    * truncation walk). Returns 0 or FENCED_LEADER_EPOCH (epoch 0 at
+    * first touch is the unassigned default — an initial push
+    * carries epoch >= 1). */
   def tryApplyPartitionState(topic: String, p: Int, leader: Int,
       epoch: Int, isr: Set[Int], replicas: Seq[Int]): Int = {
     val applied = electionLock(topic, p) {

@@ -501,18 +501,29 @@ object KafkaGroup {
       onDataLoss: String): (Seq[Record], Long) = {
     var attempts = 0
     while (true) {
-      val route = KafkaWire.leaderRoute(host, port, topic, p)
+      var route: KafkaWire.LeaderRoute = null
       try {
+        // resolution INSIDE the retry: the most common re-election
+        // trigger is the leader DYING, which surfaces not as a tidy
+        // NOT_LEADER answer but as a dead socket mid-drain, a refused
+        // reconnect, or a metadata view whose leader id has no
+        // address yet (the offline window before the next push/
+        // election) — all of it reroutes, bounded
+        route = KafkaWire.leaderRoute(host, port, topic, p)
         return drainPartition(route.conn, topic, p, start, isolation,
           onDataLoss, leaderEpoch = route.epoch, apisHint = route.apis)
       } catch {
         case e @ (_: KafkaWire.NotLeaderException |
             _: KafkaWire.FencedLeaderEpochException |
-            _: KafkaWire.UnknownLeaderEpochException) =>
+            _: KafkaWire.UnknownLeaderEpochException |
+            _: java.net.SocketException | _: java.io.EOFException |
+            _: java.net.ConnectException |
+            _: java.net.SocketTimeoutException |
+            _: NoSuchElementException) =>
           attempts += 1
-          if (attempts > 5) throw e
-          Thread.sleep(20)
-      } finally route.conn.close()
+          if (attempts > 8) throw e
+          Thread.sleep(25)
+      } finally if (route != null) route.conn.close()
     }
     sys.error("unreachable")
   }

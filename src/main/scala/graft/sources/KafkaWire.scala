@@ -927,13 +927,24 @@ object KafkaWire {
     * negotiation latency on every refresh (and fencing recovery
     * refreshes on every FENCED_LEADER_EPOCH). The v3 encoding itself
     * is exercised by [[apiVersionsV3]]'s own callers and specs. */
-  def bestClusterMetadata(c: Conn, topic: String): ClusterView = {
+  def bestClusterMetadata(c: Conn, topic: String): ClusterView =
+    viewAndApis(c, topic)._1
+
+  /** The ONE copy of the negotiate-then-pick chain: ApiVersions, then
+    * the best Metadata version the broker serves (flexible v9 →
+    * epoch-carrying v7 → v0). Returns the view AND the api table (for
+    * callers that pass it on as [[GrowingFetcher]]'s handshake hint);
+    * the table is null when the ApiVersions round errored. */
+  private def viewAndApis(c: Conn,
+      topic: String): (ClusterView, Map[Int, (Int, Int)]) = {
     val (err, apis) = apiVersions(c)
-    if (err == 0 && apis.get(3).exists(_._2 >= 9))
-      clusterMetadataV9(c, topic)
-    else if (err == 0 && apis.get(3).exists(_._2 >= 7))
-      clusterMetadataV7(c, topic)
-    else clusterMetadata(c, topic)
+    val view =
+      if (err == 0 && apis.get(3).exists(_._2 >= 9))
+        clusterMetadataV9(c, topic)
+      else if (err == 0 && apis.get(3).exists(_._2 >= 7))
+        clusterMetadataV7(c, topic)
+      else clusterMetadata(c, topic)
+    (view, if (err == 0) apis else null)
   }
 
   /** Metadata v0 for one topic: number of partitions. */
@@ -977,15 +988,9 @@ object KafkaWire {
     // during an offline window)
     val (h, p, epoch, apis) =
       try {
-        val (err, table) = apiVersions(boot)
-        val view =
-          if (err == 0 && table.get(3).exists(_._2 >= 9))
-            clusterMetadataV9(boot, topic)
-          else if (err == 0 && table.get(3).exists(_._2 >= 7))
-            clusterMetadataV7(boot, topic)
-          else clusterMetadata(boot, topic)
+        val (view, table) = viewAndApis(boot, topic)
         val (h0, p0) = view.leaderAddr(partition)
-        (h0, p0, view.epochOf(partition), if (err == 0) table else null)
+        (h0, p0, view.epochOf(partition), table)
       } catch { case e: Throwable => boot.close(); throw e }
     if (h == bootstrapHost && p == bootstrapPort)
       LeaderRoute(boot, epoch, apis)
@@ -2128,9 +2133,13 @@ object KafkaWire {
         var done = false
         var reroutes = 0
         while (!done) {
-          val route = leaderRoute(host, port, topic, p)
-          val c = route.conn
+          var route: LeaderRoute = null
           try {
+            // resolution INSIDE the retry: a leader CRASH surfaces as
+            // a dead socket / refused reconnect / address-less leader
+            // id, not a tidy NOT_LEADER — all of it reroutes, bounded
+            route = leaderRoute(host, port, topic, p)
+            val c = route.conn
             val fetcher = new GrowingFetcher(c, topic, p,
               currentLeaderEpoch = route.epoch, apisHint = route.apis)
             if (off < 0)
@@ -2154,11 +2163,15 @@ object KafkaWire {
             groupId.foreach(g => commitOffsets(c, g, topic, Map(p -> off)))
           } catch {
             case e @ (_: NotLeaderException | _: FencedLeaderEpochException |
-                _: UnknownLeaderEpochException) =>
+                _: UnknownLeaderEpochException |
+                _: java.net.SocketException | _: java.io.EOFException |
+                _: java.net.ConnectException |
+                _: java.net.SocketTimeoutException |
+                _: NoSuchElementException) =>
               reroutes += 1
-              if (reroutes > 5) throw e
-              Thread.sleep(20)
-          } finally c.close()
+              if (reroutes > 8) throw e
+              Thread.sleep(25)
+          } finally if (route != null) route.conn.close()
         }
         out.toSeq
       }

@@ -817,22 +817,34 @@ private[sources] class KafkaRangeReader(p: KafkaRangePartition)
         catch {
           case e @ (_: KafkaWire.NotLeaderException |
               _: KafkaWire.FencedLeaderEpochException |
-              _: KafkaWire.UnknownLeaderEpochException) =>
+              _: KafkaWire.UnknownLeaderEpochException |
+              _: java.net.SocketException | _: java.io.EOFException |
+              _: java.net.ConnectException |
+              _: java.net.SocketTimeoutException) =>
             // leadership moved mid-read (NOT_LEADER from a follower,
             // FENCED from a superseded epoch pin, UNKNOWN from a
-            // behind broker): re-resolve through metadata — which
-            // carries the NEW epoch to re-pin on — and continue from
-            // the SAME position; the range's exactly-once contract is
+            // behind broker — or the leader simply DIED, which
+            // surfaces as a dead socket, not a tidy error code):
+            // re-resolve through metadata — which carries the NEW
+            // epoch to re-pin on — and continue from the SAME
+            // position; the range's exactly-once contract is
             // position-based, not connection-based. Bounded: a
             // flapping controller must fail loudly.
             reroutes += 1
-            if (reroutes > 5) throw e
+            if (reroutes > 8) throw e
             try conn.close() catch { case _: Exception => }
-            route = KafkaWire.leaderRoute(p.host, p.port,
-              p.topic, p.partition)
-            fetcher = new KafkaWire.GrowingFetcher(conn, p.topic,
-              p.partition, p.isolation, currentLeaderEpoch = route.epoch,
-              apisHint = route.apis)
+            try {
+              route = KafkaWire.leaderRoute(p.host, p.port,
+                p.topic, p.partition)
+              fetcher = new KafkaWire.GrowingFetcher(conn, p.topic,
+                p.partition, p.isolation, currentLeaderEpoch = route.epoch,
+                apisHint = route.apis)
+            } catch {
+              // the offline window: no live leader to resolve yet —
+              // the next fetchAt on the closed conn throws back into
+              // this branch, which counts and retries the resolution
+              case _: Exception => Thread.sleep(25)
+            }
             None
           case e: KafkaWire.OffsetOutOfRangeException =>
             // retention advanced the log start past this range's

@@ -165,6 +165,15 @@ object PullReplicationChaosProperties
               case P1(n) => produceOnce("1", n)
               case CrashLeader =>
                 if (dead.isEmpty) {
+                  // CLEAN election only, like the in-process chaos
+                  // walk: the survivor must be IN SYNC at crash time
+                  // (a freshly revived, still-resyncing follower that
+                  // gets promoted is an UNCLEAN election — by contract
+                  // it loses leader-only data, which would falsify the
+                  // durability invariant with no product bug). The
+                  // fetcher re-admits itself by catching up, so this
+                  // settles fast.
+                  awaitIsrFull()
                   val crashed = leader
                   nodes(crashed).stop() // listener + fetchers die
                   dead += crashed
@@ -174,8 +183,8 @@ object PullReplicationChaosProperties
                   // the survivor's view of what was consumable may
                   // SHRINK relative to the dead leader's log end, but
                   // never relative to what a consumer SAW: reads were
-                  // HW-bounded, and the HW required the survivor's
-                  // fetches — so lastVisible stays a prefix
+                  // HW-bounded, and with the survivor in-sync the HW
+                  // required its fetches — lastVisible stays a prefix
                 }
               case Revive =>
                 dead.headOption.foreach { id =>
